@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tabular utility operators, equivalents of erde's non-spatial helpers
+  * (reference: erde/utils.py:73 `crossjoin`, erde/utils.py:130 `lookup`).
+  */
+object Ops {
+
+  /** Cartesian product of two dataframes (erde/utils.py:73).
+    * Spark-first: when one side is small the planner turns this into
+    * BroadcastNestedLoopJoin; callers can force it with `broadcast(right)`.
+    */
+  def crossjoin(left: DataFrame, right: DataFrame): DataFrame = left.crossJoin(right)
+
+  /** First-match attribute lookup (erde/utils.py:130 `lookup`): for each left
+    * row, joins `right` on `leftOn == rightOn` and takes the *first* matching
+    * value of each requested column. Pandas "first" depends on row order,
+    * which has no distributed meaning, so the match is made deterministic:
+    * the first row by `orderBy` (ascending) wins.
+    *
+    * Implemented as broadcast-friendly equi-join against a pre-reduced right
+    * side (one row per key after a partial-aggregated min_by), so the shuffle
+    * moves only `rightOn` + requested columns, never the full right table.
+    */
+  def lookup(
+      left: DataFrame,
+      right: DataFrame,
+      columns: Seq[String],
+      leftOn: String,
+      rightOn: String,
+      orderBy: String): DataFrame = {
+    val firstMatch = right
+      .groupBy(col(rightOn))
+      .agg(
+        columns.map(c => min_by(col(c), col(orderBy)).as(c)).head,
+        columns.map(c => min_by(col(c), col(orderBy)).as(c)).tail: _*)
+    left.join(firstMatch, left(leftOn) === firstMatch(rightOn), "left")
+      .drop(firstMatch(rightOn))
+  }
+
+  /** Points from lon/lat columns (erde/utils.py:88 `lonlat2gdf`): recognizes
+    * the same column-name combos and adds `lon`/`lat` double columns
+    * normalized to those names (geometry construction is done by
+    * `functions.GeoFunctions.st_point` when a geometry object is needed).
+    */
+  def lonlatColumns(df: DataFrame): (Column, Column) = {
+    val cols = df.columns.toSet
+    val combos = Seq("lon" -> "lat", "lng" -> "lat", "long" -> "lat",
+      "longitude" -> "latitude", "x" -> "y", "X" -> "Y")
+    combos.collectFirst { case (x, y) if cols(x) && cols(y) => (col(x), col(y)) }
+      .getOrElse(throw new IllegalArgumentException(
+        "Could not find lon/lat columns. Possible combinations: lon/lat, lng/lat, long/lat, longitude/latitude, x/y, X/Y"))
+  }
+}
