@@ -1,0 +1,109 @@
+package graft.geom
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Buffer construction (reference: erde/op/buffer.py — Shapely round buffers,
+  * `resolution` = vertices per 90° arc, default 10 in the reference CLI).
+  *
+  * Point buffers are exact regular polygons. Line/polygon buffers are built
+  * as the union of per-segment stadiums (rectangle + semicircular caps) —
+  * mathematically identical to a round-join round-cap buffer — with the union
+  * computed by [[UnionOps]]. Negative radii are not supported.
+  */
+object Buffer {
+
+  /** Circle approximation: 4×resolution vertices, starting at angle 0. */
+  def circle(cx: Double, cy: Double, radius: Double, resolution: Int): Array[Double] = {
+    val n = math.max(4, 4 * resolution)
+    val cs = new Array[Double]((n + 1) * 2)
+    var k = 0
+    while (k <= n) {
+      val a = 2 * math.Pi * k / n
+      cs(k * 2) = cx + radius * math.cos(a)
+      cs(k * 2 + 1) = cy + radius * math.sin(a)
+      k += 1
+    }
+    cs
+  }
+
+  /** Stadium (capsule) around segment [a,b]: convex ring, CCW. */
+  def stadium(ax: Double, ay: Double, bx: Double, by: Double, radius: Double, resolution: Int): Array[Double] = {
+    val dx = bx - ax; val dy = by - ay
+    val len = math.hypot(dx, dy)
+    if (len < 1e-12) return circle(ax, ay, radius, resolution)
+    val ux = dx / len; val uy = dy / len
+    val base = math.atan2(uy, ux)
+    val n = math.max(2, 2 * resolution) // per semicircle
+    val buf = ArrayBuffer[Double]()
+    // cap at b: from base-90° to base+90°
+    var k = 0
+    while (k <= n) {
+      val a = base - math.Pi / 2 + math.Pi * k / n
+      buf += bx + radius * math.cos(a); buf += by + radius * math.sin(a)
+      k += 1
+    }
+    // cap at a: from base+90° to base+270°
+    k = 0
+    while (k <= n) {
+      val a = base + math.Pi / 2 + math.Pi * k / n
+      buf += ax + radius * math.cos(a); buf += ay + radius * math.sin(a)
+      k += 1
+    }
+    // close
+    buf += buf(0); buf += buf(1)
+    buf.toArray
+  }
+
+  /** Round buffer of any geometry, planar units. */
+  def buffer(g: Geom, radius: Double, resolution: Int = 8): Geom = {
+    require(radius >= 0, "negative buffer radii are not supported")
+    g match {
+      case Point(x, y) => Polygon(Array(circle(x, y, radius, resolution)))
+      case MultiPoint(cs) =>
+        val circles = ArrayBuffer[Array[Array[Double]]]()
+        var i = 0
+        while (i < cs.length) { circles += Array(circle(cs(i), cs(i + 1), radius, resolution)); i += 2 }
+        UnionOps.union(circles.toIndexedSeq)
+      case LineString(cs) => UnionOps.union(lineStadiums(cs, radius, resolution).toIndexedSeq)
+      case MultiLineString(ps) =>
+        UnionOps.union(ps.toIndexedSeq.flatMap(cs => lineStadiums(cs, radius, resolution)))
+      case Polygon(rings) =>
+        // outward buffer: polygon itself ∪ stadiums of every ring segment
+        UnionOps.union(IndexedSeq(Array(rings.head)) ++ rings.toIndexedSeq.flatMap(r => lineStadiums(r, radius, resolution)))
+      case MultiPolygon(ps) =>
+        UnionOps.union(ps.toIndexedSeq.flatMap { rings =>
+          IndexedSeq(Array(rings.head)) ++ rings.toIndexedSeq.flatMap(r => lineStadiums(r, radius, resolution))
+        })
+      case GeomCollection(gs) =>
+        val parts = gs.map(buffer(_, radius, resolution)).flatMap {
+          case Polygon(rs) => Array(rs)
+          case MultiPolygon(ps) => ps
+          case _ => Array.empty[Array[Array[Double]]]
+        }
+        UnionOps.union(parts.toIndexedSeq)
+    }
+  }
+
+  private def lineStadiums(cs: Array[Double], radius: Double, resolution: Int): Seq[Array[Array[Double]]] = {
+    if (cs.length < 4) {
+      if (cs.length == 2) return Seq(Array(circle(cs(0), cs(1), radius, resolution)))
+      return Nil
+    }
+    val out = ArrayBuffer[Array[Array[Double]]]()
+    var i = 0
+    while (i + 3 < cs.length) {
+      out += Array(stadium(cs(i), cs(i + 1), cs(i + 2), cs(i + 3), radius, resolution))
+      i += 2
+    }
+    out.toSeq
+  }
+
+  /** erde metre semantics (erde/op/buffer.py:44): project to 3857, buffer by
+    * `radius / cos(lat of centroid)`, return in 4326.
+    */
+  def bufferM(g4326: Geom, radiusMetres: Double, resolution: Int = 8): Geom = {
+    val m = Mercator.toMercator(g4326)
+    val cos = Mercator.coslat(g4326)
+    Mercator.toLonLat(buffer(m, radiusMetres / cos, resolution))
+  }
+}
