@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** Cluster install path: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * makes every graft SQL function available in all sessions (including
+  * pure-SQL clients), no per-session registration call needed.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo("graft", name), builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+      "st_point" -> (a => StPoint(a(0), a(1))),
+      "st_geomfromtext" -> (a => StGeomFromText(a.head)),
+      "st_astext" -> (a => StAsText(a.head)),
+      "st_x" -> (a => StX(a.head)),
+      "st_y" -> (a => StY(a.head)),
+      "st_geomtype" -> (a => StGeomType(a.head)),
+      "st_centroid" -> (a => StCentroid(a.head)),
+      "st_envelope" -> (a => StEnvelope(a.head)),
+      "st_bbox" -> (a => StBBox(a.head)),
+      "st_area" -> (a => StAreaPlanar(a.head)),
+      "st_aream" -> (a => StAreaM(a.head)),
+      "st_length" -> (a => StLengthPlanar(a.head)),
+      "st_lengthm" -> (a => StLengthM(a.head)),
+      "st_coslat" -> (a => StCosLat(a.head)),
+      "st_tomercator" -> (a => StToMercator(a.head)),
+      "st_tolonlat" -> (a => StToLonLat(a.head)),
+      "st_distance" -> (a => StDistance(a(0), a(1))),
+      "st_makeline" -> (a => StMakeLine(a(0), a(1))),
+      "st_intersects" -> (a => StIntersects(a(0), a(1))),
+      "st_within" -> (a => StWithin(a(0), a(1))),
+      "st_contains" -> (a => StContains(a(0), a(1))),
+      "st_buffer" -> (a => StBuffer(a(0), a(1), a(2))),
+      "st_bufferm" -> (a => StBufferM(a(0), a(1), a(2))),
+      "st_cellcover" -> (a => StCellCover(a(0), a(1))),
+      "st_cellof" -> (a => StCellOf(a(0), a(1), a(2))),
+    )
+    fns.foreach { case (name, b) => ext.injectFunction(fn(name, b)) }
+  }
+}

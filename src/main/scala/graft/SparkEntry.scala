@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GeoFunctions._
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §7 (plan).
@@ -16,6 +17,40 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     readTable(s, dir, name)
+
+  // Deterministic geometry derivations from the TPC-H-ish tables. Every
+  // arithmetic step is written identically in the DuckDB oracles, so both
+  // engines see bit-identical doubles.
+
+  /** One point per customer row: lon ∈ [-29.75, 29.75], lat ∈ [-19.75, 19.75];
+    * fractional part 0.25 so points never sit on integer zone boundaries.
+    */
+  private def custPoints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").withColumn("geometry",
+      st_point(expr("(c_custkey % 120) * 0.5 - 30 + 0.25"), expr("(c_custkey % 80) * 0.5 - 20 + 0.25")))
+
+  /** One disjoint 4°×6° rectangle zone per nation row. */
+  private def nationZones(s: SparkSession, dir: String): DataFrame = {
+    val lon0 = expr("(n_nationkey % 12) * 5.0 - 30")
+    val lat0 = expr("(n_nationkey % 5) * 8.0 - 20")
+    t(s, dir, "nation").withColumn("geometry",
+      st_envelope(st_makeline(st_point(lon0, lat0), st_point(lon0 + 4.0, lat0 + 6.0))))
+  }
+
+  private val custZoneSql =
+    """((c_custkey % 120) * 0.5 - 30 + 0.25) > ((n_nationkey % 12) * 5.0 - 30)
+      | AND ((c_custkey % 120) * 0.5 - 30 + 0.25) < ((n_nationkey % 12) * 5.0 - 30 + 4.0)
+      | AND ((c_custkey % 80) * 0.5 - 20 + 0.25) > ((n_nationkey % 5) * 8.0 - 20)
+      | AND ((c_custkey % 80) * 0.5 - 20 + 0.25) < ((n_nationkey % 5) * 8.0 - 20 + 6.0)""".stripMargin
+
+  /** DuckDB-side Web-Mercator formulas (same R as [[graft.geom.Mercator]]). */
+  private def mx(lon: String) = s"6378137.0 * radians($lon)"
+  private def my(lat: String) = s"6378137.0 * ln(tan(pi()/4 + radians($lat)/2))"
+  private def invLat(y: String) = s"degrees(2*atan(exp(($y)/6378137.0)) - pi()/2)"
+
+  private val havSql: (String, String, String, String) => String = (lon1, lat1, lon2, lat2) =>
+    s"""2*6371008.8*asin(least(1.0, sqrt(pow(sin((radians($lat2)-radians($lat1))/2),2)
+       | + cos(radians($lat1))*cos(radians($lat2))*pow(sin((radians($lon2)-radians($lon1))/2),2))))""".stripMargin
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -51,6 +86,105 @@ object SparkEntry {
         .select(unix_timestamp(col("window.start")).as("hour_ts"),
           col("event_type"), col("n_events"), col("sum_value"))
     }),
+
+    // --- erde op/area (erde/op/area.py) -----------------------------------
+    "geo_area" -> ((s, dir) => {
+      val lonc = expr("(n_nationkey % 10) * 3.0 - 15 + 0.5")
+      val latc = expr("(n_nationkey % 7) * 8.0 - 24 + 0.5")
+      val h = expr("0.1 + (n_nationkey % 3) * 0.05")
+      val squares = t(s, dir, "nation").withColumn("geometry",
+        st_envelope(st_makeline(st_point(lonc - h, latc - h), st_point(lonc + h, latc + h))))
+      GeoOps.areaM(squares)
+        .select(col("n_nationkey"), round(col("area") / 1e6, 3).as("area_km2"))
+    }),
+
+    // --- erde op/length (erde/op/length.py) -------------------------------
+    "geo_length" -> ((s, dir) => {
+      val lon1 = expr("(c_custkey % 120) * 0.5 - 30 + 0.25")
+      val lat1 = expr("(c_custkey % 80) * 0.5 - 20 + 0.25")
+      val lon2 = lon1 + lit(0.3) + expr("(c_custkey % 4) * 0.1")
+      val lat2 = lat1 + lit(0.2)
+      val lines = t(s, dir, "customer").withColumn("geometry",
+        st_makeline(st_point(lon1, lat1), st_point(lon2, lat2)))
+      GeoOps.lengthM(lines)
+        .select(col("c_custkey"), round(col("length") / 1000, 3).as("len_km"))
+    }),
+
+    // --- erde op/buffer (erde/op/buffer.py) -------------------------------
+    "geo_buffer_area" -> ((s, dir) => {
+      val pts = t(s, dir, "supplier").withColumn("geometry",
+        st_point(expr("(s_suppkey % 90) * 0.7 - 31.5"), expr("(s_suppkey % 60) * 0.6 - 17.7")))
+      val withR = pts.withColumn("geometry",
+        st_bufferm(col("geometry"), expr("1000.0 + (s_suppkey % 5) * 500.0"), lit(8)))
+      GeoOps.areaM(withR)
+        .select(col("s_suppkey"), round(col("area") / 1e6, 4).as("buf_km2"))
+    }),
+
+    // --- erde op/convert (erde/op/convert.py) -----------------------------
+    "geo_convert" -> ((s, dir) =>
+      GeoOps.toMercator(custPoints(s, dir))
+        .select(col("c_custkey"),
+          round(st_x(col("geometry")), 2).as("x_m"),
+          round(st_y(col("geometry")), 2).as("y_m"))),
+
+    // --- erde op/sjoin sjfull (erde/op/sjoin.py) --------------------------
+    "sjoin_full" -> ((s, dir) =>
+      SJoin.sjfull(custPoints(s, dir), nationZones(s, dir), predicate = "within")
+        .select("c_custkey", "n_nationkey")),
+
+    // --- erde op/sjoin sagg ------------------------------------------------
+    "sjoin_agg" -> ((s, dir) =>
+      SJoin.sagg(nationZones(s, dir), custPoints(s, dir),
+          Seq(count(lit(1)).as("n_pts"), round(sum("c_acctbal"), 2).as("bal_sum")),
+          predicate = "contains", how = "inner")
+        .select("n_nationkey", "n_pts", "bal_sum")),
+
+    // --- erde op/sjoin slookup ---------------------------------------------
+    "sjoin_lookup" -> ((s, dir) =>
+      SJoin.slookup(custPoints(s, dir), nationZones(s, dir),
+          columns = Seq("n_name"), orderBy = "n_nationkey", predicate = "within")
+        .select("c_custkey", "n_name")),
+
+    // --- erde op/sjoin sfilter ---------------------------------------------
+    "sjoin_filter" -> ((s, dir) =>
+      SJoin.sfilter(custPoints(s, dir), nationZones(s, dir), predicate = "within")
+        .select("c_custkey", "c_acctbal")),
+
+    // --- erde op/route (erde/op/route.py; GreatCircleRouter) --------------
+    "route_greatcircle" -> ((s, dir) => {
+      val lon1 = expr("(c_custkey % 120) * 0.5 - 30 + 0.25")
+      val lat1 = expr("(c_custkey % 80) * 0.5 - 20 + 0.25")
+      val lon2 = lon1 + lit(0.3) + expr("(c_custkey % 4) * 0.1")
+      val lat2 = lat1 + lit(0.2)
+      Routing.route(t(s, dir, "customer"), lon1, lat1, lon2, lat2)
+        .select(col("c_custkey"),
+          round(col("distance") / 1000, 3).as("dist_km"),
+          round(col("duration"), 3).as("duration_s"))
+    }),
+
+    // --- erde op/table (erde/op/table.py:126) -----------------------------
+    "table_route" -> ((s, dir) => {
+      val srcs = t(s, dir, "nation")
+        .withColumn("src_lon", expr("(n_nationkey % 12) * 5.0 - 27.5"))
+        .withColumn("src_lat", expr("(n_nationkey % 5) * 8.0 - 17.0"))
+      val dsts = t(s, dir, "region")
+        .withColumn("dst_lon", expr("r_regionkey * 12.0 - 24.0"))
+        .withColumn("dst_lat", expr("r_regionkey * 7.0 - 14.0"))
+      Routing.tableRoute(srcs, dsts, "src_lon", "src_lat", "dst_lon", "dst_lat")
+        .select(col("n_nationkey"), col("r_regionkey"),
+          round(col("distance") / 1000, 3).as("dist_km"),
+          round(col("duration"), 3).as("duration_s"))
+    }),
+
+    // --- erde op/isochrone (erde/op/isochrone.py) -------------------------
+    "isochrone_cells" -> ((s, dir) => {
+      val srcs = t(s, dir, "region")
+        .withColumn("lon", expr("r_regionkey * 12.0 - 24.0"))
+        .withColumn("lat", expr("r_regionkey * 7.0 - 14.0"))
+      Routing.isochrone(srcs, "lon", "lat", Seq(600.0, 1200.0),
+          stepDeg = 0.05, halfCells = 8, keyCols = Seq("r_regionkey"), withGeometry = false)
+        .select("r_regionkey", "level_s", "n_cells")
+    }),
   )
 
   /** DuckDB-runnable SQL twin for each `queries` key (same column names). */
@@ -72,5 +206,76 @@ object SparkEntry {
         |       event_type, count(*) AS n_events,
         |       round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "geo_area" ->
+      s"""WITH p AS (SELECT n_nationkey,
+         |  (n_nationkey % 10) * 3.0 - 15 + 0.5 AS lonc,
+         |  (n_nationkey % 7) * 8.0 - 24 + 0.5 AS latc,
+         |  0.1 + (n_nationkey % 3) * 0.05 AS h FROM nation),
+         |m AS (SELECT n_nationkey,
+         |  ${mx("lonc - h")} AS x1, ${mx("lonc + h")} AS x2,
+         |  ${my("latc - h")} AS y1, ${my("latc + h")} AS y2 FROM p)
+         |SELECT n_nationkey,
+         |  round((x2-x1)*(y2-y1) * cos(radians(${invLat("(y1+y2)/2")})) * cos(radians(${invLat("(y1+y2)/2")})) / 1e6, 3) AS area_km2
+         |FROM m""".stripMargin,
+    "geo_length" ->
+      s"""WITH p AS (SELECT c_custkey,
+         |  (c_custkey % 120) * 0.5 - 30 + 0.25 AS lon1,
+         |  (c_custkey % 80) * 0.5 - 20 + 0.25 AS lat1 FROM customer),
+         |p2 AS (SELECT c_custkey, lon1, lat1,
+         |  lon1 + 0.3 + (c_custkey % 4) * 0.1 AS lon2, lat1 + 0.2 AS lat2 FROM p),
+         |m AS (SELECT c_custkey,
+         |  ${mx("lon1")} AS x1, ${my("lat1")} AS y1,
+         |  ${mx("lon2")} AS x2, ${my("lat2")} AS y2 FROM p2)
+         |SELECT c_custkey,
+         |  round(sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1)) * cos(radians(${invLat("(y1+y2)/2")})) / 1000, 3) AS len_km
+         |FROM m""".stripMargin,
+    "geo_buffer_area" ->
+      """SELECT s_suppkey,
+        |  round(0.5 * 32 * pow(1000.0 + (s_suppkey % 5) * 500.0, 2) * sin(2*pi()/32) / 1e6, 4) AS buf_km2
+        |FROM supplier""".stripMargin,
+    "geo_convert" ->
+      s"""SELECT c_custkey,
+         |  round(${mx("(c_custkey % 120) * 0.5 - 30 + 0.25")}, 2) AS x_m,
+         |  round(${my("(c_custkey % 80) * 0.5 - 20 + 0.25")}, 2) AS y_m
+         |FROM customer""".stripMargin,
+    "sjoin_full" ->
+      s"""SELECT c_custkey, n_nationkey FROM customer, nation
+         |WHERE $custZoneSql""".stripMargin,
+    "sjoin_agg" ->
+      s"""SELECT n_nationkey, count(*) AS n_pts, round(sum(c_acctbal), 2) AS bal_sum
+         |FROM customer, nation WHERE $custZoneSql
+         |GROUP BY n_nationkey""".stripMargin,
+    "sjoin_lookup" ->
+      s"""SELECT c.c_custkey, arg_min(n.n_name, n.n_nationkey) AS n_name
+         |FROM customer c LEFT JOIN nation n ON ($custZoneSql)
+         |GROUP BY c.c_custkey""".stripMargin,
+    "sjoin_filter" ->
+      s"""SELECT c_custkey, c_acctbal FROM customer c
+         |WHERE EXISTS (SELECT 1 FROM nation n WHERE $custZoneSql)""".stripMargin,
+    "route_greatcircle" ->
+      s"""WITH p AS (SELECT c_custkey,
+         |  (c_custkey % 120) * 0.5 - 30 + 0.25 AS lon1,
+         |  (c_custkey % 80) * 0.5 - 20 + 0.25 AS lat1 FROM customer),
+         |p2 AS (SELECT c_custkey, lon1, lat1,
+         |  lon1 + 0.3 + (c_custkey % 4) * 0.1 AS lon2, lat1 + 0.2 AS lat2 FROM p),
+         |d AS (SELECT c_custkey, ${havSql("lon1", "lat1", "lon2", "lat2")} AS dist FROM p2)
+         |SELECT c_custkey, round(dist/1000, 3) AS dist_km, round(dist/25.0, 3) AS duration_s
+         |FROM d""".stripMargin,
+    "table_route" ->
+      s"""WITH s AS (SELECT n_nationkey,
+         |  (n_nationkey % 12) * 5.0 - 27.5 AS lon1, (n_nationkey % 5) * 8.0 - 17.0 AS lat1 FROM nation),
+         |t AS (SELECT r_regionkey,
+         |  r_regionkey * 12.0 - 24.0 AS lon2, r_regionkey * 7.0 - 14.0 AS lat2 FROM region),
+         |d AS (SELECT n_nationkey, r_regionkey, ${havSql("lon1", "lat1", "lon2", "lat2")} AS dist FROM s, t)
+         |SELECT n_nationkey, r_regionkey, round(dist/1000, 3) AS dist_km, round(dist/25.0, 3) AS duration_s
+         |FROM d""".stripMargin,
+    "isochrone_cells" ->
+      s"""WITH src AS (SELECT r_regionkey,
+         |  r_regionkey * 12.0 - 24.0 AS lon, r_regionkey * 7.0 - 14.0 AS lat FROM region)
+         |SELECT r_regionkey, level_s, count(*) AS n_cells
+         |FROM src, generate_series(-8, 8) g1(i), generate_series(-8, 8) g2(j),
+         |     (VALUES (CAST(600.0 AS DOUBLE)), (CAST(1200.0 AS DOUBLE))) lv(level_s)
+         |WHERE ${havSql("lon", "lat", "lon + i * 0.05", "lat + j * 0.05")} / 25.0 <= level_s
+         |GROUP BY r_regionkey, level_s""".stripMargin,
   )
 }

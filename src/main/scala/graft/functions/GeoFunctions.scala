@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+/** graft's SQL surface: geometry functions as `Column`s (native Catalyst
+  * expressions over WKB) plus numeric geo math composed purely from Spark
+  * built-ins (haversine, mercator projection of lon/lat columns) so the
+  * numeric paths never leave WholeStageCodegen and never touch a geometry
+  * object.
+  *
+  * `registerAll(spark)` exposes everything to `spark.sql(...)` too.
+  */
+object GeoFunctions {
+
+  private def e(c: Column): Expression = ColumnBridge.expression(c)
+  private def c(x: Expression): Column = ColumnBridge.column(x)
+  /** Numeric args are cast explicitly (the expressions skip Catalyst's
+    * implicit-cast machinery, whose types are `private[sql]`).
+    */
+  private def ed(c: Column): Expression = Cast(e(c), DoubleType)
+  private def ei(c: Column): Expression = Cast(e(c), IntegerType)
+
+  // ---- constructors / accessors -------------------------------------------
+  def st_point(x: Column, y: Column): Column = c(StPoint(ed(x), ed(y)))
+  def st_geomfromtext(wkt: Column): Column = c(StGeomFromText(e(wkt)))
+  def st_astext(g: Column): Column = c(StAsText(e(g)))
+  /** WKB is graft's native representation: these are identity casts, present
+    * for API parity with reference IO (parquet/WKB boundary).
+    */
+  def st_geomfromwkb(b: Column): Column = b.cast("binary")
+  def st_aswkb(g: Column): Column = g.cast("binary")
+  def st_x(g: Column): Column = c(StX(e(g)))
+  def st_y(g: Column): Column = c(StY(e(g)))
+  def st_geomtype(g: Column): Column = c(StGeomType(e(g)))
+  def st_centroid(g: Column): Column = c(StCentroid(e(g)))
+  def st_envelope(g: Column): Column = c(StEnvelope(e(g)))
+  def st_bbox(g: Column): Column = c(StBBox(e(g)))
+  def st_makeline(a: Column, b: Column): Column = c(StMakeLine(e(a), e(b)))
+
+  // ---- measures -----------------------------------------------------------
+  def st_area(g: Column): Column = c(StAreaPlanar(e(g)))
+  /** erde m² semantics (reference: erde/op/area.py). */
+  def st_aream(g: Column): Column = c(StAreaM(e(g)))
+  def st_length(g: Column): Column = c(StLengthPlanar(e(g)))
+  /** erde m semantics (reference: erde/op/length.py). */
+  def st_lengthm(g: Column): Column = c(StLengthM(e(g)))
+  def st_coslat(g: Column): Column = c(StCosLat(e(g)))
+  def st_distance(a: Column, b: Column): Column = c(StDistance(e(a), e(b)))
+
+  // ---- CRS ----------------------------------------------------------------
+  def st_transform(g: Column, fromCrs: String, toCrs: String): Column = (fromCrs, toCrs) match {
+    case ("EPSG:4326", "EPSG:3857") | ("4326", "3857") => c(StToMercator(e(g)))
+    case ("EPSG:3857", "EPSG:4326") | ("3857", "4326") => c(StToLonLat(e(g)))
+    case (f, t) if f == t => g
+    case (f, t) => throw new IllegalArgumentException(s"unsupported CRS pair $f -> $t (4326⇄3857 only)")
+  }
+
+  // ---- predicates ---------------------------------------------------------
+  def st_intersects(a: Column, b: Column): Column = c(StIntersects(e(a), e(b)))
+  def st_within(a: Column, b: Column): Column = c(StWithin(e(a), e(b)))
+  def st_contains(a: Column, b: Column): Column = c(StContains(e(a), e(b)))
+
+  // ---- buffer -------------------------------------------------------------
+  def st_buffer(g: Column, radius: Column, resolution: Column): Column =
+    c(StBuffer(e(g), ed(radius), ei(resolution)))
+  /** erde metre semantics (reference: erde/op/buffer.py:44). */
+  def st_bufferm(g: Column, radiusMetres: Column, resolution: Column): Column =
+    c(StBufferM(e(g), ed(radiusMetres), ei(resolution)))
+
+  // ---- grid (spatial-join partitioning) -----------------------------------
+  def st_cellcover(g: Column, cellDeg: Column): Column = c(StCellCover(e(g), ed(cellDeg)))
+  def st_cellof(lon: Column, lat: Column, cellDeg: Column): Column =
+    c(StCellOf(ed(lon), ed(lat), ed(cellDeg)))
+
+  // ---- numeric geo math: pure built-in compositions (full codegen) --------
+
+  /** Great-circle metres between lon/lat columns — composed from built-ins so
+    * it inlines into WholeStageCodegen and pushes down like any arithmetic.
+    */
+  def haversineM(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val r = lit(6371008.8)
+    val p1 = radians(lat1); val p2 = radians(lat2)
+    val a = pow(sin((p2 - p1) / 2), 2) +
+      cos(p1) * cos(p2) * pow(sin((radians(lon2) - radians(lon1)) / 2), 2)
+    lit(2) * r * asin(least(lit(1.0), sqrt(a)))
+  }
+
+  /** Web-Mercator x/y of lon/lat columns (numeric, codegen'd). */
+  def mercX(lon: Column): Column = lit(graft.geom.Mercator.R) * radians(lon)
+  def mercY(lat: Column): Column = {
+    val clamped = least(lit(85.06), greatest(lit(-85.06), lat))
+    lit(graft.geom.Mercator.R) * log(tan(lit(math.Pi / 4) + radians(clamped) / 2))
+  }
+
+  /** Registers every function for `spark.sql` use (temp functions, session
+    * scope) — the zero-config path; cluster deployments can instead install
+    * [[graft.GraftExtensions]] via `spark.sql.extensions`.
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def r1(name: String, b: Expression => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, { args => b(args.head) }, "scala_udf")
+    def r2(name: String, b: (Expression, Expression) => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, { args => b(args(0), args(1)) }, "scala_udf")
+    def r3(name: String, b: (Expression, Expression, Expression) => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, { args => b(args(0), args(1), args(2)) }, "scala_udf")
+
+    r2("st_point", (x, y) => StPoint(Cast(x, DoubleType), Cast(y, DoubleType)))
+    r1("st_geomfromtext", StGeomFromText.apply)
+    r1("st_astext", StAsText.apply)
+    r1("st_x", StX.apply)
+    r1("st_y", StY.apply)
+    r1("st_geomtype", StGeomType.apply)
+    r1("st_centroid", StCentroid.apply)
+    r1("st_envelope", StEnvelope.apply)
+    r1("st_bbox", StBBox.apply)
+    r1("st_area", StAreaPlanar.apply)
+    r1("st_aream", StAreaM.apply)
+    r1("st_length", StLengthPlanar.apply)
+    r1("st_lengthm", StLengthM.apply)
+    r1("st_coslat", StCosLat.apply)
+    r1("st_tomercator", StToMercator.apply)
+    r1("st_tolonlat", StToLonLat.apply)
+    r2("st_distance", StDistance.apply)
+    r2("st_makeline", StMakeLine.apply)
+    r2("st_intersects", StIntersects.apply)
+    r2("st_within", StWithin.apply)
+    r2("st_contains", StContains.apply)
+    r3("st_buffer", (g, r, n) => StBuffer(g, Cast(r, DoubleType), Cast(n, IntegerType)))
+    r3("st_bufferm", (g, r, n) => StBufferM(g, Cast(r, DoubleType), Cast(n, IntegerType)))
+    r2("st_cellcover", (g, cd) => StCellCover(g, Cast(cd, DoubleType)))
+    r3("st_cellof", (x, y, cd) => StCellOf(Cast(x, DoubleType), Cast(y, DoubleType), Cast(cd, DoubleType)))
+  }
+}

@@ -1,0 +1,240 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions over WKB `BinaryType` geometry columns.
+  *
+  * Each expression both interprets (`nullSafeEval`) and generates code
+  * (`doGenCode` → a static call into [[GeomKernel]]), so geometry math runs
+  * inside WholeStageCodegen alongside the surrounding relational operators —
+  * no UDF serialization boundary, no codegen fallback in the hot path.
+  */
+private[graft] object GeomExpressions {
+  final val K = "graft.functions.GeomKernel"
+}
+import GeomExpressions.K
+
+abstract class GeomUnary extends UnaryExpression with Serializable {
+  /** Static method on [[GeomKernel]] implementing this expression. */
+  def method: String
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$K.$method($c)")
+  override def prettyName: String = nodeName.toLowerCase(java.util.Locale.ROOT)
+}
+
+abstract class GeomBinaryPredicate extends BinaryExpression with Serializable {
+  def method: String
+  override def dataType: DataType = BooleanType
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$K.$method($a, $b)")
+  override def prettyName: String = nodeName.toLowerCase(java.util.Locale.ROOT)
+}
+
+case class StGeomFromText(child: Expression) extends GeomUnary {
+  override def method: String = "fromText"
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(s: Any): Any = GeomKernel.fromText(s.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): StGeomFromText = copy(child = c)
+}
+
+case class StAsText(child: Expression) extends GeomUnary {
+  override def method: String = "asText"
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(b: Any): Any = GeomKernel.asText(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): StAsText = copy(child = c)
+}
+
+case class StPoint(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    GeomKernel.point(x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"$K.point($x, $y)")
+  override def prettyName: String = "st_point"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StPoint = copy(l, r)
+}
+
+case class StX(child: Expression) extends GeomUnary {
+  override def method: String = "pointX"
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(b: Any): Any = GeomKernel.pointX(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): StX = copy(child = c)
+}
+
+case class StY(child: Expression) extends GeomUnary {
+  override def method: String = "pointY"
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(b: Any): Any = GeomKernel.pointY(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): StY = copy(child = c)
+}
+
+case class StGeomType(child: Expression) extends GeomUnary {
+  override def method: String = "geomType"
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(b: Any): Any = GeomKernel.geomType(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): StGeomType = copy(child = c)
+}
+
+case class StCentroid(child: Expression) extends GeomUnary {
+  override def method: String = "centroid"
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(b: Any): Any = GeomKernel.centroid(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): StCentroid = copy(child = c)
+}
+
+case class StEnvelope(child: Expression) extends GeomUnary {
+  override def method: String = "envelope"
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(b: Any): Any = GeomKernel.envelope(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): StEnvelope = copy(child = c)
+}
+
+case class StBBox(child: Expression) extends GeomUnary {
+  override def method: String = "bbox"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(b: Any): Any = GeomKernel.bbox(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): StBBox = copy(child = c)
+}
+
+case class StAreaPlanar(child: Expression) extends GeomUnary {
+  override def method: String = "areaPlanar"
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(b: Any): Any = GeomKernel.areaPlanar(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): StAreaPlanar = copy(child = c)
+}
+
+case class StAreaM(child: Expression) extends GeomUnary {
+  override def method: String = "areaM"
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(b: Any): Any = GeomKernel.areaM(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): StAreaM = copy(child = c)
+}
+
+case class StLengthPlanar(child: Expression) extends GeomUnary {
+  override def method: String = "lengthPlanar"
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(b: Any): Any = GeomKernel.lengthPlanar(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): StLengthPlanar = copy(child = c)
+}
+
+case class StLengthM(child: Expression) extends GeomUnary {
+  override def method: String = "lengthM"
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(b: Any): Any = GeomKernel.lengthM(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): StLengthM = copy(child = c)
+}
+
+case class StCosLat(child: Expression) extends GeomUnary {
+  override def method: String = "coslat"
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(b: Any): Any = GeomKernel.coslat(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): StCosLat = copy(child = c)
+}
+
+case class StToMercator(child: Expression) extends GeomUnary {
+  override def method: String = "toMercator"
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(b: Any): Any = GeomKernel.toMercator(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): StToMercator = copy(child = c)
+}
+
+case class StToLonLat(child: Expression) extends GeomUnary {
+  override def method: String = "toLonLat"
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(b: Any): Any = GeomKernel.toLonLat(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): StToLonLat = copy(child = c)
+}
+
+case class StDistance(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomKernel.distance(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$K.distance($a, $b)")
+  override def prettyName: String = "st_distance"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StDistance = copy(l, r)
+}
+
+case class StMakeLine(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomKernel.makeLine(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$K.makeLine($a, $b)")
+  override def prettyName: String = "st_makeline"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StMakeLine = copy(l, r)
+}
+
+case class StIntersects(left: Expression, right: Expression) extends GeomBinaryPredicate {
+  override def method: String = "intersects"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomKernel.intersects(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StIntersects = copy(l, r)
+}
+
+case class StWithin(left: Expression, right: Expression) extends GeomBinaryPredicate {
+  override def method: String = "within"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomKernel.within(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StWithin = copy(l, r)
+}
+
+case class StContains(left: Expression, right: Expression) extends GeomBinaryPredicate {
+  override def method: String = "contains"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomKernel.contains(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StContains = copy(l, r)
+}
+
+case class StBuffer(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(b: Any, r: Any, res: Any): Any =
+    GeomKernel.buffer(b.asInstanceOf[Array[Byte]], r.asInstanceOf[Double], res.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, r, res) => s"$K.buffer($b, $r, $res)")
+  override def prettyName: String = "st_buffer"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): StBuffer =
+    copy(f, s, t)
+}
+
+case class StBufferM(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(b: Any, r: Any, res: Any): Any =
+    GeomKernel.bufferM(b.asInstanceOf[Array[Byte]], r.asInstanceOf[Double], res.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, r, res) => s"$K.bufferM($b, $r, $res)")
+  override def prettyName: String = "st_bufferm"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): StBufferM =
+    copy(f, s, t)
+}
+
+case class StCellCover(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(b: Any, cell: Any): Any =
+    GeomKernel.cellCover(b.asInstanceOf[Array[Byte]], cell.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, cell) => s"$K.cellCover($b, $cell)")
+  override def prettyName: String = "st_cellcover"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StCellCover = copy(l, r)
+}
+
+case class StCellOf(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(lon: Any, lat: Any, cell: Any): Any =
+    GeomKernel.cellOf(lon.asInstanceOf[Double], lat.asInstanceOf[Double], cell.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, cell) => s"$K.cellOf($lon, $lat, $cell)")
+  override def prettyName: String = "st_cellof"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): StCellOf =
+    copy(f, s, t)
+}

@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.geom._
+
+/** Catalyst ⇄ geometry-kernel bridge. Every method is a pure static function
+  * over Spark-internal types (`Array[Byte]` WKB, `UTF8String`, `ArrayData`),
+  * so generated code can call `graft.functions.GeomKernel.m(...)` directly via
+  * the Scala static forwarders — the expression layer stays inside
+  * WholeStageCodegen with no boxing beyond the WKB payload itself.
+  */
+object GeomKernel {
+
+  // ---- constructors / text boundary ---------------------------------------
+
+  def fromText(s: UTF8String): Array[Byte] = WKB.write(WKT.read(s.toString))
+
+  def asText(b: Array[Byte]): UTF8String = UTF8String.fromString(WKT.write(WKB.read(b)))
+
+  def point(x: Double, y: Double): Array[Byte] = WKB.write(Point(x, y))
+
+  /** Straight segment between the centroids of `a` and `b`
+    * (reference: erde/utils.py `linestring_between`).
+    */
+  def makeLine(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val p = Algos.centroid(WKB.read(a)); val q = Algos.centroid(WKB.read(b))
+    WKB.write(LineString(Array(p.x, p.y, q.x, q.y)))
+  }
+
+  // ---- accessors ----------------------------------------------------------
+
+  def pointX(b: Array[Byte]): Double = WKB.read(b) match {
+    case Point(x, _) => x
+    case g => Algos.centroid(g).x
+  }
+
+  def pointY(b: Array[Byte]): Double = WKB.read(b) match {
+    case Point(_, y) => y
+    case g => Algos.centroid(g).y
+  }
+
+  def geomType(b: Array[Byte]): UTF8String = UTF8String.fromString(WKB.read(b).geomType)
+
+  def centroid(b: Array[Byte]): Array[Byte] = WKB.write(Algos.centroid(WKB.read(b)))
+
+  def envelope(b: Array[Byte]): Array[Byte] = {
+    val (x1, y1, x2, y2) = WKB.read(b).bbox
+    WKB.write(Polygon(Array(Array(x1, y1, x2, y1, x2, y2, x1, y2, x1, y1))))
+  }
+
+  /** (minx, miny, maxx, maxy) as a 4-element double array — one WKB parse for
+    * all four bounds (grid-join hot path).
+    */
+  def bbox(b: Array[Byte]): ArrayData = {
+    val (x1, y1, x2, y2) = WKB.read(b).bbox
+    new GenericArrayData(Array(x1, y1, x2, y2))
+  }
+
+  // ---- measures -----------------------------------------------------------
+
+  def areaPlanar(b: Array[Byte]): Double = Algos.area(WKB.read(b))
+
+  /** erde m² semantics (reference: erde/op/area.py:44). NaN for geometries with
+    * no areal component when `nullify` (reference `nullify_irrelevant`).
+    */
+  def areaM(b: Array[Byte]): Double = Mercator.areaM(WKB.read(b))
+
+  def lengthPlanar(b: Array[Byte]): Double = Algos.length(WKB.read(b))
+
+  def lengthM(b: Array[Byte]): Double = Mercator.lengthM(WKB.read(b))
+
+  def coslat(b: Array[Byte]): Double = Mercator.coslat(WKB.read(b))
+
+  def distance(a: Array[Byte], b: Array[Byte]): Double = Algos.distance(WKB.read(a), WKB.read(b))
+
+  // ---- CRS ---------------------------------------------------------------
+
+  def toMercator(b: Array[Byte]): Array[Byte] = WKB.write(Mercator.toMercator(WKB.read(b)))
+
+  def toLonLat(b: Array[Byte]): Array[Byte] = WKB.write(Mercator.toLonLat(WKB.read(b)))
+
+  // ---- buffer -------------------------------------------------------------
+
+  def buffer(b: Array[Byte], radius: Double, resolution: Int): Array[Byte] =
+    WKB.write(Buffer.buffer(WKB.read(b), radius, resolution))
+
+  def bufferM(b: Array[Byte], radiusMetres: Double, resolution: Int): Array[Byte] =
+    WKB.write(Buffer.bufferM(WKB.read(b), radiusMetres, resolution))
+
+  // ---- predicates ---------------------------------------------------------
+
+  def intersects(a: Array[Byte], b: Array[Byte]): Boolean = Algos.intersects(WKB.read(a), WKB.read(b))
+
+  def within(a: Array[Byte], b: Array[Byte]): Boolean = Algos.within(WKB.read(a), WKB.read(b))
+
+  def contains(a: Array[Byte], b: Array[Byte]): Boolean = Algos.contains(WKB.read(a), WKB.read(b))
+
+  // ---- grid cells (spatial-join partitioning) -----------------------------
+
+  /** Packed id of the grid cell containing (lon, lat) for cell size `cell`
+    * degrees: 32-bit x-index ‖ 32-bit y-index.
+    */
+  def cellOf(lon: Double, lat: Double, cell: Double): Long = {
+    val ix = math.floor((lon + 180.0) / cell).toLong
+    val iy = math.floor((lat + 90.0) / cell).toLong
+    (ix << 32) | (iy & 0xffffffffL)
+  }
+
+  /** All cell ids covered by the geometry's bbox. The spatial join explodes on
+    * this — shuffle weight is O(rows × avg cover), never O(N×M).
+    */
+  def cellCover(b: Array[Byte], cell: Double): ArrayData = {
+    val (x1, y1, x2, y2) = WKB.read(b).bbox
+    if (x1.isNaN || x1.isInfinite) return new GenericArrayData(Array.empty[Long])
+    val ix1 = math.floor((x1 + 180.0) / cell).toLong
+    val ix2 = math.floor((x2 + 180.0) / cell).toLong
+    val iy1 = math.floor((y1 + 90.0) / cell).toLong
+    val iy2 = math.floor((y2 + 90.0) / cell).toLong
+    val out = new Array[Long](((ix2 - ix1 + 1) * (iy2 - iy1 + 1)).toInt)
+    var k = 0
+    var ix = ix1
+    while (ix <= ix2) {
+      var iy = iy1
+      while (iy <= iy2) { out(k) = (ix << 32) | (iy & 0xffffffffL); k += 1; iy += 1 }
+      ix += 1
+    }
+    new GenericArrayData(out)
+  }
+}

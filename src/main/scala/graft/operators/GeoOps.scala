@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions._
+
+/** Dataframe-level geometry operators, the erde CLI-op equivalents
+  * (reference: erde/op/area.py, erde/op/length.py, erde/op/buffer.py,
+  * erde/op/convert.py, erde/utils.py:88 `lonlat2gdf`).
+  *
+  * All are narrow (per-row) transformations: no shuffle, fully parallel at
+  * any scale; geometry stays WKB end to end.
+  */
+object GeoOps {
+
+  /** Column of per-geometry area in m² (reference: erde/op/area.py — mercator
+    * planar area × cos²(centroid lat)). `skipTransform` treats coordinates as
+    * already-planar CRS units; `nullifyIrrelevant` yields null for geometries
+    * with no areal component (points/lines) instead of 0.
+    */
+  def areaM(
+      df: DataFrame,
+      geom: String = "geometry",
+      into: String = "area",
+      skipTransform: Boolean = false,
+      nullifyIrrelevant: Boolean = false): DataFrame = {
+    val base = if (skipTransform) st_area(col(geom)) else st_aream(col(geom))
+    val value =
+      if (nullifyIrrelevant)
+        when(st_geomtype(col(geom)).isin("Polygon", "MultiPolygon", "GeometryCollection"), base)
+      else base
+    df.withColumn(into, value)
+  }
+
+  /** Column of per-geometry length in m (reference: erde/op/length.py). */
+  def lengthM(
+      df: DataFrame,
+      geom: String = "geometry",
+      into: String = "length",
+      skipTransform: Boolean = false,
+      nullifyIrrelevant: Boolean = false): DataFrame = {
+    val base = if (skipTransform) st_length(col(geom)) else st_lengthm(col(geom))
+    val relevant = Seq("LineString", "MultiLineString", "Polygon", "MultiPolygon", "GeometryCollection")
+    val value =
+      if (nullifyIrrelevant) when(st_geomtype(col(geom)).isin(relevant: _*), base)
+      else base
+    df.withColumn(into, value)
+  }
+
+  /** Buffers every geometry by `radiusMetres` (reference: erde/op/buffer.py —
+    * default resolution 10 arcs/90°). `dissolve` unions all buffers into a
+    * single geometry: implemented as a two-level aggregation (partial unions
+    * per partition, then one merge) so the driver never sees raw rows.
+    */
+  def bufferM(
+      df: DataFrame,
+      radiusMetres: Double,
+      geom: String = "geometry",
+      resolution: Int = 10,
+      dissolve: Boolean = false): DataFrame = {
+    val buffered = df.withColumn(geom, st_bufferm(col(geom), lit(radiusMetres), lit(resolution)))
+    if (!dissolve) buffered
+    else buffered.agg(UnionAgg.unionAgg(col(geom)).as(geom))
+  }
+
+  /** CRS conversion (reference: erde/op/convert.py); 4326⇄3857. */
+  def convert(df: DataFrame, fromCrs: String, toCrs: String, geom: String = "geometry"): DataFrame =
+    df.withColumn(geom, st_transform(col(geom), fromCrs, toCrs))
+
+  def toMercator(df: DataFrame, geom: String = "geometry"): DataFrame =
+    convert(df, "EPSG:4326", "EPSG:3857", geom)
+
+  def toLonLat(df: DataFrame, geom: String = "geometry"): DataFrame =
+    convert(df, "EPSG:3857", "EPSG:4326", geom)
+
+  /** Adds a WKB point column from lon/lat columns, auto-detecting the same
+    * column-name combos as the reference (erde/utils.py:88 `lonlat2gdf`).
+    */
+  def lonlatToPoints(df: DataFrame, into: String = "geometry"): DataFrame = {
+    val (lon, lat) = Ops.lonlatColumns(df)
+    df.withColumn(into, st_point(lon.cast("double"), lat.cast("double")))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions._
+
+/** Routing leg: seconds, metres, WKB geometry. */
+final case class RouteLeg(durationS: Double, distanceM: Double, wkb: Array[Byte])
+
+/** Pluggable routing backend (reference: erde/op/route.py — OSRM HTTP).
+  *
+  * The reference calls an external OSRM server per chunk; an HTTP hop per row
+  * is the opposite of cluster-friendly, so graft makes the router a trait:
+  * implementations that wrap a real engine lift `route` into a UDF (default
+  * `routeExpr`), while pure-math routers override `routeExpr` with built-in
+  * column expressions and stay inside WholeStageCodegen.
+  */
+trait Router extends Serializable {
+
+  def route(lon1: Double, lat1: Double, lon2: Double, lat2: Double): RouteLeg
+
+  /** Batch interface: a struct column {duration, distance, geometry}. */
+  def routeExpr(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val u = udf { (a: Double, b: Double, c: Double, d: Double) =>
+      val leg = route(a, b, c, d); (leg.durationS, leg.distanceM, leg.wkb)
+    }
+    u(lon1, lat1, lon2, lat2)
+      .cast("struct<duration:double,distance:double,geometry:binary>")
+  }
+}
+
+/** Deterministic great-circle router: distance = haversine metres, duration =
+  * distance / speed, geometry = straight segment. Pure column math — no UDF,
+  * no network, embarrassingly parallel at any scale. The cluster-safe default
+  * standing in for the reference's OSRM backend.
+  */
+class GreatCircleRouter(val speedMps: Double = 25.0) extends Router {
+
+  override def route(lon1: Double, lat1: Double, lon2: Double, lat2: Double): RouteLeg = {
+    val d = graft.geom.Mercator.haversine(lon1, lat1, lon2, lat2)
+    RouteLeg(d / speedMps, d, graft.geom.WKB.write(
+      graft.geom.LineString(Array(lon1, lat1, lon2, lat2))))
+  }
+
+  override def routeExpr(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val d = haversineM(lon1, lat1, lon2, lat2)
+    struct(
+      (d / lit(speedMps)).as("duration"),
+      d.as("distance"),
+      st_makeline(st_point(lon1, lat1), st_point(lon2, lat2)).as("geometry"))
+  }
+}
+
+/** erde routing-op equivalents: route / table / isochrone
+  * (reference: erde/op/route.py, erde/op/table.py:126, erde/op/isochrone.py).
+  */
+object Routing {
+
+  /** Per-row routing (reference: erde/op/route.py): adds `duration` (s),
+    * `distance` (m) and a `route_geometry` WKB column.
+    */
+  def route(
+      df: DataFrame,
+      fromLon: Column, fromLat: Column, toLon: Column, toLat: Column,
+      router: Router = new GreatCircleRouter()): DataFrame =
+    df.withColumn("__r", router.routeExpr(fromLon, fromLat, toLon, toLat))
+      .withColumn("duration", col("__r.duration"))
+      .withColumn("distance", col("__r.distance"))
+      .withColumn("route_geometry", col("__r.geometry"))
+      .drop("__r")
+
+  /** N×M duration/distance matrix (reference: erde/op/table.py:126).
+    *
+    * erde chunks the pair space client-side (`max_table_size`); on Spark the
+    * cross join *is* that chunking — each task routes one partition-pair.
+    * Pass a broadcast-sized `dests` (dims, hubs) and Spark never shuffles the
+    * big side at all.
+    */
+  def tableRoute(
+      sources: DataFrame,
+      dests: DataFrame,
+      srcLon: String, srcLat: String, dstLon: String, dstLat: String,
+      router: Router = new GreatCircleRouter(),
+      destSuffix: String = "_dest",
+      withGeometry: Boolean = false): DataFrame = {
+    val clash = sources.columns.toSet
+    val renamed = dests.columns.foldLeft(dests) { (df, c0) =>
+      if (clash(c0)) df.withColumnRenamed(c0, c0 + destSuffix) else df
+    }
+    val dLon = if (clash(dstLon)) dstLon + destSuffix else dstLon
+    val dLat = if (clash(dstLat)) dstLat + destSuffix else dstLat
+    val joined = sources.crossJoin(broadcast(renamed))
+      .withColumn("__r", router.routeExpr(col(srcLon), col(srcLat), col(dLon), col(dLat)))
+      .withColumn("duration", col("__r.duration"))
+      .withColumn("distance", col("__r.distance"))
+    (if (withGeometry) joined.withColumn("route_geometry", col("__r.geometry")) else joined)
+      .drop("__r")
+  }
+
+  /** Isochrone cells (reference: erde/op/isochrone.py — hex grid sized by
+    * speed·duration, route source→grid, keep cells within each duration
+    * level). The grid is generated *distributed* (`sequence` + `explode`
+    * per source — no driver loop), routed with the router's column
+    * expression, and aggregated per (source, level).
+    *
+    * Returns one row per source row × duration level with `n_cells` and a
+    * dissolved MultiPolygon of the reachable cells.
+    */
+  def isochrone(
+      sources: DataFrame,
+      srcLon: String, srcLat: String,
+      durationsS: Seq[Double],
+      router: Router = new GreatCircleRouter(),
+      stepDeg: Double = 0.05,
+      halfCells: Int = 8,
+      keyCols: Seq[String] = Nil,
+      withGeometry: Boolean = true): DataFrame = {
+    val keys = if (keyCols.nonEmpty) keyCols else sources.columns.toSeq
+    val grid = sources
+      .withColumn("__i", explode(sequence(lit(-halfCells), lit(halfCells))))
+      .withColumn("__j", explode(sequence(lit(-halfCells), lit(halfCells))))
+      .withColumn("__plon", col(srcLon) + col("__i") * lit(stepDeg))
+      .withColumn("__plat", col(srcLat) + col("__j") * lit(stepDeg))
+      .withColumn("__dur", router.routeExpr(col(srcLon), col(srcLat), col("__plon"), col("__plat"))("duration"))
+      .withColumn("level_s", explode(lit(durationsS.toArray)))
+      .where(col("__dur") <= col("level_s"))
+    val half = lit(stepDeg / 2)
+    val cellPoly = st_envelope(st_makeline(
+      st_point(col("__plon") - half, col("__plat") - half),
+      st_point(col("__plon") + half, col("__plat") + half)))
+    val aggs =
+      if (withGeometry) Seq(count(lit(1)).as("n_cells"), UnionAgg.unionAgg(cellPoly).as("geometry"))
+      else Seq(count(lit(1)).as("n_cells"))
+    grid.groupBy((keys.map(col) :+ col("level_s")): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

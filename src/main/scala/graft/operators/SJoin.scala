@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions._
+
+/** Spatial join family (reference: erde/op/sjoin.py — sjfull / sagg /
+  * slookup / sfilter with predicates intersects / within / contains).
+  *
+  * Scale design (SURVEY §4): geometries are exploded onto the covering cells
+  * of a lon/lat grid and the join runs hash-partitioned on the cell id, so
+  * shuffle weight is O(rows × avg cells covered), never O(N×M). Duplicate
+  * candidate pairs (bboxes overlapping several shared cells) are eliminated
+  * *without a distinct shuffle* by the reference-cell rule: a pair is emitted
+  * only in the single cell containing the top-left corner of the two bboxes'
+  * intersection. Skew (dense cities) spreads because the cell id is the
+  * shuffle key and AQE splits oversized partitions; `cellDeg` tunes
+  * cover-vs-selectivity per call.
+  */
+object SJoin {
+
+  val DefaultCellDeg = 0.5
+
+  private val LB = "__graft_lbbox"
+  private val RB = "__graft_rbbox"
+  private val CELL = "__graft_cell"
+  private val LID = "__graft_lid"
+
+  private def pred(p: String, l: Column, r: Column): Column = p match {
+    case "intersects" => st_intersects(l, r)
+    case "within" => st_within(l, r)
+    case "contains" => st_contains(l, r)
+    case other => throw new IllegalArgumentException(
+      s"unknown predicate '$other' (intersects|within|contains)")
+  }
+
+  /** Inner candidate-pair join: left row ++ right row (right columns that
+    * clash renamed with `rightSuffix`), each matching pair exactly once.
+    * Internal ids/bboxes/cells are dropped before returning.
+    */
+  def pairs(
+      left: DataFrame,
+      right: DataFrame,
+      predicate: String = "intersects",
+      leftGeom: String = "geometry",
+      rightGeom: String = "geometry",
+      cellDeg: Double = DefaultCellDeg,
+      rightSuffix: String = "_right"): DataFrame =
+    pairsKeyed(tagged(left, leftGeom, cellDeg), right, predicate, leftGeom, rightGeom, cellDeg, rightSuffix)
+      .drop(LID)
+
+  /** Left side with a stable row id (narrow — no shuffle) for the join-back
+    * variants (left joins, sagg, slookup, sfilter).
+    */
+  private def tagged(left: DataFrame, leftGeom: String, cellDeg: Double): DataFrame =
+    left.withColumn(LID, monotonically_increasing_id())
+
+  private def pairsKeyed(
+      taggedLeft: DataFrame,
+      right: DataFrame,
+      predicate: String,
+      leftGeom: String,
+      rightGeom: String,
+      cellDeg: Double,
+      rightSuffix: String): DataFrame = {
+    val clash = taggedLeft.columns.toSet
+    val renamed = right.columns.foldLeft(right) { (df, c0) =>
+      if (clash(c0)) df.withColumnRenamed(c0, c0 + rightSuffix) else df
+    }
+    val rGeom = if (clash(rightGeom)) rightGeom + rightSuffix else rightGeom
+
+    val l = taggedLeft
+      .withColumn(LB, st_bbox(col(leftGeom)))
+      .withColumn(CELL, explode(st_cellcover(col(leftGeom), lit(cellDeg))))
+    val r = renamed
+      .withColumn(RB, st_bbox(col(rGeom)))
+      .withColumn(CELL, explode(st_cellcover(col(rGeom), lit(cellDeg))))
+
+    // reference cell: the one holding the lower-left corner of bbox∩bbox —
+    // emits each surviving pair exactly once, no post-join distinct.
+    val refCell = st_cellof(
+      greatest(element_at(col(LB), 1), element_at(col(RB), 1)),
+      greatest(element_at(col(LB), 2), element_at(col(RB), 2)),
+      lit(cellDeg))
+
+    l.join(r, l(CELL) === r(CELL) &&
+        refCell === l(CELL) &&
+        pred(predicate, col(leftGeom), col(rGeom)))
+      .drop(LB).drop(RB).drop(CELL)
+  }
+
+  /** Full spatial join keeping both geometries (reference: erde sjoin `sjfull`).
+    * `how` ∈ inner | left (left keeps unmatched left rows with nulls).
+    */
+  def sjfull(
+      left: DataFrame,
+      right: DataFrame,
+      predicate: String = "intersects",
+      how: String = "inner",
+      leftGeom: String = "geometry",
+      rightGeom: String = "geometry",
+      cellDeg: Double = DefaultCellDeg,
+      rightSuffix: String = "_right"): DataFrame = {
+    val lt = tagged(left, leftGeom, cellDeg)
+    val inner = pairsKeyed(lt, right, predicate, leftGeom, rightGeom, cellDeg, rightSuffix)
+    how match {
+      case "inner" => inner.drop(LID)
+      case "left" =>
+        val unmatched = lt.join(inner.select(LID), Seq(LID), "left_anti")
+        val rightCols = inner.columns.filterNot(lt.columns.contains)
+        val padded = rightCols.foldLeft(unmatched)((df, c0) =>
+          df.withColumn(c0, lit(null).cast(inner.schema(c0).dataType)))
+        inner.unionByName(padded.select(inner.columns.map(col): _*)).drop(LID)
+      case other => throw new IllegalArgumentException(s"how='$other' (inner|left)")
+    }
+  }
+
+  /** Aggregates right-side values per left row (reference: erde sjoin `sagg`).
+    * `aggs` are aggregate Columns over right columns, e.g.
+    * `Seq(sum("pop").as("pop_sum"), count(lit(1)).as("n"))`. Spark runs them
+    * with map-side partial aggregation over the grid-join output.
+    */
+  def sagg(
+      left: DataFrame,
+      right: DataFrame,
+      aggs: Seq[Column],
+      predicate: String = "intersects",
+      how: String = "left",
+      leftGeom: String = "geometry",
+      rightGeom: String = "geometry",
+      cellDeg: Double = DefaultCellDeg): DataFrame = {
+    val lt = tagged(left, leftGeom, cellDeg)
+    val inner = pairsKeyed(lt, right, predicate, leftGeom, rightGeom, cellDeg, "_right")
+    val agged = inner.groupBy(col(LID)).agg(aggs.head, aggs.tail: _*)
+    lt.join(agged, Seq(LID), how).drop(LID)
+  }
+
+  /** First-match attribute lookup (reference: erde sjoin `slookup`): attaches
+    * `columns` from the matching right row with the smallest `orderBy` value —
+    * deterministic, unlike pandas row order. min_by keeps the shuffle at one
+    * candidate per (left row × input partition).
+    */
+  def slookup(
+      left: DataFrame,
+      right: DataFrame,
+      columns: Seq[String],
+      orderBy: String,
+      predicate: String = "intersects",
+      how: String = "left",
+      leftGeom: String = "geometry",
+      rightGeom: String = "geometry",
+      cellDeg: Double = DefaultCellDeg): DataFrame = {
+    val lt = tagged(left, leftGeom, cellDeg)
+    val inner = pairsKeyed(lt, right, predicate, leftGeom, rightGeom, cellDeg, "_right")
+    val picks = columns.map(c0 => min_by(col(c0), col(orderBy)).as(c0))
+    val agged = inner.groupBy(col(LID)).agg(picks.head, picks.tail: _*)
+    lt.join(agged, Seq(LID), how).drop(LID)
+  }
+
+  /** Spatial semi/anti filter (reference: erde sjoin `sfilter`): left rows
+    * that do (or, `negative`, do not) match any right geometry.
+    */
+  def sfilter(
+      left: DataFrame,
+      right: DataFrame,
+      predicate: String = "intersects",
+      negative: Boolean = false,
+      leftGeom: String = "geometry",
+      rightGeom: String = "geometry",
+      cellDeg: Double = DefaultCellDeg): DataFrame = {
+    val lt = tagged(left, leftGeom, cellDeg)
+    val matched = pairsKeyed(lt, right, predicate, leftGeom, rightGeom, cellDeg, "_right")
+      .select(LID)
+    lt.join(matched, Seq(LID), if (negative) "left_anti" else "left_semi").drop(LID)
+  }
+}

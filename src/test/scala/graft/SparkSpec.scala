@@ -8,6 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   val sfDir = "/root/testdata/sf0.001"
+  /** `import testImplicits._` for toDF/toDS in specs. */
+  protected lazy val testImplicits = spark.implicits
 }
 
 object SparkSpec {

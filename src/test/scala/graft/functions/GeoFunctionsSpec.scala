@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.functions.GeoFunctions._
+import graft.geom._
+
+class GeoFunctionsSpec extends AnyFunSuite with SparkSpec {
+
+  import testImplicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    spark.range(1).select(c.as("v")).head().getAs[T]("v")
+
+  test("st_point / st_x / st_y round-trip") {
+    val df = Seq((12.5, -3.25)).toDF("lon", "lat")
+      .select(st_point(col("lon"), col("lat")).as("g"))
+    val row = df.select(st_x(col("g")), st_y(col("g"))).head()
+    assert(row.getDouble(0) == 12.5 && row.getDouble(1) == -3.25)
+  }
+
+  test("st_geomfromtext / st_astext round-trip") {
+    val wkt = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    assert(one[String](st_astext(st_geomfromtext(lit(wkt)))) == wkt)
+  }
+
+  test("st_aream matches erde semantics for a known square") {
+    // 0.2°×0.2° square at lat 10: mercator planar area × cos²(centroid lat)
+    val wkt = "POLYGON ((10 9.9, 10.2 9.9, 10.2 10.1, 10 10.1, 10 9.9))"
+    val got = one[Double](st_aream(st_geomfromtext(lit(wkt))))
+    val g = WKT.read(wkt)
+    assert(math.abs(got - Mercator.areaM(g)) / got < 1e-12)
+    // sanity: ~0.2° ≈ 22.2km, area ≈ 22.2km × 21.9km ≈ 487 km²
+    assert(got > 4.5e8 && got < 5.2e8)
+  }
+
+  test("st_lengthm ≈ haversine for a short segment") {
+    val wkt = "LINESTRING (10 10, 10.1 10.1)"
+    val planar = one[Double](st_lengthm(st_geomfromtext(lit(wkt))))
+    val hav = Mercator.haversine(10, 10, 10.1, 10.1)
+    assert(math.abs(planar - hav) / hav < 0.01) // mercator-coslat vs great-circle: <1%
+  }
+
+  test("st_intersects / st_within / st_contains") {
+    val poly = st_geomfromtext(lit("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
+    val inside = st_point(lit(2.0), lit(2.0))
+    val outside = st_point(lit(9.0), lit(9.0))
+    assert(one[Boolean](st_intersects(inside, poly)))
+    assert(!one[Boolean](st_intersects(outside, poly)))
+    assert(one[Boolean](st_within(inside, poly)))
+    assert(!one[Boolean](st_within(poly, inside)))
+    assert(one[Boolean](st_contains(poly, inside)))
+  }
+
+  test("st_bufferm of a point has erde-invariant area 0.5·n·r²·sin(2π/n)") {
+    val buf = st_bufferm(st_point(lit(20.0), lit(35.0)), lit(1000.0), lit(8))
+    val area = one[Double](st_aream(buf))
+    val expect = 0.5 * 32 * 1000.0 * 1000.0 * math.sin(2 * math.Pi / 32)
+    assert(math.abs(area - expect) / expect < 1e-9)
+  }
+
+  test("st_transform 4326⇄3857 round-trips") {
+    val p = st_point(lit(30.0), lit(-15.0))
+    val back = st_transform(st_transform(p, "EPSG:4326", "EPSG:3857"), "EPSG:3857", "EPSG:4326")
+    val row = spark.range(1).select(st_x(back), st_y(back)).head()
+    assert(math.abs(row.getDouble(0) - 30.0) < 1e-9 && math.abs(row.getDouble(1) + 15.0) < 1e-9)
+  }
+
+  test("haversineM column matches kernel haversine") {
+    val got = one[Double](haversineM(lit(10.0), lit(20.0), lit(11.0), lit(21.0)))
+    val expect = Mercator.haversine(10, 20, 11, 21)
+    assert(math.abs(got - expect) < 1e-6)
+  }
+
+  test("st_cellcover covers the bbox, st_cellof locates points") {
+    val poly = st_geomfromtext(lit("POLYGON ((0.1 0.1, 1.4 0.1, 1.4 0.9, 0.1 0.9, 0.1 0.1))"))
+    val cells = one[collection.Seq[Long]](st_cellcover(poly, lit(0.5)))
+    assert(cells.length == 6) // 3 x-cells × 2 y-cells at 0.5°
+    val c = one[Long](st_cellof(lit(0.2), lit(0.2), lit(0.5)))
+    assert(cells.contains(c))
+  }
+
+  test("SQL registration: functions usable from spark.sql") {
+    GeoFunctions.registerAll(spark)
+    val row = spark.sql(
+      "SELECT st_astext(st_centroid(st_geomfromtext('LINESTRING (0 0, 2 2)'))) AS c").head()
+    assert(row.getString(0) == "POINT (1 1)")
+    val a = spark.sql("SELECT st_aream(st_bufferm(st_point(0.0, 0.0), 500.0, 8)) AS a").head().getDouble(0)
+    val expect = 0.5 * 32 * 500.0 * 500.0 * math.sin(2 * math.Pi / 32)
+    assert(math.abs(a - expect) / expect < 1e-9)
+  }
+
+  test("expressions stay codegen-compatible (no fallback in plan)") {
+    val df = spark.range(100).select(
+      st_aream(st_bufferm(st_point(col("id").cast("double") / 10, lit(0.0)), lit(100.0), lit(4))).as("a"))
+    // forces execution through the codegen path; failure would throw
+    assert(df.agg(sum("a")).head().getDouble(0) > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(")) // `*(n)` prefix = inside WholeStageCodegen
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.geom.{Mercator, WKB, LineString}
+
+class RoutingSpec extends AnyFunSuite with SparkSpec {
+
+  import testImplicits._
+
+  test("GreatCircleRouter column path matches its scalar path") {
+    val df = Seq((0, 10.0, 20.0, 11.0, 21.0)).toDF("id", "lon1", "lat1", "lon2", "lat2")
+    val out = Routing.route(df, col("lon1"), col("lat1"), col("lon2"), col("lat2")).head()
+    val scalar = new GreatCircleRouter().route(10, 20, 11, 21)
+    assert(math.abs(out.getAs[Double]("distance") - scalar.distanceM) < 1e-6)
+    assert(math.abs(out.getAs[Double]("duration") - scalar.durationS) < 1e-8)
+    val g = WKB.read(out.getAs[Array[Byte]]("route_geometry")).asInstanceOf[LineString]
+    assert(g.coords.toSeq == Seq(10.0, 20.0, 11.0, 21.0))
+  }
+
+  test("custom Router via UDF fallback produces the same schema") {
+    object FixedRouter extends Router {
+      override def route(lon1: Double, lat1: Double, lon2: Double, lat2: Double): RouteLeg =
+        RouteLeg(42.0, 1000.0, WKB.write(LineString(Array(lon1, lat1, lon2, lat2))))
+    }
+    val df = Seq((0, 1.0, 2.0, 3.0, 4.0)).toDF("id", "a", "b", "c", "d")
+    val out = Routing.route(df, col("a"), col("b"), col("c"), col("d"), FixedRouter).head()
+    assert(out.getAs[Double]("duration") == 42.0 && out.getAs[Double]("distance") == 1000.0)
+  }
+
+  test("tableRoute yields the full N×M matrix with broadcast dests") {
+    val src = Seq((1, 0.0, 0.0), (2, 1.0, 1.0), (3, 2.0, 2.0)).toDF("sid", "slon", "slat")
+    val dst = Seq((10, 5.0, 5.0), (20, 6.0, 6.0)).toDF("did", "dlon", "dlat")
+    val out = Routing.tableRoute(src, dst, "slon", "slat", "dlon", "dlat")
+    assert(out.count() == 6)
+    val d = out.where(col("sid") === 1 && col("did") === 10).head().getAs[Double]("distance")
+    assert(math.abs(d - Mercator.haversine(0, 0, 5, 5)) < 1e-6)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin")) // dims broadcast, big side never shuffles
+  }
+
+  test("isochrone cell counts grow with duration level and geometry unions cells") {
+    val src = Seq((1, 10.0, 10.0)).toDF("rid", "lon", "lat")
+    val out = Routing.isochrone(src, "lon", "lat", Seq(300.0, 900.0),
+      stepDeg = 0.05, halfCells = 6, keyCols = Seq("rid"))
+    val rows = out.orderBy("level_s").collect()
+    assert(rows.length == 2)
+    val n300 = rows(0).getAs[Long]("n_cells")
+    val n900 = rows(1).getAs[Long]("n_cells")
+    assert(n300 > 0 && n900 > n300)
+    // dissolved geometry area ≈ n_cells × cell area (squares union disjointly or adjacently)
+    val area = graft.geom.Algos.area(WKB.read(rows(1).getAs[Array[Byte]]("geometry")))
+    assert(math.abs(area - n900 * 0.05 * 0.05) < 1e-6)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.functions.GeoFunctions._
+
+class SJoinSpec extends AnyFunSuite with SparkSpec {
+
+  import testImplicits._
+
+  // points: a 5×5 grid at (i+0.25, j+0.25), i,j ∈ 0..4
+  private lazy val points: DataFrame =
+    (for { i <- 0 until 5; j <- 0 until 5 } yield (i * 5 + j, i + 0.25, j + 0.25))
+      .toDF("pid", "lon", "lat")
+      .select(col("pid"), st_point(col("lon"), col("lat")).as("geometry"))
+
+  // zones: two overlapping rectangles + one far away
+  private lazy val zones: DataFrame = Seq(
+    (1, "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))"),
+    (2, "POLYGON ((2 2, 5 2, 5 5, 2 5, 2 2))"),
+    (3, "POLYGON ((50 50, 51 50, 51 51, 50 51, 50 50))"))
+    .toDF("zid", "wkt")
+    .select(col("zid"), st_geomfromtext(col("wkt")).as("geometry"))
+
+  test("sjfull inner: each (point, zone) pair exactly once, small cells force multi-cell cover") {
+    val out = SJoin.sjfull(points, zones, predicate = "within", cellDeg = 0.7)
+    val got = out.select("pid", "zid").as[(Int, Int)].collect().toSet
+    val expect = (for {
+      i <- 0 until 5; j <- 0 until 5
+      (zid, x1, y1, x2, y2) <- Seq((1, 0, 0, 3, 3), (2, 2, 2, 5, 5))
+      if i + 0.25 > x1 && i + 0.25 < x2 && j + 0.25 > y1 && j + 0.25 < y2
+    } yield (i * 5 + j, zid)).toSet
+    assert(got == expect)
+    // points in the overlap region match both zones
+    assert(expect.groupBy(_._1).exists(_._2.size == 2))
+  }
+
+  test("sjfull left keeps unmatched left rows with null right columns") {
+    val out = SJoin.sjfull(points, zones, predicate = "within", how = "left")
+    assert(out.count() > points.count()) // overlaps add pairs
+    val unmatched = out.where(col("zid").isNull).select("pid").as[Int].collect().toSet
+    val matched = out.where(col("zid").isNotNull).select("pid").as[Int].collect().toSet
+    assert(unmatched.intersect(matched).isEmpty)
+    assert(unmatched.union(matched).size == 25)
+  }
+
+  test("sagg aggregates right values per left zone") {
+    val out = SJoin.sagg(zones, points,
+      Seq(count(lit(1)).as("n"), sum("pid").as("pid_sum")), predicate = "contains", how = "left")
+    val byZone = out.select("zid", "n").collect().map(r => r.getInt(0) -> r.get(1)).toMap
+    assert(byZone(1) == 9L) // 3×3 grid points strictly inside
+    assert(byZone(2) == 9L)
+    assert(byZone(3) == null) // no match → null (left join semantics)
+  }
+
+  test("slookup picks the deterministic first match") {
+    val out = SJoin.slookup(points, zones, columns = Seq("zid"), orderBy = "zid",
+      predicate = "within", how = "left")
+    val m = out.select("pid", "zid").collect().map(r => r.getInt(0) -> r.get(1)).toMap
+    assert(m(2 * 5 + 2) == 1) // (2.25, 2.25) is in both zones → min zid wins
+    assert(m(4 * 5 + 4) == 2) // only zone 2
+    assert(m(4 * 5 + 0) == null) // (4.25, 0.25) in neither
+  }
+
+  test("sfilter semi and anti partition the left side") {
+    val kept = SJoin.sfilter(points, zones, predicate = "within")
+    val dropped = SJoin.sfilter(points, zones, predicate = "within", negative = true)
+    assert(kept.count() + dropped.count() == 25)
+    assert(kept.columns.toSeq == points.columns.toSeq) // schema preserved
+  }
+
+  test("grid join plan shuffles on cell hash, not cross product") {
+    val out = SJoin.pairs(points, zones, predicate = "intersects")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
