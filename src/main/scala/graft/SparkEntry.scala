@@ -176,6 +176,58 @@ object SparkEntry {
           round(col("duration"), 3).as("duration_s"))
     }),
 
+    // --- similarity: brute-force cosine top-k -----------------------------
+    "sim_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 8), "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // --- similarity: LSH-bucketed ANN (rows-only; recall spec'd) ----------
+    "sim_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 8), "embedding", "vec_id", k = 5)
+        .groupBy("query_id").agg(count(lit(1)).as("n_candidates"))
+    }),
+
+    // --- text quality scoring ---------------------------------------------
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_token_len"), 4).as("avg_token_len"),
+          round(col("stopword_ratio"), 4).as("stopword_ratio"),
+          round(col("quality_score"), 4).as("quality_score"))),
+
+    // --- token counting ----------------------------------------------------
+    "text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"))
+        .select("doc_id", "ws_tokens", "bpe_tokens")),
+
+    // --- language id (heuristic; rows-only + spec) -------------------------
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n_docs"))),
+
+    // --- document fingerprinting (rows-only + spec) ------------------------
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"))
+        .groupBy("lang").agg(countDistinct(col("doc_fp")).as("n_distinct_fp"))),
+
+    // --- near-dedup: MinHash LSH (rows-only + planted-dup spec) -----------
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id", threshold = 0.7)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))),
+
+    // --- near-dedup: SimHash (rows-only + spec) ----------------------------
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))),
+
+    // --- near-dedup: embedding cosine (rows-only + spec) -------------------
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id", threshold = 0.98)
+        .groupBy("label").agg(count(lit(1)).as("n_vecs"))),
+
     // --- erde op/isochrone (erde/op/isochrone.py) -------------------------
     "isochrone_cells" -> ((s, dir) => {
       val srcs = t(s, dir, "region")
@@ -269,6 +321,42 @@ object SparkEntry {
          |d AS (SELECT n_nationkey, r_regionkey, ${havSql("lon1", "lat1", "lon2", "lat2")} AS dist FROM s, t)
          |SELECT n_nationkey, r_regionkey, round(dist/1000, 3) AS dist_km, round(dist/25.0, 3) AS duration_s
          |FROM d""".stripMargin,
+    "sim_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(q.qe, e.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e, q)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
+    "text_quality" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(length(text) AS DOUBLE) AS n_chars,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')) AS avg_token_len,
+        |  (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+        |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |  (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[0-9]', '', 'g')))
+        |    / CAST(length(text) AS DOUBLE) AS digit_ratio,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> list_contains(['the','and','of','to','a','in','is','it','that','was',
+        |                          'for','on','with','as','at','by','an','be','this','are'], lower(x)))) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, round(avg_token_len, 4) AS avg_token_len,
+        |  round(stopword_ratio, 4) AS stopword_ratio,
+        |  round(0.4 * least(1.0, n_tokens / 50.0)
+        |      + 0.3 * greatest(0.0, 1.0 - abs(avg_token_len - 5.0) / 5.0)
+        |      + 0.3 * greatest(0.0, 1.0 - 5.0 * (punct_ratio + digit_ratio)), 4) AS quality_score
+        |FROM f""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe_tokens
+        |FROM documents""".stripMargin,
     "isochrone_cells" ->
       s"""WITH src AS (SELECT r_regionkey,
          |  r_regionkey * 12.0 - 24.0 AS lon, r_regionkey * 7.0 - 14.0 AS lat FROM region)

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions over text / embedding columns for dedup & similarity
+  * sketching — codegen'd static calls into [[TextKernel]], same pattern as
+  * the geometry expressions.
+  */
+private[graft] object TextExpressions {
+  final val K = "graft.functions.TextKernel"
+}
+
+case class MinhashSig(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(t: Any, k: Any, sh: Any): Any =
+    TextKernel.minhashSig(t.asInstanceOf[UTF8String], k.asInstanceOf[Int], sh.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, sh) => s"${TextExpressions.K}.minhashSig($t, $k, $sh)")
+  override def prettyName: String = "minhash_sig"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): MinhashSig =
+    copy(f, s, t)
+}
+
+case class Simhash64(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(t: Any): Any = TextKernel.simhash64(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"${TextExpressions.K}.simhash64($t)")
+  override def prettyName: String = "simhash64"
+  override protected def withNewChildInternal(c: Expression): Simhash64 = copy(child = c)
+}
+
+case class NgramsHashed(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(t: Any, n: Any): Any =
+    TextKernel.ngramsHashed(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) => s"${TextExpressions.K}.ngramsHashed($t, $n)")
+  override def prettyName: String = "ngrams_hashed"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NgramsHashed = copy(l, r)
+}
+
+case class VecSimhash(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any, p: Any, s: Any): Any =
+    TextKernel.vecSimhash(v.asInstanceOf[ArrayData], p.asInstanceOf[Int], s.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, p, s) => s"${TextExpressions.K}.vecSimhash($v, $p, $s)")
+  override def prettyName: String = "vec_simhash"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): VecSimhash =
+    copy(f, s, t)
+}
+
+case class LangId(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(t: Any): Any = TextKernel.langId(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"${TextExpressions.K}.langId($t)")
+  override def prettyName: String = "lang_id"
+  override protected def withNewChildInternal(c: Expression): LangId = copy(child = c)
+}
+
+case class DocFingerprint(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(t: Any): Any = TextKernel.fingerprint(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"${TextExpressions.K}.fingerprint($t)")
+  override def prettyName: String = "doc_fingerprint"
+  override protected def withNewChildInternal(c: Expression): DocFingerprint = copy(child = c)
+}
+
+/** Column API for the text/vector sketch expressions. */
+object TextFunctions {
+  private def e(c: Column) = ColumnBridge.expression(c)
+  private def c(x: Expression) = ColumnBridge.column(x)
+  import org.apache.spark.sql.functions.lit
+
+  def minhash_sig(text: Column, numHashes: Int, shingle: Int): Column =
+    c(MinhashSig(e(text), e(lit(numHashes)), e(lit(shingle))))
+  def simhash64(text: Column): Column = c(Simhash64(e(text)))
+  def ngrams_hashed(text: Column, n: Int): Column = c(NgramsHashed(e(text), e(lit(n))))
+  def vec_simhash(vec: Column, nPlanes: Int, seed: Long): Column =
+    c(VecSimhash(e(vec), e(lit(nPlanes)), e(lit(seed))))
+  def vec_simhash(vec: Column, nPlanes: Int, seed: Column): Column =
+    c(VecSimhash(e(vec), e(lit(nPlanes)), e(seed.cast("long"))))
+  def lang_id(text: Column): Column = c(LangId(e(text)))
+  def doc_fingerprint(text: Column): Column = c(DocFingerprint(e(text)))
+}

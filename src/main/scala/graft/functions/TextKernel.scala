@@ -1,0 +1,203 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text / vector sketching kernel behind the dedup & similarity expressions.
+  * Static, allocation-lean, deterministic (fixed seeds — results reproducible
+  * across runs and cluster topologies; no java.util.Random).
+  */
+object TextKernel {
+
+  /** splitmix64 finalizer — fast, well-mixed 64-bit hash step. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit hash of chars [from, until) of `s` (simple polynomial + mix). */
+  private def hashRange(s: String, from: Int, until: Int): Long = {
+    var h = 1125899906842597L
+    var i = from
+    while (i < until) { h = 31 * h + s.charAt(i); i += 1 }
+    mix64(h)
+  }
+
+  /** MinHash signature over character `shingle`-grams: sig(i) = min over
+    * shingles of mix64(shingleHash ^ seed_i). One pass over the text,
+    * numHashes running minima — no shingle materialization.
+    */
+  def minhashSig(text: UTF8String, numHashes: Int, shingle: Int): ArrayData = {
+    val s = text.toString
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = s.length
+    if (n < shingle) {
+      val h = hashRange(s, 0, n)
+      var i = 0
+      while (i < numHashes) { sig(i) = mix64(h ^ seeds(i)); i += 1 }
+    } else {
+      var p = 0
+      while (p + shingle <= n) {
+        val h = hashRange(s, p, p + shingle)
+        var i = 0
+        while (i < numHashes) {
+          val v = mix64(h ^ seeds(i))
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+        p += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  private val seeds: Array[Long] = Array.tabulate(512)(i => mix64(0x5eed5eedL + i))
+
+  /** 64-bit SimHash over whitespace/punct-split lowercase tokens. */
+  def simhash64(text: UTF8String): Long = {
+    val counts = new Array[Int](64)
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && !Character.isLetterOrDigit(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && Character.isLetterOrDigit(s.charAt(i))) i += 1
+      if (i > start) {
+        val h = hashRange(s, start, i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Distinct hashed word `n`-grams (sorted) — feed to array_intersect /
+    * array_union for exact n-gram Jaccard verification.
+    */
+  def ngramsHashed(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val words = scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && !Character.isLetterOrDigit(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && Character.isLetterOrDigit(s.charAt(i))) i += 1
+      if (i > start) words += hashRange(s, start, i)
+    }
+    val grams = scala.collection.mutable.TreeSet[Long]()
+    var j = 0
+    while (j + n <= words.length) {
+      var h = 0L
+      var k = 0
+      while (k < n) { h = mix64(h ^ words(j + k)); k += 1 }
+      grams += h
+      j += 1
+    }
+    if (grams.isEmpty && words.nonEmpty) { // shorter than n: one gram of all words
+      var h = 0L
+      words.foreach(w => h = mix64(h ^ w))
+      grams += h
+    }
+    new GenericArrayData(grams.toArray)
+  }
+
+  /** Random-hyperplane (Rademacher ±1 components) sign sketch of a float
+    * vector: bit p of the result = sign of <v, w_p>, w_p,d = ±1 from
+    * mix64(seed, p, d). Up to 64 planes.
+    */
+  def vecSimhash(vec: ArrayData, nPlanes: Int, seed: Long): Long = {
+    val n = vec.numElements()
+    var out = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        val w = if ((mix64(seed ^ (p.toLong << 32) ^ d) & 1L) == 0L) 1.0 else -1.0
+        dot += w * vec.getFloat(d)
+        d += 1
+      }
+      if (dot >= 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+
+  // ---- language id --------------------------------------------------------
+
+  private val stopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "a", "in", "is", "it", "that", "was", "for", "on", "with", "as", "at"),
+    "fr" -> Set("le", "la", "les", "de", "des", "et", "un", "une", "est", "que", "pour", "dans", "du", "au", "avec"),
+    "es" -> Set("el", "la", "los", "las", "de", "y", "un", "una", "es", "que", "para", "en", "del", "con", "por"),
+    "de" -> Set("der", "die", "das", "und", "ein", "eine", "ist", "nicht", "von", "zu", "mit", "den", "im", "für", "auf"),
+    "it" -> Set("il", "la", "le", "di", "e", "un", "una", "è", "che", "per", "in", "del", "con", "non", "si"),
+  )
+  private val langs = stopwords.keys.toArray.sorted
+
+  /** Heuristic language id: the language whose stopword set hits the most
+    * tokens ("und" when tied/no evidence → first alphabetically with max, or
+    * "unknown" when nothing matches; CJK-dominant text → "zh").
+    */
+  def langId(text: UTF8String): UTF8String = {
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    var cjk = 0; var total = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isLetter(c)) {
+        total += 1
+        val block = Character.UnicodeBlock.of(c)
+        if (block == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
+            block == Character.UnicodeBlock.HIRAGANA ||
+            block == Character.UnicodeBlock.KATAKANA) cjk += 1
+      }
+      i += 1
+    }
+    if (total > 0 && cjk * 2 > total) return UTF8String.fromString("zh")
+    val tokens = s.split("[^\\p{L}]+").filter(_.nonEmpty)
+    var best = "unknown"; var bestHits = 0
+    langs.foreach { l =>
+      val hits = tokens.count(stopwords(l))
+      if (hits > bestHits) { best = l; bestHits = hits }
+    }
+    UTF8String.fromString(best)
+  }
+
+  /** 64-bit document fingerprint: xor-mix of the 4 smallest char-8-gram
+    * hashes (winnowing-style — robust to reordering of large blocks, changes
+    * with local edits).
+    */
+  def fingerprint(text: UTF8String): Long = {
+    val s = text.toString
+    val k = 4
+    val minima = Array.fill(k)(Long.MaxValue)
+    def offer(h: Long): Unit = {
+      var i = 0
+      var v = h
+      while (i < k) {
+        if (v < minima(i)) { val t = minima(i); minima(i) = v; v = t }
+        i += 1
+      }
+    }
+    val n = s.length
+    if (n < 8) offer(hashRange(s, 0, n))
+    else {
+      var p = 0
+      while (p + 8 <= n) { offer(hashRange(s, p, p + 8)); p += 1 }
+    }
+    var out = 0L
+    var i = 0
+    while (i < k) { if (minima(i) != Long.MaxValue) out = mix64(out ^ minima(i)); i += 1 }
+    out
+  }
+}

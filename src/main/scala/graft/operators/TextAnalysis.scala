@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text analysis for corpus curation: language id, quality scoring, token
+  * counting, document fingerprinting (SURVEY §2 "LLM-data-pipeline
+  * operators"). Everything except the two sketch expressions (lang_id,
+  * doc_fingerprint) is pure built-in column math — codegen'd, SQL-mirrorable.
+  */
+object TextAnalysis {
+
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "was",
+    "for", "on", "with", "as", "at", "by", "an", "be", "this", "are")
+
+  /** n-gram/stopword heuristic language id → `into` column. */
+  def langId(df: DataFrame, textCol: String = "text", into: String = "lang_pred"): DataFrame =
+    df.withColumn(into, lang_id(col(textCol)))
+
+  private def tokens(textCol: String): Column = split(trim(col(textCol)), "\\s+")
+
+  /** Quality features + a composite score in [0, 1]:
+    * 0.4·min(1, n_tokens/50) + 0.3·max(0, 1−|avg_token_len−5|/5)
+    * + 0.3·max(0, 1−5·(punct_ratio+digit_ratio)).
+    */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(textCol)
+    val nChars = length(col(textCol)).cast("double")
+    val nTokens = size(t)
+    val avgTok = length(regexp_replace(col(textCol), "\\s+", "")).cast("double") / nTokens
+    val punct = (nChars - length(regexp_replace(col(textCol), "[.,;:!?]", ""))) / nChars
+    val digit = (nChars - length(regexp_replace(col(textCol), "[0-9]", ""))) / nChars
+    val stopRatio =
+      size(filter(t, x => array_contains(array(defaultStopwords.map(lit): _*), lower(x))))
+        .cast("double") / nTokens
+    val wlen = least(lit(1.0), nTokens / lit(50.0))
+    val tlen = greatest(lit(0.0), lit(1.0) - abs(avgTok - lit(5.0)) / lit(5.0))
+    val clean = greatest(lit(0.0), lit(1.0) - lit(5.0) * (punct + digit))
+    df.withColumn("n_tokens", nTokens)
+      .withColumn("avg_token_len", avgTok)
+      .withColumn("punct_ratio", punct)
+      .withColumn("digit_ratio", digit)
+      .withColumn("stopword_ratio", stopRatio)
+      .withColumn("quality_score", lit(0.4) * wlen + lit(0.3) * tlen + lit(0.3) * clean)
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish regex count
+    * (`\w+` runs plus single non-space symbols — the standard pre-tokenizer
+    * shape).
+    */
+  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("ws_tokens", size(tokens(textCol)))
+      .withColumn("bpe_tokens", size(regexp_extract_all(col(textCol), lit("\\w+|[^\\w\\s]"), lit(0))))
+
+  /** 64-bit rolling-hash document fingerprint → `into` column. */
+  def fingerprint(df: DataFrame, textCol: String = "text", into: String = "doc_fp"): DataFrame =
+    df.withColumn(into, doc_fingerprint(col(textCol)))
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+
+  import testImplicits._
+
+  // deterministic pseudo-random corpus: 40 vectors in 3 loose clusters
+  private lazy val corpus = {
+    def vec(seed: Int): Array[Float] = {
+      val base = seed % 3
+      Array.tabulate(16) { d =>
+        (math.sin(base * 100 + d) + 0.3 * math.sin(seed * 31 + d * 7)).toFloat
+      }
+    }
+    (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+  }
+
+  test("cosineSim: orthogonal ≈ 0, identical = 1") {
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f), "orth"),
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f), "same"),
+      (Array(1f, 0f, 0f), Array(-1f, 0f, 0f), "anti")).toDF("a", "b", "kind")
+    val m = df.select(col("kind"), Similarity.cosineSim(col("a"), col("b")).as("c"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(m("orth")) < 1e-12)
+    assert(math.abs(m("same") - 1.0) < 1e-12)
+    assert(math.abs(m("anti") + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k best, self first, deterministic order") {
+    val queries = corpus.where(col("vec_id") < 3)
+    val out = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
+    val byQ = out.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 5)
+      val best = rows.maxBy(_.getAs[Double]("cosine"))
+      assert(best.getAs[Long]("neighbor_id") == q) // self-match has cosine 1
+      assert(math.abs(best.getAs[Double]("cosine") - 1.0) < 1e-12)
+    }
+  }
+
+  test("topk aggregator matches window-function top-k exactly") {
+    val queries = corpus.where(col("vec_id") < 4)
+    val got = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // reference: explicit window
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .crossJoin(q)
+      .withColumn("cosine", Similarity.cosineSim(col("qv"), col("cv")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    val expect = scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got == expect)
+  }
+
+  test("lshTopK recall vs brute force is high on clustered data") {
+    val queries = corpus.where(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(corpus, queries, "embedding", "vec_id", k = 5,
+      tables = 8, planes = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+}

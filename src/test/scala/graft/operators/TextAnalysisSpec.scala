@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
+
+  import testImplicits._
+
+  test("tokenCounts: whitespace and bpe-ish counts") {
+    val df = Seq((1, "Hello, world! This is a test."), (2, "one two  three")).toDF("id", "text")
+    val m = TextAnalysis.tokenCounts(df).collect()
+      .map(r => r.getAs[Int]("id") -> (r.getAs[Int]("ws_tokens"), r.getAs[Int]("bpe_tokens"))).toMap
+    assert(m(1) == ((6, 9))) // Hello , world ! This is a test . → 6 ws / 9 bpe
+    assert(m(2) == ((3, 3)))
+  }
+
+  test("qualityScore fields are consistent and bounded") {
+    val df = Seq(
+      (1, "the cat sat on the mat and it was good for all of us at home"),
+      (2, "!!!! ???? ,,,, ....")).toDF("id", "text")
+    val out = TextAnalysis.qualityScore(df).collect()
+      .map(r => r.getAs[Int]("id") -> r).toMap
+    val good = out(1); val junk = out(2)
+    assert(good.getAs[Double]("quality_score") > junk.getAs[Double]("quality_score"))
+    assert(good.getAs[Double]("stopword_ratio") > 0.3)
+    Seq(good, junk).foreach { r =>
+      val q = r.getAs[Double]("quality_score")
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+
+  test("langId picks the stopword-matching language; CJK short-circuit") {
+    val df = Seq(
+      (1, "the cat is on the mat and it was there for a while"),
+      (2, "le chat est sur la table et il est dans la maison avec un livre"),
+      (3, "der Hund ist nicht mit der Katze und ein Vogel im Garten"),
+      (4, "el perro es un animal que vive en la casa con los gatos"),
+      (5, "你好世界这是一个测试文档")).toDF("id", "text")
+    val m = TextAnalysis.langId(df).select("id", "lang_pred").as[(Int, String)].collect().toMap
+    assert(m(1) == "en" && m(2) == "fr" && m(3) == "de" && m(4) == "es" && m(5) == "zh")
+  }
+
+  test("fingerprint: equal texts equal, edits change it, deterministic") {
+    val df = Seq(
+      (1, "a long enough document body for rolling hashes to work with"),
+      (2, "a long enough document body for rolling hashes to work with"),
+      (3, "a totally different body of text with nothing shared at all here")).toDF("id", "text")
+    val m = TextAnalysis.fingerprint(df).select("id", "doc_fp").as[(Int, Long)].collect().toMap
+    assert(m(1) == m(2))
+    assert(m(1) != m(3)) // disjoint shingle sets → different minima
+    // deterministic across runs
+    val m2 = TextAnalysis.fingerprint(df).select("id", "doc_fp").as[(Int, Long)].collect().toMap
+    assert(m == m2)
+  }
+}
