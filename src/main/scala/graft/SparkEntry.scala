@@ -176,6 +176,33 @@ object SparkEntry {
           round(col("duration"), 3).as("duration_s"))
     }),
 
+    // --- sessionization (streaming module, batch face) --------------------
+    "events_sessionize" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionizeBatch(t(s, dir, "events"), gapMinutes = 30)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n_events").as("n_events_total"),
+          round(sum("value_sum"), 4).as("value_total"))),
+
+    // --- osm tag filter (erde/op/osm.py re-expressed) ----------------------
+    "osm_tagfilter" -> ((s, dir) => {
+      val elements = t(s, dir, "part").select(
+        element_at(array(lit("n"), lit("w"), lit("r")), (col("p_partkey") % 3 + 1).cast("int")).as("type"),
+        col("p_partkey").as("osm_id"),
+        map(lit("brand"), col("p_brand"), lit("container"), col("p_type")).as("tags"))
+      OsmFilter.tagFilter(elements, Seq("wr/brand=Brand#13,Brand#23", "n/container"))
+        .select("osm_id", "type")
+    }),
+
+    // --- multimodal binary plumbing (stub decode; rows-only) ---------------
+    "multimodal_meta" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      Multimodal.withMeta(media)
+        .groupBy(col("media_meta.format").as("format"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // --- similarity: brute-force cosine top-k -----------------------------
     "sim_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -321,6 +348,24 @@ object SparkEntry {
          |d AS (SELECT n_nationkey, r_regionkey, ${havSql("lon1", "lat1", "lon2", "lat2")} AS dist FROM s, t)
          |SELECT n_nationkey, r_regionkey, round(dist/1000, 3) AS dist_km, round(dist/25.0, 3) AS duration_s
          |FROM d""".stripMargin,
+    "events_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |        OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) > 1800
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, value,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM g)
+        |SELECT user_id, count(DISTINCT sess) AS n_sessions,
+        |  count(*) AS n_events_total, round(sum(value), 4) AS value_total
+        |FROM s GROUP BY user_id""".stripMargin,
+    "osm_tagfilter" ->
+      """WITH e AS (SELECT p_partkey AS osm_id, p_brand, p_type,
+        |  CASE (p_partkey % 3) WHEN 0 THEN 'n' WHEN 1 THEN 'w' ELSE 'r' END AS type
+        |  FROM part)
+        |SELECT osm_id, type FROM e
+        |WHERE (type IN ('w','r') AND p_brand IN ('Brand#13','Brand#23'))
+        |   OR (type = 'n')""".stripMargin,
     "sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
         |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextKernel.mix64
+
+/** Multimodal (image/audio/video) column plumbing: opaque `binary` payloads +
+  * typed metadata, processed with per-partition batched transforms — the
+  * Spark-side shape a production pipeline needs (schema, batching, partition
+  * preservation). The actual codecs are NOT in this environment, so the
+  * decode/resize/frame-sample *computations* are deterministic STUBS (clearly
+  * marked below); swapping in a real codec changes only the function body,
+  * none of the distributed plumbing.
+  */
+object Multimodal {
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
+
+  /** STUB decode: derives deterministic pseudo-metadata from the payload
+    * bytes. A real implementation parses the container header here
+    * (e.g. PNG IHDR / ISOBMFF moov) — same signature, same plumbing.
+    */
+  private def decodeStub(bytes: Array[Byte]): (String, Int, Int, Int) = {
+    var h = 0L
+    var i = 0
+    val n = math.min(bytes.length, 64)
+    while (i < n) { h = mix64(h ^ bytes(i)); i += 1 }
+    val fmt = Seq("png", "jpeg", "webp")(((h % 3) + 3).toInt % 3)
+    val w = 64 + (math.abs(h >> 8) % 1024).toInt
+    val hgt = 64 + (math.abs(h >> 24) % 1024).toInt
+    val frames = 1 + (math.abs(h >> 40) % 64).toInt
+    (fmt, w, hgt, frames)
+  }
+
+  /** STUB resize: emits a deterministic payload of the target size's scale.
+    * A real implementation decodes, resamples, re-encodes.
+    */
+  private def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val outLen = math.max(16, math.min(4096, w * h / 64))
+    val out = new Array[Byte](outLen)
+    var acc = mix64(bytes.length.toLong ^ (w.toLong << 32) ^ h.toLong)
+    var i = 0
+    while (i < outLen) {
+      if (i % 8 == 0) acc = mix64(acc)
+      out(i) = (acc >>> ((i % 8) * 8)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Adds a `media_meta` struct decoded from `binCol`. Runs as a
+    * per-partition batch pass (mapPartitions — one decoder init per
+    * partition, the mapInPandas-equivalent batching shape on the JVM).
+    */
+  def withMeta(df: DataFrame, binCol: String = "content"): DataFrame = {
+    val outSchema = df.schema.add(StructField("media_meta", metaSchema, nullable = true))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      // per-partition decoder init would go here (real codec: expensive setup)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val meta = if (bytes == null) null else {
+          val (fmt, w, h, f) = decodeStub(bytes)
+          Row(fmt, w, h, f)
+        }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  /** Replaces `binCol` with a resized payload (STUB computation, real
+    * batching): partition-preserving, no shuffle.
+    */
+  def resize(df: DataFrame, w: Int, h: Int, binCol: String = "content"): DataFrame = {
+    val enc = RowEncoder.encoderFor(df.schema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val out = if (bytes == null) null else resizeStub(bytes, w, h)
+        Row.fromSeq(r.toSeq.updated(idx, out))
+      }
+    }(enc)
+  }
+
+  /** Samples every `everyN`-th frame of a video payload into a
+    * `frames array<binary>` column (STUB frame extraction; the explode-ready
+    * array shape is what a real sampler produces).
+    */
+  def frameSample(df: DataFrame, everyN: Int, binCol: String = "content"): DataFrame = {
+    val outSchema = df.schema.add(
+      StructField("frames", ArrayType(BinaryType, containsNull = false), nullable = true))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val frames = if (bytes == null) null else {
+          val (_, w, h, n) = decodeStub(bytes)
+          (0 until n by everyN).map(i => resizeStub(bytes, w ^ i, h)).toArray
+        }
+        Row.fromSeq(r.toSeq :+ frames)
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,130 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions._
+import graft.functions.GeoJsonFunctions._
+
+/** Geospatial IO on Spark's native sources (reference: erde/io drivers —
+  * csv-with-WKT, geojson, geojsonseq, with `chunk_size` streaming and a
+  * geometry filter on read).
+  *
+  * graft's mapping: geometry travels as a WKB binary column; the text formats
+  * parse/serialize at the boundary with codegen'd expressions. Erde's chunked
+  * background-process streaming is subsumed by partitioned reads — every
+  * source here is splittable except whole-file GeoJSON (kept for
+  * compatibility; GeoJSONSeq is the scale path). The erde `geometry_filter`
+  * becomes an `st_intersects` pushdown right after parse, so filtered rows
+  * die before any shuffle.
+  */
+object GeoSources {
+
+  private def applyFilter(df: DataFrame, geomCol: String, filterWkt: Option[String]): DataFrame =
+    filterWkt.fold(df)(w => df.where(st_intersects(col(geomCol), st_geomfromtext(lit(w)))))
+
+  /** CSV with a WKT geometry column (reference: erde/io/csv_.py). */
+  object GeoCSV {
+    def read(
+        spark: SparkSession,
+        path: String,
+        geometryCol: String = "geometry",
+        filterWkt: Option[String] = None,
+        inferSchema: Boolean = true): DataFrame = {
+      val raw = spark.read
+        .option("header", "true")
+        .option("inferSchema", inferSchema.toString)
+        .csv(path)
+      val parsed =
+        if (raw.columns.contains(geometryCol))
+          raw.withColumn(geometryCol, st_geomfromtext(col(geometryCol)))
+        else raw
+      applyFilter(parsed, geometryCol, filterWkt)
+    }
+
+    def write(df: DataFrame, path: String, geometryCol: String = "geometry"): Unit = {
+      val out =
+        if (df.columns.contains(geometryCol))
+          df.withColumn(geometryCol, st_astext(col(geometryCol)))
+        else df
+      out.write.option("header", "true").mode("overwrite").csv(path)
+    }
+  }
+
+  /** One GeoJSON Feature per line (a.k.a. geojsonseq / ndjson — reference:
+    * erde/io/geojsonseq.py). Splittable text → the cluster-scale GeoJSON.
+    */
+  object GeoJSONSeq {
+    def read(
+        spark: SparkSession,
+        path: String,
+        geometryCol: String = "geometry",
+        filterWkt: Option[String] = None): DataFrame = {
+      val parsed = spark.read.text(path)
+        .where(length(trim(col("value"))) > 0)
+        .select(
+          feature_props(col("value")).as("properties"),
+          feature_geometry(col("value")).as(geometryCol))
+      applyFilter(parsed, geometryCol, filterWkt)
+    }
+
+    /** Writes (geometry, all-other-columns-as-properties) as feature lines. */
+    def write(df: DataFrame, path: String, geometryCol: String = "geometry"): Unit =
+      featureLines(df, geometryCol).write.mode("overwrite").text(path)
+
+    private[sources] def featureLines(df: DataFrame, geometryCol: String): DataFrame = {
+      val propCols = df.columns.filterNot(_ == geometryCol)
+      val props = map(propCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*)
+      df.select(to_geojson_feature(col(geometryCol), props).as("value"))
+    }
+  }
+
+  /** Whole-file FeatureCollection (reference: erde/io/geojson.py). One task
+    * per file on read; single output file on write — compatibility format,
+    * use [[GeoJSONSeq]] at scale.
+    */
+  object GeoJSON {
+    def read(
+        spark: SparkSession,
+        path: String,
+        geometryCol: String = "geometry",
+        filterWkt: Option[String] = None): DataFrame = {
+      val parsed = spark.read.option("wholetext", "true").text(path)
+        .select(explode(geojson_features(col("value"))).as("__feature"))
+        .select(
+          feature_props(col("__feature")).as("properties"),
+          feature_geometry(col("__feature")).as(geometryCol))
+      applyFilter(parsed, geometryCol, filterWkt)
+    }
+
+    def write(df: DataFrame, path: String, geometryCol: String = "geometry"): Unit = {
+      import df.sparkSession.implicits._
+      val lines = GeoJSONSeq.featureLines(df, geometryCol).as[String]
+      lines.coalesce(1).mapPartitions { it =>
+        val body = new Iterator[String] {
+          private var first = true
+          override def hasNext: Boolean = it.hasNext
+          override def next(): String = {
+            val sep = if (first) "" else ","
+            first = false
+            sep + it.next()
+          }
+        }
+        Iterator.single("""{"type":"FeatureCollection","features":[""") ++ body ++ Iterator.single("]}")
+      }.write.mode("overwrite").text(path)
+    }
+  }
+
+  /** Parquet with WKB geometry — graft's native representation, so this is
+    * plain `spark.read.parquet`; helper exists for API parity with the
+    * reference's format matrix.
+    */
+  object GeoParquet {
+    def read(spark: SparkSession, path: String, filterWkt: Option[String] = None,
+        geometryCol: String = "geometry"): DataFrame =
+      applyFilter(spark.read.parquet(path), geometryCol, filterWkt)
+
+    def write(df: DataFrame, path: String): Unit =
+      df.write.mode("overwrite").parquet(path)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.functions.GeoFunctions._
+import graft.sources.GeoSources._
+
+class GeoSourcesSpec extends AnyFunSuite with SparkSpec {
+
+  import testImplicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").resolve("out").toString
+
+  private lazy val df = Seq(
+    (1, "alpha", "POINT (1 2)"),
+    (2, "beta", "LINESTRING (0 0, 3 3)"),
+    (3, "gamma", "POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))"))
+    .toDF("id", "name", "wkt")
+    .select(col("id"), col("name"), st_geomfromtext(col("wkt")).as("geometry"))
+
+  test("GeoCSV round-trip preserves rows and geometry") {
+    val p = tmp("csv")
+    GeoCSV.write(df, p)
+    val back = GeoCSV.read(spark, p)
+    assert(back.count() == 3)
+    val wkts = back.select(st_astext(col("geometry"))).as[String].collect().toSet
+    assert(wkts.contains("POINT (1 2)"))
+    assert(back.schema("geometry").dataType.typeName == "binary")
+  }
+
+  test("GeoJSONSeq round-trip: feature lines, properties map, geometry") {
+    val p = tmp("seq")
+    GeoJSONSeq.write(df, p)
+    val back = GeoJSONSeq.read(spark, p)
+    assert(back.count() == 3)
+    val row = back.where(element_at(col("properties"), "id") === "1").head()
+    assert(row.getAs[Map[String, String]]("properties")("name") == "alpha")
+    val wkt = back.select(st_astext(col("geometry"))).as[String].collect().toSet
+    assert(wkt.contains("POINT (1 2)") && wkt.exists(_.startsWith("POLYGON")))
+  }
+
+  test("GeoJSON whole-file round-trip") {
+    val p = tmp("fc")
+    GeoJSON.write(df, p)
+    // the single output part is a valid FeatureCollection
+    val text = spark.read.option("wholetext", "true").text(p).head().getString(0)
+    assert(text.startsWith("""{"type":"FeatureCollection""""))
+    val back = GeoJSON.read(spark, p)
+    assert(back.count() == 3)
+  }
+
+  test("geometry filter on read drops non-intersecting features") {
+    val p = tmp("filter")
+    GeoJSONSeq.write(df, p)
+    val filtered = GeoJSONSeq.read(spark, p,
+      filterWkt = Some("POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))"))
+    assert(filtered.count() == 2) // point + line; far polygon dropped
+  }
+
+  test("GeoParquet round-trip keeps WKB native") {
+    val p = tmp("parquet")
+    GeoParquet.write(df, p)
+    val back = GeoParquet.read(spark, p, filterWkt = Some("POLYGON ((9 9, 13 9, 13 13, 9 13, 9 9))"))
+    assert(back.count() == 1)
+  }
+}

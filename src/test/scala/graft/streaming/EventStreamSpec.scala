@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.streaming.EventStream._
+
+class EventStreamSpec extends AnyFunSuite with SparkSpec {
+
+  import testImplicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+  private def tsH(hour: Int, minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 $hour%02d:$minute%02d:00")
+
+  private val events = Seq(
+    Event(1, tsH(10, 0), 1, "click", 1.0),
+    Event(2, tsH(10, 30), 1, "click", 2.0),
+    Event(3, tsH(10, 45), 2, "view", 3.0),
+    Event(4, tsH(11, 15), 1, "click", 4.0),
+    Event(5, tsH(12, 5), 2, "view", 5.0))
+
+  test("windowed batch/stream parity on the same data") {
+    val batch = windowed(events.toDF()).select(
+      col("window.start"), col("event_type"), col("n_events"), col("sum_value"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = windowedStream(mem.toDF(), watermark = "10 minutes")
+      .select(col("window.start"), col("event_type"), col("n_events"), col("sum_value"))
+      .writeStream.format("memory").queryName("win_parity").outputMode("complete").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      val got = spark.table("win_parity").collect().map(_.toSeq).toSet
+      val expect = batch.collect().map(_.toSeq).toSet
+      assert(got == expect)
+    } finally q.stop()
+  }
+
+  test("sessionizeBatch splits on gaps") {
+    val df = Seq(
+      Event(1, ts(0), 1, "a", 1.0),
+      Event(2, ts(5), 1, "a", 1.0),
+      Event(3, ts(40), 1, "a", 1.0), // 35-min gap → new session
+      Event(4, ts(2), 2, "b", 9.0))
+      .toDF()
+    val sess = sessionizeBatch(df, gapMinutes = 30)
+    assert(sess.count() == 3)
+    val u1 = sess.where(col("user_id") === 1).orderBy("start").collect()
+    assert(u1.length == 2)
+    assert(u1(0).getAs[Int]("n_events") == 2 && u1(1).getAs[Int]("n_events") == 1)
+  }
+
+  test("sessionizeStream emits closed sessions as watermark advances") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionizeStream(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "a", 1.0),
+        Event(2, ts(5), 1, "a", 2.0))
+      q.processAllAvailable()
+      // watermark-advancing late batch: 2 hours later closes user 1's session
+      mem.addData(Event(9, tsH(13, 0), 2, "b", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(10, tsH(14, 30), 2, "b", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions").collect()
+      assert(got.exists(r => r.getAs[Long]("user_id") == 1 &&
+        r.getAs[Int]("n_events") == 2 && r.getAs[Double]("value_sum") == 3.0))
+    } finally q.stop()
+  }
+
+  test("readStream over the events table produces the same windowed counts") {
+    // file source needs a directory; stage the single-file table into one
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val batchDf = graft.readTable(spark, sfDir, "events")
+    val expect = windowed(batchDf).agg(sum("n_events")).head().getLong(0)
+
+    val stream = readStream(spark, dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val q = windowedStream(stream, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("stream_events").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_events").agg(sum("n_events")).head().getLong(0)
+      assert(got == expect)
+    } finally q.stop()
+  }
+}
