@@ -71,6 +71,10 @@ object GeoFunctions {
   def st_bufferm(g: Column, radiusMetres: Column, resolution: Column): Column =
     c(StBufferM(e(g), ed(radiusMetres), ei(resolution)))
 
+  /** Google encoded-polyline codec (reference: erde/utils.py). */
+  def st_polyline_encode(g: Column): Column = c(StPolylineEncode(e(g)))
+  def st_polyline_decode(s: Column): Column = c(StPolylineDecode(e(s)))
+
   // ---- grid (spatial-join partitioning) -----------------------------------
   def st_cellcover(g: Column, cellDeg: Column): Column = c(StCellCover(e(g), ed(cellDeg)))
   def st_cellof(lon: Column, lat: Column, cellDeg: Column): Column =
@@ -125,6 +129,8 @@ object GeoFunctions {
     r1("st_coslat", StCosLat.apply)
     r1("st_tomercator", StToMercator.apply)
     r1("st_tolonlat", StToLonLat.apply)
+    r1("st_polyline_encode", StPolylineEncode.apply)
+    r1("st_polyline_decode", StPolylineDecode.apply)
     r2("st_distance", StDistance.apply)
     r2("st_makeline", StMakeLine.apply)
     r2("st_intersects", StIntersects.apply)

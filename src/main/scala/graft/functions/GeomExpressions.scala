@@ -216,6 +216,22 @@ case class StBufferM(first: Expression, second: Expression, third: Expression)
     copy(f, s, t)
 }
 
+case class StPolylineEncode(child: Expression) extends GeomUnary {
+  override def method: String = "polylineEncode"
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(b: Any): Any =
+    GeomKernel.polylineEncode(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): StPolylineEncode = copy(child = c)
+}
+
+case class StPolylineDecode(child: Expression) extends GeomUnary {
+  override def method: String = "polylineDecode"
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(s: Any): Any =
+    GeomKernel.polylineDecode(s.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): StPolylineDecode = copy(child = c)
+}
+
 case class StCellCover(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -97,6 +97,59 @@ object GeomKernel {
 
   def contains(a: Array[Byte], b: Array[Byte]): Boolean = Algos.contains(WKB.read(a), WKB.read(b))
 
+  // ---- polyline (reference: erde/utils.py polyline encode/decode) --------
+
+  /** Google encoded-polyline (precision 5) of a LineString's vertices. */
+  def polylineEncode(b: Array[Byte]): UTF8String = {
+    val g = WKB.read(b)
+    val cs = g match {
+      case LineString(c) => c
+      case Point(x, y) => Array(x, y)
+      case MultiPoint(c) => c
+      case other => throw new IllegalArgumentException(s"polyline encode needs points/line, got ${other.geomType}")
+    }
+    val sb = new StringBuilder
+    def emit(v: Int): Unit = {
+      var value = if (v < 0) ~(v << 1) else v << 1
+      while (value >= 0x20) {
+        sb += ((0x20 | (value & 0x1f)) + 63).toChar
+        value >>= 5
+      }
+      sb += (value + 63).toChar
+    }
+    var prevLat = 0; var prevLon = 0
+    var i = 0
+    while (i < cs.length) {
+      val lat = math.round(cs(i + 1) * 1e5).toInt
+      val lon = math.round(cs(i) * 1e5).toInt
+      emit(lat - prevLat); emit(lon - prevLon)
+      prevLat = lat; prevLon = lon
+      i += 2
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Encoded-polyline → LineString WKB. */
+  def polylineDecode(s: UTF8String): Array[Byte] = {
+    val str = s.toString
+    val out = scala.collection.mutable.ArrayBuffer[Double]()
+    var i = 0; var lat = 0; var lon = 0
+    def next(): Int = {
+      var result = 0; var shift = 0; var b = 0x20
+      while (b >= 0x20) {
+        b = str.charAt(i) - 63; i += 1
+        result |= (b & 0x1f) << shift
+        shift += 5
+      }
+      if ((result & 1) != 0) ~(result >> 1) else result >> 1
+    }
+    while (i < str.length) {
+      lat += next(); lon += next()
+      out += lon / 1e5; out += lat / 1e5
+    }
+    WKB.write(LineString(out.toArray))
+  }
+
   // ---- grid cells (spatial-join partitioning) -----------------------------
 
   /** Packed id of the grid cell containing (lon, lat) for cell size `cell`

@@ -25,35 +25,32 @@ object TextKernel {
     mix64(h)
   }
 
-  /** MinHash signature over character `shingle`-grams: sig(i) = min over
-    * shingles of mix64(shingleHash ^ seed_i). One pass over the text,
-    * numHashes running minima — no shingle materialization.
+  /** MinHash signature over character `shingle`-grams, double-hashing scheme
+    * (Kirsch–Mitzenmacher): h_i(x) = h1(x) + i·h2(x), so each shingle costs
+    * numHashes adds instead of numHashes full hashes. One pass over the text,
+    * running minima — no shingle materialization.
     */
   def minhashSig(text: UTF8String, numHashes: Int, shingle: Int): ArrayData = {
     val s = text.toString
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    val n = s.length
-    if (n < shingle) {
-      val h = hashRange(s, 0, n)
+    def offer(h: Long): Unit = {
+      val h2 = mix64(h ^ 0x1b873593c2b2ae35L) | 1L // odd stride
+      var v = h
       var i = 0
-      while (i < numHashes) { sig(i) = mix64(h ^ seeds(i)); i += 1 }
-    } else {
-      var p = 0
-      while (p + shingle <= n) {
-        val h = hashRange(s, p, p + shingle)
-        var i = 0
-        while (i < numHashes) {
-          val v = mix64(h ^ seeds(i))
-          if (v < sig(i)) sig(i) = v
-          i += 1
-        }
-        p += 1
+      while (i < numHashes) {
+        if (v < sig(i)) sig(i) = v
+        v += h2
+        i += 1
       }
+    }
+    val n = s.length
+    if (n < shingle) offer(hashRange(s, 0, n))
+    else {
+      var p = 0
+      while (p + shingle <= n) { offer(hashRange(s, p, p + shingle)); p += 1 }
     }
     new GenericArrayData(sig)
   }
-
-  private val seeds: Array[Long] = Array.tabulate(512)(i => mix64(0x5eed5eedL + i))
 
   /** 64-bit SimHash over whitespace/punct-split lowercase tokens. */
   def simhash64(text: UTF8String): Long = {
