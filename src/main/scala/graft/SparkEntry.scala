@@ -176,6 +176,49 @@ object SparkEntry {
           round(col("duration"), 3).as("duration_s"))
     }),
 
+    // --- subset DSL: rename + drop + keep-rest form ------------------------
+    "subset_star" -> ((s, dir) =>
+      Subset(t(s, dir, "customer"), "c_name: name, -c_acctbal, *")),
+
+    // --- st_centroid (geometry accessor surface) ---------------------------
+    "geo_centroid" -> ((s, dir) => {
+      val lonc = expr("(n_nationkey % 10) * 3.0 - 15 + 0.5")
+      val latc = expr("(n_nationkey % 7) * 8.0 - 24 + 0.5")
+      val h = expr("0.1 + (n_nationkey % 3) * 0.05")
+      val squares = t(s, dir, "nation").withColumn("geometry",
+        st_envelope(st_makeline(st_point(lonc - h, latc - h), st_point(lonc + h, latc + h))))
+      squares.select(col("n_nationkey"),
+        round(st_x(st_centroid(col("geometry"))), 6).as("cx"),
+        round(st_y(st_centroid(col("geometry"))), 6).as("cy"))
+    }),
+
+    // --- st_distance (planar) ----------------------------------------------
+    "geo_distance" -> ((s, dir) => {
+      val lon1 = expr("(c_custkey % 120) * 0.5 - 30 + 0.25")
+      val lat1 = expr("(c_custkey % 80) * 0.5 - 20 + 0.25")
+      val lon2 = lon1 + lit(0.3) + expr("(c_custkey % 4) * 0.1")
+      val lat2 = lat1 + lit(0.2)
+      t(s, dir, "customer").select(col("c_custkey"),
+        round(st_distance(st_point(lon1, lat1), st_point(lon2, lat2)), 6).as("dist_deg"))
+    }),
+
+    // --- erde utils.lonlat2gdf (erde/utils.py:88) --------------------------
+    "lonlat_points" -> ((s, dir) => {
+      val withCols = t(s, dir, "customer")
+        .withColumn("lon", expr("(c_custkey % 120) * 0.5 - 30 + 0.25"))
+        .withColumn("lat", expr("(c_custkey % 80) * 0.5 - 20 + 0.25"))
+      GeoOps.lonlatToPoints(withCols)
+        .select(col("c_custkey"),
+          round(st_x(col("geometry")), 6).as("px"),
+          round(st_y(col("geometry")), 6).as("py"))
+    }),
+
+    // --- near-dedup: minhash candidates + exact jaccard verify (rows-only) -
+    "dedup_verified" -> ((s, dir) =>
+      Dedup.minhashVerified(t(s, dir, "documents"), "text", "doc_id",
+          candidateThreshold = 0.4, jaccardThreshold = 0.7)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))),
+
     // --- sessionization (streaming module, batch face) --------------------
     "events_sessionize" -> ((s, dir) =>
       graft.streaming.EventStream.sessionizeBatch(t(s, dir, "events"), gapMinutes = 30)
@@ -348,6 +391,27 @@ object SparkEntry {
          |d AS (SELECT n_nationkey, r_regionkey, ${havSql("lon1", "lat1", "lon2", "lat2")} AS dist FROM s, t)
          |SELECT n_nationkey, r_regionkey, round(dist/1000, 3) AS dist_km, round(dist/25.0, 3) AS duration_s
          |FROM d""".stripMargin,
+    "subset_star" ->
+      "SELECT c_name AS name, c_custkey, c_nationkey, c_mktsegment FROM customer",
+    "geo_centroid" ->
+      """SELECT n_nationkey,
+        |  round((n_nationkey % 10) * 3.0 - 15 + 0.5, 6) AS cx,
+        |  round((n_nationkey % 7) * 8.0 - 24 + 0.5, 6) AS cy
+        |FROM nation""".stripMargin,
+    "geo_distance" ->
+      """WITH p AS (SELECT c_custkey,
+        |  (c_custkey % 120) * 0.5 - 30 + 0.25 AS lon1,
+        |  (c_custkey % 80) * 0.5 - 20 + 0.25 AS lat1 FROM customer),
+        |p2 AS (SELECT c_custkey, lon1, lat1,
+        |  lon1 + 0.3 + (c_custkey % 4) * 0.1 AS lon2, lat1 + 0.2 AS lat2 FROM p)
+        |SELECT c_custkey,
+        |  round(sqrt((lon2-lon1)*(lon2-lon1) + (lat2-lat1)*(lat2-lat1)), 6) AS dist_deg
+        |FROM p2""".stripMargin,
+    "lonlat_points" ->
+      """SELECT c_custkey,
+        |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,
+        |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py
+        |FROM customer""".stripMargin,
     "events_sessionize" ->
       """WITH g AS (SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -83,6 +83,14 @@ class GeoFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(cells.contains(c))
   }
 
+  test("polyline encode/decode round-trips at 1e-5 precision") {
+    val wkt = "LINESTRING (-120.2 38.5, -120.95 40.7, -126.453 43.252)"
+    val enc = one[String](st_polyline_encode(st_geomfromtext(lit(wkt))))
+    assert(enc == "_p~iF~ps|U_ulLnnqC_mqNvxq`@") // canonical example of the format
+    val back = one[String](st_astext(st_polyline_decode(lit(enc))))
+    assert(back == "LINESTRING (-120.2 38.5, -120.95 40.7, -126.453 43.252)")
+  }
+
   test("SQL registration: functions usable from spark.sql") {
     GeoFunctions.registerAll(spark)
     val row = spark.sql(
