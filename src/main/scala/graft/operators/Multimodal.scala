@@ -91,6 +91,32 @@ object Multimodal {
     }(enc)
   }
 
+  /** Extracts fixed-size audio features (STUB: deterministic pseudo-MFCC
+    * vector; a real implementation decodes PCM and runs the filterbank) into
+    * an `audio_features array<float>` column. Same mapPartitions batch shape.
+    */
+  def audioFeatures(df: DataFrame, dim: Int = 13, binCol: String = "content"): DataFrame = {
+    val outSchema = df.schema.add(
+      StructField("audio_features", ArrayType(FloatType, containsNull = false), nullable = true))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val feats = if (bytes == null) null else {
+          var h = mix64(bytes.length.toLong)
+          var i = 0
+          val n = math.min(bytes.length, 256)
+          while (i < n) { h = mix64(h ^ bytes(i)); i += 1 }
+          Array.tabulate(dim) { d =>
+            ((mix64(h ^ d) % 2000) / 1000.0f) - 1.0f
+          }
+        }
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(enc)
+  }
+
   /** Samples every `everyN`-th frame of a video payload into a
     * `frames array<binary>` column (STUB frame extraction; the explode-ready
     * array shape is what a real sampler produces).

@@ -40,6 +40,16 @@ object Ops {
       .drop(firstMatch(rightOn))
   }
 
+  /** Writes a bucketed+sorted table so repeated equi-joins/aggregations on
+    * `key` are exchange-free (Spark bucketing: both sides pre-partitioned on
+    * disk, the join plan has no shuffle). The 100 TB pattern for fact-to-fact
+    * joins repeated across jobs — pay the shuffle once at write time.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** Points from lon/lat columns (erde/utils.py:88 `lonlat2gdf`): recognizes
     * the same column-name combos and adds `lon`/`lat` double columns
     * normalized to those names (geometry construction is done by

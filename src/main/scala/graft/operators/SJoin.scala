@@ -22,10 +22,23 @@ object SJoin {
 
   val DefaultCellDeg = 0.5
 
+  /** Skew/broadcast tuning. `cellDeg` trades cover size vs selectivity;
+    * `saltFactor` > 1 splits each hot cell's left rows across that many
+    * shuffle keys (right side replicated per salt) — use when one cell holds
+    * a city's worth of geometry; `broadcastRight` hints the exploded right
+    * side for dim-table joins (zones, admin polygons), so the big left side
+    * never shuffles at all.
+    */
+  final case class Tuning(
+      cellDeg: Double = DefaultCellDeg,
+      saltFactor: Int = 1,
+      broadcastRight: Boolean = false)
+
   private val LB = "__graft_lbbox"
   private val RB = "__graft_rbbox"
   private val CELL = "__graft_cell"
   private val LID = "__graft_lid"
+  private val SALT = "__graft_salt"
 
   private def pred(p: String, l: Column, r: Column): Column = p match {
     case "intersects" => st_intersects(l, r)
@@ -46,8 +59,10 @@ object SJoin {
       leftGeom: String = "geometry",
       rightGeom: String = "geometry",
       cellDeg: Double = DefaultCellDeg,
-      rightSuffix: String = "_right"): DataFrame =
-    pairsKeyed(tagged(left, leftGeom, cellDeg), right, predicate, leftGeom, rightGeom, cellDeg, rightSuffix)
+      rightSuffix: String = "_right",
+      tuning: Tuning = Tuning()): DataFrame =
+    pairsKeyed(tagged(left, leftGeom, cellDeg), right, predicate, leftGeom, rightGeom,
+        cellDeg, rightSuffix, tuning)
       .drop(LID)
 
   /** Left side with a stable row id (narrow — no shuffle) for the join-back
@@ -63,19 +78,26 @@ object SJoin {
       leftGeom: String,
       rightGeom: String,
       cellDeg: Double,
-      rightSuffix: String): DataFrame = {
+      rightSuffix: String,
+      tuning: Tuning = Tuning()): DataFrame = {
     val clash = taggedLeft.columns.toSet
     val renamed = right.columns.foldLeft(right) { (df, c0) =>
       if (clash(c0)) df.withColumnRenamed(c0, c0 + rightSuffix) else df
     }
     val rGeom = if (clash(rightGeom)) rightGeom + rightSuffix else rightGeom
 
-    val l = taggedLeft
+    val salted = tuning.saltFactor > 1
+    val l0 = taggedLeft
       .withColumn(LB, st_bbox(col(leftGeom)))
       .withColumn(CELL, explode(st_cellcover(col(leftGeom), lit(cellDeg))))
-    val r = renamed
+    val l = if (!salted) l0
+      else l0.withColumn(SALT, pmod(xxhash64(col(leftGeom)), lit(tuning.saltFactor)).cast("int"))
+    val r0 = renamed
       .withColumn(RB, st_bbox(col(rGeom)))
       .withColumn(CELL, explode(st_cellcover(col(rGeom), lit(cellDeg))))
+    val r1 = if (!salted) r0
+      else r0.withColumn(SALT, explode(sequence(lit(0), lit(tuning.saltFactor - 1))))
+    val r = if (tuning.broadcastRight) broadcast(r1) else r1
 
     // reference cell: the one holding the lower-left corner of bbox∩bbox —
     // emits each surviving pair exactly once, no post-join distinct.
@@ -84,10 +106,12 @@ object SJoin {
       greatest(element_at(col(LB), 2), element_at(col(RB), 2)),
       lit(cellDeg))
 
-    l.join(r, l(CELL) === r(CELL) &&
+    val keys = l(CELL) === r(CELL) &&
+      (if (salted) l(SALT) === r(SALT) else lit(true))
+    l.join(r, keys &&
         refCell === l(CELL) &&
         pred(predicate, col(leftGeom), col(rGeom)))
-      .drop(LB).drop(RB).drop(CELL)
+      .drop(LB).drop(RB).drop(CELL).drop(SALT)
   }
 
   /** Full spatial join keeping both geometries (reference: erde sjoin `sjfull`).
@@ -101,9 +125,10 @@ object SJoin {
       leftGeom: String = "geometry",
       rightGeom: String = "geometry",
       cellDeg: Double = DefaultCellDeg,
-      rightSuffix: String = "_right"): DataFrame = {
+      rightSuffix: String = "_right",
+      tuning: Tuning = Tuning()): DataFrame = {
     val lt = tagged(left, leftGeom, cellDeg)
-    val inner = pairsKeyed(lt, right, predicate, leftGeom, rightGeom, cellDeg, rightSuffix)
+    val inner = pairsKeyed(lt, right, predicate, leftGeom, rightGeom, cellDeg, rightSuffix, tuning)
     how match {
       case "inner" => inner.drop(LID)
       case "left" =>
@@ -129,9 +154,10 @@ object SJoin {
       how: String = "left",
       leftGeom: String = "geometry",
       rightGeom: String = "geometry",
-      cellDeg: Double = DefaultCellDeg): DataFrame = {
+      cellDeg: Double = DefaultCellDeg,
+      tuning: Tuning = Tuning()): DataFrame = {
     val lt = tagged(left, leftGeom, cellDeg)
-    val inner = pairsKeyed(lt, right, predicate, leftGeom, rightGeom, cellDeg, "_right")
+    val inner = pairsKeyed(lt, right, predicate, leftGeom, rightGeom, cellDeg, "_right", tuning)
     val agged = inner.groupBy(col(LID)).agg(aggs.head, aggs.tail: _*)
     lt.join(agged, Seq(LID), how).drop(LID)
   }
@@ -150,9 +176,10 @@ object SJoin {
       how: String = "left",
       leftGeom: String = "geometry",
       rightGeom: String = "geometry",
-      cellDeg: Double = DefaultCellDeg): DataFrame = {
+      cellDeg: Double = DefaultCellDeg,
+      tuning: Tuning = Tuning()): DataFrame = {
     val lt = tagged(left, leftGeom, cellDeg)
-    val inner = pairsKeyed(lt, right, predicate, leftGeom, rightGeom, cellDeg, "_right")
+    val inner = pairsKeyed(lt, right, predicate, leftGeom, rightGeom, cellDeg, "_right", tuning)
     val picks = columns.map(c0 => min_by(col(c0), col(orderBy)).as(c0))
     val agged = inner.groupBy(col(LID)).agg(picks.head, picks.tail: _*)
     lt.join(agged, Seq(LID), how).drop(LID)
@@ -168,9 +195,10 @@ object SJoin {
       negative: Boolean = false,
       leftGeom: String = "geometry",
       rightGeom: String = "geometry",
-      cellDeg: Double = DefaultCellDeg): DataFrame = {
+      cellDeg: Double = DefaultCellDeg,
+      tuning: Tuning = Tuning()): DataFrame = {
     val lt = tagged(left, leftGeom, cellDeg)
-    val matched = pairsKeyed(lt, right, predicate, leftGeom, rightGeom, cellDeg, "_right")
+    val matched = pairsKeyed(lt, right, predicate, leftGeom, rightGeom, cellDeg, "_right", tuning)
       .select(LID)
     lt.join(matched, Seq(LID), if (negative) "left_anti" else "left_semi").drop(LID)
   }

@@ -72,6 +72,18 @@ class SJoinSpec extends AnyFunSuite with SparkSpec {
     assert(kept.columns.toSeq == points.columns.toSeq) // schema preserved
   }
 
+  test("salting and broadcast tuning do not change results") {
+    val base = SJoin.sjfull(points, zones, predicate = "within")
+      .select("pid", "zid").as[(Int, Int)].collect().toSet
+    val salted = SJoin.sjfull(points, zones, predicate = "within",
+      tuning = SJoin.Tuning(saltFactor = 4))
+      .select("pid", "zid").as[(Int, Int)].collect().toSet
+    val bcast = SJoin.sjfull(points, zones, predicate = "within",
+      tuning = SJoin.Tuning(broadcastRight = true))
+      .select("pid", "zid").as[(Int, Int)].collect().toSet
+    assert(salted == base && bcast == base)
+  }
+
   test("grid join plan shuffles on cell hash, not cross product") {
     val out = SJoin.pairs(points, zones, predicate = "intersects")
     val plan = out.queryExecution.executedPlan.toString
