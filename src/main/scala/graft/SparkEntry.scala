@@ -176,6 +176,25 @@ object SparkEntry {
           round(col("duration"), 3).as("duration_s"))
     }),
 
+    // --- sjoin on polygon×polygon (full intersects path) -------------------
+    "sjoin_rects" -> ((s, dir) => {
+      val lon0 = expr("(s_suppkey % 15) * 4.0 - 30")
+      val lat0 = expr("(s_suppkey % 9) * 5.0 - 22")
+      val rects = t(s, dir, "supplier").withColumn("geometry",
+        st_envelope(st_makeline(st_point(lon0, lat0), st_point(lon0 + 3.0, lat0 + 4.0))))
+      SJoin.sjfull(nationZones(s, dir), rects, predicate = "intersects")
+        .select("n_nationkey", "s_suppkey")
+    }),
+
+    // --- buffer dissolve (erde buffer --dissolve; distributed union) -------
+    "geo_dissolve_area" -> ((s, dir) => {
+      val pts = t(s, dir, "supplier").select(
+        st_point(expr("(s_suppkey % 10) * 12.0 - 54"), expr("(s_suppkey % 7) * 9.0 - 27"))
+          .as("geometry"))
+      GeoOps.bufferM(pts, radiusMetres = 1500.0, resolution = 8, dissolve = true)
+        .select(round(st_aream(col("geometry")) / 1e6, 2).as("dissolved_km2"))
+    }),
+
     // --- subset DSL: rename + drop + keep-rest form ------------------------
     "subset_star" -> ((s, dir) =>
       Subset(t(s, dir, "customer"), "c_name: name, -c_acctbal, *")),
@@ -391,6 +410,22 @@ object SparkEntry {
          |d AS (SELECT n_nationkey, r_regionkey, ${havSql("lon1", "lat1", "lon2", "lat2")} AS dist FROM s, t)
          |SELECT n_nationkey, r_regionkey, round(dist/1000, 3) AS dist_km, round(dist/25.0, 3) AS duration_s
          |FROM d""".stripMargin,
+    "sjoin_rects" ->
+      """SELECT n_nationkey, s_suppkey FROM nation, supplier
+        |WHERE ((n_nationkey % 12) * 5.0 - 30) <= ((s_suppkey % 15) * 4.0 - 30 + 3.0)
+        |  AND ((s_suppkey % 15) * 4.0 - 30) <= ((n_nationkey % 12) * 5.0 - 30 + 4.0)
+        |  AND ((n_nationkey % 5) * 8.0 - 20) <= ((s_suppkey % 9) * 5.0 - 22 + 4.0)
+        |  AND ((s_suppkey % 9) * 5.0 - 22) <= ((n_nationkey % 5) * 8.0 - 20 + 6.0)""".stripMargin,
+    "geo_dissolve_area" ->
+      s"""WITH d AS (SELECT DISTINCT
+         |  (s_suppkey % 10) * 12.0 - 54 AS lon, (s_suppkey % 7) * 9.0 - 27 AS lat FROM supplier),
+         |m AS (SELECT ${my("lat")} AS y,
+         |  0.5 * 32 * (1500.0/cos(radians(lat))) * (1500.0/cos(radians(lat))) * sin(2*pi()/32) AS a
+         |  FROM d),
+         |g AS (SELECT sum(a) AS at, sum(a * y) / sum(a) AS yc FROM m)
+         |SELECT round(at * cos(radians(${invLat("yc")})) * cos(radians(${invLat("yc")})) / 1e6, 2)
+         |  AS dissolved_km2
+         |FROM g""".stripMargin,
     "subset_star" ->
       "SELECT c_name AS name, c_custkey, c_nationkey, c_mktsegment FROM customer",
     "geo_centroid" ->

@@ -37,6 +37,14 @@ object EventStream {
     spark.readStream.schema(schema).parquet(dir)
   }
 
+  /** Streaming duplicate-drop bounded by the watermark (exactly-once event
+    * ingestion when upstream retries): state holds only ids younger than the
+    * watermark.
+    */
+  def dedupStream(stream: DataFrame, idCols: Seq[String], watermark: String = "1 hour"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   // ---- sessionization -----------------------------------------------------
 
   /** Batch sessionization with window functions: a session breaks when the

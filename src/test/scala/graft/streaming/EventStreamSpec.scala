@@ -77,6 +77,23 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops retried event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = dedupStream(mem.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "a", 1.0),
+        Event(1, ts(0), 1, "a", 1.0), // duplicate delivery
+        Event(2, ts(1), 1, "a", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(1), 1, "a", 2.0)) // retried in a later batch
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 2)
+    } finally q.stop()
+  }
+
   test("readStream over the events table produces the same windowed counts") {
     // file source needs a directory; stage the single-file table into one
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
