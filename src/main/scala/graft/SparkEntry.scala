@@ -162,6 +162,23 @@ object SparkEntry {
           round(col("duration"), 3).as("duration_s"))
     }),
 
+    // --- erde op/route over waypoint geometry ------------------------------
+    "route_waypoints" -> ((s, dir) => {
+      val lon1 = expr("(c_custkey % 120) * 0.5 - 30 + 0.25")
+      val lat1 = expr("(c_custkey % 80) * 0.5 - 20 + 0.25")
+      val lon2 = lon1 + lit(0.3) + expr("(c_custkey % 4) * 0.1")
+      val lat2 = lat1 + lit(0.2)
+      val lon3 = lon1 + lit(0.1)
+      val lat3 = lat1 + lit(0.5)
+      val wkt = concat(lit("LINESTRING ("), lon1, lit(" "), lat1, lit(", "),
+        lon2, lit(" "), lat2, lit(", "), lon3, lit(" "), lat3, lit(")"))
+      val lines = t(s, dir, "customer").withColumn("geometry", st_geomfromtext(wkt))
+      Routing.routeLine(lines)
+        .select(col("c_custkey"),
+          round(col("distance") / 1000, 3).as("wp_dist_km"),
+          round(col("duration"), 3).as("wp_duration_s"))
+    }),
+
     // --- erde op/table (erde/op/table.py:126) -----------------------------
     "table_route" -> ((s, dir) => {
       val srcs = t(s, dir, "nation")
@@ -401,6 +418,18 @@ object SparkEntry {
          |  lon1 + 0.3 + (c_custkey % 4) * 0.1 AS lon2, lat1 + 0.2 AS lat2 FROM p),
          |d AS (SELECT c_custkey, ${havSql("lon1", "lat1", "lon2", "lat2")} AS dist FROM p2)
          |SELECT c_custkey, round(dist/1000, 3) AS dist_km, round(dist/25.0, 3) AS duration_s
+         |FROM d""".stripMargin,
+    "route_waypoints" ->
+      s"""WITH p AS (SELECT c_custkey,
+         |  (c_custkey % 120) * 0.5 - 30 + 0.25 AS lon1,
+         |  (c_custkey % 80) * 0.5 - 20 + 0.25 AS lat1 FROM customer),
+         |p2 AS (SELECT c_custkey, lon1, lat1,
+         |  lon1 + 0.3 + (c_custkey % 4) * 0.1 AS lon2, lat1 + 0.2 AS lat2,
+         |  lon1 + 0.1 AS lon3, lat1 + 0.5 AS lat3 FROM p),
+         |d AS (SELECT c_custkey,
+         |  ${havSql("lon1", "lat1", "lon2", "lat2")} + ${havSql("lon2", "lat2", "lon3", "lat3")} AS dist
+         |  FROM p2)
+         |SELECT c_custkey, round(dist/1000, 3) AS wp_dist_km, round(dist/25.0, 3) AS wp_duration_s
          |FROM d""".stripMargin,
     "table_route" ->
       s"""WITH s AS (SELECT n_nationkey,

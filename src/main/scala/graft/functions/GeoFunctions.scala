@@ -71,6 +71,9 @@ object GeoFunctions {
   def st_bufferm(g: Column, radiusMetres: Column, resolution: Column): Column =
     c(StBufferM(e(g), ed(radiusMetres), ei(resolution)))
 
+  /** Great-circle metres along a LineString's waypoints. */
+  def st_haversine_length(g: Column): Column = c(StHaversineLength(e(g)))
+
   /** Google encoded-polyline codec (reference: erde/utils.py). */
   def st_polyline_encode(g: Column): Column = c(StPolylineEncode(e(g)))
   def st_polyline_decode(s: Column): Column = c(StPolylineDecode(e(s)))
@@ -129,6 +132,7 @@ object GeoFunctions {
     r1("st_coslat", StCosLat.apply)
     r1("st_tomercator", StToMercator.apply)
     r1("st_tolonlat", StToLonLat.apply)
+    r1("st_haversine_length", StHaversineLength.apply)
     r1("st_polyline_encode", StPolylineEncode.apply)
     r1("st_polyline_decode", StPolylineDecode.apply)
     r2("st_distance", StDistance.apply)

@@ -216,6 +216,14 @@ case class StBufferM(first: Expression, second: Expression, third: Expression)
     copy(f, s, t)
 }
 
+case class StHaversineLength(child: Expression) extends GeomUnary {
+  override def method: String = "haversineLength"
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(b: Any): Any =
+    GeomKernel.haversineLength(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): StHaversineLength = copy(child = c)
+}
+
 case class StPolylineEncode(child: Expression) extends GeomUnary {
   override def method: String = "polylineEncode"
   override def dataType: DataType = StringType

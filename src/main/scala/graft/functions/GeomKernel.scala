@@ -97,6 +97,22 @@ object GeomKernel {
 
   def contains(a: Array[Byte], b: Array[Byte]): Boolean = Algos.contains(WKB.read(a), WKB.read(b))
 
+  /** Great-circle length in metres of a LineString's consecutive segments
+    * (reference: erde/op/route.py routes a geometry's waypoints; the
+    * deterministic router's path length is the haversine sum).
+    */
+  def haversineLength(b: Array[Byte]): Double = {
+    var total = 0.0
+    Geom.foreachPart(WKB.read(b)) { cs =>
+      var i = 0
+      while (i + 3 < cs.length) {
+        total += Mercator.haversine(cs(i), cs(i + 1), cs(i + 2), cs(i + 3))
+        i += 2
+      }
+    }
+    total
+  }
+
   // ---- polyline (reference: erde/utils.py polyline encode/decode) --------
 
   /** Google encoded-polyline (precision 5) of a LineString's vertices. */

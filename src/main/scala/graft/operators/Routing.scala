@@ -70,6 +70,18 @@ object Routing {
       .withColumn("route_geometry", col("__r.geometry"))
       .drop("__r")
 
+  /** Routes along a multi-waypoint LineString (reference: erde/op/route.py —
+    * erde posts a geometry's waypoints to OSRM; the deterministic equivalent
+    * is the great-circle path length over consecutive waypoints, computed by
+    * one codegen'd expression, no per-segment explode).
+    */
+  def routeLine(
+      df: DataFrame,
+      geomCol: String = "geometry",
+      speedMps: Double = 25.0): DataFrame =
+    df.withColumn("distance", st_haversine_length(col(geomCol)))
+      .withColumn("duration", col("distance") / lit(speedMps))
+
   /** N×M duration/distance matrix (reference: erde/op/table.py:126).
     *
     * erde chunks the pair space client-side (`max_table_size`); on Spark the
