@@ -114,8 +114,17 @@ object SJoin {
       .drop(LB).drop(RB).drop(CELL).drop(SALT)
   }
 
-  /** Full spatial join keeping both geometries (reference: erde sjoin `sjfull`).
-    * `how` ∈ inner | left (left keeps unmatched left rows with nulls).
+  /** Transposes a predicate when the join sides swap (right joins). */
+  private def flip(p: String): String = p match {
+    case "within" => "contains"
+    case "contains" => "within"
+    case other => other // intersects is symmetric
+  }
+
+  /** Full spatial join keeping both geometries (reference: erde sjoin `sjfull`,
+    * joins inner | left | right). `how="left"` keeps unmatched left rows with
+    * nulls; `how="right"` runs the swapped left join (predicate transposed) so
+    * unmatched right rows survive.
     */
   def sjfull(
       left: DataFrame,
@@ -127,6 +136,9 @@ object SJoin {
       cellDeg: Double = DefaultCellDeg,
       rightSuffix: String = "_right",
       tuning: Tuning = Tuning()): DataFrame = {
+    if (how == "right")
+      return sjfull(right, left, flip(predicate), "left", rightGeom, leftGeom,
+        cellDeg, rightSuffix, tuning)
     val lt = tagged(left, leftGeom, cellDeg)
     val inner = pairsKeyed(lt, right, predicate, leftGeom, rightGeom, cellDeg, rightSuffix, tuning)
     how match {
@@ -137,7 +149,7 @@ object SJoin {
         val padded = rightCols.foldLeft(unmatched)((df, c0) =>
           df.withColumn(c0, lit(null).cast(inner.schema(c0).dataType)))
         inner.unionByName(padded.select(inner.columns.map(col): _*)).drop(LID)
-      case other => throw new IllegalArgumentException(s"how='$other' (inner|left)")
+      case other => throw new IllegalArgumentException(s"how='$other' (inner|left|right)")
     }
   }
 

@@ -72,6 +72,16 @@ class SJoinSpec extends AnyFunSuite with SparkSpec {
     assert(kept.columns.toSeq == points.columns.toSeq) // schema preserved
   }
 
+  test("sjfull right join keeps unmatched right rows") {
+    val out = SJoin.sjfull(points, zones, predicate = "within", how = "right")
+    // zone 3 (far away) matches nothing but must survive with null point cols
+    assert(out.where(col("zid") === 3).count() == 1)
+    assert(out.where(col("zid") === 3 && col("pid").isNull).count() == 1)
+    // matched pairs equal the inner join's
+    val inner = SJoin.sjfull(points, zones, predicate = "within")
+    assert(out.where(col("pid").isNotNull).count() == inner.count())
+  }
+
   test("salting and broadcast tuning do not change results") {
     val base = SJoin.sjfull(points, zones, predicate = "within")
       .select("pid", "zid").as[(Int, Int)].collect().toSet
