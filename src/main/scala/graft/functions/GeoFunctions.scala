@@ -70,6 +70,8 @@ object GeoFunctions {
   /** erde metre semantics (reference: erde/op/buffer.py:44). */
   def st_bufferm(g: Column, radiusMetres: Column, resolution: Column): Column =
     c(StBufferM(e(g), ed(radiusMetres), ei(resolution)))
+  def st_bufferm(g: Column, radiusMetres: Column, resolution: Column, capStyle: Column): Column =
+    c(StBufferMStyled(e(g), ed(radiusMetres), ei(resolution), e(capStyle)))
 
   /** Great-circle metres along a LineString's waypoints. */
   def st_haversine_length(g: Column): Column = c(StHaversineLength(e(g)))

@@ -240,6 +240,20 @@ case class StPolylineDecode(child: Expression) extends GeomUnary {
   override protected def withNewChildInternal(c: Expression): StPolylineDecode = copy(child = c)
 }
 
+case class StBufferMStyled(first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends QuaternaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(b: Any, r: Any, res: Any, cap: Any): Any =
+    GeomKernel.bufferMStyled(b.asInstanceOf[Array[Byte]], r.asInstanceOf[Double],
+      res.asInstanceOf[Int], cap.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, r, res, cap) => s"$K.bufferMStyled($b, $r, $res, $cap)")
+  override def prettyName: String = "st_bufferm_styled"
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): StBufferMStyled =
+    copy(f, s, t, q)
+}
+
 case class StCellCover(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

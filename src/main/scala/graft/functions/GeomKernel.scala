@@ -89,6 +89,10 @@ object GeomKernel {
   def bufferM(b: Array[Byte], radiusMetres: Double, resolution: Int): Array[Byte] =
     WKB.write(Buffer.bufferM(WKB.read(b), radiusMetres, resolution))
 
+  def bufferMStyled(b: Array[Byte], radiusMetres: Double, resolution: Int,
+      capStyle: UTF8String): Array[Byte] =
+    WKB.write(Buffer.bufferM(WKB.read(b), radiusMetres, resolution, capStyle.toString))
+
   // ---- predicates ---------------------------------------------------------
 
   def intersects(a: Array[Byte], b: Array[Byte]): Boolean = Algos.intersects(WKB.read(a), WKB.read(b))

@@ -54,8 +54,30 @@ object Buffer {
     buf.toArray
   }
 
-  /** Round buffer of any geometry, planar units. */
-  def buffer(g: Geom, radius: Double, resolution: Int = 8): Geom = {
+  /** Rectangle of half-width `radius` around segment [a,b], optionally
+    * extended by `extendA`/`extendB` beyond the endpoints (square caps).
+    */
+  def segmentRect(ax: Double, ay: Double, bx: Double, by: Double, radius: Double,
+      extendA: Double = 0, extendB: Double = 0): Array[Double] = {
+    val dx = bx - ax; val dy = by - ay
+    val len = math.hypot(dx, dy)
+    val (ux, uy) = if (len < 1e-12) (1.0, 0.0) else (dx / len, dy / len)
+    val nx = -uy; val ny = ux
+    val ax2 = ax - ux * extendA; val ay2 = ay - uy * extendA
+    val bx2 = bx + ux * extendB; val by2 = by + uy * extendB
+    Array(
+      ax2 + nx * radius, ay2 + ny * radius,
+      bx2 + nx * radius, by2 + ny * radius,
+      bx2 - nx * radius, by2 - ny * radius,
+      ax2 - nx * radius, ay2 - ny * radius,
+      ax2 + nx * radius, ay2 + ny * radius)
+  }
+
+  /** Buffer of any geometry, planar units. `capStyle` ∈ round | flat | square
+    * (reference: erde/op/buffer.py cap_style; joins at interior vertices are
+    * round in all styles, as with the reference's default join_style).
+    */
+  def buffer(g: Geom, radius: Double, resolution: Int = 8, capStyle: String = "round"): Geom = {
     require(radius >= 0, "negative buffer radii are not supported")
     g match {
       case Point(x, y) => Polygon(Array(circle(x, y, radius, resolution)))
@@ -64,9 +86,10 @@ object Buffer {
         var i = 0
         while (i < cs.length) { circles += Array(circle(cs(i), cs(i + 1), radius, resolution)); i += 2 }
         UnionOps.union(circles.toIndexedSeq)
-      case LineString(cs) => UnionOps.union(lineStadiums(cs, radius, resolution).toIndexedSeq)
+      case LineString(cs) =>
+        UnionOps.union(lineParts(cs, radius, resolution, capStyle).toIndexedSeq)
       case MultiLineString(ps) =>
-        UnionOps.union(ps.toIndexedSeq.flatMap(cs => lineStadiums(cs, radius, resolution)))
+        UnionOps.union(ps.toIndexedSeq.flatMap(cs => lineParts(cs, radius, resolution, capStyle)))
       case Polygon(rings) =>
         // outward buffer: polygon itself ∪ stadiums of every ring segment
         UnionOps.union(IndexedSeq(Array(rings.head)) ++ rings.toIndexedSeq.flatMap(r => lineStadiums(r, radius, resolution)))
@@ -84,16 +107,40 @@ object Buffer {
     }
   }
 
-  private def lineStadiums(cs: Array[Double], radius: Double, resolution: Int): Seq[Array[Array[Double]]] = {
+  private def lineStadiums(cs: Array[Double], radius: Double, resolution: Int): Seq[Array[Array[Double]]] =
+    lineParts(cs, radius, resolution, "round")
+
+  /** Per-segment cover of a polyline for the given cap style. Round: stadiums
+    * (round caps AND joins). Flat/square: rectangles per segment (extended at
+    * the terminal ends for square) + circles at interior vertices (round
+    * joins).
+    */
+  private def lineParts(cs: Array[Double], radius: Double, resolution: Int,
+      capStyle: String): Seq[Array[Array[Double]]] = {
     if (cs.length < 4) {
       if (cs.length == 2) return Seq(Array(circle(cs(0), cs(1), radius, resolution)))
       return Nil
     }
     val out = ArrayBuffer[Array[Array[Double]]]()
-    var i = 0
-    while (i + 3 < cs.length) {
-      out += Array(stadium(cs(i), cs(i + 1), cs(i + 2), cs(i + 3), radius, resolution))
-      i += 2
+    capStyle match {
+      case "round" =>
+        var i = 0
+        while (i + 3 < cs.length) {
+          out += Array(stadium(cs(i), cs(i + 1), cs(i + 2), cs(i + 3), radius, resolution))
+          i += 2
+        }
+      case "flat" | "square" =>
+        val ext = if (capStyle == "square") radius else 0.0
+        val lastSeg = cs.length - 4
+        var i = 0
+        while (i + 3 < cs.length) {
+          out += Array(segmentRect(cs(i), cs(i + 1), cs(i + 2), cs(i + 3), radius,
+            extendA = if (i == 0) ext else 0.0,
+            extendB = if (i == lastSeg) ext else 0.0))
+          if (i > 0) out += Array(circle(cs(i), cs(i + 1), radius, resolution)) // round join
+          i += 2
+        }
+      case other => throw new IllegalArgumentException(s"capStyle '$other' (round|flat|square)")
     }
     out.toSeq
   }
@@ -101,9 +148,10 @@ object Buffer {
   /** erde metre semantics (erde/op/buffer.py:44): project to 3857, buffer by
     * `radius / cos(lat of centroid)`, return in 4326.
     */
-  def bufferM(g4326: Geom, radiusMetres: Double, resolution: Int = 8): Geom = {
+  def bufferM(g4326: Geom, radiusMetres: Double, resolution: Int = 8,
+      capStyle: String = "round"): Geom = {
     val m = Mercator.toMercator(g4326)
     val cos = Mercator.coslat(g4326)
-    Mercator.toLonLat(buffer(m, radiusMetres / cos, resolution))
+    Mercator.toLonLat(buffer(m, radiusMetres / cos, resolution, capStyle))
   }
 }

@@ -58,8 +58,13 @@ object GeoOps {
       radiusMetres: Double,
       geom: String = "geometry",
       resolution: Int = 10,
-      dissolve: Boolean = false): DataFrame = {
-    val buffered = df.withColumn(geom, st_bufferm(col(geom), lit(radiusMetres), lit(resolution)))
+      dissolve: Boolean = false,
+      capStyle: String = "round"): DataFrame = {
+    val buffered =
+      if (capStyle == "round")
+        df.withColumn(geom, st_bufferm(col(geom), lit(radiusMetres), lit(resolution)))
+      else
+        df.withColumn(geom, st_bufferm(col(geom), lit(radiusMetres), lit(resolution), lit(capStyle)))
     if (!dissolve) buffered
     else buffered.agg(UnionAgg.unionAgg(col(geom)).as(geom))
   }

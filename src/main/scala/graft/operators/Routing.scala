@@ -5,8 +5,13 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GeoFunctions._
 
-/** Routing leg: seconds, metres, WKB geometry. */
-final case class RouteLeg(durationS: Double, distanceM: Double, wkb: Array[Byte])
+/** Routing leg: seconds, metres, WKB geometry, plus snap distances (metres
+  * from the requested endpoints to the network, 0 for math routers) —
+  * reference: erde/op/table.py source/destination snap columns and
+  * erde/op/isochrone.py's full_duration = duration + snap penalty.
+  */
+final case class RouteLeg(durationS: Double, distanceM: Double, wkb: Array[Byte],
+    snapSourceM: Double = 0.0, snapDestM: Double = 0.0)
 
 /** Pluggable routing backend (reference: erde/op/route.py — OSRM HTTP).
   *
@@ -20,13 +25,16 @@ trait Router extends Serializable {
 
   def route(lon1: Double, lat1: Double, lon2: Double, lat2: Double): RouteLeg
 
-  /** Batch interface: a struct column {duration, distance, geometry}. */
+  /** Batch interface: a struct column
+    * {duration, distance, geometry, snap_source, snap_dest}.
+    */
   def routeExpr(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
     val u = udf { (a: Double, b: Double, c: Double, d: Double) =>
-      val leg = route(a, b, c, d); (leg.durationS, leg.distanceM, leg.wkb)
+      val leg = route(a, b, c, d)
+      (leg.durationS, leg.distanceM, leg.wkb, leg.snapSourceM, leg.snapDestM)
     }
     u(lon1, lat1, lon2, lat2)
-      .cast("struct<duration:double,distance:double,geometry:binary>")
+      .cast("struct<duration:double,distance:double,geometry:binary,snap_source:double,snap_dest:double>")
   }
 }
 
@@ -48,7 +56,9 @@ class GreatCircleRouter(val speedMps: Double = 25.0) extends Router {
     struct(
       (d / lit(speedMps)).as("duration"),
       d.as("distance"),
-      st_makeline(st_point(lon1, lat1), st_point(lon2, lat2)).as("geometry"))
+      st_makeline(st_point(lon1, lat1), st_point(lon2, lat2)).as("geometry"),
+      lit(0.0).as("snap_source"),
+      lit(0.0).as("snap_dest"))
   }
 }
 
@@ -106,6 +116,8 @@ object Routing {
       .withColumn("__r", router.routeExpr(col(srcLon), col(srcLat), col(dLon), col(dLat)))
       .withColumn("duration", col("__r.duration"))
       .withColumn("distance", col("__r.distance"))
+      .withColumn("snap_source", col("__r.snap_source"))
+      .withColumn("snap_dest", col("__r.snap_dest"))
     (if (withGeometry) joined.withColumn("route_geometry", col("__r.geometry")) else joined)
       .drop("__r")
   }
@@ -127,14 +139,17 @@ object Routing {
       stepDeg: Double = 0.05,
       halfCells: Int = 8,
       keyCols: Seq[String] = Nil,
-      withGeometry: Boolean = true): DataFrame = {
+      withGeometry: Boolean = true,
+      walkSpeedMps: Double = 1.0): DataFrame = {
     val keys = if (keyCols.nonEmpty) keyCols else sources.columns.toSeq
     val grid = sources
       .withColumn("__i", explode(sequence(lit(-halfCells), lit(halfCells))))
       .withColumn("__j", explode(sequence(lit(-halfCells), lit(halfCells))))
       .withColumn("__plon", col(srcLon) + col("__i") * lit(stepDeg))
       .withColumn("__plat", col(srcLat) + col("__j") * lit(stepDeg))
-      .withColumn("__dur", router.routeExpr(col(srcLon), col(srcLat), col("__plon"), col("__plat"))("duration"))
+      // full_duration = duration + snap penalty (reference: erde/op/isochrone.py)
+      .withColumn("__leg", router.routeExpr(col(srcLon), col(srcLat), col("__plon"), col("__plat")))
+      .withColumn("__dur", col("__leg.duration") + (col("__leg.snap_source") + col("__leg.snap_dest")) / lit(walkSpeedMps))
       .withColumn("level_s", explode(lit(durationsS.toArray)))
       .where(col("__dur") <= col("level_s"))
     val half = lit(stepDeg / 2)

@@ -157,4 +157,21 @@ class GeomKernelSpec extends AnyFunSuite {
     val expected = 0.5 * n * r * r * math.sin(2 * math.Pi / n)
     assert(math.abs(areaM / expected - 1) < 1e-3)
   }
+
+  test("flat and square cap buffers have closed-form areas") {
+    import graft.geom._
+    val line = LineString(Array(0.0, 0.0, 10.0, 0.0))
+    val r = 2.0
+    val flat = Algos.area(Buffer.buffer(line, r, resolution = 16, capStyle = "flat"))
+    assert(math.abs(flat - 2 * r * 10) / (2 * r * 10) < 1e-6) // rectangle only
+    val square = Algos.area(Buffer.buffer(line, r, resolution = 16, capStyle = "square"))
+    assert(math.abs(square - 2 * r * (10 + 2 * r)) / square < 1e-6) // extended by r each end
+    val round = Algos.area(Buffer.buffer(line, r, resolution = 64, capStyle = "round"))
+    assert(math.abs(round - (2 * r * 10 + math.Pi * r * r)) / round < 1e-3)
+    // polyline: flat caps keep round joins at the interior vertex
+    val bent = LineString(Array(0.0, 0.0, 10.0, 0.0, 10.0, 10.0))
+    val bentFlat = Algos.area(Buffer.buffer(bent, r, resolution = 64, capStyle = "flat"))
+    // bounded between rectangles-minus-overlap and rectangles-plus-full-join-disc
+    assert(bentFlat > 2 * (2 * r * 10) - (2 * r) * (2 * r) && bentFlat < 2 * (2 * r * 10) + math.Pi * r * r)
+  }
 }
