@@ -313,7 +313,25 @@ object Algos {
           i += 2
         }
         // no boundary crossing allowed (touching is fine)
-        !properCross(lines(a), bPolys)
+        if (properCross(lines(a), bPolys)) return false
+        // an areal `a` must not swallow a hole of `b`: a hole strictly inside
+        // a's interior means a covers area outside b (its boundaries don't
+        // cross, so the hole is either fully inside or fully outside a)
+        val aPolys = polys(a)
+        if (aPolys.nonEmpty) {
+          val holes = bPolys.flatMap(_.drop(1))
+          val swallowed = holes.exists { h =>
+            var j = 0
+            var inside = false
+            while (!inside && j + 1 < h.length) {
+              if (aPolys.exists(rs => pointInPolygon(h(j), h(j + 1), rs))) inside = true
+              j += 2
+            }
+            inside
+          }
+          if (swallowed) return false
+        }
+        true
     }
   }
 

@@ -174,4 +174,21 @@ class GeomKernelSpec extends AnyFunSuite {
     // bounded between rectangles-minus-overlap and rectangles-plus-full-join-disc
     assert(bentFlat > 2 * (2 * r * 10) - (2 * r) * (2 * r) && bentFlat < 2 * (2 * r * 10) + math.Pi * r * r)
   }
+
+  test("within/contains honor holes and multipolygon parts") {
+    import graft.geom._
+    val donut = WKT.read("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert(!Algos.within(Point(5, 5), donut)) // in the hole
+    assert(Algos.within(Point(2, 2), donut))
+    val smallInHole = WKT.read("POLYGON ((4.5 4.5, 5.5 4.5, 5.5 5.5, 4.5 5.5, 4.5 4.5))")
+    assert(!Algos.within(smallInHole, donut))
+    assert(Algos.intersects(smallInHole, donut) == false) // fully inside the hole, no contact
+    val spanning = WKT.read("POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))")
+    assert(Algos.intersects(spanning, donut)) // overlaps the ring around the hole
+    assert(!Algos.within(spanning, donut)) // crosses into the hole
+    val mp = WKT.read("MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((10 10, 12 10, 12 12, 10 12, 10 10)))")
+    assert(Algos.within(Point(11, 11), mp))
+    assert(Algos.contains(mp, Point(1, 1)))
+    assert(!Algos.within(Point(5, 5), mp))
+  }
 }

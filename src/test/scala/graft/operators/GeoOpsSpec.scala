@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.functions.GeoFunctions._
+
+class GeoOpsSpec extends AnyFunSuite with SparkSpec {
+
+  import testImplicits._
+
+  private lazy val mixed = Seq(
+    (1, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+    (2, "LINESTRING (0 0, 3 4)"),
+    (3, "POINT (5 5)"))
+    .toDF("id", "wkt")
+    .select(col("id"), st_geomfromtext(col("wkt")).as("geometry"))
+
+  test("areaM: skipTransform treats coords as planar units") {
+    val out = GeoOps.areaM(mixed, skipTransform = true).where(col("id") === 1).head()
+    assert(out.getAs[Double]("area") == 1.0) // unit square, planar
+  }
+
+  test("areaM: nullifyIrrelevant nulls lines and points (erde nullify_irrelevant)") {
+    val out = GeoOps.areaM(mixed, nullifyIrrelevant = true)
+      .select("id", "area").collect().map(r => r.getInt(0) -> r.get(1)).toMap
+    assert(out(1) != null && out(1).asInstanceOf[Double] > 0)
+    assert(out(2) == null && out(3) == null)
+  }
+
+  test("lengthM: skipTransform planar length; nullify for points") {
+    val out = GeoOps.lengthM(mixed, skipTransform = true, nullifyIrrelevant = true)
+      .select("id", "length").collect().map(r => r.getInt(0) -> r.get(1)).toMap
+    assert(out(2).asInstanceOf[Double] == 5.0) // 3-4-5 triangle hypotenuse
+    assert(out(1).asInstanceOf[Double] == 4.0) // square perimeter
+    assert(out(3) == null)
+  }
+
+  test("convert round-trips through 3857") {
+    val back = GeoOps.toLonLat(GeoOps.toMercator(mixed))
+    val x = back.where(col("id") === 3).select(st_x(col("geometry"))).head().getDouble(0)
+    assert(math.abs(x - 5.0) < 1e-9)
+  }
+
+  test("lonlatToPoints: recognized combos and the error message") {
+    val ok = Seq((1, 10.0, 20.0)).toDF("id", "lng", "lat")
+    val pt = GeoOps.lonlatToPoints(ok).select(st_y(col("geometry"))).head().getDouble(0)
+    assert(pt == 20.0)
+    val bad = Seq((1, 10.0)).toDF("id", "z")
+    val err = intercept[IllegalArgumentException](GeoOps.lonlatToPoints(bad))
+    assert(err.getMessage.contains("Possible combinations"))
+  }
+
+  test("bufferM dissolve merges overlapping buffers into one geometry") {
+    val close = Seq((1, 0.0, 0.0), (2, 0.001, 0.0)).toDF("id", "lon", "lat")
+      .select(st_point(col("lon"), col("lat")).as("geometry"))
+    val dissolved = GeoOps.bufferM(close, radiusMetres = 1000, dissolve = true)
+    assert(dissolved.count() == 1)
+    val area = dissolved.select(st_aream(col("geometry"))).head().getDouble(0)
+    val one = 0.5 * 40 * 1000 * 1000 * math.sin(2 * math.Pi / 40) // resolution 10 → n=40
+    assert(area > one && area < 2 * one) // overlapping: less than two disjoint discs
+  }
+}

@@ -64,6 +64,12 @@ class MultimodalOsmSpec extends AnyFunSuite with SparkSpec {
     assert(multi == Set(1L, 5L))
   }
 
+  test("OsmFilter: bare key spec applies to all element types") {
+    val any = OsmFilter.tagFilter(osm, Seq("highway"))
+      .select("osm_id").as[Long].collect().toSet
+    assert(any == Set(2L, 3L, 4L))
+  }
+
   test("OsmFilter.tagsToColumns projects tags") {
     val out = OsmFilter.tagsToColumns(osm, Seq("highway", "name"))
     val r = out.where(col("osm_id") === 2).head()
