@@ -203,6 +203,18 @@ object SparkEntry {
         .select("n_nationkey", "s_suppkey")
     }),
 
+    // --- heavy sjoin: every customer point × overlapping supplier rects ----
+    "sjoin_heavy" -> ((s, dir) => {
+      val lon0 = expr("(s_suppkey % 40) * 1.5 - 30")
+      val lat0 = expr("(s_suppkey % 25) * 1.6 - 20")
+      val rects = t(s, dir, "supplier").withColumn("geometry",
+        st_envelope(st_makeline(st_point(lon0, lat0), st_point(lon0 + 2.0, lat0 + 2.5))))
+      SJoin.sagg(rects, custPoints(s, dir),
+          Seq(count(lit(1)).as("n_pts"), round(sum("c_acctbal"), 2).as("bal_sum")),
+          predicate = "contains", how = "inner")
+        .select("s_suppkey", "n_pts", "bal_sum")
+    }),
+
     // --- buffer dissolve (erde buffer --dissolve; distributed union) -------
     "geo_dissolve_area" -> ((s, dir) => {
       val pts = t(s, dir, "supplier").select(
@@ -445,6 +457,14 @@ object SparkEntry {
         |  AND ((s_suppkey % 15) * 4.0 - 30) <= ((n_nationkey % 12) * 5.0 - 30 + 4.0)
         |  AND ((n_nationkey % 5) * 8.0 - 20) <= ((s_suppkey % 9) * 5.0 - 22 + 4.0)
         |  AND ((s_suppkey % 9) * 5.0 - 22) <= ((n_nationkey % 5) * 8.0 - 20 + 6.0)""".stripMargin,
+    "sjoin_heavy" ->
+      """SELECT s_suppkey, count(*) AS n_pts, round(sum(c_acctbal), 2) AS bal_sum
+        |FROM supplier, customer
+        |WHERE ((c_custkey % 120) * 0.5 - 30 + 0.25) > ((s_suppkey % 40) * 1.5 - 30)
+        |  AND ((c_custkey % 120) * 0.5 - 30 + 0.25) < ((s_suppkey % 40) * 1.5 - 30 + 2.0)
+        |  AND ((c_custkey % 80) * 0.5 - 20 + 0.25) > ((s_suppkey % 25) * 1.6 - 20)
+        |  AND ((c_custkey % 80) * 0.5 - 20 + 0.25) < ((s_suppkey % 25) * 1.6 - 20 + 2.5)
+        |GROUP BY s_suppkey""".stripMargin,
     "geo_dissolve_area" ->
       s"""WITH d AS (SELECT DISTINCT
          |  (s_suppkey % 10) * 12.0 - 54 AS lon, (s_suppkey % 7) * 9.0 - 27 AS lat FROM supplier),
