@@ -41,6 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "st_intersects" -> (a => StIntersects(a(0), a(1))),
       "st_within" -> (a => StWithin(a(0), a(1))),
       "st_contains" -> (a => StContains(a(0), a(1))),
+      "st_intersection" -> (a => StIntersection(a(0), a(1))),
+      "st_difference" -> (a => StDifference(a(0), a(1))),
+      "st_union" -> (a => StUnionPair(a(0), a(1))),
       "st_buffer" -> (a => StBuffer(a(0), a(1), a(2))),
       "st_bufferm" -> (a => StBufferM(a(0), a(1), a(2))),
       "st_cellcover" -> (a => StCellCover(a(0), a(1))),

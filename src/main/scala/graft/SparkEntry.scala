@@ -203,6 +203,13 @@ object SparkEntry {
         .select("n_nationkey", "s_suppkey")
     }),
 
+    // --- areal boolean ops: zone ∩ window (slab-exact) ---------------------
+    "geo_intersection_area" -> ((s, dir) => {
+      val window = st_geomfromtext(lit("POLYGON ((-10 -10, 10 -10, 10 10, -10 10, -10 -10))"))
+      nationZones(s, dir).select(col("n_nationkey"),
+        round(st_area(st_intersection(col("geometry"), window)), 6).as("ix_area"))
+    }),
+
     // --- heavy sjoin: every customer point × overlapping supplier rects ----
     "sjoin_heavy" -> ((s, dir) => {
       val lon0 = expr("(s_suppkey % 40) * 1.5 - 30")
@@ -457,6 +464,12 @@ object SparkEntry {
         |  AND ((s_suppkey % 15) * 4.0 - 30) <= ((n_nationkey % 12) * 5.0 - 30 + 4.0)
         |  AND ((n_nationkey % 5) * 8.0 - 20) <= ((s_suppkey % 9) * 5.0 - 22 + 4.0)
         |  AND ((s_suppkey % 9) * 5.0 - 22) <= ((n_nationkey % 5) * 8.0 - 20 + 6.0)""".stripMargin,
+    "geo_intersection_area" ->
+      """SELECT n_nationkey, round(
+        |  greatest(0, least(((n_nationkey % 12) * 5.0 - 30) + 4.0, 10) - greatest((n_nationkey % 12) * 5.0 - 30, -10))
+        |  * greatest(0, least(((n_nationkey % 5) * 8.0 - 20) + 6.0, 10) - greatest((n_nationkey % 5) * 8.0 - 20, -10)),
+        |  6) AS ix_area
+        |FROM nation""".stripMargin,
     "sjoin_heavy" ->
       """SELECT s_suppkey, count(*) AS n_pts, round(sum(c_acctbal), 2) AS bal_sum
         |FROM supplier, customer

@@ -64,6 +64,11 @@ object GeoFunctions {
   def st_within(a: Column, b: Column): Column = c(StWithin(e(a), e(b)))
   def st_contains(a: Column, b: Column): Column = c(StContains(e(a), e(b)))
 
+  // ---- boolean ops (areal, slab-exact) -------------------------------------
+  def st_intersection(a: Column, b: Column): Column = c(StIntersection(e(a), e(b)))
+  def st_difference(a: Column, b: Column): Column = c(StDifference(e(a), e(b)))
+  def st_union(a: Column, b: Column): Column = c(StUnionPair(e(a), e(b)))
+
   // ---- buffer -------------------------------------------------------------
   def st_buffer(g: Column, radius: Column, resolution: Column): Column =
     c(StBuffer(e(g), ed(radius), ei(resolution)))
@@ -142,6 +147,9 @@ object GeoFunctions {
     r2("st_intersects", StIntersects.apply)
     r2("st_within", StWithin.apply)
     r2("st_contains", StContains.apply)
+    r2("st_intersection", StIntersection.apply)
+    r2("st_difference", StDifference.apply)
+    r2("st_union", StUnionPair.apply)
     r3("st_buffer", (g, r, n) => StBuffer(g, Cast(r, DoubleType), Cast(n, IntegerType)))
     r3("st_bufferm", (g, r, n) => StBufferM(g, Cast(r, DoubleType), Cast(n, IntegerType)))
     r2("st_cellcover", (g, cd) => StCellCover(g, Cast(cd, DoubleType)))

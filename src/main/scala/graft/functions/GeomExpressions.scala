@@ -216,6 +216,35 @@ case class StBufferM(first: Expression, second: Expression, third: Expression)
     copy(f, s, t)
 }
 
+abstract class GeomBinaryGeom extends BinaryExpression with Serializable {
+  def method: String
+  override def dataType: DataType = BinaryType
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$K.$method($a, $b)")
+  override def prettyName: String = nodeName.toLowerCase(java.util.Locale.ROOT)
+}
+
+case class StIntersection(left: Expression, right: Expression) extends GeomBinaryGeom {
+  override def method: String = "intersection"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomKernel.intersection(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StIntersection = copy(l, r)
+}
+
+case class StDifference(left: Expression, right: Expression) extends GeomBinaryGeom {
+  override def method: String = "difference"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomKernel.difference(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StDifference = copy(l, r)
+}
+
+case class StUnionPair(left: Expression, right: Expression) extends GeomBinaryGeom {
+  override def method: String = "unionPair"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomKernel.unionPair(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StUnionPair = copy(l, r)
+}
+
 case class StHaversineLength(child: Expression) extends GeomUnary {
   override def method: String = "haversineLength"
   override def dataType: DataType = DoubleType

@@ -93,6 +93,19 @@ object GeomKernel {
       capStyle: UTF8String): Array[Byte] =
     WKB.write(Buffer.bufferM(WKB.read(b), radiusMetres, resolution, capStyle.toString))
 
+  // ---- boolean ops --------------------------------------------------------
+
+  private def boolOp(a: Array[Byte], b: Array[Byte], op: String): Array[Byte] =
+    WKB.write(UnionOps.booleanOp(
+      Geom.polygonsOf(WKB.read(a)), Geom.polygonsOf(WKB.read(b)), op))
+
+  /** Areal intersection/difference/union of two geometries (slab-exact;
+    * non-areal components contribute nothing).
+    */
+  def intersection(a: Array[Byte], b: Array[Byte]): Array[Byte] = boolOp(a, b, "intersection")
+  def difference(a: Array[Byte], b: Array[Byte]): Array[Byte] = boolOp(a, b, "difference")
+  def unionPair(a: Array[Byte], b: Array[Byte]): Array[Byte] = boolOp(a, b, "union")
+
   // ---- predicates ---------------------------------------------------------
 
   def intersects(a: Array[Byte], b: Array[Byte]): Boolean = Algos.intersects(WKB.read(a), WKB.read(b))

@@ -78,7 +78,7 @@ object Buffer {
     * round in all styles, as with the reference's default join_style).
     */
   def buffer(g: Geom, radius: Double, resolution: Int = 8, capStyle: String = "round"): Geom = {
-    require(radius >= 0, "negative buffer radii are not supported")
+    if (radius < 0) return erode(g, -radius, resolution)
     g match {
       case Point(x, y) => Polygon(Array(circle(x, y, radius, resolution)))
       case MultiPoint(cs) =>
@@ -109,6 +109,17 @@ object Buffer {
 
   private def lineStadiums(cs: Array[Double], radius: Double, resolution: Int): Seq[Array[Array[Double]]] =
     lineParts(cs, radius, resolution, "round")
+
+  /** Negative (inward) buffer of areal geometry: the polygon minus the round
+    * buffer of its boundary — slab-exact difference. Non-areal input erodes
+    * to empty (Shapely semantics).
+    */
+  private def erode(g: Geom, radius: Double, resolution: Int): Geom = {
+    val polys = Geom.polygonsOf(g)
+    if (polys.isEmpty) return MultiPolygon(Array.empty)
+    val boundary = polys.flatMap(_.toIndexedSeq.flatMap(r => lineStadiums(r, radius, resolution)))
+    UnionOps.booleanOp(polys, boundary, "difference")
+  }
 
   /** Per-segment cover of a polyline for the given cap style. Round: stadiums
     * (round caps AND joins). Flat/square: rectangles per segment (extended at

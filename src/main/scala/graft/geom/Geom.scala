@@ -97,6 +97,14 @@ object Geom {
     }
   }
 
+  /** Areal components as rings arrays (empty for points/lines). */
+  def polygonsOf(g: Geom): IndexedSeq[Array[Array[Double]]] = g match {
+    case Polygon(rs) => IndexedSeq(rs)
+    case MultiPolygon(ps) => ps.toIndexedSeq
+    case GeomCollection(gs) => gs.toIndexedSeq.flatMap(polygonsOf)
+    case _ => IndexedSeq.empty
+  }
+
   def bboxIntersects(a: Geom, b: Geom): Boolean = {
     val (ax1, ay1, ax2, ay2) = a.bbox
     val (bx1, by1, bx2, by2) = b.bbox

@@ -143,4 +143,67 @@ object UnionOps {
   /** Membership in the union without materializing it. */
   def unionCovers(polys: IndexedSeq[Array[Array[Double]]], px: Double, py: Double): Boolean =
     polys.exists(rs => Algos.pointCoveredByPolygon(px, py, rs))
+
+  // ---- boolean ops (A vs B) ----------------------------------------------
+
+  /** Covered y-intervals of one slab under a two-set boolean op: the sweep
+    * tracks inside-ness of set A (polys [0, nA)) and set B separately and
+    * keeps y-ranges where `op(inA, inB)` holds.
+    */
+  private def booleanRuns(
+      segs: Array[Seg], x1: Double, x2: Double, nA: Int, nPolys: Int,
+      op: (Boolean, Boolean) => Boolean): Seq[(Double, Double, Double, Double)] = {
+    val xm = (x1 + x2) / 2
+    val active = segs.filter(s => s.x1 <= x1 + Eps && s.x2 >= x2 - Eps).sortBy(_.yAt(xm))
+    if (active.isEmpty) return Nil
+    val parity = new Array[Boolean](nPolys)
+    var oddA = 0; var oddB = 0
+    val runs = ArrayBuffer[(Double, Double, Double, Double)]()
+    var lo: Seg = null
+    active.foreach { s =>
+      val wasIn = op(oddA > 0, oddB > 0)
+      parity(s.poly) = !parity(s.poly)
+      val delta = if (parity(s.poly)) 1 else -1
+      if (s.poly < nA) oddA += delta else oddB += delta
+      val isIn = op(oddA > 0, oddB > 0)
+      if (!wasIn && isIn) lo = s
+      else if (wasIn && !isIn) {
+        runs += ((lo.yAt(x1), lo.yAt(x2), s.yAt(x1), s.yAt(x2)))
+        lo = null
+      }
+    }
+    runs.toSeq
+  }
+
+  /** Boolean operation between two polygon sets, coverage-exact slab output.
+    * `op` ∈ union | intersection | difference (A minus B).
+    */
+  def booleanOp(
+      a: IndexedSeq[Array[Array[Double]]],
+      b: IndexedSeq[Array[Array[Double]]],
+      op: String): MultiPolygon = {
+    val f: (Boolean, Boolean) => Boolean = op match {
+      case "union" => _ || _
+      case "intersection" => _ && _
+      case "difference" => (x, y) => x && !y
+      case other => throw new IllegalArgumentException(s"op '$other' (union|intersection|difference)")
+    }
+    val segs = segments(a ++ b)
+    if (segs.isEmpty) return MultiPolygon(Array.empty)
+    val xs = breakpoints(segs)
+    val out = ArrayBuffer[Array[Array[Double]]]()
+    var i = 0
+    while (i + 1 < xs.length) {
+      val x1 = xs(i); val x2 = xs(i + 1)
+      if (x2 - x1 > Eps) {
+        booleanRuns(segs, x1, x2, a.length, a.length + b.length, f).foreach { case (l1, l2, h1, h2) =>
+          if ((h1 - l1) + (h2 - l2) > Eps) {
+            out += Array(Array(x1, l1, x2, l2, x2, h2, x1, h1, x1, l1))
+          }
+        }
+      }
+      i += 1
+    }
+    MultiPolygon(out.toArray)
+  }
 }

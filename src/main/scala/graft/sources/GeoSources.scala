@@ -126,5 +126,42 @@ object GeoSources {
 
     def write(df: DataFrame, path: String): Unit =
       df.write.mode("overwrite").parquet(path)
+
+    /** Spatially-clustered storage: rows land in one directory per grid cell
+      * (cell of the geometry's bbox center), so bbox reads prune whole
+      * partitions before any IO — the 100 TB layout for repeatedly-queried
+      * geodata. Geometries are not split: a row belongs to exactly one cell,
+      * and reads widen the cover by one cell ring to catch bbox overhang,
+      * then apply the exact filter.
+      */
+    def writePartitionedByCell(df: DataFrame, path: String, cellDeg: Double,
+        geometryCol: String = "geometry"): Unit = {
+      val bb = st_bbox(col(geometryCol))
+      df.withColumn("cell", st_cellof(
+          (element_at(bb, 1) + element_at(bb, 3)) / 2,
+          (element_at(bb, 2) + element_at(bb, 4)) / 2,
+          lit(cellDeg)))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    }
+
+    /** Reads only the cell directories intersecting `filterWkt`'s bbox
+      * (expanded by one ring), then applies the exact intersects filter.
+      */
+    def readPartitionedByCell(spark: SparkSession, path: String, cellDeg: Double,
+        filterWkt: Option[String] = None, geometryCol: String = "geometry"): DataFrame = {
+      val raw = spark.read.parquet(path)
+      filterWkt match {
+        case None => raw
+        case Some(w) =>
+          val g = graft.geom.WKT.read(w)
+          val (x1, y1, x2, y2) = g.bbox
+          val cover = graft.functions.GeomKernel.cellCover(
+            graft.geom.WKB.write(graft.geom.Polygon(Array(Array(
+              x1 - cellDeg, y1 - cellDeg, x2 + cellDeg, y1 - cellDeg,
+              x2 + cellDeg, y2 + cellDeg, x1 - cellDeg, y2 + cellDeg,
+              x1 - cellDeg, y1 - cellDeg)))), cellDeg).toLongArray()
+          applyFilter(raw.where(col("cell").isin(cover: _*)), geometryCol, Some(w))
+      }
+    }
   }
 }

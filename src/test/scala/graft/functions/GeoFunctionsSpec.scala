@@ -91,6 +91,14 @@ class GeoFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(back == "LINESTRING (-120.2 38.5, -120.95 40.7, -126.453 43.252)")
   }
 
+  test("st_intersection / st_difference / st_union column ops") {
+    val a = st_geomfromtext(lit("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
+    val b = st_geomfromtext(lit("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"))
+    assert(math.abs(one[Double](st_area(st_intersection(a, b))) - 4.0) < 1e-9)
+    assert(math.abs(one[Double](st_area(st_difference(a, b))) - 12.0) < 1e-9)
+    assert(math.abs(one[Double](st_area(st_union(a, b))) - 28.0) < 1e-9)
+  }
+
   test("SQL registration: functions usable from spark.sql") {
     GeoFunctions.registerAll(spark)
     val row = spark.sql(

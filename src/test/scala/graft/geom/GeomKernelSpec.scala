@@ -191,4 +191,33 @@ class GeomKernelSpec extends AnyFunSuite {
     assert(Algos.contains(mp, Point(1, 1)))
     assert(!Algos.within(Point(5, 5), mp))
   }
+
+  test("boolean ops: intersection/difference/union areas on overlapping squares") {
+    import graft.geom._
+    val a = IndexedSeq(Array(Array(0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 4.0, 0.0, 0.0)))
+    val b = IndexedSeq(Array(Array(2.0, 2.0, 6.0, 2.0, 6.0, 6.0, 2.0, 6.0, 2.0, 2.0)))
+    def areaOf(g: Geom) = Algos.area(g)
+    assert(math.abs(areaOf(UnionOps.booleanOp(a, b, "intersection")) - 4.0) < 1e-9)
+    assert(math.abs(areaOf(UnionOps.booleanOp(a, b, "difference")) - 12.0) < 1e-9)
+    assert(math.abs(areaOf(UnionOps.booleanOp(a, b, "union")) - 28.0) < 1e-9)
+    // disjoint: intersection empty, difference = A
+    val far = IndexedSeq(Array(Array(50.0, 50.0, 51.0, 50.0, 51.0, 51.0, 50.0, 51.0, 50.0, 50.0)))
+    assert(areaOf(UnionOps.booleanOp(a, far, "intersection")) == 0.0)
+    assert(math.abs(areaOf(UnionOps.booleanOp(a, far, "difference")) - 16.0) < 1e-9)
+    // difference against a contained hole-maker leaves a donut
+    val inner = IndexedSeq(Array(Array(1.0, 1.0, 3.0, 1.0, 3.0, 3.0, 1.0, 3.0, 1.0, 1.0)))
+    assert(math.abs(areaOf(UnionOps.booleanOp(a, inner, "difference")) - 12.0) < 1e-9)
+  }
+
+  test("negative buffer erodes a square by ~r per side") {
+    import graft.geom._
+    val square = WKT.read("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    val eroded = Buffer.buffer(square, -2.0, resolution = 16)
+    val area = Algos.area(eroded)
+    assert(math.abs(area - 36.0) / 36.0 < 0.01) // inner 6x6 (round joins don't matter inward)
+    // erosion beyond the inradius empties the polygon
+    assert(Algos.area(Buffer.buffer(square, -5.5, resolution = 8)) < 1e-6)
+    // lines/points erode to empty
+    assert(Algos.area(Buffer.buffer(LineString(Array(0.0,0.0,5.0,5.0)), -1.0)) == 0.0)
+  }
 }

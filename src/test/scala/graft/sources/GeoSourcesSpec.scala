@@ -62,6 +62,23 @@ class GeoSourcesSpec extends AnyFunSuite with SparkSpec {
     assert(filtered.count() == 2) // point + line; far polygon dropped
   }
 
+  test("cell-partitioned parquet prunes partitions on bbox reads") {
+    val p = tmp("cells")
+    // 200 points spread over [0,20)²: 1°-cells → many directories
+    val pts = spark.range(200).select(
+      col("id"),
+      st_point(col("id").cast("double") % 20, (col("id").cast("double") / 10) % 20).as("geometry"))
+    GeoParquet.writePartitionedByCell(pts, p, cellDeg = 1.0)
+    val filter = "POLYGON ((2.5 0.5, 4.5 0.5, 4.5 2.5, 2.5 2.5, 2.5 0.5))"
+    val got = GeoParquet.readPartitionedByCell(spark, p, 1.0, Some(filter))
+    val all = GeoParquet.read(spark, p, Some(filter))
+    assert(got.count() == all.count()) // pruning loses no rows
+    // the scan carries a non-empty partition filter on the cell column
+    val plan = got.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(pf.exists(f => f.contains("cell") && f.nonEmpty), s"no partition filter in:\n$plan")
+  }
+
   test("GeoParquet round-trip keeps WKB native") {
     val p = tmp("parquet")
     GeoParquet.write(df, p)
