@@ -315,6 +315,14 @@ object SparkEntry {
         .groupBy("query_id").agg(count(lit(1)).as("n_candidates"))
     }),
 
+    // --- similarity: IVF ANN (KMeans coarse quantizer; rows-only) ----------
+    "sim_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8), "embedding", "vec_id",
+          k = 5, nlist = 8, nprobe = 3)
+        .groupBy("query_id").agg(count(lit(1)).as("n_candidates"))
+    }),
+
     // --- text quality scoring ---------------------------------------------
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"))

@@ -61,9 +61,8 @@ object SJoin {
       cellDeg: Double = DefaultCellDeg,
       rightSuffix: String = "_right",
       tuning: Tuning = Tuning()): DataFrame =
-    pairsKeyed(tagged(left, leftGeom, cellDeg), right, predicate, leftGeom, rightGeom,
-        cellDeg, rightSuffix, tuning)
-      .drop(LID)
+    // no row-id tag: pairs() is a pure stateless transform, usable on streams
+    pairsKeyed(left, right, predicate, leftGeom, rightGeom, cellDeg, rightSuffix, tuning)
 
   /** Left side with a stable row id (narrow — no shuffle) for the join-back
     * variants (left joins, sagg, slookup, sfilter).

@@ -72,6 +72,60 @@ object Similarity {
     topkColumns(scored, k)
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer (cosine distance,
+    * MLlib — trains distributed) partitions the corpus into `nlist` cells;
+    * each query probes its `nprobe` nearest centroids and scores exactly only
+    * within those cells. The centroid table is tiny and broadcast; the
+    * corpus-side join is hash-partitioned on the cell id. The third
+    * similarity tier: brute force (exact) → IVF (high recall, ~nprobe/nlist
+    * of the work) → hyperplane LSH (cheapest).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val featured = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__feat", array_to_vector(col("__cv").cast("array<double>")))
+    // coarse quantizer: few iterations suffice, and training on a bounded
+    // sample keeps the fit constant-time at any corpus scale
+    val trainSet = {
+      val n = featured.count()
+      if (n > 100000) featured.sample(100000.0 / n, seed) else featured
+    }
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setDistanceMeasure("cosine").setMaxIter(8)
+      .setFeaturesCol("__feat").setPredictionCol("__cell")
+      .fit(trainSet)
+    val assigned = model.transform(featured).select(col("neighbor_id"), col("__cv"), col("__cell"))
+
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
+      .toDF("__cell", "__centroid")
+
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("__csim", cosineSim(col("__qv"), col("__centroid")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__csim").desc, col("__cell"))
+    val probes = probed.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= nprobe)
+      .select("query_id", "__qv", "__cell")
+
+    val scored = assigned.join(probes, Seq("__cell"))
+      .withColumn("cosine", cosineSim(col("__qv"), col("__cv")))
+    topkColumns(scored, k)
+  }
+
   /** LSH-bucketed ANN (the scale path): `tables` independent random-hyperplane
     * sketch tables; a corpus row is scored only when it shares a bucket with
     * the query in some table. Join is hash-partitioned on the bucket key —

@@ -61,6 +61,17 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(got == expect)
   }
 
+  test("ivfTopK recall vs brute force is high (probing beats LSH at same work)") {
+    val queries = corpus.where(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, "embedding", "vec_id", k = 5,
+      nlist = 6, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.7, s"ivf recall $recall too low")
+  }
+
   test("lshTopK recall vs brute force is high on clustered data") {
     val queries = corpus.where(col("vec_id") < 8)
     val exact = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
