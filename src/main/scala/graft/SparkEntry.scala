@@ -361,6 +361,17 @@ object SparkEntry {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id", threshold = 0.98)
         .groupBy("label").agg(count(lit(1)).as("n_vecs"))),
 
+    // --- erde op/isochrone: contour polygons (rows-only; area spec'd) ------
+    "isochrone_contours" -> ((s, dir) => {
+      val srcs = t(s, dir, "region")
+        .withColumn("lon", expr("r_regionkey * 12.0 - 24.0"))
+        .withColumn("lat", expr("r_regionkey * 7.0 - 14.0"))
+      Routing.isochroneContours(srcs, "lon", "lat", Seq(600.0, 1200.0),
+          stepDeg = 0.05, halfCells = 8, keyCols = Seq("r_regionkey"))
+        .select(col("r_regionkey"), col("level_s"),
+          round(st_area(col("geometry")), 6).as("contour_area_deg2"))
+    }),
+
     // --- erde op/isochrone (erde/op/isochrone.py) -------------------------
     "isochrone_cells" -> ((s, dir) => {
       val srcs = t(s, dir, "region")

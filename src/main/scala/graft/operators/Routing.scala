@@ -122,6 +122,44 @@ object Routing {
       .drop("__r")
   }
 
+  /** Isochrone contour polygons (reference: erde/op/isochrone.py — the full
+    * pipeline: duration field on a grid, raster interpolation, contour per
+    * level). The grid is routed distributed; each source's (2h+1)² duration
+    * samples collect into one row (small, bounded state) and a marching-
+    * squares expression produces the interpolated contour MultiPolygon —
+    * sources stay embarrassingly parallel.
+    */
+  def isochroneContours(
+      sources: DataFrame,
+      srcLon: String, srcLat: String,
+      durationsS: Seq[Double],
+      router: Router = new GreatCircleRouter(),
+      stepDeg: Double = 0.05,
+      halfCells: Int = 8,
+      keyCols: Seq[String] = Nil,
+      walkSpeedMps: Double = 1.0): DataFrame = {
+    import graft.functions.ContourFunctions.iso_contour
+    val keys = if (keyCols.nonEmpty) keyCols else sources.columns.toSeq
+    val grid = sources
+      .withColumn("__i", explode(sequence(lit(-halfCells), lit(halfCells))))
+      .withColumn("__j", explode(sequence(lit(-halfCells), lit(halfCells))))
+      .withColumn("__plon", col(srcLon) + col("__i") * lit(stepDeg))
+      .withColumn("__plat", col(srcLat) + col("__j") * lit(stepDeg))
+      .withColumn("__leg", router.routeExpr(col(srcLon), col(srcLat), col("__plon"), col("__plat")))
+      .withColumn("__dur", col("__leg.duration") +
+        (col("__leg.snap_source") + col("__leg.snap_dest")) / lit(walkSpeedMps))
+    val collected = grid
+      .groupBy(keys.map(col): _*)
+      .agg(
+        collect_list(struct(col("__i"), col("__j"), col("__dur"))).as("__grid"),
+        first(col(srcLon)).as("__lon"), first(col(srcLat)).as("__lat"))
+    collected
+      .withColumn("level_s", explode(lit(durationsS.toArray)))
+      .withColumn("geometry", iso_contour(col("__grid"), lit(halfCells),
+        col("__lon"), col("__lat"), lit(stepDeg), col("level_s")))
+      .drop("__grid", "__lon", "__lat")
+  }
+
   /** Isochrone cells (reference: erde/op/isochrone.py — hex grid sized by
     * speed·duration, route source→grid, keep cells within each duration
     * level). The grid is generated *distributed* (`sequence` + `explode`

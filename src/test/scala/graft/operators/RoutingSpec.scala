@@ -41,6 +41,22 @@ class RoutingSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin")) // dims broadcast, big side never shuffles
   }
 
+  test("isochrone contours approximate the reachable disc and nest by level") {
+    val src = Seq((1, 10.0, 10.0)).toDF("rid", "lon", "lat")
+    val out = Routing.isochroneContours(src, "lon", "lat", Seq(600.0, 1200.0),
+      stepDeg = 0.05, halfCells = 8, keyCols = Seq("rid"))
+    val rows = out.orderBy("level_s").collect()
+    assert(rows.length == 2)
+    val a600 = graft.geom.Algos.area(WKB.read(rows(0).getAs[Array[Byte]]("geometry")))
+    val a1200 = graft.geom.Algos.area(WKB.read(rows(1).getAs[Array[Byte]]("geometry")))
+    assert(a1200 > a600 && a600 > 0)
+    // 600 s at 25 m/s = 15 km radius ≈ 0.135° at lat 10 → disc area in deg²
+    // (lon radius inflated by 1/cos(lat)); compare within grid tolerance
+    val rDeg = 15000.0 / 111195.0 // haversine deg ≈ 111.2 km
+    val expect = math.Pi * rDeg * (rDeg / math.cos(math.toRadians(10)))
+    assert(math.abs(a600 - expect) / expect < 0.15, s"disc area $a600 vs $expect")
+  }
+
   test("isochrone cell counts grow with duration level and geometry unions cells") {
     val src = Seq((1, 10.0, 10.0)).toDF("rid", "lon", "lat")
     val out = Routing.isochrone(src, "lon", "lat", Seq(300.0, 900.0),
