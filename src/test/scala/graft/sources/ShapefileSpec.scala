@@ -1,0 +1,74 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.functions.GeoFunctions._
+
+class ShapefileSpec extends AnyFunSuite with SparkSpec {
+
+  import testImplicits._
+
+  private def tmpDir(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString
+
+  test("reads a hand-built minimal point shapefile (spec bytes, no writer involved)") {
+    val dir = tmpDir("shp-raw")
+    // one Point(3.5, -2.25) record, built byte-by-byte from the ESRI spec
+    val contentWords = 10 // 20 bytes: int type + 2 doubles
+    val totalWords = 50 + 4 + contentWords
+    val shp = ByteBuffer.allocate(totalWords * 2)
+    shp.order(ByteOrder.BIG_ENDIAN).putInt(0, 9994).putInt(24, totalWords)
+    shp.order(ByteOrder.LITTLE_ENDIAN).putInt(28, 1000).putInt(32, 1)
+    shp.order(ByteOrder.BIG_ENDIAN).putInt(100, 1).putInt(104, contentWords)
+    shp.order(ByteOrder.LITTLE_ENDIAN).putInt(108, 1)
+      .putDouble(112, 3.5).putDouble(120, -2.25)
+    Files.write(Paths.get(dir, "pts.shp"), shp.array())
+
+    val back = Shapefile.read(spark, dir)
+    assert(back.count() == 1)
+    val row = back.select(st_x(col("geometry")), st_y(col("geometry"))).head()
+    assert(row.getDouble(0) == 3.5 && row.getDouble(1) == -2.25)
+  }
+
+  test("shp+dbf round-trip: points with attributes") {
+    val dir = tmpDir("shp-pts")
+    val df = Seq((1, "alpha", 0.5, 1.5), (2, "beta", -3.25, 4.0))
+      .toDF("id", "name", "lon", "lat")
+      .select(col("id").cast("string").as("id"), col("name"),
+        st_point(col("lon"), col("lat")).as("geometry"))
+    Shapefile.write(df, s"$dir/layer")
+    val back = Shapefile.read(spark, dir)
+    assert(back.count() == 2)
+    val m = back.collect().map(r => r.getAs[String]("id") ->
+      (r.getAs[String]("name"),
+        graft.geom.WKB.read(r.getAs[Array[Byte]]("geometry")))).toMap
+    assert(m("1")._1 == "alpha")
+    assert(m("2")._2 == graft.geom.Point(-3.25, 4.0))
+  }
+
+  test("shp round-trip: polygons with holes keep rings and area") {
+    val dir = tmpDir("shp-poly")
+    val wkt = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    val df = Seq((1, wkt)).toDF("fid", "wkt")
+      .select(col("fid").cast("string").as("fid"), st_geomfromtext(col("wkt")).as("geometry"))
+    Shapefile.write(df, s"$dir/polys")
+    val back = Shapefile.read(spark, dir)
+    val area = back.select(st_area(col("geometry"))).head().getDouble(0)
+    assert(math.abs(area - 96.0) < 1e-9) // 100 - 4 hole
+  }
+
+  test("shp round-trip: polyline") {
+    val dir = tmpDir("shp-line")
+    val df = Seq((1, "LINESTRING (0 0, 3 4, 6 0)")).toDF("fid", "wkt")
+      .select(col("fid").cast("string").as("fid"), st_geomfromtext(col("wkt")).as("geometry"))
+    Shapefile.write(df, s"$dir/lines")
+    val back = Shapefile.read(spark, dir)
+    val len = back.select(st_length(col("geometry"))).head().getDouble(0)
+    assert(math.abs(len - 10.0) < 1e-9)
+  }
+}
