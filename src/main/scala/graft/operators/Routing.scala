@@ -25,6 +25,13 @@ trait Router extends Serializable {
 
   def route(lon1: Double, lat1: Double, lon2: Double, lat2: Double): RouteLeg
 
+  /** Alternative routes, best first (reference: erde/op/route.py
+    * `alternatives` — OSRM may return several); deterministic math routers
+    * have exactly one.
+    */
+  def alternatives(lon1: Double, lat1: Double, lon2: Double, lat2: Double,
+      max: Int): Seq[RouteLeg] = Seq(route(lon1, lat1, lon2, lat2))
+
   /** Batch interface: a struct column
     * {duration, distance, geometry, snap_source, snap_dest}.
     */
@@ -79,6 +86,27 @@ object Routing {
       .withColumn("distance", col("__r.distance"))
       .withColumn("route_geometry", col("__r.geometry"))
       .drop("__r")
+
+  /** Per-row routing with alternatives (reference: erde/op/route.py
+    * `alternatives=N`): one output row per (input row, alternative), with
+    * `alt_index` 0 = best. Deterministic routers yield one row per input.
+    */
+  def routeAlternatives(
+      df: DataFrame,
+      fromLon: Column, fromLat: Column, toLon: Column, toLat: Column,
+      maxAlternatives: Int = 3,
+      router: Router = new GreatCircleRouter()): DataFrame = {
+    val u = udf { (a: Double, b: Double, c: Double, d: Double) =>
+      router.alternatives(a, b, c, d, maxAlternatives)
+        .map(l => (l.durationS, l.distanceM, l.wkb))
+    }
+    df.withColumn("__alts", u(fromLon, fromLat, toLon, toLat))
+      .select(col("*"), posexplode(col("__alts")).as(Seq("alt_index", "__r")))
+      .withColumn("duration", col("__r._1"))
+      .withColumn("distance", col("__r._2"))
+      .withColumn("route_geometry", col("__r._3"))
+      .drop("__alts", "__r")
+  }
 
   /** Routes along a multi-waypoint LineString (reference: erde/op/route.py —
     * erde posts a geometry's waypoints to OSRM; the deterministic equivalent

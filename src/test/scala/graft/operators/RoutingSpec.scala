@@ -30,6 +30,25 @@ class RoutingSpec extends AnyFunSuite with SparkSpec {
     assert(out.getAs[Double]("duration") == 42.0 && out.getAs[Double]("distance") == 1000.0)
   }
 
+  test("routeAlternatives: deterministic router yields one, custom router several") {
+    val df = Seq((0, 0.0, 0.0, 1.0, 1.0)).toDF("id", "a", "b", "c", "d")
+    val one = Routing.routeAlternatives(df, col("a"), col("b"), col("c"), col("d"))
+    assert(one.count() == 1 && one.head().getAs[Int]("alt_index") == 0)
+
+    object TwoWays extends Router {
+      override def route(lon1: Double, lat1: Double, lon2: Double, lat2: Double): RouteLeg =
+        RouteLeg(10.0, 100.0, WKB.write(LineString(Array(lon1, lat1, lon2, lat2))))
+      override def alternatives(lon1: Double, lat1: Double, lon2: Double, lat2: Double,
+          max: Int): Seq[RouteLeg] =
+        Seq(route(lon1, lat1, lon2, lat2),
+          RouteLeg(14.0, 120.0, WKB.write(LineString(Array(lon1, lat1, 0.5, 0.5, lon2, lat2)))))
+    }
+    val two = Routing.routeAlternatives(df, col("a"), col("b"), col("c"), col("d"), router = TwoWays)
+    assert(two.count() == 2)
+    val best = two.where(col("alt_index") === 0).head()
+    assert(best.getAs[Double]("duration") == 10.0)
+  }
+
   test("tableRoute yields the full N×M matrix with broadcast dests") {
     val src = Seq((1, 0.0, 0.0), (2, 1.0, 1.0), (3, 2.0, 2.0)).toDF("sid", "slon", "slat")
     val dst = Seq((10, 5.0, 5.0), (20, 6.0, 6.0)).toDF("did", "dlon", "dlat")
