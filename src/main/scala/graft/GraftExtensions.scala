@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
       "st_point" -> (a => StPoint(a(0), a(1))),
       "st_geomfromtext" -> (a => StGeomFromText(a.head)),
+      "st_try_geomfromtext" -> (a => StTryGeomFromText(a.head)),
       "st_astext" -> (a => StAsText(a.head)),
       "st_x" -> (a => StX(a.head)),
       "st_y" -> (a => StY(a.head)),

@@ -27,6 +27,8 @@ object GeoFunctions {
   // ---- constructors / accessors -------------------------------------------
   def st_point(x: Column, y: Column): Column = c(StPoint(ed(x), ed(y)))
   def st_geomfromtext(wkt: Column): Column = c(StGeomFromText(e(wkt)))
+  /** Null on malformed WKT — the ingest-safe parse for dirty data. */
+  def st_try_geomfromtext(wkt: Column): Column = c(StTryGeomFromText(e(wkt)))
   def st_astext(g: Column): Column = c(StAsText(e(g)))
   /** WKB is graft's native representation: these are identity casts, present
     * for API parity with reference IO (parquet/WKB boundary).
@@ -125,6 +127,7 @@ object GeoFunctions {
 
     r2("st_point", (x, y) => StPoint(Cast(x, DoubleType), Cast(y, DoubleType)))
     r1("st_geomfromtext", StGeomFromText.apply)
+    r1("st_try_geomfromtext", StTryGeomFromText.apply)
     r1("st_astext", StAsText.apply)
     r1("st_x", StX.apply)
     r1("st_y", StY.apply)

@@ -18,6 +18,10 @@ object GeoJsonKernel {
 
   def fromGeoJson(s: UTF8String): Array[Byte] = WKB.write(GeoJson.readGeometry(s.toString))
 
+  /** Null on malformed input (ingest-safe variant). */
+  def tryFromGeoJson(s: UTF8String): Array[Byte] =
+    try fromGeoJson(s) catch { case _: Exception => null }
+
   def asGeoJson(b: Array[Byte]): UTF8String =
     UTF8String.fromString(GeoJson.writeGeometry(WKB.read(b)))
 
@@ -87,6 +91,20 @@ case class StGeomFromGeoJson(child: Expression) extends UnaryExpression with Ser
   override protected def withNewChildInternal(c: Expression): StGeomFromGeoJson = copy(child = c)
 }
 
+case class StTryGeomFromGeoJson(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(s: Any): Any =
+    GeoJsonKernel.tryFromGeoJson(s.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.GeoJsonKernel.tryFromGeoJson($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override def prettyName: String = "st_try_geomfromgeojson"
+  override protected def withNewChildInternal(c: Expression): StTryGeomFromGeoJson = copy(child = c)
+}
+
 case class StAsGeoJson(child: Expression) extends UnaryExpression with Serializable {
   override def dataType: DataType = StringType
   override protected def nullSafeEval(b: Any): Any =
@@ -145,6 +163,7 @@ object GeoJsonFunctions {
   private def c(x: Expression) = ColumnBridge.column(x)
 
   def st_geomfromgeojson(s: Column): Column = c(StGeomFromGeoJson(e(s)))
+  def st_try_geomfromgeojson(s: Column): Column = c(StTryGeomFromGeoJson(e(s)))
   def st_asgeojson(g: Column): Column = c(StAsGeoJson(e(g)))
   def feature_geometry(s: Column): Column = c(FeatureGeometry(e(s)))
   def feature_props(s: Column): Column = c(FeatureProps(e(s)))

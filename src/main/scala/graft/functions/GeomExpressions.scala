@@ -40,6 +40,20 @@ case class StGeomFromText(child: Expression) extends GeomUnary {
   override protected def withNewChildInternal(c: Expression): StGeomFromText = copy(child = c)
 }
 
+case class StTryGeomFromText(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(s: Any): Any =
+    GeomKernel.tryFromText(s.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $K.tryFromText($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override def prettyName: String = "st_try_geomfromtext"
+  override protected def withNewChildInternal(c: Expression): StTryGeomFromText = copy(child = c)
+}
+
 case class StAsText(child: Expression) extends GeomUnary {
   override def method: String = "asText"
   override def dataType: DataType = StringType

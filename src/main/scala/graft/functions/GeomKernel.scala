@@ -17,6 +17,12 @@ object GeomKernel {
 
   def fromText(s: UTF8String): Array[Byte] = WKB.write(WKT.read(s.toString))
 
+  /** Null on malformed input instead of failing the task — the ingest-safe
+    * variant for dirty corpora (one bad row must not kill a 100 TB job).
+    */
+  def tryFromText(s: UTF8String): Array[Byte] =
+    try fromText(s) catch { case _: Exception => null }
+
   def asText(b: Array[Byte]): UTF8String = UTF8String.fromString(WKT.write(WKB.read(b)))
 
   def point(x: Double, y: Double): Array[Byte] = WKB.write(Point(x, y))

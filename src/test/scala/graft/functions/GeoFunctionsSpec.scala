@@ -99,6 +99,18 @@ class GeoFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(one[Double](st_area(st_union(a, b))) - 28.0) < 1e-9)
   }
 
+  test("st_try_geomfromtext: null on malformed input, parses valid rows") {
+    val df = Seq("POINT (1 2)", "POLYGON broken ((", "", "LINESTRING (0 0, 1 1)")
+      .toDF("wkt")
+      .select(col("wkt"), st_try_geomfromtext(col("wkt")).as("g"))
+    assert(df.where(col("g").isNotNull).count() == 2)
+    assert(df.where(col("g").isNull).count() == 2)
+    import graft.functions.GeoJsonFunctions.st_try_geomfromgeojson
+    val gj = Seq("""{"type":"Point","coordinates":[1,2]}""", "{nope").toDF("j")
+      .select(st_try_geomfromgeojson(col("j")).as("g"))
+    assert(gj.where(col("g").isNotNull).count() == 1)
+  }
+
   test("SQL registration: functions usable from spark.sql") {
     GeoFunctions.registerAll(spark)
     val row = spark.sql(
