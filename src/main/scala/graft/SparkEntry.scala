@@ -324,12 +324,17 @@ object SparkEntry {
     }),
 
     // --- text quality scoring ---------------------------------------------
-    "text_quality" -> ((s, dir) =>
+    "text_quality" -> ((s, dir) => {
+      // fraction-valued columns can land exactly on round() tie boundaries
+      // (e.g. chars/32 tokens => 5-decimal halves) where engines' tie rules
+      // differ; floor(x*1e4 + 0.5) is the same fp computation on both sides.
+      def r4(c: Column) = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
       TextAnalysis.qualityScore(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens"),
-          round(col("avg_token_len"), 4).as("avg_token_len"),
-          round(col("stopword_ratio"), 4).as("stopword_ratio"),
-          round(col("quality_score"), 4).as("quality_score"))),
+          r4(col("avg_token_len")).as("avg_token_len"),
+          r4(col("stopword_ratio")).as("stopword_ratio"),
+          r4(col("quality_score")).as("quality_score"))
+    }),
 
     // --- token counting ----------------------------------------------------
     "text_tokens" -> ((s, dir) =>
@@ -571,11 +576,12 @@ object SparkEntry {
         |                          'for','on','with','as','at','by','an','be','this','are'], lower(x)))) AS DOUBLE)
         |    / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio
         |  FROM documents)
-        |SELECT doc_id, n_tokens, round(avg_token_len, 4) AS avg_token_len,
-        |  round(stopword_ratio, 4) AS stopword_ratio,
-        |  round(0.4 * least(1.0, n_tokens / 50.0)
+        |SELECT doc_id, n_tokens,
+        |  floor(avg_token_len * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
+        |  floor(stopword_ratio * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+        |  floor((0.4 * least(1.0, n_tokens / 50.0)
         |      + 0.3 * greatest(0.0, 1.0 - abs(avg_token_len - 5.0) / 5.0)
-        |      + 0.3 * greatest(0.0, 1.0 - 5.0 * (punct_ratio + digit_ratio)), 4) AS quality_score
+        |      + 0.3 * greatest(0.0, 1.0 - 5.0 * (punct_ratio + digit_ratio))) * 10000.0 + 0.5) / 10000.0 AS quality_score
         |FROM f""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
