@@ -163,8 +163,9 @@ object Shapefile {
         geoms.map { case (recNo, g) =>
           val vals = attrs.get(recNo) match {
             case Some(vs) => fieldTypes.zip(vs).map {
-              case ((_, 'N'), v) => if (v.isEmpty) null else v.toDouble
-              case ((_, 'F'), v) => if (v.isEmpty) null else v.toDouble
+              // dBase marks nulls/overflow with '*' padding; be lenient
+              case ((_, 'N' | 'F'), v) =>
+                v.toDoubleOption.map(java.lang.Double.valueOf).orNull
               case (_, v) => v
             }.toSeq
             case None => fieldTypes.map(_ => null).toSeq

@@ -136,6 +136,63 @@ class ReferenceParitySpec extends AnyFunSuite with SparkSpec {
     assert(dissolved < ours.sum) // overlaps actually merged
   }
 
+  // --- io (tests/io/data — GDAL-written fixtures) ---------------------------
+
+  private def stage(dir: String, base: String): String = {
+    val out = java.nio.file.Files.createTempDirectory(s"graft-parity-$base")
+    Seq("shp", "dbf").foreach { ext =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/$base.$ext"), out.resolve(s"$base.$ext"))
+    }
+    out.toString
+  }
+
+  test("shapefile reader parses GDAL-written fixtures and agrees with the CSV twin") {
+    val data = s"$ref/io/data"
+    val shp = graft.sources.Shapefile.read(spark, stage(data, "points"))
+    val csv = GeoCSV.read(spark, s"$data/points.csv", geometryCol = "WKT")
+    assert(shp.count() == csv.count())
+    val shpPts = shp.select(st_x(col("geometry")), st_y(col("geometry")))
+      .as[(Double, Double)].collect().map { case (x, y) =>
+        (math.rint(x * 1e6) / 1e6, math.rint(y * 1e6) / 1e6) }.toSet
+    val csvPts = csv.select(st_x(col("WKT")), st_y(col("WKT")))
+      .as[(Double, Double)].collect().map { case (x, y) =>
+        (math.rint(x * 1e6) / 1e6, math.rint(y * 1e6) / 1e6) }.toSet
+    assert(shpPts == csvPts)
+
+    val lines = graft.sources.Shapefile.read(spark, stage(data, "lines"))
+    val lineLens = lines.select(st_length(col("geometry"))).as[Double].collect().sorted
+    val csvLens = GeoCSV.read(spark, s"$data/lines.csv", geometryCol = "WKT")
+      .select(st_length(col("WKT"))).as[Double].collect().sorted
+    assert(lineLens.length == csvLens.length)
+    lineLens.zip(csvLens).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6) }
+  }
+
+  test("geojsonl fixture parses with the line-delimited reader") {
+    val df = graft.sources.GeoSources.GeoJSONSeq.read(spark, s"$ref/io/data/lines.geojsonl.json")
+    val csv = GeoCSV.read(spark, s"$ref/io/data/lines.csv", geometryCol = "WKT")
+    assert(df.count() == csv.count())
+    assert(df.select(element_at(col("properties"), "number")).as[String].collect().toSet
+      == csv.select(col("number").cast("string")).as[String].collect().toSet)
+  }
+
+  test("broken WKT rows: try-parse keeps good rows, nulls the bad") {
+    val df = spark.read.option("header", "true").csv(s"$ref/io/data/points-broken.csv")
+      .withColumn("geometry", st_try_geomfromtext(col("WKT")))
+    assert(df.count() == 8)
+    assert(df.where(col("geometry").isNotNull).count() == 6) // 1 bad WKT + 1 empty
+  }
+
+  test("convert: cities fixture to 3857 leaves degree range; round-trip returns (Cyrillic intact)") {
+    val cities = GeoCSV.read(spark, s"$ref/convert/cities.csv", geometryCol = "WKT")
+    val merc = GeoOps.toMercator(cities.withColumnRenamed("WKT", "geometry"))
+    assert(merc.where(abs(st_x(col("geometry"))) > 180).count() == cities.count())
+    val back = GeoOps.toLonLat(merc)
+    val xs = back.select(st_x(col("geometry"))).as[Double].collect()
+    assert(xs.forall(x => math.abs(x) <= 180))
+    assert(back.select("name").as[String].collect().contains("Новосибирск"))
+  }
+
   // --- subset (tests/test_subset.py) ---------------------------------------
 
   test("subset: DSL error cases match the reference") {
