@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "st_x" -> (a => StX(a.head)),
       "st_y" -> (a => StY(a.head)),
       "st_geomtype" -> (a => StGeomType(a.head)),
+      "st_npoints" -> (a => StNumPoints(a.head)),
+      "st_isempty" -> (a => StIsEmpty(a.head)),
+      "st_geomfromgeojson" -> (a => StGeomFromGeoJson(a.head)),
+      "st_try_geomfromgeojson" -> (a => StTryGeomFromGeoJson(a.head)),
+      "st_asgeojson" -> (a => StAsGeoJson(a.head)),
       "st_centroid" -> (a => StCentroid(a.head)),
       "st_envelope" -> (a => StEnvelope(a.head)),
       "st_bbox" -> (a => StBBox(a.head)),

@@ -38,6 +38,8 @@ object GeoFunctions {
   def st_x(g: Column): Column = c(StX(e(g)))
   def st_y(g: Column): Column = c(StY(e(g)))
   def st_geomtype(g: Column): Column = c(StGeomType(e(g)))
+  def st_npoints(g: Column): Column = c(StNumPoints(e(g)))
+  def st_isempty(g: Column): Column = c(StIsEmpty(e(g)))
   def st_centroid(g: Column): Column = c(StCentroid(e(g)))
   def st_envelope(g: Column): Column = c(StEnvelope(e(g)))
   def st_bbox(g: Column): Column = c(StBBox(e(g)))
@@ -132,6 +134,11 @@ object GeoFunctions {
     r1("st_x", StX.apply)
     r1("st_y", StY.apply)
     r1("st_geomtype", StGeomType.apply)
+    r1("st_npoints", StNumPoints.apply)
+    r1("st_isempty", StIsEmpty.apply)
+    r1("st_geomfromgeojson", StGeomFromGeoJson.apply)
+    r1("st_try_geomfromgeojson", StTryGeomFromGeoJson.apply)
+    r1("st_asgeojson", StAsGeoJson.apply)
     r1("st_centroid", StCentroid.apply)
     r1("st_envelope", StEnvelope.apply)
     r1("st_bbox", StBBox.apply)

@@ -93,6 +93,20 @@ case class StGeomType(child: Expression) extends GeomUnary {
   override protected def withNewChildInternal(c: Expression): StGeomType = copy(child = c)
 }
 
+case class StNumPoints(child: Expression) extends GeomUnary {
+  override def method: String = "numPoints"
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(b: Any): Any = GeomKernel.numPoints(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): StNumPoints = copy(child = c)
+}
+
+case class StIsEmpty(child: Expression) extends GeomUnary {
+  override def method: String = "isEmpty"
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(b: Any): Any = GeomKernel.isEmpty(b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): StIsEmpty = copy(child = c)
+}
+
 case class StCentroid(child: Expression) extends GeomUnary {
   override def method: String = "centroid"
   override def dataType: DataType = BinaryType

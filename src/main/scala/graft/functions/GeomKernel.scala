@@ -49,6 +49,14 @@ object GeomKernel {
 
   def geomType(b: Array[Byte]): UTF8String = UTF8String.fromString(WKB.read(b).geomType)
 
+  def numPoints(b: Array[Byte]): Int = {
+    var n = 0
+    Geom.foreachPart(WKB.read(b))(cs => n += cs.length / 2)
+    n
+  }
+
+  def isEmpty(b: Array[Byte]): Boolean = WKB.read(b).isEmpty
+
   def centroid(b: Array[Byte]): Array[Byte] = WKB.write(Algos.centroid(WKB.read(b)))
 
   def envelope(b: Array[Byte]): Array[Byte] = {

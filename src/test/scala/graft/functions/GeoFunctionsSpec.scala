@@ -111,11 +111,20 @@ class GeoFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(gj.where(col("g").isNotNull).count() == 1)
   }
 
+  test("st_npoints / st_isempty accessors") {
+    assert(one[Int](st_npoints(st_geomfromtext(lit("LINESTRING (0 0, 1 1, 2 2)")))) == 3)
+    assert(one[Int](st_npoints(st_geomfromtext(lit("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")))) == 5)
+    assert(!one[Boolean](st_isempty(st_point(lit(1.0), lit(2.0)))))
+    assert(one[Boolean](st_isempty(st_geomfromtext(lit("MULTIPOLYGON EMPTY")))))
+  }
+
   test("SQL registration: functions usable from spark.sql") {
     GeoFunctions.registerAll(spark)
     val row = spark.sql(
       "SELECT st_astext(st_centroid(st_geomfromtext('LINESTRING (0 0, 2 2)'))) AS c").head()
     assert(row.getString(0) == "POINT (1 1)")
+    assert(spark.sql("SELECT st_npoints(st_geomfromgeojson('{\"type\":\"Point\",\"coordinates\":[1,2]}')) AS n")
+      .head().getInt(0) == 1)
     val a = spark.sql("SELECT st_aream(st_bufferm(st_point(0.0, 0.0), 500.0, 8)) AS a").head().getDouble(0)
     val expect = 0.5 * 32 * 500.0 * 500.0 * math.sin(2 * math.Pi / 32)
     assert(math.abs(a - expect) / expect < 1e-9)
