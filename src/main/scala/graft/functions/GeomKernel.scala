@@ -103,9 +103,18 @@ object GeomKernel {
   def bufferM(b: Array[Byte], radiusMetres: Double, resolution: Int): Array[Byte] =
     WKB.write(Buffer.bufferM(WKB.read(b), radiusMetres, resolution))
 
+  /** `style` = "cap[/join[/mitreLimit]]", e.g. "flat", "square/bevel",
+    * "round/mitre/4.0" (reference: shapely cap_style/join_style/mitre_limit
+    * via erde/op/buffer.py kwargs).
+    */
   def bufferMStyled(b: Array[Byte], radiusMetres: Double, resolution: Int,
-      capStyle: UTF8String): Array[Byte] =
-    WKB.write(Buffer.bufferM(WKB.read(b), radiusMetres, resolution, capStyle.toString))
+      style: UTF8String): Array[Byte] = {
+    val parts = style.toString.split("/")
+    val cap = parts(0)
+    val join = if (parts.length > 1) parts(1) else "round"
+    val ml = if (parts.length > 2) parts(2).toDouble else 5.0
+    WKB.write(Buffer.bufferM(WKB.read(b), radiusMetres, resolution, cap, join, ml))
+  }
 
   // ---- boolean ops --------------------------------------------------------
 

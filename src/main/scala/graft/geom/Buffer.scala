@@ -73,11 +73,13 @@ object Buffer {
       ax2 + nx * radius, ay2 + ny * radius)
   }
 
-  /** Buffer of any geometry, planar units. `capStyle` ∈ round | flat | square
-    * (reference: erde/op/buffer.py cap_style; joins at interior vertices are
-    * round in all styles, as with the reference's default join_style).
+  /** Buffer of any geometry, planar units. `capStyle` ∈ round | flat | square,
+    * `joinStyle` ∈ round | mitre | bevel with `mitreLimit` in radii
+    * (reference: erde/op/buffer.py — shapely's cap_style / join_style /
+    * mitre_limit pass-throughs). Ring (polygon-outward) joins stay round.
     */
-  def buffer(g: Geom, radius: Double, resolution: Int = 8, capStyle: String = "round"): Geom = {
+  def buffer(g: Geom, radius: Double, resolution: Int = 8, capStyle: String = "round",
+      joinStyle: String = "round", mitreLimit: Double = 5.0): Geom = {
     if (radius < 0) return erode(g, -radius, resolution)
     g match {
       case Point(x, y) => Polygon(Array(circle(x, y, radius, resolution)))
@@ -87,9 +89,10 @@ object Buffer {
         while (i < cs.length) { circles += Array(circle(cs(i), cs(i + 1), radius, resolution)); i += 2 }
         UnionOps.union(circles.toIndexedSeq)
       case LineString(cs) =>
-        UnionOps.union(lineParts(cs, radius, resolution, capStyle).toIndexedSeq)
+        UnionOps.union(lineParts(cs, radius, resolution, capStyle, joinStyle, mitreLimit).toIndexedSeq)
       case MultiLineString(ps) =>
-        UnionOps.union(ps.toIndexedSeq.flatMap(cs => lineParts(cs, radius, resolution, capStyle)))
+        UnionOps.union(ps.toIndexedSeq.flatMap(cs =>
+          lineParts(cs, radius, resolution, capStyle, joinStyle, mitreLimit)))
       case Polygon(rings) =>
         // outward buffer: polygon itself ∪ stadiums of every ring segment
         UnionOps.union(IndexedSeq(Array(rings.head)) ++ rings.toIndexedSeq.flatMap(r => lineStadiums(r, radius, resolution)))
@@ -121,48 +124,89 @@ object Buffer {
     UnionOps.booleanOp(polys, boundary, "difference")
   }
 
-  /** Per-segment cover of a polyline for the given cap style. Round: stadiums
-    * (round caps AND joins). Flat/square: rectangles per segment (extended at
-    * the terminal ends for square) + circles at interior vertices (round
-    * joins).
+  /** Per-segment cover of a polyline for the given cap and join styles.
+    * round/round uses stadiums directly; otherwise rectangles per segment,
+    * terminal cap shapes, and one join shape per interior vertex (circle /
+    * mitre quad capped at `mitreLimit`·r / bevel triangles — the inner-side
+    * shape is redundant with the rectangles' overlap and harmless in the
+    * union).
     */
   private def lineParts(cs: Array[Double], radius: Double, resolution: Int,
-      capStyle: String): Seq[Array[Array[Double]]] = {
+      capStyle: String, joinStyle: String = "round",
+      mitreLimit: Double = 5.0): Seq[Array[Array[Double]]] = {
     if (cs.length < 4) {
       if (cs.length == 2) return Seq(Array(circle(cs(0), cs(1), radius, resolution)))
       return Nil
     }
+    require(Set("round", "flat", "square")(capStyle), s"capStyle '$capStyle' (round|flat|square)")
+    require(Set("round", "mitre", "bevel")(joinStyle), s"joinStyle '$joinStyle' (round|mitre|bevel)")
     val out = ArrayBuffer[Array[Array[Double]]]()
-    capStyle match {
-      case "round" =>
-        var i = 0
-        while (i + 3 < cs.length) {
-          out += Array(stadium(cs(i), cs(i + 1), cs(i + 2), cs(i + 3), radius, resolution))
-          i += 2
-        }
-      case "flat" | "square" =>
-        val ext = if (capStyle == "square") radius else 0.0
-        val lastSeg = cs.length - 4
-        var i = 0
-        while (i + 3 < cs.length) {
-          out += Array(segmentRect(cs(i), cs(i + 1), cs(i + 2), cs(i + 3), radius,
-            extendA = if (i == 0) ext else 0.0,
-            extendB = if (i == lastSeg) ext else 0.0))
-          if (i > 0) out += Array(circle(cs(i), cs(i + 1), radius, resolution)) // round join
-          i += 2
-        }
-      case other => throw new IllegalArgumentException(s"capStyle '$other' (round|flat|square)")
+    if (capStyle == "round" && joinStyle == "round") {
+      var i = 0
+      while (i + 3 < cs.length) {
+        out += Array(stadium(cs(i), cs(i + 1), cs(i + 2), cs(i + 3), radius, resolution))
+        i += 2
+      }
+      return out.toSeq
+    }
+    val ext = if (capStyle == "square") radius else 0.0
+    val lastSeg = cs.length - 4
+    var i = 0
+    while (i + 3 < cs.length) {
+      out += Array(segmentRect(cs(i), cs(i + 1), cs(i + 2), cs(i + 3), radius,
+        extendA = if (i == 0) ext else 0.0,
+        extendB = if (i == lastSeg) ext else 0.0))
+      if (i > 0) out ++= joinShapes(cs, i, radius, resolution, joinStyle, mitreLimit)
+      i += 2
+    }
+    if (capStyle == "round") {
+      out += Array(circle(cs(0), cs(1), radius, resolution))
+      out += Array(circle(cs(cs.length - 2), cs(cs.length - 1), radius, resolution))
     }
     out.toSeq
+  }
+
+  /** Join shape(s) at interior vertex index `i` (coords offset). */
+  private def joinShapes(cs: Array[Double], i: Int, radius: Double, resolution: Int,
+      joinStyle: String, mitreLimit: Double): Seq[Array[Array[Double]]] = {
+    val vx = cs(i); val vy = cs(i + 1)
+    if (joinStyle == "round") return Seq(Array(circle(vx, vy, radius, resolution)))
+    // unit normals of the incoming and outgoing segments
+    def normal(ax: Double, ay: Double, bx: Double, by: Double): (Double, Double) = {
+      val dx = bx - ax; val dy = by - ay
+      val len = math.hypot(dx, dy)
+      if (len < 1e-12) (0.0, 0.0) else (-dy / len, dx / len)
+    }
+    val (n1x, n1y) = normal(cs(i - 2), cs(i - 1), vx, vy)
+    val (n2x, n2y) = normal(vx, vy, cs(i + 2), cs(i + 3))
+    def side(sign: Double): Array[Array[Double]] = {
+      val ax = vx + sign * n1x * radius; val ay = vy + sign * n1y * radius
+      val bx = vx + sign * n2x * radius; val by = vy + sign * n2y * radius
+      if (joinStyle == "bevel")
+        Array(Array(vx, vy, ax, ay, bx, by, vx, vy))
+      else { // mitre: extend along the bisector, capped at mitreLimit·r
+        val mx = n1x + n2x; val my = n1y + n2y
+        val mlen = math.hypot(mx, my)
+        if (mlen < 1e-12) Array(Array(vx, vy, ax, ay, bx, by, vx, vy))
+        else {
+          val cosHalf = mlen / 2 // |n1+n2|/2 = cos(θ/2)
+          val d = math.min(radius / math.max(cosHalf, 1e-9), mitreLimit * radius)
+          val px = vx + sign * mx / mlen * d; val py = vy + sign * my / mlen * d
+          Array(Array(vx, vy, ax, ay, px, py, bx, by, vx, vy))
+        }
+      }
+    }
+    Seq(side(1.0), side(-1.0))
   }
 
   /** erde metre semantics (erde/op/buffer.py:44): project to 3857, buffer by
     * `radius / cos(lat of centroid)`, return in 4326.
     */
   def bufferM(g4326: Geom, radiusMetres: Double, resolution: Int = 8,
-      capStyle: String = "round"): Geom = {
+      capStyle: String = "round", joinStyle: String = "round",
+      mitreLimit: Double = 5.0): Geom = {
     val m = Mercator.toMercator(g4326)
     val cos = Mercator.coslat(g4326)
-    Mercator.toLonLat(buffer(m, radiusMetres / cos, resolution, capStyle))
+    Mercator.toLonLat(buffer(m, radiusMetres / cos, resolution, capStyle, joinStyle, mitreLimit))
   }
 }

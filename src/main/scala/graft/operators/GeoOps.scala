@@ -59,12 +59,15 @@ object GeoOps {
       geom: String = "geometry",
       resolution: Int = 10,
       dissolve: Boolean = false,
-      capStyle: String = "round"): DataFrame = {
+      capStyle: String = "round",
+      joinStyle: String = "round",
+      mitreLimit: Double = 5.0): DataFrame = {
     val buffered =
-      if (capStyle == "round")
+      if (capStyle == "round" && joinStyle == "round")
         df.withColumn(geom, st_bufferm(col(geom), lit(radiusMetres), lit(resolution)))
       else
-        df.withColumn(geom, st_bufferm(col(geom), lit(radiusMetres), lit(resolution), lit(capStyle)))
+        df.withColumn(geom, st_bufferm(col(geom), lit(radiusMetres), lit(resolution),
+          lit(s"$capStyle/$joinStyle/$mitreLimit")))
     if (!dissolve) buffered
     else buffered.agg(UnionAgg.unionAgg(col(geom)).as(geom))
   }

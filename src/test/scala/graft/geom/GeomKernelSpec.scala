@@ -220,4 +220,28 @@ class GeomKernelSpec extends AnyFunSuite {
     // lines/points erode to empty
     assert(Algos.area(Buffer.buffer(LineString(Array(0.0,0.0,5.0,5.0)), -1.0)) == 0.0)
   }
+
+  test("mitre and bevel join styles: right-angle polyline areas") {
+    import graft.geom._
+    val r = 2.0
+    val bent = LineString(Array(0.0, 0.0, 10.0, 0.0, 10.0, 10.0))
+    // flat caps isolate the join contribution: rects cover 2*(2r*10) minus
+    // their r x r overlap at the inner corner
+    val rectsOnly = 2 * (2 * r * 10) - r * r
+    val bevel = Algos.area(Buffer.buffer(bent, r, 16, "flat", "bevel"))
+    val mitre = Algos.area(Buffer.buffer(bent, r, 16, "flat", "mitre"))
+    val round = Algos.area(Buffer.buffer(bent, r, 64, "flat", "round"))
+    // right angle: bevel adds a r²-ish triangle wedge, mitre fills the full
+    // r² corner square, round is between them
+    assert(mitre > round && round > bevel, s"mitre $mitre round $round bevel $bevel")
+    // outer corner fill: mitre = r², bevel = r²/2, round = πr²/4
+    assert(math.abs(mitre - (rectsOnly + r * r)) / mitre < 0.01)
+    assert(math.abs(bevel - (rectsOnly + r * r / 2)) / bevel < 0.01)
+    assert(math.abs(round - (rectsOnly + math.Pi * r * r / 4)) / round < 0.01)
+    // mitre limit: a hairpin spike is clipped
+    val hairpin = LineString(Array(0.0, 0.0, 10.0, 0.0, 0.1, 0.5))
+    val capped = Algos.area(Buffer.buffer(hairpin, r, 8, "flat", "mitre", mitreLimit = 1.5))
+    val uncapped = Algos.area(Buffer.buffer(hairpin, r, 8, "flat", "mitre", mitreLimit = 50.0))
+    assert(capped < uncapped)
+  }
 }
