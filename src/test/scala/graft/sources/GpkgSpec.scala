@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.functions.GeoFunctions._
+
+class GpkgSpec extends AnyFunSuite with SparkSpec {
+
+  import testImplicits._
+
+  private val data = "/root/reference/tests/io/data"
+
+  private def stage(name: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-gpkg")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$data/$name"), dir.resolve(name))
+    dir.toString
+  }
+
+  test("reads the reference points.gpkg and agrees with the CSV twin") {
+    val gpkg = Gpkg.read(spark, stage("points.gpkg"))
+    val csv = GeoSources.GeoCSV.read(spark, s"$data/points.csv", geometryCol = "WKT")
+    assert(gpkg.count() == csv.count())
+    def rounded(xs: Array[Double]) = xs.map(x => math.rint(x * 1e6) / 1e6).toSet
+    val gPts = rounded(gpkg.select(st_x(col("geom"))).as[Double].collect())
+    val cPts = rounded(csv.select(st_x(col("WKT"))).as[Double].collect())
+    assert(gPts == cPts)
+    // rowid-alias fid is materialized
+    assert(gpkg.select("fid").as[Long].collect().toSet == (1L to gpkg.count()).toSet)
+  }
+
+  test("reads lines.gpkg geometries with correct lengths") {
+    val gpkg = Gpkg.read(spark, stage("lines.gpkg"))
+    val csv = GeoSources.GeoCSV.read(spark, s"$data/lines.csv", geometryCol = "WKT")
+    val gl = gpkg.select(st_length(col("geom"))).as[Double].collect().sorted
+    val cl = csv.select(st_length(col("WKT"))).as[Double].collect().sorted
+    assert(gl.length == cl.length)
+    gl.zip(cl).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6) }
+  }
+
+  test("multi-layer gpkg: layers listed, explicit selection required") {
+    val dir = stage("multiple-layers.gpkg")
+    val names = Gpkg.layers(spark, dir)
+    assert(names.size > 1)
+    intercept[IllegalArgumentException](Gpkg.read(spark, dir).count())
+    val one = Gpkg.read(spark, dir, layer = Some(names.head))
+    assert(one.count() > 0)
+  }
+
+  test("polygons.gpkg parses areal geometries") {
+    val gpkg = Gpkg.read(spark, stage("polygons.gpkg"))
+    val areas = gpkg.select(st_area(gpkg.columns.filter(c =>
+      gpkg.schema(c).dataType.typeName == "binary").headOption.map(col)
+      .getOrElse(col("geom")))).as[Double].collect()
+    assert(areas.nonEmpty && areas.forall(_ > 0))
+  }
+}
