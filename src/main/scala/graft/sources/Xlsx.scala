@@ -78,6 +78,60 @@ object Xlsx {
     }
   }
 
+  /** Parses an ODS content.xml table into rows of (columnIndex → value),
+    * honoring `table:number-columns-repeated`.
+    */
+  private[sources] def parseOdsRows(bytes: Array[Byte]): Seq[Map[Int, String]] = {
+    val files = entries(bytes)
+    val content = files.getOrElse("content.xml",
+      throw new IllegalArgumentException("no content.xml in ods"))
+    val doc = dom(content)
+    val rows = doc.getElementsByTagName("table:table-row")
+    (0 until rows.getLength).map { r =>
+      val cells = rows.item(r).asInstanceOf[org.w3c.dom.Element]
+        .getElementsByTagName("table:table-cell")
+      var idx = 0
+      val out = scala.collection.mutable.Map.empty[Int, String]
+      (0 until cells.getLength).foreach { ci =>
+        val c = cells.item(ci).asInstanceOf[org.w3c.dom.Element]
+        val repeat = Option(c.getAttribute("table:number-columns-repeated"))
+          .filter(_.nonEmpty).map(_.toInt).getOrElse(1)
+        val ps = c.getElementsByTagName("text:p")
+        val text =
+          if (ps.getLength > 0)
+            Some((0 until ps.getLength).map(ps.item(_).getTextContent).mkString("\n"))
+          else Option(c.getAttribute("office:value")).filter(_.nonEmpty)
+        text.foreach { t => (0 until repeat).foreach(k => out(idx + k) = t) }
+        idx += repeat
+      }
+      out.toMap
+    }
+  }
+
+  /** Reads `*.ods` under `path` (OpenDocument spreadsheet — same contract as
+    * [[read]]: header row → column names, all strings).
+    */
+  def readOds(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.ods").load(path)
+      .select("content").as[Array[Byte]]
+    val headRows = parseOdsRows(files.head())
+    require(headRows.nonEmpty, "empty ods table")
+    val header = headRows.head
+    val nCols = header.keys.maxOption.getOrElse(-1) + 1
+    val names = (0 until nCols).map(i => header.getOrElse(i, s"_c$i"))
+    val schema = StructType(names.map(n => StructField(n, StringType)))
+    val enc = RowEncoder.encoderFor(schema)
+    files.mapPartitions { it =>
+      it.flatMap { bytes =>
+        parseOdsRows(bytes).drop(1)
+          .filter(_.nonEmpty)
+          .map(cells => Row.fromSeq((0 until nCols).map(i => cells.get(i).orNull)))
+      }
+    }(enc)
+  }
+
   /** Reads `*.xlsx` under `path`: header row → column names, all strings. */
   def read(spark: SparkSession, path: String, sheet: String = "sheet1"): DataFrame = {
     import spark.implicits._
