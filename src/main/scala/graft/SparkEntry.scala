@@ -330,7 +330,7 @@ object SparkEntry {
       // differ; floor(x*1e4 + 0.5) is the same fp computation on both sides.
       def r4(c: Column) = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
       TextAnalysis.qualityScore(t(s, dir, "documents"))
-        .select(col("doc_id"), col("n_tokens"),
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           r4(col("avg_token_len")).as("avg_token_len"),
           r4(col("stopword_ratio")).as("stopword_ratio"),
           r4(col("quality_score")).as("quality_score"))
@@ -339,7 +339,9 @@ object SparkEntry {
     // --- token counting ----------------------------------------------------
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"))
-        .select("doc_id", "ws_tokens", "bpe_tokens")),
+        .select(col("doc_id"),
+          col("ws_tokens").cast("long").as("ws_tokens"),
+          col("bpe_tokens").cast("long").as("bpe_tokens"))),
 
     // --- language id (heuristic; rows-only + spec) -------------------------
     "text_langid" -> ((s, dir) =>
