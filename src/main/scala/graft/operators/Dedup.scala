@@ -35,14 +35,14 @@ object Dedup {
     * skeleton: `buckets` has columns (__id, __sketch, __bucket); `verify`
     * decides pair similarity from the two sketches.
     */
-  private def losers(buckets: DataFrame, verify: (Column, Column) => Column): DataFrame = {
-    val a = buckets.select(col("__id").as("__ida"), col("__sketch").as("__ska"), col("__bucket"))
-    val b = buckets.select(col("__id").as("__idb"), col("__sketch").as("__skb"), col("__bucket"))
-    a.join(b, Seq("__bucket"))
-      .where(col("__ida") < col("__idb") && verify(col("__ska"), col("__skb")))
-      .select(col("__idb").as("__id"))
+  private def losers(buckets: DataFrame, verify: (Column, Column) => Column): DataFrame =
+    // alias-based self-join: both sides share one canonical plan, so the
+    // shuffle on __bucket is written once and read twice (ReusedExchange) —
+    // sketches are computed once, not per side
+    buckets.as("a").join(buckets.as("b"), col("a.__bucket") === col("b.__bucket"))
+      .where(col("a.__id") < col("b.__id") && verify(col("a.__sketch"), col("b.__sketch")))
+      .select(col("b.__id").as("__id"))
       .distinct()
-  }
 
   /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
     * components (pure built-ins — stays in codegen).
@@ -132,12 +132,10 @@ object Dedup {
       .withColumn("__band", explode(sequence(lit(0), lit(numBands - 1))))
       .withColumn("__bucket",
         xxhash64(col("__band"), slice(col("__sketch"), col("__band") * rowsPerBand + 1, lit(rowsPerBand))))
-    val a = buckets.select(col("__id").as("__ida"), col("__sketch").as("__ska"), col("__bucket"))
-    val b = buckets.select(col("__id").as("__idb"), col("__sketch").as("__skb"), col("__bucket"))
-    val cands = a.join(b, Seq("__bucket"))
-      .where(col("__ida") < col("__idb") &&
-        minhashSimilarity(col("__ska"), col("__skb")) >= candidateThreshold)
-      .select("__ida", "__idb").distinct()
+    val cands = buckets.as("a").join(buckets.as("b"), col("a.__bucket") === col("b.__bucket"))
+      .where(col("a.__id") < col("b.__id") &&
+        minhashSimilarity(col("a.__sketch"), col("b.__sketch")) >= candidateThreshold)
+      .select(col("a.__id").as("__ida"), col("b.__id").as("__idb")).distinct()
     val texts = df.select(col(idCol), col(textCol))
     val withTexts = cands
       .join(texts.withColumnRenamed(idCol, "__ida").withColumnRenamed(textCol, "__ta"), Seq("__ida"))
