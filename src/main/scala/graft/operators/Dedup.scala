@@ -24,11 +24,11 @@ object Dedup {
     * partition, not every duplicate.
     */
   def exact(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
-    val others = df.columns.filterNot(keys.contains)
+    val others = df.columns.toIndexedSeq.filterNot(keys.contains)
     val aggs = others.map(c => min_by(col(c), col(tieBreak)).as(c))
-    df.groupBy(keys.map(col): _*)
+    df.groupBy(keys.map(col).toSeq: _*)
       .agg(aggs.head, aggs.tail: _*)
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
   /** Ids (as `__id`) that lose a verified near-dup pair — the generic LSH

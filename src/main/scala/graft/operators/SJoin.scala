@@ -147,7 +147,7 @@ object SJoin {
         val rightCols = inner.columns.filterNot(lt.columns.contains)
         val padded = rightCols.foldLeft(unmatched)((df, c0) =>
           df.withColumn(c0, lit(null).cast(inner.schema(c0).dataType)))
-        inner.unionByName(padded.select(inner.columns.map(col): _*)).drop(LID)
+        inner.unionByName(padded.select(inner.columns.toIndexedSeq.map(col): _*)).drop(LID)
       case other => throw new IllegalArgumentException(s"how='$other' (inner|left|right)")
     }
   }

@@ -74,7 +74,7 @@ object GeoSources {
 
     private[sources] def featureLines(df: DataFrame, geometryCol: String): DataFrame = {
       val propCols = df.columns.filterNot(_ == geometryCol)
-      val props = map(propCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*)
+      val props = map(propCols.toIndexedSeq.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*)
       df.select(to_geojson_feature(col(geometryCol), props).as("value"))
     }
   }
@@ -160,7 +160,7 @@ object GeoSources {
               x1 - cellDeg, y1 - cellDeg, x2 + cellDeg, y1 - cellDeg,
               x2 + cellDeg, y2 + cellDeg, x1 - cellDeg, y2 + cellDeg,
               x1 - cellDeg, y1 - cellDeg)))), cellDeg).toLongArray()
-          applyFilter(raw.where(col("cell").isin(cover: _*)), geometryCol, Some(w))
+          applyFilter(raw.where(col("cell").isin(cover.toIndexedSeq: _*)), geometryCol, Some(w))
       }
     }
   }

@@ -39,6 +39,6 @@ object GeoStream {
       cellDeg: Double = SJoin.DefaultCellDeg): DataFrame = {
     val streamCols = stream.columns
     sjoinStream(stream, zones, predicate, streamGeom, zoneGeom, cellDeg)
-      .select(streamCols.head, streamCols.tail: _*)
+      .select(streamCols.head, streamCols.tail.toIndexedSeq: _*)
   }
 }
