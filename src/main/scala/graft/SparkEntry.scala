@@ -203,6 +203,17 @@ object SparkEntry {
         .select("n_nationkey", "s_suppkey")
     }),
 
+    // --- xl sjoin: every lineitem row as a point × nation zones ------------
+    "sjoin_xl" -> ((s, dir) => {
+      val pts = t(s, dir, "lineitem").withColumn("geometry",
+        st_point(expr("(l_partkey % 120) * 0.5 - 30 + 0.25"),
+          expr("(l_orderkey % 80) * 0.5 - 20 + 0.25")))
+      SJoin.sagg(nationZones(s, dir), pts,
+          Seq(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("qty_sum")),
+          predicate = "contains", how = "inner")
+        .select("n_nationkey", "n_items", "qty_sum")
+    }),
+
     // --- areal boolean ops: zone ∩ window (slab-exact) ---------------------
     "geo_intersection_area" -> ((s, dir) => {
       val window = st_geomfromtext(lit("POLYGON ((-10 -10, 10 -10, 10 10, -10 10, -10 -10))"))
@@ -490,6 +501,14 @@ object SparkEntry {
         |  AND ((s_suppkey % 15) * 4.0 - 30) <= ((n_nationkey % 12) * 5.0 - 30 + 4.0)
         |  AND ((n_nationkey % 5) * 8.0 - 20) <= ((s_suppkey % 9) * 5.0 - 22 + 4.0)
         |  AND ((s_suppkey % 9) * 5.0 - 22) <= ((n_nationkey % 5) * 8.0 - 20 + 6.0)""".stripMargin,
+    "sjoin_xl" ->
+      """SELECT n_nationkey, count(*) AS n_items, round(sum(l_quantity), 2) AS qty_sum
+        |FROM lineitem, nation
+        |WHERE ((l_partkey % 120) * 0.5 - 30 + 0.25) > ((n_nationkey % 12) * 5.0 - 30)
+        |  AND ((l_partkey % 120) * 0.5 - 30 + 0.25) < ((n_nationkey % 12) * 5.0 - 30 + 4.0)
+        |  AND ((l_orderkey % 80) * 0.5 - 20 + 0.25) > ((n_nationkey % 5) * 8.0 - 20)
+        |  AND ((l_orderkey % 80) * 0.5 - 20 + 0.25) < ((n_nationkey % 5) * 8.0 - 20 + 6.0)
+        |GROUP BY n_nationkey""".stripMargin,
     "geo_intersection_area" ->
       """SELECT n_nationkey, round(
         |  greatest(0, least(((n_nationkey % 12) * 5.0 - 30) + 4.0, 10) - greatest((n_nationkey % 12) * 5.0 - 30, -10))
