@@ -49,6 +49,22 @@ class GpkgSpec extends AnyFunSuite with SparkSpec {
     assert(one.count() > 0)
   }
 
+  test("multi-page table with overflow records: 3000 rows, interior b-tree pages") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gpkg-big")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("src/test/resources/big.gpkg"), dir.resolve("big.gpkg"))
+    val df = Gpkg.read(spark, dir.toString)
+    assert(df.count() == 3000)
+    assert(df.select("fid").as[Long].collect().toSet == (1L to 3000L).toSet)
+    // overflow-page texts come back intact
+    val long = df.where(col("fid") === 500).select("name").as[String].head()
+    assert(long.startsWith("row-00500-") && long.length > 2000)
+    // values and geometry decode across all pages
+    assert(df.agg(sum("val")).head().getDouble(0) == (1 to 3000).map(_ * 0.5).sum)
+    val x = df.where(col("fid") === 101).select(st_x(col("geom"))).head().getDouble(0)
+    assert(x == 1.5)
+  }
+
   test("polygons.gpkg parses areal geometries") {
     val gpkg = Gpkg.read(spark, stage("polygons.gpkg"))
     val areas = gpkg.select(st_area(gpkg.columns.filter(c =>
