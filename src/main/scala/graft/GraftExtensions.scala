@@ -40,6 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "st_tomercator" -> (a => StToMercator(a.head)),
       "st_tolonlat" -> (a => StToLonLat(a.head)),
       "st_haversine_length" -> (a => StHaversineLength(a.head)),
+      "st_simplify" -> (a => StSimplify(a(0), a(1))),
       "st_polyline_encode" -> (a => StPolylineEncode(a.head)),
       "st_polyline_decode" -> (a => StPolylineDecode(a.head)),
       "st_distance" -> (a => StDistance(a(0), a(1))),

@@ -82,6 +82,9 @@ object GeoFunctions {
   def st_bufferm(g: Column, radiusMetres: Column, resolution: Column, capStyle: Column): Column =
     c(StBufferMStyled(e(g), ed(radiusMetres), ei(resolution), e(capStyle)))
 
+  /** Douglas–Peucker simplification (tolerance in coordinate units). */
+  def st_simplify(g: Column, tolerance: Column): Column = c(StSimplify(e(g), ed(tolerance)))
+
   /** Great-circle metres along a LineString's waypoints. */
   def st_haversine_length(g: Column): Column = c(StHaversineLength(e(g)))
 
@@ -150,6 +153,7 @@ object GeoFunctions {
     r1("st_tomercator", StToMercator.apply)
     r1("st_tolonlat", StToLonLat.apply)
     r1("st_haversine_length", StHaversineLength.apply)
+    r2("st_simplify", (g, t) => StSimplify(g, Cast(t, DoubleType)))
     r1("st_polyline_encode", StPolylineEncode.apply)
     r1("st_polyline_decode", StPolylineDecode.apply)
     r2("st_distance", StDistance.apply)

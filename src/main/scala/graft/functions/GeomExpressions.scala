@@ -311,6 +311,17 @@ case class StBufferMStyled(first: Expression, second: Expression, third: Express
     copy(f, s, t, q)
 }
 
+case class StSimplify(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(b: Any, t: Any): Any =
+    GeomKernel.simplify(b.asInstanceOf[Array[Byte]], t.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, t) => s"$K.simplify($b, $t)")
+  override def prettyName: String = "st_simplify"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StSimplify = copy(l, r)
+}
+
 case class StCellCover(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

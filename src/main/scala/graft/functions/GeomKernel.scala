@@ -116,6 +116,9 @@ object GeomKernel {
     WKB.write(Buffer.bufferM(WKB.read(b), radiusMetres, resolution, cap, join, ml))
   }
 
+  def simplify(b: Array[Byte], tolerance: Double): Array[Byte] =
+    WKB.write(Algos.simplify(WKB.read(b), tolerance))
+
   // ---- boolean ops --------------------------------------------------------
 
   private def boolOp(a: Array[Byte], b: Array[Byte], op: String): Array[Byte] =

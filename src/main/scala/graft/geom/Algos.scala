@@ -372,6 +372,64 @@ object Algos {
 
   def contains(a: Geom, b: Geom): Boolean = within(b, a)
 
+  /** Douglas–Peucker simplification of one packed path. Keeps endpoints;
+    * rings (first == last) keep at least 4 points.
+    */
+  def simplifyPath(cs: Array[Double], tolerance: Double): Array[Double] = {
+    val n = cs.length / 2
+    if (n <= 2) return cs
+    val keep = new Array[Boolean](n)
+    keep(0) = true; keep(n - 1) = true
+    def dp(a: Int, b: Int): Unit = {
+      if (b - a < 2) return
+      var worst = -1.0
+      var idx = -1
+      var i = a + 1
+      while (i < b) {
+        val d = distPointSeg(cs(i * 2), cs(i * 2 + 1),
+          cs(a * 2), cs(a * 2 + 1), cs(b * 2), cs(b * 2 + 1))
+        if (d > worst) { worst = d; idx = i }
+        i += 1
+      }
+      if (worst > tolerance) {
+        keep(idx) = true
+        dp(a, idx); dp(idx, b)
+      }
+    }
+    dp(0, n - 1)
+    val isRing = cs(0) == cs(cs.length - 2) && cs(1) == cs(cs.length - 1)
+    if (isRing) {
+      // guarantee a valid ring: ensure at least 2 interior points survive
+      var kept = (0 until n).count(keep)
+      if (kept < 4) {
+        var i = 1
+        while (kept < 4 && i < n - 1) {
+          if (!keep(i)) { keep(i) = true; kept += 1 }
+          i += 1
+        }
+      }
+    }
+    val out = ArrayBufferDouble()
+    var i = 0
+    while (i < n) {
+      if (keep(i)) { out += cs(i * 2); out += cs(i * 2 + 1) }
+      i += 1
+    }
+    out.result()
+  }
+
+  private def ArrayBufferDouble() = new scala.collection.mutable.ArrayBuilder.ofDouble
+
+  /** Douglas–Peucker simplification of any geometry (points pass through). */
+  def simplify(g: Geom, tolerance: Double): Geom = g match {
+    case LineString(cs) => LineString(simplifyPath(cs, tolerance))
+    case MultiLineString(ps) => MultiLineString(ps.map(simplifyPath(_, tolerance)))
+    case Polygon(rs) => Polygon(rs.map(simplifyPath(_, tolerance)))
+    case MultiPolygon(ps) => MultiPolygon(ps.map(_.map(simplifyPath(_, tolerance))))
+    case GeomCollection(gs) => GeomCollection(gs.map(simplify(_, tolerance)))
+    case other => other
+  }
+
   /** Planar distance between geometries (0 when intersecting). */
   def distance(a: Geom, b: Geom): Double = {
     if (intersects(a, b)) return 0.0

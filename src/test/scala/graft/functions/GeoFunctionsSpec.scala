@@ -118,6 +118,22 @@ class GeoFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(one[Boolean](st_isempty(st_geomfromtext(lit("MULTIPOLYGON EMPTY")))))
   }
 
+  test("st_simplify: collinear points drop, shape detail respects tolerance") {
+    // zigzag with tiny deviations around a straight line
+    val wkt = "LINESTRING (0 0, 1 0.001, 2 0, 3 0.001, 4 0, 10 0)"
+    val simplified = one[String](st_astext(st_simplify(st_geomfromtext(lit(wkt)), lit(0.01))))
+    assert(simplified == "LINESTRING (0 0, 10 0)")
+    // below tolerance: nothing dropped
+    val kept = one[String](st_astext(st_simplify(st_geomfromtext(lit(wkt)), lit(0.0001))))
+    assert(kept == wkt.replace("LINESTRING (", "LINESTRING (")) // unchanged
+    // polygon ring keeps validity (>= 4 points) even at huge tolerance
+    val ring = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    val simpRing = one[String](st_astext(st_simplify(st_geomfromtext(lit(ring)), lit(100.0))))
+    assert(simpRing.startsWith("POLYGON"))
+    val g = graft.geom.WKT.read(simpRing).asInstanceOf[graft.geom.Polygon]
+    assert(g.rings.head.length / 2 >= 4)
+  }
+
   test("SQL registration: functions usable from spark.sql") {
     GeoFunctions.registerAll(spark)
     val row = spark.sql(
