@@ -150,6 +150,15 @@ object Routing {
       .drop("__r")
   }
 
+  /** Grid half-extent covering `speedMps`·max(durations) metres at `stepDeg`
+    * resolution (reference: erde/op/isochrone.py sizes its grid from
+    * speed·duration) — ~111.32 km per degree at the equator, padded one cell.
+    */
+  def gridHalfCells(durationsS: Seq[Double], speedMps: Double, stepDeg: Double): Int = {
+    val reachDeg = speedMps * durationsS.max / 111320.0
+    math.max(1, math.ceil(reachDeg / stepDeg).toInt + 1)
+  }
+
   /** Isochrone contour polygons (reference: erde/op/isochrone.py — the full
     * pipeline: duration field on a grid, raster interpolation, contour per
     * level). The grid is routed distributed; each source's (2h+1)² duration

@@ -76,6 +76,20 @@ class RoutingSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(a600 - expect) / expect < 0.15, s"disc area $a600 vs $expect")
   }
 
+  test("gridHalfCells sizes the grid from speed and duration") {
+    // 25 m/s for 600 s = 15 km ≈ 0.135°; at 0.05° steps → 3 cells + 1 pad
+    assert(Routing.gridHalfCells(Seq(600.0), 25.0, 0.05) == 4)
+    val h = Routing.gridHalfCells(Seq(600.0, 1200.0), 25.0, 0.05)
+    val src = Seq((1, 10.0, 10.0)).toDF("rid", "lon", "lat")
+    val out = Routing.isochrone(src, "lon", "lat", Seq(1200.0),
+      stepDeg = 0.05, halfCells = h, keyCols = Seq("rid"), withGeometry = false)
+    // the auto-sized grid fully contains the reachable disc: widening it
+    // further must not add cells
+    val wider = Routing.isochrone(src, "lon", "lat", Seq(1200.0),
+      stepDeg = 0.05, halfCells = h + 3, keyCols = Seq("rid"), withGeometry = false)
+    assert(out.head().getAs[Long]("n_cells") == wider.head().getAs[Long]("n_cells"))
+  }
+
   test("isochrone cell counts grow with duration level and geometry unions cells") {
     val src = Seq((1, 10.0, 10.0)).toDF("rid", "lon", "lat")
     val out = Routing.isochrone(src, "lon", "lat", Seq(300.0, 900.0),
