@@ -16,6 +16,31 @@ class PipelineIntegrationSpec extends AnyFunSuite with SparkSpec {
 
   import testImplicits._
 
+  test("corpus curation pipeline: quality filter → dedup chain → stats") {
+    val docs = readTable(spark, sfDir, "documents")
+    val n0 = docs.count()
+
+    // score + filter, then stack exact and near dedup, annotate remainder
+    val scored = TextAnalysis.qualityScore(TextAnalysis.langId(docs))
+    val kept = scored.where(col("quality_score") > 0.3 && col("n_tokens") >= 5)
+    val n1 = kept.count()
+    assert(n1 > 0 && n1 <= n0)
+
+    val exact = Dedup.exact(kept.select("doc_id", "text", "lang"), Seq("text"), "doc_id")
+    val near = Dedup.minhashLsh(exact, "text", "doc_id", threshold = 0.7)
+    val n2 = near.count()
+    assert(n2 < n1) // planted near-dups drop
+
+    val enriched = TextAnalysis.tokenCounts(TextAnalysis.fingerprint(near))
+    val stats = enriched.agg(
+      countDistinct("doc_fp").as("distinct_fps"),
+      sum("ws_tokens").as("total_tokens")).head()
+    assert(stats.getAs[Long]("distinct_fps") == n2) // surviving docs all distinct
+    assert(stats.getAs[Long]("total_tokens") > n2 * 5)
+    // entire chain is one lazy plan — no driver collects inside operators
+    assert(enriched.queryExecution.analyzed != null)
+  }
+
   test("mixed-format pipeline: shapefile zones × geojsonl points → buffer → dissolve → area") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pipeline").toString
 
