@@ -468,8 +468,20 @@ object Algos {
         i += 2
       }
     } else {
-      ptsToSegs(ap, if (bL.isEmpty) Array(bp) else bL)
-      ptsToSegs(bp, if (aL.isEmpty) Array(ap) else aL)
+      // vertex-to-vertex covers the (Multi)Point parts on either side — a
+      // side with no line work must NOT be wrapped as a fake polyline (that
+      // would invent phantom segments between unrelated points).
+      var i = 0
+      while (i < ap.length) {
+        var j = 0
+        while (j < bp.length) {
+          best = math.min(best, math.hypot(ap(i) - bp(j), ap(i + 1) - bp(j + 1)))
+          j += 2
+        }
+        i += 2
+      }
+      if (bL.nonEmpty) ptsToSegs(ap, bL)
+      if (aL.nonEmpty) ptsToSegs(bp, aL)
     }
     best
   }

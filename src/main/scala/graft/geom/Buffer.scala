@@ -94,11 +94,13 @@ object Buffer {
         UnionOps.union(ps.toIndexedSeq.flatMap(cs =>
           lineParts(cs, radius, resolution, capStyle, joinStyle, mitreLimit)))
       case Polygon(rings) =>
-        // outward buffer: polygon itself ∪ stadiums of every ring segment
-        UnionOps.union(IndexedSeq(Array(rings.head)) ++ rings.toIndexedSeq.flatMap(r => lineStadiums(r, radius, resolution)))
+        // outward buffer: polygon (with holes — even-odd parity keeps hole
+        // interiors out) ∪ stadiums of every ring segment; the stadiums grow
+        // the shell outward and shrink the holes inward by `radius`.
+        UnionOps.union(IndexedSeq(rings) ++ rings.toIndexedSeq.flatMap(r => lineStadiums(r, radius, resolution)))
       case MultiPolygon(ps) =>
         UnionOps.union(ps.toIndexedSeq.flatMap { rings =>
-          IndexedSeq(Array(rings.head)) ++ rings.toIndexedSeq.flatMap(r => lineStadiums(r, radius, resolution))
+          IndexedSeq(rings) ++ rings.toIndexedSeq.flatMap(r => lineStadiums(r, radius, resolution))
         })
       case GeomCollection(gs) =>
         val parts = gs.map(buffer(_, radius, resolution)).flatMap {

@@ -154,8 +154,14 @@ object Routing {
     * resolution (reference: erde/op/isochrone.py sizes its grid from
     * speed·duration) — ~111.32 km per degree at the equator, padded one cell.
     */
-  def gridHalfCells(durationsS: Seq[Double], speedMps: Double, stepDeg: Double): Int = {
-    val reachDeg = speedMps * durationsS.max / 111320.0
+  def gridHalfCells(durationsS: Seq[Double], speedMps: Double, stepDeg: Double,
+      latDeg: Double = 0.0): Int = {
+    // longitude degrees shrink by cos(lat) — size the half-extent so the
+    // east-west reach is still covered away from the equator (the grid is
+    // square in degrees, so this over-covers north-south; contours clip
+    // correctly either way, under-coverage would clip them at the edge).
+    val cos = math.max(math.cos(math.toRadians(latDeg)), 0.01)
+    val reachDeg = speedMps * durationsS.max / (111320.0 * cos)
     math.max(1, math.ceil(reachDeg / stepDeg).toInt + 1)
   }
 

@@ -195,7 +195,7 @@ object Gpkg {
       val name = p.split("\\s+")(0).stripPrefix("\"").stripSuffix("\"")
         .stripPrefix("`").stripSuffix("`").stripPrefix("[").stripSuffix("]")
       if (constraint(name.toUpperCase)) None
-      else Some((name, p.split("\\s+").drop(1).headOption.getOrElse("").toUpperCase))
+      else Some((name, p.split("\\s+").drop(1).mkString(" ").toUpperCase))
     }
   }
 
@@ -258,7 +258,9 @@ object Gpkg {
     })
     val enc = RowEncoder.encoderFor(schema)
     val colDecls = cols.toArray
-    val rowidAlias = cols.indexWhere { case (_, d) => d.startsWith("INT") } // fid INTEGER PRIMARY KEY
+    // SQLite's rowid alias is specifically an INTEGER PRIMARY KEY column — a
+    // plain nullable INT column must keep its NULLs, not inherit the rowid.
+    val rowidAlias = cols.indexWhere { case (_, d) => d.contains("INTEGER PRIMARY KEY") }
 
     files.mapPartitions { it =>
       it.flatMap { fileBytes =>

@@ -221,6 +221,31 @@ class GeomKernelSpec extends AnyFunSuite {
     assert(Algos.area(Buffer.buffer(LineString(Array(0.0,0.0,5.0,5.0)), -1.0)) == 0.0)
   }
 
+  test("positive buffer of a donut keeps the hole, shrunk by r") {
+    val r = 0.2
+    val g = Buffer.buffer(squareWithHole, r, resolution = 32)
+    // shell grows: 16 + perimeter*r + πr²; the 1x1 hole erodes to (1-2r)²
+    val expected = 16.0 + 16.0 * r + math.Pi * r * r - math.pow(1 - 2 * r, 2)
+    assert(math.abs(Algos.area(g) / expected - 1) < 0.01, s"area ${Algos.area(g)} expected $expected")
+    // hole center must stay outside the buffered polygon
+    assert(!Algos.intersects(g, Point(1.5, 1.5)))
+    // r past the hole inradius swallows the hole entirely
+    val swallowed = Buffer.buffer(squareWithHole, 0.6, resolution = 32)
+    val full = 16.0 + 16.0 * 0.6 + math.Pi * 0.36
+    assert(math.abs(Algos.area(swallowed) / full - 1) < 0.01)
+    assert(Algos.intersects(swallowed, Point(1.5, 1.5)))
+  }
+
+  test("distance line↔multipoint has no phantom segments between points") {
+    // a fake polyline through the MultiPoint would pass through (0,0) on the line
+    val line = LineString(Array(0.0, 0, 10, 0))
+    val mp = MultiPoint(Array(0.0, 5, 0.0, -5))
+    assert(Algos.distance(line, mp) == 5.0)
+    assert(Algos.distance(mp, line) == 5.0)
+    // polygon ↔ multipoint likewise
+    assert(Algos.distance(MultiPoint(Array(-1.0, 2, -1.0, -2)), square) == 1.0)
+  }
+
   test("mitre and bevel join styles: right-angle polyline areas") {
     import graft.geom._
     val r = 2.0

@@ -90,6 +90,14 @@ class RoutingSpec extends AnyFunSuite with SparkSpec {
     assert(out.head().getAs[Long]("n_cells") == wider.head().getAs[Long]("n_cells"))
   }
 
+  test("gridHalfCells widens the grid away from the equator") {
+    val eq = Routing.gridHalfCells(Seq(600.0), 25.0, 0.05)
+    val at60 = Routing.gridHalfCells(Seq(600.0), 25.0, 0.05, latDeg = 60.0)
+    // cos(60°)=0.5 → east-west degree reach doubles
+    assert(at60 > eq, s"eq=$eq at60=$at60")
+    assert(at60 >= math.ceil((eq - 1) * 2).toInt, s"eq=$eq at60=$at60")
+  }
+
   test("isochrone cell counts grow with duration level and geometry unions cells") {
     val src = Seq((1, 10.0, 10.0)).toDF("rid", "lon", "lat")
     val out = Routing.isochrone(src, "lon", "lat", Seq(300.0, 900.0),

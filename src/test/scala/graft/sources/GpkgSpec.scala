@@ -31,6 +31,17 @@ class GpkgSpec extends AnyFunSuite with SparkSpec {
     assert(gpkg.select("fid").as[Long].collect().toSet == (1L to gpkg.count()).toSet)
   }
 
+  test("parseColumns keeps full declarations; rowid alias is INTEGER PRIMARY KEY only") {
+    val cols = Gpkg.parseColumns(
+      """CREATE TABLE "t" ("rank" INTEGER, "fid" INTEGER PRIMARY KEY AUTOINCREMENT,
+        | "geom" POINT, "name" TEXT NOT NULL, CHECK (rank > 0))""".stripMargin)
+    assert(cols.map(_._1) == Seq("rank", "fid", "geom", "name"))
+    // a plain nullable INTEGER column before the fid must NOT be taken for the
+    // rowid alias (its NULLs would silently be back-filled with the rowid)
+    assert(cols.indexWhere(_._2.contains("INTEGER PRIMARY KEY")) == 1)
+    assert(cols(0)._2 == "INTEGER")
+  }
+
   test("reads lines.gpkg geometries with correct lengths") {
     val gpkg = Gpkg.read(spark, stage("lines.gpkg"))
     val csv = GeoSources.GeoCSV.read(spark, s"$data/lines.csv", geometryCol = "WKT")
