@@ -1,0 +1,334 @@
+package graft
+
+/** DuckDB-SQL mirrors of the graft sketch kernels ([[graft.functions.TextKernel]])
+  * for the driver's correctness oracle. Every mirror reproduces the kernel's
+  * 64-bit wrap-around arithmetic bit-exactly in DuckDB:
+  *
+  *   - unsigned 64-bit values travel as HUGEINT in [0, 2^64); wrap = `% 2^64`
+  *   - `xor` needs signed BIGINT, so values round-trip through a single-
+  *     reference two's-complement conversion (`(a + 2^63) % 2^64 - 2^63`)
+  *   - 64×64-bit multiply overflows HUGEINT, so constants split into
+  *     32-bit halves: `a·c mod 2^64 = (a·cl + (a·ch mod 2^32)·2^32) mod 2^64`
+  *   - char folds run over UTF-16 code units (`unicode()` per char — the test
+  *     corpus is BMP-only, where code unit = codepoint)
+  *
+  * Discrete decisions (bucket collisions, hamming/Jaccard/cosine thresholds,
+  * winner selection) therefore agree exactly with the Spark side; the only
+  * float comparisons are the same IEEE-double expressions evaluated by both
+  * engines on identical inputs.
+  */
+object OracleSql {
+
+  private val H = "18446744073709551616" // 2^64
+  private val K31 = "1125899906842597"   // hashRange seed
+
+  /** HUGEINT in [0,2^64) → signed BIGINT (single operand reference). */
+  private def sb2(a: String): String =
+    s"CAST((($a) + 9223372036854775808) % $H - 9223372036854775808 AS BIGINT)"
+
+  /** signed BIGINT → HUGEINT in [0,2^64) (single operand reference). */
+  private def ub2(x: String): String = s"((CAST(($x) AS HUGEINT) + $H) % $H)"
+
+  private def xor64(a: String, b: String): String = ub2(s"xor(${sb2(a)}, ${sb2(b)})")
+
+  private def shr(a: String, k: Int): String = s"(($a) // ${1L << k})"
+
+  /** a·c mod 2^64 for constant c, via 32-bit split (a < 2^64). */
+  private def mulmod(a: String, c: BigInt): String = {
+    val ch = c >> 32
+    val cl = c & 0xffffffffL
+    s"((($a)*$cl + ((($a)*$ch) % 4294967296) * 4294967296) % $H)"
+  }
+
+  /** splitmix64 finalizer (TextKernel.mix64), operand referenced ~32×:
+    * keep inputs short (a column name or lambda variable).
+    */
+  private def mix64(z0: String): String = {
+    val z1 = s"((($z0) + 11400714819323198485) % $H)"
+    val z2 = mulmod(xor64(z1, shr(z1, 30)), BigInt("bf58476d1ce4e5b9", 16))
+    val z3 = mulmod(xor64(z2, shr(z2, 27)), BigInt("94d049bb133111eb", 16))
+    xor64(z3, shr(z3, 31))
+  }
+
+  /** UTF-16 code units of a string expr as HUGEINT list. */
+  private def codesOf(s: String): String =
+    s"list_transform(split($s, ''), x -> CAST(unicode(x) AS HUGEINT))"
+
+  /** 31-polynomial fold + mix64 = TextKernel.hashRange over a codes list. */
+  private def hashFold(codes: String): String =
+    mix64(s"list_reduce(list_prepend(CAST($K31 AS HUGEINT), $codes), (h, c) -> (31*h + c) % $H)")
+
+  /** Unrolled hashRange of a k-char shingle at 1-based position p of list cs. */
+  private def shinglePoly(k: Int): String = {
+    val base = BigInt(K31) * BigInt(31).pow(k)
+    val terms = s"CAST('$base' AS HUGEINT)" +: (0 until k).map { i =>
+      val c = if (i == 0) "cs[p]" else s"cs[p+$i]"
+      val coef = BigInt(31).pow(k - 1 - i)
+      if (coef == 1) c else s"$c*$coef"
+    }
+    terms.mkString("(", " + ", s") % $H")
+  }
+
+  /** (b, 2^b) literal table — `**`/`power` are lossy doubles, literals are exact. */
+  private def pow2Values(n: Int): String = {
+    val vals = (0 until n).map(b => s"($b, CAST('${BigInt(1) << b}' AS HUGEINT))").mkString(", ")
+    s"(SELECT * FROM (VALUES $vals) pw(b, pb))"
+  }
+
+  /** Cosine similarity of two DOUBLE-castable list exprs (same fold shape as
+    * [[graft.operators.Similarity.cosineSim]]).
+    */
+  def cos(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |  * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  // ---- shared CTE cores ----------------------------------------------------
+
+  /** CTE `sh(doc_id, lang, simhash)`: TextKernel.simhash64 per document
+    * (lowercase alnum tokens → 64 bit votes).
+    */
+  private def simhashCore(docsrc: String): String =
+    s"""toks AS (SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+')) AS tok
+       |  FROM $docsrc),
+       |th AS (SELECT doc_id, lang, ${hashFold(codesOf("tok"))} AS h FROM toks),
+       |bits AS (SELECT doc_id, lang, b,
+       |  sum(CASE WHEN (h // pb) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+       |  FROM th, ${pow2Values(64)} GROUP BY doc_id, lang, b),
+       |shv AS (SELECT bits.doc_id, bits.lang,
+       |  ${sb2("sum(CASE WHEN cnt > 0 THEN pb ELSE 0 END)")} AS simhash
+       |  FROM bits JOIN ${pow2Values(64)} USING (b) GROUP BY bits.doc_id, bits.lang),
+       |sh AS (SELECT d.doc_id, d.lang, coalesce(shv.simhash, 0) AS simhash
+       |  FROM $docsrc d LEFT JOIN shv ON d.doc_id = shv.doc_id)""".stripMargin
+
+  /** CTEs `fullsig(doc_id, sig)` (128-long signed MinHash signature, 5-char
+    * shingles, Kirsch–Mitzenmacher double hashing) and `est(ida, idb, eq)`
+    * (banded-LSH candidate pairs with their equal-component count).
+    */
+  private def minhashCore(docsrc: String, shingle: Int = 5, nh: Int = 128, nb: Int = 16): String = {
+    val rpb = nh / nb
+    s"""d0m AS (SELECT doc_id, lang, ${codesOf("text")} AS cs FROM $docsrc),
+       |posm AS (SELECT doc_id, cs, unnest(range(1, greatest(len(cs) - ${shingle - 2}, 2))) AS p FROM d0m),
+       |sh0 AS (SELECT doc_id,
+       |  CASE WHEN len(cs) >= $shingle THEN ${shinglePoly(shingle)}
+       |  ELSE list_reduce(list_prepend(CAST($K31 AS HUGEINT), cs), (h, c) -> (31*h + c) % $H) END AS z0
+       |  FROM posm WHERE len(cs) >= $shingle OR p = 1),
+       |hh1 AS (SELECT DISTINCT doc_id, ${mix64("z0")} AS h1 FROM sh0),
+       |hh2 AS (SELECT doc_id, h1, ((${mix64(xor64("h1", "1983549640968916533"))}) // 2) * 2 + 1 AS h2 FROM hh1),
+       |sigrows AS (SELECT doc_id, i, min(${sb2(s"(h1 + i*h2) % $H")}) AS sv
+       |  FROM hh2, (SELECT unnest(range(0, $nh)) AS i) ii GROUP BY doc_id, i),
+       |fullsig AS (SELECT doc_id, list(sv ORDER BY i) AS sig FROM sigrows GROUP BY doc_id),
+       |bands AS (SELECT doc_id, bd, array_to_string(sig[bd*$rpb+1:bd*$rpb+$rpb], ',') AS bsig
+       |  FROM fullsig, (SELECT unnest(range(0, $nb)) AS bd) bb),
+       |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |  FROM bands a JOIN bands b ON a.bd = b.bd AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |est AS (SELECT c.ida, c.idb,
+       |  len(list_filter(list_zip(fa.sig, fb.sig), s -> s[1] = s[2])) AS eq
+       |  FROM cand c JOIN fullsig fa ON c.ida = fa.doc_id JOIN fullsig fb ON c.idb = fb.doc_id)""".stripMargin
+  }
+
+  /** CTE `gset(doc_id, grams)`: distinct hashed word n-grams
+    * (TextKernel.ngramsHashed) per document, word order preserved.
+    */
+  private def gramsCore(docsrc: String, n: Int = 3): String =
+    s"""wtoks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+')) AS tok,
+       |  generate_subscripts(regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+'), 1) AS wpos
+       |  FROM $docsrc),
+       |wh AS (SELECT doc_id, wpos, ${hashFold(codesOf("tok"))} AS w FROM wtoks),
+       |wlist AS (SELECT doc_id, list(w ORDER BY wpos) AS ws FROM wh GROUP BY doc_id),
+       |gpos AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - ${n - 2}, 2))) AS j FROM wlist),
+       |graw AS (SELECT doc_id,
+       |  CASE WHEN len(ws) >= $n THEN ws[j:j+${n - 1}] ELSE ws END AS gw
+       |  FROM gpos WHERE len(ws) >= $n OR j = 1),
+       |ghash AS (SELECT doc_id,
+       |  ${sb2(s"list_reduce(list_prepend(CAST(0 AS HUGEINT), gw), (h, w) -> ${mix64(xor64("h", "w"))})")} AS g
+       |  FROM graw),
+       |gset AS (SELECT doc_id, list(DISTINCT g) AS grams FROM ghash GROUP BY doc_id)""".stripMargin
+
+  /** CTE `sk(vec_id, t, sketch)`: TextKernel.vecSimhash sign sketch per
+    * (vector, table) — Rademacher planes from mix64(table ^ (plane<<32) ^ dim).
+    */
+  private def vecsketchCore(vecsrc: String, tables: Int, planes: Int, dim: Int): String =
+    s"""wts AS (SELECT t, p, list(CASE WHEN (${mix64("CAST(p AS HUGEINT) * 4294967296 + " + ub2("xor(CAST(t AS BIGINT), CAST(d AS BIGINT))"))}) % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY d) AS wl
+       |  FROM (SELECT unnest(range(0, $tables)) AS t) tt,
+       |       (SELECT unnest(range(0, $planes)) AS p) pp,
+       |       (SELECT unnest(range(0, $dim)) AS d) dd
+       |  GROUP BY t, p),
+       |dots AS (SELECT e.vec_id, w.t, w.p,
+       |  list_sum(list_transform(list_zip(e.embedding, w.wl), s -> CAST(s[1] AS DOUBLE) * s[2])) AS dot
+       |  FROM $vecsrc e, wts w),
+       |sk AS (SELECT vec_id, t, sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS sketch
+       |  FROM dots GROUP BY vec_id, t)""".stripMargin
+
+  // ---- full oracle queries -------------------------------------------------
+
+  /** (doc_id, doc_fp): TextKernel.fingerprint — mix-fold of the 4 smallest
+    * signed char-8-gram hashes.
+    */
+  def fingerprint(docsrc: String = "documents"): String =
+    s"""WITH d0 AS (SELECT doc_id, ${codesOf("text")} AS cs FROM $docsrc),
+       |pos AS (SELECT doc_id, cs, unnest(range(1, greatest(len(cs) - 6, 2))) AS p FROM d0),
+       |raw AS (SELECT doc_id,
+       |  CASE WHEN len(cs) >= 8 THEN ${shinglePoly(8)}
+       |  ELSE list_reduce(list_prepend(CAST($K31 AS HUGEINT), cs), (h, c) -> (31*h + c) % $H) END AS z0
+       |  FROM pos WHERE len(cs) >= 8 OR p = 1),
+       |mixed AS (SELECT doc_id, ${sb2(mix64("z0"))} AS hv FROM raw),
+       |m4 AS (SELECT doc_id, list_sort(list(hv))[1:4] AS ms FROM mixed GROUP BY doc_id)
+       |SELECT doc_id,
+       |  ${sb2(s"list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(ms, m -> ${ub2("m")})), (o, m) -> ${mix64(xor64("o", "m"))})")} AS doc_fp
+       |FROM m4""".stripMargin
+
+  /** (doc_id, lang_pred): TextKernel.langId — CJK-dominance check, then the
+    * stopword set with the most token hits (ties → first alphabetically).
+    */
+  def langid(docsrc: String = "documents"): String = {
+    val stop = Map(
+      "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "nicht", "von", "zu", "mit", "den", "im", "für", "auf"),
+      "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "was", "for", "on", "with", "as", "at"),
+      "es" -> Seq("el", "la", "los", "las", "de", "y", "un", "una", "es", "que", "para", "en", "del", "con", "por"),
+      "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "est", "que", "pour", "dans", "du", "au", "avec"),
+      "it" -> Seq("il", "la", "le", "di", "e", "un", "una", "è", "che", "per", "in", "del", "con", "non", "si"))
+    val hitCols = stop.keys.toSeq.sorted.map { l =>
+      val lst = stop(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, t -> t IN ($lst))) AS h_$l"
+    }
+    s"""WITH d0 AS (SELECT doc_id,
+       |  length(regexp_replace(lower(text), '[^\\p{L}]', '', 'g')) AS n_letters,
+       |  length(regexp_replace(lower(text), '[^\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]', '', 'g')) AS n_cjk,
+       |  regexp_extract_all(lower(text), '\\p{L}+') AS toks
+       |  FROM $docsrc),
+       |h AS (SELECT doc_id, n_letters, n_cjk, ${hitCols.mkString(", ")} FROM d0),
+       |m AS (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_it) AS mx FROM h)
+       |SELECT doc_id,
+       |  CASE WHEN n_letters > 0 AND n_cjk * 2 > n_letters THEN 'zh'
+       |       WHEN mx = 0 THEN 'unknown'
+       |       WHEN h_de = mx THEN 'de' WHEN h_en = mx THEN 'en' WHEN h_es = mx THEN 'es'
+       |       WHEN h_fr = mx THEN 'fr' ELSE 'it' END AS lang_pred
+       |FROM m""".stripMargin
+  }
+
+  /** (doc_id, format, width, height, n_frames): Multimodal.decodeStub — mix64
+    * fold over the first 64 payload bytes (UTF-8 of ASCII text = code units),
+    * then the stub's signed modulo/shift arithmetic.
+    */
+  def multimodalMeta(docsrc: String = "documents"): String =
+    s"""WITH d0 AS (SELECT doc_id, ${codesOf("text")}[1:64] AS cs FROM $docsrc),
+       |f AS (SELECT doc_id,
+       |  ${sb2(s"list_reduce(list_prepend(CAST(0 AS HUGEINT), cs), (h, c) -> ${mix64(xor64("h", "c"))})")} AS h
+       |  FROM d0)
+       |SELECT doc_id,
+       |  CASE ((h % 3) + 3) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+       |  CAST(64 + abs(h >> 8) % 1024 AS BIGINT) AS width,
+       |  CAST(64 + abs(h >> 24) % 1024 AS BIGINT) AS height,
+       |  CAST(1 + abs(h >> 40) % 64 AS BIGINT) AS n_frames
+       |FROM f""".stripMargin
+
+  /** Kept (doc_id, lang) after SimHash dedup: drop every id that loses a
+    * hamming ≤ `maxHamming` pair to a smaller id (4×16-bit pigeonhole
+    * bucketing has recall 1 for hamming ≤ 3, so the bucket step needs no
+    * mirror).
+    */
+  def dedupSimhash(docsrc: String = "documents", maxHamming: Int = 3): String =
+    s"""WITH ${simhashCore(docsrc)},
+       |dropped AS (SELECT DISTINCT b.doc_id FROM sh a JOIN sh b
+       |    ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= $maxHamming)
+       |SELECT d.doc_id, d.lang FROM sh d ANTI JOIN dropped dr ON d.doc_id = dr.doc_id""".stripMargin
+
+  /** Kept (doc_id, lang) after MinHash-LSH dedup at estimated Jaccard ≥
+    * `threshold` (band collisions and signature agreement both mirrored
+    * exactly — no recall assumption).
+    */
+  def dedupMinhash(docsrc: String = "documents", threshold: Double = 0.7): String =
+    s"""WITH ${minhashCore(docsrc)},
+       |dropped AS (SELECT DISTINCT idb FROM est WHERE CAST(eq AS DOUBLE)/128.0 >= $threshold)
+       |SELECT d.doc_id, d.lang FROM $docsrc d ANTI JOIN dropped dr ON d.doc_id = dr.idb""".stripMargin
+
+  /** Kept (doc_id, lang) after MinHash candidates (est ≥ `candThreshold`) +
+    * exact word-3-gram Jaccard ≥ `jacThreshold` verification.
+    */
+  def dedupVerified(docsrc: String = "documents", candThreshold: Double = 0.4,
+      jacThreshold: Double = 0.7): String =
+    s"""WITH ${minhashCore(docsrc)},
+       |${gramsCore(docsrc)},
+       |vpairs AS (SELECT e.ida, e.idb,
+       |    CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+       |      / greatest(len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)), 1) AS jac
+       |  FROM est e JOIN gset ga ON e.ida = ga.doc_id JOIN gset gb ON e.idb = gb.doc_id
+       |  WHERE CAST(e.eq AS DOUBLE)/128.0 >= $candThreshold),
+       |dropped AS (SELECT DISTINCT idb FROM vpairs WHERE jac >= $jacThreshold)
+       |SELECT d.doc_id, d.lang FROM $docsrc d ANTI JOIN dropped dr ON d.doc_id = dr.idb""".stripMargin
+
+  /** Kept (vec_id, label) after embedding near-dedup: random-hyperplane
+    * bucket collision in any table + exact cosine ≥ `threshold`.
+    */
+  def dedupEmbedding(vecsrc: String = "embeddings", threshold: Double = 0.98,
+      tables: Int = 4, planes: Int = 16, dim: Int = 64): String =
+    s"""WITH ${vecsketchCore(vecsrc, tables, planes, dim)},
+       |cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM sk a JOIN sk b ON a.t = b.t AND a.sketch = b.sketch AND a.vec_id < b.vec_id),
+       |vp AS (SELECT c.ida, c.idb, ${cos("ea.embedding", "eb.embedding")} AS cs
+       |  FROM cand c JOIN $vecsrc ea ON c.ida = ea.vec_id JOIN $vecsrc eb ON c.idb = eb.vec_id),
+       |dropped AS (SELECT DISTINCT idb FROM vp WHERE cs >= $threshold)
+       |SELECT e.vec_id, e.label FROM $vecsrc e ANTI JOIN dropped dr ON e.vec_id = dr.idb""".stripMargin
+
+  /** (query_id, neighbor_id, cosine): LSH-bucketed top-k — candidates share a
+    * (table, sketch) bucket, ranked by exact cosine (desc, id asc).
+    */
+  def simLsh(vecsrc: String = "embeddings", k: Int = 5, tables: Int = 8,
+      planes: Int = 12, dim: Int = 64, queryPred: String = "vec_id < 8"): String =
+    s"""WITH ${vecsketchCore(vecsrc, tables, planes, dim)},
+       |qsk AS (SELECT * FROM sk WHERE $queryPred),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM qsk q JOIN sk c ON q.t = c.t AND q.sketch = c.sketch),
+       |scored AS (SELECT c.query_id, c.neighbor_id, ${cos("eq.embedding", "ec.embedding")} AS cs
+       |  FROM cand c JOIN $vecsrc eq ON c.query_id = eq.vec_id JOIN $vecsrc ec ON c.neighbor_id = ec.vec_id)
+       |SELECT query_id, neighbor_id, round(cs, 6) AS cosine FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) <= $k""".stripMargin
+
+  /** (r_regionkey, level_s, contour_area_deg2): marching-squares filled
+    * contour area ([[graft.geom.Contour.filled]]) of the great-circle
+    * duration field — per-cell boundary-walk pieces are disjoint, so the
+    * MultiPolygon area is the sum of per-cell shoelace areas. Corner
+    * durations use the routed sample coords (lon + i·step); vertex coords use
+    * Contour.filled's grid arithmetic ((lon − h·step) + ix·step) — the two
+    * differ in floating point and both are mirrored exactly.
+    */
+  def isochroneContours(h: Int = 8, step: String = "0.05",
+      levels: Seq[Double] = Seq(600.0, 1200.0), speed: String = "25.0"): String = {
+    val hav = (lon1: String, lat1: String, lon2: String, lat2: String) =>
+      s"""2*6371008.8*asin(least(1.0, sqrt(pow(sin((radians($lat2)-radians($lat1))/2),2)
+         | + cos(radians($lat1))*cos(radians($lat2))*pow(sin((radians($lon2)-radians($lon1))/2),2))))""".stripMargin
+    val dx = Array(0, 1, 1, 0); val dy = Array(0, 0, 1, 1) // boundary order 00→10→11→01
+    val cornerCols = (0 until 4).flatMap { k =>
+      val plon = s"(lon + (ci + ${dx(k)} - $h) * $step)"
+      val plat = s"(lat + (cj + ${dy(k)} - $h) * $step)"
+      Seq(
+        s"${hav("lon", "lat", plon, plat)} / $speed AS v$k",
+        s"((lon - $h * $step) + (ci + ${dx(k)}) * $step) AS x$k",
+        s"((lat - $h * $step) + (cj + ${dy(k)}) * $step) AS y$k")
+    }
+    val ring = (0 until 4).flatMap { k =>
+      val k2 = (k + 1) % 4
+      val f = s"(CASE WHEN abs(v$k2 - v$k) < 1e-300 THEN 0.5 ELSE (level_s - v$k) / (v$k2 - v$k) END)"
+      val fc = s"greatest(0.0, least(1.0, $f))"
+      Seq(
+        s"CASE WHEN in$k THEN [{'x': x$k, 'y': y$k}] ELSE [] END",
+        s"CASE WHEN in$k != in$k2 THEN [{'x': x$k + $fc * (x$k2 - x$k), 'y': y$k + $fc * (y$k2 - y$k)}] ELSE [] END")
+    }.mkString(" || ")
+    val lv = levels.map(l => s"$l").mkString(", ")
+    s"""WITH src AS (SELECT r_regionkey, r_regionkey * 12.0 - 24.0 AS lon, r_regionkey * 7.0 - 14.0 AS lat FROM region),
+       |lv AS (SELECT CAST(unnest([$lv]) AS DOUBLE) AS level_s),
+       |cells AS (SELECT r_regionkey, lon, lat, level_s, ci, cj
+       |  FROM src, lv, (SELECT unnest(range(0, ${2 * h})) AS ci) ii, (SELECT unnest(range(0, ${2 * h})) AS cj) jj),
+       |co AS (SELECT r_regionkey, level_s, ci, cj, ${cornerCols.mkString(", ")} FROM cells),
+       |flags AS (SELECT *, v0 <= level_s AS in0, v1 <= level_s AS in1, v2 <= level_s AS in2, v3 <= level_s AS in3 FROM co),
+       |rings AS (SELECT r_regionkey, level_s, ($ring) AS ring FROM flags),
+       |areas AS (SELECT r_regionkey, level_s,
+       |  CASE WHEN len(ring) >= 3 THEN abs(list_sum(list_transform(range(1, len(ring) + 1),
+       |    i -> ring[i].x * ring[CASE WHEN i = len(ring) THEN 1 ELSE i + 1 END].y
+       |       - ring[CASE WHEN i = len(ring) THEN 1 ELSE i + 1 END].x * ring[i].y))) / 2 ELSE 0.0 END AS a
+       |  FROM rings)
+       |SELECT r_regionkey, level_s, round(sum(a), 6) AS contour_area_deg2
+       |FROM areas GROUP BY r_regionkey, level_s""".stripMargin
+  }
+}

@@ -279,11 +279,11 @@ object SparkEntry {
           round(st_y(col("geometry")), 6).as("py"))
     }),
 
-    // --- near-dedup: minhash candidates + exact jaccard verify (rows-only) -
+    // --- near-dedup: minhash candidates + exact jaccard verify --------------
     "dedup_verified" -> ((s, dir) =>
       Dedup.minhashVerified(t(s, dir, "documents"), "text", "doc_id",
           candidateThreshold = 0.4, jaccardThreshold = 0.7)
-        .groupBy("lang").agg(count(lit(1)).as("n_docs"))),
+        .select("doc_id", "lang")),
 
     // --- sessionization (streaming module, batch face) --------------------
     "events_sessionize" -> ((s, dir) =>
@@ -303,13 +303,15 @@ object SparkEntry {
         .select("osm_id", "type")
     }),
 
-    // --- multimodal binary plumbing (stub decode; rows-only) ---------------
+    // --- multimodal binary plumbing (stub decode, exact-mirrored) ----------
     "multimodal_meta" -> ((s, dir) => {
       val media = t(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
       Multimodal.withMeta(media)
-        .groupBy(col("media_meta.format").as("format"))
-        .agg(count(lit(1)).as("n_docs"))
+        .select(col("doc_id"), col("media_meta.format").as("format"),
+          col("media_meta.width").cast("long").as("width"),
+          col("media_meta.height").cast("long").as("height"),
+          col("media_meta.n_frames").cast("long").as("n_frames"))
     }),
 
     // --- similarity: brute-force cosine top-k -----------------------------
@@ -319,11 +321,11 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
-    // --- similarity: LSH-bucketed ANN (rows-only; recall spec'd) ----------
+    // --- similarity: LSH-bucketed ANN (bucket collisions exact-mirrored) ---
     "sim_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 8), "embedding", "vec_id", k = 5)
-        .groupBy("query_id").agg(count(lit(1)).as("n_candidates"))
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
     // --- similarity: IVF ANN (KMeans coarse quantizer; rows-only) ----------
@@ -354,30 +356,30 @@ object SparkEntry {
           col("ws_tokens").cast("long").as("ws_tokens"),
           col("bpe_tokens").cast("long").as("bpe_tokens"))),
 
-    // --- language id (heuristic; rows-only + spec) -------------------------
+    // --- language id (heuristic, exact-mirrored) ---------------------------
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"))
-        .groupBy("lang_pred").agg(count(lit(1)).as("n_docs"))),
+        .select("doc_id", "lang_pred")),
 
-    // --- document fingerprinting (rows-only + spec) ------------------------
+    // --- document fingerprinting (rolling hash, exact-mirrored) ------------
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"))
-        .groupBy("lang").agg(countDistinct(col("doc_fp")).as("n_distinct_fp"))),
+        .select("doc_id", "doc_fp")),
 
-    // --- near-dedup: MinHash LSH (rows-only + planted-dup spec) -----------
+    // --- near-dedup: MinHash LSH (kept set exact-mirrored) -----------------
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id", threshold = 0.7)
-        .groupBy("lang").agg(count(lit(1)).as("n_docs"))),
+        .select("doc_id", "lang")),
 
-    // --- near-dedup: SimHash (rows-only + spec) ----------------------------
+    // --- near-dedup: SimHash (kept set exact-mirrored) ---------------------
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
-        .groupBy("lang").agg(count(lit(1)).as("n_docs"))),
+        .select("doc_id", "lang")),
 
-    // --- near-dedup: embedding cosine (rows-only + spec) -------------------
+    // --- near-dedup: embedding cosine (kept set exact-mirrored) ------------
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id", threshold = 0.98)
-        .groupBy("label").agg(count(lit(1)).as("n_vecs"))),
+        .select("vec_id", "label")),
 
     // --- erde op/isochrone: contour polygons (rows-only; area spec'd) ------
     "isochrone_contours" -> ((s, dir) => {
@@ -609,6 +611,16 @@ object SparkEntry {
         |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
         |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe_tokens
         |FROM documents""".stripMargin,
+    // sketch-kernel mirrors (bit-exact 64-bit arithmetic in DuckDB — see OracleSql)
+    "text_fingerprint" -> OracleSql.fingerprint(),
+    "text_langid" -> OracleSql.langid(),
+    "multimodal_meta" -> OracleSql.multimodalMeta(),
+    "dedup_simhash" -> OracleSql.dedupSimhash(),
+    "dedup_minhash" -> OracleSql.dedupMinhash(),
+    "dedup_verified" -> OracleSql.dedupVerified(),
+    "dedup_embedding" -> OracleSql.dedupEmbedding(),
+    "sim_lsh" -> OracleSql.simLsh(),
+    "isochrone_contours" -> OracleSql.isochroneContours(),
     "isochrone_cells" ->
       s"""WITH src AS (SELECT r_regionkey,
          |  r_regionkey * 12.0 - 24.0 AS lon, r_regionkey * 7.0 - 14.0 AS lat FROM region)

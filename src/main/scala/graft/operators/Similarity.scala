@@ -94,12 +94,12 @@ object Similarity {
 
     val featured = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__feat", array_to_vector(col("__cv").cast("array<double>")))
-    // coarse quantizer: few iterations suffice, and training on a bounded
-    // sample keeps the fit constant-time at any corpus scale
-    val trainSet = {
-      val n = featured.count()
-      if (n > 100000) featured.sample(100000.0 / n, seed) else featured
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // coarse quantizer: few iterations suffice, and a bounded training set
+    // keeps the fit constant-time at any corpus scale. limit() reads only as
+    // many partitions as needed — no sizing count() pass over the corpus —
+    // and the persist above means fit + transform share one corpus scan.
+    val trainSet = featured.select("__feat").limit(100000)
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setDistanceMeasure("cosine").setMaxIter(8)
       .setFeaturesCol("__feat").setPredictionCol("__cell")
