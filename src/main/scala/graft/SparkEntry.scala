@@ -214,6 +214,21 @@ object SparkEntry {
         .select("n_nationkey", "n_items", "qty_sum")
     }),
 
+    // --- skew stress: every point in ONE grid cell; salting spreads it -----
+    "sjoin_skew" -> ((s, dir) => {
+      val pts = t(s, dir, "lineitem").withColumn("geometry",
+        st_point(expr("(l_orderkey % 100) * 0.004 + 0.05"),
+          expr("(l_partkey % 100) * 0.004 + 0.05")))
+      val lon0 = expr("(s_suppkey % 20) * 0.02")
+      val lat0 = expr("(s_suppkey % 25) * 0.016")
+      val rects = t(s, dir, "supplier").withColumn("geometry",
+        st_envelope(st_makeline(st_point(lon0, lat0), st_point(lon0 + lit(0.05), lat0 + lit(0.05)))))
+      SJoin.pairs(pts, rects, predicate = "within",
+          tuning = SJoin.Tuning(saltFactor = 8))
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("qty_sum"))
+    }),
+
     // --- areal boolean ops: zone ∩ window (slab-exact) ---------------------
     "geo_intersection_area" -> ((s, dir) => {
       val window = st_geomfromtext(lit("POLYGON ((-10 -10, 10 -10, 10 10, -10 10, -10 -10))"))
@@ -511,6 +526,14 @@ object SparkEntry {
         |  AND ((l_orderkey % 80) * 0.5 - 20 + 0.25) > ((n_nationkey % 5) * 8.0 - 20)
         |  AND ((l_orderkey % 80) * 0.5 - 20 + 0.25) < ((n_nationkey % 5) * 8.0 - 20 + 6.0)
         |GROUP BY n_nationkey""".stripMargin,
+    "sjoin_skew" ->
+      """SELECT s_suppkey, count(*) AS n_items, round(sum(l_quantity), 2) AS qty_sum
+        |FROM lineitem, supplier
+        |WHERE ((l_orderkey % 100) * 0.004 + 0.05) > ((s_suppkey % 20) * 0.02)
+        |  AND ((l_orderkey % 100) * 0.004 + 0.05) < ((s_suppkey % 20) * 0.02 + 0.05)
+        |  AND ((l_partkey % 100) * 0.004 + 0.05) > ((s_suppkey % 25) * 0.016)
+        |  AND ((l_partkey % 100) * 0.004 + 0.05) < ((s_suppkey % 25) * 0.016 + 0.05)
+        |GROUP BY s_suppkey""".stripMargin,
     "geo_intersection_area" ->
       """SELECT n_nationkey, round(
         |  greatest(0, least(((n_nationkey % 12) * 5.0 - 30) + 4.0, 10) - greatest((n_nationkey % 12) * 5.0 - 30, -10))

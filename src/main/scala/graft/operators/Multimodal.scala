@@ -23,11 +23,35 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("n_frames", IntegerType, nullable = false)))
 
-  /** STUB decode: derives deterministic pseudo-metadata from the payload
-    * bytes. A real implementation parses the container header here
-    * (e.g. PNG IHDR / ISOBMFF moov) — same signature, same plumbing.
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+  private def be16(b: Array[Byte], o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+  /** Real container-header metadata where the format is recognizable —
+    * pure-JVM byte parsing, no codec:
+    *   - PNG: 8-byte signature, IHDR width/height at offsets 16/20 (big-endian)
+    *   - JPEG: FF D8, then marker segments scanned for SOF0/1/2 (dimensions)
+    * Unrecognized payloads fall back to the deterministic STUB (pseudo-meta
+    * from a byte hash) so the pipeline shape stays testable without codecs.
     */
   private def decodeStub(bytes: Array[Byte]): (String, Int, Int, Int) = {
+    // PNG: \x89PNG\r\n\x1a\n + IHDR (first chunk by spec)
+    if (bytes.length >= 24 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
+        bytes(3) == 'G' && bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R')
+      return ("png", be32(bytes, 16), be32(bytes, 20), 1)
+    // JPEG: SOI then marker segments; SOFn carries height/width
+    if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 9 < bytes.length && (bytes(i) & 0xff) == 0xff) {
+        val marker = bytes(i + 1) & 0xff
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
+          return ("jpeg", be16(bytes, i + 7), be16(bytes, i + 5), 1)
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+        else i += 2 + be16(bytes, i + 2)
+      }
+      return ("jpeg", 0, 0, 1) // truncated header: recognized, dimensionless
+    }
+    // STUB fallback: deterministic pseudo-metadata from the payload hash
     var h = 0L
     var i = 0
     val n = math.min(bytes.length, 64)

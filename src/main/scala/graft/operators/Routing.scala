@@ -221,13 +221,22 @@ object Routing {
       halfCells: Int = 8,
       keyCols: Seq[String] = Nil,
       withGeometry: Boolean = true,
-      walkSpeedMps: Double = 1.0): DataFrame = {
+      walkSpeedMps: Double = 1.0,
+      gridShape: String = "square"): DataFrame = {
+    require(Set("square", "hex")(gridShape), s"gridShape '$gridShape' (square|hex)")
     val keys = if (keyCols.nonEmpty) keyCols else sources.columns.toSeq
+    // hex = offset rows (reference erde/op/isochrone.py routes a hex point
+    // grid): odd rows shift half a step in lon, row spacing √3/2·step — same
+    // point density shape as the reference's hexagonal sampling
+    val hex = gridShape == "hex"
+    val lonOff =
+      if (hex) col("__i") + (abs(col("__j")) % 2) * lit(0.5) else col("__i")
+    val latStepDeg = if (hex) stepDeg * math.sqrt(3) / 2 else stepDeg
     val grid = sources
       .withColumn("__i", explode(sequence(lit(-halfCells), lit(halfCells))))
       .withColumn("__j", explode(sequence(lit(-halfCells), lit(halfCells))))
-      .withColumn("__plon", col(srcLon) + col("__i") * lit(stepDeg))
-      .withColumn("__plat", col(srcLat) + col("__j") * lit(stepDeg))
+      .withColumn("__plon", col(srcLon) + lonOff * lit(stepDeg))
+      .withColumn("__plat", col(srcLat) + col("__j") * lit(latStepDeg))
       // full_duration = duration + snap penalty (reference: erde/op/isochrone.py)
       .withColumn("__leg", router.routeExpr(col(srcLon), col(srcLat), col("__plon"), col("__plat")))
       .withColumn("__dur", col("__leg.duration") + (col("__leg.snap_source") + col("__leg.snap_dest")) / lit(walkSpeedMps))

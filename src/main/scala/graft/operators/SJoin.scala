@@ -139,6 +139,9 @@ object SJoin {
       return sjfull(right, left, flip(predicate), "left", rightGeom, leftGeom,
         cellDeg, rightSuffix, tuning)
     val lt = tagged(left, leftGeom, cellDeg)
+    // the left join reads the tagged left twice (matches + anti-join pass):
+    // persist so the scan — and the monotonically increasing ids — happen once
+    if (how == "left") lt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inner = pairsKeyed(lt, right, predicate, leftGeom, rightGeom, cellDeg, rightSuffix, tuning)
     how match {
       case "inner" => inner.drop(LID)

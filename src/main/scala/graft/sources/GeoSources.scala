@@ -97,10 +97,23 @@ object GeoSources {
       applyFilter(parsed, geometryCol, filterWkt)
     }
 
-    def write(df: DataFrame, path: String, geometryCol: String = "geometry"): Unit = {
+    /** `maxRows` bounds the single-task write: a frame beyond it fails fast
+      * (streamed count — no extra scan) instead of silently producing one
+      * giant file; scale data belongs in [[GeoJSONSeq]]/parquet.
+      */
+    def write(df: DataFrame, path: String, geometryCol: String = "geometry",
+        maxRows: Long = 1000000L): Unit = {
       import df.sparkSession.implicits._
       val lines = GeoJSONSeq.featureLines(df, geometryCol).as[String]
-      lines.coalesce(1).mapPartitions { it =>
+      lines.coalesce(1).mapPartitions { it0 =>
+        var n = 0L
+        val it = it0.map { line =>
+          n += 1
+          if (n > maxRows) throw new IllegalStateException(
+            s"GeoJSON.write is a whole-file export capped at maxRows=$maxRows rows; " +
+              "use GeoJSONSeq or parquet for large frames")
+          line
+        }
         val body = new Iterator[String] {
           private var first = true
           override def hasNext: Boolean = it.hasNext

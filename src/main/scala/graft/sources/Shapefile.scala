@@ -289,9 +289,15 @@ object Shapefile {
     * collects — the legacy-format export path, like the whole-file GeoJSON
     * writer; cluster-scale data belongs in parquet/geojsonseq).
     */
-  def write(df: DataFrame, base: String, geometryCol: String = "geometry"): Unit = {
+  def write(df: DataFrame, base: String, geometryCol: String = "geometry",
+      maxRows: Int = 1000000): Unit = {
     val attrCols = df.columns.filterNot(_ == geometryCol)
-    val rows = df.collect()
+    // collect at most maxRows+1: bounds driver memory AND detects overflow
+    // without a separate count pass
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"Shapefile.write collects to the driver and is capped at maxRows=$maxRows rows; " +
+        "use parquet/geojsonseq for large frames")
     val geoms = rows.map(r => WKB.read(r.getAs[Array[Byte]](geometryCol)))
 
     val shapeType = geoms.headOption.map {

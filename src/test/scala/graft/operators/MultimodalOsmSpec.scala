@@ -27,6 +27,25 @@ class MultimodalOsmSpec extends AnyFunSuite with SparkSpec {
     assert(m.getInt(0) >= 64 && m.getInt(1) >= 64)
   }
 
+  test("withMeta parses real PNG IHDR and JPEG SOF0 headers") {
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    // minimal PNG: signature + IHDR chunk (length, type, 640x480, rest zeroed)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++ Array[Byte](8, 6, 0, 0, 0)
+    // minimal JPEG: SOI, APP0 (skipped), SOF0 with 480 high x 640 wide
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array[Byte](0xff.toByte, 0xe0.toByte, 0, 4, 'J', 'F') ++ // APP0 len=4
+      Array[Byte](0xff.toByte, 0xc0.toByte, 0, 17, 8) ++
+      Array[Byte](0x01, 0xe0.toByte) ++ Array[Byte](0x02, 0x80.toByte) ++ // 480, 640
+      new Array[Byte](10)
+    val real = Seq((1L, png), (2L, jpeg)).toDF("id", "content")
+    val metas = Multimodal.withMeta(real)
+      .select("id", "media_meta.format", "media_meta.width", "media_meta.height", "media_meta.n_frames")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(metas(1L) == (("png", 640, 480, 1)))
+    assert(metas(2L) == (("jpeg", 640, 480, 1)))
+  }
+
   test("resize replaces the payload, partition-preserving (no shuffle)") {
     val out = Multimodal.resize(media, 128, 128)
     assert(out.rdd.getNumPartitions == media.rdd.getNumPartitions)

@@ -90,6 +90,20 @@ class RoutingSpec extends AnyFunSuite with SparkSpec {
     assert(out.head().getAs[Long]("n_cells") == wider.head().getAs[Long]("n_cells"))
   }
 
+  test("hex grid isochrone: denser rows raise the in-disc cell count ~2/√3") {
+    val src = Seq((1, 0.0, 0.0)).toDF("rid", "lon", "lat")
+    def cells(shape: String): Long =
+      Routing.isochrone(src, "lon", "lat", Seq(1200.0), stepDeg = 0.02, halfCells = 16,
+          keyCols = Seq("rid"), withGeometry = false, gridShape = shape)
+        .head().getAs[Long]("n_cells")
+    val sq = cells("square"); val hx = cells("hex")
+    val ratio = hx.toDouble / sq
+    assert(ratio > 1.0 && ratio < 1.35, s"square=$sq hex=$hx ratio=$ratio")
+    intercept[IllegalArgumentException] {
+      Routing.isochrone(src, "lon", "lat", Seq(600.0), gridShape = "triangular")
+    }
+  }
+
   test("gridHalfCells widens the grid away from the equator") {
     val eq = Routing.gridHalfCells(Seq(600.0), 25.0, 0.05)
     val at60 = Routing.gridHalfCells(Seq(600.0), 25.0, 0.05, latDeg = 60.0)

@@ -54,6 +54,15 @@ class GeoSourcesSpec extends AnyFunSuite with SparkSpec {
     assert(back.count() == 3)
   }
 
+  test("GeoJSON.write fails fast above the maxRows cap") {
+    val p = tmp("fc-cap")
+    val e = intercept[org.apache.spark.SparkException] {
+      GeoJSON.write(df, p, maxRows = 2)
+    }
+    assert(e.getMessage.contains("maxRows") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxRows")))
+  }
+
   test("geometry filter on read drops non-intersecting features") {
     val p = tmp("filter")
     GeoJSONSeq.write(df, p)

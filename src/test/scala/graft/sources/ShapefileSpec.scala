@@ -51,6 +51,18 @@ class ShapefileSpec extends AnyFunSuite with SparkSpec {
     assert(m("2")._2 == graft.geom.Point(-3.25, 4.0))
   }
 
+  test("write fails fast above the maxRows cap instead of collecting unboundedly") {
+    val dir = tmpDir("shp-cap")
+    val df = (1 to 10).map(i => (i.toString, i * 1.0)).toDF("fid", "lon")
+      .select(col("fid"), st_point(col("lon"), lit(0.0)).as("geometry"))
+    val e = intercept[IllegalArgumentException] {
+      Shapefile.write(df, s"$dir/capped", maxRows = 5)
+    }
+    assert(e.getMessage.contains("maxRows"))
+    Shapefile.write(df, s"$dir/ok", maxRows = 10) // at the cap: fine
+    assert(Shapefile.read(spark, dir).count() == 10)
+  }
+
   test("shp round-trip: polygons with holes keep rings and area") {
     val dir = tmpDir("shp-poly")
     val wkt = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
