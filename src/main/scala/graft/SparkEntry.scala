@@ -214,6 +214,19 @@ object SparkEntry {
         .select("n_nationkey", "n_items", "qty_sum")
     }),
 
+    // --- fgb driver end-to-end: write + read + decode (erde/io/fgb.py) -----
+    "fgb_roundtrip" -> ((s, dir) => {
+      val pts = custPoints(s, dir).select(col("c_custkey"), col("c_acctbal"), col("geometry"))
+      val out = new java.io.File(
+        s"/tmp/graft_fgb_${new java.io.File(dir).getName}")
+      out.mkdirs()
+      graft.sources.Fgb.write(pts, s"$out/customer.fgb")
+      graft.sources.Fgb.read(s, out.toString)
+        .select(col("c_custkey"), col("c_acctbal"),
+          round(st_x(col("geometry")), 6).as("px"),
+          round(st_y(col("geometry")), 6).as("py"))
+    }),
+
     // --- skew stress: every point in ONE grid cell; salting spreads it -----
     "sjoin_skew" -> ((s, dir) => {
       val pts = t(s, dir, "lineitem").withColumn("geometry",
@@ -526,6 +539,11 @@ object SparkEntry {
         |  AND ((l_orderkey % 80) * 0.5 - 20 + 0.25) > ((n_nationkey % 5) * 8.0 - 20)
         |  AND ((l_orderkey % 80) * 0.5 - 20 + 0.25) < ((n_nationkey % 5) * 8.0 - 20 + 6.0)
         |GROUP BY n_nationkey""".stripMargin,
+    "fgb_roundtrip" ->
+      """SELECT c_custkey, c_acctbal,
+        |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,
+        |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py
+        |FROM customer""".stripMargin,
     "sjoin_skew" ->
       """SELECT s_suppkey, count(*) AS n_items, round(sum(l_quantity), 2) AS qty_sum
         |FROM lineitem, supplier

@@ -1,0 +1,327 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.geom._
+
+/** Pure-Scala FlatGeobuf driver (reference: erde/io/fgb.py:11 — erde reads
+  * and writes .fgb through fiona/GDAL; the format itself is an open spec:
+  * https://flatgeobuf.org/ — magic bytes, flatbuffer Header with a column
+  * schema, optional packed Hilbert R-tree, then size-prefixed flatbuffer
+  * Features).
+  *
+  * Read is distributed (one task per file via Spark's binaryFile source,
+  * like [[Gpkg]]); the optional spatial index is skipped by its computed
+  * size. Write is the driver-side single-file export path (bounded by
+  * `maxRows`, like [[Shapefile.write]]) and emits no index — readers treat
+  * `index_node_size = 0` as unindexed.
+  */
+object Fgb {
+
+  private val Magic = Array[Byte](0x66, 0x67, 0x62, 0x03, 0x66, 0x67, 0x62, 0x00)
+
+  // FlatGeobuf GeometryType enum
+  private val GtPoint = 1; private val GtLineString = 2; private val GtPolygon = 3
+  private val GtMultiPoint = 4; private val GtMultiLineString = 5
+  private val GtMultiPolygon = 6; private val GtCollection = 7
+
+  // FlatGeobuf ColumnType enum
+  private object Ct {
+    val Byte = 0; val UByte = 1; val Bool = 2; val Short = 3; val UShort = 4
+    val Int = 5; val UInt = 6; val Long = 7; val ULong = 8; val Float = 9
+    val Double = 10; val String = 11; val Json = 12; val DateTime = 13; val Binary = 14
+  }
+
+  private def sparkType(ct: Int): DataType = ct match {
+    case Ct.Bool => BooleanType
+    case Ct.Byte | Ct.UByte | Ct.Short | Ct.UShort | Ct.Int | Ct.UInt | Ct.Long | Ct.ULong => LongType
+    case Ct.Float | Ct.Double => DoubleType
+    case Ct.String | Ct.Json | Ct.DateTime => StringType
+    case _ => BinaryType
+  }
+
+  /** Packed Hilbert R-tree byte size (flatbush layout: 40-byte nodes, all
+    * levels from the `numItems` leaves up to and including the root).
+    */
+  private[sources] def indexSize(numItems: Long, nodeSize: Int): Long = {
+    if (numItems == 0 || nodeSize == 0) return 0
+    var n = numItems
+    var numNodes = n
+    while (n != 1) {
+      n = (n + nodeSize - 1) / nodeSize
+      numNodes += n
+    }
+    numNodes * 40L
+  }
+
+  private final case class ColSpec(name: String, ct: Int)
+
+  private def parseHeader(bb: ByteBuffer): (String, Int, Seq[ColSpec], Long, Int) = {
+    val size = bb.getInt(8)
+    val root = new Flatbuf.FbTable(bb, 12 + bb.getInt(12))
+    val name = root.string(0).getOrElse("layer")
+    val geomType = root.getByte(2) & 0xff
+    val cols = root.tableVector(7).map { c =>
+      ColSpec(c.string(0).getOrElse(""), c.getByte(1) & 0xff)
+    }
+    val count = root.getLong(8)
+    val nodeSize = root.getShort(9, 16) & 0xffff
+    val _ = size
+    (name, geomType, cols.toSeq, count, nodeSize)
+  }
+
+  private def geomOf(t: Flatbuf.FbTable, headerType: Int): Geom = {
+    val gt = { val own = t.getByte(6) & 0xff; if (own != 0) own else headerType }
+    val xy = t.doubleVector(1)
+    val ends = t.intVector(0)
+    def rings: Array[Array[Double]] = {
+      if (ends.isEmpty) Array(xy)
+      else {
+        var start = 0
+        ends.map { e => val r = xy.slice(start * 2, e * 2); start = e; r }
+      }
+    }
+    gt match {
+      case GtPoint => Point(xy(0), xy(1))
+      case GtLineString => LineString(xy)
+      case GtMultiPoint => MultiPoint(xy)
+      case GtPolygon => Polygon(rings)
+      case GtMultiLineString => MultiLineString(rings)
+      case GtMultiPolygon =>
+        MultiPolygon(t.tableVector(7).map { p =>
+          val pxy = p.doubleVector(1)
+          val pends = p.intVector(0)
+          if (pends.isEmpty) Array(pxy)
+          else {
+            var start = 0
+            pends.map { e => val r = pxy.slice(start * 2, e * 2); start = e; r }
+          }
+        }.toArray)
+      case GtCollection =>
+        GeomCollection(t.tableVector(7).map(p => geomOf(p, 0)).toArray)
+      case other => throw new IllegalArgumentException(s"unsupported fgb geometry type $other")
+    }
+  }
+
+  private def parseProps(bb: ByteBuffer, at: Int, len: Int, cols: Seq[ColSpec]): Array[Any] = {
+    val out = new Array[Any](cols.length)
+    var p = at
+    val end = at + len
+    while (p < end) {
+      val idx = bb.getShort(p) & 0xffff
+      p += 2
+      val ct = cols(idx).ct
+      ct match {
+        case Ct.Bool => out(idx) = bb.get(p) != 0; p += 1
+        case Ct.Byte => out(idx) = bb.get(p).toLong; p += 1
+        case Ct.UByte => out(idx) = (bb.get(p) & 0xff).toLong; p += 1
+        case Ct.Short => out(idx) = bb.getShort(p).toLong; p += 2
+        case Ct.UShort => out(idx) = (bb.getShort(p) & 0xffff).toLong; p += 2
+        case Ct.Int => out(idx) = bb.getInt(p).toLong; p += 4
+        case Ct.UInt => out(idx) = (bb.getInt(p) & 0xffffffffL); p += 4
+        case Ct.Long | Ct.ULong => out(idx) = bb.getLong(p); p += 8
+        case Ct.Float => out(idx) = bb.getFloat(p).toDouble; p += 4
+        case Ct.Double => out(idx) = bb.getDouble(p); p += 8
+        case Ct.String | Ct.Json | Ct.DateTime =>
+          val n = bb.getInt(p); p += 4
+          val b = new Array[Byte](n)
+          var i = 0
+          while (i < n) { b(i) = bb.get(p + i); i += 1 }
+          out(idx) = new String(b, "UTF-8"); p += n
+        case _ =>
+          val n = bb.getInt(p); p += 4
+          val b = new Array[Byte](n)
+          var i = 0
+          while (i < n) { b(i) = bb.get(p + i); i += 1 }
+          out(idx) = b; p += n
+      }
+    }
+    out
+  }
+
+  /** Layer name and schema of an fgb file (geometry travels as WKB binary). */
+  def schemaOf(bytes: Array[Byte]): (String, StructType) = {
+    require(bytes.length > 12 && Magic.indices.forall(i => bytes(i) == Magic(i)),
+      "not a FlatGeobuf file (bad magic)")
+    val bb = Flatbuf.le(bytes)
+    val (name, _, cols, _, _) = parseHeader(bb)
+    (name, StructType(
+      cols.map(c => StructField(c.name, sparkType(c.ct))) :+ StructField("geometry", BinaryType)))
+  }
+
+  /** Reads every `.fgb` under `path` — one task per file, header parsed once
+    * on the driver for the schema, features decoded executor-side.
+    */
+  def read(spark: SparkSession, path: String, filterWkt: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.fgb").load(path)
+      .select("content").as[Array[Byte]]
+    val head = files.head()
+    val (_, schema) = schemaOf(head)
+    val enc = RowEncoder.encoderFor(schema)
+    val parsed = files.mapPartitions { it =>
+      it.flatMap { bytes =>
+        val bb = Flatbuf.le(bytes)
+        val (_, geomType, cols, count, nodeSize) = parseHeader(bb)
+        val headerSize = bb.getInt(8)
+        var p = 12 + headerSize + indexSize(count, nodeSize).toInt
+        val rows = ArrayBuffer[Row]()
+        while (p + 4 <= bytes.length) {
+          val featSize = bb.getInt(p)
+          val feat = new Flatbuf.FbTable(bb, p + 4 + bb.getInt(p + 4))
+          val geom = feat.table(0).map(g => WKB.write(geomOf(g, geomType))).orNull
+          val props = feat.byteVectorPos(1) match {
+            case Some((at, len)) => parseProps(bb, at, len, cols)
+            case None => new Array[Any](cols.length)
+          }
+          rows += Row.fromSeq(props.toIndexedSeq :+ geom)
+          p += 4 + featSize
+        }
+        rows.iterator
+      }
+    }(enc)
+    filterWkt match {
+      case Some(wkt) =>
+        import graft.functions.GeoFunctions._
+        parsed.where(st_intersects(col("geometry"), st_geomfromtext(lit(wkt))))
+      case None => parsed
+    }
+  }
+
+  // ---- writer --------------------------------------------------------------
+
+  private def fgbGeomType(g: Geom): Int = g match {
+    case _: Point => GtPoint
+    case _: LineString => GtLineString
+    case _: MultiPoint => GtMultiPoint
+    case _: Polygon => GtPolygon
+    case _: MultiLineString => GtMultiLineString
+    case _: MultiPolygon => GtMultiPolygon
+    case _: GeomCollection => GtCollection
+  }
+
+  private def geomFields(g: Geom): Seq[(Int, Flatbuf.FbValue)] = {
+    import Flatbuf._
+    def endsOf(parts: Array[Array[Double]]): Array[Int] = {
+      var acc = 0
+      parts.map { r => acc += r.length / 2; acc }
+    }
+    val typeField = (6, Scalar(Array(fgbGeomType(g).toByte)))
+    g match {
+      case Point(x, y) => Seq((1, Ref(_.writeDoubleVector(Array(x, y)))), typeField)
+      case LineString(cs) => Seq((1, Ref(_.writeDoubleVector(cs))), typeField)
+      case MultiPoint(cs) => Seq((1, Ref(_.writeDoubleVector(cs))), typeField)
+      case Polygon(rings) =>
+        val flat = rings.flatten
+        (if (rings.length > 1) Seq((0, Ref((b: FbBuilder) => b.writeIntVector(endsOf(rings))))) else Nil) ++
+          Seq((1, Ref((b: FbBuilder) => b.writeDoubleVector(flat))), typeField)
+      case MultiLineString(parts) =>
+        val flat = parts.flatten
+        (if (parts.length > 1) Seq((0, Ref((b: FbBuilder) => b.writeIntVector(endsOf(parts))))) else Nil) ++
+          Seq((1, Ref((b: FbBuilder) => b.writeDoubleVector(flat))), typeField)
+      case MultiPolygon(polys) =>
+        Seq((7, Ref((b: FbBuilder) => b.writeTableVector(
+          polys.toIndexedSeq.map(rings => (bb: FbBuilder) => bb.writeTable(geomFields(Polygon(rings))))))),
+          typeField)
+      case GeomCollection(gs) =>
+        Seq((7, Ref((b: FbBuilder) => b.writeTableVector(
+          gs.toIndexedSeq.map(gg => (bb: FbBuilder) => bb.writeTable(geomFields(gg)))))),
+          typeField)
+    }
+  }
+
+  private def colSpecOf(f: StructField): ColSpec = f.dataType match {
+    case BooleanType => ColSpec(f.name, Ct.Bool)
+    case ByteType | ShortType | IntegerType | LongType => ColSpec(f.name, Ct.Long)
+    case FloatType | DoubleType => ColSpec(f.name, Ct.Double)
+    case StringType => ColSpec(f.name, Ct.String)
+    case BinaryType => ColSpec(f.name, Ct.Binary)
+    case other => throw new IllegalArgumentException(s"fgb: unsupported column type $other for ${f.name}")
+  }
+
+  private def propBytes(row: Row, idxs: Seq[(Int, ColSpec)]): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    def putShort(v: Int): Unit = { out += v.toByte; out += (v >> 8).toByte }
+    def putInt(v: Int): Unit = { var i = 0; while (i < 4) { out += (v >> (8 * i)).toByte; i += 1 } }
+    def putLong(v: Long): Unit = { var i = 0; while (i < 8) { out += (v >> (8 * i)).toByte; i += 1 } }
+    idxs.zipWithIndex.foreach { case ((rowIdx, spec), colIdx) =>
+      if (!row.isNullAt(rowIdx)) {
+        putShort(colIdx)
+        spec.ct match {
+          case Ct.Bool => out += (if (row.getBoolean(rowIdx)) 1 else 0).toByte
+          case Ct.Long =>
+            putLong(row.get(rowIdx) match {
+              case b: Byte => b.toLong; case s: Short => s.toLong
+              case i: Int => i.toLong; case l: Long => l
+            })
+          case Ct.Double =>
+            putLong(java.lang.Double.doubleToLongBits(row.get(rowIdx) match {
+              case f: Float => f.toDouble; case d: Double => d
+            }))
+          case Ct.String =>
+            val b = row.getString(rowIdx).getBytes("UTF-8")
+            putInt(b.length); out ++= b
+          case Ct.Binary =>
+            val b = row.getAs[Array[Byte]](rowIdx)
+            putInt(b.length); out ++= b
+          case other => throw new IllegalArgumentException(s"fgb write: column type $other")
+        }
+      }
+    }
+    out.toArray
+  }
+
+  /** Writes one `.fgb` file (driver-side legacy-export path, no spatial
+    * index, capped at `maxRows` like [[Shapefile.write]]).
+    */
+  def write(df: DataFrame, path: String, geometryCol: String = "geometry",
+      layerName: String = "layer", maxRows: Int = 1000000): Unit = {
+    import Flatbuf._
+    val attrFields = df.schema.fields.filterNot(_.name == geometryCol)
+    val specs = attrFields.map(colSpecOf)
+    val rowIdxs = attrFields.map(f => df.schema.fieldIndex(f.name)).zip(specs).toSeq
+    val geomIdx = df.schema.fieldIndex(geometryCol)
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"Fgb.write collects to the driver and is capped at maxRows=$maxRows rows; " +
+        "use parquet/geojsonseq for large frames")
+    val geoms = rows.map(r => WKB.read(r.getAs[Array[Byte]](geomIdx)))
+    val types = geoms.map(fgbGeomType).distinct
+    val headerType = if (types.length == 1) types.head else 0
+
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
+    try {
+      out.write(Magic)
+      // header flatbuffer
+      val hb = new FbBuilder
+      val headerPos = hb.writeTable(Seq(
+        0 -> Ref((b: FbBuilder) => b.writeString(layerName)),
+        2 -> Scalar(Array(headerType.toByte)),
+        7 -> Ref((b: FbBuilder) => b.writeTableVector(specs.toIndexedSeq.map { spec => (bb: FbBuilder) =>
+          bb.writeTable(Seq(
+            0 -> Ref((b2: FbBuilder) => b2.writeString(spec.name)),
+            1 -> Scalar(Array(spec.ct.toByte))))
+        })),
+        8 -> Scalar { val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN); b.putLong(rows.length.toLong); b.array() },
+        9 -> Scalar(Array[Byte](0, 0)) // index_node_size = 0: no index follows
+      ))
+      out.write(hb.sizePrefixed(headerPos))
+      // features
+      rows.zip(geoms).foreach { case (row, geom) =>
+        val fb = new FbBuilder
+        val props = propBytes(row, rowIdxs)
+        val featPos = fb.writeTable(Seq(
+          0 -> Ref((b: FbBuilder) => b.writeTable(geomFields(geom)))) ++
+          (if (props.nonEmpty) Seq(1 -> Ref((b: FbBuilder) => b.writeByteVector(props))) else Nil))
+        out.write(fb.sizePrefixed(featPos))
+      }
+    } finally out.close()
+  }
+}

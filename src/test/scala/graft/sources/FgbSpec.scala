@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.functions.GeoFunctions._
+import graft.geom._
+
+class FgbSpec extends AnyFunSuite with SparkSpec {
+
+  import testImplicits._
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-fgb-$tag").toString
+
+  test("fgb round-trip: points with mixed attribute types and nulls") {
+    val dir = tmpDir("pts")
+    val df = Seq(
+      (1L, "alpha", 2.5, true, Option("x")),
+      (2L, "beta", -0.25, false, None),
+      (3L, "gamma", 1e9, true, Option("z")))
+      .toDF("id", "name", "score", "flag", "opt")
+      .withColumn("geometry", st_point(col("id") * 10.0, col("id") * -1.0))
+    Fgb.write(df, s"$dir/pts.fgb")
+    val back = Fgb.read(spark, dir)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("id", "name", "score", "flag", "opt", "geometry"))
+    assert(back.schema("id").dataType.typeName == "long")
+    assert(back.schema("flag").dataType.typeName == "boolean")
+    val rows = back.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(rows(1L).getAs[String]("name") == "alpha")
+    assert(rows(2L).getAs[Double]("score") == -0.25)
+    assert(rows(2L).isNullAt(rows(2L).fieldIndex("opt"))) // absent prop stays null
+    assert(rows(3L).getAs[Boolean]("flag"))
+    assert(WKB.read(rows(2L).getAs[Array[Byte]]("geometry")) == Point(20.0, -2.0))
+  }
+
+  test("fgb round-trip: every geometry type") {
+    val wkts = Seq(
+      "POINT (3 4)",
+      "LINESTRING (0 0, 1 1, 2 0)",
+      "MULTIPOINT (1 2, 3 4)",
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+      "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 2, 3 2, 3 3, 2 3, 2 2)))",
+      "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))")
+    wkts.zipWithIndex.foreach { case (wkt, i) =>
+      val dir = tmpDir(s"g$i")
+      val df = Seq((i.toLong, wkt)).toDF("id", "wkt")
+        .select(col("id"), st_geomfromtext(col("wkt")).as("geometry"))
+      Fgb.write(df, s"$dir/g.fgb")
+      val got = Fgb.read(spark, dir).select(st_astext(col("geometry"))).head().getString(0)
+      assert(got == wkt, s"geometry $i")
+    }
+  }
+
+  test("fgb header: magic bytes, layer name, feature count, no index") {
+    val dir = tmpDir("hdr")
+    val df = (1 to 7).map(i => (i.toLong, s"r$i")).toDF("id", "name")
+      .withColumn("geometry", st_point(col("id") * 1.0, lit(0.0)))
+    Fgb.write(df, s"$dir/layer.fgb", layerName = "mylayer")
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/layer.fgb"))
+    // spec magic: fgb, version 3, fgb, patch 0
+    assert(bytes.take(8).toSeq == Seq[Byte](0x66, 0x67, 0x62, 0x03, 0x66, 0x67, 0x62, 0x00))
+    val (name, schema) = Fgb.schemaOf(bytes)
+    assert(name == "mylayer")
+    assert(schema.fieldNames.toSeq == Seq("id", "name", "geometry"))
+    assert(Fgb.read(spark, dir).count() == 7)
+  }
+
+  test("fgb read skips a computed-size spatial index block") {
+    // indexSize mirrors the flatbush packed R-tree layout: 40-byte nodes,
+    // leaves + internal levels + root
+    assert(Fgb.indexSize(0, 16) == 0)
+    assert(Fgb.indexSize(1, 16) == 40)           // one leaf == the root
+    assert(Fgb.indexSize(2, 16) == (2 + 1) * 40) // 2 leaves + root
+    assert(Fgb.indexSize(16, 16) == (16 + 1) * 40)
+    assert(Fgb.indexSize(17, 16) == (17 + 2 + 1) * 40)
+    assert(Fgb.indexSize(300, 16) == (300 + 19 + 2 + 1) * 40)
+  }
+
+  test("fgb geometry filter on read") {
+    val dir = tmpDir("filt")
+    val df = (1 to 10).map(i => (i.toLong, i * 1.0)).toDF("id", "x")
+      .select(col("id"), st_point(col("x"), lit(0.0)).as("geometry"))
+    Fgb.write(df, s"$dir/f.fgb")
+    val n = Fgb.read(spark, dir,
+      filterWkt = Some("POLYGON ((0 -1, 4.5 -1, 4.5 1, 0 1, 0 -1))")).count()
+    assert(n == 4)
+  }
+
+  test("fgb write cap fails fast") {
+    val df = (1 to 5).map(i => (i.toLong, i * 1.0)).toDF("id", "x")
+      .select(col("id"), st_point(col("x"), lit(0.0)).as("geometry"))
+    val dir = tmpDir("cap")
+    val e = intercept[IllegalArgumentException] { Fgb.write(df, s"$dir/c.fgb", maxRows = 3) }
+    assert(e.getMessage.contains("maxRows"))
+  }
+}
