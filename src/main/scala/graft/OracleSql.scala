@@ -285,6 +285,48 @@ object OracleSql {
        |SELECT query_id, neighbor_id, round(cs, 6) AS cosine FROM scored
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) <= $k""".stripMargin
 
+  /** (c_custkey, easting, northing): WGS84 UTM forward (Karney series),
+    * mirrored with the kernel's own double-precision constants as literals.
+    * sinh/cosh/atanh/asinh are emulated via exp/ln (DuckDB has no
+    * hyperbolics); the few-ulp drift vs java.lang.Math is far below the
+    * mm-level rounding.
+    */
+  def geoConvertUtm(zone: Int = 31): String = {
+    val (bigA0, ecc0, k00, alpha) = graft.geom.TransverseMercator.oracleConstants
+    // plain decimal literals parse as DECIMAL in DuckDB (and overflow in
+    // products) — force DOUBLE, which round-trips the exact binary value
+    val bigA = s"CAST('$bigA0' AS DOUBLE)"
+    val ecc = s"CAST('$ecc0' AS DOUBLE)"
+    val k0 = s"CAST('$k00' AS DOUBLE)"
+    val lon0 = zone * 6.0 - 183.0
+    def sinh(x: String) = s"((exp($x) - exp(-($x))) / 2)"
+    def cosh(x: String) = s"((exp($x) + exp(-($x))) / 2)"
+    val xiTerms = alpha.zipWithIndex.map { case (aj, j) =>
+      s" + $aj * sin(${2 * (j + 1)} * xip) * ${cosh(s"${2 * (j + 1)} * etap")}"
+    }.mkString
+    val etaTerms = alpha.zipWithIndex.map { case (aj, j) =>
+      s" + $aj * cos(${2 * (j + 1)} * xip) * ${sinh(s"${2 * (j + 1)} * etap")}"
+    }.mkString
+    s"""WITH p AS (SELECT c_custkey,
+       |  radians((c_custkey % 60) * 0.1 + 0.05 - $lon0) AS lam,
+       |  radians((c_custkey % 80) * 0.5 - 20 + 0.25) AS phi
+       |  FROM customer),
+       |t1 AS (SELECT c_custkey, lam, tan(phi) AS tau FROM p),
+       |t2 AS (SELECT c_custkey, lam, tau, sqrt(1 + tau*tau) AS tau1 FROM t1),
+       |t3 AS (SELECT *, ${sinh(s"$ecc * 0.5 * ln((1 + $ecc*tau/tau1) / (1 - $ecc*tau/tau1))")} AS sig FROM t2),
+       |t4 AS (SELECT c_custkey, lam, sqrt(1 + sig*sig) * tau - sig * tau1 AS taup FROM t3),
+       |t5 AS (SELECT c_custkey,
+       |  atan2(taup, cos(lam)) AS xip,
+       |  ln(sin(lam)/sqrt(taup*taup + cos(lam)*cos(lam))
+       |     + sqrt(1 + pow(sin(lam)/sqrt(taup*taup + cos(lam)*cos(lam)), 2))) AS etap
+       |  FROM t4),
+       |t6 AS (SELECT c_custkey, xip$xiTerms AS xi, etap$etaTerms AS eta FROM t5)
+       |SELECT c_custkey,
+       |  round(500000.0 + $k0 * $bigA * eta, 3) AS easting,
+       |  round($k0 * $bigA * xi, 3) AS northing
+       |FROM t6""".stripMargin
+  }
+
   /** (r_regionkey, level_s, contour_area_deg2): marching-squares filled
     * contour area ([[graft.geom.Contour.filled]]) of the great-circle
     * duration field — per-cell boundary-walk pieces are disjoint, so the

@@ -214,6 +214,16 @@ object SparkEntry {
         .select("n_nationkey", "n_items", "qty_sum")
     }),
 
+    // --- erde op/convert to UTM (transverse Mercator, EPSG:32631) ----------
+    "geo_convert_utm" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").withColumn("geometry",
+        st_point(expr("(c_custkey % 60) * 0.1 + 0.05"), expr("(c_custkey % 80) * 0.5 - 20 + 0.25")))
+      pts.withColumn("geometry", st_transform(col("geometry"), "EPSG:4326", "EPSG:32631"))
+        .select(col("c_custkey"),
+          round(st_x(col("geometry")), 3).as("easting"),
+          round(st_y(col("geometry")), 3).as("northing"))
+    }),
+
     // --- fgb driver end-to-end: write + read + decode (erde/io/fgb.py) -----
     "fgb_roundtrip" -> ((s, dir) => {
       val pts = custPoints(s, dir).select(col("c_custkey"), col("c_acctbal"), col("geometry"))
@@ -225,6 +235,24 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_acctbal"),
           round(st_x(col("geometry")), 6).as("px"),
           round(st_y(col("geometry")), 6).as("py"))
+    }),
+
+    // --- osm.pbf driver end-to-end: write + read + tag filter --------------
+    "osm_pbf_roundtrip" -> ((s, dir) => {
+      val elements = t(s, dir, "part").select(
+        element_at(array(lit("n"), lit("w"), lit("r")), (col("p_partkey") % 3 + 1).cast("int")).as("type"),
+        col("p_partkey").as("id"),
+        map(lit("brand"), col("p_brand"), lit("container"), col("p_type")).as("tags"),
+        when(col("p_partkey") % 3 === 0, expr("(p_partkey % 60) * 0.1 + 0.05").cast("double")).as("lon"),
+        when(col("p_partkey") % 3 === 0, expr("(p_partkey % 35) * 0.1 - 1.05").cast("double")).as("lat"),
+        lit(null).cast("array<bigint>").as("refs"))
+      val out = new java.io.File(s"/tmp/graft_pbf_${new java.io.File(dir).getName}")
+      out.mkdirs()
+      graft.sources.OsmPbf.write(elements, s"$out/elements.osm.pbf")
+      OsmFilter.tagFilter(graft.sources.OsmPbf.read(s, out.toString),
+          Seq("wr/brand=Brand#13,Brand#23", "n/container"))
+        .select(col("id").as("osm_id"), col("type"),
+          round(col("lon"), 5).as("lon5"), round(col("lat"), 5).as("lat5"))
     }),
 
     // --- skew stress: every point in ONE grid cell; salting spreads it -----
@@ -539,6 +567,15 @@ object SparkEntry {
         |  AND ((l_orderkey % 80) * 0.5 - 20 + 0.25) > ((n_nationkey % 5) * 8.0 - 20)
         |  AND ((l_orderkey % 80) * 0.5 - 20 + 0.25) < ((n_nationkey % 5) * 8.0 - 20 + 6.0)
         |GROUP BY n_nationkey""".stripMargin,
+    "osm_pbf_roundtrip" ->
+      """WITH e AS (SELECT p_partkey AS osm_id, p_brand, p_type,
+        |  CASE (p_partkey % 3) WHEN 0 THEN 'n' WHEN 1 THEN 'w' ELSE 'r' END AS type,
+        |  CASE WHEN p_partkey % 3 = 0 THEN round((p_partkey % 60) * 0.1 + 0.05, 5) END AS lon5,
+        |  CASE WHEN p_partkey % 3 = 0 THEN round((p_partkey % 35) * 0.1 - 1.05, 5) END AS lat5
+        |  FROM part)
+        |SELECT osm_id, type, lon5, lat5 FROM e
+        |WHERE (type IN ('w','r') AND p_brand IN ('Brand#13','Brand#23'))
+        |   OR (type = 'n' AND p_type IS NOT NULL)""".stripMargin,
     "fgb_roundtrip" ->
       """SELECT c_custkey, c_acctbal,
         |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,
@@ -652,6 +689,7 @@ object SparkEntry {
         |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
         |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe_tokens
         |FROM documents""".stripMargin,
+    "geo_convert_utm" -> OracleSql.geoConvertUtm(zone = 31),
     // sketch-kernel mirrors (bit-exact 64-bit arithmetic in DuckDB — see OracleSql)
     "text_fingerprint" -> OracleSql.fingerprint(),
     "text_langid" -> OracleSql.langid(),

@@ -56,11 +56,35 @@ object GeoFunctions {
   def st_distance(a: Column, b: Column): Column = c(StDistance(e(a), e(b)))
 
   // ---- CRS ----------------------------------------------------------------
-  def st_transform(g: Column, fromCrs: String, toCrs: String): Column = (fromCrs, toCrs) match {
-    case ("EPSG:4326", "EPSG:3857") | ("4326", "3857") => c(StToMercator(e(g)))
-    case ("EPSG:3857", "EPSG:4326") | ("3857", "4326") => c(StToLonLat(e(g)))
-    case (f, t) if f == t => g
-    case (f, t) => throw new IllegalArgumentException(s"unsupported CRS pair $f -> $t (4326⇄3857 only)")
+  private def epsgOf(crs: String): Int = {
+    val code = crs.toUpperCase(java.util.Locale.ROOT).stripPrefix("EPSG:")
+    try code.toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"CRS '$crs' is not an EPSG code")
+    }
+  }
+
+  /** Supported pairs: 4326 ⇄ 3857 (Web Mercator) and 4326 ⇄ UTM zones
+    * (EPSG:32601–32660 north, 32701–32760 south); UTM ⇄ 3857 composes
+    * through 4326. Reference: erde/op/convert.py:5 (pyproj pass-through).
+    */
+  def st_transform(g: Column, fromCrs: String, toCrs: String): Column = {
+    import graft.geom.TransverseMercator.utmZoneOf
+    (epsgOf(fromCrs), epsgOf(toCrs)) match {
+      case (f, t) if f == t => g
+      case (4326, 3857) => c(StToMercator(e(g)))
+      case (3857, 4326) => c(StToLonLat(e(g)))
+      case (4326, t) if utmZoneOf(t).isDefined =>
+        val (z, s) = utmZoneOf(t).get; c(StUtm(e(g), z, s, invert = false))
+      case (f, 4326) if utmZoneOf(f).isDefined =>
+        val (z, s) = utmZoneOf(f).get; c(StUtm(e(g), z, s, invert = true))
+      case (3857, t) if utmZoneOf(t).isDefined =>
+        val (z, s) = utmZoneOf(t).get; c(StUtm(StToLonLat(e(g)), z, s, invert = false))
+      case (f, 3857) if utmZoneOf(f).isDefined =>
+        val (z, s) = utmZoneOf(f).get; c(StToMercator(StUtm(e(g), z, s, invert = true)))
+      case (f, t) => throw new IllegalArgumentException(
+        s"unsupported CRS pair EPSG:$f -> EPSG:$t (4326, 3857, UTM 326xx/327xx)")
+    }
   }
 
   // ---- predicates ---------------------------------------------------------

@@ -177,6 +177,20 @@ case class StToLonLat(child: Expression) extends GeomUnary {
   override protected def withNewChildInternal(c: Expression): StToLonLat = copy(child = c)
 }
 
+/** UTM transform (EPSG 326xx/327xx ⇄ 4326); zone/hemisphere/direction are
+  * plan-time constants, baked into the generated static call.
+  */
+case class StUtm(child: Expression, zone: Int, south: Boolean, invert: Boolean) extends GeomUnary {
+  require(zone >= 1 && zone <= 60, s"UTM zone $zone out of range 1-60")
+  override def method: String = "utm"
+  override def dataType: DataType = BinaryType
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$K.utm($c, $zone, $south, $invert)")
+  override protected def nullSafeEval(b: Any): Any =
+    GeomKernel.utm(b.asInstanceOf[Array[Byte]], zone, south, invert)
+  override protected def withNewChildInternal(c: Expression): StUtm = copy(child = c)
+}
+
 case class StDistance(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
   override def dataType: DataType = DoubleType

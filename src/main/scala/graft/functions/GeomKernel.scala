@@ -95,6 +95,12 @@ object GeomKernel {
 
   def toLonLat(b: Array[Byte]): Array[Byte] = WKB.write(Mercator.toLonLat(WKB.read(b)))
 
+  /** UTM (WGS84 transverse Mercator) forward/inverse, zone 1–60. */
+  def utm(b: Array[Byte], zone: Int, south: Boolean, invert: Boolean): Array[Byte] =
+    WKB.write(
+      if (invert) TransverseMercator.fromUtm(WKB.read(b), zone, south)
+      else TransverseMercator.toUtm(WKB.read(b), zone, south))
+
   // ---- buffer -------------------------------------------------------------
 
   def buffer(b: Array[Byte], radius: Double, resolution: Int): Array[Byte] =

@@ -304,7 +304,10 @@ object Algos {
     if (ax1 < bx1 - Eps || ay1 < by1 - Eps || ax2 > bx2 + Eps || ay2 > by2 + Eps) return false
 
     a match {
-      case Point(x, y) => bPolys.exists(rs => pointInPolygon(x, y, rs))
+      // explicit boundary exclusion: ray-cast parity alone admits points that
+      // sit bit-exactly on some edges (which side depends on edge direction)
+      case Point(x, y) =>
+        bPolys.exists(rs => pointInPolygon(x, y, rs)) && !bPolys.exists(rs => pointOnBoundary(x, y, rs))
       case _ =>
         val ap = points(a)
         var i = 0

@@ -75,6 +75,20 @@ class GeomKernelSpec extends AnyFunSuite {
     assert(Algos.within(LineString(Array(1.0, 2, 3, 2)), square))
   }
 
+  test("points bit-exactly on any polygon edge are not within, but intersect") {
+    // every edge and corner of the square — ray-cast parity would admit some
+    val boundary = Seq((0.0, 2.0), (4.0, 2.0), (2.0, 0.0), (2.0, 4.0),
+      (0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
+    boundary.foreach { case (x, y) =>
+      assert(!Algos.within(Point(x, y), square), s"($x,$y) must not be within")
+      assert(!Algos.contains(square, Point(x, y)), s"($x,$y) must not be contained")
+      assert(Algos.intersects(square, Point(x, y)), s"($x,$y) must intersect")
+    }
+    // hole boundary too
+    assert(!Algos.within(Point(1.5, 1.0), squareWithHole))
+    assert(Algos.within(Point(0.5, 0.5), squareWithHole))
+  }
+
   test("distance") {
     assert(Algos.distance(Point(0, 0), Point(3, 4)) == 5.0)
     assert(Algos.distance(Point(5, 2), square) == 1.0)

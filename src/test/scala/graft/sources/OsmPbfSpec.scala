@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.operators.OsmFilter
+
+class OsmPbfSpec extends AnyFunSuite with SparkSpec {
+
+  import testImplicits._
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-pbf-$tag").toString
+
+  private def elementsDf(rows: Seq[Row]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), OsmPbf.schema)
+
+  private val elements = Seq(
+    Row("n", 1L, Map("amenity" -> "cafe", "name" -> "Crema"), 13.3777, 52.5163, null),
+    Row("n", 2L, Map.empty[String, String], -0.1276, 51.5072, null),
+    Row("n", 5L, Map("highway" -> "crossing"), 2.3522, 48.8566, null),
+    Row("w", 10L, Map("highway" -> "primary", "name" -> "Main St"), null, null, Seq(1L, 2L, 5L)),
+    Row("w", 11L, Map("building" -> "yes"), null, null, Seq(5L, 2L)),
+    Row("r", 20L, Map("type" -> "route", "route" -> "bus"), null, null, Seq(10L, 11L)))
+
+  test("osm.pbf round-trip: dense nodes, ways, relations, tags, coords") {
+    val dir = tmpDir("rt")
+    OsmPbf.write(elementsDf(elements), s"$dir/map.osm.pbf")
+    val back = OsmPbf.read(spark, dir)
+    assert(back.schema == OsmPbf.schema)
+    val rows = back.collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(rows.size == 6)
+    val cafe = rows(("n", 1L))
+    assert(cafe.getAs[Map[String, String]]("tags") == Map("amenity" -> "cafe", "name" -> "Crema"))
+    // granularity 100 nano-degrees => 1e-7 degree exactness
+    assert(math.abs(cafe.getAs[Double]("lon") - 13.3777) < 1e-7)
+    assert(math.abs(cafe.getAs[Double]("lat") - 52.5163) < 1e-7)
+    assert(rows(("n", 2L)).getAs[Map[String, String]]("tags").isEmpty)
+    val way = rows(("w", 10L))
+    assert(way.getSeq[Long](way.fieldIndex("refs")) == Seq(1L, 2L, 5L))
+    assert(way.isNullAt(way.fieldIndex("lon")))
+    val rel = rows(("r", 20L))
+    assert(rel.getAs[Map[String, String]]("tags")("route") == "bus")
+    assert(rel.getSeq[Long](rel.fieldIndex("refs")) == Seq(10L, 11L))
+  }
+
+  test("osm.pbf file structure: framed blobs, zlib block, header blob") {
+    val dir = tmpDir("frame")
+    OsmPbf.write(elementsDf(elements), s"$dir/map.osm.pbf")
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/map.osm.pbf"))
+    // first frame: 4-byte BE length then a BlobHeader whose type is OSMHeader
+    val hlen = ((bytes(0) & 0xff) << 24) | ((bytes(1) & 0xff) << 16) | ((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)
+    val header = new String(bytes, 4, hlen, "ISO-8859-1")
+    assert(header.contains("OSMHeader"))
+    assert(new String(bytes, "ISO-8859-1").contains("OSMData"))
+  }
+
+  test("negative coordinates and ids survive the zigzag delta coding") {
+    val rows = Seq(
+      Row("n", 100L, Map.empty[String, String], -179.9999999, -89.9999999, null),
+      Row("n", 101L, Map.empty[String, String], 179.9999999, 89.9999999, null),
+      Row("n", 102L, Map.empty[String, String], -0.0000001, 0.0000001, null))
+    val dir = tmpDir("neg")
+    OsmPbf.write(elementsDf(rows), s"$dir/neg.osm.pbf")
+    val back = OsmPbf.read(spark, dir).orderBy("id").collect()
+    assert(math.abs(back(0).getAs[Double]("lon") + 179.9999999) < 1e-7)
+    assert(math.abs(back(1).getAs[Double]("lat") - 89.9999999) < 1e-7)
+    assert(math.abs(back(2).getAs[Double]("lon") + 0.0000001) < 1e-7)
+  }
+
+  test("tag filter runs end-to-end on a pbf file (erde osm semantics)") {
+    val dir = tmpDir("filter")
+    OsmPbf.write(elementsDf(elements), s"$dir/map.osm.pbf")
+    val parsed = OsmPbf.read(spark, dir)
+    val roads = OsmFilter.tagFilter(parsed, Seq("wr/highway=primary"))
+      .select("id").as[Long].collect().toSet
+    assert(roads == Set(10L))
+    val nodesWithTags = OsmFilter.tagFilter(parsed, Seq("n/amenity"))
+      .select("id").as[Long].collect().toSet
+    assert(nodesWithTags == Set(1L))
+  }
+
+  test("write cap fails fast") {
+    val dir = tmpDir("cap")
+    val e = intercept[IllegalArgumentException] {
+      OsmPbf.write(elementsDf(elements), s"$dir/c.osm.pbf", maxRows = 3)
+    }
+    assert(e.getMessage.contains("maxRows"))
+  }
+}
