@@ -264,8 +264,11 @@ object SparkEntry {
       val lat0 = expr("(s_suppkey % 25) * 0.016")
       val rects = t(s, dir, "supplier").withColumn("geometry",
         st_envelope(st_makeline(st_point(lon0, lat0), st_point(lon0 + lit(0.05), lat0 + lit(0.05)))))
-      SJoin.pairs(pts, rects, predicate = "within",
-          tuning = SJoin.Tuning(saltFactor = 8))
+      // all data sits inside one default (0.5°) cell — the skew answer is a
+      // finer grid (near the true bbox-overlap candidate count) plus salt:
+      // 0.02° cells spread the join across ~400 cells × 8 salts
+      SJoin.pairs(pts, rects, predicate = "within", cellDeg = 0.02,
+          tuning = SJoin.Tuning(cellDeg = 0.02, saltFactor = 8))
         .groupBy("s_suppkey")
         .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("qty_sum"))
     }),
