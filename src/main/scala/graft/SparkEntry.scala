@@ -415,6 +415,16 @@ object SparkEntry {
           col("ws_tokens").cast("long").as("ws_tokens"),
           col("bpe_tokens").cast("long").as("bpe_tokens"))),
 
+    // --- PII redaction (pre-training scrub; patterns mirrored in SQL) ------
+    "text_pii" -> ((s, dir) => {
+      val withPii = t(s, dir, "documents").withColumn("text",
+        concat(col("text"), lit(" reach user"), col("doc_id"),
+          lit("@mail.example.com or 10.0."), col("doc_id") % 256,
+          lit(".9 ssn 123-45-6789 call +1-555-"), col("doc_id") % 9000 + 1000))
+      TextAnalysis.redactPii(withPii)
+        .select(col("doc_id"), col("text_clean"))
+    }),
+
     // --- language id (heuristic, exact-mirrored) ---------------------------
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"))
@@ -693,6 +703,16 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe_tokens
         |FROM documents""".stripMargin,
     "geo_convert_utm" -> OracleSql.geoConvertUtm(zone = 31),
+    "text_pii" -> {
+      val chain = TextAnalysis.piiPatterns.foldLeft("t2") { case (acc, (pat, repl)) =>
+        s"regexp_replace($acc, '$pat', '$repl', 'g')"
+      }
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' reach user' || doc_id || '@mail.example.com or 10.0.' || (doc_id % 256)
+         |       || '.9 ssn 123-45-6789 call +1-555-' || (doc_id % 9000 + 1000) AS t2
+         |  FROM documents)
+         |SELECT doc_id, $chain AS text_clean FROM p""".stripMargin
+    },
     // sketch-kernel mirrors (bit-exact 64-bit arithmetic in DuckDB — see OracleSql)
     "text_fingerprint" -> OracleSql.fingerprint(),
     "text_langid" -> OracleSql.langid(),

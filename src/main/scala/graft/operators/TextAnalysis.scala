@@ -58,4 +58,24 @@ object TextAnalysis {
   /** 64-bit rolling-hash document fingerprint → `into` column. */
   def fingerprint(df: DataFrame, textCol: String = "text", into: String = "doc_fp"): DataFrame =
     df.withColumn(into, doc_fingerprint(col(textCol)))
+
+  /** PII patterns redacted by [[redactPii]], applied in order (SSN before the
+    * more general phone pattern). RE2-compatible (no lookaround), so the
+    * DuckDB oracle mirrors them verbatim.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""" -> "<EMAIL>",
+    """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""" -> "<IP>",
+    """\b\d{3}-\d{2}-\d{4}\b""" -> "<SSN>",
+    """\+?\d{1,3}-\d{3}-\d{4}\b""" -> "<PHONE>")
+
+  /** Redacts common PII (emails, IPv4, SSN-style ids, phone-style numbers)
+    * from `textCol` into `into` — chained codegen'd regexp_replace, the
+    * pre-training scrub pass every large text pipeline runs.
+    */
+  def redactPii(df: DataFrame, textCol: String = "text", into: String = "text_clean"): DataFrame =
+    df.withColumn(into,
+      piiPatterns.foldLeft(col(textCol)) { case (c, (pat, repl)) =>
+        regexp_replace(c, pat, repl)
+      })
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.functions.GeomKernel
+import graft.geom.{LineString, WKB}
+
+/** OSRM protocol layer against canned responses (no egress in this
+  * environment — the injected transport stands in for the HTTP hop).
+  */
+class OsrmRouterSpec extends AnyFunSuite with SparkSpec {
+
+  import testImplicits._
+
+  private def polylineOf(coords: Array[Double]): String =
+    GeomKernel.polylineEncode(WKB.write(LineString(coords))).toString
+
+  test("route: parses duration, distance, polyline geometry, snap distances") {
+    val line = Array(13.388, 52.517, 13.397, 52.529)
+    var seenUrl = ""
+    val transport: String => String = { url =>
+      seenUrl = url
+      s"""{"code":"Ok","routes":[{"duration":251.5,"distance":1884.7,
+         |"geometry":"${polylineOf(line)}"}],
+         |"waypoints":[{"distance":4.2},{"distance":7.9}]}""".stripMargin
+    }
+    val r = new OsrmRouter("http://osrm.local", transport = transport)
+    val leg = r.route(13.388, 52.517, 13.397, 52.529)
+    assert(seenUrl.startsWith("http://osrm.local/route/v1/driving/13.388,52.517;13.397,52.529"))
+    assert(seenUrl.contains("overview=full"))
+    assert(leg.durationS == 251.5 && leg.distanceM == 1884.7)
+    assert(leg.snapSourceM == 4.2 && leg.snapDestM == 7.9)
+    val got = WKB.read(leg.wkb).asInstanceOf[LineString].coords
+    got.zip(line).foreach { case (a, b) => assert(math.abs(a - b) < 1e-5) } // polyline 1e-5 grid
+  }
+
+  test("alternatives: requests and parses several routes, best first") {
+    val transport: String => String = { url =>
+      assert(url.contains("alternatives=3"))
+      s"""{"code":"Ok","routes":[
+         |{"duration":100.0,"distance":900.0,"geometry":"${polylineOf(Array(0.0, 0, 1, 1))}"},
+         |{"duration":120.0,"distance":950.0,"geometry":"${polylineOf(Array(0.0, 0, 2, 2))}"}],
+         |"waypoints":[{"distance":0.0},{"distance":0.0}]}""".stripMargin
+    }
+    val r = new OsrmRouter("http://osrm.local", transport = transport)
+    val alts = r.alternatives(0, 0, 1, 1, max = 3)
+    assert(alts.map(_.durationS) == Seq(100.0, 120.0))
+  }
+
+  test("table: chunks requests under maxTableSize and reassembles the matrix") {
+    // fake OSRM: duration(src, dst) = 1000*srcLon + dstLon, distance = 10x
+    val urls = scala.collection.mutable.ArrayBuffer[String]()
+    val transport: String => String = { url =>
+      urls += url
+      val coords = url.split("/").last.split("\\?")(0).split(";").map { c =>
+        val Array(lon, lat) = c.split(","); (lon.toDouble, lat.toDouble)
+      }
+      val q = url.split("\\?")(1)
+      def idxs(param: String): Array[Int] =
+        q.split("&").find(_.startsWith(param + "=")).get.drop(param.length + 1).split(";").map(_.toInt)
+      val src = idxs("sources"); val dst = idxs("destinations")
+      def row(f: ((Double, Double), (Double, Double)) => Double) =
+        src.map(s => dst.map(d => f(coords(s), coords(d))).mkString("[", ",", "]")).mkString("[", ",", "]")
+      s"""{"code":"Ok",
+         |"durations":${row((s, d) => 1000 * s._1 + d._1)},
+         |"distances":${row((s, d) => 10 * (1000 * s._1 + d._1))},
+         |"sources":${src.map(s => s"""{"distance":${coords(s)._1}}""").mkString("[", ",", "]")},
+         |"destinations":${dst.map(d => s"""{"distance":${coords(d)._1}}""").mkString("[", ",", "]")}}""".stripMargin
+    }
+    val r = new OsrmRouter("http://osrm.local", transport = transport, maxTableSize = 4)
+    val sources = Seq((1.0, 0.0), (2.0, 0.0), (3.0, 0.0))
+    val dests = Seq((5.0, 0.0), (6.0, 0.0), (7.0, 0.0))
+    val (dur, dist, srcSnap, dstSnap) = r.table(sources, dests)
+    assert(urls.size == 4) // 3x3 at <=2 per side -> 2x2 chunks
+    for (i <- 0 until 3; j <- 0 until 3) {
+      assert(dur(i)(j) == 1000 * sources(i)._1 + dests(j)._1, s"dur($i)($j)")
+      assert(dist(i)(j) == 10 * dur(i)(j))
+    }
+    assert(srcSnap.toSeq == Seq(1.0, 2.0, 3.0) && dstSnap.toSeq == Seq(5.0, 6.0, 7.0))
+  }
+
+  test("error responses fail loudly") {
+    val transport: String => String =
+      _ => """{"code":"NoRoute","message":"Impossible route"}"""
+    val r = new OsrmRouter("http://osrm.local", transport = transport)
+    val e = intercept[IllegalArgumentException] { r.route(0, 0, 1, 1) }
+    assert(e.getMessage.contains("NoRoute"))
+  }
+
+  test("routeBatched drives a router per partition over a DataFrame") {
+    val df = Seq((1L, 0.0, 0.0, 3.0, 4.0), (2L, 1.0, 1.0, 4.0, 5.0))
+      .toDF("id", "lon1", "lat1", "lon2", "lat2")
+    val out = RoutingBatched.routeBatched(df, new GreatCircleRouter(), "lon1", "lat1", "lon2", "lat2")
+    assert(out.columns.toSeq.takeRight(5) ==
+      Seq("duration", "distance", "route_geometry", "snap_source", "snap_dest"))
+    val rows = out.collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("distance")).toMap
+    assert(rows(1L) == graft.geom.Mercator.haversine(0, 0, 3, 4))
+    // partition-preserving: no shuffle in the plan
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}

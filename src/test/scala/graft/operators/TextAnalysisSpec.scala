@@ -55,4 +55,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     val m2 = TextAnalysis.fingerprint(df).select("id", "doc_fp").as[(Int, Long)].collect().toMap
     assert(m == m2)
   }
+
+  test("redactPii scrubs emails, IPs, SSNs, phones; clean text passes through") {
+    val df = Seq(
+      (1L, "write to jane.doe+x@corp.example.org today"),
+      (2L, "server at 192.168.1.254 port 80"),
+      (3L, "ssn 123-45-6789 and phone +1-555-0199"),
+      (4L, "call 44-555-0123 now"),
+      (5L, "no pii here, just 42 words and 3.14")).toDF("id", "text")
+    val out = TextAnalysis.redactPii(df).orderBy("id")
+      .select("text_clean").collect().map(_.getString(0))
+    assert(out(0) == "write to <EMAIL> today")
+    assert(out(1) == "server at <IP> port 80")
+    assert(out(2) == "ssn <SSN> and phone <PHONE>")
+    assert(out(3) == "call <PHONE> now")
+    assert(out(4) == "no pii here, just 42 words and 3.14")
+  }
 }
