@@ -72,11 +72,58 @@ object Similarity {
     topkColumns(scored, k)
   }
 
-  /** IVF (inverted-file) ANN: a KMeans coarse quantizer (cosine distance,
-    * MLlib — trains distributed) partitions the corpus into `nlist` cells;
-    * each query probes its `nprobe` nearest centroids and scores exactly only
-    * within those cells. The centroid table is tiny and broadcast; the
-    * corpus-side join is hash-partitioned on the cell id. The third
+  /** Deterministic Lloyd iterations with cosine distance on a bounded
+    * in-memory sample (the coarse-quantizer fit — its input is capped, so a
+    * local fit beats 8 distributed passes at any corpus scale). Returns
+    * L2-normalized centroids; argmax dot ≡ argmax cosine against them.
+    */
+  private[operators] def fitCentroidsLocal(
+      sample: Array[Array[Float]], nlist: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample(0).length
+    def normalize(v: Array[Double]): Array[Double] = {
+      var n = 0.0; var i = 0
+      while (i < dim) { n += v(i) * v(i); i += 1 }
+      val inv = if (n <= 0) 0.0 else 1.0 / math.sqrt(n)
+      v.map(_ * inv)
+    }
+    val unit = sample.map(v => normalize(v.map(_.toDouble)))
+    // deterministic spread init: rows picked by a seeded hash of their index
+    val picks = unit.indices.sortBy(i => graft.functions.TextKernel.mix64(seed ^ i)).take(nlist)
+    var centroids = picks.map(unit).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      unit.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < centroids.length) {
+          var dot = 0.0; var d = 0
+          while (d < dim) { dot += v(d) * centroids(c)(d); d += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        var d = 0
+        while (d < dim) { sums(best)(d) += v(d); d += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) else normalize(sums(c))
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF (inverted-file) ANN: a cosine KMeans coarse quantizer partitions the
+    * corpus into `nlist` cells; each query probes its `nprobe` nearest
+    * centroids and scores exactly only within those cells.
+    *
+    * Scale shape: the fit runs locally on a bounded sample (one `limit`
+    * read); cell assignment is a pure codegen'd expression over a literal
+    * centroid array — the corpus is scanned ONCE, with no fit/transform
+    * passes, no persist, and no shuffle before the probe join. The third
     * similarity tier: brute force (exact) → IVF (high recall, ~nprobe/nlist
     * of the work) → hyperplane LSH (cheapest).
     */
@@ -89,27 +136,23 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
     val featured = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("__feat", array_to_vector(col("__cv").cast("array<double>")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // coarse quantizer: few iterations suffice, and a bounded training set
-    // keeps the fit constant-time at any corpus scale. limit() reads only as
-    // many partitions as needed — no sizing count() pass over the corpus —
-    // and the persist above means fit + transform share one corpus scan.
-    val trainSet = featured.select("__feat").limit(100000)
-    val model = new KMeans()
-      .setK(nlist).setSeed(seed).setDistanceMeasure("cosine").setMaxIter(8)
-      .setFeaturesCol("__feat").setPredictionCol("__cell")
-      .fit(trainSet)
-    val assigned = model.transform(featured).select(col("neighbor_id"), col("__cv"), col("__cell"))
+    val sample = featured.select(col("__cv").cast("array<float>")).limit(100000)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val cents = fitCentroidsLocal(sample, nlist, iters = 8, seed = seed)
+
+    // literal centroid matrix; argmax dot over it is one codegen'd expression
+    val centLit = array(cents.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    def dotWith(v: Column, c: Column): Column =
+      aggregate(zip_with(v.cast("array<double>"), c, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val scores = transform(centLit, c => dotWith(col("__cv"), c))
+    val assigned = featured
+      .withColumn("__cell", (array_position(scores, array_max(scores)) - 1).cast("int"))
 
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
+    val centroids = cents.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
       .toDF("__cell", "__centroid")
 
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
