@@ -425,6 +425,16 @@ object SparkEntry {
         .select(col("doc_id"), col("text_clean"))
     }),
 
+    // --- sequence packing (shard-local prefix-sum bins) --------------------
+    "text_pack" -> ((s, dir) => {
+      val toks = TextAnalysis.tokenCounts(t(s, dir, "documents"))
+        .withColumn("shard", (col("doc_id") % 8).cast("long"))
+        .withColumn("ws_tokens", col("ws_tokens").cast("long"))
+      TextAnalysis.packSequences(toks, "ws_tokens", capacityTokens = 512,
+          shardCol = "shard", orderCol = "doc_id")
+        .select("doc_id", "shard", "pack_id")
+    }),
+
     // --- language id (heuristic, exact-mirrored) ---------------------------
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"))
@@ -697,6 +707,15 @@ object SparkEntry {
         |      + 0.3 * greatest(0.0, 1.0 - abs(avg_token_len - 5.0) / 5.0)
         |      + 0.3 * greatest(0.0, 1.0 - 5.0 * (punct_ratio + digit_ratio))) * 10000.0 + 0.5) / 10000.0 AS quality_score
         |FROM f""".stripMargin,
+    "text_pack" ->
+      """WITH tok AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens
+        |  FROM documents),
+        |pre AS (SELECT doc_id, shard,
+        |  coalesce(sum(ws_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM tok)
+        |SELECT doc_id, shard, CAST(floor(before / 512.0) AS BIGINT) AS pack_id FROM pre""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,

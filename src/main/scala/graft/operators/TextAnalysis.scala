@@ -69,6 +69,28 @@ object TextAnalysis {
     """\b\d{3}-\d{2}-\d{4}\b""" -> "<SSN>",
     """\+?\d{1,3}-\d{3}-\d{4}\b""" -> "<PHONE>")
 
+  /** Sequence packing for training batches: within each shard (ordered by
+    * `orderCol`), documents are packed contiguously into bins of
+    * `capacityTokens` — `pack_id = floor(exclusive-prefix-sum / capacity)`,
+    * the streaming-friendly contiguous variant of greedy packing.
+    *
+    * Scale shape: the window partitions by `shardCol`, so no global sort —
+    * each shard packs independently (shards are how real pipelines bound
+    * packer state; a global window would serialize the corpus).
+    */
+  def packSequences(
+      df: DataFrame,
+      tokenCol: String,
+      capacityTokens: Int,
+      shardCol: String,
+      orderCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val before = coalesce(sum(col(tokenCol)).over(w), lit(0L))
+    df.withColumn("pack_id", floor(before / lit(capacityTokens.toDouble)).cast("long"))
+  }
+
   /** Redacts common PII (emails, IPv4, SSN-style ids, phone-style numbers)
     * from `textCol` into `into` — chained codegen'd regexp_replace, the
     * pre-training scrub pass every large text pipeline runs.

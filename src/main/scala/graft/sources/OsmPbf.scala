@@ -228,14 +228,50 @@ object OsmPbf {
   // ---- writer (driver-side, capped — fixture/export path) ------------------
 
   /** Writes `df` (schema like [[schema]]: type/id/tags and lon/lat for "n",
-    * refs for "w"/"r") as one `.osm.pbf` file: a single zlib PrimitiveBlock
-    * with DenseNodes, Ways, and Relations. Driver-side, `maxRows`-capped.
+    * refs for "w"/"r") as one `.osm.pbf` file. Driver-side, `maxRows`-capped.
+    * Elements are chunked into PrimitiveBlocks of `elementsPerBlock`
+    * (each with its own string table) — real planet files carry thousands of
+    * such blocks, which is what makes [[readSplit]]'s per-blob ranges work.
     */
-  def write(df: DataFrame, path: String, maxRows: Int = 1000000): Unit = {
+  def write(df: DataFrame, path: String, maxRows: Int = 1000000,
+      elementsPerBlock: Int = 8000): Unit = {
     val rows = df.limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
       s"OsmPbf.write collects to the driver and is capped at maxRows=$maxRows rows")
     val idx = df.schema.fieldNames.zipWithIndex.toMap
+    val nodesAll = rows.filter(_.getString(idx("type")) == "n").sortBy(_.getLong(idx("id")))
+    val waysAll = rows.filter(_.getString(idx("type")) == "w")
+    val relsAll = rows.filter(_.getString(idx("type")) == "r")
+    val chunks = (nodesAll ++ waysAll ++ relsAll).grouped(math.max(1, elementsPerBlock)).toSeq
+
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
+    try {
+      // OSMHeader blob (uncompressed, required-features only)
+      val hdrBlock = new Pbf.Writer
+      hdrBlock.stringField(4, "OsmSchema-V0.6")
+      hdrBlock.stringField(4, "DenseNodes")
+      val hdrBlob = new Pbf.Writer
+      hdrBlob.bytesField(1, hdrBlock.toBytes)
+      writeFrame(out, "OSMHeader", hdrBlob.toBytes)
+      chunks.foreach { chunk =>
+        writeFrame(out, "OSMData", blockBlob(chunk, idx))
+      }
+    } finally out.close()
+  }
+
+  private def writeFrame(out: java.io.OutputStream, blobType: String, blobBytes: Array[Byte]): Unit = {
+    val header = new Pbf.Writer
+    header.stringField(1, blobType)
+    header.varintField(3, blobBytes.length.toLong)
+    val hb = header.toBytes
+    out.write(Array[Byte]((hb.length >> 24).toByte, (hb.length >> 16).toByte,
+      (hb.length >> 8).toByte, hb.length.toByte))
+    out.write(hb)
+    out.write(blobBytes)
+  }
+
+  /** One zlib'd PrimitiveBlock (own string table) wrapped in a Blob message. */
+  private def blockBlob(rows: Seq[Row], idx: Map[String, Int]): Array[Byte] = {
     def tagsOf(r: Row): Seq[(String, String)] =
       Option(r.getAs[Map[String, String]](idx("tags"))).getOrElse(Map.empty).toSeq.sortBy(_._1)
 
@@ -244,7 +280,7 @@ object OsmPbf {
     val stringIdx = scala.collection.mutable.Map[String, Int]("" -> 0)
     def sid(s: String): Int = stringIdx.getOrElseUpdate(s, { strings += s; strings.length - 1 })
 
-    val nodes = rows.filter(_.getString(idx("type")) == "n").sortBy(_.getLong(idx("id")))
+    val nodes = rows.filter(_.getString(idx("type")) == "n")
     val ways = rows.filter(_.getString(idx("type")) == "w")
     val rels = rows.filter(_.getString(idx("type")) == "r")
 
@@ -313,28 +349,92 @@ object OsmPbf {
     val blob = new Pbf.Writer
     blob.varintField(2, raw.length.toLong)
     blob.bytesField(3, java.util.Arrays.copyOf(compressed, clen))
+    blob.toBytes
+  }
 
-    def frame(out: java.io.OutputStream, blobType: String, blobBytes: Array[Byte]): Unit = {
-      val header = new Pbf.Writer
-      header.stringField(1, blobType)
-      header.varintField(3, blobBytes.length.toLong)
-      val hb = header.toBytes
-      out.write(Array[Byte]((hb.length >> 24).toByte, (hb.length >> 16).toByte,
-        (hb.length >> 8).toByte, hb.length.toByte))
-      out.write(hb)
-      out.write(blobBytes)
+  // ---- splittable read (per-blob byte ranges) ------------------------------
+
+  /** OSMData blob byte ranges of one file: (offset, length) pairs, found by
+    * walking the frame headers — reads only the 4-byte lengths and the small
+    * BlobHeaders, never the data.
+    */
+  private[sources] def blobRanges(raf: java.io.RandomAccessFile): Seq[(Long, Int)] = {
+    val out = ArrayBuffer[(Long, Int)]()
+    val len = raf.length()
+    var p = 0L
+    val hdrBuf = new Array[Byte](64)
+    while (p + 4 <= len) {
+      raf.seek(p)
+      val headerLen = raf.readInt()
+      val hb = if (headerLen <= hdrBuf.length) hdrBuf else new Array[Byte](headerLen)
+      raf.readFully(hb, 0, headerLen)
+      val hr = new Pbf.Reader(hb, 0, headerLen)
+      var blobType = ""
+      var dataSize = 0
+      while (hr.hasMore) {
+        val (f, w) = hr.tag()
+        f match {
+          case 1 => val (s, l) = hr.lenDelimited(); blobType = new String(hb, s, l, "UTF-8")
+          case 3 => dataSize = hr.varint().toInt
+          case _ => hr.skip(w)
+        }
+      }
+      if (blobType == "OSMData") out += ((p + 4 + headerLen, dataSize))
+      p += 4 + headerLen + dataSize
     }
+    out.toSeq
+  }
 
-    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
-    try {
-      // OSMHeader blob (uncompressed, required-features only)
-      val hdrBlock = new Pbf.Writer
-      hdrBlock.stringField(4, "OsmSchema-V0.6")
-      hdrBlock.stringField(4, "DenseNodes")
-      val hdrBlob = new Pbf.Writer
-      hdrBlob.bytesField(1, hdrBlock.toBytes)
-      frame(out, "OSMHeader", hdrBlob.toBytes)
-      frame(out, "OSMData", blob.toBytes)
-    } finally out.close()
+  /** Decodes one Blob message's bytes into element rows. */
+  private def parseBlobBytes(bytes: Array[Byte]): Iterator[Row] = {
+    val br = new Pbf.Reader(bytes, 0, bytes.length)
+    var raw: Array[Byte] = null
+    var rawSize = -1
+    var zlib: (Int, Int) = null
+    while (br.hasMore) {
+      val (f, w) = br.tag()
+      f match {
+        case 1 => val (s, l) = br.lenDelimited(); raw = br.sliceBytes(s, l)
+        case 2 => rawSize = br.varint().toInt
+        case 3 => zlib = br.lenDelimited()
+        case _ => br.skip(w)
+      }
+    }
+    val block =
+      if (raw != null) raw
+      else if (zlib != null) inflate(br.sliceBytes(zlib._1, zlib._2), rawSize)
+      else return Iterator.empty
+    parsePrimitiveBlock(block)
+  }
+
+  /** Splittable read: blob byte ranges are listed with header-only IO, then
+    * decoded in parallel — each zlib Blob is independently decompressible, so
+    * one big file fans out across the cluster instead of pinning one task.
+    * `path` must be visible to executors (local/NFS; an HDFS variant would
+    * use FileSystem ranged reads at the same seam).
+    */
+  def readSplit(spark: SparkSession, path: String, rangesPerPartition: Int = 4): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+      .filter(p => p.toString.endsWith(".pbf"))
+      .map(_.toString).toSeq.sorted
+    val ranges = files.flatMap { f =>
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try blobRanges(raf).map { case (off, len) => (f, off, len) } finally raf.close()
+    }
+    val parallelism = math.max(1, math.min(ranges.size / math.max(1, rangesPerPartition),
+      spark.sparkContext.defaultParallelism * 2))
+    val rdd = spark.sparkContext
+      .parallelize(ranges, math.max(1, parallelism))
+      .flatMap { case (f, off, len) =>
+        val raf = new java.io.RandomAccessFile(f, "r")
+        try {
+          val buf = new Array[Byte](len)
+          raf.seek(off)
+          raf.readFully(buf)
+          parseBlobBytes(buf)
+        } finally raf.close()
+      }
+    spark.createDataFrame(rdd, schema)
   }
 }

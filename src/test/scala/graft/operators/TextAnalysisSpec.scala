@@ -56,6 +56,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(m == m2)
   }
 
+  test("packSequences: contiguous bins per shard, capacity respected on bin starts") {
+    val df = Seq(
+      (1L, 0L, 200L), (2L, 0L, 200L), (3L, 0L, 200L), (4L, 0L, 600L), (5L, 0L, 50L),
+      (6L, 1L, 512L), (7L, 1L, 1L)).toDF("doc_id", "shard", "tokens")
+    val out = TextAnalysis.packSequences(df, "tokens", 512, "shard", "doc_id")
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    // shard 0 prefix sums: 0,200,400,600,1200 -> bins 0,0,0,1,2
+    assert(out(1L) == 0 && out(2L) == 0 && out(3L) == 0)
+    assert(out(4L) == 1 && out(5L) == 2)
+    // shard 1 packs independently: 0,512 -> bins 0,1
+    assert(out(6L) == 0 && out(7L) == 1)
+    // no shuffle beyond the shard window: plan partitions by shard
+    val plan = TextAnalysis.packSequences(df, "tokens", 512, "shard", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"))
+  }
+
   test("redactPii scrubs emails, IPs, SSNs, phones; clean text passes through") {
     val df = Seq(
       (1L, "write to jane.doe+x@corp.example.org today"),

@@ -84,6 +84,22 @@ class OsmPbfSpec extends AnyFunSuite with SparkSpec {
     assert(nodesWithTags == Set(1L))
   }
 
+  test("readSplit: per-blob ranges return exactly what the whole-file read returns") {
+    val many = (1 to 57).map(i =>
+      Row("n", i.toLong, Map("k" -> s"v$i"), i * 0.01, -i * 0.01, null)) ++ Seq(
+      Row("w", 100L, Map("highway" -> "x"), null, null, Seq(1L, 2L)),
+      Row("r", 200L, Map.empty[String, String], null, null, Seq(100L)))
+    val dir = tmpDir("split")
+    OsmPbf.write(elementsDf(many), s"$dir/big.osm.pbf", elementsPerBlock = 10)
+    // multiple genuine blob ranges
+    val raf = new java.io.RandomAccessFile(s"$dir/big.osm.pbf", "r")
+    val ranges = try OsmPbf.blobRanges(raf) finally raf.close()
+    assert(ranges.size == 6, s"expected 6 data blobs, got ${ranges.size}")
+    val whole = OsmPbf.read(spark, dir).orderBy("type", "id").collect().toSeq
+    val split = OsmPbf.readSplit(spark, dir).orderBy("type", "id").collect().toSeq
+    assert(split == whole && split.size == 59)
+  }
+
   test("write cap fails fast") {
     val dir = tmpDir("cap")
     val e = intercept[IllegalArgumentException] {
