@@ -192,5 +192,24 @@ object GeoFunctions {
     r3("st_bufferm", (g, r, n) => StBufferM(g, Cast(r, DoubleType), Cast(n, IntegerType)))
     r2("st_cellcover", (g, cd) => StCellCover(g, Cast(cd, DoubleType)))
     r3("st_cellof", (x, y, cd) => StCellOf(Cast(x, DoubleType), Cast(y, DoubleType), Cast(cd, DoubleType)))
+    r2("st_to_utm", (g, epsg) => GeoFunctions.utmExpr(g, epsg, invert = false))
+    r2("st_from_utm", (g, epsg) => GeoFunctions.utmExpr(g, epsg, invert = true))
+  }
+
+  /** SQL builder for the UTM expressions: the EPSG code must be a literal
+    * (the zone is baked into the generated code).
+    */
+  private[graft] def utmExpr(g: Expression, epsg: Expression, invert: Boolean): Expression = {
+    require(epsg.foldable, "st_to_utm/st_from_utm: the EPSG code must be a literal")
+    val code = epsg.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        s.toString.toUpperCase(java.util.Locale.ROOT).stripPrefix("EPSG:").toInt
+      case other => throw new IllegalArgumentException(s"st_*_utm: bad EPSG argument $other")
+    }
+    val (zone, south) = graft.geom.TransverseMercator.utmZoneOf(code).getOrElse(
+      throw new IllegalArgumentException(s"EPSG:$code is not a UTM zone (32601-60 / 32701-60)"))
+    StUtm(g, zone, south, invert)
   }
 }

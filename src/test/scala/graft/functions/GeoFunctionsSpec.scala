@@ -144,6 +144,14 @@ class GeoFunctionsSpec extends AnyFunSuite with SparkSpec {
     val a = spark.sql("SELECT st_aream(st_bufferm(st_point(0.0, 0.0), 500.0, 8)) AS a").head().getDouble(0)
     val expect = 0.5 * 32 * 500.0 * 500.0 * math.sin(2 * math.Pi / 32)
     assert(math.abs(a - expect) / expect < 1e-9)
+    // UTM from SQL: central-meridian identity, string and int EPSG forms
+    val utm = spark.sql(
+      "SELECT st_x(st_to_utm(st_point(3.0, 0.0), 32631)) AS e").head().getDouble(0)
+    assert(utm == 500000.0)
+    val rt = spark.sql(
+      """SELECT st_x(st_from_utm(st_to_utm(st_point(4.5, 52.0), 'EPSG:32631'), 'EPSG:32631')) AS lon""")
+      .head().getDouble(0)
+    assert(math.abs(rt - 4.5) < 1e-9)
   }
 
   test("expressions stay codegen-compatible (no fallback in plan)") {
