@@ -195,6 +195,96 @@ object Fgb {
     }
   }
 
+  /** Feature-frame byte ranges of one fgb file, `featuresPerSplit` features
+    * per range — found by walking the size prefixes only (seek past each
+    * feature body, never read it).
+    */
+  private[sources] def featureRanges(raf: java.io.RandomAccessFile,
+      featuresPerSplit: Int): Seq[(Long, Long)] = {
+    def readIntLE(): Int = {
+      val b = new Array[Byte](4)
+      raf.readFully(b)
+      (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)
+    }
+    raf.seek(8)
+    val headerSize = readIntLE()
+    // header needed for the index-skip arithmetic
+    val hdr = new Array[Byte](headerSize)
+    raf.readFully(hdr)
+    val full = new Array[Byte](12 + headerSize)
+    System.arraycopy(hdr, 0, full, 12, headerSize)
+    val bb = Flatbuf.le(full)
+    val root = new Flatbuf.FbTable(bb, 12 + bb.getInt(12))
+    val count = root.getLong(8)
+    val nodeSize = root.getShort(9, 16) & 0xffff
+    var p = 12L + headerSize + indexSize(count, nodeSize)
+    val len = raf.length()
+    val out = ArrayBuffer[(Long, Long)]()
+    var chunkStart = p
+    var inChunk = 0
+    while (p + 4 <= len) {
+      raf.seek(p)
+      val featSize = readIntLE()
+      p += 4 + featSize
+      inChunk += 1
+      if (inChunk >= featuresPerSplit) {
+        out += ((chunkStart, p - chunkStart))
+        chunkStart = p
+        inChunk = 0
+      }
+    }
+    if (inChunk > 0) out += ((chunkStart, p - chunkStart))
+    out.toSeq
+  }
+
+  /** Splittable read: feature ranges listed with size-prefix-only IO, then
+    * decoded in parallel ranged reads (each size-prefixed Feature flatbuffer
+    * is self-contained) — one big fgb fans out across the cluster. `path`
+    * must be executor-visible (local/NFS; HDFS would swap in ranged
+    * FileSystem reads at this seam).
+    */
+  def readSplit(spark: SparkSession, path: String, featuresPerSplit: Int = 4096): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+      .filter(_.toString.endsWith(".fgb")).map(_.toString).toSeq.sorted
+    require(files.nonEmpty, s"no .fgb files under $path")
+    val headBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(files.head))
+    val (_, schema) = schemaOf(headBytes)
+    val bbHead = Flatbuf.le(headBytes)
+    val (_, geomType, cols, _, _) = parseHeader(bbHead)
+    val ranges = files.flatMap { f =>
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try featureRanges(raf, featuresPerSplit).map { case (off, len) => (f, off, len) }
+      finally raf.close()
+    }
+    val rdd = spark.sparkContext
+      .parallelize(ranges, math.max(1, math.min(ranges.size, spark.sparkContext.defaultParallelism * 2)))
+      .flatMap { case (f, off, len) =>
+        val raf = new java.io.RandomAccessFile(f, "r")
+        try {
+          val buf = new Array[Byte](len.toInt)
+          raf.seek(off)
+          raf.readFully(buf)
+          val bb = Flatbuf.le(buf)
+          val rows = ArrayBuffer[Row]()
+          var p = 0
+          while (p + 4 <= buf.length) {
+            val featSize = bb.getInt(p)
+            val feat = new Flatbuf.FbTable(bb, p + 4 + bb.getInt(p + 4))
+            val geom = feat.table(0).map(g => WKB.write(geomOf(g, geomType))).orNull
+            val props = feat.byteVectorPos(1) match {
+              case Some((at, l)) => parseProps(bb, at, l, cols)
+              case None => new Array[Any](cols.length)
+            }
+            rows += Row.fromSeq(props.toIndexedSeq :+ geom)
+            p += 4 + featSize
+          }
+          rows.iterator
+        } finally raf.close()
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
   // ---- writer --------------------------------------------------------------
 
   private def fgbGeomType(g: Geom): Int = g match {

@@ -45,6 +45,21 @@ object EventStream {
     stream.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Streaming NEAR-dedup via document fingerprints: the 64-bit winnowing
+    * fingerprint ([[graft.operators.TextAnalysis.fingerprint]]) collides for
+    * near-identical texts (same 4 smallest 8-gram hashes), so dropping
+    * duplicate fingerprints inside the watermark removes near-copies with
+    * the same sketch semantics as the batch operator — watermark-bounded
+    * state, batch/stream parity on the kept-fingerprint set.
+    */
+  def nearDedupStream(stream: DataFrame, textCol: String = "text",
+      watermark: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("__fp", graft.functions.TextFunctions.doc_fingerprint(col(textCol)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   // ---- sessionization -----------------------------------------------------
 
   /** Batch sessionization with window functions: a session breaks when the

@@ -91,6 +91,19 @@ class FgbSpec extends AnyFunSuite with SparkSpec {
     assert(n == 4)
   }
 
+  test("readSplit: feature ranges return exactly what the whole-file read returns") {
+    val dir = tmpDir("split")
+    val df = (1 to 57).map(i => (i.toLong, s"row$i", i * 0.5)).toDF("id", "name", "score")
+      .withColumn("geometry", st_point(col("id") * 1.0, col("id") * -0.5))
+    Fgb.write(df, s"$dir/many.fgb")
+    val raf = new java.io.RandomAccessFile(s"$dir/many.fgb", "r")
+    val ranges = try Fgb.featureRanges(raf, featuresPerSplit = 10) finally raf.close()
+    assert(ranges.size == 6, s"expected 6 ranges, got ${ranges.size}")
+    val whole = Fgb.read(spark, dir).orderBy("id").collect().toSeq
+    val split = Fgb.readSplit(spark, dir, featuresPerSplit = 10).orderBy("id").collect().toSeq
+    assert(split == whole && split.size == 57)
+  }
+
   test("fgb write cap fails fast") {
     val df = (1 to 5).map(i => (i.toLong, i * 1.0)).toDF("id", "x")
       .select(col("id"), st_point(col("x"), lit(0.0)).as("geometry"))

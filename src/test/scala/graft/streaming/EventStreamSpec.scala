@@ -94,6 +94,31 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDedupStream drops near-identical texts by fingerprint, batch-parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "a long enough document body for rolling hashes to work with sensibly"
+    val docs = Seq(
+      (1L, ts(0), base),
+      (2L, ts(1), base),                        // exact copy
+      (3L, ts(2), base + " tail edit far away"), // near-copy: may share the 4 minima
+      (4L, ts(3), "a completely different corpus entry with zero shared shingles at all"))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStream.nearDedupStream(
+        mem.toDF().toDF("doc_id", "ts", "text"), "text")
+      .writeStream.format("memory").queryName("neardedup_stream").outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val kept = spark.table("neardedup_stream").select("doc_id").as[Long].collect().toSet
+      // batch fingerprint dedup gives the expected kept set
+      val batchKept = graft.operators.Dedup.exact(
+        graft.operators.TextAnalysis.fingerprint(docs.toDF("doc_id", "ts", "text")),
+        Seq("doc_fp"), "doc_id").select("doc_id").as[Long].collect().toSet
+      assert(kept == batchKept)
+      assert(kept.contains(1L) && !kept.contains(2L) && kept.contains(4L))
+    } finally q.stop()
+  }
+
   test("readStream over the events table produces the same windowed counts") {
     // file source needs a directory; stage the single-file table into one
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
