@@ -285,6 +285,21 @@ object OracleSql {
        |SELECT query_id, neighbor_id, round(cs, 6) AS cosine FROM scored
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) <= $k""".stripMargin
 
+  /** (doc_id, split): deterministic hash split — mirrors
+    * [[graft.operators.Ops.splitByHash]]'s splitmix64 bucket arithmetic.
+    */
+  def dataSplit(weights: Seq[(String, Double)], seed: Long = 42L,
+      docsrc: String = "documents"): String = {
+    val thresholds = weights.scanLeft(0L) { case (acc, (_, w)) => acc + math.round(w * 10000) }.tail
+    val cases = weights.map(_._1).zip(thresholds).init
+      .map { case (name, t) => s"WHEN bucket < $t THEN '$name'" }
+      .mkString(" ")
+    s"""WITH z AS (SELECT doc_id, ${ub2(s"xor(doc_id, $seed)")} AS z0 FROM $docsrc),
+       |m AS (SELECT doc_id, ${sb2(mix64("z0"))} AS h FROM z),
+       |b AS (SELECT doc_id, ((h % 10000) + 10000) % 10000 AS bucket FROM m)
+       |SELECT doc_id, CASE $cases ELSE '${weights.last._1}' END AS split FROM b""".stripMargin
+  }
+
   /** (c_custkey, easting, northing): WGS84 UTM forward (Karney series),
     * mirrored with the kernel's own double-precision constants as literals.
     * sinh/cosh/atanh/asinh are emulated via exp/ln (DuckDB has no

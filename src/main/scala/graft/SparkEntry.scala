@@ -425,6 +425,12 @@ object SparkEntry {
         .select(col("doc_id"), col("text_clean"))
     }),
 
+    // --- deterministic train/val/test split (hash-stable membership) -------
+    "data_split" -> ((s, dir) =>
+      Ops.splitByHash(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")),
+
     // --- sequence packing (shard-local prefix-sum bins) --------------------
     "text_pack" -> ((s, dir) => {
       val toks = TextAnalysis.tokenCounts(t(s, dir, "documents"))
@@ -707,6 +713,7 @@ object SparkEntry {
         |      + 0.3 * greatest(0.0, 1.0 - abs(avg_token_len - 5.0) / 5.0)
         |      + 0.3 * greatest(0.0, 1.0 - 5.0 * (punct_ratio + digit_ratio))) * 10000.0 + 0.5) / 10000.0 AS quality_score
         |FROM f""".stripMargin,
+    "data_split" -> OracleSql.dataSplit(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
     "text_pack" ->
       """WITH tok AS (SELECT doc_id, doc_id % 8 AS shard,
         |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens

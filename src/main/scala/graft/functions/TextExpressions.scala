@@ -78,6 +78,20 @@ case class DocFingerprint(child: Expression) extends UnaryExpression with Serial
   override protected def withNewChildInternal(c: Expression): DocFingerprint = copy(child = c)
 }
 
+/** splitmix64 of a long column xor'd with a seed — the deterministic,
+  * SQL-mirrorable row hash behind [[graft.operators.Ops.splitByHash]].
+  */
+case class Mix64Hash(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any, s: Any): Any =
+    TextKernel.mix64(v.asInstanceOf[Long] ^ s.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, s) => s"${TextExpressions.K}.mix64($v ^ $s)")
+  override def prettyName: String = "mix64_hash"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Mix64Hash = copy(l, r)
+}
+
 /** Column API for the text/vector sketch expressions. */
 object TextFunctions {
   private def e(c: Column) = ColumnBridge.expression(c)
@@ -94,4 +108,6 @@ object TextFunctions {
     c(VecSimhash(e(vec), e(lit(nPlanes)), e(seed.cast("long"))))
   def lang_id(text: Column): Column = c(LangId(e(text)))
   def doc_fingerprint(text: Column): Column = c(DocFingerprint(e(text)))
+  def mix64_hash(v: Column, seed: Long): Column =
+    c(Mix64Hash(e(v.cast("long")), e(lit(seed))))
 }

@@ -40,6 +40,32 @@ object Ops {
       .drop(firstMatch(rightOn))
   }
 
+  /** Deterministic train/val/test splitting: the row's long id is hashed
+    * with splitmix64 (seeded), bucketed into 10 000 slots, and labeled by
+    * cumulative `weights` — stable across runs, partitionings, and engines
+    * (unlike `randomSplit`), so downstream stages and re-runs agree on
+    * membership. Pure codegen'd expression, no shuffle.
+    */
+  def splitByHash(
+      df: DataFrame,
+      idCol: String,
+      weights: Seq[(String, Double)],
+      seed: Long = 42L,
+      into: String = "split"): DataFrame = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "weights must sum to 1")
+    import graft.functions.TextFunctions.mix64_hash
+    val bucket = pmod(mix64_hash(col(idCol), seed), lit(10000L))
+    val thresholds = weights.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * 10000)
+    }.tail
+    val labeled = weights.map(_._1).zip(thresholds).init.foldRight(
+      lit(weights.last._1): Column) { case ((name, t), rest) =>
+      when(bucket < lit(t), lit(name)).otherwise(rest)
+    }
+    df.withColumn(into, labeled)
+  }
+
   /** Writes a bucketed+sorted table so repeated equi-joins/aggregations on
     * `key` are exchange-free (Spark bucketing: both sides pre-partitioned on
     * disk, the join plan has no shuffle). The 100 TB pattern for fact-to-fact
