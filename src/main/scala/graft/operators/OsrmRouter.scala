@@ -22,7 +22,20 @@ class OsrmRouter(
     baseUrl: String,
     profile: String = "driving",
     transport: String => String = OsrmRouter.httpTransport,
-    maxTableSize: Int = 100) extends Router {
+    maxTableSize: Int = 100,
+    retries: Int = 10,           // reference: erde/op/route.py raw_route(retries=10)
+    overview: String = "full",   // full | simplified | false (geometry detail)
+    nodeAnnotations: Boolean = false) extends Router {
+
+  private def call(url: String): String = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < math.max(1, retries)) {
+      try return transport(url)
+      catch { case e: Exception => last = e; attempt += 1 }
+    }
+    throw new RuntimeException(s"OSRM transport failed after $retries attempts: $url", last)
+  }
 
   private def coords(pts: Seq[(Double, Double)]): String =
     pts.map { case (lon, lat) => s"$lon,$lat" }.mkString(";")
@@ -40,18 +53,25 @@ class OsrmRouter(
     }
     val snaps = waypoints.map(_.items.map(w =>
       obj(w).fields.get("distance").map(num).getOrElse(0.0)).toSeq).getOrElse(Seq(0.0, 0.0))
+    // annotations=nodes: routes[].legs[].annotation.nodes (OSM node ids)
+    val nodeIds = route.fields.get("legs").map(arr).map(_.items.flatMap { leg =>
+      obj(leg).fields.get("annotation").map(obj).flatMap(_.fields.get("nodes")).map(arr)
+        .map(_.items.map(n => num(n).toLong).toSeq).getOrElse(Nil)
+    }.toSeq).getOrElse(Nil)
     RouteLeg(
       num(route.fields("duration")), num(route.fields("distance")), geom,
       snapSourceM = snaps.headOption.getOrElse(0.0),
-      snapDestM = if (snaps.size > 1) snaps.last else 0.0)
+      snapDestM = if (snaps.size > 1) snaps.last else 0.0,
+      nodes = nodeIds)
   }
 
   private def routeCall(lon1: Double, lat1: Double, lon2: Double, lat2: Double,
       alternatives: Int): Seq[RouteLeg] = {
     val alt = if (alternatives > 1) s"&alternatives=$alternatives" else ""
+    val ann = if (nodeAnnotations) "&annotations=nodes" else ""
     val url = s"$baseUrl/route/v1/$profile/${coords(Seq((lon1, lat1), (lon2, lat2)))}" +
-      s"?overview=full&geometries=polyline$alt"
-    val body = obj(GeoJson.parse(transport(url)))
+      s"?overview=$overview&geometries=polyline$alt$ann"
+    val body = obj(GeoJson.parse(call(url)))
     require(body.fields.get("code").contains(JStr("Ok")),
       s"OSRM error: ${body.fields.get("code")} ${body.fields.get("message")}")
     val wps = body.fields.get("waypoints").map(arr)
@@ -85,7 +105,7 @@ class OsrmRouter(
         val dstIdx = di.indices.map(_ + si.size).mkString(";")
         val url = s"$baseUrl/table/v1/$profile/${coords(pts)}" +
           s"?sources=$srcIdx&destinations=$dstIdx&annotations=duration,distance"
-        val body = obj(GeoJson.parse(transport(url)))
+        val body = obj(GeoJson.parse(call(url)))
         require(body.fields.get("code").contains(JStr("Ok")), s"OSRM error on $url")
         val dur = arr(body.fields("durations")).items.map(r => arr(r).items.map(num))
         val dist = arr(body.fields("distances")).items.map(r => arr(r).items.map(num))

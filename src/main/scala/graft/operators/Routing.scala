@@ -11,7 +11,8 @@ import graft.functions.GeoFunctions._
   * erde/op/isochrone.py's full_duration = duration + snap penalty.
   */
 final case class RouteLeg(durationS: Double, distanceM: Double, wkb: Array[Byte],
-    snapSourceM: Double = 0.0, snapDestM: Double = 0.0)
+    snapSourceM: Double = 0.0, snapDestM: Double = 0.0,
+    nodes: Seq[Long] = Nil) // OSM node ids when the engine annotates them
 
 /** Pluggable routing backend (reference: erde/op/route.py — OSRM HTTP).
   *

@@ -81,6 +81,37 @@ class OsrmRouterSpec extends AnyFunSuite with SparkSpec {
     assert(srcSnap.toSeq == Seq(1.0, 2.0, 3.0) && dstSnap.toSeq == Seq(5.0, 6.0, 7.0))
   }
 
+  test("retries: transient transport failures are retried, then surface") {
+    var calls = 0
+    val flaky: String => String = { url =>
+      calls += 1
+      if (calls < 3) throw new java.io.IOException("connection reset")
+      s"""{"code":"Ok","routes":[{"duration":10.0,"distance":100.0,
+         |"geometry":"${polylineOf(Array(0.0, 0, 1, 1))}"}],
+         |"waypoints":[{"distance":0.0},{"distance":0.0}]}""".stripMargin
+    }
+    val r = new OsrmRouter("http://osrm.local", transport = flaky, retries = 5)
+    assert(r.route(0, 0, 1, 1).durationS == 10.0 && calls == 3)
+    val alwaysDown = new OsrmRouter("http://osrm.local",
+      transport = _ => throw new java.io.IOException("down"), retries = 2)
+    val e = intercept[RuntimeException] { alwaysDown.route(0, 0, 1, 1) }
+    assert(e.getMessage.contains("after 2 attempts"))
+  }
+
+  test("node annotations are requested and parsed when enabled") {
+    val transport: String => String = { url =>
+      assert(url.contains("annotations=nodes"))
+      assert(url.contains("overview=simplified"))
+      s"""{"code":"Ok","routes":[{"duration":10.0,"distance":100.0,
+         |"geometry":"${polylineOf(Array(0.0, 0, 1, 1))}",
+         |"legs":[{"annotation":{"nodes":[11,12,13]}},{"annotation":{"nodes":[13,14]}}]}],
+         |"waypoints":[{"distance":0.0},{"distance":0.0}]}""".stripMargin
+    }
+    val r = new OsrmRouter("http://osrm.local", transport = transport,
+      overview = "simplified", nodeAnnotations = true)
+    assert(r.route(0, 0, 1, 1).nodes == Seq(11L, 12L, 13L, 13L, 14L))
+  }
+
   test("error responses fail loudly") {
     val transport: String => String =
       _ => """{"code":"NoRoute","message":"Impossible route"}"""

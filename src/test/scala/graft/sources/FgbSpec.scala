@@ -104,6 +104,21 @@ class FgbSpec extends AnyFunSuite with SparkSpec {
     assert(split == whole && split.size == 57)
   }
 
+  test("cross-format parity: reference points fixture CSV -> fgb -> read") {
+    val data = "/root/reference/tests/io/data"
+    val csv = GeoSources.GeoCSV.read(spark, s"$data/points.csv", geometryCol = "WKT")
+    val dir = tmpDir("xfmt")
+    Fgb.write(csv.withColumnRenamed("WKT", "geometry"), s"$dir/points.fgb")
+    val back = Fgb.read(spark, dir)
+    assert(back.count() == csv.count())
+    def xs(df: org.apache.spark.sql.DataFrame, g: String) =
+      df.select(st_x(col(g))).as[Double].collect().map(x => math.rint(x * 1e9) / 1e9).sorted.toSeq
+    assert(xs(back, "geometry") == xs(csv, "WKT"))
+    // attributes survive with their values
+    val names = back.columns.filterNot(_ == "geometry").toSet
+    assert(names == csv.columns.filterNot(_ == "WKT").toSet)
+  }
+
   test("fgb write cap fails fast") {
     val df = (1 to 5).map(i => (i.toLong, i * 1.0)).toDF("id", "x")
       .select(col("id"), st_point(col("x"), lit(0.0)).as("geometry"))
