@@ -261,9 +261,14 @@ object OracleSql {
   /** Kept (vec_id, label) after embedding near-dedup: random-hyperplane
     * bucket collision in any table + exact cosine ≥ `threshold`.
     */
-  def dedupEmbedding(vecsrc: String = "embeddings", threshold: Double = 0.98,
+  def dedupEmbedding(vecsrc: String = "emb2", threshold: Double = 0.98,
       tables: Int = 4, planes: Int = 16, dim: Int = 64): String =
-    s"""WITH ${vecsketchCore(vecsrc, tables, planes, dim)},
+    s"""WITH emb2 AS (SELECT vec_id, label, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000 AS vec_id, label,
+       |    list_transform(embedding, x -> CAST(x * 0.5 AS REAL)) AS embedding
+       |  FROM embeddings WHERE vec_id < 25),
+       |${vecsketchCore(vecsrc, tables, planes, dim)},
        |cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
        |  FROM sk a JOIN sk b ON a.t = b.t AND a.sketch = b.sketch AND a.vec_id < b.vec_id),
        |vp AS (SELECT c.ida, c.idb, ${cos("ea.embedding", "eb.embedding")} AS cs

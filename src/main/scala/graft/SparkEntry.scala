@@ -249,10 +249,13 @@ object SparkEntry {
       val out = new java.io.File(s"/tmp/graft_pbf_${new java.io.File(dir).getName}")
       out.mkdirs()
       graft.sources.OsmPbf.write(elements, s"$out/elements.osm.pbf")
+      // NULL doubles become NaN in the driver's pandas compare and NaN never
+      // equals NaN — sentinel the way/relation rows instead (both sides)
       OsmFilter.tagFilter(graft.sources.OsmPbf.read(s, out.toString),
           Seq("wr/brand=Brand#13,Brand#23", "n/container"))
         .select(col("id").as("osm_id"), col("type"),
-          round(col("lon"), 5).as("lon5"), round(col("lat"), 5).as("lat5"))
+          coalesce(round(col("lon"), 5), lit(-999.0)).as("lon5"),
+          coalesce(round(col("lat"), 5), lit(-999.0)).as("lat5"))
     }),
 
     // --- skew stress: every point in ONE grid cell; salting spreads it -----
@@ -462,9 +465,17 @@ object SparkEntry {
         .select("doc_id", "lang")),
 
     // --- near-dedup: embedding cosine (kept set exact-mirrored) ------------
-    "dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id", threshold = 0.98)
-        .select("vec_id", "label")),
+    // the table has no natural near-dups (max pairwise cosine ~0.5), so the
+    // drop path is exercised with planted scaled copies: x*0.5 is fp-exact
+    // and keeps cosine at 1.0 and the hyperplane sketch unchanged
+    "dedup_embedding" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "label", "embedding")
+      val planted = emb.where(col("vec_id") < 25).select(
+        (col("vec_id") + 10000).as("vec_id"), col("label"),
+        transform(col("embedding"), x => (x * lit(0.5f)).cast("float")).as("embedding"))
+      Dedup.embeddingNearDup(emb.unionByName(planted), "embedding", "vec_id", threshold = 0.98)
+        .select("vec_id", "label")
+    }),
 
     // --- erde op/isochrone: contour polygons (rows-only; area spec'd) ------
     "isochrone_contours" -> ((s, dir) => {
@@ -599,8 +610,10 @@ object SparkEntry {
     "osm_pbf_roundtrip" ->
       """WITH e AS (SELECT p_partkey AS osm_id, p_brand, p_type,
         |  CASE (p_partkey % 3) WHEN 0 THEN 'n' WHEN 1 THEN 'w' ELSE 'r' END AS type,
-        |  CASE WHEN p_partkey % 3 = 0 THEN round((p_partkey % 60) * 0.1 + 0.05, 5) END AS lon5,
-        |  CASE WHEN p_partkey % 3 = 0 THEN round((p_partkey % 35) * 0.1 - 1.05, 5) END AS lat5
+        |  CASE WHEN p_partkey % 3 = 0 THEN CAST(round((p_partkey % 60) * 0.1 + 0.05, 5) AS DOUBLE)
+        |       ELSE -999.0 END AS lon5,
+        |  CASE WHEN p_partkey % 3 = 0 THEN CAST(round((p_partkey % 35) * 0.1 - 1.05, 5) AS DOUBLE)
+        |       ELSE -999.0 END AS lat5
         |  FROM part)
         |SELECT osm_id, type, lon5, lat5 FROM e
         |WHERE (type IN ('w','r') AND p_brand IN ('Brand#13','Brand#23'))
