@@ -290,6 +290,46 @@ object OracleSql {
        |SELECT query_id, neighbor_id, round(cs, 6) AS cosine FROM scored
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) <= $k""".stripMargin
 
+  /** (doc_id, contam_hits, contaminated): benchmark decontamination — mirrors
+    * [[graft.operators.TextAnalysis.flagContaminated]] over a corpus/bench
+    * split of `docsrc` by `benchPred`. One gramsCore instantiation feeds both
+    * sides; hits = distinct corpus grams present in the union of bench grams.
+    */
+  def decontaminate(benchPred: String, n: Int = 3, minHits: Int = 1,
+      docsrc: String = "documents"): String =
+    s"""WITH ${gramsCore(docsrc, n)},
+       |bg AS (SELECT DISTINCT unnest(grams) AS g FROM gset WHERE $benchPred),
+       |cg AS (SELECT doc_id, unnest(grams) AS g FROM gset WHERE NOT ($benchPred)),
+       |hits AS (SELECT cg.doc_id, count(*) AS contam_hits FROM cg JOIN bg USING (g)
+       |  GROUP BY cg.doc_id)
+       |SELECT d.doc_id, coalesce(h.contam_hits, 0) AS contam_hits,
+       |  coalesce(h.contam_hits, 0) >= $minHits AS contaminated
+       |FROM $docsrc d LEFT JOIN hits h USING (doc_id) WHERE NOT ($benchPred)""".stripMargin
+
+  /** (doc_id, source): deterministic domain mixing — mirrors
+    * [[graft.operators.Ops.mixByHash]] exactly: per-label counts, largest
+    * feasible scale T = min(c/w), threshold floor(w*T/c*10000) in the same
+    * double-arithmetic order, splitmix64 bucket membership. Target weights
+    * are emitted as CAST('…' AS DOUBLE) literals (plain decimal literals
+    * type as DECIMAL in DuckDB and would change the arithmetic).
+    */
+  def dataMix(targets: Seq[(String, Double)], seed: Long = 42L,
+      docsrc: String = "documents", labelCol: String = "source"): String = {
+    val vals = targets
+      .map { case (l, w) => s"('$l', CAST('$w' AS DOUBLE))" }.mkString(", ")
+    s"""WITH tgt(lbl, w) AS (SELECT * FROM (VALUES $vals) v(lbl, w)),
+       |cnt AS (SELECT $labelCol AS lbl, count(*) AS c FROM $docsrc GROUP BY $labelCol),
+       |tj AS (SELECT t.lbl, t.w, c.c FROM tgt t JOIN cnt c USING (lbl)),
+       |tmin AS (SELECT min(c / w) AS tscale FROM tj),
+       |thr AS (SELECT lbl, CAST(floor(w * (SELECT tscale FROM tmin) / c * 10000) AS BIGINT) AS thr
+       |  FROM tj),
+       |z AS (SELECT doc_id, $labelCol AS lbl, ${ub2(s"xor(doc_id, $seed)")} AS z0 FROM $docsrc),
+       |m AS (SELECT doc_id, lbl, ${sb2(mix64("z0"))} AS h FROM z),
+       |b AS (SELECT doc_id, lbl, ((h % 10000) + 10000) % 10000 AS bucket FROM m)
+       |SELECT b.doc_id, b.lbl AS $labelCol FROM b JOIN thr USING (lbl)
+       |WHERE b.bucket < thr.thr""".stripMargin
+  }
+
   /** (doc_id, split): deterministic hash split — mirrors
     * [[graft.operators.Ops.splitByHash]]'s splitmix64 bucket arithmetic.
     */

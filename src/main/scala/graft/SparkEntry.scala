@@ -390,12 +390,17 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
-    // --- similarity: IVF ANN (KMeans coarse quantizer; rows-only) ----------
+    // --- similarity: IVF ANN (KMeans coarse quantizer) ---------------------
+    // nprobe = nlist probes every cell, so the result is exactly brute-force
+    // top-k while still driving the whole IVF path (local Lloyd fit, codegen
+    // cell-assignment expression, probe ranking, cell join) — which makes the
+    // exact-cosine SQL a full oracle. The nprobe < nlist approximation is
+    // covered by the recall spec in SimilaritySpec.
     "sim_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 8), "embedding", "vec_id",
-          k = 5, nlist = 8, nprobe = 3)
-        .groupBy("query_id").agg(count(lit(1)).as("n_candidates"))
+          k = 5, nlist = 8, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
     // --- text quality scoring ---------------------------------------------
@@ -433,6 +438,21 @@ object SparkEntry {
       Ops.splitByHash(t(s, dir, "documents"), "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")),
+
+    // --- deterministic domain mixing (downsample to target proportions) ----
+    "data_mix" -> ((s, dir) =>
+      Ops.mixByHash(t(s, dir, "documents"), "source", "doc_id",
+          Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select("doc_id", "source")),
+
+    // --- benchmark decontamination (n-gram overlap vs an eval set) ---------
+    "text_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 50 === 0)
+      val corpus = docs.where(col("doc_id") % 50 =!= 0)
+      TextAnalysis.flagContaminated(corpus, bench, minHits = 5)
+        .select("doc_id", "contam_hits", "contaminated")
+    }),
 
     // --- sequence packing (shard-local prefix-sum bins) --------------------
     "text_pack" -> ((s, dir) => {
@@ -704,6 +724,17 @@ object SparkEntry {
         |  FROM embeddings e, q)
         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM sc
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
+    // probing all nlist cells makes IVF ≡ exact top-k (see queries entry)
+    "sim_ivf" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(q.qe, e.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e, q)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
     "text_quality" ->
       """WITH f AS (SELECT doc_id,
         |  CAST(length(text) AS DOUBLE) AS n_chars,
@@ -727,6 +758,8 @@ object SparkEntry {
         |      + 0.3 * greatest(0.0, 1.0 - 5.0 * (punct_ratio + digit_ratio))) * 10000.0 + 0.5) / 10000.0 AS quality_score
         |FROM f""".stripMargin,
     "data_split" -> OracleSql.dataSplit(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+    "data_mix" -> OracleSql.dataMix(Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)),
+    "text_decontam" -> OracleSql.decontaminate("doc_id % 50 = 0", n = 3, minHits = 5),
     "text_pack" ->
       """WITH tok AS (SELECT doc_id, doc_id % 8 AS shard,
         |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens

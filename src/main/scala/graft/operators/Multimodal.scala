@@ -26,6 +26,13 @@ object Multimodal {
   private def be32(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
   private def be16(b: Array[Byte], o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le24(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16)
+  private def ascii(b: Array[Byte], o: Int, s: String): Boolean =
+    b.length >= o + s.length && s.indices.forall(i => (b(o + i) & 0xff) == s.charAt(i))
 
   /** Real container-header metadata where the format is recognizable —
     * pure-JVM byte parsing, no codec:
@@ -50,6 +57,44 @@ object Multimodal {
         else i += 2 + be16(bytes, i + 2)
       }
       return ("jpeg", 0, 0, 1) // truncated header: recognized, dimensionless
+    }
+    // GIF87a/89a: little-endian logical screen, frame count by block walk
+    if (bytes.length >= 13 && (ascii(bytes, 0, "GIF87a") || ascii(bytes, 0, "GIF89a"))) {
+      val w = le16(bytes, 6); val h = le16(bytes, 8)
+      var frames = 0
+      var i = 13 + (if ((bytes(10) & 0x80) != 0) 3 * (2 << (bytes(10) & 0x07)) else 0)
+      var done = false
+      while (!done && i < bytes.length) {
+        (bytes(i) & 0xff) match {
+          case 0x3b => done = true // trailer
+          case 0x21 => // extension: label byte, then length-prefixed sub-blocks
+            i += 2
+            while (i < bytes.length && bytes(i) != 0) i += 1 + (bytes(i) & 0xff)
+            i += 1
+          case 0x2c => // image descriptor (+ optional local color table)
+            frames += 1
+            if (i + 10 > bytes.length) { done = true }
+            else {
+              i += 10 + (if ((bytes(i + 9) & 0x80) != 0) 3 * (2 << (bytes(i + 9) & 0x07)) else 0)
+              i += 1 // LZW minimum code size
+              while (i < bytes.length && bytes(i) != 0) i += 1 + (bytes(i) & 0xff)
+              i += 1
+            }
+          case _ => done = true // corrupt block stream: keep what we counted
+        }
+      }
+      return ("gif", w, h, math.max(frames, 1))
+    }
+    // WebP: RIFF container, WEBP form; VP8 (lossy) / VP8L (lossless) / VP8X
+    if (bytes.length >= 30 && ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WEBP")) {
+      if (ascii(bytes, 12, "VP8X"))
+        return ("webp", le24(bytes, 24) + 1, le24(bytes, 27) + 1, 1)
+      if (ascii(bytes, 12, "VP8L") && (bytes(20) & 0xff) == 0x2f) {
+        val b = le32(bytes, 21)
+        return ("webp", (b & 0x3fff) + 1, ((b >> 14) & 0x3fff) + 1, 1)
+      }
+      if (ascii(bytes, 12, "VP8 "))
+        return ("webp", le16(bytes, 26) & 0x3fff, le16(bytes, 28) & 0x3fff, 1)
     }
     // STUB fallback: deterministic pseudo-metadata from the payload hash
     var h = 0L
@@ -77,6 +122,66 @@ object Multimodal {
       i += 1
     }
     out
+  }
+
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  /** Real RIFF/WAVE header metadata — walks the chunk list for `fmt ` (sample
+    * rate, channels, bit depth) and `data` (payload size → duration). Pure
+    * byte parsing; non-WAV payloads get a deterministic STUB like decodeStub.
+    */
+  private[operators] def audioMetaStub(bytes: Array[Byte]): (String, Int, Int, Int, Long) = {
+    if (bytes.length >= 44 && ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE")) {
+      var sampleRate = 0; var channels = 0; var bits = 0; var byteRate = 0
+      var dataLen = 0L
+      var i = 12
+      while (i + 8 <= bytes.length) {
+        val size = le32(bytes, i + 4)
+        if (ascii(bytes, i, "fmt ") && i + 24 <= bytes.length) {
+          channels = le16(bytes, i + 10)
+          sampleRate = le32(bytes, i + 12)
+          byteRate = le32(bytes, i + 16)
+          bits = le16(bytes, i + 22)
+        } else if (ascii(bytes, i, "data")) {
+          dataLen = size.toLong & 0xffffffffL
+        }
+        i += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      val durMs = if (byteRate > 0) dataLen * 1000L / byteRate else 0L
+      return ("wav", sampleRate, channels, bits, durMs)
+    }
+    // STUB fallback: deterministic pseudo-metadata from the payload hash
+    var h = 0L
+    var i = 0
+    val n = math.min(bytes.length, 64)
+    while (i < n) { h = mix64(h ^ bytes(i)); i += 1 }
+    val rates = Array(8000, 16000, 22050, 44100, 48000)
+    ("audio", rates((((h >> 8) % 5).toInt + 5) % 5), 1 + (math.abs(h >> 24) % 2).toInt,
+      16, 500L + math.abs(h >> 32) % 60000L)
+  }
+
+  /** Adds an `audio_meta` struct parsed from `binCol` (real for WAV; STUB
+    * otherwise) — same per-partition batch shape as [[withMeta]].
+    */
+  def withAudioMeta(df: DataFrame, binCol: String = "content"): DataFrame = {
+    val outSchema = df.schema.add(StructField("audio_meta", audioMetaSchema, nullable = true))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val meta = if (bytes == null) null else {
+          val (fmt, sr, ch, bits, dur) = audioMetaStub(bytes)
+          Row(fmt, sr, ch, bits, dur)
+        }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(enc)
   }
 
   /** Adds a `media_meta` struct decoded from `binCol`. Runs as a

@@ -66,6 +66,41 @@ object Ops {
     df.withColumn(into, labeled)
   }
 
+  /** Deterministic domain mixing: downsamples each `labelCol` group so the
+    * kept rows follow the `targets` proportions — the largest feasible
+    * dataset with those proportions given the available counts (the scarcest
+    * label relative to its target is kept whole; no upsampling). Membership
+    * is mix64-hash thresholded like [[splitByHash]], so it is stable across
+    * runs, partitionings, and engines. Labels absent from `targets` drop.
+    *
+    * Scale shape: one tiny per-label count aggregate (result rows = #labels,
+    * collected to the driver to fold the thresholds into literals), then a
+    * single pure codegen'd filter pass — no shuffle of the data itself.
+    */
+  def mixByHash(
+      df: DataFrame,
+      labelCol: String,
+      idCol: String,
+      targets: Seq[(String, Double)],
+      seed: Long = 42L): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0), "target weights must be positive")
+    val counts = df.groupBy(labelCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = targets.filter { case (l, _) => counts.getOrElse(l, 0L) > 0L }
+    require(present.nonEmpty, "no target label present in the data")
+    // largest total consistent with the proportions; per-label keep-rates ≤ 1
+    val scale = present.map { case (l, w) => counts(l) / w }.min
+    val thresholds = present.map { case (l, w) =>
+      l -> math.floor(w * scale / counts(l) * 10000).toLong
+    }
+    import graft.functions.TextFunctions.mix64_hash
+    val bucket = pmod(mix64_hash(col(idCol), seed), lit(10000L))
+    val thr = thresholds.foldRight(lit(-1L): Column) { case ((l, t), rest) =>
+      when(col(labelCol) === lit(l), lit(t)).otherwise(rest)
+    }
+    df.where(bucket < thr)
+  }
+
   /** Writes a bucketed+sorted table so repeated equi-joins/aggregations on
     * `key` are exchange-free (Spark bucketing: both sides pre-partitioned on
     * disk, the join plan has no shuffle). The 100 TB pattern for fact-to-fact

@@ -91,6 +91,38 @@ object TextAnalysis {
     df.withColumn("pack_id", floor(before / lit(capacityTokens.toDouble)).cast("long"))
   }
 
+  /** Benchmark decontamination: flags corpus documents sharing at least
+    * `minHits` distinct word n-grams with ANY document of a benchmark set
+    * (training-data hygiene — eval-set leakage detection before training).
+    *
+    * Scale shape: the corpus side explodes its distinct n-gram hashes once;
+    * the benchmark side is deduplicated to a single gram-hash set (benchmark
+    * suites are tiny next to a 100 TB corpus) and broadcast by default, so
+    * the corpus never shuffles for the probe — there is no doc×doc pair
+    * space anywhere. With `broadcastBench=false` the probe becomes a
+    * hash-partitioned join on the gram hash for oversized benchmark sets.
+    */
+  def flagContaminated(
+      corpus: DataFrame,
+      bench: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      minHits: Int = 1,
+      broadcastBench: Boolean = true): DataFrame = {
+    val bg0 = bench
+      .select(explode(array_distinct(ngrams_hashed(col(textCol), n))).as("__g"))
+      .distinct()
+    val bg = if (broadcastBench) broadcast(bg0) else bg0
+    val cg = corpus.select(col(idCol),
+      explode(array_distinct(ngrams_hashed(col(textCol), n))).as("__g"))
+    val hits = cg.join(bg, "__g")
+      .groupBy(idCol).agg(count(lit(1)).as("contam_hits"))
+    corpus.join(hits, Seq(idCol), "left")
+      .withColumn("contam_hits", coalesce(col("contam_hits"), lit(0L)))
+      .withColumn("contaminated", col("contam_hits") >= minHits)
+  }
+
   /** Redacts common PII (emails, IPv4, SSN-style ids, phone-style numbers)
     * from `textCol` into `into` — chained codegen'd regexp_replace, the
     * pre-training scrub pass every large text pipeline runs.

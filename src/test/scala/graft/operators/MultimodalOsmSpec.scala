@@ -46,6 +46,54 @@ class MultimodalOsmSpec extends AnyFunSuite with SparkSpec {
     assert(metas(2L) == (("jpeg", 640, 480, 1)))
   }
 
+  test("withMeta parses GIF logical screen + frame count and WebP variants") {
+    // GIF89a 320x200, no GCT, two frames (image descriptors with empty LZW data)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def gifFrame(w: Int, h: Int) =
+      Array[Byte](0x2c) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h) ++
+        Array[Byte](0x00, 0x02, 0x01, 0x00, 0x00) // no LCT, min code 2, 1-byte block, terminator
+    val gif = "GIF89a".getBytes ++ le16(320) ++ le16(200) ++ Array[Byte](0x00, 0x00, 0x00) ++
+      gifFrame(320, 200) ++ gifFrame(320, 200) ++ Array[Byte](0x3b)
+    // WebP lossy VP8: RIFF header, VP8 chunk; dims at payload bytes 6..9
+    val vp8 = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WEBPVP8 ".getBytes ++
+      Array[Byte](0, 0, 0, 0) ++ Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a) ++
+      le16(550) ++ le16(368) ++ new Array[Byte](4)
+    // WebP lossless VP8L: 0x2f signature then 14-bit (w-1), 14-bit (h-1)
+    val dims = 99 | (149 << 14)
+    val vp8l = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WEBPVP8L".getBytes ++
+      Array[Byte](0, 0, 0, 0, 0x2f) ++
+      Array[Byte](dims.toByte, (dims >> 8).toByte, (dims >> 16).toByte, (dims >> 24).toByte) ++
+      new Array[Byte](8)
+    val df = Seq((1L, gif), (2L, vp8), (3L, vp8l)).toDF("id", "content")
+    val metas = Multimodal.withMeta(df)
+      .select("id", "media_meta.format", "media_meta.width", "media_meta.height", "media_meta.n_frames")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(metas(1L) == (("gif", 320, 200, 2)))
+    assert(metas(2L) == (("webp", 550, 368, 1)))
+    assert(metas(3L) == (("webp", 100, 150, 1)))
+  }
+
+  test("withAudioMeta parses a real RIFF/WAVE header; stubs elsewhere") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // 16-bit stereo 44.1 kHz, 1 second of data (176400 bytes declared)
+    val byteRate = 44100 * 2 * 2
+    val wav = "RIFF".getBytes ++ le32(36 + 16) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(byteRate) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(byteRate) ++ new Array[Byte](16)
+    val df = Seq((1L, wav), (2L, Array[Byte](1, 2, 3))).toDF("id", "content")
+    val metas = Multimodal.withAudioMeta(df)
+      .select("id", "audio_meta.format", "audio_meta.sample_rate", "audio_meta.channels",
+        "audio_meta.bits_per_sample", "audio_meta.duration_ms")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5)))).toMap
+    assert(metas(1L) == (("wav", 44100, 2, 16, 1000L)))
+    assert(metas(2L)._1 == "audio") // deterministic stub fallback
+    assert(Multimodal.withAudioMeta(df).where(col("id") === 2).select("audio_meta").head() ==
+      Multimodal.withAudioMeta(df).where(col("id") === 2).select("audio_meta").head())
+  }
+
   test("resize replaces the payload, partition-preserving (no shuffle)") {
     val out = Multimodal.resize(media, 128, 128)
     assert(out.rdd.getNumPartitions == media.rdd.getNumPartitions)

@@ -37,4 +37,34 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       Ops.splitByHash(df, "id", Seq("a" -> 0.5, "b" -> 0.6))
     }
   }
+
+  test("mixByHash: proportions, scarcest label kept whole, deterministic") {
+    // skewed supply: a=6000, b=3000, c=1000; target 1:1:2 → c is scarcest
+    // (1000/0.5=2000=T), so keep all of c, 500 of a, 500 of b (±hash noise)
+    val df = spark.range(0, 10000).toDF("id")
+      .withColumn("label",
+        when(col("id") < 6000, "a").when(col("id") < 9000, "b").otherwise("c"))
+    val out = Ops.mixByHash(df, "label", "id",
+      Seq("a" -> 0.25, "b" -> 0.25, "c" -> 0.5))
+    val counts = out.groupBy("label").count().as[(String, Long)].collect().toMap
+    assert(counts("c") == 1000L) // rate 1.0: kept whole
+    assert(math.abs(counts("a") - 500.0) / 500.0 < 0.15)
+    assert(math.abs(counts("b") - 500.0) / 500.0 < 0.15)
+    // stable across partitionings
+    val again = Ops.mixByHash(df.repartition(7), "label", "id",
+      Seq("a" -> 0.25, "b" -> 0.25, "c" -> 0.5)).select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+    // labels outside the target mix drop entirely
+    val noC = Ops.mixByHash(df, "label", "id", Seq("a" -> 0.5, "b" -> 0.5))
+    assert(noC.where(col("label") === "c").count() == 0)
+    // the kept subset of a label is a subset of its rows (pure filter)
+    assert(out.where(col("label") === "a").count() == counts("a"))
+  }
+
+  test("mixByHash data pass is a pure filter — no data shuffle") {
+    val df = spark.range(0, 100).toDF("id").withColumn("label", lit("a"))
+    val out = Ops.mixByHash(df, "label", "id", Seq("a" -> 1.0))
+    assert(out.count() == 100) // rate 1.0 keeps everything
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }

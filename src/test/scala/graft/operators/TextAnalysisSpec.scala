@@ -17,6 +17,26 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(m(2) == ((3, 3)))
   }
 
+  test("flagContaminated: n-gram overlap with a benchmark set, no pair space") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"), // contains bench 3-grams
+      (2L, "completely unrelated prose about spark catalyst planning rules"),
+      (3L, "the quick brown cat sleeps")) // shares "the quick brown" only
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.flagContaminated(corpus, bench, n = 3, minHits = 2)
+      .select("doc_id", "contam_hits", "contaminated").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L)._1 >= 6 && out(1L)._2) // 7 bench grams, all present
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L)._1 == 1L && !out(3L)._2) // one shared gram < minHits=2
+    // scale shape: the bench gram set is broadcast — no shuffle of the corpus
+    // gram explosion for the probe join
+    val plan = TextAnalysis.flagContaminated(corpus, bench).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+
   test("qualityScore fields are consistent and bounded") {
     val df = Seq(
       (1, "the cat sat on the mat and it was good for all of us at home"),
