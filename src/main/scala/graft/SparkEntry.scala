@@ -237,6 +237,19 @@ object SparkEntry {
           round(st_y(col("geometry")), 6).as("py"))
     }),
 
+    // --- IO entry point: suffix-dispatched write→read (erde read_df/write_df)
+    "auto_roundtrip" -> ((s, dir) => {
+      val pts = custPoints(s, dir).select(col("c_custkey"), col("c_acctbal"), col("geometry"))
+      val out = new java.io.File(s"/tmp/graft_auto_${new java.io.File(dir).getName}")
+      out.mkdirs()
+      graft.sources.GeoSources.writeAuto(pts, s"$out/customer.geojsonl")
+      graft.sources.GeoSources.readAuto(s, s"$out/customer.geojsonl")
+        .select(element_at(col("properties"), "c_custkey").cast("long").as("c_custkey"),
+          element_at(col("properties"), "c_acctbal").cast("double").as("c_acctbal"),
+          round(st_x(col("geometry")), 6).as("px"),
+          round(st_y(col("geometry")), 6).as("py"))
+    }),
+
     // --- osm.pbf driver end-to-end: write + read + tag filter --------------
     "osm_pbf_roundtrip" -> ((s, dir) => {
       val elements = t(s, dir, "part").select(
@@ -639,6 +652,11 @@ object SparkEntry {
         |WHERE (type IN ('w','r') AND p_brand IN ('Brand#13','Brand#23'))
         |   OR (type = 'n' AND p_type IS NOT NULL)""".stripMargin,
     "fgb_roundtrip" ->
+      """SELECT c_custkey, c_acctbal,
+        |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,
+        |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py
+        |FROM customer""".stripMargin,
+    "auto_roundtrip" ->
       """SELECT c_custkey, c_acctbal,
         |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,
         |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py

@@ -177,4 +177,60 @@ object GeoSources {
       }
     }
   }
+
+  /** Extension-dispatched read, the `erde read_df(path)` entry point
+    * (reference: erde/__init__.py:50 — driver chosen by file suffix).
+    * Geometry lands as the usual WKB `geometry` column for every format.
+    */
+  def readAuto(spark: SparkSession, path: String,
+      filterWkt: Option[String] = None): DataFrame = {
+    val p = path.toLowerCase
+    val df =
+      if (p.endsWith(".osm.pbf")) OsmPbf.read(spark, path)
+      else if (p.endsWith(".csv")) GeoCSV.read(spark, path, filterWkt = filterWkt)
+      else if (p.endsWith(".geojsonl") || p.endsWith(".geojsonseq") || p.endsWith(".ndjson"))
+        GeoJSONSeq.read(spark, path, filterWkt = filterWkt)
+      else if (p.endsWith(".geojson") || p.endsWith(".json"))
+        GeoJSON.read(spark, path, filterWkt = filterWkt)
+      else if (p.endsWith(".parquet")) GeoParquet.read(spark, path, filterWkt = filterWkt)
+      else if (p.endsWith(".shp")) Shapefile.readSplit(spark, path)
+      else if (p.endsWith(".gpkg")) Gpkg.read(spark, path)
+      else if (p.endsWith(".fgb")) Fgb.read(spark, path, filterWkt = filterWkt)
+      else if (p.endsWith(".xlsx")) Xlsx.read(spark, path)
+      else if (p.endsWith(".ods")) Xlsx.readOds(spark, path)
+      else throw new IllegalArgumentException(s"no driver for '$path'")
+    // formats whose readers take no filter get it applied post-parse
+    filterWkt match {
+      case Some(w) if p.endsWith(".shp") || p.endsWith(".gpkg") ||
+          p.endsWith(".xlsx") || p.endsWith(".ods") =>
+        applyFilter(df, "geometry", Some(w))
+      case _ => df
+    }
+  }
+
+  /** Extension-dispatched write (reference: erde/__init__.py:65). */
+  def writeAuto(df: DataFrame, path: String): Unit = {
+    val p = path.toLowerCase
+    if (p.endsWith(".osm.pbf")) OsmPbf.write(df, path)
+    else if (p.endsWith(".csv")) GeoCSV.write(df, path)
+    else if (p.endsWith(".geojsonl") || p.endsWith(".geojsonseq") || p.endsWith(".ndjson"))
+      GeoJSONSeq.write(df, path)
+    else if (p.endsWith(".geojson") || p.endsWith(".json")) GeoJSON.write(df, path)
+    else if (p.endsWith(".parquet")) GeoParquet.write(df, path)
+    else if (p.endsWith(".shp")) Shapefile.write(df, p.stripSuffix(".shp"))
+    else if (p.endsWith(".fgb")) Fgb.write(df, path)
+    else throw new IllegalArgumentException(s"no write driver for '$path'")
+  }
+
+  /** First geometry of a file (reference: erde/__init__.py:83 `read_geom` —
+    * "first geometry is read to prevent heavy unary_union"). Returns WKB.
+    */
+  def readGeom(spark: SparkSession, path: String): Array[Byte] =
+    readAuto(spark, path).select("geometry").limit(1).head().getAs[Array[Byte]](0)
+
+  /** Writes a single WKB geometry (reference: erde/__init__.py:90). */
+  def writeGeom(spark: SparkSession, wkb: Array[Byte], path: String): Unit = {
+    import spark.implicits._
+    writeAuto(Seq(Tuple1(wkb)).toDF("geometry"), path)
+  }
 }

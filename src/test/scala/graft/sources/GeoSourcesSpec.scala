@@ -44,6 +44,24 @@ class GeoSourcesSpec extends AnyFunSuite with SparkSpec {
     assert(wkt.contains("POINT (1 2)") && wkt.exists(_.startsWith("POLYGON")))
   }
 
+  test("readAuto/writeAuto dispatch on extension; readGeom takes the first geometry") {
+    val base = Files.createTempDirectory("graft-auto")
+    for (ext <- Seq("csv", "geojsonl", "parquet", "fgb")) {
+      val p = base.resolve(s"data.$ext").toString
+      GeoSources.writeAuto(df, p)
+      val back = GeoSources.readAuto(spark, p)
+      assert(back.count() == 3, ext)
+      val wkts = back.select(st_astext(col("geometry"))).as[String].collect().toSet
+      assert(wkts.contains("POINT (1 2)"), ext)
+    }
+    intercept[IllegalArgumentException] { GeoSources.readAuto(spark, "nope.xyz") }
+    // read_geom parity: first geometry only, no full materialization
+    val gp = base.resolve("geom.geojsonl").toString
+    GeoSources.writeGeom(spark, df.orderBy("id").select("geometry").head().getAs[Array[Byte]](0), gp)
+    val g = GeoSources.readGeom(spark, gp)
+    assert(graft.geom.WKT.write(graft.geom.WKB.read(g)) == "POINT (1 2)")
+  }
+
   test("GeoJSON whole-file round-trip") {
     val p = tmp("fc")
     GeoJSON.write(df, p)
