@@ -84,7 +84,11 @@ object Ops {
       targets: Seq[(String, Double)],
       seed: Long = 42L): DataFrame = {
     require(targets.nonEmpty && targets.forall(_._2 > 0), "target weights must be positive")
-    val counts = df.groupBy(labelCol).count()
+    // restrict the count pass to target labels: the collected result is
+    // bounded by targets.size regardless of the label column's cardinality
+    val counts = df
+      .where(col(labelCol).isin(targets.map(_._1): _*))
+      .groupBy(labelCol).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val present = targets.filter { case (l, _) => counts.getOrElse(l, 0L) > 0L }
     require(present.nonEmpty, "no target label present in the data")
