@@ -140,17 +140,21 @@ object Multimodal {
       var sampleRate = 0; var channels = 0; var bits = 0; var byteRate = 0
       var dataLen = 0L
       var i = 12
-      while (i + 8 <= bytes.length) {
-        val size = le32(bytes, i + 4)
+      var ok = true
+      while (ok && i + 8 <= bytes.length) {
+        // unsigned chunk size + long advance: a corrupt size can't walk i
+        // negative or wrap past Int.MaxValue
+        val size = le32(bytes, i + 4).toLong & 0xffffffffL
         if (ascii(bytes, i, "fmt ") && i + 24 <= bytes.length) {
           channels = le16(bytes, i + 10)
           sampleRate = le32(bytes, i + 12)
           byteRate = le32(bytes, i + 16)
           bits = le16(bytes, i + 22)
         } else if (ascii(bytes, i, "data")) {
-          dataLen = size.toLong & 0xffffffffL
+          dataLen = size
         }
-        i += 8 + size + (size & 1) // chunks are word-aligned
+        val next = i.toLong + 8L + size + (size & 1L) // chunks are word-aligned
+        if (next > Int.MaxValue) ok = false else i = next.toInt
       }
       val durMs = if (byteRate > 0) dataLen * 1000L / byteRate else 0L
       return ("wav", sampleRate, channels, bits, durMs)

@@ -94,6 +94,26 @@ class MultimodalOsmSpec extends AnyFunSuite with SparkSpec {
       Multimodal.withAudioMeta(df).where(col("id") === 2).select("audio_meta").head())
   }
 
+  test("header parsers never throw on corrupt/truncated payloads") {
+    val rnd = new scala.util.Random(42)
+    val magics = Seq[Array[Byte]](
+      Array(0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      Array(0xff.toByte, 0xd8.toByte, 0xff.toByte),
+      "GIF89a".getBytes, "GIF87a".getBytes,
+      "RIFF1234WEBPVP8 ".getBytes, "RIFF1234WEBPVP8L".getBytes,
+      "RIFF1234WAVEfmt ".getBytes, "RIFFxxxxWEBPVP8X".getBytes)
+    val payloads = (0 until 200).map { i =>
+      val len = rnd.nextInt(64)
+      val junk = Array.fill(len)(rnd.nextInt().toByte)
+      if (i % 2 == 0) magics(i % magics.length).take(rnd.nextInt(20)) ++ junk else junk
+    } :+ Array.empty[Byte]
+    val df = payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("id", "content")
+    // every parser path: image meta, audio meta, frame sampling
+    assert(Multimodal.withMeta(df).count() == payloads.length)
+    assert(Multimodal.withAudioMeta(df).count() == payloads.length)
+    assert(Multimodal.frameSample(df, everyN = 3).count() == payloads.length)
+  }
+
   test("resize replaces the payload, partition-preserving (no shuffle)") {
     val out = Multimodal.resize(media, 128, 128)
     assert(out.rdd.getNumPartitions == media.rdd.getNumPartitions)
