@@ -196,17 +196,24 @@ object GeoSources {
       else if (p.endsWith(".shp")) Shapefile.readSplit(spark, path)
       else if (p.endsWith(".gpkg")) Gpkg.read(spark, path)
       else if (p.endsWith(".fgb")) Fgb.read(spark, path, filterWkt = filterWkt)
-      else if (p.endsWith(".xlsx")) Xlsx.read(spark, path)
-      else if (p.endsWith(".ods")) Xlsx.readOds(spark, path)
+      else if (p.endsWith(".xlsx")) parseWktCol(Xlsx.read(spark, path))
+      else if (p.endsWith(".ods")) parseWktCol(Xlsx.readOds(spark, path))
       else throw new IllegalArgumentException(s"no driver for '$path'")
     // formats whose readers take no filter get it applied post-parse
     filterWkt match {
-      case Some(w) if p.endsWith(".shp") || p.endsWith(".gpkg") ||
-          p.endsWith(".xlsx") || p.endsWith(".ods") =>
+      case Some(w) if df.columns.contains("geometry") &&
+          (p.endsWith(".shp") || p.endsWith(".gpkg") ||
+            p.endsWith(".xlsx") || p.endsWith(".ods")) =>
         applyFilter(df, "geometry", Some(w))
       case _ => df
     }
   }
+
+  // spreadsheets carry geometry as WKT text (erde/io/xls.py semantics)
+  private def parseWktCol(df: DataFrame): DataFrame =
+    if (df.columns.contains("geometry"))
+      df.withColumn("geometry", st_geomfromtext(col("geometry")))
+    else df
 
   /** Extension-dispatched write (reference: erde/__init__.py:65). */
   def writeAuto(df: DataFrame, path: String): Unit = {
@@ -217,7 +224,7 @@ object GeoSources {
       GeoJSONSeq.write(df, path)
     else if (p.endsWith(".geojson") || p.endsWith(".json")) GeoJSON.write(df, path)
     else if (p.endsWith(".parquet")) GeoParquet.write(df, path)
-    else if (p.endsWith(".shp")) Shapefile.write(df, p.stripSuffix(".shp"))
+    else if (p.endsWith(".shp")) Shapefile.write(df, path.substring(0, path.length - 4))
     else if (p.endsWith(".fgb")) Fgb.write(df, path)
     else throw new IllegalArgumentException(s"no write driver for '$path'")
   }
