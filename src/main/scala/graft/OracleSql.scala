@@ -258,6 +258,26 @@ object OracleSql {
        |dropped AS (SELECT DISTINCT idb FROM vpairs WHERE jac >= $jacThreshold)
        |SELECT d.doc_id, d.lang FROM $docsrc d ANTI JOIN dropped dr ON d.doc_id = dr.idb""".stripMargin
 
+  /** Kept batch (doc_id, lang) after incremental near-dedup of the odd-id
+    * half of `docsrc` (the "new batch") against the even-id half (the
+    * "existing corpus") — mirrors [[graft.operators.Dedup.nearDupAgainst]]:
+    * cross-side MinHash candidates only, exact word n-gram Jaccard verify.
+    */
+  def dedupIncremental(candThreshold: Double = 0.4, jacThreshold: Double = 0.7,
+      docsrc: String = "documents"): String =
+    s"""WITH ${minhashCore(docsrc)},
+       |${gramsCore(docsrc)},
+       |xp AS (SELECT e.ida, e.idb FROM est e
+       |  WHERE CAST(e.eq AS DOUBLE)/128.0 >= $candThreshold
+       |    AND ((e.ida % 2 = 0) <> (e.idb % 2 = 0))),
+       |vp AS (SELECT CASE WHEN x.ida % 2 = 1 THEN x.ida ELSE x.idb END AS nid,
+       |    CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+       |      / greatest(len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)), 1) AS jac
+       |  FROM xp x JOIN gset ga ON x.ida = ga.doc_id JOIN gset gb ON x.idb = gb.doc_id),
+       |dropped AS (SELECT DISTINCT nid FROM vp WHERE jac >= $jacThreshold)
+       |SELECT d.doc_id, d.lang FROM $docsrc d ANTI JOIN dropped dr ON d.doc_id = dr.nid
+       |WHERE d.doc_id % 2 = 1""".stripMargin
+
   /** Kept (vec_id, label) after embedding near-dedup: random-hyperplane
     * bucket collision in any table + exact cosine ≥ `threshold`.
     */

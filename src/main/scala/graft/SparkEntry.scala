@@ -360,6 +360,16 @@ object SparkEntry {
           candidateThreshold = 0.4, jaccardThreshold = 0.7)
         .select("doc_id", "lang")),
 
+    // --- incremental dedup: new batch (odd ids) vs existing corpus (even) --
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.nearDupAgainst(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1),
+          docs.where(pmod(col("doc_id"), lit(2)) === 0),
+          "text", "doc_id", candidateThreshold = 0.4, jaccardThreshold = 0.7)
+        .select("doc_id", "lang")
+    }),
+
     // --- sessionization (streaming module, batch face) --------------------
     "events_sessionize" -> ((s, dir) =>
       graft.streaming.EventStream.sessionizeBatch(t(s, dir, "events"), gapMinutes = 30)
@@ -810,6 +820,7 @@ object SparkEntry {
     "dedup_simhash" -> OracleSql.dedupSimhash(),
     "dedup_minhash" -> OracleSql.dedupMinhash(),
     "dedup_verified" -> OracleSql.dedupVerified(),
+    "dedup_incremental" -> OracleSql.dedupIncremental(),
     "dedup_embedding" -> OracleSql.dedupEmbedding(),
     "sim_lsh" -> OracleSql.simLsh(),
     "isochrone_contours" -> OracleSql.isochroneContours(),

@@ -146,6 +146,47 @@ object Dedup {
     df.join(verified, Seq(idCol), "left_anti")
   }
 
+  /** Incremental near-dedup: drops rows of `batch` whose text near-duplicates
+    * ANY document of the existing `corpus` — the daily-ingest pattern (dedup
+    * a new crawl against the already-kept set without re-deduping the
+    * corpus). Ids must be disjoint across the two frames.
+    *
+    * Scale shape: both sides sketch once; candidates are MinHash band-bucket
+    * collisions BETWEEN the sides only (never corpus×corpus or batch×batch),
+    * hash-partitioned on the bucket key; texts join back by id for the exact
+    * n-gram Jaccard verify on collided candidates only.
+    */
+  def nearDupAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 128,
+      numBands: Int = 16,
+      shingle: Int = 5,
+      candidateThreshold: Double = 0.5,
+      jaccardThreshold: Double = 0.8,
+      ngram: Int = 3): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val rowsPerBand = numHashes / numBands
+    def bucketed(df: DataFrame) = df.select(col(idCol).as("__id"),
+        minhash_sig(col(textCol), numHashes, shingle).as("__sketch"))
+      .withColumn("__band", explode(sequence(lit(0), lit(numBands - 1))))
+      .withColumn("__bucket",
+        xxhash64(col("__band"), slice(col("__sketch"), col("__band") * rowsPerBand + 1, lit(rowsPerBand))))
+    val cands = bucketed(corpus).as("a").join(bucketed(batch).as("b"),
+        col("a.__bucket") === col("b.__bucket"))
+      .where(minhashSimilarity(col("a.__sketch"), col("b.__sketch")) >= candidateThreshold)
+      .select(col("a.__id").as("__ida"), col("b.__id").as("__idb")).distinct()
+    val ct = corpus.select(col(idCol).as("__ida"), col(textCol).as("__ta"))
+    val bt = batch.select(col(idCol).as("__idb"), col(textCol).as("__tb"))
+    val verified = ngramJaccard(cands.join(ct, Seq("__ida")).join(bt, Seq("__idb")),
+        "__ta", "__tb", ngram)
+      .where(col("jaccard") >= jaccardThreshold)
+      .select(col("__idb").as(idCol)).distinct()
+    batch.join(verified, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dedup: `tables` independent random-hyperplane sketch
     * tables (a pair is a candidate when all `planes` sign bits agree in any
     * table), exact cosine verify within buckets, drop larger ids at cosine ≥

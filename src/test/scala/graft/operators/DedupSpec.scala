@@ -55,6 +55,28 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!kept.contains(4L) && !kept.contains(5L))
   }
 
+  test("nearDupAgainst drops only batch rows that near-dup the corpus") {
+    // corpus: 1..3; batch: 4..6 (4 near-dups 1, 5 exact-dups 2, 6 near-dups 3)
+    // plus a fresh batch doc 7 that matches nothing
+    val corpus = docs.where(col("id") <= 3)
+    val batch = docs.where(col("id") > 3)
+      .union(Seq((7L, "entirely novel content about transverse mercator karney series")).toDF("id", "text"))
+    val kept = Dedup.nearDupAgainst(batch, corpus, "text", "id",
+      numBands = 32, candidateThreshold = 0.3, jaccardThreshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(7L))
+    // batch×batch dups are NOT touched: two copies in the batch both survive
+    // when neither matches the corpus
+    val twin = Seq(
+      (8L, "duplicated inside the batch only duplicated inside the batch only"),
+      (9L, "duplicated inside the batch only duplicated inside the batch only"))
+      .toDF("id", "text")
+    val kept2 = Dedup.nearDupAgainst(twin, corpus, "text", "id",
+      numBands = 32, candidateThreshold = 0.3, jaccardThreshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept2 == Set(8L, 9L))
+  }
+
   test("embeddingNearDup drops near-identical vectors only") {
     val v1 = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
     val v1b = v1.clone(); v1b(0) = v1(0) + 1e-4f
