@@ -223,6 +223,44 @@ object OracleSql {
        |  CAST(1 + abs(h >> 40) % 64 AS BIGINT) AS n_frames
        |FROM f""".stripMargin
 
+  /** (doc_id, width, height, n_px, mean_intensity): mirror of the REAL
+    * ImageIO decode path — `Multimodal.withSyntheticImage` renders a gradient
+    * PNG (pixel value (x·31 + y·17 + id) mod 256, w = 8 + id mod 24,
+    * h = 8 + (id div 7) mod 24), `withPixelStats` decodes it back and sums
+    * Σ(r+g+b) exactly; PNG is lossless so the SQL recomputes the raster from
+    * the formula. Fixed 0..31 series + filter (DuckDB's generate_series takes
+    * no lateral args).
+    */
+  def multimodalPixels(docsrc: String = "documents"): String =
+    s"""WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id // 7) % 24 AS h FROM $docsrc),
+       |s AS (SELECT i FROM generate_series(0, 31) AS t(i)),
+       |px AS (SELECT d.doc_id, d.w, d.h, (gx.i*31 + gy.i*17 + d.doc_id) % 256 AS v
+       |       FROM d, s gx, s gy WHERE gx.i < d.w AND gy.i < d.h)
+       |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |  CAST(w*h AS BIGINT) AS n_px,
+       |  round(CAST(3*SUM(v) AS DOUBLE) / (3.0 * (w*h)), 6) AS mean_intensity
+       |FROM px GROUP BY doc_id, w, h""".stripMargin
+
+  /** (doc_id, n_samples, duration_ms, rms, zero_crossings, mean_sample):
+    * mirror of the REAL WAV PCM decode path — `Multimodal.withSyntheticWav`
+    * writes PCM16 sample i = ((id·31 + i·7) mod 2003) − 1001 at 8 kHz,
+    * `withPcmStats` parses the RIFF data chunk back and accumulates
+    * integer-exact Σs and Σs²; duration = byteLen·1000 / byteRate with
+    * byteRate = 16000.
+    */
+  def multimodalAudio(docsrc: String = "documents"): String =
+    s"""WITH d AS (SELECT doc_id, 256 + doc_id % 256 AS n FROM $docsrc),
+       |s AS (SELECT i FROM generate_series(0, 511) AS t(i)),
+       |sm AS (SELECT d.doc_id, d.n, t.i, ((d.doc_id*31 + t.i*7) % 2003) - 1001 AS s,
+       |       CASE WHEN t.i > 0 THEN ((d.doc_id*31 + (t.i-1)*7) % 2003) - 1001 END AS sp
+       |       FROM d, s t WHERE t.i < d.n)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+       |  CAST((2*n*1000) // 16000 AS BIGINT) AS duration_ms,
+       |  round(sqrt(CAST(SUM(s*s) AS DOUBLE) / n) / 32768.0, 6) AS rms,
+       |  CAST(SUM(CASE WHEN sp*s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       |  round(CAST(SUM(s) AS DOUBLE) / n, 6) AS mean_sample
+       |FROM sm GROUP BY doc_id, n""".stripMargin
+
   /** Kept (doc_id, lang) after SimHash dedup: drop every id that loses a
     * hamming ≤ `maxHamming` pair to a smaller id (4×16-bit pigeonhole
     * bucketing has recall 1 for hamming ≤ 3, so the bucket step needs no

@@ -399,6 +399,31 @@ object SparkEntry {
           col("media_meta.n_frames").cast("long").as("n_frames"))
     }),
 
+    // --- multimodal REAL pixel compute: synth PNG → ImageIO decode → stats -
+    "multimodal_pixels" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val media = Multimodal.withSyntheticImage(docs, "doc_id")
+      Multimodal.withPixelStats(media)
+        .select(col("doc_id"),
+          col("pixel_stats.width").cast("long").as("width"),
+          col("pixel_stats.height").cast("long").as("height"),
+          col("pixel_stats.n_px").as("n_px"),
+          round(col("pixel_stats.mean_intensity"), 6).as("mean_intensity"))
+    }),
+
+    // --- multimodal REAL PCM compute: synth WAV → data-chunk stats ---------
+    "multimodal_audio" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val media = Multimodal.withSyntheticWav(docs, "doc_id")
+      Multimodal.withPcmStats(media)
+        .select(col("doc_id"),
+          col("pcm_stats.n_samples").as("n_samples"),
+          col("pcm_stats.duration_ms").as("duration_ms"),
+          round(col("pcm_stats.rms"), 6).as("rms"),
+          col("pcm_stats.zero_crossings").as("zero_crossings"),
+          round(col("pcm_stats.mean_sample"), 6).as("mean_sample"))
+    }),
+
     // --- similarity: brute-force cosine top-k -----------------------------
     "sim_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -817,6 +842,8 @@ object SparkEntry {
     "text_fingerprint" -> OracleSql.fingerprint(),
     "text_langid" -> OracleSql.langid(),
     "multimodal_meta" -> OracleSql.multimodalMeta(),
+    "multimodal_pixels" -> OracleSql.multimodalPixels(),
+    "multimodal_audio" -> OracleSql.multimodalAudio(),
     "dedup_simhash" -> OracleSql.dedupSimhash(),
     "dedup_minhash" -> OracleSql.dedupMinhash(),
     "dedup_verified" -> OracleSql.dedupVerified(),

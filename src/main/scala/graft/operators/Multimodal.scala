@@ -1,8 +1,12 @@
 package graft.operators
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{IIOImage, ImageIO}
+
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.types._
 
 import graft.functions.TextKernel.mix64
@@ -10,12 +14,20 @@ import graft.functions.TextKernel.mix64
 /** Multimodal (image/audio/video) column plumbing: opaque `binary` payloads +
   * typed metadata, processed with per-partition batched transforms — the
   * Spark-side shape a production pipeline needs (schema, batching, partition
-  * preservation). The actual codecs are NOT in this environment, so the
-  * decode/resize/frame-sample *computations* are deterministic STUBS (clearly
-  * marked below); swapping in a real codec changes only the function body,
-  * none of the distributed plumbing.
+  * preservation).
+  *
+  * The pixel and PCM compute is REAL where the JVM can decode the payload:
+  * `javax.imageio` (PNG/JPEG/GIF/BMP readers ship with the JDK) backs decode,
+  * resize (bilinear `Graphics2D`), frame sampling (multi-image `ImageReader`)
+  * and pixel statistics; WAV PCM samples are parsed straight from the RIFF
+  * data chunk for RMS / zero-crossing / spectral-band features. Payloads no
+  * JVM codec understands (e.g. WebP pixels, arbitrary bytes) fall back to a
+  * clearly-marked deterministic stub so the pipeline shape stays testable on
+  * any input.
   */
 object Multimodal {
+
+  ImageIO.setUseCache(false) // byte-array streams only — never spill to disk
 
   val metaSchema: StructType = StructType(Seq(
     StructField("format", StringType, nullable = false),
@@ -34,14 +46,32 @@ object Multimodal {
   private def ascii(b: Array[Byte], o: Int, s: String): Boolean =
     b.length >= o + s.length && s.indices.forall(i => (b(o + i) & 0xff) == s.charAt(i))
 
-  /** Real container-header metadata where the format is recognizable —
-    * pure-JVM byte parsing, no codec:
+  // ---------------------------------------------------------------- decode
+
+  /** Real image decode via `javax.imageio` (PNG/JPEG/GIF/BMP in the JDK).
+    * Returns null when no installed reader understands the payload.
+    */
+  def decodeImage(bytes: Array[Byte]): BufferedImage =
+    try ImageIO.read(new ByteArrayInputStream(bytes)) catch { case _: Exception => null }
+
+  /** PNG-encode (lossless) — the canonical re-encode for derived payloads. */
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Container-header metadata where the format is recognizable — pure byte
+    * parsing, no decode (cheap path for the big four):
     *   - PNG: 8-byte signature, IHDR width/height at offsets 16/20 (big-endian)
     *   - JPEG: FF D8, then marker segments scanned for SOF0/1/2 (dimensions)
-    * Unrecognized payloads fall back to the deterministic STUB (pseudo-meta
-    * from a byte hash) so the pipeline shape stays testable without codecs.
+    *   - GIF: logical screen + image-descriptor block walk (frame count)
+    *   - WebP: RIFF/WEBP with VP8 / VP8L / VP8X payloads
+    * Unrecognized payloads get one real `ImageIO` decode attempt (covers BMP
+    * et al.), then fall back to the deterministic STUB (pseudo-meta from a
+    * byte hash) so the pipeline shape stays testable on non-media bytes.
     */
-  private def decodeStub(bytes: Array[Byte]): (String, Int, Int, Int) = {
+  private[operators] def mediaMeta(bytes: Array[Byte]): (String, Int, Int, Int) = {
     // PNG: \x89PNG\r\n\x1a\n + IHDR (first chunk by spec)
     if (bytes.length >= 24 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
         bytes(3) == 'G' && bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R')
@@ -96,6 +126,9 @@ object Multimodal {
       if (ascii(bytes, 12, "VP8 "))
         return ("webp", le16(bytes, 26) & 0x3fff, le16(bytes, 28) & 0x3fff, 1)
     }
+    // real decode attempt for formats without a hand-parsed header (BMP, …)
+    val img = decodeImage(bytes)
+    if (img != null) return ("image", img.getWidth, img.getHeight, 1)
     // STUB fallback: deterministic pseudo-metadata from the payload hash
     var h = 0L
     var i = 0
@@ -108,8 +141,21 @@ object Multimodal {
     (fmt, w, hgt, frames)
   }
 
-  /** STUB resize: emits a deterministic payload of the target size's scale.
-    * A real implementation decodes, resamples, re-encodes.
+  // ---------------------------------------------------------------- resize
+
+  /** Real bilinear resample to exactly w×h (RGB). */
+  def resizeImage(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION, RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    out
+  }
+
+  /** STUB resize for undecodable payloads: deterministic bytes of the target
+    * size's scale, so non-media rows still flow through the pipeline.
     */
   private def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val outLen = math.max(16, math.min(4096, w * h / 64))
@@ -124,6 +170,8 @@ object Multimodal {
     out
   }
 
+  // ----------------------------------------------------------------- audio
+
   val audioMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false),
@@ -133,7 +181,7 @@ object Multimodal {
 
   /** Real RIFF/WAVE header metadata — walks the chunk list for `fmt ` (sample
     * rate, channels, bit depth) and `data` (payload size → duration). Pure
-    * byte parsing; non-WAV payloads get a deterministic STUB like decodeStub.
+    * byte parsing; non-WAV payloads get a deterministic STUB like mediaMeta.
     */
   private[operators] def audioMetaStub(bytes: Array[Byte]): (String, Int, Int, Int, Long) = {
     if (bytes.length >= 44 && ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE")) {
@@ -169,6 +217,38 @@ object Multimodal {
       16, 500L + math.abs(h >> 32) % 60000L)
   }
 
+  /** Real 16-bit PCM samples from a RIFF/WAVE payload (interleaved channels
+    * flattened in order). Returns null when the payload is not PCM16 WAV.
+    */
+  def pcmSamples16(bytes: Array[Byte]): Array[Int] = {
+    if (!(bytes.length >= 44 && ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE"))) return null
+    var bits = 0; var fmtCode = 0
+    var dataOff = -1; var dataLen = 0L
+    var i = 12
+    var ok = true
+    while (ok && i + 8 <= bytes.length) {
+      val size = le32(bytes, i + 4).toLong & 0xffffffffL
+      if (ascii(bytes, i, "fmt ") && i + 24 <= bytes.length) {
+        fmtCode = le16(bytes, i + 8)
+        bits = le16(bytes, i + 22)
+      } else if (ascii(bytes, i, "data") && dataOff < 0) {
+        dataOff = i + 8; dataLen = size
+      }
+      val next = i.toLong + 8L + size + (size & 1L)
+      if (next > Int.MaxValue) ok = false else i = next.toInt
+    }
+    if (fmtCode != 1 || bits != 16 || dataOff < 0) return null
+    val avail = math.min(dataLen, (bytes.length - dataOff).toLong).toInt
+    val n = avail / 2
+    val out = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      out(k) = (le16(bytes, dataOff + k * 2) << 16) >> 16 // sign-extend
+      k += 1
+    }
+    out
+  }
+
   /** Adds an `audio_meta` struct parsed from `binCol` (real for WAV; STUB
     * otherwise) — same per-partition batch shape as [[withMeta]].
     */
@@ -188,45 +268,54 @@ object Multimodal {
     }(enc)
   }
 
-  /** Adds a `media_meta` struct decoded from `binCol`. Runs as a
-    * per-partition batch pass (mapPartitions — one decoder init per
-    * partition, the mapInPandas-equivalent batching shape on the JVM).
+  val pcmStatsSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("rms", DoubleType, nullable = false),
+    StructField("zero_crossings", LongType, nullable = false),
+    StructField("mean_sample", DoubleType, nullable = false)))
+
+  /** Adds a `pcm_stats` struct computed from REAL decoded WAV PCM16 samples:
+    * RMS (normalized to [0,1] by 32768), zero-crossing count, sample mean.
+    * Null for payloads that aren't PCM16 WAV. Integer-exact accumulators so
+    * the result is reproducible (and SQL-mirrorable) bit-for-bit.
     */
-  def withMeta(df: DataFrame, binCol: String = "content"): DataFrame = {
-    val outSchema = df.schema.add(StructField("media_meta", metaSchema, nullable = true))
+  def withPcmStats(df: DataFrame, binCol: String = "content"): DataFrame = {
+    val outSchema = df.schema.add(StructField("pcm_stats", pcmStatsSchema, nullable = true))
     val enc = RowEncoder.encoderFor(outSchema)
     val idx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
-      // per-partition decoder init would go here (real codec: expensive setup)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        val meta = if (bytes == null) null else {
-          val (fmt, w, h, f) = decodeStub(bytes)
-          Row(fmt, w, h, f)
+        val stats: Row = if (bytes == null) null else {
+          val s = pcmSamples16(bytes)
+          if (s == null) null else {
+            val (_, sr, _, _, durMs) = audioMetaStub(bytes)
+            var sum = 0L; var sumSq = 0L; var zc = 0L
+            var k = 0
+            while (k < s.length) {
+              sum += s(k)
+              sumSq += s(k).toLong * s(k)
+              if (k > 0 && s(k - 1).toLong * s(k) < 0) zc += 1
+              k += 1
+            }
+            val n = s.length
+            val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n) / 32768.0
+            val mean = if (n == 0) 0.0 else sum.toDouble / n
+            Row(sr, n.toLong, durMs, rms, zc, mean)
+          }
         }
-        Row.fromSeq(r.toSeq :+ meta)
+        Row.fromSeq(r.toSeq :+ stats)
       }
     }(enc)
   }
 
-  /** Replaces `binCol` with a resized payload (STUB computation, real
-    * batching): partition-preserving, no shuffle.
-    */
-  def resize(df: DataFrame, w: Int, h: Int, binCol: String = "content"): DataFrame = {
-    val enc = RowEncoder.encoderFor(df.schema)
-    val idx = df.schema.fieldIndex(binCol)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](idx)
-        val out = if (bytes == null) null else resizeStub(bytes, w, h)
-        Row.fromSeq(r.toSeq.updated(idx, out))
-      }
-    }(enc)
-  }
-
-  /** Extracts fixed-size audio features (STUB: deterministic pseudo-MFCC
-    * vector; a real implementation decodes PCM and runs the filterbank) into
-    * an `audio_features array<float>` column. Same mapPartitions batch shape.
+  /** Extracts fixed-size audio features from REAL WAV PCM: [rms, zero-crossing
+    * rate, mean] then Goertzel log-energies at `dim - 3` evenly spaced
+    * frequencies up to Nyquist (the classic single-bin DFT recurrence —
+    * Goertzel 1958, public domain). Non-WAV payloads fall back to a
+    * deterministic STUB vector so arbitrary rows still flow.
     */
   def audioFeatures(df: DataFrame, dim: Int = 13, binCol: String = "content"): DataFrame = {
     val outSchema = df.schema.add(
@@ -236,13 +325,43 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        val feats = if (bytes == null) null else {
-          var h = mix64(bytes.length.toLong)
-          var i = 0
-          val n = math.min(bytes.length, 256)
-          while (i < n) { h = mix64(h ^ bytes(i)); i += 1 }
-          Array.tabulate(dim) { d =>
-            ((mix64(h ^ d) % 2000) / 1000.0f) - 1.0f
+        val feats: Array[Float] = if (bytes == null) null else {
+          val s = pcmSamples16(bytes)
+          if (s != null) {
+            val n = math.min(s.length, 8192) // bounded per-row work
+            var sum = 0L; var sumSq = 0L; var zc = 0L
+            var k = 0
+            while (k < n) {
+              sum += s(k); sumSq += s(k).toLong * s(k)
+              if (k > 0 && s(k - 1).toLong * s(k) < 0) zc += 1
+              k += 1
+            }
+            val rms = if (n == 0) 0f else (math.sqrt(sumSq.toDouble / n) / 32768.0).toFloat
+            val zcr = if (n > 1) zc.toFloat / (n - 1) else 0f
+            val mean = if (n == 0) 0f else (sum.toDouble / n / 32768.0).toFloat
+            val head = Array(rms, zcr, mean)
+            if (dim <= 3) head.take(dim)
+            else head ++ Array.tabulate(dim - 3) { b =>
+              // Goertzel power at f = (b+1) / (dim-2) * sr/2
+              val w = 2.0 * math.Pi * (b + 1).toDouble / (dim - 2) / 2.0
+              val coeff = 2.0 * math.cos(w)
+              var s1 = 0.0; var s2 = 0.0
+              var i = 0
+              while (i < n) {
+                val s0 = s(i) / 32768.0 + coeff * s1 - s2
+                s2 = s1; s1 = s0
+                i += 1
+              }
+              val power = s1 * s1 + s2 * s2 - coeff * s1 * s2
+              math.log10(1.0 + power).toFloat
+            }
+          } else {
+            // STUB fallback: deterministic pseudo-features from the byte hash
+            var h = mix64(bytes.length.toLong)
+            var i = 0
+            val nb = math.min(bytes.length, 256)
+            while (i < nb) { h = mix64(h ^ bytes(i)); i += 1 }
+            Array.tabulate(dim) { d => ((mix64(h ^ d) % 2000) / 1000.0f) - 1.0f }
           }
         }
         Row.fromSeq(r.toSeq :+ feats)
@@ -250,9 +369,95 @@ object Multimodal {
     }(enc)
   }
 
-  /** Samples every `everyN`-th frame of a video payload into a
-    * `frames array<binary>` column (STUB frame extraction; the explode-ready
-    * array shape is what a real sampler produces).
+  // --------------------------------------------------------- df-level ops
+
+  /** Adds a `media_meta` struct decoded from `binCol`. Runs as a
+    * per-partition batch pass (mapPartitions — one decoder init per
+    * partition, the mapInPandas-equivalent batching shape on the JVM).
+    */
+  def withMeta(df: DataFrame, binCol: String = "content"): DataFrame = {
+    val outSchema = df.schema.add(StructField("media_meta", metaSchema, nullable = true))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val meta = if (bytes == null) null else {
+          val (fmt, w, h, f) = mediaMeta(bytes)
+          Row(fmt, w, h, f)
+        }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  val pixelStatsSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_px", LongType, nullable = false),
+    StructField("mean_intensity", DoubleType, nullable = false)))
+
+  /** Adds a `pixel_stats` struct from a REAL `ImageIO` decode of `binCol`:
+    * decoded width/height (not header fields), pixel count, and mean channel
+    * intensity = Σ(r+g+b) / (3·n_px) over the full raster — an integer-exact
+    * sum, so the double division is reproducible bit-for-bit. Null when no
+    * JVM reader decodes the payload.
+    */
+  def withPixelStats(df: DataFrame, binCol: String = "content"): DataFrame = {
+    val outSchema = df.schema.add(StructField("pixel_stats", pixelStatsSchema, nullable = true))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val stats: Row = if (bytes == null) null else {
+          val img = decodeImage(bytes)
+          if (img == null) null else {
+            val w = img.getWidth; val h = img.getHeight
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            Row(w, h, n, sum.toDouble / (3.0 * n))
+          }
+        }
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(enc)
+  }
+
+  /** Replaces `binCol` with a REAL resized payload (`ImageIO` decode →
+    * bilinear resample → PNG re-encode) when the payload decodes; a
+    * deterministic stub otherwise. Partition-preserving, no shuffle.
+    */
+  def resize(df: DataFrame, w: Int, h: Int, binCol: String = "content"): DataFrame = {
+    val enc = RowEncoder.encoderFor(df.schema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val out = if (bytes == null) null else {
+          val img = decodeImage(bytes)
+          if (img != null) encodePng(resizeImage(img, w, h)) else resizeStub(bytes, w, h)
+        }
+        Row.fromSeq(r.toSeq.updated(idx, out))
+      }
+    }(enc)
+  }
+
+  /** Samples every `everyN`-th frame of a multi-frame payload into a
+    * `frames array<binary>` column. REAL for formats whose `ImageReader`
+    * exposes multiple images (GIF): each sampled frame is decoded and
+    * re-encoded as PNG. Undecodable payloads get stub frames sized from the
+    * header walk so the explode-ready array shape is preserved.
     */
   def frameSample(df: DataFrame, everyN: Int, binCol: String = "content"): DataFrame = {
     val outSchema = df.schema.add(
@@ -262,11 +467,148 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        val frames = if (bytes == null) null else {
-          val (_, w, h, n) = decodeStub(bytes)
-          (0 until n by everyN).map(i => resizeStub(bytes, w ^ i, h)).toArray
+        val frames: Array[Array[Byte]] = if (bytes == null) null else {
+          val real = realFrames(bytes, everyN)
+          if (real != null) real
+          else {
+            val (_, w, h, n) = mediaMeta(bytes)
+            (0 until n by everyN).map(i => resizeStub(bytes, w ^ i, h)).toArray
+          }
         }
         Row.fromSeq(r.toSeq :+ frames)
+      }
+    }(enc)
+  }
+
+  /** Real frame extraction: every `everyN`-th image of the payload's
+    * `ImageReader`, PNG re-encoded. Null when no reader claims the payload.
+    */
+  private def realFrames(bytes: Array[Byte], everyN: Int): Array[Array[Byte]] =
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val reader = readers.next()
+        reader.setInput(iis)
+        try {
+          val n = reader.getNumImages(true)
+          (0 until n by everyN).map(i => encodePng(reader.read(i))).toArray
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case _: Exception => null }
+
+  // ------------------------------------------------------------- fixtures
+
+  /** Deterministic grayscale gradient PNG: pixel (x,y) has r=g=b =
+    * (x·31 + y·17 + seed) mod 256. Lossless, so a real decode recovers the
+    * exact values — the formula is mirrored in `OracleSql.multimodalPixels`.
+    */
+  def synthPng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((x * 31L + y * 17L + seed) % 256L).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /** Deterministic PCM16 mono WAV: n samples at `sampleRate`, sample i =
+    * ((seed·31 + i·7) mod 2003) − 1001 — mirrored in
+    * `OracleSql.multimodalAudio`.
+    */
+  def synthWav(n: Int, seed: Long, sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = n * 2
+    val out = new Array[Byte](44 + dataLen)
+    def putAscii(o: Int, s: String): Unit = s.indices.foreach(i => out(o + i) = s.charAt(i).toByte)
+    def putLe32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte; out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    def putLe16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    putAscii(0, "RIFF"); putLe32(4, 36 + dataLen); putAscii(8, "WAVE")
+    putAscii(12, "fmt "); putLe32(16, 16); putLe16(20, 1); putLe16(22, 1)
+    putLe32(24, sampleRate); putLe32(28, sampleRate * 2); putLe16(32, 2); putLe16(34, 16)
+    putAscii(36, "data"); putLe32(40, dataLen)
+    var i = 0
+    while (i < n) {
+      val s = (((seed * 31L + i * 7L) % 2003L) - 1001L).toInt
+      putLe16(44 + i * 2, s & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  /** Real animated GIF via the JDK's sequence writer: `frames` grayscale
+    * gradient frames (seed advances per frame), w×h each.
+    */
+  def synthGif(w: Int, h: Int, frames: Int, seed: Long): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = ((x * 31L + y * 17L + seed + f) % 256L).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Adds a synthetic gradient PNG `content` column derived from `idCol`:
+    * width = 8 + id mod 24, height = 8 + (id div 7) mod 24, seed = id.
+    * The fixture generator for the real-decode oracle path.
+    */
+  def withSyntheticImage(df: DataFrame, idCol: String, out: String = "content"): DataFrame = {
+    val outSchema = df.schema.add(StructField(out, BinaryType, nullable = true))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.get(idx) match { case l: Long => l; case i: Int => i.toLong; case x => x.toString.toLong }
+        val w = (8 + id % 24).toInt
+        val h = (8 + (id / 7) % 24).toInt
+        Row.fromSeq(r.toSeq :+ synthPng(w, h, id))
+      }
+    }(enc)
+  }
+
+  /** Adds a synthetic PCM16 WAV `content` column derived from `idCol`:
+    * n = 256 + id mod 256 samples at 8 kHz, seed = id.
+    */
+  def withSyntheticWav(df: DataFrame, idCol: String, out: String = "content",
+      sampleRate: Int = 8000): DataFrame = {
+    val outSchema = df.schema.add(StructField(out, BinaryType, nullable = true))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.get(idx) match { case l: Long => l; case i: Int => i.toLong; case x => x.toString.toLong }
+        val n = (256 + id % 256).toInt
+        Row.fromSeq(r.toSeq :+ synthWav(n, id, sampleRate))
       }
     }(enc)
   }
