@@ -272,6 +272,28 @@ object OracleSql {
        |    ON a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= $maxHamming)
        |SELECT d.doc_id, d.lang FROM sh d ANTI JOIN dropped dr ON d.doc_id = dr.doc_id""".stripMargin
 
+  /** Kept (doc_id, lang) after MinHash-LSH dedup of the skew corpus
+    * (`documents` + `copies` byte-identical clones of doc 0 at ids 1000000+):
+    * mirrors the exact-collapse semantics — identical texts reduce to their
+    * min-id representative (identical signatures estimate Jaccard 1, so
+    * non-representatives always drop), representatives run the full
+    * band/est pipeline. Pairwise-equivalent to the uncollapsed join, but the
+    * mirror would otherwise sketch the same text 5000×.
+    */
+  def dedupSkew(docsrc: String = "documents", copies: Int = 5000,
+      threshold: Double = 0.7): String =
+    s"""WITH expanded AS (
+       |  SELECT doc_id, text, lang FROM $docsrc
+       |  UNION ALL
+       |  SELECT CAST(1000000 + t.i AS BIGINT) AS doc_id, d.text, d.lang
+       |  FROM $docsrc d, generate_series(0, ${copies - 1}) t(i) WHERE d.doc_id = 0),
+       |u AS (SELECT text, min(doc_id) AS gid FROM expanded GROUP BY text),
+       |urep AS (SELECT u.gid AS doc_id, e.text, e.lang FROM u JOIN expanded e ON e.doc_id = u.gid),
+       |${minhashCore("urep")},
+       |dropped AS (SELECT DISTINCT idb FROM est WHERE CAST(eq AS DOUBLE)/128.0 >= $threshold)
+       |SELECT e.doc_id, e.lang FROM expanded e JOIN u ON e.text = u.text AND e.doc_id = u.gid
+       |  ANTI JOIN dropped dr ON e.doc_id = dr.idb""".stripMargin
+
   /** Kept (doc_id, lang) after MinHash-LSH dedup at estimated Jaccard ≥
     * `threshold` (band collisions and signature agreement both mirrored
     * exactly — no recall assumption).

@@ -527,6 +527,19 @@ object SparkEntry {
       Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id", threshold = 0.7)
         .select("doc_id", "lang")),
 
+    // --- near-dedup under degenerate skew: 5k byte-identical copies --------
+    // the crawl-corpus failure mode (boilerplate flood lands in ONE LSH
+    // bucket); Dedup's exact-collapse keeps the candidate join linear — this
+    // is to sketch dedup what sjoin_skew is to the spatial join
+    "dedup_skew" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val copies = docs.where(col("doc_id") === 0)
+        .select(explode(sequence(lit(0), lit(4999))).as("__i"), col("text"), col("lang"))
+        .select((col("__i").cast("long") + 1000000L).as("doc_id"), col("text"), col("lang"))
+      Dedup.minhashLsh(docs.unionByName(copies), "text", "doc_id", threshold = 0.7)
+        .select("doc_id", "lang")
+    }),
+
     // --- near-dedup: SimHash (kept set exact-mirrored) ---------------------
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
@@ -846,6 +859,7 @@ object SparkEntry {
     "multimodal_audio" -> OracleSql.multimodalAudio(),
     "dedup_simhash" -> OracleSql.dedupSimhash(),
     "dedup_minhash" -> OracleSql.dedupMinhash(),
+    "dedup_skew" -> OracleSql.dedupSkew(),
     "dedup_verified" -> OracleSql.dedupVerified(),
     "dedup_incremental" -> OracleSql.dedupIncremental(),
     "dedup_embedding" -> OracleSql.dedupEmbedding(),

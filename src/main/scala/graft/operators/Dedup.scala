@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -11,10 +12,24 @@ import graft.functions.TextFunctions._
   * All variants are shuffle-lean: they hash/sketch first so the exchange moves
   * fixed-size keys, not document bodies, and they pick a deterministic
   * representative row (min of `tieBreak`) instead of relying on row order.
-  * Near-dup variants share one shape: sketch → bucket (LSH band) → self-join
-  * within bucket → cheap verify on the sketch → drop the larger id of every
-  * verified pair. The candidate join is hash-partitioned on the bucket key, so
-  * shuffle is O(rows × bands), never O(N²).
+  * Near-dup variants share one shape: sketch → collapse exact duplicates →
+  * bucket (LSH band) → self-join within bucket → cheap verify on the sketch →
+  * drop the larger id of every verified pair.
+  *
+  * Degenerate-bucket protection: a crawl corpus puts millions of
+  * byte-identical boilerplate pages into ONE band bucket, and a naive
+  * within-bucket self-join is O(bucket²). Every near-dup variant therefore
+  * pre-collapses exact duplicates (group by the full sketch — or the full
+  * text when the verify stage reads texts — keep the min-id representative)
+  * BEFORE banding, which is semantics-preserving: identical payloads always
+  * verify against each other and share every bucket, so non-representative
+  * members drop exactly when the group self-verifies, and representatives
+  * reproduce all cross-group pairs. A mass-duplicated page costs one
+  * representative in the join, not n²/2 pairs. For adversarial
+  * near-identical-but-distinct floods, `maxBucket` additionally caps each
+  * bucket to its `maxBucket` smallest-id members as probe rows (candidates =
+  * probe × member, never member × member) — an explicit recall trade-off, off
+  * by default so results stay exact.
   */
 object Dedup {
 
@@ -31,18 +46,47 @@ object Dedup {
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
-  /** Ids (as `__id`) that lose a verified near-dup pair — the generic LSH
-    * skeleton: `buckets` has columns (__id, __sketch, __bucket); `verify`
-    * decides pair similarity from the two sketches.
+  /** Caps pair generation: with `maxBucket` > 0 only the `maxBucket`
+    * smallest-id rows of each bucket act as join probes (left side); every
+    * member still gets compared against the bucket's smallest ids. 0 = all
+    * rows probe (exact; the self-join reuses one shuffle via ReusedExchange).
     */
-  private def losers(buckets: DataFrame, verify: (Column, Column) => Column): DataFrame =
-    // alias-based self-join: both sides share one canonical plan, so the
-    // shuffle on __bucket is written once and read twice (ReusedExchange) —
-    // sketches are computed once, not per side
-    buckets.as("a").join(buckets.as("b"), col("a.__bucket") === col("b.__bucket"))
+  private def probesOf(buckets: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) buckets
+    else buckets
+      .withColumn("__rank", row_number().over(Window.partitionBy("__bucket").orderBy("__id")))
+      .where(col("__rank") <= maxBucket).drop("__rank")
+
+  /** Ids (as `__id`) of dropped rows for the sketch-verified family:
+    * `sketched` has (__id, __sketch); `bucketize` appends the exploded
+    * `__bucket` column; `verify` decides pair similarity from two sketches.
+    * Collapses identical sketches to their min-id representative before
+    * banding (see the object doc for why this is exact).
+    */
+  private def sketchDrop(
+      sketched: DataFrame,
+      bucketize: DataFrame => DataFrame,
+      verify: (Column, Column) => Column,
+      maxBucket: Int): DataFrame = {
+    val groups = sketched.groupBy("__sketch").agg(min("__id").as("__gid"))
+    val reps = groups.select(col("__gid").as("__id"), col("__sketch"))
+    val buckets = bucketize(reps)
+    val repDrop = probesOf(buckets, maxBucket).as("a")
+      .join(buckets.as("b"), col("a.__bucket") === col("b.__bucket"))
       .where(col("a.__id") < col("b.__id") && verify(col("a.__sketch"), col("b.__sketch")))
-      .select(col("b.__id").as("__id"))
+      .select(col("b.__id").as("__gid"))
       .distinct()
+      .withColumn("__repdrop", lit(true))
+    // a dropped representative takes its whole group with it; a surviving
+    // group still drops its non-representative members — gated on the group
+    // self-verifying, which keeps degenerate edges (NaN cosine of zero
+    // vectors) bit-identical to the pairwise semantics
+    sketched.join(groups, Seq("__sketch"))
+      .join(repDrop, Seq("__gid"), "left")
+      .where(col("__repdrop").isNotNull ||
+        (col("__id") =!= col("__gid") && verify(col("__sketch"), col("__sketch"))))
+      .select("__id")
+  }
 
   /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
     * components (pure built-ins — stays in codegen).
@@ -51,13 +95,24 @@ object Dedup {
     size(filter(zip_with(a, b, (x, y) => (x === y).cast("int")), v => v === 1))
       .cast("double") / size(a)
 
+  /** Appends the exploded MinHash band bucket column. */
+  private def minhashBuckets(numBands: Int, rowsPerBand: Int)(reps: DataFrame): DataFrame =
+    reps
+      .withColumn("__band", explode(sequence(lit(0), lit(numBands - 1))))
+      .withColumn("__bucket",
+        xxhash64(col("__band"), slice(col("__sketch"), col("__band") * rowsPerBand + 1, lit(rowsPerBand))))
+      .drop("__band")
+
   /** MinHash + banded LSH near-dedup: keeps one representative (smallest
     * `idCol`) of every near-duplicate cluster detected at estimated Jaccard ≥
     * `threshold` (reference point: Broder's shingling/minhash resemblance and
     * the standard LSH banding construction).
     *
     * numBands must divide numHashes; a pair collides when any band of
-    * numHashes/numBands signature components matches exactly.
+    * numHashes/numBands signature components matches exactly. `maxBucket` > 0
+    * additionally caps per-bucket probes (recall trade-off on adversarial
+    * floods of near-identical-but-distinct documents; exact duplicates are
+    * already collapsed and never blow up regardless).
     */
   def minhashLsh(
       df: DataFrame,
@@ -66,17 +121,13 @@ object Dedup {
       numHashes: Int = 128,
       numBands: Int = 16,
       shingle: Int = 5,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      maxBucket: Int = 0): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
-    val rowsPerBand = numHashes / numBands
     val sketched = df.select(col(idCol).as("__id"),
       minhash_sig(col(textCol), numHashes, shingle).as("__sketch"))
-    val buckets = sketched
-      .withColumn("__band", explode(sequence(lit(0), lit(numBands - 1))))
-      .withColumn("__bucket",
-        xxhash64(col("__band"), slice(col("__sketch"), col("__band") * rowsPerBand + 1, lit(rowsPerBand))))
-      .drop("__band")
-    val drop = losers(buckets, (a, b) => minhashSimilarity(a, b) >= threshold)
+    val drop = sketchDrop(sketched, minhashBuckets(numBands, numHashes / numBands),
+      (a, b) => minhashSimilarity(a, b) >= threshold, maxBucket)
     df.join(drop.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
   }
 
@@ -88,14 +139,16 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 0): DataFrame = {
     val sketched = df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sketch"))
-    val buckets = sketched
+    val bucketize = (reps: DataFrame) => reps
       .withColumn("__chunk", explode(sequence(lit(0), lit(3))))
       .withColumn("__bucket",
         xxhash64(col("__chunk"), expr("shiftrightunsigned(__sketch, __chunk * 16)").bitwiseAND(lit(0xffffL))))
       .drop("__chunk")
-    val drop = losers(buckets, (a, b) => bit_count(a.bitwiseXOR(b)) <= maxHamming)
+    val drop = sketchDrop(sketched, bucketize,
+      (a, b) => bit_count(a.bitwiseXOR(b)) <= maxHamming, maxBucket)
     df.join(drop.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
   }
 
@@ -113,7 +166,9 @@ object Dedup {
 
   /** MinHash-candidates + exact n-gram Jaccard verification dedup: the
     * two-stage pipeline (cheap sketch filter, exact verify on the survivors
-    * only). Join back to the text is by id, hash-partitioned.
+    * only). Identical TEXTS collapse to one representative before sketching
+    * (the verify stage reads texts, so text — not sketch — is the collapse
+    * key); the text join back to candidates is by id, hash-partitioned.
     */
   def minhashVerified(
       df: DataFrame,
@@ -124,26 +179,43 @@ object Dedup {
       shingle: Int = 5,
       candidateThreshold: Double = 0.5,
       jaccardThreshold: Double = 0.8,
-      ngram: Int = 3): DataFrame = {
+      ngram: Int = 3,
+      maxBucket: Int = 0): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
-    val sketched = df.select(col(idCol).as("__id"),
-      minhash_sig(col(textCol), numHashes, shingle).as("__sketch"))
-    val buckets = sketched
-      .withColumn("__band", explode(sequence(lit(0), lit(numBands - 1))))
-      .withColumn("__bucket",
-        xxhash64(col("__band"), slice(col("__sketch"), col("__band") * rowsPerBand + 1, lit(rowsPerBand))))
-    val cands = buckets.as("a").join(buckets.as("b"), col("a.__bucket") === col("b.__bucket"))
+    val base = df.select(col(idCol).as("__mid"), col(textCol).as("__t"))
+    val groups = base.groupBy("__t").agg(min("__mid").as("__gid"))
+    val reps = groups.select(col("__gid").as("__id"), col("__t"))
+    val sketched = reps.select(col("__id"),
+      minhash_sig(col("__t"), numHashes, shingle).as("__sketch"))
+    val buckets = minhashBuckets(numBands, rowsPerBand)(sketched)
+    val cands = probesOf(buckets, maxBucket).as("a")
+      .join(buckets.as("b"), col("a.__bucket") === col("b.__bucket"))
       .where(col("a.__id") < col("b.__id") &&
         minhashSimilarity(col("a.__sketch"), col("b.__sketch")) >= candidateThreshold)
       .select(col("a.__id").as("__ida"), col("b.__id").as("__idb")).distinct()
-    val texts = df.select(col(idCol), col(textCol))
     val withTexts = cands
-      .join(texts.withColumnRenamed(idCol, "__ida").withColumnRenamed(textCol, "__ta"), Seq("__ida"))
-      .join(texts.withColumnRenamed(idCol, "__idb").withColumnRenamed(textCol, "__tb"), Seq("__idb"))
-    val verified = ngramJaccard(withTexts, "__ta", "__tb", ngram)
+      .join(reps.select(col("__id").as("__ida"), col("__t").as("__ta")), Seq("__ida"))
+      .join(reps.select(col("__id").as("__idb"), col("__t").as("__tb")), Seq("__idb"))
+    val repDrop = ngramJaccard(withTexts, "__ta", "__tb", ngram)
       .where(col("jaccard") >= jaccardThreshold)
-      .select(col("__idb").as(idCol)).distinct()
-    df.join(verified, Seq(idCol), "left_anti")
+      .select(col("__idb").as("__gid")).distinct()
+      .withColumn("__repdrop", lit(true))
+    // group-internal drops: identical texts are candidates by construction
+    // (same sketch ⇒ same buckets, similarity 1); they verify iff the text's
+    // self-Jaccard passes — false only for texts with no n-grams, matching
+    // the pairwise semantics exactly
+    val selfVerified = ngramJaccard(
+        reps.withColumn("__t2", col("__t")), "__t", "__t2", ngram)
+      .where(col("jaccard") >= jaccardThreshold && lit(candidateThreshold <= 1.0))
+      .select(col("__id").as("__gid")).withColumn("__selfv", lit(true))
+    val drop = base.join(groups, Seq("__t"))
+      .join(repDrop, Seq("__gid"), "left")
+      .join(selfVerified, Seq("__gid"), "left")
+      .where(col("__repdrop").isNotNull ||
+        (col("__mid") =!= col("__gid") && col("__selfv").isNotNull))
+      .select(col("__mid").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
   }
 
   /** Incremental near-dedup: drops rows of `batch` whose text near-duplicates
@@ -151,10 +223,12 @@ object Dedup {
     * a new crawl against the already-kept set without re-deduping the
     * corpus). Ids must be disjoint across the two frames.
     *
-    * Scale shape: both sides sketch once; candidates are MinHash band-bucket
-    * collisions BETWEEN the sides only (never corpus×corpus or batch×batch),
-    * hash-partitioned on the bucket key; texts join back by id for the exact
-    * n-gram Jaccard verify on collided candidates only.
+    * Scale shape: both sides collapse identical texts to one representative,
+    * then sketch once; candidates are MinHash band-bucket collisions BETWEEN
+    * the representative sets only (never corpus×corpus or batch×batch),
+    * hash-partitioned on the bucket key; representative texts join back by id
+    * for the exact n-gram Jaccard verify on collided candidates only, and the
+    * verdict fans back out to every batch row that shares the text.
     */
   def nearDupAgainst(
       batch: DataFrame,
@@ -166,31 +240,39 @@ object Dedup {
       shingle: Int = 5,
       candidateThreshold: Double = 0.5,
       jaccardThreshold: Double = 0.8,
-      ngram: Int = 3): DataFrame = {
+      ngram: Int = 3,
+      maxBucket: Int = 0): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
-    def bucketed(df: DataFrame) = df.select(col(idCol).as("__id"),
-        minhash_sig(col(textCol), numHashes, shingle).as("__sketch"))
-      .withColumn("__band", explode(sequence(lit(0), lit(numBands - 1))))
-      .withColumn("__bucket",
-        xxhash64(col("__band"), slice(col("__sketch"), col("__band") * rowsPerBand + 1, lit(rowsPerBand))))
-    val cands = bucketed(corpus).as("a").join(bucketed(batch).as("b"),
+    def repsOf(df: DataFrame) = df.groupBy(col(textCol).as("__t"))
+      .agg(min(col(idCol)).as("__id"))
+    def bucketed(reps: DataFrame) = minhashBuckets(numBands, rowsPerBand)(
+      reps.select(col("__id"), minhash_sig(col("__t"), numHashes, shingle).as("__sketch")))
+    val creps = repsOf(corpus)
+    val breps = repsOf(batch)
+    val cands = bucketed(creps).as("a").join(bucketed(breps).as("b"),
         col("a.__bucket") === col("b.__bucket"))
       .where(minhashSimilarity(col("a.__sketch"), col("b.__sketch")) >= candidateThreshold)
       .select(col("a.__id").as("__ida"), col("b.__id").as("__idb")).distinct()
-    val ct = corpus.select(col(idCol).as("__ida"), col(textCol).as("__ta"))
-    val bt = batch.select(col(idCol).as("__idb"), col(textCol).as("__tb"))
-    val verified = ngramJaccard(cands.join(ct, Seq("__ida")).join(bt, Seq("__idb")),
+    val ct = creps.select(col("__id").as("__ida"), col("__t").as("__ta"))
+    val bt = breps.select(col("__id").as("__idb"), col("__t").as("__tb"))
+    val droppedGroups = ngramJaccard(cands.join(ct, Seq("__ida")).join(bt, Seq("__idb")),
         "__ta", "__tb", ngram)
       .where(col("jaccard") >= jaccardThreshold)
-      .select(col("__idb").as(idCol)).distinct()
-    batch.join(verified, Seq(idCol), "left_anti")
+      .select(col("__idb").as("__gid")).distinct()
+    // fan the group verdict back out to every batch row sharing the text
+    val drop = batch.select(col(idCol), col(textCol).as("__t"))
+      .join(breps.withColumnRenamed("__id", "__gid"), Seq("__t"))
+      .join(droppedGroups, Seq("__gid"))
+      .select(idCol)
+    batch.join(drop, Seq(idCol), "left_anti")
   }
 
   /** Embedding near-dedup: `tables` independent random-hyperplane sketch
     * tables (a pair is a candidate when all `planes` sign bits agree in any
     * table), exact cosine verify within buckets, drop larger ids at cosine ≥
-    * `threshold`.
+    * `threshold`. Identical vectors collapse before bucketing (self-cosine of
+    * a zero vector is NaN, so degenerate rows keep pairwise semantics).
     */
   def embeddingNearDup(
       df: DataFrame,
@@ -198,14 +280,16 @@ object Dedup {
       idCol: String,
       threshold: Double = 0.95,
       tables: Int = 4,
-      planes: Int = 16): DataFrame = {
-    val buckets = df
-      .select(col(idCol).as("__id"), col(vecCol).as("__sketch"))
+      planes: Int = 16,
+      maxBucket: Int = 0): DataFrame = {
+    val sketched = df.select(col(idCol).as("__id"), col(vecCol).as("__sketch"))
+    val bucketize = (reps: DataFrame) => reps
       .withColumn("__table", explode(sequence(lit(0), lit(tables - 1))))
       .withColumn("__bucket",
         xxhash64(col("__table"), vec_simhash(col("__sketch"), planes, col("__table"))))
       .drop("__table")
-    val drop = losers(buckets, (a, b) => Similarity.cosineSim(a, b) >= threshold)
+    val drop = sketchDrop(sketched, bucketize,
+      (a, b) => Similarity.cosineSimSafe(a, b) >= threshold, maxBucket)
     df.join(drop.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
   }
 }

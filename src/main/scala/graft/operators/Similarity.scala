@@ -28,6 +28,18 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** Null-safe cosine: NULL when either norm is zero (ANSI mode would raise
+    * on the division; a NULL similarity fails every ≥-threshold filter, so
+    * zero vectors simply never verify).
+    */
+  def cosineSimSafe(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>"); val bd = b.cast("array<double>")
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(bd, lit(0.0), (acc, x) => acc + x * x))
+    when(na * nb > 0, dot / (na * nb))
+  }
+
   /** Bounded top-k buffer: (id, score) pairs, kept sorted by (-score, id) —
     * deterministic under ties. Map-side partials merge in O(k).
     */

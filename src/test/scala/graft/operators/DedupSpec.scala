@@ -87,6 +87,64 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(kept == Set(10L, 20L))
   }
 
+  test("degenerate bucket: 10k byte-identical docs collapse, stay linear") {
+    // pre-collapse: without it the within-bucket self-join would emit
+    // 16 bands × 10k²/2 ≈ 800M candidate pairs and this test would not return
+    val flood = spark.range(10000)
+      .select((col("id") + 100L).as("id"),
+        lit("boilerplate cookie banner accept all cookies to continue reading this site").as("text"))
+    val corpus = docs.unionByName(flood)
+    val kept = Dedup.minhashLsh(corpus, "text", "id", threshold = 0.7)
+      .select("id").as[Long].collect().toSet
+    assert(kept.contains(100L)) // flood representative (min id of the clones)
+    assert(kept.intersect((101L until 10100L).toSet).isEmpty) // all clones drop
+    assert(Set(1L, 2L, 3L).subsetOf(kept)) // base corpus unaffected
+    // same flood through the text-verified and simhash variants
+    val keptV = Dedup.minhashVerified(corpus, "text", "id", numBands = 32,
+      candidateThreshold = 0.3, jaccardThreshold = 0.8)
+      .select("id").as[Long].collect().toSet
+    assert(keptV.contains(100L) && keptV.intersect((101L until 10100L).toSet).isEmpty)
+    val keptS = Dedup.simhash(corpus, "text", "id").select("id").as[Long].collect().toSet
+    assert(keptS.contains(100L) && keptS.intersect((101L until 10100L).toSet).isEmpty)
+  }
+
+  test("incremental dedup stays linear when the batch repeats one page") {
+    val corpus = docs
+    val flood = spark.range(5000)
+      .select((col("id") + 1000L).as("id"),
+        lit("the quick brown fox jumps over the lazy dog and runs far away home tonight").as("text"))
+    val kept = Dedup.nearDupAgainst(flood, corpus, "text", "id",
+      numBands = 32, candidateThreshold = 0.3, jaccardThreshold = 0.8)
+      .select("id").as[Long].collect().toSet
+    assert(kept.isEmpty) // every clone matches corpus doc 1 exactly
+  }
+
+  test("maxBucket caps probes without losing star-shaped clusters") {
+    // one hub text + orbiting near-dups: every verified pair involves the
+    // hub (the bucket's min id), which a probe cap of 1 always keeps
+    val hub = "shared header shared header shared header shared header shared header unique tail"
+    val cluster = (0 until 20).map(i => (100L + i, hub + s" variant$i"))
+    val corpus = (Seq((50L, hub)) ++ cluster).toDF("id", "text")
+    val uncapped = Dedup.minhashLsh(corpus, "text", "id", threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    val capped = Dedup.minhashLsh(corpus, "text", "id", threshold = 0.5, maxBucket = 1)
+      .select("id").as[Long].collect().toSet
+    assert(uncapped.contains(50L) && capped.contains(50L))
+    // capping can only REDUCE the examined pairs: survivors are a superset
+    assert(uncapped.subsetOf(capped))
+  }
+
+  test("embeddingNearDup: identical zero vectors all survive (NaN cosine)") {
+    // pairwise semantics: cosine(0⃗, 0⃗) is NaN, NaN ≥ t is false, nothing
+    // drops — the exact-collapse gate must preserve that
+    val z = Array.fill(8)(0f)
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val vecs = Seq((1L, z), (2L, z), (3L, v), (4L, v)).toDF("vid", "vec")
+    val kept = Dedup.embeddingNearDup(vecs, "vec", "vid", threshold = 0.9)
+      .select("vid").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L)) // zero vectors survive; identical real vector dedups
+  }
+
   test("near-dup recall on the documents table's planted ' dup' copies") {
     val docsTable = graft.readTable(spark, sfDir, "documents")
     val n = docsTable.count()
