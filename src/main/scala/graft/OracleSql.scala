@@ -431,6 +431,66 @@ object OracleSql {
     * hyperbolics); the few-ulp drift vs java.lang.Math is far below the
     * mm-level rounding.
     */
+  /** (c_custkey, easting, northing) for EPSG:2154 (Lambert-93, LCC 2SP): the
+    * cone constant / scaled radii come precomputed from
+    * [[graft.geom.Projections.LccProjection]]; the per-row math (Snyder
+    * 15-7..15-9) mirrors the Scala evaluation order literally.
+    */
+  def geoConvertLcc(): String = {
+    val lcc = graft.geom.Projections.lambert93.proj
+      .asInstanceOf[graft.geom.Projections.LccProjection]
+    val (e0, nc0, af0, rho00, lon0, fe0, fn0) = lcc.oracleConstants
+    val ecc = s"CAST('$e0' AS DOUBLE)"
+    val nc = s"CAST('$nc0' AS DOUBLE)"
+    val af = s"CAST('$af0' AS DOUBLE)"
+    val rho0 = s"CAST('$rho00' AS DOUBLE)"
+    s"""WITH p AS (SELECT c_custkey,
+       |  radians((c_custkey % 60) * 0.1 + 0.05 - $lon0) AS dlam,
+       |  radians((c_custkey % 80) * 0.5 - 20 + 0.25) AS phi
+       |  FROM customer),
+       |t1 AS (SELECT c_custkey, $nc * dlam AS theta,
+       |  tan(pi()/4 - phi/2) / pow((1 - $ecc*sin(phi))/(1 + $ecc*sin(phi)), $ecc/2) AS t
+       |  FROM p),
+       |t2 AS (SELECT c_custkey, theta, $af * pow(t, $nc) AS rho FROM t1)
+       |SELECT c_custkey,
+       |  round($fe0 + rho * sin(theta), 3) AS easting,
+       |  round($fn0 + $rho0 - rho * cos(theta), 3) AS northing
+       |FROM t2""".stripMargin
+  }
+
+  /** (c_custkey, easting, northing) for EPSG:3035 (LAEA Europe): authalic
+    * latitude + oblique azimuthal equal-area forward (Snyder 24-2..24-8,
+    * 3-12), constants from [[graft.geom.Projections.LaeaProjection]].
+    */
+  def geoConvertLaea(): String = {
+    val laea = graft.geom.Projections.laeaEurope.proj
+      .asInstanceOf[graft.geom.Projections.LaeaProjection]
+    val (e0, e20, qp0, sb00, cb00, rq0, d0, lon0, fe0, fn0) = laea.oracleConstants
+    val ecc = s"CAST('$e0' AS DOUBLE)"
+    val e2 = s"CAST('$e20' AS DOUBLE)"
+    val qp = s"CAST('$qp0' AS DOUBLE)"
+    val sb0 = s"CAST('$sb00' AS DOUBLE)"
+    val cb0 = s"CAST('$cb00' AS DOUBLE)"
+    val rq = s"CAST('$rq0' AS DOUBLE)"
+    val dd = s"CAST('$d0' AS DOUBLE)"
+    s"""WITH p AS (SELECT c_custkey,
+       |  radians((c_custkey % 60) * 0.1 + 0.05 - $lon0) AS dlam,
+       |  radians((c_custkey % 80) * 0.5 - 20 + 0.25) AS phi
+       |  FROM customer),
+       |t1 AS (SELECT c_custkey, dlam,
+       |  (1 - $e2) * (sin(phi)/(1 - $e2*sin(phi)*sin(phi))
+       |    - 1/(2*$ecc)*ln((1 - $ecc*sin(phi))/(1 + $ecc*sin(phi)))) AS q
+       |  FROM p),
+       |t2 AS (SELECT c_custkey, dlam, asin(q / $qp) AS beta FROM t1),
+       |t3 AS (SELECT c_custkey, dlam, beta,
+       |  $rq * sqrt(2/(1 + $sb0*sin(beta) + $cb0*cos(beta)*cos(dlam))) AS b
+       |  FROM t2)
+       |SELECT c_custkey,
+       |  round($fe0 + b * $dd * cos(beta) * sin(dlam), 3) AS easting,
+       |  round($fn0 + (b / $dd) * ($cb0*sin(beta) - $sb0*cos(beta)*cos(dlam)), 3) AS northing
+       |FROM t3""".stripMargin
+  }
+
   def geoConvertUtm(zone: Int = 31): String = {
     val (bigA0, ecc0, k00, alpha) = graft.geom.TransverseMercator.oracleConstants
     // plain decimal literals parse as DECIMAL in DuckDB (and overflow in

@@ -224,6 +224,24 @@ object SparkEntry {
           round(st_y(col("geometry")), 3).as("northing"))
     }),
 
+    // --- parameterized projections: Lambert-93 (LCC 2SP) and LAEA Europe ---
+    "geo_convert_lcc" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").withColumn("geometry",
+        st_point(expr("(c_custkey % 60) * 0.1 + 0.05"), expr("(c_custkey % 80) * 0.5 - 20 + 0.25")))
+      pts.withColumn("geometry", st_transform(col("geometry"), "EPSG:4326", "EPSG:2154"))
+        .select(col("c_custkey"),
+          round(st_x(col("geometry")), 3).as("easting"),
+          round(st_y(col("geometry")), 3).as("northing"))
+    }),
+    "geo_convert_laea" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").withColumn("geometry",
+        st_point(expr("(c_custkey % 60) * 0.1 + 0.05"), expr("(c_custkey % 80) * 0.5 - 20 + 0.25")))
+      pts.withColumn("geometry", st_transform(col("geometry"), "EPSG:4326", "EPSG:3035"))
+        .select(col("c_custkey"),
+          round(st_x(col("geometry")), 3).as("easting"),
+          round(st_y(col("geometry")), 3).as("northing"))
+    }),
+
     // --- fgb driver end-to-end: write + read + decode (erde/io/fgb.py) -----
     "fgb_roundtrip" -> ((s, dir) => {
       val pts = custPoints(s, dir).select(col("c_custkey"), col("c_acctbal"), col("geometry"))
@@ -841,6 +859,8 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe_tokens
         |FROM documents""".stripMargin,
     "geo_convert_utm" -> OracleSql.geoConvertUtm(zone = 31),
+    "geo_convert_lcc" -> OracleSql.geoConvertLcc(),
+    "geo_convert_laea" -> OracleSql.geoConvertLaea(),
     "text_pii" -> {
       val chain = TextAnalysis.piiPatterns.foldLeft("t2") { case (acc, (pat, repl)) =>
         s"regexp_replace($acc, '$pat', '$repl', 'g')"

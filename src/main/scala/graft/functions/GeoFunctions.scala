@@ -64,26 +64,38 @@ object GeoFunctions {
     }
   }
 
-  /** Supported pairs: 4326 ⇄ 3857 (Web Mercator) and 4326 ⇄ UTM zones
-    * (EPSG:32601–32660 north, 32701–32760 south); UTM ⇄ 3857 composes
-    * through 4326. Reference: erde/op/convert.py:5 (pyproj pass-through).
+  /** Supported: 4326 ⇄ 3857 (Web Mercator), 4326 ⇄ UTM zones (EPSG:
+    * 32601–32660 north, 32701–32760 south), and the parameterized-projection
+    * registry (EPSG:27700 British National Grid incl. the OSGB36 Helmert
+    * datum shift, 2154 Lambert-93, 3035 LAEA Europe, 25828–25838 ETRS89/UTM);
+    * any pair of supported codes composes through 4326. Reference:
+    * erde/op/convert.py:5 (pyproj pass-through).
     */
   def st_transform(g: Column, fromCrs: String, toCrs: String): Column = {
+    import graft.geom.Projections.{supported => proj}
     import graft.geom.TransverseMercator.utmZoneOf
+    def to4326(code: Int, g0: Expression): Option[Expression] = code match {
+      case 4326 => Some(g0)
+      case 3857 => Some(StToLonLat(g0))
+      case t if utmZoneOf(t).isDefined =>
+        val (z, s) = utmZoneOf(t).get; Some(StUtm(g0, z, s, invert = true))
+      case t if proj(t) => Some(StCrsProj(g0, t, invert = true))
+      case _ => None
+    }
+    def from4326(code: Int, g0: Expression): Option[Expression] = code match {
+      case 4326 => Some(g0)
+      case 3857 => Some(StToMercator(g0))
+      case t if utmZoneOf(t).isDefined =>
+        val (z, s) = utmZoneOf(t).get; Some(StUtm(g0, z, s, invert = false))
+      case t if proj(t) => Some(StCrsProj(g0, t, invert = false))
+      case _ => None
+    }
     (epsgOf(fromCrs), epsgOf(toCrs)) match {
       case (f, t) if f == t => g
-      case (4326, 3857) => c(StToMercator(e(g)))
-      case (3857, 4326) => c(StToLonLat(e(g)))
-      case (4326, t) if utmZoneOf(t).isDefined =>
-        val (z, s) = utmZoneOf(t).get; c(StUtm(e(g), z, s, invert = false))
-      case (f, 4326) if utmZoneOf(f).isDefined =>
-        val (z, s) = utmZoneOf(f).get; c(StUtm(e(g), z, s, invert = true))
-      case (3857, t) if utmZoneOf(t).isDefined =>
-        val (z, s) = utmZoneOf(t).get; c(StUtm(StToLonLat(e(g)), z, s, invert = false))
-      case (f, 3857) if utmZoneOf(f).isDefined =>
-        val (z, s) = utmZoneOf(f).get; c(StToMercator(StUtm(e(g), z, s, invert = true)))
-      case (f, t) => throw new IllegalArgumentException(
-        s"unsupported CRS pair EPSG:$f -> EPSG:$t (4326, 3857, UTM 326xx/327xx)")
+      case (f, t) =>
+        (for { mid <- to4326(f, e(g)); out <- from4326(t, mid) } yield c(out)).getOrElse(
+          throw new IllegalArgumentException(
+            s"unsupported CRS pair EPSG:$f -> EPSG:$t (4326, 3857, UTM 326xx/327xx, 27700, 2154, 3035, 258xx)"))
     }
   }
 

@@ -191,6 +191,21 @@ case class StUtm(child: Expression, zone: Int, south: Boolean, invert: Boolean) 
   override protected def withNewChildInternal(c: Expression): StUtm = copy(child = c)
 }
 
+/** Parameterized-projection transform (EPSG:27700 / 2154 / 3035 / 258xx ⇄
+  * 4326 via [[graft.geom.Projections]]); the code and direction are
+  * plan-time constants baked into the generated static call.
+  */
+case class StCrsProj(child: Expression, epsg: Int, invert: Boolean) extends GeomUnary {
+  require(graft.geom.Projections.supported(epsg), s"EPSG:$epsg not in the projection registry")
+  override def method: String = "crs"
+  override def dataType: DataType = BinaryType
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$K.crs($c, $epsg, $invert)")
+  override protected def nullSafeEval(b: Any): Any =
+    GeomKernel.crs(b.asInstanceOf[Array[Byte]], epsg, invert)
+  override protected def withNewChildInternal(c: Expression): StCrsProj = copy(child = c)
+}
+
 case class StDistance(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
   override def dataType: DataType = DoubleType

@@ -101,6 +101,14 @@ object GeomKernel {
       if (invert) TransverseMercator.fromUtm(WKB.read(b), zone, south)
       else TransverseMercator.toUtm(WKB.read(b), zone, south))
 
+  /** Parameterized-projection forward/inverse via the [[Projections]] EPSG
+    * registry (27700, 2154, 3035, 258xx); includes any datum shift.
+    */
+  def crs(b: Array[Byte], epsg: Int, invert: Boolean): Array[Byte] =
+    WKB.write(
+      if (invert) Projections.fromProjected(WKB.read(b), epsg)
+      else Projections.toProjected(WKB.read(b), epsg))
+
   // ---- buffer -------------------------------------------------------------
 
   def buffer(b: Array[Byte], radius: Double, resolution: Int): Array[Byte] =

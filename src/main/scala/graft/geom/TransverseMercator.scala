@@ -21,8 +21,10 @@ object TransverseMercator {
   /** Rectifying radius A = a/(1+n)·(1 + n²/4 + n⁴/64 + n⁶/256). */
   private val A = a / (1 + n) * (1 + math.pow(n, 2) / 4 + math.pow(n, 4) / 64 + math.pow(n, 6) / 256)
 
-  // Karney 2011 eq. 35/36 coefficients (forward α, inverse β), order n⁶
-  private val alpha: Array[Double] = {
+  // Karney 2011 eq. 35/36 coefficients (forward α, inverse β), order n⁶ —
+  // parameterized by the third flattening so [[Projections]] reuses them for
+  // arbitrary ellipsoids
+  private[geom] def alphaOf(n: Double): Array[Double] = {
     val n2 = n * n; val n3 = n2 * n; val n4 = n3 * n; val n5 = n4 * n; val n6 = n5 * n
     Array(
       n / 2 - 2.0 / 3 * n2 + 5.0 / 16 * n3 + 41.0 / 180 * n4 - 127.0 / 288 * n5 + 7891.0 / 37800 * n6,
@@ -32,7 +34,7 @@ object TransverseMercator {
       34729.0 / 80640 * n5 - 3418889.0 / 1995840 * n6,
       212378941.0 / 319334400 * n6)
   }
-  private val beta: Array[Double] = {
+  private[geom] def betaOf(n: Double): Array[Double] = {
     val n2 = n * n; val n3 = n2 * n; val n4 = n3 * n; val n5 = n4 * n; val n6 = n5 * n
     Array(
       n / 2 - 2.0 / 3 * n2 + 37.0 / 96 * n3 - 1.0 / 360 * n4 - 81.0 / 512 * n5 + 96199.0 / 604800 * n6,
@@ -42,22 +44,27 @@ object TransverseMercator {
       4583.0 / 161280 * n5 - 108847.0 / 3991680 * n6,
       20648693.0 / 638668800 * n6)
   }
+  private val alpha: Array[Double] = alphaOf(n)
+  private val beta: Array[Double] = betaOf(n)
 
-  /** τ' (conformal tangent) from τ = tanφ (GeographicLib Math::taupf). */
-  private def taupf(tau: Double): Double = {
+  /** τ' (conformal tangent) from τ = tanφ (GeographicLib Math::taupf),
+    * parameterized by eccentricity for [[Projections]].
+    */
+  private[geom] def taupfE(tau: Double, e: Double): Double = {
     val tau1 = math.hypot(1.0, tau)
     val sig = math.sinh(e * atanh(e * tau / tau1))
     math.hypot(1.0, sig) * tau - sig * tau1
   }
+  private def taupf(tau: Double): Double = taupfE(tau, e)
 
   /** τ from τ' by Newton iteration (GeographicLib Math::tauf). */
-  private def tauf(taup: Double): Double = {
+  private[geom] def taufE(taup: Double, e: Double, e2: Double): Double = {
     val tol = math.sqrt(Double.MinPositiveValue) // ~1.5e-154; iteration-limit guards
     var tau = taup / (1 - e2)
     val stol = tol * math.max(1.0, math.abs(taup))
     var i = 0
     while (i < 5) {
-      val taupa = taupf(tau)
+      val taupa = taupfE(tau, e)
       val dtau = (taup - taupa) * (1 + (1 - e2) * tau * tau) /
         ((1 - e2) * math.hypot(1.0, tau) * math.hypot(1.0, taupa))
       tau += dtau
@@ -65,8 +72,9 @@ object TransverseMercator {
     }
     tau
   }
+  private def tauf(taup: Double): Double = taufE(taup, e, e2)
 
-  private def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
+  private[geom] def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
 
   /** lon/lat (degrees) → (easting, northing) metres for the given zone
     * (`south` selects the 10 000 km false northing).
