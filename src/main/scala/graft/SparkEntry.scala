@@ -268,6 +268,18 @@ object SparkEntry {
           round(st_y(col("geometry")), 6).as("py"))
     }),
 
+    // --- gpkg driver end-to-end: own SQLite writer + b-tree reader ---------
+    "gpkg_roundtrip" -> ((s, dir) => {
+      val pts = custPoints(s, dir).select(col("c_custkey"), col("c_acctbal"), col("geometry"))
+      val out = new java.io.File(s"/tmp/graft_gpkg_${new java.io.File(dir).getName}")
+      out.mkdirs()
+      graft.sources.GeoSources.writeAuto(pts, s"$out/customer.gpkg")
+      graft.sources.GeoSources.readAuto(s, s"$out/customer.gpkg")
+        .select(col("c_custkey"), col("c_acctbal"),
+          round(st_x(col("geometry")), 6).as("px"),
+          round(st_y(col("geometry")), 6).as("py"))
+    }),
+
     // --- osm.pbf driver end-to-end: write + read + tag filter --------------
     "osm_pbf_roundtrip" -> ((s, dir) => {
       val elements = t(s, dir, "part").select(
@@ -723,6 +735,11 @@ object SparkEntry {
         |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py
         |FROM customer""".stripMargin,
     "auto_roundtrip" ->
+      """SELECT c_custkey, c_acctbal,
+        |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,
+        |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py
+        |FROM customer""".stripMargin,
+    "gpkg_roundtrip" ->
       """SELECT c_custkey, c_acctbal,
         |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,
         |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py

@@ -226,6 +226,7 @@ object GeoSources {
     else if (p.endsWith(".parquet")) GeoParquet.write(df, path)
     else if (p.endsWith(".shp")) Shapefile.write(df, path.substring(0, path.length - 4))
     else if (p.endsWith(".fgb")) Fgb.write(df, path)
+    else if (p.endsWith(".gpkg")) Gpkg.write(df, path)
     else throw new IllegalArgumentException(s"no write driver for '$path'")
   }
 

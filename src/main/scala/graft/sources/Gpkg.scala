@@ -299,4 +299,329 @@ object Gpkg {
       .map(m => db.table(m._4).map(_._2(0).asInstanceOf[String]))
       .getOrElse(Seq.empty)
   }
+
+  // ---- minimal sqlite writer ----------------------------------------------
+
+  /** Single-file SQLite page builder: table-leaf b-trees with interior pages
+    * and overflow chains — the write-side twin of [[Sqlite]] above, emitting
+    * exactly the structures the reader walks (public file-format spec).
+    */
+  private final class SqliteBuilder(val pageSize: Int = 4096) {
+    val usable: Int = pageSize // reserved byte count 0
+    private val pages = ArrayBuffer[Array[Byte]](new Array[Byte](pageSize)) // page 1 reserved
+
+    private def be16(a: Array[Byte], o: Int, v: Int): Unit = {
+      a(o) = (v >> 8).toByte; a(o + 1) = v.toByte
+    }
+    private def be32(a: Array[Byte], o: Int, v: Int): Unit = {
+      a(o) = (v >> 24).toByte; a(o + 1) = (v >> 16).toByte
+      a(o + 2) = (v >> 8).toByte; a(o + 3) = v.toByte
+    }
+
+    private def allocPage(): Int = { pages += new Array[Byte](pageSize); pages.length }
+
+    private def varint(v: Long): Array[Byte] = {
+      if (v >= 0 && v < 0x80) return Array(v.toByte)
+      val groups = ArrayBuffer[Byte]()
+      var x = v
+      var n = 0
+      while (n < 8 && (x != 0 || n == 0)) { groups += (x & 0x7f).toByte; x >>>= 7; n += 1 }
+      val out = groups.reverse.toArray
+      var i = 0
+      while (i < out.length - 1) { out(i) = (out(i) | 0x80).toByte; i += 1 }
+      out
+    }
+
+    /** SQLite record: serial-type header + values. Longs always as 8-byte
+      * ints, doubles IEEE, strings UTF-8, blobs raw, null for None/null.
+      */
+    def record(values: Seq[Any]): Array[Byte] = {
+      val enc = values.map {
+        case null => (varint(0), Array.empty[Byte])
+        case l: Long =>
+          val b = new Array[Byte](8)
+          ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN).putLong(l)
+          (varint(6), b)
+        case i: Int =>
+          val b = new Array[Byte](8)
+          ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN).putLong(i.toLong)
+          (varint(6), b)
+        case d: Double =>
+          val b = new Array[Byte](8)
+          ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN).putDouble(d)
+          (varint(7), b)
+        case s: String =>
+          val b = s.getBytes(StandardCharsets.UTF_8)
+          (varint(13 + 2L * b.length), b)
+        case b: Array[Byte] => (varint(12 + 2L * b.length), b)
+        case other => throw new IllegalArgumentException(s"gpkg write: unsupported value $other")
+      }
+      val typesLen = enc.map(_._1.length).sum
+      // header length varint includes itself; one extra byte is enough here
+      val hdrLen = if (typesLen + 1 < 0x80) typesLen + 1 else typesLen + 2
+      val out = ArrayBuffer[Byte]()
+      out ++= varint(hdrLen)
+      enc.foreach(out ++= _._1)
+      enc.foreach(out ++= _._2)
+      out.toArray
+    }
+
+    /** Leaf cell bytes for (rowid, payload), writing overflow pages as needed
+      * (same local-size formula the reader's `payload()` uses).
+      */
+    private def leafCell(rowid: Long, payload: Array[Byte]): Array[Byte] = {
+      val x = usable - 35
+      val head = varint(payload.length.toLong) ++ varint(rowid)
+      if (payload.length <= x) head ++ payload
+      else {
+        val m = (usable - 12) * 32 / 255 - 23
+        val k = m + (payload.length - m) % (usable - 4)
+        val local = if (k <= x) k else m
+        // chunk the spilled tail front-to-back (full pages, remainder last),
+        // then write the chain back-to-front so each page's successor exists
+        val chunks = ArrayBuffer[(Int, Int)]()
+        var o = local
+        while (o < payload.length) {
+          val take = math.min(usable - 4, payload.length - o)
+          chunks += ((o, take))
+          o += take
+        }
+        var nextPage = 0
+        for ((off, len) <- chunks.reverse) {
+          val pg = allocPage()
+          val a = pages(pg - 1)
+          be32(a, 0, nextPage)
+          System.arraycopy(payload, off, a, 4, len)
+          nextPage = pg
+        }
+        head ++ payload.slice(0, local) ++ {
+          val p = new Array[Byte](4); be32(p, 0, nextPage); p
+        }
+      }
+    }
+
+    /** Packs leaf cells into pages (allocating them); returns per-leaf
+      * (page number, max rowid).
+      */
+    private def packLeaves(rows: Seq[(Long, Array[Byte])]): Seq[(Int, Long)] = {
+      val leaves = ArrayBuffer[(Int, Long)]()
+      var cells = ArrayBuffer[Array[Byte]]()
+      var used = 0
+      var maxRowid = 0L
+      def flush(): Unit = if (cells.nonEmpty) {
+        val pg = allocPage()
+        writeLeafPage(pages(pg - 1), 0, cells.toSeq)
+        leaves += ((pg, maxRowid))
+        cells = ArrayBuffer[Array[Byte]]()
+        used = 0
+      }
+      for ((rowid, payload) <- rows) {
+        val cell = leafCell(rowid, payload)
+        if (cells.nonEmpty && 8 + used + 2 * (cells.length + 1) + cell.length > usable) flush()
+        cells += cell
+        used += cell.length
+        maxRowid = rowid
+      }
+      flush()
+      if (leaves.isEmpty) { // empty table still needs a root leaf
+        val pg = allocPage()
+        writeLeafPage(pages(pg - 1), 0, Nil)
+        leaves += ((pg, 0L))
+      }
+      leaves.toSeq
+    }
+
+    /** Writes a table-leaf page image at `base` offset (100 for page 1). */
+    private def writeLeafPage(a: Array[Byte], base: Int, cells: Seq[Array[Byte]]): Unit = {
+      a(base) = 13 // table leaf
+      be16(a, base + 1, 0) // no freeblocks
+      be16(a, base + 3, cells.length)
+      var top = pageSize
+      var i = 0
+      while (i < cells.length) {
+        val cell = cells(i)
+        top -= cell.length
+        System.arraycopy(cell, 0, a, top, cell.length)
+        be16(a, base + 8 + i * 2, top)
+        i += 1
+      }
+      be16(a, base + 5, if (cells.isEmpty) pageSize else top)
+    }
+
+    /** Builds interior levels above `children` until a single root remains. */
+    private def buildInterior(children: Seq[(Int, Long)]): Int = {
+      if (children.length == 1) return children.head._1
+      val next = ArrayBuffer[(Int, Long)]()
+      var group = ArrayBuffer[(Int, Long)]()
+      var used = 0
+      def flush(): Unit = if (group.nonEmpty) {
+        val pg = allocPage()
+        val a = pages(pg - 1)
+        a(0) = 5 // table interior
+        val cellsHere = group.dropRight(1)
+        be16(a, 3, cellsHere.length)
+        be32(a, 8, group.last._1) // rightmost child
+        var top = pageSize
+        var i = 0
+        while (i < cellsHere.length) {
+          val (child, key) = cellsHere(i)
+          val kv = varint(key)
+          top -= 4 + kv.length
+          be32(a, top, child)
+          System.arraycopy(kv, 0, a, top + 4, kv.length)
+          be16(a, 12 + i * 2, top)
+          i += 1
+        }
+        be16(a, 5, if (cellsHere.isEmpty) pageSize else top)
+        next += ((pg, group.last._2))
+        group = ArrayBuffer[(Int, Long)]()
+        used = 0
+      }
+      for (c <- children) {
+        if (group.nonEmpty && 12 + used + 2 * group.length + 13 > usable) flush()
+        group += c
+        used += 13 // 4-byte child + ≤9-byte key varint
+      }
+      flush()
+      buildInterior(next.toSeq)
+    }
+
+    /** Writes a table's rows (ascending rowids); returns the root page. */
+    def writeTable(rows: Seq[(Long, Seq[Any])]): Int =
+      buildInterior(packLeaves(rows.map { case (rid, vals) => (rid, record(vals)) }))
+
+    /** Fills page 1 with the sqlite_master leaf + database header. The
+      * master rows must fit one leaf (require) — they do for one feature
+      * layer plus the three gpkg metadata tables.
+      */
+    def finish(master: Seq[(Long, Seq[Any])], out: java.io.OutputStream): Unit = {
+      val cells = master.map { case (rid, vals) => leafCell(rid, record(vals)) }
+      val used = cells.map(_.length).sum + 2 * cells.length
+      require(100 + 8 + used <= usable, s"sqlite_master overflows page 1 ($used bytes)")
+      val p1 = pages(0)
+      writeLeafPage(p1, 100, cells)
+      // database header
+      System.arraycopy("SQLite format 3 ".getBytes(StandardCharsets.US_ASCII), 0, p1, 0, 16)
+      be16(p1, 16, if (pageSize == 65536) 1 else pageSize)
+      p1(18) = 1; p1(19) = 1 // write/read version: legacy
+      p1(21) = 64; p1(22) = 32; p1(23) = 32
+      be32(p1, 24, 1) // change counter
+      be32(p1, 28, pages.length)
+      be32(p1, 40, master.length) // schema cookie
+      be32(p1, 44, 4) // schema format
+      be32(p1, 56, 1) // UTF-8
+      be32(p1, 60, 10200) // user_version: GeoPackage 1.2
+      be32(p1, 68, 0x47504B47) // application_id "GPKG"
+      be32(p1, 92, 1) // version-valid-for
+      be32(p1, 96, 3045000)
+      pages.foreach(out.write)
+    }
+  }
+
+  private def declType(dt: DataType): String = dt match {
+    case LongType | IntegerType | ShortType | ByteType | BooleanType => "INTEGER"
+    case DoubleType | FloatType => "DOUBLE"
+    case StringType => "TEXT"
+    case _ => "BLOB"
+  }
+
+  /** WKB → GPKG geometry blob (version 0, little-endian srs_id, no envelope
+    * — the reader skips straight to the WKB payload).
+    */
+  private[sources] def wkbToGpkg(wkb: Array[Byte], srid: Int): Array[Byte] = {
+    val out = new Array[Byte](8 + wkb.length)
+    out(0) = 'G'; out(1) = 'P'; out(2) = 0
+    out(3) = 0x01 // flags: little-endian header, no envelope
+    out(4) = srid.toByte; out(5) = (srid >> 8).toByte
+    out(6) = (srid >> 16).toByte; out(7) = (srid >> 24).toByte
+    System.arraycopy(wkb, 0, out, 8, wkb.length)
+    out
+  }
+
+  /** Writes `df` as a single-layer GeoPackage (reference: erde/io/gpkg.py:134
+    * `_write_sync` via fiona). Collects to the driver (single .gpkg file is
+    * inherently one stream, like shp/fgb), capped at `maxRows`; the geometry
+    * column travels as graft WKB and is wrapped in GPKG blobs. Produces the
+    * standard metadata trio (gpkg_spatial_ref_sys, gpkg_contents,
+    * gpkg_geometry_columns) so any GPKG reader — including [[read]] — finds
+    * the layer.
+    */
+  def write(df: DataFrame, path: String, layerName: String = "layer",
+      geometryCol: String = "geometry", srid: Int = 4326, maxRows: Int = 1000000): Unit = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"Gpkg.write collects to the driver and is capped at maxRows=$maxRows rows; " +
+        "use parquet/geojsonseq for large frames")
+    val fields = df.schema.fields
+    val geomIdx = df.schema.fieldIndex(geometryCol)
+
+    val b = new SqliteBuilder()
+    // envelope + geometry type from the data
+    var minX = Double.PositiveInfinity; var minY = Double.PositiveInfinity
+    var maxX = Double.NegativeInfinity; var maxY = Double.NegativeInfinity
+    val typeNames = scala.collection.mutable.Set[String]()
+    val featureRows = rows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+      val vals = fields.indices.map { j =>
+        val v = r.get(j)
+        if (j == geomIdx) v match {
+          case wkb: Array[Byte] =>
+            val g = WKB.read(wkb)
+            if (!g.isEmpty) {
+              val (x1, y1, x2, y2) = g.bbox
+              minX = math.min(minX, x1); minY = math.min(minY, y1)
+              maxX = math.max(maxX, x2); maxY = math.max(maxY, y2)
+            }
+            typeNames += g.getClass.getSimpleName.toUpperCase(java.util.Locale.ROOT)
+            wkbToGpkg(wkb, srid)
+          case _ => null
+        }
+        else v
+      }
+      // fid column first, stored NULL (rowid alias)
+      ((i + 1).toLong, null +: vals)
+    }
+    val featureRoot = b.writeTable(featureRows)
+    val geomType = if (typeNames.size == 1) typeNames.head else "GEOMETRY"
+
+    val srsRoot = b.writeTable(Seq(
+      (1L, Seq[Any]("WGS 84 geodetic", 4326L, "EPSG", 4326L,
+        "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563]]]",
+        "longitude/latitude, WGS 84")),
+      (2L, Seq[Any]("Undefined cartesian SRS", -1L, "NONE", -1L, "undefined", null)),
+      (3L, Seq[Any]("Undefined geographic SRS", 0L, "NONE", 0L, "undefined", null))))
+    val hasEnv = minX <= maxX
+    val contentsRoot = b.writeTable(Seq(
+      (1L, Seq[Any](layerName, "features", layerName, "",
+        "2024-01-01T00:00:00.000Z",
+        if (hasEnv) minX else null, if (hasEnv) minY else null,
+        if (hasEnv) maxX else null, if (hasEnv) maxY else null,
+        srid.toLong))))
+    val geomColsRoot = b.writeTable(Seq(
+      (1L, Seq[Any](layerName, geometryCol, geomType, srid.toLong, 0L, 0L))))
+
+    def quoted(s: String) = "\"" + s + "\""
+    val featureCols = fields.map { f =>
+      if (f.name == geometryCol) s"${quoted(f.name)} $geomType"
+      else s"${quoted(f.name)} ${declType(f.dataType)}"
+    }.mkString(", ")
+    val featureSql =
+      s"CREATE TABLE ${quoted(layerName)} (${quoted("fid")} INTEGER PRIMARY KEY, $featureCols)"
+    val master = Seq(
+      (1L, Seq[Any]("table", "gpkg_spatial_ref_sys", "gpkg_spatial_ref_sys", srsRoot.toLong,
+        "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY, " +
+          "organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL, " +
+          "definition TEXT NOT NULL, description TEXT)")),
+      (2L, Seq[Any]("table", "gpkg_contents", "gpkg_contents", contentsRoot.toLong,
+        "CREATE TABLE gpkg_contents (table_name TEXT PRIMARY KEY, data_type TEXT NOT NULL, " +
+          "identifier TEXT UNIQUE, description TEXT DEFAULT '', last_change DATETIME, " +
+          "min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)")),
+      (3L, Seq[Any]("table", "gpkg_geometry_columns", "gpkg_geometry_columns", geomColsRoot.toLong,
+        "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, column_name TEXT NOT NULL, " +
+          "geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, z TINYINT NOT NULL, " +
+          "m TINYINT NOT NULL)")),
+      (4L, Seq[Any]("table", layerName, layerName, featureRoot.toLong, featureSql)))
+
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
+    try b.finish(master, out) finally out.close()
+  }
 }

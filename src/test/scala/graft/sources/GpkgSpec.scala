@@ -76,6 +76,63 @@ class GpkgSpec extends AnyFunSuite with SparkSpec {
     assert(x == 1.5)
   }
 
+  test("write → read round-trips values, geometry, and layer metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gpkg-w").toString
+    val df = Seq(
+      (1L, "alpha", 1.5, (2.0, 3.0)),
+      (2L, "beta", -0.25, (-10.5, 47.25)),
+      (3L, null.asInstanceOf[String], 99.0, (179.9, -89.9)))
+      .toDF("k", "name", "score", "pt")
+      .select(col("k"), col("name"), col("score"),
+        st_point(col("pt._1"), col("pt._2")).as("geometry"))
+    Gpkg.write(df, s"$dir/t.gpkg", layerName = "towns")
+    assert(Gpkg.layers(spark, s"$dir/t.gpkg") == Seq("towns"))
+    val back = Gpkg.read(spark, s"$dir/t.gpkg").orderBy("k")
+    assert(back.columns.toSeq == Seq("fid", "k", "name", "score", "geometry"))
+    val rows = back.select(col("fid"), col("k"), col("name"), col("score"),
+      st_x(col("geometry")).as("x"), st_y(col("geometry")).as("y")).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L)) // fid from rowid
+    assert(rows.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(r => Option(r.getString(2))).toSeq == Seq(Some("alpha"), Some("beta"), None))
+    assert(rows.map(_.getDouble(3)).toSeq == Seq(1.5, -0.25, 99.0))
+    assert(rows.map(_.getDouble(4)).toSeq == Seq(2.0, -10.5, 179.9))
+    assert(rows.map(_.getDouble(5)).toSeq == Seq(3.0, 47.25, -89.9))
+  }
+
+  test("write scales: 5000 rows force interior pages; big blobs overflow") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gpkg-w2").toString
+    val big = (1 to 5000).map(i => (i.toLong, "x" * (i % 70), (i * 0.001, -i * 0.002)))
+      .toDF("k", "pad", "pt")
+      .select(col("k"), col("pad"), st_point(col("pt._1"), col("pt._2")).as("geometry"))
+    Gpkg.write(big, s"$dir/big.gpkg")
+    val back = Gpkg.read(spark, s"$dir/big.gpkg")
+    assert(back.count() == 5000)
+    assert(back.agg(sum("k")).head().getLong(0) == 5000L * 5001 / 2)
+    // a single row whose record spans multiple overflow pages
+    val wide = Seq((1L, "y" * 20000, (1.0, 2.0))).toDF("k", "pad", "pt")
+      .select(col("k"), col("pad"), st_point(col("pt._1"), col("pt._2")).as("geometry"))
+    Gpkg.write(wide, s"$dir/wide.gpkg")
+    val w = Gpkg.read(spark, s"$dir/wide.gpkg").head()
+    assert(w.getAs[String]("pad").length == 20000)
+    assert(w.getAs[String]("pad").forall(_ == 'y'))
+  }
+
+  test("writeAuto/readAuto dispatch .gpkg; header carries the GPKG tags") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gpkg-w3").toString
+    val df = Seq((7L, (5.0, 6.0))).toDF("k", "pt")
+      .select(col("k"), st_point(col("pt._1"), col("pt._2")).as("geometry"))
+    GeoSources.writeAuto(df, s"$dir/auto.gpkg")
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/auto.gpkg"))
+    assert(new String(bytes, 0, 15, java.nio.charset.StandardCharsets.US_ASCII) == "SQLite format 3")
+    def be32(o: Int) = ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+      ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+    assert(be32(68) == 0x47504B47) // application_id "GPKG"
+    assert(be32(60) == 10200) // user_version: GeoPackage 1.2
+    assert(bytes.length % 4096 == 0 && be32(28) * 4096 == bytes.length)
+    val back = GeoSources.readAuto(spark, s"$dir/auto.gpkg")
+    assert(back.select(st_x(col("geometry"))).head().getDouble(0) == 5.0)
+  }
+
   test("polygons.gpkg parses areal geometries") {
     val gpkg = Gpkg.read(spark, stage("polygons.gpkg"))
     val areas = gpkg.select(st_area(gpkg.columns.filter(c =>
