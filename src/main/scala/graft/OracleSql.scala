@@ -535,19 +535,29 @@ object OracleSql {
     * Contour.filled's grid arithmetic ((lon − h·step) + ix·step) — the two
     * differ in floating point and both are mirrored exactly.
     */
-  def isochroneContours(h: Int = 8, step: String = "0.05",
+  /** Mirror of the full contour pipeline including the raster-interpolation
+    * stage: duration samples on the (2h+1)² lattice → lattice triangulation
+    * (fixed 00→11 diagonal) linearly interpolated onto an r×-finer raster
+    * (Contour.interpolate) → marching squares with shoelace areas at raster
+    * resolution. Raster node k clamps to sample cell min(k/r, 2h−1) with
+    * local offset (k − cell·r)/r, exactly as the Scala side.
+    */
+  def isochroneContours(h: Int = 8, step: String = "0.05", refine: Int = 4,
       levels: Seq[Double] = Seq(600.0, 1200.0), speed: String = "25.0"): String = {
     val hav = (lon1: String, lat1: String, lon2: String, lat2: String) =>
       s"""2*6371008.8*asin(least(1.0, sqrt(pow(sin((radians($lat2)-radians($lat1))/2),2)
          | + cos(radians($lat1))*cos(radians($lat2))*pow(sin((radians($lon2)-radians($lon1))/2),2))))""".stripMargin
+    val r = refine
+    val m = 2 * h * r // marching cells per axis on the raster
     val dx = Array(0, 1, 1, 0); val dy = Array(0, 0, 1, 1) // boundary order 00→10→11→01
+    val cornerJoins = (0 until 4).map { k =>
+      s"JOIN nv n$k ON n$k.r_regionkey = c.r_regionkey AND n$k.kx = c.ci + ${dx(k)} AND n$k.ky = c.cj + ${dy(k)}"
+    }.mkString("\n  ")
     val cornerCols = (0 until 4).flatMap { k =>
-      val plon = s"(lon + (ci + ${dx(k)} - $h) * $step)"
-      val plat = s"(lat + (cj + ${dy(k)} - $h) * $step)"
       Seq(
-        s"${hav("lon", "lat", plon, plat)} / $speed AS v$k",
-        s"((lon - $h * $step) + (ci + ${dx(k)}) * $step) AS x$k",
-        s"((lat - $h * $step) + (cj + ${dy(k)}) * $step) AS y$k")
+        s"n$k.z AS v$k",
+        s"((c.lon - $h * $step) + (c.ci + ${dx(k)}) * ($step / $r)) AS x$k",
+        s"((c.lat - $h * $step) + (c.cj + ${dy(k)}) * ($step / $r)) AS y$k")
     }
     val ring = (0 until 4).flatMap { k =>
       val k2 = (k + 1) % 4
@@ -560,9 +570,31 @@ object OracleSql {
     val lv = levels.map(l => s"$l").mkString(", ")
     s"""WITH src AS (SELECT r_regionkey, r_regionkey * 12.0 - 24.0 AS lon, r_regionkey * 7.0 - 14.0 AS lat FROM region),
        |lv AS (SELECT CAST(unnest([$lv]) AS DOUBLE) AS level_s),
+       |ab AS (SELECT unnest(range(0, ${2 * h + 1})) AS a),
+       |samples AS (SELECT r_regionkey, a.a AS a, b.a AS b,
+       |  ${hav("lon", "lat", s"(lon + (a.a - $h) * $step)", s"(lat + (b.a - $h) * $step)")} / $speed AS z
+       |  FROM src, ab a, ab b),
+       |kk AS (SELECT unnest(range(0, ${m + 1})) AS k),
+       |locs AS (SELECT s.r_regionkey, kx.k AS kx, ky.k AS ky,
+       |    least(kx.k // $r, ${2 * h - 1}) AS cx, least(ky.k // $r, ${2 * h - 1}) AS cy
+       |  FROM src s, kk kx, kk ky),
+       |nodes AS (SELECT l.r_regionkey, l.kx, l.ky,
+       |    CAST(l.kx - l.cx * $r AS DOUBLE) / $r AS u, CAST(l.ky - l.cy * $r AS DOUBLE) / $r AS v,
+       |    s00.z AS z00, s10.z AS z10, s01.z AS z01, s11.z AS z11
+       |  FROM locs l
+       |  JOIN samples s00 ON s00.r_regionkey = l.r_regionkey AND s00.a = l.cx AND s00.b = l.cy
+       |  JOIN samples s10 ON s10.r_regionkey = l.r_regionkey AND s10.a = l.cx + 1 AND s10.b = l.cy
+       |  JOIN samples s01 ON s01.r_regionkey = l.r_regionkey AND s01.a = l.cx AND s01.b = l.cy + 1
+       |  JOIN samples s11 ON s11.r_regionkey = l.r_regionkey AND s11.a = l.cx + 1 AND s11.b = l.cy + 1),
+       |nv AS (SELECT r_regionkey, kx, ky,
+       |    CASE WHEN u + v <= 1 THEN z00 + u * (z10 - z00) + v * (z01 - z00)
+       |         ELSE z11 + (1 - u) * (z01 - z11) + (1 - v) * (z10 - z11) END AS z
+       |  FROM nodes),
        |cells AS (SELECT r_regionkey, lon, lat, level_s, ci, cj
-       |  FROM src, lv, (SELECT unnest(range(0, ${2 * h})) AS ci) ii, (SELECT unnest(range(0, ${2 * h})) AS cj) jj),
-       |co AS (SELECT r_regionkey, level_s, ci, cj, ${cornerCols.mkString(", ")} FROM cells),
+       |  FROM src, lv, (SELECT unnest(range(0, $m)) AS ci) ii, (SELECT unnest(range(0, $m)) AS cj) jj),
+       |co AS (SELECT c.r_regionkey, c.level_s, c.ci, c.cj, ${cornerCols.mkString(", ")}
+       |  FROM cells c
+       |  $cornerJoins),
        |flags AS (SELECT *, v0 <= level_s AS in0, v1 <= level_s AS in1, v2 <= level_s AS in2, v3 <= level_s AS in3 FROM co),
        |rings AS (SELECT r_regionkey, level_s, ($ring) AS ring FROM flags),
        |areas AS (SELECT r_regionkey, level_s,

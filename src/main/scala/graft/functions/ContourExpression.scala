@@ -14,11 +14,15 @@ import graft.geom.{Contour, WKB}
   * (source, level) group — cold path, CodegenFallback is fine here.
   *
   * children: (grid array<struct<i:int, j:int, v:double>>, halfCells int,
-  * lon double, lat double, stepDeg double, level double); grid indices run
-  * [-halfCells, halfCells]. Missing nodes are treated as unreachable (+∞).
+  * lon double, lat double, stepDeg double, level double, refine int); grid
+  * indices run [-halfCells, halfCells]. Missing nodes are treated as
+  * unreachable (+∞). refine > 1 first interpolates the samples onto an
+  * refine×-finer raster through the lattice triangulation
+  * ([[Contour.interpolate]] — the reference's LinearTriInterpolator stage)
+  * and marches squares at raster resolution.
   */
 case class IsoContour(children: Seq[Expression]) extends Expression with CodegenFallback {
-  require(children.length == 6, "iso_contour(grid, halfCells, lon, lat, step, level)")
+  require(children.length == 7, "iso_contour(grid, halfCells, lon, lat, step, level, refine)")
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -32,16 +36,20 @@ case class IsoContour(children: Seq[Expression]) extends Expression with Codegen
     val lat = evals(3).asInstanceOf[Double]
     val step = evals(4).asInstanceOf[Double]
     val level = evals(5).asInstanceOf[Double]
+    val refine = evals(6).asInstanceOf[Int]
 
     val n = 2 * h + 1
-    val vals = Array.fill(n, n)(Double.PositiveInfinity)
+    val samples = Array.fill(n, n)(Double.PositiveInfinity)
     var r = 0
     while (r < grid.numElements()) {
       val row = grid.getStruct(r, 3)
-      vals(row.getInt(0) + h)(row.getInt(1) + h) = row.getDouble(2)
+      samples(row.getInt(0) + h)(row.getInt(1) + h) = row.getDouble(2)
       r += 1
     }
-    WKB.write(Contour.filled(vals, lon - h * step, lat - h * step, step, level))
+    val (vals, cellStep) =
+      if (refine > 1) (Contour.interpolate(samples, refine), step / refine)
+      else (samples, step)
+    WKB.write(Contour.filled(vals, lon - h * step, lat - h * step, cellStep, level))
   }
 
   override protected def withNewChildrenInternal(
@@ -50,8 +58,8 @@ case class IsoContour(children: Seq[Expression]) extends Expression with Codegen
 
 object ContourFunctions {
   def iso_contour(grid: Column, halfCells: Column, lon: Column, lat: Column,
-      step: Column, level: Column): Column =
+      step: Column, level: Column, refine: Column): Column =
     ColumnBridge.column(IsoContour(
       Seq(grid, halfCells.cast("int"), lon.cast("double"), lat.cast("double"),
-        step.cast("double"), level.cast("double")).map(ColumnBridge.expression)))
+        step.cast("double"), level.cast("double"), refine.cast("int")).map(ColumnBridge.expression)))
 }

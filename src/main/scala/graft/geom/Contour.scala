@@ -11,6 +11,44 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Contour {
 
+  /** Linear triangular interpolation of a sample lattice onto an `r`×-finer
+    * raster (reference: erde/op/isochrone.py:196-208 — matplotlib
+    * `Triangulation` + `LinearTriInterpolator` onto a linspace raster before
+    * contouring). Each sample square splits along the fixed 00→11 diagonal
+    * into two triangles — a valid Delaunay triangulation of a square lattice
+    * — and raster nodes take barycentric values. Raster node k maps to
+    * sample cell min(k/r, n−2) with local offset (k − cell·r)/r, so lattice
+    * nodes reproduce their sample values exactly. A non-finite corner
+    * (unreachable sample) makes the whole pixel unreachable, mirroring the
+    * reference's NaN → nan_value fill.
+    */
+  def interpolate(vals: Array[Array[Double]], r: Int): Array[Array[Double]] = {
+    val n = vals.length
+    val m = (n - 1) * r + 1
+    val out = Array.ofDim[Double](m, m)
+    var kx = 0
+    while (kx < m) {
+      val cx = math.min(kx / r, n - 2)
+      val u = (kx - cx * r).toDouble / r
+      var ky = 0
+      while (ky < m) {
+        val cy = math.min(ky / r, n - 2)
+        val v = (ky - cy * r).toDouble / r
+        val z00 = vals(cx)(cy); val z10 = vals(cx + 1)(cy)
+        val z01 = vals(cx)(cy + 1); val z11 = vals(cx + 1)(cy + 1)
+        out(kx)(ky) =
+          if (!java.lang.Double.isFinite(z00) || !java.lang.Double.isFinite(z10) ||
+              !java.lang.Double.isFinite(z01) || !java.lang.Double.isFinite(z11))
+            Double.PositiveInfinity
+          else if (u + v <= 1) z00 + u * (z10 - z00) + v * (z01 - z00)
+          else z11 + (1 - u) * (z01 - z11) + (1 - v) * (z10 - z11)
+        ky += 1
+      }
+      kx += 1
+    }
+    out
+  }
+
   /** `vals(ix)(iy)` on an (nx × ny) grid; grid node (ix, iy) sits at
     * (x0 + ix·step, y0 + iy·step). Returns the ≤ `t` region.
     */

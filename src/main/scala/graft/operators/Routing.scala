@@ -167,11 +167,15 @@ object Routing {
   }
 
   /** Isochrone contour polygons (reference: erde/op/isochrone.py — the full
-    * pipeline: duration field on a grid, raster interpolation, contour per
-    * level). The grid is routed distributed; each source's (2h+1)² duration
-    * samples collect into one row (small, bounded state) and a marching-
-    * squares expression produces the interpolated contour MultiPolygon —
-    * sources stay embarrassingly parallel.
+    * pipeline: duration field on a routed grid, raster interpolation
+    * (isochrone.py:196-208, Triangulation + LinearTriInterpolator onto a
+    * linspace raster), contour per level). The grid is routed distributed;
+    * each source's (2h+1)² duration samples collect into one row (small,
+    * bounded state), the contour expression interpolates them onto a
+    * `rasterRefine`×-finer raster through the lattice triangulation and
+    * marches squares at raster resolution — sources stay embarrassingly
+    * parallel. rasterRefine = 1 skips interpolation (contours the samples
+    * directly).
     */
   def isochroneContours(
       sources: DataFrame,
@@ -181,7 +185,8 @@ object Routing {
       stepDeg: Double = 0.05,
       halfCells: Int = 8,
       keyCols: Seq[String] = Nil,
-      walkSpeedMps: Double = 1.0): DataFrame = {
+      walkSpeedMps: Double = 1.0,
+      rasterRefine: Int = 4): DataFrame = {
     import graft.functions.ContourFunctions.iso_contour
     val keys = if (keyCols.nonEmpty) keyCols else sources.columns.toSeq
     val grid = sources
@@ -200,7 +205,7 @@ object Routing {
     collected
       .withColumn("level_s", explode(lit(durationsS.toArray)))
       .withColumn("geometry", iso_contour(col("__grid"), lit(halfCells),
-        col("__lon"), col("__lat"), lit(stepDeg), col("level_s")))
+        col("__lon"), col("__lat"), lit(stepDeg), col("level_s"), lit(rasterRefine)))
       .drop("__grid", "__lon", "__lat")
   }
 

@@ -70,10 +70,41 @@ class RoutingSpec extends AnyFunSuite with SparkSpec {
     val a1200 = graft.geom.Algos.area(WKB.read(rows(1).getAs[Array[Byte]]("geometry")))
     assert(a1200 > a600 && a600 > 0)
     // 600 s at 25 m/s = 15 km radius ≈ 0.135° at lat 10 → disc area in deg²
-    // (lon radius inflated by 1/cos(lat)); compare within grid tolerance
+    // (lon radius inflated by 1/cos(lat)); raster interpolation (refine = 4,
+    // the reference's LinearTriInterpolator stage) tightens the marching-
+    // squares approximation well under the direct-sample contour's error
     val rDeg = 15000.0 / 111195.0 // haversine deg ≈ 111.2 km
     val expect = math.Pi * rDeg * (rDeg / math.cos(math.toRadians(10)))
-    assert(math.abs(a600 - expect) / expect < 0.15, s"disc area $a600 vs $expect")
+    val errRefined = math.abs(a600 - expect) / expect
+    assert(errRefined < 0.05, s"disc area $a600 vs $expect (err $errRefined)")
+    val direct = Routing.isochroneContours(src, "lon", "lat", Seq(600.0),
+      stepDeg = 0.05, halfCells = 8, keyCols = Seq("rid"), rasterRefine = 1)
+      .collect().head.getAs[Array[Byte]]("geometry")
+    val errDirect = math.abs(graft.geom.Algos.area(WKB.read(direct)) - expect) / expect
+    assert(errRefined <= errDirect + 1e-9,
+      s"interpolated contour (err $errRefined) should beat direct sampling (err $errDirect)")
+  }
+
+  test("raster interpolation reproduces a linear field's contour exactly") {
+    // duration linear in the grid coordinates → every triangle interpolates
+    // exactly, so the ≤ t region of the PL field is the true half-plane
+    // clipped to the grid; its area must be exact to fp rounding
+    import graft.geom.Contour
+    val h = 4
+    val n = 2 * h + 1
+    val samples = Array.tabulate(n, n)((i, j) => 2.0 * i + 3.0 * j)
+    val fine = Contour.interpolate(samples, 4)
+    assert(fine.length == (n - 1) * 4 + 1)
+    // lattice nodes keep exact sample values
+    for (i <- 0 until n; j <- 0 until n) assert(fine(i * 4)(j * 4) == samples(i)(j))
+    // linear field: interpolant is the field itself at every raster node
+    for (k <- 0 until fine.length; l <- 0 until fine.length)
+      assert(math.abs(fine(k)(l) - (2.0 * k / 4 + 3.0 * l / 4)) < 1e-12)
+    // contoured area of {2x+3y ≤ t} over [0,8]² — a triangle for small t
+    val t = 6.0
+    val area = graft.geom.Algos.area(Contour.filled(fine, 0, 0, 0.25, t))
+    val exact = t * t / (2 * 2.0 * 3.0) // right triangle legs t/2, t/3
+    assert(math.abs(area - exact) < 1e-9, s"$area vs $exact")
   }
 
   test("gridHalfCells sizes the grid from speed and duration") {
