@@ -60,6 +60,103 @@ object EventStream {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Rows of the MinHash-band streaming dedup: one per (doc, band). */
+  final case class BandRow(bucket: Long, doc_id: Long, ts: Timestamp, band: Int,
+      sig: Array[Long], text: String)
+
+  /** Per-band verdict: `hit` = an earlier doc in this band bucket had an
+    * estimated-similar signature; the payload travels on band 0 only.
+    */
+  final case class BandHit(doc_id: Long, ts: Timestamp, hit: Boolean, text: String)
+
+  /** Watermark-bounded state of one band bucket: distinct signatures seen
+    * (identical signatures collapse — the streaming face of the batch
+    * exact-duplicate pre-collapse) and the latest event time.
+    */
+  final case class BucketSigs(sigs: List[Array[Long]], maxTs: Long)
+
+  /** Streaming MinHash-LSH near-dedup: the state-store variant of the batch
+    * [[graft.operators.Dedup.minhashLsh]]. Each doc fans out to `numBands`
+    * band-bucket rows; a per-bucket flatMapGroupsWithState keeps the distinct
+    * signatures seen inside the watermark and flags docs whose estimated
+    * Jaccard against any EARLIER registered signature reaches `threshold`;
+    * a per-doc event-time aggregation then keeps docs no band flagged.
+    *
+    * Parity with the batch operator: when docs arrive in id order, "earlier
+    * arrival" = "smaller id", so the kept set equals `minhashLsh`'s (the
+    * MemoryStream spec proves it across micro-batches). State per bucket is
+    * bounded: identical signatures collapse to one entry (mass-duplicated
+    * boilerplate costs one signature, not one per copy), `maxSigs` caps
+    * distinct ones, and event-time timeout drops buckets silent past the
+    * watermark.
+    *
+    * Requires `spark.sql.streaming.statefulOperator.checkCorrectness.enabled
+    * = false`: the planner conservatively flags any stateful operator chained
+    * after flatMapGroupsWithState because the latter COULD emit rows older
+    * than the watermark — this one never does (verdicts carry their input
+    * row's event time, emitted in the same micro-batch), so the flagged
+    * hazard cannot occur.
+    */
+  def minhashDedupStream(
+      stream: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 128,
+      numBands: Int = 16,
+      shingle: Int = 5,
+      threshold: Double = 0.8,
+      watermark: String = "1 hour",
+      maxSigs: Int = 128): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / numBands
+
+    val banded = stream
+      .withColumn("__sig", graft.functions.TextFunctions.minhash_sig(col(textCol), numHashes, shingle))
+      .withColumn("__band", explode(sequence(lit(0), lit(numBands - 1))))
+      .select(
+        xxhash64(col("__band"),
+          slice(col("__sig"), col("__band") * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"),
+        col(idCol).as("doc_id"), col("ts"), col("__band").as("band"),
+        col("__sig").as("sig"), col(textCol).as("text"))
+      .withWatermark("ts", watermark)
+      .as[BandRow]
+
+    def est(a: Array[Long], b: Array[Long]): Double = {
+      var eq = 0
+      var i = 0
+      while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq.toDouble / a.length
+    }
+
+    def update(bucket: Long, rows: Iterator[BandRow],
+        state: GroupState[BucketSigs]): Iterator[BandHit] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val st = state.getOption.getOrElse(BucketSigs(Nil, 0L))
+      var sigs = st.sigs
+      var maxTs = st.maxTs
+      val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).map { r =>
+        val hit = sigs.exists(s => est(s, r.sig) >= threshold)
+        if (!sigs.exists(_.sameElements(r.sig)) && sigs.length < maxSigs) sigs ::= r.sig
+        maxTs = math.max(maxTs, r.ts.getTime)
+        BandHit(r.doc_id, r.ts, hit, if (r.band == 0) r.text else null)
+      }
+      state.update(BucketSigs(sigs, maxTs))
+      state.setTimeoutTimestamp(maxTs, watermark)
+      out.iterator
+    }
+
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+      .withWatermark("ts", watermark)
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(max(col("hit")).as("__dropped"), max(col("text")).as(textCol))
+      .where(!col("__dropped"))
+      .select(col("doc_id").as(idCol), col("ts"), col(textCol))
+  }
+
   // ---- sessionization -----------------------------------------------------
 
   /** Batch sessionization with window functions: a session breaks when the

@@ -119,6 +119,78 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  private def withRelaxedChainCheck[A](body: => A): A = {
+    // minhashDedupStream chains an aggregation after flatMapGroupsWithState;
+    // the verdicts are never late (see its scaladoc), so the conservative
+    // planner check is safely disabled for these queries
+    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("minhashDedupStream: MinHash-band state dedup, batch-parity across micro-batches") {
+    withRelaxedChainCheck {
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Map(
+      1L -> "the quick brown fox jumps over the lazy dog and runs far away home tonight",
+      2L -> "the quick brown fox jumps over the lazy cat and runs far away home tonight", // near-dup of 1
+      3L -> "a completely different document about spark catalyst expressions and codegen",
+      4L -> "the quick brown fox jumps over the lazy dog and runs far away home today", // near-dup of 1
+      5L -> "yet another unrelated text discussing minhash signatures and jaccard similarity",
+      6L -> "a completely different document about spark catalyst expressions and codegen", // exact dup of 3
+      7L -> "yet another unrelated text discussing minhash signatures and jaccard similarity indeed") // near-dup of 5
+    val batchKept = graft.operators.Dedup.minhashLsh(
+        texts.toSeq.map { case (i, t) => (i, t) }.toDF("doc_id", "text"),
+        "text", "doc_id", numBands = 32, threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = minhashDedupStream(stream, numBands = 32, threshold = 0.6, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("mh_dedup").outputMode("append").start()
+    try {
+      // arrival order = id order (the batch tie-break), split across batches
+      mem.addData(Seq(1L, 2L, 3L).map(i => (i, ts(i.toInt), texts(i))): _*)
+      q.processAllAvailable()
+      mem.addData(Seq(4L, 5L, 6L).map(i => (i, ts(i.toInt), texts(i))): _*)
+      q.processAllAvailable()
+      mem.addData((7L, ts(7), texts(7L)))
+      q.processAllAvailable()
+      // flush: advance the watermark far past the docs so the per-doc
+      // aggregation emits them
+      mem.addData((99L, tsH(23, 0), "watermark flush sentinel"))
+      q.processAllAvailable()
+      val streamed = spark.table("mh_dedup").select("doc_id").as[Long].collect().toSet
+      assert(streamed == batchKept, s"stream $streamed vs batch $batchKept")
+      assert(!streamed.contains(2L) && !streamed.contains(4L) && !streamed.contains(6L))
+    } finally q.stop()
+    }
+  }
+
+  test("minhashDedupStream collapses a boilerplate flood to bounded state") {
+    withRelaxedChainCheck {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = minhashDedupStream(stream, numBands = 16, threshold = 0.7, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("mh_flood").outputMode("append").start()
+    try {
+      val boiler = "accept all cookies to continue reading this fine site today thanks"
+      mem.addData((1 to 500).map(i => (i.toLong, ts(0), boiler)): _*)
+      mem.addData((1000L, ts(8), "one genuinely distinct document about something else entirely"))
+      q.processAllAvailable()
+      mem.addData((9999L, tsH(23, 0), "watermark flush sentinel"))
+      q.processAllAvailable()
+      val kept = spark.table("mh_flood").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 1000L), s"kept $kept") // one survivor of 500 identical copies
+    } finally q.stop()
+    }
+  }
+
   test("readStream over the events table produces the same windowed counts") {
     // file source needs a directory; stage the single-file table into one
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
