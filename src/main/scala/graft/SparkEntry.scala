@@ -418,7 +418,7 @@ object SparkEntry {
         .select("osm_id", "type")
     }),
 
-    // --- multimodal binary plumbing (stub decode, exact-mirrored) ----------
+    // --- multimodal header metadata (hash-stub fallback, exact-mirrored) ---
     "multimodal_meta" -> ((s, dir) => {
       val media = t(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))

@@ -139,6 +139,16 @@ object Similarity {
     * similarity tier: brute force (exact) → IVF (high recall, ~nprobe/nlist
     * of the work) → hyperplane LSH (cheapest).
     */
+  /** Fit-sample row cap: at most `hardCap` rows AND `capBytes` of float32
+    * vector data (dim-2048 floats are 8 KiB/row — a row-only cap would let
+    * the driver fit balloon to ~800 MB), never below `nlist` rows.
+    */
+  private[operators] def fitRowCap(dim: Int, capBytes: Long, nlist: Int,
+      hardCap: Int = 100000): Int = {
+    val byBytes = if (dim > 0) (capBytes / (4L * dim)).toInt else hardCap
+    math.max(nlist, math.min(hardCap, byBytes))
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -147,9 +157,15 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      fitSampleBytes: Long = 64L << 20): DataFrame = {
     val featured = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("__cv"))
-    val sample = featured.select(col("__cv").cast("array<float>")).limit(100000)
+    val dim = featured.select(size(col("__cv"))).head(1) match {
+      case Array(r) => r.getInt(0)
+      case _ => 0
+    }
+    val sample = featured.select(col("__cv").cast("array<float>"))
+      .limit(fitRowCap(dim, fitSampleBytes, nlist))
       .collect().map(_.getSeq[Float](0).toArray)
     val cents = fitCentroidsLocal(sample, nlist, iters = 8, seed = seed)
 

@@ -1,0 +1,122 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, SJoin, Similarity}
+
+/** Scale validation for the join/dedup/similarity tier:
+  * `runMain graft.tools.ScaleCheck [sfDir] [factor]`.
+  *
+  * No sf1 parquet exists in this image, so the tool simulates a `factor`×
+  * (default 10×) corpus by unioning shifted copies of the sf0.1 tables —
+  * each copy DECORRELATED so sketch/bucket structure stays realistic:
+  * document texts get a per-copy character permutation (every 5-shingle
+  * changes, so copies don't near-dup each other), embeddings a per-copy
+  * circular component shift (cosine between copies ≈ random), spatial
+  * points a per-copy coordinate offset inside the grid. It then times each
+  * operator at 1× and factor× and prints the wall-clock ratio; ≲ factor ×
+  * log-ish is a pass, super-linear ratios flag a scale bug. Results are
+  * recorded in SURVEY §6.
+  */
+object ScaleCheck {
+
+  private def timeIt(label: String)(df: => DataFrame): Double = {
+    val t0 = System.nanoTime()
+    val n = df.count()
+    val s = (System.nanoTime() - t0) / 1e9
+    println(f"  $label%-28s $s%8.2fs rows=$n")
+    s
+  }
+
+  /** Per-copy text decorrelation: permute a frequent-letter alphabet. */
+  private def permuted(text: org.apache.spark.sql.Column, copy: Int): org.apache.spark.sql.Column = {
+    val alpha = "aeiousnrtl"
+    val rot = alpha.drop(copy % alpha.length) + alpha.take(copy % alpha.length)
+    translate(text, alpha, rot)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val builder = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "24g")
+    graft.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = graft.readTable(spark, sfDir, "documents").select("doc_id", "text", "lang")
+    val docsN = (0 until factor).map { i =>
+      docs.select((col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+        permuted(col("text"), i).as("text"), col("lang"))
+    }.reduce(_ unionByName _)
+
+    val emb = graft.readTable(spark, sfDir, "embeddings")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val embN = (0 until factor).map { i =>
+      val shift = (i * 7) % math.max(dim, 1)
+      emb.select((col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+        concat(slice(col("embedding"), shift + 1, dim - shift),
+          slice(col("embedding"), 1, shift)).as("embedding"))
+    }.reduce(_ unionByName _)
+
+    val li = graft.readTable(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    def pts(frame: DataFrame, copy: Int) = frame.withColumn("geometry",
+      graft.functions.GeoFunctions.st_point(
+        expr(s"(l_partkey % 120) * 0.5 - 30 + 0.25 + ${copy * 0.003}"),
+        expr(s"(l_orderkey % 80) * 0.5 - 20 + 0.25 + ${copy * 0.003}")))
+    val pts1 = pts(li, 0)
+    val ptsN = (0 until factor).map(i => pts(li, i)).reduce(_ unionByName _)
+    val zones = graft.readTable(spark, sfDir, "nation")
+      .select(col("n_nationkey"),
+        graft.functions.GeoFunctions.st_envelope(graft.functions.GeoFunctions.st_makeline(
+          graft.functions.GeoFunctions.st_point(expr("(n_nationkey % 5) * 10.0 - 28.0"), expr("(n_nationkey % 5) * 7.0 - 18.0")),
+          graft.functions.GeoFunctions.st_point(expr("(n_nationkey % 5) * 10.0 - 28.0 + 12"), expr("(n_nationkey % 5) * 7.0 - 18.0 + 9")))).as("geometry"))
+
+    val queries = emb.where(col("vec_id") < 8)
+    val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    def pair(name: String)(at1: => DataFrame, atN: => DataFrame): Unit = {
+      println(s"$name:")
+      val a = timeIt("1x")(at1)
+      val b = timeIt(s"${factor}x")(atN)
+      results(name) = (a, b)
+    }
+
+    pair("dedup_minhash")(
+      Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.7),
+      Dedup.minhashLsh(docsN, "text", "doc_id", threshold = 0.7))
+    pair("dedup_verified")(
+      Dedup.minhashVerified(docs, "text", "doc_id"),
+      Dedup.minhashVerified(docsN, "text", "doc_id"))
+    pair("dedup_simhash")(
+      Dedup.simhash(docs, "text", "doc_id"),
+      Dedup.simhash(docsN, "text", "doc_id"))
+    pair("dedup_embedding")(
+      Dedup.embeddingNearDup(emb, "embedding", "vec_id"),
+      Dedup.embeddingNearDup(embN, "embedding", "vec_id"))
+    pair("sim_topk")(
+      Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 5),
+      Similarity.bruteForceTopK(embN, queries, "embedding", "vec_id", k = 5))
+    pair("sim_lsh")(
+      Similarity.lshTopK(emb, queries, "embedding", "vec_id", k = 5),
+      Similarity.lshTopK(embN, queries, "embedding", "vec_id", k = 5))
+    pair("sim_ivf")(
+      Similarity.ivfTopK(emb, queries, "embedding", "vec_id", k = 5),
+      Similarity.ivfTopK(embN, queries, "embedding", "vec_id", k = 5))
+    pair("sjoin_agg")(
+      SJoin.sagg(zones, pts1, Seq(count(lit(1)).as("n_items"), sum("l_quantity").as("qty")),
+        predicate = "contains", how = "inner"),
+      SJoin.sagg(zones, ptsN, Seq(count(lit(1)).as("n_items"), sum("l_quantity").as("qty")),
+        predicate = "contains", how = "inner"))
+
+    println(f"\n${"operator"}%-18s ${"1x"}%8s ${s"${factor}x"}%8s ${"ratio"}%7s  (linear = $factor)")
+    results.foreach { case (name, (a, b)) =>
+      println(f"$name%-18s $a%7.2fs $b%7.2fs ${b / a}%7.2f")
+    }
+    spark.stop()
+  }
+}

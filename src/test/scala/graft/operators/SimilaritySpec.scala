@@ -82,4 +82,22 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall $recall too low")
   }
+
+  test("IVF fit sample is byte-capped, not just row-capped") {
+    // dim 2048 float32 = 8 KiB/row: a 64 MiB budget caps at 8192 rows, far
+    // below the 100k hard cap; small dims keep the hard cap; never < nlist
+    assert(Similarity.fitRowCap(2048, 64L << 20, nlist = 16) == 8192)
+    assert(Similarity.fitRowCap(8, 64L << 20, nlist = 16) == 100000)
+    assert(Similarity.fitRowCap(1 << 24, 64L << 20, nlist = 16) == 16)
+    // and the whole IVF path still works on dim-2048 vectors under a tiny
+    // budget (fit falls back to nlist rows)
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(2048)(d => (rnd.nextGaussian() + (i % 4) * ((d % 5) - 2)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(corpus, corpus.where(col("vec_id") < 2), "embedding", "vec_id",
+      k = 3, nlist = 4, nprobe = 4, fitSampleBytes = 1L << 16)
+    assert(out.count() == 6) // 2 queries × k
+    assert(out.where(col("query_id") === col("neighbor_id")).count() == 2) // self is top-1-able
+  }
 }
