@@ -70,6 +70,20 @@ object SJoin {
   private def tagged(left: DataFrame, leftGeom: String, cellDeg: Double): DataFrame =
     left.withColumn(LID, monotonically_increasing_id())
 
+  /** Deterministic row tag: a 128-bit content hash (two independently seeded
+    * xxhash64 halves — collision odds ~n²/2^129, immaterial at any corpus
+    * size). Stable across repeated scans of the source, so the left-join
+    * pass needs NO persist. Identical rows share a tag, which is exactly
+    * right for match-status logic (they match identically, and joins/anti-
+    * joins preserve row multiplicity) — but WRONG for per-row aggregation
+    * (duplicates would merge), so sagg/slookup keep the monotonic tag.
+    */
+  private def contentTagged(left: DataFrame): DataFrame = {
+    val cols = left.columns.toIndexedSeq.map(col)
+    left.withColumn(LID,
+      struct(xxhash64((lit(0) +: cols): _*), xxhash64((lit(1) +: cols): _*)))
+  }
+
   private def pairsKeyed(
       taggedLeft: DataFrame,
       right: DataFrame,
@@ -138,10 +152,11 @@ object SJoin {
     if (how == "right")
       return sjfull(right, left, flip(predicate), "left", rightGeom, leftGeom,
         cellDeg, rightSuffix, tuning)
-    val lt = tagged(left, leftGeom, cellDeg)
     // the left join reads the tagged left twice (matches + anti-join pass):
-    // persist so the scan — and the monotonically increasing ids — happen once
-    if (how == "left") lt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a content-hash tag is deterministic across both scans, so no persist —
+    // re-scanning the source (pruned, pushed-down) beats caching a side that
+    // can be 100 TB
+    val lt = if (how == "left") contentTagged(left) else tagged(left, leftGeom, cellDeg)
     val inner = pairsKeyed(lt, right, predicate, leftGeom, rightGeom, cellDeg, rightSuffix, tuning)
     how match {
       case "inner" => inner.drop(LID)

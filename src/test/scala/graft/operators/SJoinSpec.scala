@@ -47,6 +47,23 @@ class SJoinSpec extends AnyFunSuite with SparkSpec {
     assert(unmatched.union(matched).size == 25)
   }
 
+  test("sjfull left: no persist, duplicate left rows keep their multiplicity") {
+    // content-hash tags are stable across the two scans — the plan must not
+    // cache the left side
+    val out = SJoin.sjfull(points, zones, predicate = "within", how = "left")
+    assert(!out.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    // two byte-identical left rows: both survive, matched or not
+    val dup = points.where(col("pid") === 1).unionByName(points.where(col("pid") === 1))
+      .unionByName(points.where(col("pid") === 2))
+    val dOut = SJoin.sjfull(dup, zones, predicate = "within", how = "left")
+    val perPid = dOut.groupBy("pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val single = SJoin.sjfull(points.where(col("pid") === 1), zones,
+      predicate = "within", how = "left").count()
+    assert(perPid(1) == 2 * single, s"duplicate multiplicity lost: $perPid vs $single")
+    assert(perPid.contains(2))
+  }
+
   test("sagg aggregates right values per left zone") {
     val out = SJoin.sagg(zones, points,
       Seq(count(lit(1)).as("n"), sum("pid").as("pid_sum")), predicate = "contains", how = "left")
