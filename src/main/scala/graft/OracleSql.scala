@@ -491,6 +491,35 @@ object OracleSql {
        |FROM t3""".stripMargin
   }
 
+  /** (c_custkey, easting, northing) for EPSG:5070 (Conus Albers, AEA 2SP):
+    * authalic q + cone constant per Snyder 14-3/14-4, constants from
+    * [[graft.geom.Projections.AlbersProjection]].
+    */
+  def geoConvertAlbers(): String = {
+    val aea = graft.geom.Projections.conusAlbers.proj
+      .asInstanceOf[graft.geom.Projections.AlbersProjection]
+    val (e0, e20, nc0, c0, rho00, a0, lon0, fe0, fn0) = aea.oracleConstants
+    val ecc = s"CAST('$e0' AS DOUBLE)"
+    val e2 = s"CAST('$e20' AS DOUBLE)"
+    val nc = s"CAST('$nc0' AS DOUBLE)"
+    val cb = s"CAST('$c0' AS DOUBLE)"
+    val rho0 = s"CAST('$rho00' AS DOUBLE)"
+    val aa = s"CAST('$a0' AS DOUBLE)"
+    s"""WITH p AS (SELECT c_custkey,
+       |  radians((c_custkey % 60) * 0.1 + 0.05 - $lon0) AS dlam,
+       |  radians((c_custkey % 80) * 0.5 - 20 + 0.25) AS phi
+       |  FROM customer),
+       |t1 AS (SELECT c_custkey, $nc * dlam AS theta,
+       |  (1 - $e2) * (sin(phi)/(1 - $e2*sin(phi)*sin(phi))
+       |    - 1/(2*$ecc)*ln((1 - $ecc*sin(phi))/(1 + $ecc*sin(phi)))) AS q
+       |  FROM p),
+       |t2 AS (SELECT c_custkey, theta, $aa * sqrt($cb - $nc * q) / $nc AS rho FROM t1)
+       |SELECT c_custkey,
+       |  round(0.0 + rho * sin(theta), 3) AS easting,
+       |  round(CAST('${fn0 + rho00}' AS DOUBLE) - rho * cos(theta), 3) AS northing
+       |FROM t2""".stripMargin
+  }
+
   def geoConvertUtm(zone: Int = 31): String = {
     val (bigA0, ecc0, k00, alpha) = graft.geom.TransverseMercator.oracleConstants
     // plain decimal literals parse as DECIMAL in DuckDB (and overflow in

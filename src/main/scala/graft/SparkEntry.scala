@@ -233,6 +233,14 @@ object SparkEntry {
           round(st_x(col("geometry")), 3).as("easting"),
           round(st_y(col("geometry")), 3).as("northing"))
     }),
+    "geo_convert_albers" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").withColumn("geometry",
+        st_point(expr("(c_custkey % 60) * 0.1 + 0.05"), expr("(c_custkey % 80) * 0.5 - 20 + 0.25")))
+      pts.withColumn("geometry", st_transform(col("geometry"), "EPSG:4326", "EPSG:5070"))
+        .select(col("c_custkey"),
+          round(st_x(col("geometry")), 3).as("easting"),
+          round(st_y(col("geometry")), 3).as("northing"))
+    }),
     "geo_convert_laea" -> ((s, dir) => {
       val pts = t(s, dir, "customer").withColumn("geometry",
         st_point(expr("(c_custkey % 60) * 0.1 + 0.05"), expr("(c_custkey % 80) * 0.5 - 20 + 0.25")))
@@ -878,6 +886,7 @@ object SparkEntry {
     "geo_convert_utm" -> OracleSql.geoConvertUtm(zone = 31),
     "geo_convert_lcc" -> OracleSql.geoConvertLcc(),
     "geo_convert_laea" -> OracleSql.geoConvertLaea(),
+    "geo_convert_albers" -> OracleSql.geoConvertAlbers(),
     "text_pii" -> {
       val chain = TextAnalysis.piiPatterns.foldLeft("t2") { case (acc, (pat, repl)) =>
         s"regexp_replace($acc, '$pat', '$repl', 'g')"

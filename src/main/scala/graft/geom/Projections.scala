@@ -211,6 +211,57 @@ object Projections {
       (e, ell.e2, qp, math.sin(beta0), math.cos(beta0), rq, d, lon0Deg, fe, fn)
   }
 
+  /** Albers Equal Area Conic, 2 standard parallels (EPSG method 9822 /
+    * Snyder eq. 14-1..14-12 ellipsoidal, authalic q of 3-12).
+    */
+  final class AlbersProjection(val ell: Ellipsoid, lat1Deg: Double, lat2Deg: Double,
+      lat0Deg: Double, lon0Deg: Double, fe: Double, fn: Double) extends Projection {
+    private val e = ell.e
+    private def qOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1 - ell.e2) * (s / (1 - ell.e2 * s * s) -
+        1 / (2 * e) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    private def mOf(phi: Double): Double =
+      math.cos(phi) / math.sqrt(1 - ell.e2 * math.sin(phi) * math.sin(phi))
+    private val phi1 = math.toRadians(lat1Deg)
+    private val phi2 = math.toRadians(lat2Deg)
+    private val nCone = (mOf(phi1) * mOf(phi1) - mOf(phi2) * mOf(phi2)) /
+      (qOf(phi2) - qOf(phi1))
+    private val cBig = mOf(phi1) * mOf(phi1) + nCone * qOf(phi1)
+    private val rho0 = ell.a * math.sqrt(cBig - nCone * qOf(math.toRadians(lat0Deg))) / nCone
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val theta = nCone * math.toRadians(wrapDeg(lonDeg - lon0Deg))
+      val rho = ell.a * math.sqrt(cBig - nCone * qOf(phi)) / nCone
+      (fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val dx = x - fe
+      val dy = rho0 - (y - fn)
+      val sign = if (nCone >= 0) 1.0 else -1.0
+      val rho = sign * math.hypot(dx, dy)
+      val theta = math.atan2(sign * dx, sign * dy)
+      val q = (cBig - (rho * nCone / ell.a) * (rho * nCone / ell.a)) / nCone
+      var phi = math.asin(math.max(-1.0, math.min(1.0, q / 2)))
+      var i = 0
+      while (i < 8) { // Snyder 3-16 fixed point on the authalic latitude
+        val s = math.sin(phi)
+        phi += math.pow(1 - ell.e2 * s * s, 2) / (2 * math.cos(phi)) *
+          (q / (1 - ell.e2) - s / (1 - ell.e2 * s * s) +
+            1 / (2 * e) * math.log((1 - e * s) / (1 + e * s)))
+        i += 1
+      }
+      (wrapDeg(lon0Deg + math.toDegrees(theta / nCone)), math.toDegrees(phi))
+    }
+
+    /** (e, e2, nCone, C, rho0, a, lon0Deg, fe, fn) for the SQL mirror. */
+    private[graft] def oracleConstants: (Double, Double, Double, Double, Double, Double, Double, Double, Double) =
+      (e, ell.e2, nCone, cBig, rho0, ell.a, lon0Deg, fe, fn)
+  }
+
   // ------------------------------------------------------------------ datum
 
   /** 7-parameter Helmert transform on geocentric coordinates (position-vector
@@ -283,8 +334,23 @@ object Projections {
     new LaeaProjection(GRS80, lat0Deg = 52, lon0Deg = 10, fe = 4321000, fn = 3210000),
     GRS80, None)
 
+  /** EPSG:5070 — NAD83 / Conus Albers (GRS80; NAD83 ≈ WGS84 at the metre
+    * scale, same convention as the ETRS89/RGF93 entries).
+    */
+  val conusAlbers: CrsDef = CrsDef(
+    new AlbersProjection(GRS80, lat1Deg = 29.5, lat2Deg = 45.5, lat0Deg = 23,
+      lon0Deg = -96, fe = 0, fn = 0),
+    GRS80, None)
+
+  /** EPSG:3577 — GDA94 / Australian Albers (GRS80). */
+  val australianAlbers: CrsDef = CrsDef(
+    new AlbersProjection(GRS80, lat1Deg = -18, lat2Deg = -36, lat0Deg = 0,
+      lon0Deg = 132, fe = 0, fn = 0),
+    GRS80, None)
+
   private val registry: Map[Int, CrsDef] =
-    Map(27700 -> osgb, 2154 -> lambert93, 3035 -> laeaEurope) ++
+    Map(27700 -> osgb, 2154 -> lambert93, 3035 -> laeaEurope,
+      5070 -> conusAlbers, 3577 -> australianAlbers) ++
       // ETRS89 / UTM zones 28N–38N (EPSG:25828–25838): standard TM on GRS80
       (25828 to 25838).map { code =>
         code -> CrsDef(

@@ -100,6 +100,43 @@ class ProjectionsSpec extends AnyFunSuite {
     }
   }
 
+  test("EPSG:5070 / 3577 Albers: false origin, round-trip, equal-area Jacobian") {
+    val (e0, n0) = Projections.forward(5070, -96.0, 23.0)
+    assert(math.abs(e0) < 1e-6 && math.abs(n0) < 1e-6)
+    for (li <- 0 to 6; pi <- 0 to 5) {
+      val lon = -124.0 + li * 8.0; val lat = 25.0 + pi * 4.5
+      val (x, y) = Projections.forward(5070, lon, lat)
+      val (lonB, latB) = Projections.inverse(5070, x, y)
+      assert(math.abs(lonB - lon) < 1e-8 && math.abs(latB - lat) < 1e-8, s"($lon,$lat)")
+    }
+    // equal-area property at CONUS and Australian sample points
+    val ell = GRS80
+    for ((epsg, lon, lat) <- Seq((5070, -100.0, 40.0), (5070, -80.0, 30.0),
+        (3577, 135.0, -25.0), (3577, 145.0, -35.0))) {
+      val d = 1e-5
+      val (x0, y0) = Projections.forward(epsg, lon, lat)
+      val (xl, yl) = Projections.forward(epsg, lon + d, lat)
+      val (xp, yp) = Projections.forward(epsg, lon, lat + d)
+      val jac = math.abs((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0))
+      val phi = math.toRadians(lat)
+      val sin2 = ell.e2 * math.sin(phi) * math.sin(phi)
+      val m = ell.a * (1 - ell.e2) / math.pow(1 - sin2, 1.5)
+      val nu = ell.a / math.sqrt(1 - sin2)
+      val element = m * nu * math.cos(phi) * math.toRadians(d) * math.toRadians(d)
+      assert(math.abs(jac / element - 1.0) < 1e-5, s"area scale ${jac / element} at ($lon,$lat)")
+    }
+    // unit scale along both standard parallels (secant cone)
+    for (latSP <- Seq(29.5, 45.5)) {
+      val dLon = 1e-4
+      val (x1, y1) = Projections.forward(5070, -96.0, latSP)
+      val (x2, y2) = Projections.forward(5070, -96.0 + dLon, latSP)
+      val phi = math.toRadians(latSP)
+      val nu = ell.a / math.sqrt(1 - ell.e2 * math.sin(phi) * math.sin(phi))
+      val k = math.hypot(x2 - x1, y2 - y1) / (nu * math.cos(phi) * math.toRadians(dLon))
+      assert(math.abs(k - 1.0) < 1e-6, s"scale $k at SP $latSP")
+    }
+  }
+
   test("ETRS89 UTM (EPSG:25831) agrees with WGS84 UTM 31N to sub-mm") {
     for (lon <- Seq(0.5, 3.0, 5.9); lat <- Seq(36.0, 48.0, 60.0)) {
       val (e1, n1) = Projections.forward(25831, lon, lat)
