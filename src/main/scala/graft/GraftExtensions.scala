@@ -57,6 +57,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "st_cellof" -> (a => StCellOf(a(0), a(1), a(2))),
       "st_to_utm" -> (a => GeoFunctions.utmExpr(a(0), a(1), invert = false)),
       "st_from_utm" -> (a => GeoFunctions.utmExpr(a(0), a(1), invert = true)),
+      "st_transform" -> (a => GeoFunctions.transformFromLiterals(a(0), a(1), a(2))),
     )
     fns.foreach { case (name, b) => ext.injectFunction(fn(name, b)) }
   }

@@ -71,7 +71,12 @@ object GeoFunctions {
     * any pair of supported codes composes through 4326. Reference:
     * erde/op/convert.py:5 (pyproj pass-through).
     */
-  def st_transform(g: Column, fromCrs: String, toCrs: String): Column = {
+  def st_transform(g: Column, fromCrs: String, toCrs: String): Column =
+    if (epsgOf(fromCrs) == epsgOf(toCrs)) g
+    else c(transformExpr(e(g), epsgOf(fromCrs), epsgOf(toCrs)))
+
+  /** Expression-level dispatch (shared with the SQL registration). */
+  private[graft] def transformExpr(g: Expression, from: Int, to: Int): Expression = {
     import graft.geom.Projections.{supported => proj}
     import graft.geom.TransverseMercator.utmZoneOf
     def to4326(code: Int, g0: Expression): Option[Expression] = code match {
@@ -90,13 +95,11 @@ object GeoFunctions {
       case t if proj(t) => Some(StCrsProj(g0, t, invert = false))
       case _ => None
     }
-    (epsgOf(fromCrs), epsgOf(toCrs)) match {
-      case (f, t) if f == t => g
-      case (f, t) =>
-        (for { mid <- to4326(f, e(g)); out <- from4326(t, mid) } yield c(out)).getOrElse(
-          throw new IllegalArgumentException(
-            s"unsupported CRS pair EPSG:$f -> EPSG:$t (4326, 3857, UTM 326xx/327xx, 27700, 2154, 3035, 258xx)"))
-    }
+    if (from == to) g
+    else (for { mid <- to4326(from, g); out <- from4326(to, mid) } yield out).getOrElse(
+      throw new IllegalArgumentException(
+        s"unsupported CRS pair EPSG:$from -> EPSG:$to " +
+          "(4326, 3857, UTM 326xx/327xx, 27700, 2154, 3035, 5070, 3577, 258xx)"))
   }
 
   // ---- predicates ---------------------------------------------------------
@@ -206,6 +209,23 @@ object GeoFunctions {
     r3("st_cellof", (x, y, cd) => StCellOf(Cast(x, DoubleType), Cast(y, DoubleType), Cast(cd, DoubleType)))
     r2("st_to_utm", (g, epsg) => GeoFunctions.utmExpr(g, epsg, invert = false))
     r2("st_from_utm", (g, epsg) => GeoFunctions.utmExpr(g, epsg, invert = true))
+    r3("st_transform", GeoFunctions.transformFromLiterals)
+  }
+
+  /** SQL builder for st_transform: CRS codes must be literal ints or
+    * 'EPSG:nnnn' strings (the dispatch is baked in at plan time).
+    */
+  private[graft] def transformFromLiterals(g: Expression, from: Expression,
+      to: Expression): Expression = {
+    require(from.foldable && to.foldable, "st_transform: CRS codes must be literals")
+    def code(x: Expression): Int = x.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        s.toString.toUpperCase(java.util.Locale.ROOT).stripPrefix("EPSG:").toInt
+      case other => throw new IllegalArgumentException(s"st_transform: bad CRS argument $other")
+    }
+    transformExpr(g, code(from), code(to))
   }
 
   /** SQL builder for the UTM expressions: the EPSG code must be a literal

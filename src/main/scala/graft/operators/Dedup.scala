@@ -88,6 +88,13 @@ object Dedup {
       .select("__id")
   }
 
+  /** 128-bit content key (two seeded xxhash64 halves): joins that only carry
+    * group membership move 16 bytes instead of full document texts.
+    * Collision odds ~n²/2^129 — immaterial at any corpus size.
+    */
+  private def contentKey(c: Column): Column =
+    struct(xxhash64(lit(0), c), xxhash64(lit(1), c))
+
   /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
     * components (pure built-ins — stays in codegen).
     */
@@ -209,7 +216,10 @@ object Dedup {
         reps.withColumn("__t2", col("__t")), "__t", "__t2", ngram)
       .where(col("jaccard") >= jaccardThreshold && lit(candidateThreshold <= 1.0))
       .select(col("__id").as("__gid")).withColumn("__selfv", lit(true))
-    val drop = base.join(groups, Seq("__t"))
+    // membership travels as a 128-bit text key — the full texts shuffle only
+    // once (inside the groupBy), not again for this join
+    val drop = base.select(col("__mid"), contentKey(col("__t")).as("__tk"))
+      .join(groups.select(contentKey(col("__t")).as("__tk"), col("__gid")), Seq("__tk"))
       .join(repDrop, Seq("__gid"), "left")
       .join(selfVerified, Seq("__gid"), "left")
       .where(col("__repdrop").isNotNull ||
@@ -260,9 +270,10 @@ object Dedup {
         "__ta", "__tb", ngram)
       .where(col("jaccard") >= jaccardThreshold)
       .select(col("__idb").as("__gid")).distinct()
-    // fan the group verdict back out to every batch row sharing the text
-    val drop = batch.select(col(idCol), col(textCol).as("__t"))
-      .join(breps.withColumnRenamed("__id", "__gid"), Seq("__t"))
+    // fan the group verdict back out to every batch row sharing the text —
+    // by 128-bit text key, so batch texts don't shuffle a second time
+    val drop = batch.select(col(idCol), contentKey(col(textCol)).as("__tk"))
+      .join(breps.select(contentKey(col("__t")).as("__tk"), col("__id").as("__gid")), Seq("__tk"))
       .join(droppedGroups, Seq("__gid"))
       .select(idCol)
     batch.join(drop, Seq(idCol), "left_anti")

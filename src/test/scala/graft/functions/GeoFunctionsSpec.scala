@@ -152,6 +152,15 @@ class GeoFunctionsSpec extends AnyFunSuite with SparkSpec {
       """SELECT st_x(st_from_utm(st_to_utm(st_point(4.5, 52.0), 'EPSG:32631'), 'EPSG:32631')) AS lon""")
       .head().getDouble(0)
     assert(math.abs(rt - 4.5) < 1e-9)
+    // st_transform from SQL: Lambert-93 natural origin lands on the false origin
+    val l93 = spark.sql(
+      "SELECT st_x(st_transform(st_point(3.0, 46.5), 'EPSG:4326', 'EPSG:2154')) AS e")
+      .head().getDouble(0)
+    assert(math.abs(l93 - 700000.0) < 1e-6)
+    val back = spark.sql(
+      "SELECT st_y(st_transform(st_transform(st_point(-1.5, 53.0), 4326, 27700), 27700, 4326)) AS lat")
+      .head().getDouble(0)
+    assert(math.abs(back - 53.0) < 1e-6)
   }
 
   test("expressions stay codegen-compatible (no fallback in plan)") {
