@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Event-stream processing: one transformation definition serving both batch
   * and Structured Streaming (reference: erde's chunk-streamed IO model,
@@ -107,28 +108,8 @@ object EventStream {
       threshold: Double = 0.8,
       watermark: String = "1 hour",
       maxSigs: Int = 128): DataFrame = {
-    require(numHashes % numBands == 0, "numBands must divide numHashes")
     val spark = stream.sparkSession
     import spark.implicits._
-    val rowsPerBand = numHashes / numBands
-
-    val banded = stream
-      .withColumn("__sig", graft.functions.TextFunctions.minhash_sig(col(textCol), numHashes, shingle))
-      .withColumn("__band", explode(sequence(lit(0), lit(numBands - 1))))
-      .select(
-        xxhash64(col("__band"),
-          slice(col("__sig"), col("__band") * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"),
-        col(idCol).as("doc_id"), col("ts"), col("__band").as("band"),
-        col("__sig").as("sig"), col(textCol).as("text"))
-      .withWatermark("ts", watermark)
-      .as[BandRow]
-
-    def est(a: Array[Long], b: Array[Long]): Double = {
-      var eq = 0
-      var i = 0
-      while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
-      eq.toDouble / a.length
-    }
 
     def update(bucket: Long, rows: Iterator[BandRow],
         state: GroupState[BucketSigs]): Iterator[BandHit] = {
@@ -137,7 +118,7 @@ object EventStream {
       var sigs = st.sigs
       var maxTs = st.maxTs
       val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).map { r =>
-        val hit = sigs.exists(s => est(s, r.sig) >= threshold)
+        val hit = sigs.exists(s => estSim(s, r.sig) >= threshold)
         if (!sigs.exists(_.sameElements(r.sig)) && sigs.length < maxSigs) sigs ::= r.sig
         maxTs = math.max(maxTs, r.ts.getTime)
         BandHit(r.doc_id, r.ts, hit, if (r.band == 0) r.text else null)
@@ -147,7 +128,7 @@ object EventStream {
       out.iterator
     }
 
-    banded
+    bandedRows(stream, textCol, idCol, numHashes, numBands, shingle, watermark)
       .groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
       .withWatermark("ts", watermark)
@@ -155,6 +136,120 @@ object EventStream {
       .agg(max(col("hit")).as("__dropped"), max(col("text")).as(textCol))
       .where(!col("__dropped"))
       .select(col("doc_id").as(idCol), col("ts"), col(textCol))
+  }
+
+  /** Estimated Jaccard of two MinHash signatures (fraction of equal
+    * components) — shared by the streaming dedup variants.
+    */
+  private def estSim(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  /** The per-bucket signature logic of the MinHash streaming dedup as a
+    * Spark 4 `StatefulProcessor` (state-store v2): ListState of distinct
+    * signatures, an event-time timer expiring the bucket once the watermark
+    * passes its newest row + `expireDelayMs`.
+    */
+  final class BandBucketProcessor(threshold: Double, maxSigs: Int, expireDelayMs: Long)
+      extends StatefulProcessor[Long, BandRow, BandHit] {
+    import implicits._
+    @transient private var sigs: ListState[Array[Long]] = _
+    @transient private var timer: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sigs = getHandle.getListState[Array[Long]]("sigs", newLongArrayEncoder, TTLConfig.NONE)
+      timer = getHandle.getValueState[Long]("timer", newLongEncoder, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(bucket: Long, rows: Iterator[BandRow],
+        tv: TimerValues): Iterator[BandHit] = {
+      var list = if (sigs.exists()) sigs.get().toList else Nil
+      var changed = false
+      var maxTs = 0L
+      val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).map { r =>
+        val hit = list.exists(s => estSim(s, r.sig) >= threshold)
+        if (!list.exists(_.sameElements(r.sig)) && list.length < maxSigs) {
+          list ::= r.sig
+          changed = true
+        }
+        maxTs = math.max(maxTs, r.ts.getTime)
+        BandHit(r.doc_id, r.ts, hit, if (r.band == 0) r.text else null)
+      }
+      if (changed) sigs.put(list.reverse.toArray)
+      // one outstanding event-time timer per bucket, pushed forward as newer
+      // rows arrive
+      val newTimer = maxTs + expireDelayMs
+      if (timer.exists() && timer.get() < newTimer) getHandle.deleteTimer(timer.get())
+      if (!timer.exists() || timer.get() < newTimer) {
+        getHandle.registerTimer(newTimer)
+        timer.update(newTimer)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(bucket: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[BandHit] = {
+      sigs.clear()
+      timer.clear()
+      Iterator.empty
+    }
+  }
+
+  /** `transformWithState` face of [[minhashDedupStream]]: identical
+    * semantics, but the operator declares `ts` as its output event-time
+    * column, so the per-doc aggregation chains WITHOUT the
+    * checkCorrectness opt-out the flatMapGroupsWithState variant needs.
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — transformWithState's backing
+    * store; rocksdbjni ships with Spark.
+    */
+  def minhashDedupStreamTws(
+      stream: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 128,
+      numBands: Int = 16,
+      shingle: Int = 5,
+      threshold: Double = 0.8,
+      watermark: String = "1 hour",
+      maxSigs: Int = 128,
+      expireDelayMs: Long = 3600000L): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val verdicts = bandedRows(stream, textCol, idCol, numHashes, numBands, shingle, watermark)
+      .groupByKey(_.bucket)
+      .transformWithState(new BandBucketProcessor(threshold, maxSigs, expireDelayMs),
+        "ts", OutputMode.Append())
+    verdicts
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(max(col("hit")).as("__dropped"), max(col("text")).as(textCol))
+      .where(!col("__dropped"))
+      .select(col("doc_id").as(idCol), col("ts"), col(textCol))
+  }
+
+  /** Shared banding stage: (doc, ts, text) → one watermarked [[BandRow]] per
+    * LSH band.
+    */
+  private def bandedRows(stream: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, numBands: Int, shingle: Int, watermark: String): Dataset[BandRow] = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / numBands
+    stream
+      .withColumn("__sig", graft.functions.TextFunctions.minhash_sig(col(textCol), numHashes, shingle))
+      .withColumn("__band", explode(sequence(lit(0), lit(numBands - 1))))
+      .select(
+        xxhash64(col("__band"),
+          slice(col("__sig"), col("__band") * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"),
+        col(idCol).as("doc_id"), col("ts"), col("__band").as("band"),
+        col("__sig").as("sig"), col(textCol).as("text"))
+      .withWatermark("ts", watermark)
+      .as[BandRow]
   }
 
   // ---- sessionization -----------------------------------------------------

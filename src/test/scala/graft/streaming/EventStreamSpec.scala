@@ -191,6 +191,47 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("minhashDedupStreamTws: transformWithState variant, no correctness opt-out") {
+    // RocksDB provider backs transformWithState; NOTE: no
+    // withRelaxedChainCheck here — the processor declares its event-time
+    // column, so the chained aggregation passes the planner check as-is
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val texts = Map(
+        1L -> "the quick brown fox jumps over the lazy dog and runs far away home tonight",
+        2L -> "the quick brown fox jumps over the lazy cat and runs far away home tonight",
+        3L -> "a completely different document about spark catalyst expressions and codegen",
+        4L -> "a completely different document about spark catalyst expressions and codegen")
+      val batchKept = graft.operators.Dedup.minhashLsh(
+          texts.toSeq.map { case (i, t) => (i, t) }.toDF("doc_id", "text"),
+          "text", "doc_id", numBands = 32, threshold = 0.6)
+        .select("doc_id").as[Long].collect().toSet
+
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val stream = mem.toDF().toDF("doc_id", "ts", "text")
+      val q = minhashDedupStreamTws(stream, numBands = 32, threshold = 0.6,
+          watermark = "10 minutes", expireDelayMs = 600000L)
+        .writeStream.format("memory").queryName("mh_tws").outputMode("append").start()
+      try {
+        mem.addData(Seq(1L, 2L).map(i => (i, ts(i.toInt), texts(i))): _*)
+        q.processAllAvailable()
+        mem.addData(Seq(3L, 4L).map(i => (i, ts(i.toInt), texts(i))): _*)
+        q.processAllAvailable()
+        mem.addData((99L, tsH(23, 0), "watermark flush sentinel"))
+        q.processAllAvailable()
+        val streamed = spark.table("mh_tws").select("doc_id").as[Long].collect().toSet
+        assert(streamed == batchKept, s"stream $streamed vs batch $batchKept")
+      } finally q.stop()
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("readStream over the events table produces the same windowed counts") {
     // file source needs a directory; stage the single-file table into one
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
