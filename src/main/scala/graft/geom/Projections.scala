@@ -39,9 +39,10 @@ object Projections {
   }
 
   private def wrapDeg(d: Double): Double = {
-    var x = d
-    while (x > 180) x -= 360
-    while (x < -180) x += 360
+    if (!java.lang.Double.isFinite(d)) return d // NaN/±Inf propagate, never loop
+    var x = d % 360.0 // exact (IEEE remainder toward zero); bounds the loop
+    if (x > 180) x -= 360
+    if (x < -180) x += 360
     x
   }
 

@@ -83,8 +83,11 @@ object TransverseMercator {
     val lon0 = zone * 6.0 - 183.0
     val phi = math.toRadians(latDeg)
     var dLon = lonDeg - lon0
-    while (dLon > 180) dLon -= 360
-    while (dLon < -180) dLon += 360
+    if (java.lang.Double.isFinite(dLon)) {
+      dLon = dLon % 360.0 // exact; non-finite values propagate instead of looping
+      if (dLon > 180) dLon -= 360
+      if (dLon < -180) dLon += 360
+    }
     val lam = math.toRadians(dLon)
     val taup = taupf(math.tan(phi))
     val xip = math.atan2(taup, math.cos(lam))

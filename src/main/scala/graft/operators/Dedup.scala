@@ -68,9 +68,14 @@ object Dedup {
       bucketize: DataFrame => DataFrame,
       verify: (Column, Column) => Column,
       maxBucket: Int): DataFrame = {
-    val groups = sketched.groupBy("__sketch").agg(min("__id").as("__gid"))
-    val reps = groups.select(col("__gid").as("__id"), col("__sketch"))
-    val buckets = bucketize(reps)
+    // group by a 128-bit sketch key so the membership join below moves
+    // 16 bytes per row, not the full signature/vector; the representative
+    // rows (min id per group) are recovered with one semi-join — sketches
+    // shuffle once
+    val keyed = sketched.withColumn("__sk", contentKey(col("__sketch")))
+    val groups = keyed.groupBy("__sk").agg(min("__id").as("__gid"))
+    val reps = keyed.join(groups.select(col("__gid").as("__id")), Seq("__id"), "left_semi")
+    val buckets = bucketize(reps.select(col("__id"), col("__sketch")))
     val repDrop = probesOf(buckets, maxBucket).as("a")
       .join(buckets.as("b"), col("a.__bucket") === col("b.__bucket"))
       .where(col("a.__id") < col("b.__id") && verify(col("a.__sketch"), col("b.__sketch")))
@@ -81,10 +86,14 @@ object Dedup {
     // group still drops its non-representative members — gated on the group
     // self-verifying, which keeps degenerate edges (NaN cosine of zero
     // vectors) bit-identical to the pairwise semantics
-    sketched.join(groups, Seq("__sketch"))
+    val repSelf = reps
+      .select(col("__id").as("__gid"), verify(col("__sketch"), col("__sketch")).as("__sv"))
+      .where(col("__sv")).select("__gid").withColumn("__selfv", lit(true))
+    keyed.select("__id", "__sk").join(groups, Seq("__sk"))
       .join(repDrop, Seq("__gid"), "left")
+      .join(repSelf, Seq("__gid"), "left")
       .where(col("__repdrop").isNotNull ||
-        (col("__id") =!= col("__gid") && verify(col("__sketch"), col("__sketch"))))
+        (col("__id") =!= col("__gid") && col("__selfv").isNotNull))
       .select("__id")
   }
 
@@ -191,7 +200,7 @@ object Dedup {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
     val base = df.select(col(idCol).as("__mid"), col(textCol).as("__t"))
-    val groups = base.groupBy("__t").agg(min("__mid").as("__gid"))
+    val groups = base.groupBy("__t").agg(min("__mid").as("__gid"), count(lit(1)).as("__n"))
     val reps = groups.select(col("__gid").as("__id"), col("__t"))
     val sketched = reps.select(col("__id"),
       minhash_sig(col("__t"), numHashes, shingle).as("__sketch"))
@@ -211,11 +220,14 @@ object Dedup {
     // group-internal drops: identical texts are candidates by construction
     // (same sketch ⇒ same buckets, similarity 1); they verify iff the text's
     // self-Jaccard passes — false only for texts with no n-grams, matching
-    // the pairwise semantics exactly
+    // the pairwise semantics exactly. Singleton groups have no internal
+    // member to drop, so the exact self-verify runs only where duplicates
+    // exist (a mostly-unique corpus skips it almost entirely).
     val selfVerified = ngramJaccard(
-        reps.withColumn("__t2", col("__t")), "__t", "__t2", ngram)
+        groups.where(col("__n") > 1)
+          .select(col("__gid"), col("__t"), col("__t").as("__t2")), "__t", "__t2", ngram)
       .where(col("jaccard") >= jaccardThreshold && lit(candidateThreshold <= 1.0))
-      .select(col("__id").as("__gid")).withColumn("__selfv", lit(true))
+      .select("__gid").withColumn("__selfv", lit(true))
     // membership travels as a 128-bit text key — the full texts shuffle only
     // once (inside the groupBy), not again for this join
     val drop = base.select(col("__mid"), contentKey(col("__t")).as("__tk"))

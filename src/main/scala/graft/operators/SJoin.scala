@@ -77,11 +77,31 @@ object SJoin {
     * right for match-status logic (they match identically, and joins/anti-
     * joins preserve row multiplicity) — but WRONG for per-row aggregation
     * (duplicates would merge), so sagg/slookup keep the monotonic tag.
+    *
+    * Spark hash functions SKIP null children (the seed passes through), so
+    * hashing bare columns would make ("x", NULL) collide with (NULL, "x");
+    * interleaving per-column null flags keeps the token stream
+    * prefix-decodable and the tag injective up to hash collisions.
     */
   private def contentTagged(left: DataFrame): DataFrame = {
-    val cols = left.columns.toIndexedSeq.map(col)
+    val cols = left.columns.toIndexedSeq.map(col).flatMap(c => Seq(c.isNull, c))
     left.withColumn(LID,
       struct(xxhash64((lit(0) +: cols): _*), xxhash64((lit(1) +: cols): _*)))
+  }
+
+  /** Content tags need hashable, deterministic input: map types can't hash,
+    * and a nondeterministic source (rand(), uuid(), sample) yields different
+    * rows per scan — those fall back to the monotonic tag + persist.
+    */
+  private def contentTaggable(df: DataFrame): Boolean = {
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    df.schema.fields.forall(f => hashable(f.dataType)) &&
+      df.queryExecution.analyzed.find(_.expressions.exists(e => !e.deterministic)).isEmpty
   }
 
   private def pairsKeyed(
@@ -155,8 +175,12 @@ object SJoin {
     // the left join reads the tagged left twice (matches + anti-join pass):
     // a content-hash tag is deterministic across both scans, so no persist —
     // re-scanning the source (pruned, pushed-down) beats caching a side that
-    // can be 100 TB
-    val lt = if (how == "left") contentTagged(left) else tagged(left, leftGeom, cellDeg)
+    // can be 100 TB. Unhashable (map-typed) or nondeterministic left frames
+    // keep the monotonic tag and pay the persist for scan stability.
+    val useContent = how == "left" && contentTaggable(left)
+    val lt = if (useContent) contentTagged(left) else tagged(left, leftGeom, cellDeg)
+    if (how == "left" && !useContent)
+      lt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inner = pairsKeyed(lt, right, predicate, leftGeom, rightGeom, cellDeg, rightSuffix, tuning)
     how match {
       case "inner" => inner.drop(LID)

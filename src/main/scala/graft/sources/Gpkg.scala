@@ -336,23 +336,34 @@ object Gpkg {
       * ints, doubles IEEE, strings UTF-8, blobs raw, null for None/null.
       */
     def record(values: Seq[Any]): Array[Byte] = {
+      def int8(l: Long) = {
+        val b = new Array[Byte](8)
+        ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN).putLong(l)
+        (varint(6), b)
+      }
+      def real(d: Double) = {
+        val b = new Array[Byte](8)
+        ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN).putDouble(d)
+        (varint(7), b)
+      }
+      def text(s: String) = {
+        val b = s.getBytes(StandardCharsets.UTF_8)
+        (varint(13 + 2L * b.length), b)
+      }
       val enc = values.map {
         case null => (varint(0), Array.empty[Byte])
-        case l: Long =>
-          val b = new Array[Byte](8)
-          ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN).putLong(l)
-          (varint(6), b)
-        case i: Int =>
-          val b = new Array[Byte](8)
-          ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN).putLong(i.toLong)
-          (varint(6), b)
-        case d: Double =>
-          val b = new Array[Byte](8)
-          ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN).putDouble(d)
-          (varint(7), b)
-        case s: String =>
-          val b = s.getBytes(StandardCharsets.UTF_8)
-          (varint(13 + 2L * b.length), b)
+        case l: Long => int8(l)
+        case i: Int => int8(i.toLong)
+        case s: Short => int8(s.toLong)
+        case b: Byte => int8(b.toLong)
+        case b: Boolean => int8(if (b) 1L else 0L)
+        case d: Double => real(d)
+        case f: Float => real(f.toDouble)
+        case d: java.math.BigDecimal => real(d.doubleValue)
+        case d: BigDecimal => real(d.doubleValue)
+        case s: String => text(s)
+        case t: java.sql.Timestamp => text(t.toInstant.toString)
+        case d: java.sql.Date => text(d.toString)
         case b: Array[Byte] => (varint(12 + 2L * b.length), b)
         case other => throw new IllegalArgumentException(s"gpkg write: unsupported value $other")
       }
@@ -520,9 +531,20 @@ object Gpkg {
 
   private def declType(dt: DataType): String = dt match {
     case LongType | IntegerType | ShortType | ByteType | BooleanType => "INTEGER"
-    case DoubleType | FloatType => "DOUBLE"
-    case StringType => "TEXT"
+    case DoubleType | FloatType | _: DecimalType => "DOUBLE"
+    case StringType | TimestampType | DateType => "TEXT" // ISO-8601 text per GPKG
     case _ => "BLOB"
+  }
+
+  /** GeoPackage core geometry type name for a graft geometry. */
+  private def gpkgTypeName(g: graft.geom.Geom): String = g match {
+    case _: graft.geom.Point => "POINT"
+    case _: graft.geom.MultiPoint => "MULTIPOINT"
+    case _: graft.geom.LineString => "LINESTRING"
+    case _: graft.geom.MultiLineString => "MULTILINESTRING"
+    case _: graft.geom.Polygon => "POLYGON"
+    case _: graft.geom.MultiPolygon => "MULTIPOLYGON"
+    case _ => "GEOMETRYCOLLECTION"
   }
 
   /** WKB → GPKG geometry blob (version 0, little-endian srs_id, no envelope
@@ -571,7 +593,7 @@ object Gpkg {
               minX = math.min(minX, x1); minY = math.min(minY, y1)
               maxX = math.max(maxX, x2); maxY = math.max(maxY, y2)
             }
-            typeNames += g.getClass.getSimpleName.toUpperCase(java.util.Locale.ROOT)
+            typeNames += gpkgTypeName(g)
             wkbToGpkg(wkb, srid)
           case _ => null
         }
@@ -583,12 +605,18 @@ object Gpkg {
     val featureRoot = b.writeTable(featureRows)
     val geomType = if (typeNames.size == 1) typeNames.head else "GEOMETRY"
 
-    val srsRoot = b.writeTable(Seq(
+    // every srs_id referenced by contents/geometry_columns must exist here
+    val srsBase = Seq(
       (1L, Seq[Any]("WGS 84 geodetic", 4326L, "EPSG", 4326L,
         "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563]]]",
         "longitude/latitude, WGS 84")),
       (2L, Seq[Any]("Undefined cartesian SRS", -1L, "NONE", -1L, "undefined", null)),
-      (3L, Seq[Any]("Undefined geographic SRS", 0L, "NONE", 0L, "undefined", null))))
+      (3L, Seq[Any]("Undefined geographic SRS", 0L, "NONE", 0L, "undefined", null)))
+    val srsRows =
+      if (Set(4326, -1, 0)(srid)) srsBase
+      else srsBase :+ ((4L, Seq[Any](s"EPSG:$srid", srid.toLong, "EPSG", srid.toLong,
+        "undefined", null)))
+    val srsRoot = b.writeTable(srsRows)
     val hasEnv = minX <= maxX
     val contentsRoot = b.writeTable(Seq(
       (1L, Seq[Any](layerName, "features", layerName, "",

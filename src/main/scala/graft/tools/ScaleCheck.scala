@@ -43,7 +43,8 @@ object ScaleCheck {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "24g")
+    // driver heap is the JVM's own — set it at launch (e.g. `sbt -mem 8192`);
+    // a builder config here would be a silent no-op in a running JVM
     graft.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

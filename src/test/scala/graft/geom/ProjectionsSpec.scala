@@ -145,6 +145,17 @@ class ProjectionsSpec extends AnyFunSuite {
     }
   }
 
+  test("non-finite and huge longitudes terminate (no wrap loop)") {
+    // must return quickly with a non-finite/NaN-ish result, never hang
+    val (x1, y1) = Projections.forward(2154, Double.PositiveInfinity, 10.0)
+    assert(!java.lang.Double.isFinite(x1) || !java.lang.Double.isFinite(y1) ||
+      x1.isNaN || y1.isNaN || true) // reaching here IS the assertion
+    val (x2, _) = Projections.forward(2154, 1e308, 45.0)
+    assert(java.lang.Double.isFinite(x2)) // fmod wraps astronomically large values
+    val (e3, _) = TransverseMercator.forward(Double.NaN, 10.0, zone = 31, south = false)
+    assert(e3.isNaN)
+  }
+
   test("Helmert round-trip and geocentric conversion self-consistency") {
     val (x, y, z) = toGeocentric(WGS84, -3.5, 55.2)
     val h = osgb36ToWgs84

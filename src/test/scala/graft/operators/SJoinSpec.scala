@@ -64,6 +64,27 @@ class SJoinSpec extends AnyFunSuite with SparkSpec {
     assert(perPid.contains(2))
   }
 
+  test("sjfull left: null-shifted rows get distinct tags; maps fall back to persist") {
+    // Spark hash skips NULL children, so ("x", null-geom) and (null, geom)
+    // would collide without per-column null flags — the unmatched row with
+    // the null geometry must survive as its own output row
+    val zone = zones.limit(1)
+    val g = points.where(col("pid") === 1).select("geometry").head().getAs[Array[Byte]](0)
+    val shifted = Seq(
+      (Option("x"), Option.empty[Array[Byte]]),
+      (Option.empty[String], Option(g)))
+      .toDF("name", "geometry")
+    val out = SJoin.sjfull(shifted, zone, predicate = "within", how = "left")
+    assert(out.count() == 2, "null-geometry row must survive the anti-join")
+    assert(out.where(col("geometry").isNull).count() == 1)
+    // a map-typed left column can't content-hash: falls back to persist
+    val mapped = points.withColumn("tags", map(lit("k"), col("pid").cast("string")))
+    val mOut = SJoin.sjfull(mapped, zones, predicate = "within", how = "left")
+    assert(mOut.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    assert(mOut.select("pid").distinct().count() == 25)
+    mapped.unpersist()
+  }
+
   test("sagg aggregates right values per left zone") {
     val out = SJoin.sagg(zones, points,
       Seq(count(lit(1)).as("n"), sum("pid").as("pid_sum")), predicate = "contains", how = "left")
