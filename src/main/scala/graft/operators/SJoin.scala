@@ -91,7 +91,11 @@ object SJoin {
 
   /** Content tags need hashable, deterministic input: map types can't hash,
     * and a nondeterministic source (rand(), uuid(), sample) yields different
-    * rows per scan — those fall back to the monotonic tag + persist.
+    * rows per scan — those fall back to the monotonic tag + persist. Window
+    * functions and explicit repartitions also force the fallback even though
+    * Spark flags them deterministic: row_number over a tied/partial ordering
+    * and round-robin partition placement can change row CONTENT between the
+    * two scans of the no-persist path, mis-pairing the anti-join.
     */
   private def contentTaggable(df: DataFrame): Boolean = {
     def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
@@ -100,8 +104,14 @@ object SJoin {
       case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
       case _ => true
     }
+    import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression, Window}
+    val plan = df.queryExecution.analyzed
     df.schema.fields.forall(f => hashable(f.dataType)) &&
-      df.queryExecution.analyzed.find(_.expressions.exists(e => !e.deterministic)).isEmpty
+      plan.find(_.expressions.exists(e => !e.deterministic)).isEmpty &&
+      plan.find {
+        case _: Window | _: Repartition | _: RepartitionByExpression => true
+        case _ => false
+      }.isEmpty
   }
 
   private def pairsKeyed(

@@ -570,6 +570,9 @@ object Gpkg {
     */
   def write(df: DataFrame, path: String, layerName: String = "layer",
       geometryCol: String = "geometry", srid: Int = 4326, maxRows: Int = 1000000): Unit = {
+    require(!df.columns.contains("fid"),
+      "Gpkg.write adds its own 'fid' rowid-alias column; rename the incoming " +
+        "'fid' column first (the table would otherwise carry duplicate column names)")
     val rows = df.limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
       s"Gpkg.write collects to the driver and is capped at maxRows=$maxRows rows; " +

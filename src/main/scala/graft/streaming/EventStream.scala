@@ -14,6 +14,19 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateT
   */
 object EventStream {
 
+  // object field → static reference from executor closures, nothing serialized
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Recall-loss warning for the capped band buckets: once a bucket holds
+    * `maxSigs` distinct signatures, later signatures are not registered and
+    * their future exact duplicates stream through unflagged. The cap is a
+    * deliberate state bound (a boilerplate flood must not grow state without
+    * limit), but hitting it should be observable at runtime.
+    */
+  private def warnSigCap(variant: String, bucket: Long, maxSigs: Int): Unit =
+    log.warn(s"$variant: band bucket $bucket reached maxSigs=$maxSigs; new signatures " +
+      "in this bucket are no longer registered (recall loss for their future duplicates)")
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
   final case class Session(
@@ -119,7 +132,10 @@ object EventStream {
       var maxTs = st.maxTs
       val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).map { r =>
         val hit = sigs.exists(s => estSim(s, r.sig) >= threshold)
-        if (!sigs.exists(_.sameElements(r.sig)) && sigs.length < maxSigs) sigs ::= r.sig
+        if (!sigs.exists(_.sameElements(r.sig))) {
+          if (sigs.length < maxSigs) sigs ::= r.sig
+          else warnSigCap("minhashDedupStream", bucket, maxSigs)
+        }
         maxTs = math.max(maxTs, r.ts.getTime)
         BandHit(r.doc_id, r.ts, hit, if (r.band == 0) r.text else null)
       }
@@ -171,9 +187,11 @@ object EventStream {
       var maxTs = 0L
       val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).map { r =>
         val hit = list.exists(s => estSim(s, r.sig) >= threshold)
-        if (!list.exists(_.sameElements(r.sig)) && list.length < maxSigs) {
-          list ::= r.sig
-          changed = true
+        if (!list.exists(_.sameElements(r.sig))) {
+          if (list.length < maxSigs) {
+            list ::= r.sig
+            changed = true
+          } else warnSigCap("minhashDedupStreamTws", bucket, maxSigs)
         }
         maxTs = math.max(maxTs, r.ts.getTime)
         BandHit(r.doc_id, r.ts, hit, if (r.band == 0) r.text else null)

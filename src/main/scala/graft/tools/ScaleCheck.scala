@@ -29,11 +29,17 @@ object ScaleCheck {
     s
   }
 
-  /** Per-copy text decorrelation: permute a frequent-letter alphabet. */
+  /** Per-copy text decorrelation: compose rotations of two DISJOINT
+    * frequent-letter alphabets (11 × 13, coprime), so the permutation is the
+    * identity only at copy % 143 == 0 — a single rotating alphabet repeated
+    * at copy % 10 and made copy 10 byte-duplicate copy 0, letting the dedup
+    * operators collapse whole copies and skewing the measured ratios.
+    */
   private def permuted(text: org.apache.spark.sql.Column, copy: Int): org.apache.spark.sql.Column = {
-    val alpha = "aeiousnrtl"
-    val rot = alpha.drop(copy % alpha.length) + alpha.take(copy % alpha.length)
-    translate(text, alpha, rot)
+    def rot(alpha: String, k: Int) = alpha.drop(k % alpha.length) + alpha.take(k % alpha.length)
+    val a = "aeiousnrtlc"   // 11 letters
+    val b = "dhmpbgfywkvxz" // 13 letters, disjoint from a
+    translate(translate(text, a, rot(a, copy)), b, rot(b, copy))
   }
 
   def main(args: Array[String]): Unit = {

@@ -85,6 +85,22 @@ class SJoinSpec extends AnyFunSuite with SparkSpec {
     mapped.unpersist()
   }
 
+  test("sjfull left: window/repartition left plans fall back to persist") {
+    // Spark flags row_number and round-robin repartition deterministic, but
+    // their row CONTENT/placement can differ between the two scans of the
+    // no-persist path — both must take the persist fallback
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
+    val windowed = points.withColumn("rk", row_number().over(w))
+    val wOut = SJoin.sjfull(windowed, zones, predicate = "within", how = "left")
+    assert(wOut.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    assert(wOut.select("pid").distinct().count() == 25)
+    val rep = points.repartition(4)
+    val rOut = SJoin.sjfull(rep, zones, predicate = "within", how = "left")
+    assert(rOut.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    assert(rOut.select("pid").distinct().count() == 25)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("sagg aggregates right values per left zone") {
     val out = SJoin.sagg(zones, points,
       Seq(count(lit(1)).as("n"), sum("pid").as("pid_sum")), predicate = "contains", how = "left")

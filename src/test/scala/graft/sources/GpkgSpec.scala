@@ -146,6 +146,16 @@ class GpkgSpec extends AnyFunSuite with SparkSpec {
     assert(new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1).contains("EPSG:3857"))
   }
 
+  test("write rejects a frame that already carries a fid column") {
+    // the writer prepends its own fid rowid alias; a second fid would make
+    // CREATE TABLE carry duplicate column names and break read-back
+    val dir = java.nio.file.Files.createTempDirectory("graft-gpkg-w6").toString
+    val df = Seq((7L, (1.0, 2.0))).toDF("fid", "pt")
+      .select(col("fid"), st_point(col("pt._1"), col("pt._2")).as("geometry"))
+    val e = intercept[IllegalArgumentException] { Gpkg.write(df, s"$dir/f.gpkg") }
+    assert(e.getMessage.contains("fid"))
+  }
+
   test("writeAuto/readAuto dispatch .gpkg; header carries the GPKG tags") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gpkg-w3").toString
     val df = Seq((7L, (5.0, 6.0))).toDF("k", "pt")
