@@ -303,6 +303,24 @@ object OracleSql {
        |dropped AS (SELECT DISTINCT idb FROM est WHERE CAST(eq AS DOUBLE)/128.0 >= $threshold)
        |SELECT d.doc_id, d.lang FROM $docsrc d ANTI JOIN dropped dr ON d.doc_id = dr.idb""".stripMargin
 
+  /** (doc_id, cluster): transitive MinHash-LSH near-dup clusters — the
+    * verified banded pairs of [[dedupMinhash]] closed over connectivity by
+    * recursive min-label propagation (mirrors
+    * [[graft.operators.Graph.connectedComponents]] over
+    * [[graft.operators.Dedup.clusters]]'s edge set); cluster = smallest
+    * doc_id of the component. The `l < v` prune is safe: a node's own id is
+    * already seeded by the base case, so only smaller labels can win min().
+    */
+  def dedupClusters(docsrc: String = "documents", threshold: Double = 0.7): String =
+    s"""WITH RECURSIVE ${minhashCore(docsrc)},
+       |vp AS (SELECT ida, idb FROM est WHERE CAST(eq AS DOUBLE)/128.0 >= $threshold),
+       |sym AS (SELECT ida AS u, idb AS v FROM vp UNION SELECT idb AS u, ida AS v FROM vp),
+       |lbl AS (
+       |  SELECT doc_id AS node, doc_id AS l FROM $docsrc
+       |  UNION
+       |  SELECT s.v AS node, lbl.l AS l FROM lbl JOIN sym s ON s.u = lbl.node WHERE lbl.l < s.v)
+       |SELECT node AS doc_id, min(l) AS cluster FROM lbl GROUP BY node""".stripMargin
+
   /** Kept (doc_id, lang) after MinHash candidates (est ≥ `candThreshold`) +
     * exact word-3-gram Jaccard ≥ `jacThreshold` verification.
     */

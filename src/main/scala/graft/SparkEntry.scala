@@ -565,6 +565,12 @@ object SparkEntry {
       Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id", threshold = 0.7)
         .select("doc_id", "lang")),
 
+    // --- transitive near-dup clusters (connected components over verified
+    // LSH pairs; cluster = component-min doc_id) -----------------------------
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(t(s, dir, "documents"), "text", "doc_id", threshold = 0.7)
+        .select("doc_id", "cluster")),
+
     // --- near-dedup under degenerate skew: 5k byte-identical copies --------
     // the crawl-corpus failure mode (boilerplate flood lands in ONE LSH
     // bucket); Dedup's exact-collapse keeps the candidate join linear — this
@@ -905,6 +911,7 @@ object SparkEntry {
     "multimodal_audio" -> OracleSql.multimodalAudio(),
     "dedup_simhash" -> OracleSql.dedupSimhash(),
     "dedup_minhash" -> OracleSql.dedupMinhash(),
+    "dedup_clusters" -> OracleSql.dedupClusters(),
     "dedup_skew" -> OracleSql.dedupSkew(),
     "dedup_verified" -> OracleSql.dedupVerified(),
     "dedup_incremental" -> OracleSql.dedupIncremental(),

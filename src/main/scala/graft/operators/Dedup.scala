@@ -291,6 +291,54 @@ object Dedup {
     batch.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Transitive near-duplicate clustering: assigns every row a `cluster` id
+    * (the smallest `idCol` of its near-dup cluster) instead of dropping rows
+    * — the canonicalization view of dedup (pick one URL per cluster, count
+    * cluster sizes, audit what [[minhashLsh]] would remove). Pairwise LSH
+    * verdicts are NOT transitive (a~b and b~c with a,c never colliding), so
+    * the verified candidate pairs feed [[Graph.connectedComponents]] and the
+    * component min becomes the cluster id.
+    *
+    * Same scale shape as [[minhashLsh]]: identical sketches collapse to one
+    * representative before banding (members attach to their representative
+    * by an explicit edge, which is exactly the pair the full pairwise run
+    * would verify at similarity 1), so a boilerplate flood costs one node in
+    * the star contraction, not n² candidate pairs.
+    */
+  def clusters(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 128,
+      numBands: Int = 16,
+      shingle: Int = 5,
+      threshold: Double = 0.8,
+      maxBucket: Int = 0): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    require(threshold <= 1.0, "threshold > 1 would break the identical-sketch collapse")
+    val sketched = df.select(col(idCol).as("__id"),
+      minhash_sig(col(textCol), numHashes, shingle).as("__sketch"))
+    val keyed = sketched.withColumn("__sk", contentKey(col("__sketch")))
+    val groups = keyed.groupBy("__sk").agg(min("__id").as("__gid"))
+    val members = keyed.select("__id", "__sk").join(groups, Seq("__sk"))
+    val reps = keyed.join(groups.select(col("__gid").as("__id")), Seq("__id"), "left_semi")
+    val buckets = minhashBuckets(numBands, numHashes / numBands)(
+      reps.select(col("__id"), col("__sketch")))
+    val repPairs = probesOf(buckets, maxBucket).as("a")
+      .join(buckets.as("b"), col("a.__bucket") === col("b.__bucket"))
+      .where(col("a.__id") < col("b.__id") &&
+        minhashSimilarity(col("a.__sketch"), col("b.__sketch")) >= threshold)
+      .select(col("a.__id").as("src"), col("b.__id").as("dst"))
+      .distinct()
+    val memberEdges = members.where(col("__id") =!= col("__gid"))
+      .select(col("__id").as("src"), col("__gid").as("dst"))
+    val comp = Graph.connectedComponents(repPairs.unionByName(memberEdges), "src", "dst")
+    df.join(
+        comp.select(col("node").as(idCol), col("component").as("cluster")),
+        Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+  }
+
   /** Embedding near-dedup: `tables` independent random-hyperplane sketch
     * tables (a pair is a candidate when all `planes` sign bits agree in any
     * table), exact cosine verify within buckets, drop larger ids at cosine ≥

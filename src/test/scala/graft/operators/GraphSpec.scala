@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class GraphSpec extends AnyFunSuite with SparkSpec {
+
+  import testImplicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("two components, a triangle and an edge") {
+    val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("long path converges to one component (worst case for label hops)") {
+    val n = 256
+    val got = cc((1 until n).map(i => (i.toLong, (i + 1).toLong)))
+    assert(got.size == n)
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("self-loops, duplicate and reversed edges are harmless") {
+    val got = cc(Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L))
+  }
+
+  test("star and random unions match a driver-side union-find oracle") {
+    // deterministic pseudo-random graph on 200 nodes
+    val edges = (0 until 300).map { i =>
+      val a = (i * 7919L) % 200
+      val b = (i * 104729L + 13) % 200
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    val got = cc(edges)
+
+    val parent = Array.tabulate(200)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val mins = (0 until 200).groupBy(find).map { case (r, ns) => r -> ns.min }
+    val want = (0 until 200)
+      .filter(n => edges.exists(e => e._1 == n || e._2 == n))
+      .map(n => n.toLong -> mins(find(n)).toLong).toMap
+    assert(got == want)
+  }
+
+  test("empty edge frame yields an empty assignment") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.connectedComponents(empty).count() == 0)
+  }
+
+  test("clusters: transitive chain a~b~c lands in ONE cluster") {
+    // b bridges a and c: a~b and b~c verify, a~c alone would not — the
+    // pairwise drop logic can't see this; the component must
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+      // ~ 10 with the head changed
+      (20L, "ALPHA beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+      // ~ 20 with the tail changed (and further from 10)
+      (30L, "ALPHA beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu XI"),
+      (40L, "a completely different unrelated document about catalyst and codegen")).toDF("id", "text")
+    val got = Dedup.clusters(docs, "text", "id", numBands = 32, threshold = 0.55)
+      .select("id", "cluster").as[(Long, Long)].collect().toMap
+    assert(got(10L) == 10L && got(20L) == 10L && got(30L) == 10L)
+    assert(got(40L) == 40L)
+  }
+
+  test("clusters: exact duplicates share their representative's cluster") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight"),
+      (9L, "something else entirely unrelated to the fox sentences")).toDF("id", "text")
+    val got = Dedup.clusters(docs, "text", "id").select("id", "cluster")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
+  test("clusters agrees with minhashLsh: kept set == cluster representatives") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home tonight"),
+      (2L, "a completely different document about spark catalyst expressions and codegen"),
+      (3L, "yet another unrelated text discussing minhash signatures and jaccard similarity"),
+      (4L, "the quick brown fox jumps over the lazy cat and runs far away home tonight"),
+      (5L, "a completely different document about spark catalyst expressions and codegen"),
+      (6L, "yet another unrelated text discussing minhash signatures and jaccard similarity indeed"))
+      .toDF("id", "text")
+    val kept = Dedup.minhashLsh(docs, "text", "id", numBands = 32, threshold = 0.6)
+      .select("id").as[Long].collect().toSet
+    val cl = Dedup.clusters(docs, "text", "id", numBands = 32, threshold = 0.6)
+      .select("id", "cluster").as[(Long, Long)].collect()
+    // a component min never has a verified pair with a smaller id, so every
+    // cluster head survives the pairwise drop (kept can be larger on chains:
+    // a~b, b~c, a‽c keeps c pairwise but clusters it under a)
+    val heads = cl.filter(r => r._1 == r._2).map(_._1).toSet
+    assert(heads.subsetOf(kept))
+    cl.foreach { case (_, c) => assert(heads.contains(c)) }
+  }
+}
