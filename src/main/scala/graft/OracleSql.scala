@@ -428,6 +428,123 @@ object OracleSql {
        |WHERE b.bucket < thr.thr""".stripMargin
   }
 
+  /** (doc_id, n_words, …fracs, repetitive): the Gopher-style repetition
+    * stats of [[graft.operators.TextAnalysis.repetitionStats]] — same word
+    * split, same per-doc list math, same double divisions; thresholds as
+    * exact DOUBLE literals (plain decimals would type as DECIMAL).
+    */
+  def textRepetition(docsrc: String = "documents",
+      maxTop2: Double = 0.20, maxDup2: Double = 0.60): String = {
+    val zero = "CAST('0.0' AS DOUBLE)"
+    def dup(l: String) =
+      s"CASE WHEN len($l) > 0 THEN CAST(len($l) - len(list_distinct($l)) AS DOUBLE) / CAST(len($l) AS DOUBLE) ELSE $zero END"
+    def top(l: String) =
+      s"CASE WHEN len($l) > 0 THEN CAST(list_aggregate(list_transform(list_distinct($l), w -> len(list_filter($l, x -> x = w))), 'max') AS DOUBLE) / CAST(len($l) AS DOUBLE) ELSE $zero END"
+    s"""WITH ws0 AS (SELECT doc_id,
+       |  list_filter(string_split(lower(trim(text)), ' '), s -> s <> '') AS ws FROM $docsrc),
+       |bg AS (SELECT doc_id, ws,
+       |  list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bs FROM ws0),
+       |st AS (SELECT doc_id, len(ws) AS n_words,
+       |  ${dup("ws")} AS dup_word_frac, ${top("ws")} AS top_word_frac,
+       |  ${dup("bs")} AS dup_2gram_frac, ${top("bs")} AS top_2gram_frac
+       |  FROM bg)
+       |SELECT doc_id, n_words, dup_word_frac, top_word_frac, dup_2gram_frac, top_2gram_frac,
+       |  (top_2gram_frac > CAST('$maxTop2' AS DOUBLE)
+       |    OR dup_2gram_frac > CAST('$maxDup2' AS DOUBLE)) AS repetitive
+       |FROM st""".stripMargin
+  }
+
+  /** (doc_id, text_clean, segments_kept, segments_total): boilerplate-line
+    * removal over a planted multi-line fixture (per-source and universal
+    * lines recur ≥ minDocs and vanish; per-doc lines survive) — mirrors
+    * [[graft.operators.TextAnalysis.stripBoilerplate]] including order-
+    * preserving reassembly and the distinct-docs threshold.
+    */
+  def textBoilerplate(docsrc: String = "documents", minDocs: Int = 3): String =
+    s"""WITH f AS (SELECT doc_id,
+       |  'doc ' || doc_id || ' body: ' || substr(text, 1, 48) || chr(10) ||
+       |  'subscribe to ' || source || ' newsletter' || chr(10) ||
+       |  'all rights reserved' || chr(10) ||
+       |  substr(text, 49, 64) AS text FROM $docsrc),
+       |segs AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS seg,
+       |  generate_subscripts(string_split(text, chr(10)), 1) AS pos FROM f),
+       |freq AS (SELECT seg, count(DISTINCT doc_id) AS docs FROM segs GROUP BY seg),
+       |kept AS (SELECT s.doc_id, s.pos, s.seg
+       |  FROM segs s JOIN freq USING (seg) WHERE freq.docs < $minDocs),
+       |o AS (SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS text_clean,
+       |  count(*) AS segments_kept FROM kept GROUP BY doc_id)
+       |SELECT f.doc_id, coalesce(o.text_clean, '') AS text_clean,
+       |  coalesce(o.segments_kept, 0) AS segments_kept,
+       |  len(string_split(f.text, chr(10))) AS segments_total
+       |FROM f LEFT JOIN o USING (doc_id)""".stripMargin
+
+  /** (doc_id, `labelCol`): deterministic stratified sample — mirrors
+    * [[graft.operators.Ops.sampleStratified]]: splitmix64 bucket vs the
+    * per-label floor(f·10000) threshold.
+    */
+  def dataSample(fractions: Seq[(String, Double)], defaultFraction: Double = 0.0,
+      seed: Long = 42L, docsrc: String = "documents", labelCol: String = "lang"): String = {
+    val cases = fractions.map { case (l, f) =>
+      s"WHEN '$l' THEN ${math.floor(f * 10000).toLong}"
+    }.mkString(" ")
+    val dflt = math.floor(defaultFraction * 10000).toLong
+    s"""WITH z AS (SELECT doc_id, $labelCol, ${ub2(s"xor(doc_id, $seed)")} AS z0 FROM $docsrc),
+       |m AS (SELECT doc_id, $labelCol, ${sb2(mix64("z0"))} AS h FROM z)
+       |SELECT doc_id, $labelCol FROM m
+       |WHERE ((h % 10000) + 10000) % 10000 < (CASE $labelCol $cases ELSE $dflt END)""".stripMargin
+  }
+
+  /** One `(col_name, approx_distinct)` row: the relational HyperLogLog of
+    * [[graft.operators.Sketch]] recomputed register-for-register — same
+    * seed-mixed hash (splitmix64 for longs, polynomial fold for strings),
+    * bucket/rho from the same bin-string trick, the register sum in exact
+    * integer space, and the identical double op order for the estimator
+    * (alpha·m² emitted as an exact literal; ln only in the linear-counting
+    * branch, absorbed by the shared round(…, 3)).
+    */
+  def hllCore(src: String, valExpr: String, isString: Boolean, label: String,
+      p: Int = 12, seed: Long = 42L): String = {
+    val m = 1 << p
+    val rhoMax = 64 - p + 1
+    val alphaMM = graft.operators.Sketch.alpha(m) * m.toDouble * m.toDouble
+    val two53 = "CAST('9007199254740992' AS DOUBLE)"
+    val hashCtes =
+      if (isString)
+        s"""h0 AS (SELECT list_reduce(list_prepend(CAST($K31 AS HUGEINT), ${codesOf(valExpr)}),
+           |    (h, c) -> (31*h + c) % $H) AS poly FROM $src WHERE $valExpr IS NOT NULL),
+           |h1 AS (SELECT ${mix64("poly")} AS hr FROM h0),
+           |h2 AS (SELECT ${xor64("hr", seed.toString)} AS z0 FROM h1)""".stripMargin
+      else
+        s"""h2 AS (SELECT ${ub2(s"xor($valExpr, $seed)")} AS z0 FROM $src
+           |  WHERE $valExpr IS NOT NULL)""".stripMargin
+    val mD = s"CAST('${m.toDouble}' AS DOUBLE)"
+    val raw = s"(CAST('$alphaMM' AS DOUBLE) / (CAST(s + ($m - nb) * CAST('9007199254740992' AS HUGEINT) AS DOUBLE) / $two53))"
+    s"""WITH $hashCtes,
+       |h3 AS (SELECT ${mix64("z0")} AS uh FROM h2),
+       |hb AS (SELECT (uh // ${BigInt(1) << (64 - p)}) AS bucket, ((uh * ${1L << p}) % $H) AS w FROM h3),
+       |hr AS (SELECT bucket,
+       |  CASE WHEN w = 0 THEN $rhoMax
+       |       ELSE strpos(lpad(bin(CAST(w AS UBIGINT)), 64, '0'), '1') END AS rho FROM hb),
+       |regs AS (SELECT bucket, max(rho) AS mreg FROM hr GROUP BY bucket),
+       |ag AS (SELECT count(*) AS nb,
+       |  coalesce(sum(CAST((CAST(1 AS BIGINT) << (53 - mreg)) AS HUGEINT)), 0) AS s FROM regs)
+       |SELECT '$label' AS col_name,
+       |  round(CASE WHEN nb = 0 THEN CAST('0.0' AS DOUBLE)
+       |    WHEN $raw <= CAST('${2.5 * m}' AS DOUBLE) AND ($m - nb) > 0
+       |      THEN $mD * ln($mD / CAST($m - nb AS DOUBLE))
+       |    ELSE $raw END, 3) AS approx_distinct
+       |FROM ag""".stripMargin
+  }
+
+  /** The stats_hll oracle: three columns profiled across two tables. */
+  def statsHll(): String =
+    Seq(
+      hllCore("documents", "text", isString = true, label = "text"),
+      hllCore("documents", "source", isString = true, label = "source"),
+      hllCore("lineitem", "l_orderkey", isString = false, label = "l_orderkey"))
+      .map(q => s"SELECT * FROM ($q)")
+      .mkString("", "\nUNION ALL\n", "")
+
   /** (doc_id, split): deterministic hash split — mirrors
     * [[graft.operators.Ops.splitByHash]]'s splitmix64 bucket arithmetic.
     */

@@ -555,6 +555,49 @@ object SparkEntry {
       TextAnalysis.langId(t(s, dir, "documents"))
         .select("doc_id", "lang_pred")),
 
+    // --- Gopher-style repetition stats (per-row array math, codegen'd) -----
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"))
+        .select("doc_id", "n_words", "dup_word_frac", "top_word_frac",
+          "dup_2gram_frac", "top_2gram_frac", "repetitive")),
+
+    // --- boilerplate line removal (corpus-frequency segment dedup) ---------
+    // texts are single-line word soup, so the fixture plants the crawl shape:
+    // a unique body line, a per-source nav line (~25 docs each at sf0.01),
+    // a universal footer, and a mostly-unique tail
+    "text_boilerplate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("doc "), col("doc_id"), lit(" body: "), substring(col("text"), 1, 48)),
+          concat(lit("subscribe to "), col("source"), lit(" newsletter")),
+          lit("all rights reserved"),
+          substring(col("text"), 49, 64)).as("text"))
+      TextAnalysis.stripBoilerplate(docs, minDocs = 3)
+        .select("doc_id", "text_clean", "segments_kept", "segments_total")
+    }),
+
+    // --- deterministic stratified sampling (pure codegen'd filter) ---------
+    "data_stratified" -> ((s, dir) =>
+      Ops.sampleStratified(t(s, dir, "documents"), "lang", "doc_id",
+        Seq("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), defaultFraction = 0.05)
+        .select("doc_id", "lang")),
+
+    // --- top-k per group (WindowGroupLimit prunes before the exchange) -----
+    "data_topk_group" -> ((s, dir) =>
+      Ops.topKPerGroup(t(s, dir, "documents"), Seq("lang"), "n_chars",
+          k = 3, tieCol = "doc_id")
+        .select("lang", "doc_id", "n_chars", "rank_in_group")),
+
+    // --- HyperLogLog distinct sketch (register-exact mirror) ---------------
+    "stats_hll" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val li = t(s, dir, "lineitem")
+      Sketch.hllDistinct(docs, Seq("text", "source"))
+        .unionByName(Sketch.hllDistinct(li, Seq("l_orderkey")))
+        .select(col("column").as("col_name"),
+          round(col("approx_distinct"), 3).as("approx_distinct"))
+    }),
+
     // --- document fingerprinting (rolling hash, exact-mirrored) ------------
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"))
@@ -906,6 +949,16 @@ object SparkEntry {
     // sketch-kernel mirrors (bit-exact 64-bit arithmetic in DuckDB — see OracleSql)
     "text_fingerprint" -> OracleSql.fingerprint(),
     "text_langid" -> OracleSql.langid(),
+    "text_repetition" -> OracleSql.textRepetition(),
+    "text_boilerplate" -> OracleSql.textBoilerplate(),
+    "data_stratified" -> OracleSql.dataSample(
+      Seq("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), defaultFraction = 0.05),
+    "data_topk_group" ->
+      """WITH r AS (SELECT lang, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank_in_group
+        |  FROM documents)
+        |SELECT lang, doc_id, n_chars, rank_in_group FROM r WHERE rank_in_group <= 3""".stripMargin,
+    "stats_hll" -> OracleSql.statsHll(),
     "multimodal_meta" -> OracleSql.multimodalMeta(),
     "multimodal_pixels" -> OracleSql.multimodalPixels(),
     "multimodal_audio" -> OracleSql.multimodalAudio(),

@@ -92,6 +92,22 @@ case class Mix64Hash(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Mix64Hash = copy(l, r)
 }
 
+/** Seed-mixed 64-bit string hash (31-polynomial fold + splitmix64) — the
+  * deterministic, SQL-mirrorable string twin of [[Mix64Hash]] (OracleSql
+  * mirrors it with hashFold/codesOf); feeds the HyperLogLog sketch.
+  */
+case class StringHash64(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(t: Any, s: Any): Any =
+    TextKernel.stringHash64(t.asInstanceOf[UTF8String], s.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s) => s"${TextExpressions.K}.stringHash64($t, $s)")
+  override def prettyName: String = "string_hash64"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StringHash64 =
+    copy(l, r)
+}
+
 /** Column API for the text/vector sketch expressions. */
 object TextFunctions {
   private def e(c: Column) = ColumnBridge.expression(c)
@@ -110,4 +126,6 @@ object TextFunctions {
   def doc_fingerprint(text: Column): Column = c(DocFingerprint(e(text)))
   def mix64_hash(v: Column, seed: Long): Column =
     c(Mix64Hash(e(v.cast("long")), e(lit(seed))))
+  def string_hash64(text: Column, seed: Long): Column =
+    c(StringHash64(e(text), e(lit(seed))))
 }

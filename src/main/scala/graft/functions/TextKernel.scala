@@ -17,6 +17,16 @@ object TextKernel {
     z ^ (z >>> 31)
   }
 
+  /** Seed-mixed 64-bit hash of a whole string: [[hashRange]] over every char,
+    * xor'd with `seed` and re-mixed. Drives the HyperLogLog sketch
+    * ([[graft.operators.Sketch]]); mirrored in SQL by OracleSql's
+    * hashFold/codesOf (BMP code units, like every text mirror here).
+    */
+  def stringHash64(text: UTF8String, seed: Long): Long = {
+    val s = text.toString
+    mix64(hashRange(s, 0, s.length) ^ seed)
+  }
+
   /** 64-bit hash of chars [from, until) of `s` (simple polynomial + mix). */
   private def hashRange(s: String, from: Int, until: Int): Long = {
     var h = 1125899906842597L

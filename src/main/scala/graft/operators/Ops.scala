@@ -105,6 +105,56 @@ object Ops {
     df.where(bucket < thr)
   }
 
+  /** Deterministic stratified sampling: keeps each `labelCol` group at its
+    * `fractions` rate (resolution 1/10000) by splitmix64 bucket thresholds —
+    * same membership machinery as [[splitByHash]], so samples are stable
+    * across runs, partitionings, and engines, and nest monotonically (the
+    * 10% sample contains the 5% sample). Labels without an entry keep
+    * `defaultFraction` (0 = drop). Pure codegen'd filter, no shuffle, no
+    * per-group counting pass.
+    */
+  def sampleStratified(
+      df: DataFrame,
+      labelCol: String,
+      idCol: String,
+      fractions: Seq[(String, Double)],
+      defaultFraction: Double = 0.0,
+      seed: Long = 42L): DataFrame = {
+    require((defaultFraction +: fractions.map(_._2)).forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    import graft.functions.TextFunctions.mix64_hash
+    val bucket = pmod(mix64_hash(col(idCol), seed), lit(10000L))
+    val thr = fractions.foldRight(lit(math.floor(defaultFraction * 10000).toLong): Column) {
+      case ((l, f), rest) =>
+        when(col(labelCol) === lit(l), lit(math.floor(f * 10000).toLong)).otherwise(rest)
+    }
+    df.where(bucket < thr)
+  }
+
+  /** Top-k rows per group, deterministically (`tieCol` breaks order ties).
+    * Expressed as the rank-filter idiom on purpose: Spark rewrites
+    * `row_number ≤ k` into a WindowGroupLimit, which prunes every partition
+    * to its k best rows per group BEFORE the exchange — the shuffle moves
+    * O(k · groups) rows, not the corpus, and no global sort ever happens.
+    * The rank survives as `rank_in_group`.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      k: Int,
+      descending: Boolean = true,
+      tieCol: String): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val ord =
+      if (descending) Seq(col(orderCol).desc, col(tieCol).asc)
+      else Seq(col(orderCol).asc, col(tieCol).asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(ord: _*)
+    df.withColumn("rank_in_group", row_number().over(w))
+      .where(col("rank_in_group") <= k)
+  }
+
   /** Writes a bucketed+sorted table so repeated equi-joins/aggregations on
     * `key` are exchange-free (Spark bucketing: both sides pre-partitioned on
     * disk, the join plan has no shuffle). The 100 TB pattern for fact-to-fact

@@ -123,6 +123,81 @@ object TextAnalysis {
       .withColumn("contaminated", col("contam_hits") >= minHits)
   }
 
+  /** Boilerplate segment removal (the C4/RefinedWeb line-dedup pass): splits
+    * each document on `delimiter`, drops every segment that occurs in at
+    * least `minDocs` DISTINCT documents (nav bars, cookie banners, footers —
+    * corpus-frequent by definition), and reassembles the survivors in their
+    * original order into `into`. A segment repeated inside one document
+    * counts once toward the threshold.
+    *
+    * Scale shape: segments travel as 64-bit hashes into the frequency
+    * groupBy (map-side partial count-distinct), so the exchange moves 8-byte
+    * keys; the verdict joins back hash-partitioned and the rebuild groupBy
+    * is the only pass that shuffles segment text. No doc×doc pair space
+    * anywhere — cost is O(total segments), the same shape at 100 TB.
+    */
+  def stripBoilerplate(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      delimiter: String = "\n",
+      minDocs: Int = 3,
+      into: String = "text_clean"): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would delete every document")
+    val delimRe = java.util.regex.Pattern.quote(delimiter)
+    val segs = df.select(col(idCol),
+      posexplode(split(col(textCol), delimRe)).as(Seq("__pos", "__seg")))
+    val hashed = segs.withColumn("__h", xxhash64(col("__seg")))
+    val freq = hashed.groupBy("__h").agg(count_distinct(col(idCol)).as("__docs"))
+    val kept = hashed.join(freq, Seq("__h")).where(col("__docs") < minDocs)
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(transform(array_sort(collect_list(struct(col("__pos"), col("__seg")))),
+        s => s.getField("__seg")), delimiter).as(into),
+      count(lit(1)).as("segments_kept"))
+    df.join(rebuilt, Seq(idCol), "left")
+      .withColumn(into, coalesce(col(into), lit("")))
+      .withColumn("segments_kept", coalesce(col("segments_kept"), lit(0L)))
+      .withColumn("segments_total",
+        size(split(col(textCol), delimRe)).cast("long"))
+  }
+
+  /** Word-repetition signals (the Gopher repetition filters, Rae et al. 2021
+    * §A1.1, re-expressed over whitespace words): per document,
+    * `dup_word_frac`/`dup_2gram_frac` = fraction of word/bigram occurrences
+    * beyond the first of each distinct value, `top_word_frac`/
+    * `top_2gram_frac` = share of the most frequent word/bigram. `repetitive`
+    * flags documents over either n-gram threshold. Pure per-row array math —
+    * codegen'd, no shuffle, exactly SQL-mirrorable.
+    */
+  def repetitionStats(
+      df: DataFrame,
+      textCol: String = "text",
+      maxTop2GramFrac: Double = 0.20,
+      maxDup2GramFrac: Double = 0.60): DataFrame = {
+    val t = split(trim(lower(col(textCol))), " +")
+    val n = size(t)
+    val bi = zip_with(
+      slice(t, lit(1), greatest(n - 1, lit(0))),
+      slice(t, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    val nb = size(bi)
+    def dupFrac(arr: Column, cnt: Column): Column =
+      when(cnt > 0, (cnt - size(array_distinct(arr))).cast("double") / cnt.cast("double"))
+        .otherwise(lit(0.0))
+    def topFrac(arr: Column, cnt: Column): Column =
+      when(cnt > 0,
+        array_max(transform(array_distinct(arr), w => size(filter(arr, x => x === w))))
+          .cast("double") / cnt.cast("double"))
+        .otherwise(lit(0.0))
+    df.withColumn("n_words", n)
+      .withColumn("dup_word_frac", dupFrac(t, n))
+      .withColumn("top_word_frac", topFrac(t, n))
+      .withColumn("dup_2gram_frac", dupFrac(bi, nb))
+      .withColumn("top_2gram_frac", topFrac(bi, nb))
+      .withColumn("repetitive",
+        col("top_2gram_frac") > maxTop2GramFrac || col("dup_2gram_frac") > maxDup2GramFrac)
+  }
+
   /** Redacts common PII (emails, IPv4, SSN-style ids, phone-style numbers)
     * from `textCol` into `into` — chained codegen'd regexp_replace, the
     * pre-training scrub pass every large text pipeline runs.

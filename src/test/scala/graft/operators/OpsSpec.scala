@@ -67,4 +67,42 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() == 100) // rate 1.0 keeps everything
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("sampleStratified: per-label rates, nesting, shuffle-free") {
+    val df = spark.range(0, 10000)
+      .select(col("id"), (when(col("id") % 3 === 0, "a")
+        .when(col("id") % 3 === 1, "b").otherwise("c")).as("label"))
+    val s1 = Ops.sampleStratified(df, "label", "id", Seq("a" -> 0.5, "b" -> 0.1))
+    val byLabel = s1.groupBy("label").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byLabel("a") - 3334 * 0.5) / (3334 * 0.5) < 0.1)
+    assert(math.abs(byLabel("b") - 3333 * 0.1) / (3333 * 0.1) < 0.2)
+    assert(!byLabel.contains("c")) // defaultFraction 0 drops unlisted labels
+    // monotone nesting: the 10% sample of a label ⊆ its 50% sample
+    val s2 = Ops.sampleStratified(df, "label", "id", Seq("a" -> 0.1))
+      .select("id").as[Long].collect().toSet
+    val s1a = s1.where(col("label") === "a").select("id").as[Long].collect().toSet
+    assert(s2.subsetOf(s1a))
+    // determinism + pure filter (no exchange in the plan)
+    val again = Ops.sampleStratified(df.repartition(7), "label", "id",
+      Seq("a" -> 0.5, "b" -> 0.1)).select("id").as[Long].collect().toSet
+    assert(again == s1.select("id").as[Long].collect().toSet)
+    assert(!Ops.sampleStratified(df, "label", "id", Seq("a" -> 0.5))
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("topKPerGroup: deterministic heads, WindowGroupLimit pushdown in plan") {
+    val df = spark.range(0, 9000).select(col("id"),
+      (col("id") % 9).as("grp"), (col("id") % 97).as("score"))
+    val out = Ops.topKPerGroup(df, Seq("grp"), "score", k = 3, tieCol = "id")
+    val rows = out.select("grp", "score", "rank_in_group", "id")
+      .as[(Long, Long, Int, Long)].collect()
+    assert(rows.length == 27) // 3 per group
+    assert(rows.forall(_._2 >= 90)) // scores 0..96, top-3 per group are ≥ 90
+    // ties broken by id: rank 1 carries the smallest id of the best score
+    val g0 = rows.filter(r => r._1 == 0 && r._3 == 1)
+    assert(g0.length == 1)
+    // the rank filter must be pushed below the exchange as a group limit
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
 }

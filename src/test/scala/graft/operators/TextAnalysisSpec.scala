@@ -108,4 +108,49 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(out(3) == "call <PHONE> now")
     assert(out(4) == "no pii here, just 42 words and 3.14")
   }
+
+  test("stripBoilerplate removes corpus-frequent lines, keeps order") {
+    val df = Seq(
+      (1L, "unique one\ncookie banner\nbody of one\nfooter text"),
+      (2L, "unique two\ncookie banner\nfooter text"),
+      (3L, "cookie banner\nunique three\nfooter text"),
+      (4L, "all original here\nnothing shared")).toDF("doc_id", "text")
+    val out = TextAnalysis.stripBoilerplate(df, minDocs = 3).orderBy("doc_id")
+      .select("text_clean", "segments_kept", "segments_total")
+      .as[(String, Long, Long)].collect()
+    assert(out(0) == (("unique one\nbody of one", 2L, 4L)))
+    assert(out(1) == (("unique two", 1L, 3L)))
+    assert(out(2) == (("unique three", 1L, 3L)))
+    assert(out(3) == (("all original here\nnothing shared", 2L, 2L)))
+  }
+
+  test("stripBoilerplate: within-doc repeats count once; full wipe yields empty") {
+    val df = Seq(
+      (1L, "spam\nspam\nspam"), // one doc repeating a line: NOT corpus-frequent
+      (2L, "gone\nalso gone"),
+      (3L, "gone\nalso gone"),
+      (4L, "gone\nalso gone")).toDF("doc_id", "text")
+    val out = TextAnalysis.stripBoilerplate(df, minDocs = 3).orderBy("doc_id")
+      .select("text_clean", "segments_kept").as[(String, Long)].collect()
+    assert(out(0) == (("spam\nspam\nspam", 3L)))
+    assert(out(1) == (("", 0L)) && out(2) == (("", 0L)) && out(3) == (("", 0L)))
+  }
+
+  test("repetitionStats: fractions and the repetitive flag") {
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now buy now"), // one bigram loop
+      (2L, "every word here is completely distinct truly"),
+      (3L, "a a a a a a a a"),
+      (4L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df).orderBy("doc_id")
+      .select("n_words", "dup_word_frac", "top_word_frac", "dup_2gram_frac",
+        "top_2gram_frac", "repetitive")
+      .as[(Int, Double, Double, Double, Double, Boolean)].collect()
+    // doc1: 10 words {buy,now}×5 → dup 8/10, top 5/10; bigrams 9, "buy now"=5,
+    // "now buy"=4 → dup 7/9, top 5/9 → repetitive
+    assert(out(0) == ((10, 0.8, 0.5, 7.0 / 9.0, 5.0 / 9.0, true)))
+    assert(out(1)._1 == 7 && out(1)._2 == 0.0 && out(1)._6 == false)
+    assert(out(2) == ((8, 7.0 / 8.0, 1.0, 6.0 / 7.0, 1.0, true)))
+    assert(out(3) == ((1, 0.0, 1.0, 0.0, 0.0, false))) // no bigrams → zero fracs
+  }
 }
