@@ -10,6 +10,21 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** (count, two exact sums of independent edge hashes): equal signatures on
+    * two DISTINCT edge sets imply equality up to hash-sum collision — used
+    * as the cheap first stage of the fixpoint test. The sums accumulate in
+    * DECIMAL(38,0): a long sum would overflow (and throw under ANSI mode).
+    */
+  private def signatureOf(e: DataFrame): (Long, (BigDecimal, BigDecimal)) = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val r = e.agg(
+      count(lit(1)),
+      sum(xxhash64(lit(0), col("a"), col("b")).cast(dec)),
+      sum(xxhash64(lit(1), col("a"), col("b")).cast(dec))).head()
+    def d(i: Int): BigDecimal = if (r.isNullAt(i)) BigDecimal(0) else BigDecimal(r.getDecimal(i))
+    (r.getLong(0), (d(1), d(2)))
+  }
+
   /** Connected components of an undirected edge list by alternating
     * large-star / small-star contraction (Kiveris, Lattanzi, Mirrokni,
     * Rastogi, Vassilvitskii — "Connected Components in MapReduce and
@@ -33,17 +48,20 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst",
       maxIter: Int = 50): DataFrame = {
-    val nodes = edges.select(col(srcCol).as("node"))
-      .unionByName(edges.select(col(dstCol).as("node")))
+    // materialize the (possibly expensive — e.g. an LSH candidate pipeline)
+    // edge input ONCE; nodes and the canonical edge set both derive from it
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v")).localCheckpoint(true)
+    val nodes = e0.select(col("u").as("node"))
+      .unionByName(e0.select(col("v").as("node")))
       .distinct()
 
     // canonical (a > b) orientation, self-loops dropped
-    var e = edges
-      .select(greatest(col(srcCol), col(dstCol)).as("a"), least(col(srcCol), col(dstCol)).as("b"))
+    var e = e0
+      .select(greatest(col("u"), col("v")).as("a"), least(col("u"), col("v")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true)
-    var eCount = e.count()
+    var (eCount, eSig) = signatureOf(e)
 
     var converged = eCount == 0L
     var iter = 0
@@ -71,11 +89,15 @@ object Graph {
         .distinct()
         .localCheckpoint(true)
 
-      // fixpoint test on the canonical sets: equal counts + empty difference
-      val nextCount = next.count()
-      converged = nextCount == eCount && next.except(e).isEmpty
+      // fixpoint test: compare cheap multiset signatures (count + two
+      // independent wraparound hash sums — a map-side agg, no shuffle of the
+      // edge set) and confirm a signature hit with one exact set difference;
+      // the anti-join is paid once at the final round, not every round
+      val (nextCount, nextSig) = signatureOf(next)
+      converged = nextCount == eCount && nextSig == eSig && next.except(e).isEmpty
       e = next
       eCount = nextCount
+      eSig = nextSig
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
