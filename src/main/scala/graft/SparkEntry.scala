@@ -132,6 +132,17 @@ object SparkEntry {
       SJoin.sjfull(custPoints(s, dir), nationZones(s, dir), predicate = "within")
         .select("c_custkey", "n_nationkey")),
 
+    // --- nearest-neighbor spatial join (GeoPandas sjoin_nearest shape) -----
+    "sjoin_nearest" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier").withColumn("geometry",
+        st_point(expr("(s_suppkey % 37) * 1.3 - 24 + 0.11"),
+          expr("(s_suppkey % 23) * 1.7 - 19 + 0.07")))
+      SJoin.snearest(custPoints(s, dir), sup, "c_custkey", "s_suppkey",
+          maxDistanceM = 300000.0)
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(col("nearest_dist_m"), 3).as("nearest_dist_m"))
+    }),
+
     // --- erde op/sjoin sagg ------------------------------------------------
     "sjoin_agg" -> ((s, dir) =>
       SJoin.sagg(nationZones(s, dir), custPoints(s, dir),
@@ -725,6 +736,17 @@ object SparkEntry {
       s"""SELECT n_nationkey, count(*) AS n_pts, round(sum(c_acctbal), 2) AS bal_sum
          |FROM customer, nation WHERE $custZoneSql
          |GROUP BY n_nationkey""".stripMargin,
+    "sjoin_nearest" ->
+      s"""WITH lp AS (SELECT c_custkey, (c_custkey % 120) * 0.5 - 30 + 0.25 AS x,
+         |    (c_custkey % 80) * 0.5 - 20 + 0.25 AS y FROM customer),
+         |rp AS (SELECT s_suppkey, (s_suppkey % 37) * 1.3 - 24 + 0.11 AS x,
+         |    (s_suppkey % 23) * 1.7 - 19 + 0.07 AS y FROM supplier),
+         |pairs AS (SELECT l.c_custkey, r.s_suppkey, ${havSql("l.x", "l.y", "r.x", "r.y")} AS d
+         |  FROM lp l, rp r),
+         |best AS (SELECT c_custkey, s_suppkey, d,
+         |  row_number() OVER (PARTITION BY c_custkey ORDER BY d, s_suppkey) AS rn
+         |  FROM pairs WHERE d <= 300000.0)
+         |SELECT c_custkey, s_suppkey, round(d, 3) AS nearest_dist_m FROM best WHERE rn = 1""".stripMargin,
     "sjoin_lookup" ->
       s"""SELECT c.c_custkey, arg_min(n.n_name, n.n_nationkey) AS n_name
          |FROM customer c LEFT JOIN nation n ON ($custZoneSql)

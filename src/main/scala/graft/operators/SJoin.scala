@@ -157,6 +157,74 @@ object SJoin {
       .drop(LB).drop(RB).drop(CELL).drop(SALT)
   }
 
+  /** Nearest-neighbor spatial join for POINT layers (the GeoPandas
+    * `sjoin_nearest` shape; beyond erde's predicate joins): for every left
+    * point, the closest right point by great-circle distance within
+    * `maxDistanceM` metres, ties broken by the smaller `rightId`. `how =
+    * "left"` keeps matchless left rows with nulls. `leftId`/`rightId` must
+    * be unique per row (they key the argmin and the join-back).
+    *
+    * Scale shape: no all-pairs work — each left point explodes onto the grid
+    * cells of its maxDistance search disc (conservative spherical degree
+    * bounds), each right point lands in its single home cell, and the join
+    * runs hash-partitioned on the cell id; every candidate pair meets
+    * exactly once (the right side owns one cell), so the per-left argmin is
+    * a map-side-combined min of a 16-byte struct. `cellDeg` ≤ 0 auto-sizes
+    * cells to the search radius (≈ 3×3 cover per left point). Cells do not
+    * wrap at the antimeridian.
+    */
+  def snearest(
+      left: DataFrame,
+      right: DataFrame,
+      leftId: String,
+      rightId: String,
+      maxDistanceM: Double,
+      leftGeom: String = "geometry",
+      rightGeom: String = "geometry",
+      how: String = "inner",
+      cellDeg: Double = 0.0,
+      rightSuffix: String = "_right"): DataFrame = {
+    require(how == "inner" || how == "left", s"how must be inner|left, got '$how'")
+    require(maxDistanceM > 0, "maxDistanceM must be positive")
+    // conservative degree extents: 1° of latitude is πR/180 ≈ 111 195 m on
+    // the haversine sphere; dividing by 111 000 over-covers slightly
+    val dLat = maxDistanceM / 111000.0
+    val cd = if (cellDeg > 0) cellDeg else math.max(0.05, 2.0 * dLat)
+
+    val clash = left.columns.toSet ++ Set("nearest_dist_m")
+    val renamed = right.columns.foldLeft(right) { (df, c0) =>
+      if (clash(c0)) df.withColumnRenamed(c0, c0 + rightSuffix) else df
+    }
+    val rGeom = if (clash(rightGeom)) rightGeom + rightSuffix else rightGeom
+    val rId = if (clash(rightId)) rightId + rightSuffix else rightId
+
+    val l0 = left.select(col(leftId),
+      st_x(col(leftGeom)).as("__lx"), st_y(col(leftGeom)).as("__ly"))
+    val dLon = lit(maxDistanceM) /
+      (lit(111000.0) * cos(radians(least(lit(89.9), abs(col("__ly")) + lit(dLat)))))
+    val l = l0
+      .withColumn("__ix", explode(sequence(
+        floor((col("__lx") - dLon + lit(180.0)) / lit(cd)),
+        floor((col("__lx") + dLon + lit(180.0)) / lit(cd)))))
+      .withColumn("__iy", explode(sequence(
+        floor((col("__ly") - lit(dLat) + lit(90.0)) / lit(cd)),
+        floor((col("__ly") + lit(dLat) + lit(90.0)) / lit(cd)))))
+      .withColumn(CELL, shiftleft(col("__ix"), 32)
+        .bitwiseOR(col("__iy").bitwiseAND(lit(0xffffffffL))))
+    val r = renamed
+      .select(col(rId), st_x(col(rGeom)).as("__rx"), st_y(col(rGeom)).as("__ry"))
+      .withColumn(CELL, st_cellof(col("__rx"), col("__ry"), lit(cd)))
+
+    val best = l.join(r, CELL)
+      .withColumn("__d", haversineM(col("__lx"), col("__ly"), col("__rx"), col("__ry")))
+      .where(col("__d") <= maxDistanceM)
+      .groupBy(col(leftId))
+      .agg(min(struct(col("__d"), col(rId))).as("__b"))
+      .select(col(leftId), col(s"__b.$rId").as(rId), col("__b.__d").as("nearest_dist_m"))
+
+    left.join(best.join(renamed, Seq(rId)), Seq(leftId), how)
+  }
+
   /** Transposes a predicate when the join sides swap (right joins). */
   private def flip(p: String): String = p match {
     case "within" => "contains"

@@ -101,6 +101,53 @@ class SJoinSpec extends AnyFunSuite with SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("snearest: closest right point in range, deterministic ties, left join") {
+    val lpts = Seq((1, 0.0, 0.0), (2, 5.0, 5.0), (3, 40.0, 40.0)).toDF("lid", "lx", "ly")
+      .select(col("lid"), st_point(col("lx"), col("ly")).as("geometry"))
+    // 10 and 11 are equidistant from left 1 (±0.1° lon at the equator)
+    val rpts = Seq((11, 0.1, 0.0), (10, -0.1, 0.0), (12, 5.05, 5.0)).toDF("rid", "rx", "ry")
+      .select(col("rid"), st_point(col("rx"), col("ry")).as("geometry"))
+    val out = SJoin.snearest(lpts, rpts, "lid", "rid", maxDistanceM = 50000.0)
+      .select("lid", "rid", "nearest_dist_m").as[(Int, Int, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(1, 2)) // left 3 has nothing within 50 km
+    assert(out(1)._1 == 10) // tie broken by smaller rid
+    assert(math.abs(out(1)._2 - 11119.5) < 10) // 0.1° at the equator
+    assert(out(2)._1 == 12)
+    val lj = SJoin.snearest(lpts, rpts, "lid", "rid", maxDistanceM = 50000.0, how = "left")
+    assert(lj.count() == 3)
+    assert(lj.where(col("lid") === 3).select("rid").head().isNullAt(0))
+  }
+
+  test("snearest agrees with brute force on pseudo-random points") {
+    val ls = (0 until 80).map(i => (i, (i * 7919 % 360) / 10.0 - 18.0, (i * 104729 % 140) / 10.0 - 7.0))
+    val rs = (0 until 40).map(j => (j, (j * 6151 % 360) / 10.0 - 18.0, (j * 3571 % 140) / 10.0 - 7.0))
+    val lpts = ls.toDF("lid", "x", "y").select(col("lid"), st_point(col("x"), col("y")).as("geometry"))
+    val rpts = rs.toDF("rid", "x", "y").select(col("rid"), st_point(col("x"), col("y")).as("geometry"))
+    val maxD = 400000.0
+    val got = SJoin.snearest(lpts, rpts, "lid", "rid", maxD)
+      .select("lid", "rid", "nearest_dist_m").as[(Int, Int, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def hav(x1: Double, y1: Double, x2: Double, y2: Double): Double = {
+      val r = 6371008.8
+      val (p1, p2) = (math.toRadians(y1), math.toRadians(y2))
+      val a = math.pow(math.sin((p2 - p1) / 2), 2) +
+        math.cos(p1) * math.cos(p2) * math.pow(math.sin((math.toRadians(x2) - math.toRadians(x1)) / 2), 2)
+      2 * r * math.asin(math.min(1.0, math.sqrt(a)))
+    }
+    val want = ls.flatMap { case (li, lx, ly) =>
+      val cands = rs.map { case (ri, rx, ry) => (ri, hav(lx, ly, rx, ry)) }
+        .filter(_._2 <= maxD)
+      if (cands.isEmpty) None
+      else Some(li -> cands.minBy { case (ri, d) => (d, ri) })
+    }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (li, (ri, d)) =>
+      assert(ri == want(li)._1, s"left $li: got $ri want ${want(li)._1}")
+      assert(math.abs(d - want(li)._2) < 1e-6)
+    }
+  }
+
   test("sagg aggregates right values per left zone") {
     val out = SJoin.sagg(zones, points,
       Seq(count(lit(1)).as("n"), sum("pid").as("pid_sum")), predicate = "contains", how = "left")
