@@ -148,11 +148,45 @@ object GeomKernel {
 
   // ---- predicates ---------------------------------------------------------
 
-  def intersects(a: Array[Byte], b: Array[Byte]): Boolean = Algos.intersects(WKB.read(a), WKB.read(b))
+  /** Direct-mapped, thread-local WKB parse cache for the predicate hot path.
+    * A grid spatial join evaluates its predicate once per candidate pair, and
+    * the build/broadcast side re-sends the same few thousand polygons for
+    * millions of probes — re-parsing that WKB dominates the predicate cost.
+    * Small geometries (plain points, ≤ 25 bytes) parse inline instead of
+    * caching: a probe stream of millions of distinct points would thrash the
+    * slots the polygons need. Entries over 4 KiB also bypass the cache to
+    * bound per-thread retention (512 slots × 4 KiB ≈ 2 MiB).
+    */
+  private final class ParseCache {
+    private val Slots = 512
+    private val keys = new Array[Array[Byte]](Slots)
+    private val geoms = new Array[Geom](Slots)
+    def get(b: Array[Byte]): Geom = {
+      var h = 1
+      var i = 0
+      while (i < b.length) { h = 31 * h + b(i); i += 1 }
+      val slot = h & (Slots - 1)
+      val k = keys(slot)
+      if ((k eq b) || (k != null && java.util.Arrays.equals(k, b))) geoms(slot)
+      else {
+        val g = WKB.read(b)
+        keys(slot) = b
+        geoms(slot) = g
+        g
+      }
+    }
+  }
 
-  def within(a: Array[Byte], b: Array[Byte]): Boolean = Algos.within(WKB.read(a), WKB.read(b))
+  private val parseCache = ThreadLocal.withInitial[ParseCache](() => new ParseCache)
 
-  def contains(a: Array[Byte], b: Array[Byte]): Boolean = Algos.contains(WKB.read(a), WKB.read(b))
+  private def parsed(b: Array[Byte]): Geom =
+    if (b.length <= 25 || b.length > 4096) WKB.read(b) else parseCache.get.get(b)
+
+  def intersects(a: Array[Byte], b: Array[Byte]): Boolean = Algos.intersects(parsed(a), parsed(b))
+
+  def within(a: Array[Byte], b: Array[Byte]): Boolean = Algos.within(parsed(a), parsed(b))
+
+  def contains(a: Array[Byte], b: Array[Byte]): Boolean = Algos.contains(parsed(a), parsed(b))
 
   /** Great-circle length in metres of a LineString's consecutive segments
     * (reference: erde/op/route.py routes a geometry's waypoints; the

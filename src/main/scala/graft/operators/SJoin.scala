@@ -133,8 +133,22 @@ object SJoin {
     val l0 = taggedLeft
       .withColumn(LB, st_bbox(col(leftGeom)))
       .withColumn(CELL, explode(st_cellcover(col(leftGeom), lit(cellDeg))))
+    // Salting promises to SPREAD a hot cell across the cluster — but when the
+    // right side broadcasts there is no shuffle, so parallelism silently
+    // stays at the scan's split count (one task for a single small file; one
+    // hot executor after AQE coalescing on a cluster). The explicit
+    // repartition on (cell, salt) materializes the spread the salt exists
+    // for; the shuffled rows are the narrow pre-join side, so it is cheap
+    // relative to the probe work it parallelizes.
+    // The partition count is pinned (not AQE-advisory): AQE coalesces by
+    // pre-join byte size, but the work here is the post-join probe fan-out,
+    // which AQE cannot see — a 64 MB-advisory coalesce would undo the spread.
     val l = if (!salted) l0
-      else l0.withColumn(SALT, pmod(xxhash64(col(leftGeom)), lit(tuning.saltFactor)).cast("int"))
+      else {
+        val n = taggedLeft.sparkSession.sessionState.conf.numShufflePartitions
+        l0.withColumn(SALT, pmod(xxhash64(col(leftGeom)), lit(tuning.saltFactor)).cast("int"))
+          .repartition(n, col(CELL), col(SALT))
+      }
     val r0 = renamed
       .withColumn(RB, st_bbox(col(rGeom)))
       .withColumn(CELL, explode(st_cellcover(col(rGeom), lit(cellDeg))))
@@ -149,10 +163,30 @@ object SJoin {
       greatest(element_at(col(LB), 2), element_at(col(RB), 2)),
       lit(cellDeg))
 
+    // bbox gate ahead of the full predicate: pure double compares on the
+    // already-computed bounds, so candidate pairs that cannot match skip the
+    // WKB parse entirely. Same epsilon as the kernel (Algos Eps = 1e-12 on
+    // within's bounds check; intersects' bbox test is exact), so the gate
+    // only ever removes pairs the predicate itself would reject.
+    def lb(i: Int) = element_at(col(LB), i)
+    def rb(i: Int) = element_at(col(RB), i)
+    val eps = lit(1e-12)
+    val bboxGate = predicate match {
+      case "within" => // l.bbox ⊆ r.bbox (within eps)
+        lb(1) >= rb(1) - eps && lb(2) >= rb(2) - eps &&
+          lb(3) <= rb(3) + eps && lb(4) <= rb(4) + eps
+      case "contains" => // r.bbox ⊆ l.bbox (within eps)
+        rb(1) >= lb(1) - eps && rb(2) >= lb(2) - eps &&
+          rb(3) <= lb(3) + eps && rb(4) <= lb(4) + eps
+      case _ => // intersects: bboxes overlap
+        lb(1) <= rb(3) && rb(1) <= lb(3) && lb(2) <= rb(4) && rb(2) <= lb(4)
+    }
+
     val keys = l(CELL) === r(CELL) &&
       (if (salted) l(SALT) === r(SALT) else lit(true))
     l.join(r, keys &&
         refCell === l(CELL) &&
+        bboxGate &&
         pred(predicate, col(leftGeom), col(rGeom)))
       .drop(LB).drop(RB).drop(CELL).drop(SALT)
   }
