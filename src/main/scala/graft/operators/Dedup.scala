@@ -74,7 +74,12 @@ object Dedup {
     // shuffle once
     val keyed = sketched.withColumn("__sk", contentKey(col("__sketch")))
     val groups = keyed.groupBy("__sk").agg(min("__id").as("__gid"))
-    val reps = keyed.join(groups.select(col("__gid").as("__id")), Seq("__id"), "left_semi")
+    // one __sk-keyed join feeds BOTH the representative set (rows whose id is
+    // the group min) and the membership map below — the exchange is shared
+    // (ReusedExchange), where a separate id-keyed semi-join for reps would
+    // shuffle the sketches a second time
+    val mem = keyed.join(groups, Seq("__sk"))
+    val reps = mem.where(col("__id") === col("__gid"))
     val buckets = bucketize(reps.select(col("__id"), col("__sketch")))
     val repDrop = probesOf(buckets, maxBucket).as("a")
       .join(buckets.as("b"), col("a.__bucket") === col("b.__bucket"))
@@ -89,7 +94,7 @@ object Dedup {
     val repSelf = reps
       .select(col("__id").as("__gid"), verify(col("__sketch"), col("__sketch")).as("__sv"))
       .where(col("__sv")).select("__gid").withColumn("__selfv", lit(true))
-    keyed.select("__id", "__sk").join(groups, Seq("__sk"))
+    mem.select("__id", "__gid")
       .join(repDrop, Seq("__gid"), "left")
       .join(repSelf, Seq("__gid"), "left")
       .where(col("__repdrop").isNotNull ||
@@ -320,8 +325,9 @@ object Dedup {
       minhash_sig(col(textCol), numHashes, shingle).as("__sketch"))
     val keyed = sketched.withColumn("__sk", contentKey(col("__sketch")))
     val groups = keyed.groupBy("__sk").agg(min("__id").as("__gid"))
-    val members = keyed.select("__id", "__sk").join(groups, Seq("__sk"))
-    val reps = keyed.join(groups.select(col("__gid").as("__id")), Seq("__id"), "left_semi")
+    // shared __sk-keyed join for members and reps (see sketchDrop)
+    val members = keyed.join(groups, Seq("__sk"))
+    val reps = members.where(col("__id") === col("__gid"))
     val buckets = minhashBuckets(numBands, numHashes / numBands)(
       reps.select(col("__id"), col("__sketch")))
     val repPairs = probesOf(buckets, maxBucket).as("a")

@@ -38,7 +38,9 @@ object Graph {
     * hot-spotting one task; edge count never grows beyond the symmetric
     * closure and contracts geometrically (the paper proves O(log n) rounds;
     * LSH-duplicate graphs — dense clusters, tiny diameter — converge in 2-3).
-    * Lineage is cut per round with an eager localCheckpoint, which keeps the
+    * Lineage is cut per round with a lazy localCheckpoint (the fixpoint
+    * signature is the first action over each round's edge set, so one job
+    * both materializes the round and reads its signature), which keeps the
     * plan O(1) per iteration instead of doubling (on a cluster with a
     * checkpoint dir, swap for reliable `checkpoint` to add fault tolerance
     * past executor loss).
@@ -49,8 +51,12 @@ object Graph {
       dstCol: String = "dst",
       maxIter: Int = 50): DataFrame = {
     // materialize the (possibly expensive — e.g. an LSH candidate pipeline)
-    // edge input ONCE; nodes and the canonical edge set both derive from it
-    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v")).localCheckpoint(true)
+    // edge input ONCE; nodes and the canonical edge set both derive from it.
+    // Checkpoints are LAZY: the signature aggregation right below is the
+    // first action over each round's edge set, so it materializes the
+    // checkpoint in the same job — an eager checkpoint would pay a separate
+    // materialization job per round for nothing.
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v")).localCheckpoint(false)
     val nodes = e0.select(col("u").as("node"))
       .unionByName(e0.select(col("v").as("node")))
       .distinct()
@@ -60,16 +66,15 @@ object Graph {
       .select(greatest(col("u"), col("v")).as("a"), least(col("u"), col("v")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var (eCount, eSig) = signatureOf(e)
 
-    var converged = eCount == 0L
-    var iter = 0
-    while (!converged && iter < maxIter) {
+    // one alternation: large-star then small-star contraction
+    def contract(ein: DataFrame): DataFrame = {
       // large-star: every node u links its LARGER neighbors v to
       // m = min(Γ(u) ∪ {u}); m ≤ u < v keeps the (a > b) orientation
-      val sym = e.select(col("a").as("u"), col("b").as("v"))
-        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val sym = ein.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(ein.select(col("b").as("u"), col("a").as("v")))
       val lMin = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       val large = sym.join(lMin, "u")
@@ -80,14 +85,19 @@ object Graph {
       // small-star: every node a links its (all smaller, post-large-star)
       // neighbors b — and itself — to m = min(Γ(a) ∪ {a})
       val sMin = large.groupBy("a").agg(min("b").as("m"))
-      val next = large.join(sMin, "a")
+      large.join(sMin, "a")
         .select(col("b").as("x"), col("m"))
         .where(col("x") =!= col("m"))
         .unionByName(sMin.select(col("a").as("x"), col("m")))
         .select(greatest(col("x"), col("m")).as("a"), least(col("x"), col("m")).as("b"))
         .where(col("a") =!= col("b"))
         .distinct()
-        .localCheckpoint(true)
+    }
+
+    var converged = eCount == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = contract(e).localCheckpoint(false)
 
       // fixpoint test: compare cheap multiset signatures (count + two
       // independent wraparound hash sums — a map-side agg, no shuffle of the
@@ -95,6 +105,11 @@ object Graph {
       // the anti-join is paid once at the final round, not every round
       val (nextCount, nextSig) = signatureOf(next)
       converged = nextCount == eCount && nextSig == eSig && next.except(e).isEmpty
+      // the prior round's checkpoint is dead once `next` is materialized and
+      // the fixpoint test above has read it — drop its cached blocks so a
+      // long-lived session doesn't accumulate one edge-set copy per round
+      // (safe: nothing downstream references it; e0 and the final round stay)
+      e.unpersist()
       e = next
       eCount = nextCount
       eSig = nextSig
