@@ -299,6 +299,23 @@ object SparkEntry {
           round(st_y(col("geometry")), 6).as("py"))
     }),
 
+    // --- postgres driver end-to-end: wire-protocol write + partitioned read
+    // against the in-process PgMiniServer (loopback; hermetic) --------------
+    "pg_roundtrip" -> ((s, dir) => {
+      val server = new graft.sources.PgMiniServer()
+      try {
+        val pts = custPoints(s, dir).select(col("c_custkey"), col("c_acctbal"), col("geometry"))
+        val url = s"postgresql://graft@127.0.0.1:${server.port}/graftdb/customer_pts@geometry"
+        graft.sources.GeoSources.writeAuto(pts, url)
+        graft.sources.Postgres.read(s, url,
+            partitionColumn = Some("c_custkey"), numPartitions = 4)
+          .select(col("c_custkey"), col("c_acctbal"),
+            round(st_x(col("geometry")), 6).as("px"),
+            round(st_y(col("geometry")), 6).as("py"))
+          .localCheckpoint(true) // materialize before the server dies
+      } finally server.close()
+    }),
+
     // --- osm.pbf driver end-to-end: write + read + tag filter --------------
     "osm_pbf_roundtrip" -> ((s, dir) => {
       val elements = t(s, dir, "part").select(
@@ -819,6 +836,11 @@ object SparkEntry {
         |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py
         |FROM customer""".stripMargin,
     "gpkg_roundtrip" ->
+      """SELECT c_custkey, c_acctbal,
+        |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,
+        |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py
+        |FROM customer""".stripMargin,
+    "pg_roundtrip" ->
       """SELECT c_custkey, c_acctbal,
         |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,
         |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py

@@ -186,7 +186,8 @@ object GeoSources {
       filterWkt: Option[String] = None): DataFrame = {
     val p = path.toLowerCase
     val df =
-      if (p.endsWith(".osm.pbf")) OsmPbf.read(spark, path)
+      if (p.startsWith("postgresql://")) Postgres.read(spark, path)
+      else if (p.endsWith(".osm.pbf")) OsmPbf.read(spark, path)
       else if (p.endsWith(".csv")) GeoCSV.read(spark, path, filterWkt = filterWkt)
       else if (p.endsWith(".geojsonl") || p.endsWith(".geojsonseq") || p.endsWith(".ndjson"))
         GeoJSONSeq.read(spark, path, filterWkt = filterWkt)
@@ -203,7 +204,8 @@ object GeoSources {
     filterWkt match {
       case Some(w) if df.columns.contains("geometry") &&
           (p.endsWith(".shp") || p.endsWith(".gpkg") ||
-            p.endsWith(".xlsx") || p.endsWith(".ods")) =>
+            p.endsWith(".xlsx") || p.endsWith(".ods") ||
+            p.startsWith("postgresql://")) =>
         applyFilter(df, "geometry", Some(w))
       case _ => df
     }
@@ -218,7 +220,8 @@ object GeoSources {
   /** Extension-dispatched write (reference: erde/__init__.py:65). */
   def writeAuto(df: DataFrame, path: String): Unit = {
     val p = path.toLowerCase
-    if (p.endsWith(".osm.pbf")) OsmPbf.write(df, path)
+    if (p.startsWith("postgresql://")) Postgres.write(df, path)
+    else if (p.endsWith(".osm.pbf")) OsmPbf.write(df, path)
     else if (p.endsWith(".csv")) GeoCSV.write(df, path)
     else if (p.endsWith(".geojsonl") || p.endsWith(".geojsonseq") || p.endsWith(".ndjson"))
       GeoJSONSeq.write(df, path)
