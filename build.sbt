@@ -30,4 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // batch-throughput GC: the bench JVM runs 32 concurrent tasks in one
+  // heap; ParallelGC trades pause latency (irrelevant here) for
+  // throughput and avoids G1's concurrent-mark CPU tax
+  "-XX:+UseParallelGC",
 )

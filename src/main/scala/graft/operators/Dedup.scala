@@ -145,11 +145,35 @@ object Dedup {
       threshold: Double = 0.8,
       maxBucket: Int = 0): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
-    val sketched = df.select(col(idCol).as("__id"),
-      minhash_sig(col(textCol), numHashes, shingle).as("__sketch"))
-    val drop = sketchDrop(sketched, minhashBuckets(numBands, numHashes / numBands),
-      (a, b) => minhashSimilarity(a, b) >= threshold, maxBucket)
-    df.join(drop.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
+    require(threshold <= 1.0, "threshold > 1 would break the identical-text collapse")
+    // exact duplicates collapse BEFORE sketching, keyed on a 128-bit text
+    // hash with a map-side min_by: a boilerplate flood contracts inside each
+    // input partition (the shuffle moves one candidate text per distinct
+    // text per partition, never the flood), and the minhash sketch — the
+    // expensive per-char × numHashes kernel — runs once per distinct text.
+    // Semantics-preserving: identical texts have identical sketches, hence
+    // identical buckets and self-similarity 1 ≥ threshold, so non-rep
+    // members drop exactly as the pairwise run would drop them.
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .withColumn("__tk", contentKey(col("__t")))
+    val groups = base.groupBy("__tk")
+      .agg(min("__id").as("__gid"), min_by(col("__t"), col("__id")).as("__rt"))
+    val sketched = groups.select(col("__gid").as("__id"),
+      minhash_sig(col("__rt"), numHashes, shingle).as("__sketch"))
+    val buckets = minhashBuckets(numBands, numHashes / numBands)(sketched)
+    val repDrop = probesOf(buckets, maxBucket).as("a")
+      .join(buckets.as("b"), col("a.__bucket") === col("b.__bucket"))
+      .where(col("a.__id") < col("b.__id") &&
+        minhashSimilarity(col("a.__sketch"), col("b.__sketch")) >= threshold)
+      .select(col("b.__id").as("__gid"))
+      .distinct()
+      .withColumn("__repdrop", lit(true))
+    val drop = base.select("__id", "__tk")
+      .join(groups.select("__tk", "__gid"), Seq("__tk"))
+      .join(repDrop, Seq("__gid"), "left")
+      .where(col("__repdrop").isNotNull || col("__id") =!= col("__gid"))
+      .select(col("__id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
   }
 
   /** SimHash near-dedup: 64-bit token sketch; candidates collide on any of
@@ -320,16 +344,20 @@ object Dedup {
       threshold: Double = 0.8,
       maxBucket: Int = 0): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
-    require(threshold <= 1.0, "threshold > 1 would break the identical-sketch collapse")
-    val sketched = df.select(col(idCol).as("__id"),
-      minhash_sig(col(textCol), numHashes, shingle).as("__sketch"))
-    val keyed = sketched.withColumn("__sk", contentKey(col("__sketch")))
-    val groups = keyed.groupBy("__sk").agg(min("__id").as("__gid"))
-    // shared __sk-keyed join for members and reps (see sketchDrop)
-    val members = keyed.join(groups, Seq("__sk"))
-    val reps = members.where(col("__id") === col("__gid"))
+    require(threshold <= 1.0, "threshold > 1 would break the identical-text collapse")
+    // exact duplicates collapse BEFORE sketching (see minhashLsh): the
+    // flood contracts map-side and the sketch kernel runs once per distinct
+    // text; identical texts share every bucket, so rep-to-rep banding plus
+    // the explicit member edges reproduce the full pairwise edge set's
+    // components exactly.
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .withColumn("__tk", contentKey(col("__t")))
+    val groups = base.groupBy("__tk")
+      .agg(min("__id").as("__gid"), min_by(col("__t"), col("__id")).as("__rt"))
+    val members = base.select("__id", "__tk").join(groups.select("__tk", "__gid"), Seq("__tk"))
     val buckets = minhashBuckets(numBands, numHashes / numBands)(
-      reps.select(col("__id"), col("__sketch")))
+      groups.select(col("__gid").as("__id"),
+        minhash_sig(col("__rt"), numHashes, shingle).as("__sketch")))
     val repPairs = probesOf(buckets, maxBucket).as("a")
       .join(buckets.as("b"), col("a.__bucket") === col("b.__bucket"))
       .where(col("a.__id") < col("b.__id") &&
