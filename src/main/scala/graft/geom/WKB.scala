@@ -71,7 +71,14 @@ object WKB {
   private def readGeom(buf: ByteBuffer): Geom = {
     val bom = buf.get()
     buf.order(if (bom == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
-    val rawType = buf.getInt()
+    val rawType0 = buf.getInt()
+    // PostGIS EWKB: flag bits on the type word; 0x20000000 means a 4-byte
+    // SRID follows (st_setsrid stamps it, so any PostGIS read-back has it).
+    // Z/M EWKB flags (0x80000000/0x40000000) change the coordinate stride
+    // and stay unsupported, like the ISO +1000/+2000 offsets' payloads.
+    val rawType =
+      if ((rawType0 & 0x20000000) != 0) { buf.getInt(); rawType0 & ~0x20000000 }
+      else rawType0
     val t = rawType % 1000 // tolerate EWKB-ish type offsets without Z/M data
     t match {
       case PointT => Point(buf.getDouble(), buf.getDouble())

@@ -135,6 +135,48 @@ object Dedup {
     * floods of near-identical-but-distinct documents; exact duplicates are
     * already collapsed and never blow up regardless).
     */
+  /** Shared front half of the text-keyed MinHash family: exact duplicates
+    * collapse BEFORE sketching, keyed on a 128-bit text hash with a map-side
+    * min_by — a boilerplate flood contracts inside each input partition (the
+    * shuffle moves one candidate text per distinct text per partition, never
+    * the flood), and the minhash sketch — the expensive per-char × numHashes
+    * kernel — runs once per distinct text. Semantics-preserving: identical
+    * texts have identical sketches, hence identical buckets and
+    * self-similarity 1 ≥ threshold (threshold ≤ 1 is required by callers).
+    * NULL texts keep pairwise semantics: their sketch is null, null
+    * similarity never passes a threshold, so they neither pair nor
+    * self-verify — `groups.__rt IS NULL` marks that group.
+    *
+    * Returns (base = (__id, __tk), groups = (__tk, __gid, __rt),
+    * verifiedPairs = (__src, __dst) with __src < __dst).
+    */
+  private def textCollapsedPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int,
+      numBands: Int,
+      shingle: Int,
+      threshold: Double,
+      maxBucket: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    require(threshold <= 1.0, "threshold > 1 would break the identical-text collapse")
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .withColumn("__tk", contentKey(col("__t")))
+    val groups = base.groupBy("__tk")
+      .agg(min("__id").as("__gid"), min_by(col("__t"), col("__id")).as("__rt"))
+    val buckets = minhashBuckets(numBands, numHashes / numBands)(
+      groups.select(col("__gid").as("__id"),
+        minhash_sig(col("__rt"), numHashes, shingle).as("__sketch")))
+    val pairs = probesOf(buckets, maxBucket).as("a")
+      .join(buckets.as("b"), col("a.__bucket") === col("b.__bucket"))
+      .where(col("a.__id") < col("b.__id") &&
+        minhashSimilarity(col("a.__sketch"), col("b.__sketch")) >= threshold)
+      .select(col("a.__id").as("__src"), col("b.__id").as("__dst"))
+      .distinct()
+    (base.select("__id", "__tk"), groups, pairs)
+  }
+
   def minhashLsh(
       df: DataFrame,
       textCol: String,
@@ -144,34 +186,20 @@ object Dedup {
       shingle: Int = 5,
       threshold: Double = 0.8,
       maxBucket: Int = 0): DataFrame = {
-    require(numHashes % numBands == 0, "numBands must divide numHashes")
-    require(threshold <= 1.0, "threshold > 1 would break the identical-text collapse")
-    // exact duplicates collapse BEFORE sketching, keyed on a 128-bit text
-    // hash with a map-side min_by: a boilerplate flood contracts inside each
-    // input partition (the shuffle moves one candidate text per distinct
-    // text per partition, never the flood), and the minhash sketch — the
-    // expensive per-char × numHashes kernel — runs once per distinct text.
-    // Semantics-preserving: identical texts have identical sketches, hence
-    // identical buckets and self-similarity 1 ≥ threshold, so non-rep
-    // members drop exactly as the pairwise run would drop them.
-    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
-      .withColumn("__tk", contentKey(col("__t")))
-    val groups = base.groupBy("__tk")
-      .agg(min("__id").as("__gid"), min_by(col("__t"), col("__id")).as("__rt"))
-    val sketched = groups.select(col("__gid").as("__id"),
-      minhash_sig(col("__rt"), numHashes, shingle).as("__sketch"))
-    val buckets = minhashBuckets(numBands, numHashes / numBands)(sketched)
-    val repDrop = probesOf(buckets, maxBucket).as("a")
-      .join(buckets.as("b"), col("a.__bucket") === col("b.__bucket"))
-      .where(col("a.__id") < col("b.__id") &&
-        minhashSimilarity(col("a.__sketch"), col("b.__sketch")) >= threshold)
-      .select(col("b.__id").as("__gid"))
+    val (base, groups, pairs) = textCollapsedPairs(
+      df, textCol, idCol, numHashes, numBands, shingle, threshold, maxBucket)
+    val repDrop = pairs.select(col("__dst").as("__gid"))
       .distinct()
       .withColumn("__repdrop", lit(true))
-    val drop = base.select("__id", "__tk")
-      .join(groups.select("__tk", "__gid"), Seq("__tk"))
+    // non-rep members drop only when their group self-verifies — for minhash
+    // that is "the text is not NULL" (identical non-null texts always have
+    // self-similarity 1; a NULL sketch verifies nothing), matching the
+    // pairwise run, which keeps every NULL-text row
+    val drop = base
+      .join(groups.select(col("__tk"), col("__gid"), col("__rt").isNotNull.as("__selfv")),
+        Seq("__tk"))
       .join(repDrop, Seq("__gid"), "left")
-      .where(col("__repdrop").isNotNull || col("__id") =!= col("__gid"))
+      .where(col("__repdrop").isNotNull || (col("__id") =!= col("__gid") && col("__selfv")))
       .select(col("__id").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")
   }
@@ -343,28 +371,17 @@ object Dedup {
       shingle: Int = 5,
       threshold: Double = 0.8,
       maxBucket: Int = 0): DataFrame = {
-    require(numHashes % numBands == 0, "numBands must divide numHashes")
-    require(threshold <= 1.0, "threshold > 1 would break the identical-text collapse")
-    // exact duplicates collapse BEFORE sketching (see minhashLsh): the
-    // flood contracts map-side and the sketch kernel runs once per distinct
-    // text; identical texts share every bucket, so rep-to-rep banding plus
-    // the explicit member edges reproduce the full pairwise edge set's
-    // components exactly.
-    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
-      .withColumn("__tk", contentKey(col("__t")))
-    val groups = base.groupBy("__tk")
-      .agg(min("__id").as("__gid"), min_by(col("__t"), col("__id")).as("__rt"))
-    val members = base.select("__id", "__tk").join(groups.select("__tk", "__gid"), Seq("__tk"))
-    val buckets = minhashBuckets(numBands, numHashes / numBands)(
-      groups.select(col("__gid").as("__id"),
-        minhash_sig(col("__rt"), numHashes, shingle).as("__sketch")))
-    val repPairs = probesOf(buckets, maxBucket).as("a")
-      .join(buckets.as("b"), col("a.__bucket") === col("b.__bucket"))
-      .where(col("a.__id") < col("b.__id") &&
-        minhashSimilarity(col("a.__sketch"), col("b.__sketch")) >= threshold)
-      .select(col("a.__id").as("src"), col("b.__id").as("dst"))
-      .distinct()
-    val memberEdges = members.where(col("__id") =!= col("__gid"))
+    // shared text-keyed collapse + banding (see textCollapsedPairs): the
+    // rep-to-rep verified pairs plus one explicit member→rep edge per
+    // duplicate reproduce the full pairwise edge set's components exactly.
+    // Member edges exist only where the group self-verifies (non-NULL text):
+    // pairwise, NULL texts verify nothing, so each stays its own cluster.
+    val (base, groups, pairs) = textCollapsedPairs(
+      df, textCol, idCol, numHashes, numBands, shingle, threshold, maxBucket)
+    val repPairs = pairs.select(col("__src").as("src"), col("__dst").as("dst"))
+    val memberEdges = base
+      .join(groups.select("__tk", "__gid", "__rt"), Seq("__tk"))
+      .where(col("__id") =!= col("__gid") && col("__rt").isNotNull)
       .select(col("__id").as("src"), col("__gid").as("dst"))
     val comp = Graph.connectedComponents(repPairs.unionByName(memberEdges), "src", "dst")
     df.join(

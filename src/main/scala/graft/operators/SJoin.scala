@@ -234,8 +234,10 @@ object SJoin {
 
     val l0 = left.select(col(leftId),
       st_x(col(leftGeom)).as("__lx"), st_y(col(leftGeom)).as("__ly"))
-    val dLon = lit(maxDistanceM) /
-      (lit(111000.0) * cos(radians(least(lit(89.9), abs(col("__ly")) + lit(dLat)))))
+    // clamp to a hemisphere: near the poles 1/cos(lat) explodes past any
+    // real longitude span and would generate junk cells no right point owns
+    val dLon = least(lit(180.0), lit(maxDistanceM) /
+      (lit(111000.0) * cos(radians(least(lit(89.9), abs(col("__ly")) + lit(dLat))))))
     val l = l0
       .withColumn("__ix", explode(sequence(
         floor((col("__lx") - dLon + lit(180.0)) / lit(cd)),

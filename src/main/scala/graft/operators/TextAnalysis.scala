@@ -174,7 +174,10 @@ object TextAnalysis {
       textCol: String = "text",
       maxTop2GramFrac: Double = 0.20,
       maxDup2GramFrac: Double = 0.60): DataFrame = {
-    val t = split(trim(lower(col(textCol))), " +")
+    // drop empty tokens: split("") yields [""], which would count one ghost
+    // word (n_words 1, top_word_frac 1.0) for empty/whitespace-only docs —
+    // the SQL mirror's list_filter(s -> s <> '') semantics
+    val t = filter(split(trim(lower(col(textCol))), " +"), x => x =!= "")
     val n = size(t)
     val bi = zip_with(
       slice(t, lit(1), greatest(n - 1, lit(0))),

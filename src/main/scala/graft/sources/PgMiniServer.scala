@@ -195,9 +195,12 @@ final class PgMiniServer(auth: String = "trust", user: String = "graft",
   private val SelectLimit0Re = "(?is)^SELECT \\* FROM\\s+(\\S+)\\s+LIMIT 0$".r
   private val SelectAllRe = "(?is)^SELECT \\* FROM\\s+(\\S+)$".r
   private val SelectWhereRe =
-    "(?is)^SELECT \\* FROM\\s+(\\S+)\\s+WHERE\\s+(\\S+)\\s*>=\\s*(\\S+)\\s+AND\\s+\\S+\\s*(<|<=)\\s*(\\S+)$".r
+    ("(?is)^SELECT \\* FROM\\s+(\\S+)\\s+WHERE\\s+\\(?(\\S+)\\s*>=\\s*([^\\s)]+)\\s+AND\\s+" +
+      "\\S+\\s*(<|<=)\\s*([^\\s)]+)\\)?(\\s+OR\\s+\\S+\\s+IS\\s+NULL)?$").r
   private val MinMaxRe = "(?is)^SELECT min\\((\\S+)\\), max\\(\\S+\\) FROM\\s+(\\S+)$".r
   private val AlterRe = "(?is)^ALTER TABLE\\s+.*$".r
+  private val SetSridRe =
+    "(?is)^UPDATE\\s+(\\S+)\\s+SET\\s+(\\S+?)\\s*=\\s*st_setsrid\\(\\s*\\S+?\\s*,\\s*(\\d+)\\s*\\)$".r
   private val UpdateRe = "(?is)^UPDATE\\s+.*$".r
 
   private def execute(sql: String)
@@ -241,14 +244,16 @@ final class PgMiniServer(auth: String = "trust", user: String = "graft",
             if (vals.isEmpty) (null, null)
             else (vals.min.bigDecimal.toPlainString, vals.max.bigDecimal.toPlainString)
           Right((Vector("min", "max"), Vector(1700, 1700), Vector(Array(mn, mx))))
-        case SelectWhereRe(name, colName, lo, op, hi) =>
+        case SelectWhereRe(name, colName, lo, op, hi, orNull) =>
           val t = tables(unquoteIdent(name))
           val i = t.cols.indexOf(unquoteIdent(colName))
           require(i >= 0, s"no column $colName")
           val a = BigDecimal(lo)
           val b = BigDecimal(hi)
+          val keepNulls = orNull != null
           val keep = t.rows.filter { r =>
-            r(i) != null && {
+            if (r(i) == null) keepNulls
+            else {
               val v = BigDecimal(r(i))
               v >= a && (if (op == "<") v < b else v <= b)
             }
@@ -258,6 +263,19 @@ final class PgMiniServer(auth: String = "trust", user: String = "graft",
           val t = tables(unquoteIdent(name))
           Right((t.cols, t.types, t.rows.toVector))
         case AlterRe() => Left("ALTER TABLE")
+        case SetSridRe(name, colName, srid) =>
+          // PostGIS semantics, for real: stamp the EWKB SRID flag + value
+          // into the stored hex, so read-back exercises the client's EWKB
+          // path instead of silently returning the plain WKB it wrote
+          val t = tables(unquoteIdent(name))
+          val i = t.cols.indexOf(unquoteIdent(colName))
+          require(i >= 0, s"no column $colName")
+          val sridInt = srid.toInt
+          var n = 0
+          t.rows.foreach { r =>
+            if (r(i) != null) { r(i) = stampSrid(r(i), sridInt); n += 1 }
+          }
+          Left(s"UPDATE $n")
         case UpdateRe() =>
           val n = tables.values.map(_.rows.size).sum
           Left(s"UPDATE $n")
@@ -320,6 +338,29 @@ final class PgMiniServer(auth: String = "trust", user: String = "graft",
       }
     }
     tuples.result()
+  }
+
+  /** Rewrites hex WKB to hex EWKB: sets the 0x20000000 flag on the type word
+    * and inserts the 4-byte SRID after it (endianness per the header byte).
+    * Already-stamped values just update the SRID.
+    */
+  private def stampSrid(hex: String, srid: Int): String = {
+    val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    if (bytes.length < 5) return hex
+    val le = bytes(0) == 1
+    val order = if (le) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN
+    val buf = java.nio.ByteBuffer.wrap(bytes, 1, 4).order(order)
+    val rawType = buf.getInt
+    val had = (rawType & 0x20000000) != 0
+    val out = java.nio.ByteBuffer
+      .allocate(if (had) bytes.length else bytes.length + 4)
+      .order(order)
+    out.put(bytes(0))
+    out.putInt(rawType | 0x20000000)
+    out.putInt(srid)
+    val tail = if (had) 9 else 5
+    out.put(bytes, tail, bytes.length - tail)
+    out.array().map(b => f"${b & 0xff}%02x").mkString
   }
 
   private def parseLiteral(raw: String): String = {

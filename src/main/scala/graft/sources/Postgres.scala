@@ -119,7 +119,10 @@ object Postgres {
     */
   final class PgConnection(host: String, port: Int, db: String, user: String,
       password: Option[String]) extends AutoCloseable {
-    private val socket = new Socket(host, port)
+    private val socket = new Socket()
+    // bounded connect so an unreachable host fails the task promptly instead
+    // of hanging it; reads stay unbounded (long-running queries are legal)
+    socket.connect(new java.net.InetSocketAddress(host, port), 15000)
     socket.setTcpNoDelay(true)
     private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream, 1 << 16))
     private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream, 1 << 16))
@@ -292,8 +295,24 @@ object Postgres {
       case _: DecimalType => new java.math.BigDecimal(v)
       case BinaryType => hexToBytes(if (v.startsWith("\\x")) v.substring(2) else v)
       case DateType => java.sql.Date.valueOf(v)
-      case TimestampType => java.sql.Timestamp.valueOf(v)
+      case TimestampType => parseTimestamp(v)
       case _ => v
+    }
+
+  /** `timestamp` text is `yyyy-MM-dd HH:mm:ss[.f…]`; `timestamptz` appends a
+    * `+HH[:mm]` / `-HH[:mm]` offset that java.sql.Timestamp.valueOf rejects.
+    */
+  private val TzSuffix = "([+-]\\d{2}(?::?\\d{2})?)$".r
+  private def parseTimestamp(v: String): java.sql.Timestamp =
+    TzSuffix.findFirstMatchIn(v) match {
+      case None => java.sql.Timestamp.valueOf(v)
+      case Some(m) =>
+        val local = v.substring(0, m.start).trim
+        val off0 = m.group(1).replace(":", "")
+        val off = if (off0.length == 3) off0 + "00" else off0 // +HH → +HHmm
+        val zone = java.time.ZoneOffset.of(off)
+        val ldt = java.time.LocalDateTime.parse(local.replace(' ', 'T'))
+        java.sql.Timestamp.from(ldt.toInstant(zone))
     }
 
   private def hexToBytes(hex: String): Array[Byte] = {
@@ -326,6 +345,9 @@ object Postgres {
     * their own connection; otherwise one task streams the whole result.
     * Geometry columns named in the url (`@geom1,geom2`) arrive as hex WKB
     * text (the reference's convention) and are decoded to WKB BinaryType.
+    * Each task holds its own range's rows (the simple-query subprotocol
+    * delivers the full result set) — size `numPartitions` so a range fits an
+    * executor, the same contract as Spark's JDBC source.
     */
   def read(spark: SparkSession, url: String,
       partitionColumn: Option[String] = None,
@@ -356,8 +378,13 @@ object Postgres {
           (0 until numPartitions).map { i =>
             val a = lo + span * i
             val b = lo + span * (i + 1)
-            if (i == numPartitions - 1) s" WHERE $q >= $a AND $q <= $hi"
-            else s" WHERE $q >= $a AND $q < $b"
+            val range =
+              if (i == numPartitions - 1) s"$q >= $a AND $q <= $hi"
+              else s"$q >= $a AND $q < $b"
+            // rows with a NULL partition column satisfy no range — the first
+            // partition carries them (Spark's JDBC source does the same)
+            if (i == 0) s" WHERE ($range) OR $q IS NULL"
+            else s" WHERE $range"
           }
         }
     }
@@ -407,6 +434,9 @@ object Postgres {
     case d: java.sql.Timestamp => quoteLit(d.toString)
     case d: java.sql.Date => quoteLit(d.toString)
     case s: String => quoteLit(s)
+    // NaN/Infinity are only valid float inputs as quoted strings in SQL
+    case d: java.lang.Double if d.isNaN || d.isInfinite => quoteLit(d.toString)
+    case f: java.lang.Float if f.isNaN || f.isInfinite => quoteLit(f.toString)
     case n => n.toString
   }
 
@@ -461,13 +491,17 @@ object Postgres {
       }
     }
 
-    // geometry epilogue (reference lines 57-66, verbatim statement shapes)
-    (geomCols.headOption, srid) match {
-      case (Some(g), Some(s)) => withConnection(u) { conn =>
-        conn.query(s"ALTER TABLE $qTable ALTER COLUMN ${quoteIdent(g)} TYPE Geometry")
-        conn.query(s"UPDATE $qTable SET ${quoteIdent(g)}=st_setsrid(${quoteIdent(g)}, $s)")
+    // geometry epilogue (reference lines 57-66, verbatim statement shapes).
+    // The reference only ever handles its single `geometry` column; with an
+    // explicit @geom1,geom2 url every listed column gets the conversion (the
+    // srid is inferred once, from the first column's extent).
+    srid.foreach { s =>
+      withConnection(u) { conn =>
+        geomCols.foreach { g =>
+          conn.query(s"ALTER TABLE $qTable ALTER COLUMN ${quoteIdent(g)} TYPE Geometry")
+          conn.query(s"UPDATE $qTable SET ${quoteIdent(g)}=st_setsrid(${quoteIdent(g)}, $s)")
+        }
       }
-      case _ => ()
     }
   }
 

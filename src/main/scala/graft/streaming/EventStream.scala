@@ -130,11 +130,13 @@ object EventStream {
       val st = state.getOption.getOrElse(BucketSigs(Nil, 0L))
       var sigs = st.sigs
       var maxTs = st.maxTs
+      var warned = false // once per bucket per micro-batch, not per row —
+      // the flood that trips the cap would otherwise BE the log flood
       val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).map { r =>
         val hit = sigs.exists(s => estSim(s, r.sig) >= threshold)
         if (!sigs.exists(_.sameElements(r.sig))) {
           if (sigs.length < maxSigs) sigs ::= r.sig
-          else warnSigCap("minhashDedupStream", bucket, maxSigs)
+          else if (!warned) { warnSigCap("minhashDedupStream", bucket, maxSigs); warned = true }
         }
         maxTs = math.max(maxTs, r.ts.getTime)
         BandHit(r.doc_id, r.ts, hit, if (r.band == 0) r.text else null)
@@ -185,13 +187,14 @@ object EventStream {
       var list = if (sigs.exists()) sigs.get().toList else Nil
       var changed = false
       var maxTs = 0L
+      var warned = false // once per bucket per micro-batch (see update above)
       val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).map { r =>
         val hit = list.exists(s => estSim(s, r.sig) >= threshold)
         if (!list.exists(_.sameElements(r.sig))) {
           if (list.length < maxSigs) {
             list ::= r.sig
             changed = true
-          } else warnSigCap("minhashDedupStreamTws", bucket, maxSigs)
+          } else if (!warned) { warnSigCap("minhashDedupStreamTws", bucket, maxSigs); warned = true }
         }
         maxTs = math.max(maxTs, r.ts.getTime)
         BandHit(r.doc_id, r.ts, hit, if (r.band == 0) r.text else null)

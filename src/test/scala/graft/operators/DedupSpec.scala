@@ -29,6 +29,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!kept.contains(4L) && !kept.contains(5L) && !kept.contains(6L))
   }
 
+  test("minhashLsh and clusters keep pairwise semantics for NULL texts") {
+    // pairwise, a NULL sketch verifies against nothing: every NULL-text row
+    // survives dedup and forms its own singleton cluster
+    val withNulls = docs.unionByName(
+      Seq((7L, null.asInstanceOf[String]), (8L, null.asInstanceOf[String]))
+        .toDF("id", "text"))
+    val kept = Dedup.minhashLsh(withNulls, "text", "id", numHashes = 128, numBands = 32,
+      shingle = 5, threshold = 0.6).select("id").as[Long].collect().toSet
+    assert(kept.contains(7L) && kept.contains(8L))
+    assert(!kept.contains(5L)) // exact dup still drops
+
+    val cl = Dedup.clusters(withNulls, "text", "id", numHashes = 128, numBands = 32,
+      shingle = 5, threshold = 0.6)
+      .select("id", "cluster").as[(Long, Long)].collect().toMap
+    assert(cl(7L) == 7L && cl(8L) == 8L) // singletons, not merged
+    assert(cl(5L) == 2L) // exact dup still clusters to its rep
+  }
+
   test("simhash drops near-dups within hamming budget") {
     val kept = Dedup.simhash(docs, "text", "id", maxHamming = 6).select("id").as[Long].collect().toSet
     assert(!kept.contains(5L)) // exact dup always hamming 0
