@@ -99,6 +99,9 @@ object ScaleCheck {
     pair("dedup_verified")(
       Dedup.minhashVerified(docs, "text", "doc_id"),
       Dedup.minhashVerified(docsN, "text", "doc_id"))
+    pair("dedup_clusters")(
+      Dedup.clusters(docs, "text", "doc_id", threshold = 0.7),
+      Dedup.clusters(docsN, "text", "doc_id", threshold = 0.7))
     pair("dedup_simhash")(
       Dedup.simhash(docs, "text", "doc_id"),
       Dedup.simhash(docsN, "text", "doc_id"))
