@@ -133,16 +133,22 @@ object SJoin {
     val l0 = taggedLeft
       .withColumn(LB, st_bbox(col(leftGeom)))
       .withColumn(CELL, explode(st_cellcover(col(leftGeom), lit(cellDeg))))
-    // Salting promises to SPREAD a hot cell across the cluster — but when the
-    // right side broadcasts there is no shuffle, so parallelism silently
-    // stays at the scan's split count (one task for a single small file; one
-    // hot executor after AQE coalescing on a cluster). The explicit
-    // repartition on (cell, salt) materializes the spread the salt exists
-    // for; the shuffled rows are the narrow pre-join side, so it is cheap
-    // relative to the probe work it parallelizes.
+    // When the right side broadcasts there is no shuffle, so probe
+    // parallelism silently stays at the scan's split count (one task for a
+    // single small file; one hot executor after AQE coalescing on a
+    // cluster) — the salt, whose whole purpose is to SPREAD a hot cell,
+    // spreads nothing. The explicit repartition on the join keys
+    // materializes the spread: the shuffled rows are the narrow pre-join
+    // side, and in the non-broadcast case the join reuses this exchange
+    // (same hash partitioning), so it costs nothing extra.
     // The partition count is pinned (not AQE-advisory): AQE coalesces by
     // pre-join byte size, but the work here is the post-join probe fan-out,
     // which AQE cannot see — a 64 MB-advisory coalesce would undo the spread.
+    // Unsalted joins are left alone: measured on the bench, the extra
+    // shuffle of wide pre-join rows costs more than the probe parallelism
+    // buys when the per-pair predicate work is ordinary — only a declared
+    // hot-cell workload (saltFactor > 1 is exactly that declaration) has
+    // probe fan-out heavy enough to pay for the spread.
     val l = if (!salted) l0
       else {
         val n = taggedLeft.sparkSession.sessionState.conf.numShufflePartitions
