@@ -477,6 +477,25 @@ object Postgres {
       conn.query(s"CREATE TABLE $qTable ($colDefs)")
     }
 
+    insertPartitions(out, u, qTable, chunkSize)
+
+    // geometry epilogue (reference lines 57-66, verbatim statement shapes).
+    // The reference only ever handles its single `geometry` column; with an
+    // explicit @geom1,geom2 url every listed column gets the conversion (the
+    // srid is inferred once, from the first column's extent).
+    srid.foreach { s =>
+      withConnection(u) { conn =>
+        geomCols.foreach { g =>
+          conn.query(s"ALTER TABLE $qTable ALTER COLUMN ${quoteIdent(g)} TYPE Geometry")
+          conn.query(s"UPDATE $qTable SET ${quoteIdent(g)}=st_setsrid(${quoteIdent(g)}, $s)")
+        }
+      }
+    }
+  }
+
+  /** One connection per partition, `chunkSize`-row multi-row INSERTs. */
+  private def insertPartitions(out: DataFrame, u: PgUrl, qTable: String,
+      chunkSize: Int): Unit = {
     val colList = out.columns.map(quoteIdent).mkString(", ")
     val (host, port, db, user, password) = (u.host, u.port, u.db, u.user, u.password)
     out.foreachPartition { (rows: Iterator[Row]) =>
@@ -490,17 +509,34 @@ object Postgres {
         } finally conn.close()
       }
     }
+  }
 
-    // geometry epilogue (reference lines 57-66, verbatim statement shapes).
-    // The reference only ever handles its single `geometry` column; with an
-    // explicit @geom1,geom2 url every listed column gets the conversion (the
-    // srid is inferred once, from the first column's extent).
-    srid.foreach { s =>
-      withConnection(u) { conn =>
-        geomCols.foreach { g =>
-          conn.query(s"ALTER TABLE $qTable ALTER COLUMN ${quoteIdent(g)} TYPE Geometry")
-          conn.query(s"UPDATE $qTable SET ${quoteIdent(g)}=st_setsrid(${quoteIdent(g)}, $s)")
-        }
+  private def tableExists(u: PgUrl, table: String): Boolean =
+    try {
+      withConnection(u)(_.query(s"SELECT * FROM ${quoteIdent(table)} LIMIT 0")); true
+    } catch { case _: java.io.IOException => false }
+
+  /** Streaming sink (the reference's `write_stream` over the postgres
+    * driver): each micro-batch appends through the same chunked INSERT path;
+    * the first batch to find the table missing creates it with the full
+    * batch write (DROP/CREATE + geometry epilogue — PostGIS accepts hex WKB
+    * text into a Geometry column, so later appends keep working). Start with
+    * `.start()` and a checkpointLocation as usual; appends are at-least-once
+    * on restart, like any non-transactional foreachBatch sink.
+    */
+  def writeStream(df: DataFrame, url: String, chunkSize: Int = 1000)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val u = parseUrl(url)
+    val table = u.tableOrQuery.getOrElse(
+      throw new IllegalArgumentException(s"no table name in '$url'"))
+    df.writeStream.outputMode("append").foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!tableExists(u, table)) write(batch, url, chunkSize)
+      else {
+        val geomCols = (u.geometryColumns ++ Seq("geometry")).distinct
+          .filter(batch.columns.contains)
+          .filter(c => batch.schema(c).dataType == BinaryType)
+        val out = geomCols.foldLeft(batch)((d, c) => d.withColumn(c, lower(hex(col(c)))))
+        insertPartitions(out, u, quoteIdent(table), chunkSize)
       }
     }
   }

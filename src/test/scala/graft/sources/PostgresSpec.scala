@@ -250,6 +250,35 @@ class PostgresSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("writeStream: first micro-batch creates, later batches append") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import testImplicits._
+    val server = new PgMiniServer()
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      val dir = java.nio.file.Files.createTempDirectory("graft_pgstream").toString
+      val query = Postgres.writeStream(
+          mem.toDF().toDF("id", "s"), url(server, "/stream_t"))
+        .option("checkpointLocation", dir)
+        .start()
+      try {
+        mem.addData((1L, "a"), (2L, "b"))
+        query.processAllAvailable()
+        assert(server.tableRows("stream_t").size == 2)
+        mem.addData((3L, "c"))
+        query.processAllAvailable()
+        assert(server.tableRows("stream_t").size == 3)
+        // the second batch appended — exactly one CREATE happened
+        assert(server.statements.toArray.map(_.toString)
+          .count(_.startsWith("CREATE TABLE")) == 1)
+      } finally query.stop()
+      val back = Postgres.read(spark, url(server, "/stream_t"))
+      assert(back.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally server.close()
+  }
+
   test("write chunks inserts at chunkSize rows") {
     val server = new PgMiniServer()
     try {
