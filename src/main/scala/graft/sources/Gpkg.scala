@@ -512,7 +512,7 @@ object Gpkg {
       val p1 = pages(0)
       writeLeafPage(p1, 100, cells)
       // database header
-      System.arraycopy("SQLite format 3 ".getBytes(StandardCharsets.US_ASCII), 0, p1, 0, 16)
+      System.arraycopy("SQLite format 3\u0000".getBytes(StandardCharsets.US_ASCII), 0, p1, 0, 16)
       be16(p1, 16, if (pageSize == 65536) 1 else pageSize)
       p1(18) = 1; p1(19) = 1 // write/read version: legacy
       p1(21) = 64; p1(22) = 32; p1(23) = 32
