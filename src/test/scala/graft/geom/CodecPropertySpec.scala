@@ -65,6 +65,22 @@ class CodecPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("EWKB SRID stamp (PostGIS st_setsrid shape) reads back to the same geometry") {
+    forAll(genGeom, n = 100) { g =>
+      val plain = WKB.write(g)
+      // stamp the 0x20000000 flag + 4-byte SRID after the type word, exactly
+      // what a PostGIS read-back delivers after st_setsrid
+      val buf = java.nio.ByteBuffer.wrap(plain, 1, 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val rawType = buf.getInt
+      val out = java.nio.ByteBuffer.allocate(plain.length + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(plain(0)).putInt(rawType | 0x20000000).putInt(4326)
+        .put(plain, 5, plain.length - 5)
+      val back = WKB.read(out.array())
+      assert(WKT.write(back) == WKT.write(g))
+    }
+  }
+
   test("WKT round-trip is value-exact for random geometries") {
     forAll(genGeom) { g =>
       val back = WKT.read(WKT.write(g))
