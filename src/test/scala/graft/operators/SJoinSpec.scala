@@ -195,6 +195,46 @@ class SJoinSpec extends AnyFunSuite with SparkSpec {
     assert(salted == base && bcast == base)
   }
 
+  test("pairs agrees with a brute-force cross join for every predicate and cell size") {
+    // deterministic LCG so the layers are stable across runs
+    var seed = 0x5eed5eedL
+    def rnd(): Double = { seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 11).toDouble / (1L << 53).toDouble) }
+    def rect(id: Int, w: Double): (Int, String) = {
+      val x = rnd() * 8 - 4; val y = rnd() * 8 - 4
+      (id, s"POLYGON (($x $y, ${x + w} $y, ${x + w} ${y + w}, $x ${y + w}, $x $y))")
+    }
+    def tri(id: Int): (Int, String) = {
+      val x = rnd() * 8 - 4; val y = rnd() * 8 - 4
+      (id, s"POLYGON (($x $y, ${x + 1.3} ${y + 0.2}, ${x + 0.4} ${y + 1.1}, $x $y))")
+    }
+    def pt(id: Int): (Int, String) = {
+      val x = rnd() * 8 - 4; val y = rnd() * 8 - 4
+      (id, s"POINT ($x $y)")
+    }
+    val leftRows = (0 until 25).map(pt) ++ (25 until 40).map(tri) ++ (40 until 50).map(i => rect(i, 0.9))
+    val rightRows = (0 until 20).map(i => rect(i, 1.4)) ++ (20 until 28).map(tri)
+    val l = leftRows.toDF("lid", "wkt").select(col("lid"), st_geomfromtext(col("wkt")).as("geometry"))
+    val r = rightRows.toDF("rid", "wkt").select(col("rid"), st_geomfromtext(col("wkt")).as("geometry"))
+
+    for (predicate <- Seq("intersects", "within", "contains"); cellDeg <- Seq(0.4, 1.1)) {
+      val grid = SJoin.pairs(l, r, predicate = predicate, cellDeg = cellDeg)
+        .select("lid", "rid").as[(Int, Int)].collect().toSet
+      val predCol = predicate match {
+        case "intersects" => st_intersects(col("geometry"), col("geometry_right"))
+        case "within" => st_within(col("geometry"), col("geometry_right"))
+        case _ => st_contains(col("geometry"), col("geometry_right"))
+      }
+      val brute = l.crossJoin(r.withColumnRenamed("geometry", "geometry_right")
+          .withColumnRenamed("rid", "rid2"))
+        .where(predCol)
+        .select(col("lid"), col("rid2")).as[(Int, Int)].collect().toSet
+      assert(grid == brute,
+        s"predicate=$predicate cellDeg=$cellDeg: grid ${grid.size} vs brute ${brute.size}; " +
+          s"missing=${(brute -- grid).take(5)} extra=${(grid -- brute).take(5)}")
+    }
+  }
+
   test("grid join plan shuffles on cell hash, not cross product") {
     val out = SJoin.pairs(points, zones, predicate = "intersects")
     val plan = out.queryExecution.executedPlan.toString
