@@ -257,7 +257,10 @@ object Dedup {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
     val base = df.select(col(idCol).as("__mid"), col(textCol).as("__t"))
-    val groups = base.groupBy("__t").agg(min("__mid").as("__gid"), count(lit(1)).as("__n"))
+    // 16-byte grouping key + map-side min_by, not the full text as the key
+    val groups = base.groupBy(contentKey(col("__t")).as("__tk"))
+      .agg(min("__mid").as("__gid"), min_by(col("__t"), col("__mid")).as("__t"),
+        count(lit(1)).as("__n"))
     val reps = groups.select(col("__gid").as("__id"), col("__t"))
     val sketched = reps.select(col("__id"),
       minhash_sig(col("__t"), numHashes, shingle).as("__sketch"))
@@ -288,7 +291,7 @@ object Dedup {
     // membership travels as a 128-bit text key — the full texts shuffle only
     // once (inside the groupBy), not again for this join
     val drop = base.select(col("__mid"), contentKey(col("__t")).as("__tk"))
-      .join(groups.select(contentKey(col("__t")).as("__tk"), col("__gid")), Seq("__tk"))
+      .join(groups.select(col("__tk"), col("__gid")), Seq("__tk"))
       .join(repDrop, Seq("__gid"), "left")
       .join(selfVerified, Seq("__gid"), "left")
       .where(col("__repdrop").isNotNull ||
@@ -323,8 +326,12 @@ object Dedup {
       maxBucket: Int = 0): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rowsPerBand = numHashes / numBands
-    def repsOf(df: DataFrame) = df.groupBy(col(textCol).as("__t"))
-      .agg(min(col(idCol)).as("__id"))
+    // 128-bit text key + map-side min_by (see textCollapsedPairs): the
+    // shuffle key is 16 bytes, one candidate text per distinct text per
+    // partition — not the full text AS the grouping key
+    def repsOf(df: DataFrame) = df
+      .groupBy(contentKey(col(textCol)).as("__tk"))
+      .agg(min(col(idCol)).as("__id"), min_by(col(textCol), col(idCol)).as("__t"))
     def bucketed(reps: DataFrame) = minhashBuckets(numBands, rowsPerBand)(
       reps.select(col("__id"), minhash_sig(col("__t"), numHashes, shingle).as("__sketch")))
     val creps = repsOf(corpus)
@@ -342,7 +349,7 @@ object Dedup {
     // fan the group verdict back out to every batch row sharing the text —
     // by 128-bit text key, so batch texts don't shuffle a second time
     val drop = batch.select(col(idCol), contentKey(col(textCol)).as("__tk"))
-      .join(breps.select(contentKey(col("__t")).as("__tk"), col("__id").as("__gid")), Seq("__tk"))
+      .join(breps.select(col("__tk"), col("__id").as("__gid")), Seq("__tk"))
       .join(droppedGroups, Seq("__gid"))
       .select(idCol)
     batch.join(drop, Seq(idCol), "left_anti")
