@@ -428,6 +428,39 @@ object OracleSql {
        |WHERE b.bucket < thr.thr""".stripMargin
   }
 
+  /** (doc_id, ppl4): the char-bigram LM perplexity of
+    * [[graft.operators.TextAnalysis.withPerplexity]] with the model fit on
+    * the same table — same ASCII normalization (every codepoint outside
+    * [a-zA-Z0-9 ] → '_', then lowercase; regex and the kernel both walk
+    * CODEPOINTS), same add-one smoothing ln((c+1)/(ctx+38)) with the
+    * uniform ln(1/38) for unseen contexts, same mean-then-exp(-x). Floats
+    * rounded to 4 — the two engines sum the per-doc logs in document order
+    * vs list order, identical values, associativity drift ≪ 1e-9.
+    */
+  def textPerplexity(docsrc: String = "documents"): String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '_', 'g')) AS s
+       |  FROM $docsrc),
+       |pairs AS (
+       |  SELECT doc_id, list_transform(range(1, len(s)), i -> substr(s, i, 2)) AS bs
+       |  FROM norm),
+       |grams AS (SELECT doc_id, unnest(bs) AS b FROM pairs),
+       |counts AS (SELECT b, count(*) AS c FROM grams GROUP BY b),
+       |ctx AS (SELECT substr(b, 1, 1) AS c1, sum(c) AS n FROM counts GROUP BY c1),
+       |model AS (
+       |  SELECT counts.b, ln((counts.c + 1.0) / (ctx.n + 38.0)) AS logp
+       |  FROM counts JOIN ctx ON substr(counts.b, 1, 1) = ctx.c1),
+       |scored AS (
+       |  SELECT grams.doc_id,
+       |    avg(coalesce(model.logp,
+       |      ln(1.0 / (coalesce(ctx.n, 0) + 38.0)))) AS score
+       |  FROM grams
+       |  LEFT JOIN model ON grams.b = model.b
+       |  LEFT JOIN ctx ON substr(grams.b, 1, 1) = ctx.c1
+       |  GROUP BY grams.doc_id)
+       |SELECT norm.doc_id, round(exp(-scored.score), 4) AS ppl4
+       |FROM norm LEFT JOIN scored ON norm.doc_id = scored.doc_id""".stripMargin
+
   /** (doc_id, n_words, …fracs, repetitive): the Gopher-style repetition
     * stats of [[graft.operators.TextAnalysis.repetitionStats]] — same word
     * split, same per-doc list math, same double divisions; thresholds as

@@ -589,6 +589,16 @@ object SparkEntry {
         .select("doc_id", "n_words", "dup_word_frac", "top_word_frac",
           "dup_2gram_frac", "top_2gram_frac", "repetitive")),
 
+    // --- CCNet-style LM quality gate: char-bigram perplexity ---------------
+    // model fit on the corpus itself (1444-value artifact, driver-side like
+    // the IVF centroids), every doc scored by exp(-mean bigram logp)
+    "text_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.bigramLmFit(docs, "text")
+      TextAnalysis.withPerplexity(docs, model, "text", "ppl")
+        .select(col("doc_id"), round(col("ppl"), 4).as("ppl4"))
+    }),
+
     // --- boilerplate line removal (corpus-frequency segment dedup) ---------
     // texts are single-line word soup, so the fixture plants the crawl shape:
     // a unique body line, a per-source nav line (~25 docs each at sf0.01),
@@ -994,6 +1004,7 @@ object SparkEntry {
     "text_fingerprint" -> OracleSql.fingerprint(),
     "text_langid" -> OracleSql.langid(),
     "text_repetition" -> OracleSql.textRepetition(),
+    "text_perplexity" -> OracleSql.textPerplexity(),
     "text_boilerplate" -> OracleSql.textBoilerplate(),
     "data_stratified" -> OracleSql.dataSample(
       Seq("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), defaultFraction = 0.05),

@@ -48,6 +48,27 @@ case class NgramsHashed(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): NgramsHashed = copy(l, r)
 }
 
+case class BigramIds(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernel.bigramIds(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"${TextExpressions.K}.bigramIds($t)")
+  override def prettyName: String = "bigram_ids"
+  override protected def withNewChildInternal(c: Expression): BigramIds = copy(child = c)
+}
+
+case class BigramScore(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(t: Any, m: Any): Any =
+    TextKernel.bigramScore(t.asInstanceOf[UTF8String], m.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, m) => s"${TextExpressions.K}.bigramScore($t, $m)")
+  override def prettyName: String = "bigram_score"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BigramScore = copy(l, r)
+}
+
 case class VecSimhash(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with Serializable {
   override def dataType: DataType = LongType
@@ -118,6 +139,8 @@ object TextFunctions {
     c(MinhashSig(e(text), e(lit(numHashes)), e(lit(shingle))))
   def simhash64(text: Column): Column = c(Simhash64(e(text)))
   def ngrams_hashed(text: Column, n: Int): Column = c(NgramsHashed(e(text), e(lit(n))))
+  def bigram_ids(text: Column): Column = c(BigramIds(e(text)))
+  def bigram_score(text: Column, model: Column): Column = c(BigramScore(e(text), e(model)))
   def vec_simhash(vec: Column, nPlanes: Int, seed: Long): Column =
     c(VecSimhash(e(vec), e(lit(nPlanes)), e(lit(seed))))
   def vec_simhash(vec: Column, nPlanes: Int, seed: Column): Column =

@@ -35,6 +35,67 @@ object TextKernel {
     mix64(h)
   }
 
+  // ---- char-bigram language model (CCNet-style LM quality filter) --------
+
+  /** Alphabet for the bigram LM: ' '→0, other→1, a-z→2..27, 0-9→28..37.
+    * Normalization first maps every codepoint outside [a-zA-Z0-9 ] to the
+    * `other` class and ASCII-lowercases — so the whole downstream pipeline is
+    * ASCII-pure and mirrors exactly to SQL's
+    * `lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '_', 'g'))` (both iterate
+    * CODEPOINTS: an emoji is one `other`, not two UTF-16 halves).
+    */
+  final val BigramAlphabet = 38
+
+  @inline private def bigramClass(cp: Int): Int =
+    if (cp == ' ') 0
+    else if (cp >= 'a' && cp <= 'z') cp - 'a' + 2
+    else if (cp >= 'A' && cp <= 'Z') cp - 'A' + 2
+    else if (cp >= '0' && cp <= '9') cp - '0' + 28
+    else 1
+
+  /** Bigram ids (prev*38 + cur) over the normalized codepoint stream — the
+    * distributed-fit side (explode + count collapses map-side to ≤ 1444
+    * groups per partition).
+    */
+  def bigramIds(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val n = s.codePointCount(0, s.length)
+    if (n < 2) return new GenericArrayData(Array.emptyIntArray)
+    val ids = new Array[Int](n - 1)
+    var i = 0
+    var k = 0
+    var prev = -1
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val c = bigramClass(cp)
+      if (prev >= 0) { ids(k) = prev * BigramAlphabet + c; k += 1 }
+      prev = c
+      i += Character.charCount(cp)
+    }
+    new GenericArrayData(ids)
+  }
+
+  /** Mean log-probability of the text's bigrams under `logp` (flat 38×38
+    * array; fit by [[graft.operators.TextAnalysis.bigramLmFit]]). NaN for
+    * texts with no bigram (callers null it out) — perplexity is
+    * exp(-score).
+    */
+  def bigramScore(text: UTF8String, logp: ArrayData): Double = {
+    val s = text.toString
+    var i = 0
+    var prev = -1
+    var sum = 0.0
+    var n = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val c = bigramClass(cp)
+      if (prev >= 0) { sum += logp.getDouble(prev * BigramAlphabet + c); n += 1 }
+      prev = c
+      i += Character.charCount(cp)
+    }
+    if (n == 0) Double.NaN else sum / n
+  }
+
   /** MinHash signature over character `shingle`-grams, double-hashing scheme
     * (Kirsch–Mitzenmacher): h_i(x) = h1(x) + i·h2(x), so each shingle costs
     * numHashes adds instead of numHashes full hashes. One pass over the text,

@@ -161,6 +161,45 @@ object TextAnalysis {
         size(split(col(textCol), delimRe)).cast("long"))
   }
 
+  /** Fits the char-bigram language model: add-one-smoothed conditional
+    * log-probabilities ln((count(c1c2)+1)/(count(c1·)+38)) over a 38-symbol
+    * ASCII-normalized alphabet, returned as a flat 38×38 array (unseen
+    * context rows fall back to the uniform ln(1/38)). The CCNet-shaped
+    * quality gate: fit on a trusted reference corpus, score candidates by
+    * perplexity, drop the tail (Wenzek et al. 2020, "CCNet: Extracting High
+    * Quality Monolingual Datasets from Web Crawl Data").
+    *
+    * Scale shape: the fit is one explode + groupBy over ≤ 1444 distinct
+    * bigram ids — partial aggregation collapses each partition to at most
+    * 1444 rows before the shuffle, and only the 1444-value model reaches the
+    * driver (a model artifact, like the IVF centroids).
+    */
+  def bigramLmFit(ref: DataFrame, textCol: String = "text"): Array[Double] = {
+    val a = graft.functions.TextKernel.BigramAlphabet
+    val counts = new Array[Long](a * a)
+    ref.select(explode(bigram_ids(col(textCol))).as("b"))
+      .groupBy("b").count()
+      .collect()
+      .foreach(r => counts(r.getInt(0)) = r.getLong(1))
+    val ctx = new Array[Long](a)
+    var i = 0
+    while (i < counts.length) { ctx(i / a) += counts(i); i += 1 }
+    Array.tabulate(a * a)(j => math.log((counts(j) + 1.0) / (ctx(j / a) + a.toDouble)))
+  }
+
+  /** Perplexity of each row's text under a [[bigramLmFit]] model:
+    * exp(−mean bigram log-prob); NULL for texts with no bigram. Lower =
+    * closer to the reference corpus.
+    */
+  def withPerplexity(
+      df: DataFrame,
+      model: Array[Double],
+      textCol: String = "text",
+      into: String = "ppl"): DataFrame = {
+    val score = bigram_score(col(textCol), typedLit(model.toSeq))
+    df.withColumn(into, when(isnan(score), lit(null)).otherwise(exp(-score)))
+  }
+
   /** Word-repetition signals (the Gopher repetition filters, Rae et al. 2021
     * §A1.1, re-expressed over whitespace words): per document,
     * `dup_word_frac`/`dup_2gram_frac` = fraction of word/bigram occurrences

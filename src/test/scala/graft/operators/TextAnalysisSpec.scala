@@ -153,4 +153,45 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(out(2) == ((8, 7.0 / 8.0, 1.0, 6.0 / 7.0, 1.0, true)))
     assert(out(3) == ((1, 0.0, 1.0, 0.0, 0.0, false))) // no bigrams → zero fracs
   }
+
+  test("bigram LM: closed-form smoothing, null for no-bigram docs") {
+    val ref = Seq((1L, "ab")).toDF("doc_id", "text")
+    val model = TextAnalysis.bigramLmFit(ref)
+    // corpus = one bigram (a,b): logp(ab) = ln((1+1)/(1+38)); unseen context
+    // rows are uniform ln(1/38)
+    val a = graft.functions.TextKernel.BigramAlphabet
+    val idA = 2; val idB = 3 // 'a' → 2, 'b' → 3
+    assert(math.abs(model(idA * a + idB) - math.log(2.0 / 39.0)) < 1e-12)
+    assert(math.abs(model(idB * a + idA) - math.log(1.0 / 38.0)) < 1e-12)
+
+    val scored = TextAnalysis.withPerplexity(
+        Seq((1L, "ab"), (2L, "a"), (3L, "")).toDF("doc_id", "text"), model)
+      .orderBy("doc_id").select("ppl").collect()
+    assert(math.abs(scored(0).getDouble(0) - math.exp(-math.log(2.0 / 39.0))) < 1e-9)
+    assert(scored(1).isNullAt(0) && scored(2).isNullAt(0))
+  }
+
+  test("bigram LM: English-trained model ranks English below gibberish") {
+    val en = Seq.tabulate(30)(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog and other plain sentences " +
+        "with regular english words that look like ordinary text"))
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.bigramLmFit(en)
+    val scored = TextAnalysis.withPerplexity(Seq(
+        (1L, "a normal english sentence with regular words"),
+        (2L, "zq xv qj wk vz jx qq zz kv jq xz")).toDF("doc_id", "text"), model)
+      .orderBy("doc_id").select("ppl").collect()
+    assert(scored(0).getDouble(0) < scored(1).getDouble(0),
+      s"en=${scored(0).getDouble(0)} gibberish=${scored(1).getDouble(0)}")
+  }
+
+  test("bigram LM: normalization walks codepoints (emoji is ONE other-class)") {
+    // "a😀b" → classes a,_,b → bigrams (a,_), (_,b); a UTF-16 halves walk
+    // would see three chars after 'a' and a different bigram count
+    import graft.functions.TextFunctions._
+    val ids = Seq(Tuple1("a😀b")).toDF("text")
+      .select(bigram_ids(col("text"))).as[Seq[Int]].head()
+    val a = graft.functions.TextKernel.BigramAlphabet
+    assert(ids == Seq(2 * a + 1, 1 * a + 3))
+  }
 }
