@@ -139,6 +139,21 @@ object OsrmRouter {
       client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
     }
   }
+
+  /** Router resolved the reference's way (erde/op/route.py:29): `mode` is a
+    * name in the erde config's `routers:` section or a literal URL —
+    * validated like erde/op/table.py:149 (name-or-http).
+    */
+  def forMode(
+      mode: String,
+      profile: String = "driving",
+      transport: String => String = httpTransport,
+      maxTableSize: Int = 100,
+      retries: Int = 10,
+      overview: String = "full",
+      nodeAnnotations: Boolean = false): OsrmRouter =
+    new OsrmRouter(RouterConfig.requireRouter(mode), profile, transport,
+      maxTableSize, retries, overview, nodeAnnotations)
 }
 
 /** Partition-batched driving of a real-engine [[Router]]: one router

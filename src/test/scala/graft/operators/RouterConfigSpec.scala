@@ -39,6 +39,21 @@ class RouterConfigSpec extends AnyFunSuite {
     assert(r == RouterConfig.Defaults)
   }
 
+  test("OsrmRouter.forMode resolves via the registry and rejects bad modes") {
+    // 'local' is in the built-in defaults → constructs; the canned transport
+    // proves the base url came from the registry
+    var captured: String = null
+    val router = OsrmRouter.forMode("local", transport = url => {
+      captured = url
+      """{"code":"Ok","routes":[{"duration":1.0,"distance":2.0,
+        |"geometry":"_ibE_seK_seK_seK","legs":[]}],
+        |"waypoints":[{"distance":0.0},{"distance":0.0}]}""".stripMargin
+    })
+    router.route(0.1, 0.2, 0.3, 0.4)
+    assert(captured != null && captured.startsWith("http://localhost:5000/"))
+    intercept[IllegalArgumentException](OsrmRouter.forMode("not-a-router"))
+  }
+
   test("resolve passes unknown names through; requireRouter validates") {
     val reg = Map("local" -> "http://localhost:5000")
     assert(RouterConfig.resolve("local", reg) == "http://localhost:5000")
