@@ -72,11 +72,12 @@ object SJoin {
 
   /** Deterministic row tag: a 128-bit content hash (two independently seeded
     * xxhash64 halves — collision odds ~n²/2^129, immaterial at any corpus
-    * size). Stable across repeated scans of the source, so the left-join
+    * size). Stable across repeated scans of the source, so the join-back
     * pass needs NO persist. Identical rows share a tag, which is exactly
     * right for match-status logic (they match identically, and joins/anti-
-    * joins preserve row multiplicity) — but WRONG for per-row aggregation
-    * (duplicates would merge), so sagg/slookup keep the monotonic tag.
+    * joins preserve row multiplicity) and for idempotent lookups (min_by),
+    * but would DOUBLE duplicated rows' sums in sagg — sagg's content path
+    * collapses duplicate tags before pair generation (see sagg).
     *
     * Spark hash functions SKIP null children (the seed passes through), so
     * hashing bare columns would make ("x", NULL) collide with (NULL, "x");
@@ -113,6 +114,27 @@ object SJoin {
         case _ => false
       }.isEmpty
   }
+
+  /** Scan-stable tag for every variant that reads the tagged left twice
+    * (pair pass + join-back pass): content hash when the plan allows —
+    * re-scanning the (pruned, pushed-down) source beats caching a side that
+    * can be 100 TB — else monotonic id + persist, because a second scan of a
+    * nondeterministic / round-robin-repartitioned frame can re-assign ids
+    * and silently mis-join results onto the wrong rows. Returns
+    * (tagged, usedContentTag).
+    */
+  private def stableTagged(left: DataFrame): (DataFrame, Boolean) =
+    if (contentTaggable(left)) (contentTagged(left), true)
+    else {
+      val lt = tagged(left, "", 0.0)
+      lt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (lt, false)
+    }
+
+  private def renameClashing(right: DataFrame, clash: Set[String], suffix: String): DataFrame =
+    right.columns.foldLeft(right) { (df, c0) =>
+      if (clash(c0)) df.withColumnRenamed(c0, c0 + suffix) else df
+    }
 
   private def pairsKeyed(
       taggedLeft: DataFrame,
@@ -293,14 +315,9 @@ object SJoin {
       return sjfull(right, left, flip(predicate), "left", rightGeom, leftGeom,
         cellDeg, rightSuffix, tuning)
     // the left join reads the tagged left twice (matches + anti-join pass):
-    // a content-hash tag is deterministic across both scans, so no persist —
-    // re-scanning the source (pruned, pushed-down) beats caching a side that
-    // can be 100 TB. Unhashable (map-typed) or nondeterministic left frames
-    // keep the monotonic tag and pay the persist for scan stability.
-    val useContent = how == "left" && contentTaggable(left)
-    val lt = if (useContent) contentTagged(left) else tagged(left, leftGeom, cellDeg)
-    if (how == "left" && !useContent)
-      lt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // stableTagged picks content hash (no persist) or monotonic id + persist.
+    // Inner joins scan once, so a bare monotonic tag is fine there.
+    val lt = if (how == "left") stableTagged(left)._1 else tagged(left, leftGeom, cellDeg)
     val inner = pairsKeyed(lt, right, predicate, leftGeom, rightGeom, cellDeg, rightSuffix, tuning)
     how match {
       case "inner" => inner.drop(LID)
@@ -329,8 +346,20 @@ object SJoin {
       rightGeom: String = "geometry",
       cellDeg: Double = DefaultCellDeg,
       tuning: Tuning = Tuning()): DataFrame = {
-    val lt = tagged(left, leftGeom, cellDeg)
-    val inner = pairsKeyed(lt, right, predicate, leftGeom, rightGeom, cellDeg, "_right", tuning)
+    val (lt, content) = stableTagged(left)
+    val clash = lt.columns.toSet
+    val renamed = renameClashing(right, clash, "_right")
+    val rGeom = if (clash(rightGeom)) rightGeom + "_right" else rightGeom
+    // Only (tag, geometry) feeds pair generation — the aggs reference right
+    // columns and the join-back restores the left columns, so the pair pass
+    // never carries the (possibly wide) left payload. Content-path only:
+    // identical left rows share a tag, so their candidate pairs would merge
+    // under groupBy(tag) and double every sum — collapse duplicate tags
+    // (narrow shuffle of tag+geometry) so each distinct row aggregates once;
+    // the join-back then fans the correct result onto every duplicate.
+    val slim0 = lt.select(col(LID), col(leftGeom))
+    val slim = if (content) slim0.dropDuplicates(Seq(LID)) else slim0
+    val inner = pairsKeyed(slim, renamed, predicate, leftGeom, rGeom, cellDeg, "_right", tuning)
     val agged = inner.groupBy(col(LID)).agg(aggs.head, aggs.tail: _*)
     lt.join(agged, Seq(LID), how).drop(LID)
   }
@@ -351,8 +380,15 @@ object SJoin {
       rightGeom: String = "geometry",
       cellDeg: Double = DefaultCellDeg,
       tuning: Tuning = Tuning()): DataFrame = {
-    val lt = tagged(left, leftGeom, cellDeg)
-    val inner = pairsKeyed(lt, right, predicate, leftGeom, rightGeom, cellDeg, "_right", tuning)
+    val (lt, _) = stableTagged(left)
+    val clash = lt.columns.toSet
+    val renamed = renameClashing(right, clash, "_right")
+    val rGeom = if (clash(rightGeom)) rightGeom + "_right" else rightGeom
+    // min_by is idempotent under whole-candidate-set duplication, so the
+    // content tag needs no duplicate collapse here (unlike sagg): merged
+    // duplicates pick the same minimum, and the join-back fans it out.
+    val slim = lt.select(col(LID), col(leftGeom))
+    val inner = pairsKeyed(slim, renamed, predicate, leftGeom, rGeom, cellDeg, "_right", tuning)
     val picks = columns.map(c0 => min_by(col(c0), col(orderBy)).as(c0))
     val agged = inner.groupBy(col(LID)).agg(picks.head, picks.tail: _*)
     lt.join(agged, Seq(LID), how).drop(LID)
@@ -370,8 +406,14 @@ object SJoin {
       rightGeom: String = "geometry",
       cellDeg: Double = DefaultCellDeg,
       tuning: Tuning = Tuning()): DataFrame = {
-    val lt = tagged(left, leftGeom, cellDeg)
-    val matched = pairsKeyed(lt, right, predicate, leftGeom, rightGeom, cellDeg, "_right", tuning)
+    val (lt, _) = stableTagged(left)
+    val clash = lt.columns.toSet
+    val renamed = renameClashing(right, clash, "_right")
+    val rGeom = if (clash(rightGeom)) rightGeom + "_right" else rightGeom
+    // semi/anti joins see tag membership only, so duplicate content tags are
+    // harmless (identical rows match identically and keep their multiplicity).
+    val slim = lt.select(col(LID), col(leftGeom))
+    val matched = pairsKeyed(slim, renamed, predicate, leftGeom, rGeom, cellDeg, "_right", tuning)
       .select(LID)
     lt.join(matched, Seq(LID), if (negative) "left_anti" else "left_semi").drop(LID)
   }

@@ -173,6 +173,57 @@ class SJoinSpec extends AnyFunSuite with SparkSpec {
     assert(kept.columns.toSeq == points.columns.toSeq) // schema preserved
   }
 
+  test("sagg/slookup/sfilter: repartitioned or nondeterministic left falls back to persist") {
+    // round-robin repartition and rand() can re-assign monotonic ids between
+    // the pair pass and the join-back pass — all three variants must persist
+    // (scan stability) and still produce the plain-left baseline
+    val aggBase = SJoin.sagg(zones, points, Seq(count(lit(1)).as("n")),
+      predicate = "contains", how = "left")
+      .select("zid", "n").collect().map(r => r.getInt(0) -> r.get(1)).toMap
+    val lkBase = SJoin.slookup(points, zones, Seq("zid"), "zid",
+      predicate = "within", how = "left")
+      .select("pid", "zid").collect().map(r => r.getInt(0) -> r.get(1)).toMap
+    val sfBase = SJoin.sfilter(points, zones, predicate = "within")
+      .select("pid").as[Int].collect().toSet
+    for (wrap <- Seq[DataFrame => DataFrame](
+        _.repartition(7),
+        _.where(rand(42) >= -1.0))) {
+      val aOut = SJoin.sagg(wrap(zones), points, Seq(count(lit(1)).as("n")),
+        predicate = "contains", how = "left")
+      assert(aOut.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+      assert(aOut.select("zid", "n").collect().map(r => r.getInt(0) -> r.get(1)).toMap == aggBase)
+      val lOut = SJoin.slookup(wrap(points), zones, Seq("zid"), "zid",
+        predicate = "within", how = "left")
+      assert(lOut.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+      assert(lOut.select("pid", "zid").collect().map(r => r.getInt(0) -> r.get(1)).toMap == lkBase)
+      val fOut = SJoin.sfilter(wrap(points), zones, predicate = "within")
+      assert(fOut.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+      assert(fOut.select("pid").as[Int].collect().toSet == sfBase)
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("sagg content path: duplicate left rows get their own, un-doubled aggregates") {
+    // identical left rows share a content tag; without the pre-agg collapse
+    // their candidate pairs would merge and double every sum
+    val dupZone = zones.where(col("zid") === 1).unionByName(zones.where(col("zid") === 1))
+    val out = SJoin.sagg(dupZone, points, Seq(count(lit(1)).as("n"), sum("pid").as("s")),
+      predicate = "contains", how = "left")
+    assert(!out.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    val rows = out.select("n", "s").collect()
+    assert(rows.length == 2, "both duplicate rows must survive the join-back")
+    rows.foreach { r =>
+      assert(r.getLong(0) == 9L, s"count doubled or lost: $r")
+      assert(r.getLong(1) == points.where(
+        st_contains(lit(zones.where(col("zid") === 1).select("geometry").head().getAs[Array[Byte]](0)),
+          col("geometry"))).agg(sum("pid")).head().getLong(0), s"sum wrong: $r")
+    }
+    // slookup/sfilter are idempotent under duplication — multiplicity kept
+    val dupPts = points.where(col("pid") === 12).unionByName(points.where(col("pid") === 12))
+    assert(SJoin.slookup(dupPts, zones, Seq("zid"), "zid", "within", "left").count() == 2)
+    assert(SJoin.sfilter(dupPts, zones, predicate = "within").count() == 2)
+  }
+
   test("sjfull right join keeps unmatched right rows") {
     val out = SJoin.sjfull(points, zones, predicate = "within", how = "right")
     // zone 3 (far away) matches nothing but must survive with null point cols
