@@ -465,6 +465,12 @@ object OracleSql {
     * stats of [[graft.operators.TextAnalysis.repetitionStats]] — same word
     * split, same per-doc list math, same double divisions; thresholds as
     * exact DOUBLE literals (plain decimals would type as DECIMAL).
+    *
+    * Spark computes the top frequency as the longest run of the SORTED word
+    * array (linear fold); this mirror keeps the distinct-multiplicity form
+    * (DuckDB lambdas cannot fold a struct accumulator). Both are the same
+    * exact INTEGER — max multiplicity of any element — so the divisions
+    * that follow see bit-identical operands and the compare stays exact.
     */
   def textRepetition(docsrc: String = "documents",
       maxTop2: Double = 0.20, maxDup2: Double = 0.60): String = {

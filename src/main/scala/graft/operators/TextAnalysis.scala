@@ -226,11 +226,22 @@ object TextAnalysis {
     def dupFrac(arr: Column, cnt: Column): Column =
       when(cnt > 0, (cnt - size(array_distinct(arr))).cast("double") / cnt.cast("double"))
         .otherwise(lit(0.0))
-    def topFrac(arr: Column, cnt: Column): Column =
-      when(cnt > 0,
-        array_max(transform(array_distinct(arr), w => size(filter(arr, x => x === w))))
-          .cast("double") / cnt.cast("double"))
-        .otherwise(lit(0.0))
+    // top frequency = longest run in the sorted array: one O(n log n) sort +
+    // one linear fold, instead of the O(distinct × n) transform-and-count
+    // (a 100k-word web doc would cost ~10^9 comparisons per ROW that way).
+    // The fold carries (previous word, current run, best run); the value is
+    // an exact integer, identical to max-multiplicity by any derivation.
+    def topFrac(arr: Column, cnt: Column): Column = {
+      val best = aggregate(
+        array_sort(arr),
+        struct(lit(null).cast("string").as("prev"), lit(0).as("run"), lit(0).as("best")),
+        (acc, w) => {
+          val run = when(acc("prev") === w, acc("run") + 1).otherwise(lit(1))
+          struct(w.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+        },
+        acc => acc("best"))
+      when(cnt > 0, best.cast("double") / cnt.cast("double")).otherwise(lit(0.0))
+    }
     df.withColumn("n_words", n)
       .withColumn("dup_word_frac", dupFrac(t, n))
       .withColumn("top_word_frac", topFrac(t, n))

@@ -154,6 +154,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(out(3) == ((1, 0.0, 1.0, 0.0, 0.0, false))) // no bigrams → zero fracs
   }
 
+  test("repetitionStats: a 100k-word document completes in linear time") {
+    // ~50k distinct words + a hot word: the old O(distinct × n) per-row
+    // transform would do ~5×10^9 comparisons here; the sorted-run fold is ms
+    val words = (0 until 100000).map(i => if (i % 4 == 0) "hot" else s"w${i}")
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val row = TextAnalysis.repetitionStats(df)
+      .select("n_words", "top_word_frac", "dup_word_frac").head()
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(row.getInt(0) == 100000)
+    assert(math.abs(row.getDouble(1) - 0.25) < 1e-12) // hot = 25k / 100k
+    assert(math.abs(row.getDouble(2) - 0.24999) < 1e-9) // 25k hot - 1 first
+    assert(elapsedMs < 30000, s"quadratic blow-up? took $elapsedMs ms")
+  }
+
   test("bigram LM: closed-form smoothing, null for no-bigram docs") {
     val ref = Seq((1L, "ab")).toDF("doc_id", "text")
     val model = TextAnalysis.bigramLmFit(ref)
