@@ -132,8 +132,9 @@ object Similarity {
     * corpus into `nlist` cells; each query probes its `nprobe` nearest
     * centroids and scores exactly only within those cells.
     *
-    * Scale shape: the fit runs locally on a bounded sample (one `limit`
-    * read); cell assignment is a pure codegen'd expression over a literal
+    * Scale shape: the fit runs locally on a bounded, corpus-spanning sample
+    * (seeded-hash top-cap, one pass, see below); cell assignment is a pure
+    * codegen'd expression over a literal
     * centroid array — the corpus is scanned ONCE, with no fit/transform
     * passes, no persist, and no shuffle before the probe join. The third
     * similarity tier: brute force (exact) → IVF (high recall, ~nprobe/nlist
@@ -164,7 +165,16 @@ object Similarity {
       case Array(r) => r.getInt(0)
       case _ => 0
     }
-    val sample = featured.select(col("__cv").cast("array<float>"))
+    // corpus-spanning fit sample: the smallest-cap rows by a seeded content
+    // hash, i.e. a deterministic uniform draw across every partition — a
+    // bare limit() would read the first file(s) of the scan, fitting the
+    // centroids to whichever shard sorts first (one crawl domain, one day).
+    // orderBy+limit lowers to TakeOrderedAndProject: per-partition top-cap
+    // heaps + one driver merge, still a single corpus pass, no full sort.
+    val sample = featured
+      .select(col("__cv").cast("array<float>").as("__cv"),
+        xxhash64(lit(seed), col("__cv")).as("__h"))
+      .orderBy("__h")
       .limit(fitRowCap(dim, fitSampleBytes, nlist))
       .collect().map(_.getSeq[Float](0).toArray)
     val cents = fitCentroidsLocal(sample, nlist, iters = 8, seed = seed)

@@ -83,6 +83,32 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("IVF fit sample spans a sorted corpus (no scan-prefix bias)") {
+    // corpus ordered cluster-by-cluster; the byte budget admits only ~1/3 of
+    // the rows, i.e. exactly the first cluster under a scan-prefix sample.
+    // Prefix-fit centroids all live in cluster 0, so clusters 1/2 scatter
+    // across cells and nprobe=1 misses their neighbors; the seeded-hash
+    // sample spans all three clusters and keeps recall at exact level.
+    val dim = 64
+    def cvec(cl: Int, i: Int): Array[Float] = {
+      val rnd = new scala.util.Random(cl * 1000 + i)
+      Array.tabulate(dim) { d =>
+        ((if (d / (dim / 3) == cl) 5.0 else 0.0) + 0.2 * rnd.nextGaussian()).toFloat
+      }
+    }
+    val rows = for (cl <- 0 until 3; i <- 0 until 60)
+      yield ((cl * 60 + i).toLong, cvec(cl, i))
+    val sorted = rows.toDF("vec_id", "embedding")
+    val queries = sorted.where(col("vec_id").isin(5L, 65L, 125L, 30L, 90L, 150L))
+    val exact = Similarity.bruteForceTopK(sorted, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(sorted, queries, "embedding", "vec_id", k = 5,
+      nlist = 3, nprobe = 1, fitSampleBytes = 60L * 4 * dim)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"fit sample biased to the scan prefix? recall $recall")
+  }
+
   test("IVF fit sample is byte-capped, not just row-capped") {
     // dim 2048 float32 = 8 KiB/row: a 64 MiB budget caps at 8192 rows, far
     // below the 100k hard cap; small dims keep the hard cap; never < nlist
