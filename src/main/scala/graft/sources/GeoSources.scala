@@ -178,12 +178,25 @@ object GeoSources {
     }
   }
 
+  /** `path:name` layer/sheet suffix (reference: erde/io/gpkg.py:13
+    * PATH_REGEXP `file.gpkg:layer`, io/xls.py:7 `file.xlsx:sheet`): splits a
+    * trailing `:name` off gpkg/xlsx/ods paths → (base path, Some(name)).
+    */
+  private val LayerPath = "(?i)^(.*\\.(?:gpkg|xlsx|ods)):([A-Za-z0-9_-]+)$".r
+
+  private[sources] def splitLayer(path: String): (String, Option[String]) = path match {
+    case LayerPath(base, name) => (base, Some(name))
+    case _ => (path, None)
+  }
+
   /** Extension-dispatched read, the `erde read_df(path)` entry point
-    * (reference: erde/__init__.py:50 — driver chosen by file suffix).
+    * (reference: erde/__init__.py:50 — driver chosen by file suffix;
+    * `file.gpkg:layer` / `file.xlsx:sheet` select a layer or sheet).
     * Geometry lands as the usual WKB `geometry` column for every format.
     */
-  def readAuto(spark: SparkSession, path: String,
+  def readAuto(spark: SparkSession, path0: String,
       filterWkt: Option[String] = None): DataFrame = {
+    val (path, layer) = splitLayer(path0)
     val p = path.toLowerCase
     val df =
       if (p.startsWith("postgresql://")) Postgres.read(spark, path)
@@ -195,11 +208,11 @@ object GeoSources {
         GeoJSON.read(spark, path, filterWkt = filterWkt)
       else if (p.endsWith(".parquet")) GeoParquet.read(spark, path, filterWkt = filterWkt)
       else if (p.endsWith(".shp")) Shapefile.readSplit(spark, path)
-      else if (p.endsWith(".gpkg")) Gpkg.read(spark, path)
+      else if (p.endsWith(".gpkg")) Gpkg.read(spark, path, layer = layer)
       else if (p.endsWith(".fgb")) Fgb.read(spark, path, filterWkt = filterWkt)
-      else if (p.endsWith(".xlsx")) parseWktCol(Xlsx.read(spark, path))
-      else if (p.endsWith(".ods")) parseWktCol(Xlsx.readOds(spark, path))
-      else throw new IllegalArgumentException(s"no driver for '$path'")
+      else if (p.endsWith(".xlsx")) parseWktCol(Xlsx.read(spark, path, sheet = layer))
+      else if (p.endsWith(".ods")) parseWktCol(Xlsx.readOds(spark, path, sheet = layer))
+      else throw new IllegalArgumentException(s"no driver for '$path0'")
     // formats whose readers take no filter get it applied post-parse
     filterWkt match {
       case Some(w) if df.columns.contains("geometry") &&
@@ -217,8 +230,11 @@ object GeoSources {
       df.withColumn("geometry", st_geomfromtext(col("geometry")))
     else df
 
-  /** Extension-dispatched write (reference: erde/__init__.py:65). */
-  def writeAuto(df: DataFrame, path: String): Unit = {
+  /** Extension-dispatched write (reference: erde/__init__.py:65;
+    * `file.gpkg:layer` names the written layer).
+    */
+  def writeAuto(df: DataFrame, path0: String): Unit = {
+    val (path, layer) = splitLayer(path0)
     val p = path.toLowerCase
     if (p.startsWith("postgresql://")) Postgres.write(df, path)
     else if (p.endsWith(".osm.pbf")) OsmPbf.write(df, path)
@@ -229,8 +245,8 @@ object GeoSources {
     else if (p.endsWith(".parquet")) GeoParquet.write(df, path)
     else if (p.endsWith(".shp")) Shapefile.write(df, path.substring(0, path.length - 4))
     else if (p.endsWith(".fgb")) Fgb.write(df, path)
-    else if (p.endsWith(".gpkg")) Gpkg.write(df, path)
-    else throw new IllegalArgumentException(s"no write driver for '$path'")
+    else if (p.endsWith(".gpkg")) Gpkg.write(df, path, layerName = layer.getOrElse("layer"))
+    else throw new IllegalArgumentException(s"no write driver for '$path0'")
   }
 
   /** First geometry of a file (reference: erde/__init__.py:83 `read_geom` —

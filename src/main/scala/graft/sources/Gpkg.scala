@@ -569,44 +569,69 @@ object Gpkg {
     * the layer.
     */
   def write(df: DataFrame, path: String, layerName: String = "layer",
-      geometryCol: String = "geometry", srid: Int = 4326, maxRows: Int = 1000000): Unit = {
-    require(!df.columns.contains("fid"),
-      "Gpkg.write adds its own 'fid' rowid-alias column; rename the incoming " +
-        "'fid' column first (the table would otherwise carry duplicate column names)")
-    val rows = df.limit(maxRows + 1).collect()
-    require(rows.length <= maxRows,
-      s"Gpkg.write collects to the driver and is capped at maxRows=$maxRows rows; " +
-        "use parquet/geojsonseq for large frames")
-    val fields = df.schema.fields
-    val geomIdx = df.schema.fieldIndex(geometryCol)
+      geometryCol: String = "geometry", srid: Int = 4326, maxRows: Int = 1000000): Unit =
+    writeLayers(Seq(layerName -> df), path, geometryCol, srid, maxRows)
 
+  /** Multi-layer variant (the reference's `file.gpkg:layer` addressing
+    * implies several feature layers in one file): each (name, frame) becomes
+    * its own feature table sharing the metadata trio. Same driver-side
+    * collect and `maxRows` cap per layer as [[write]].
+    */
+  def writeLayers(layers: Seq[(String, DataFrame)], path: String,
+      geometryCol: String = "geometry", srid: Int = 4326, maxRows: Int = 1000000): Unit = {
+    require(layers.nonEmpty, "writeLayers needs at least one layer")
+    require(layers.map(_._1).distinct.size == layers.size,
+      s"duplicate layer names: ${layers.map(_._1).mkString(", ")}")
     val b = new SqliteBuilder()
-    // envelope + geometry type from the data
-    var minX = Double.PositiveInfinity; var minY = Double.PositiveInfinity
-    var maxX = Double.NegativeInfinity; var maxY = Double.NegativeInfinity
-    val typeNames = scala.collection.mutable.Set[String]()
-    val featureRows = rows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
-      val vals = fields.indices.map { j =>
-        val v = r.get(j)
-        if (j == geomIdx) v match {
-          case wkb: Array[Byte] =>
-            val g = WKB.read(wkb)
-            if (!g.isEmpty) {
-              val (x1, y1, x2, y2) = g.bbox
-              minX = math.min(minX, x1); minY = math.min(minY, y1)
-              maxX = math.max(maxX, x2); maxY = math.max(maxY, y2)
-            }
-            typeNames += gpkgTypeName(g)
-            wkbToGpkg(wkb, srid)
-          case _ => null
+    def quoted(s: String) = "\"" + s + "\""
+
+    case class Built(name: String, root: Int, geomType: String, sql: String,
+        hasEnv: Boolean, minX: Double, minY: Double, maxX: Double, maxY: Double)
+    val built = layers.map { case (layerName, df) =>
+      require(!df.columns.contains("fid"),
+        "Gpkg.write adds its own 'fid' rowid-alias column; rename the incoming " +
+          "'fid' column first (the table would otherwise carry duplicate column names)")
+      val rows = df.limit(maxRows + 1).collect()
+      require(rows.length <= maxRows,
+        s"Gpkg.write collects to the driver and is capped at maxRows=$maxRows rows; " +
+          "use parquet/geojsonseq for large frames")
+      val fields = df.schema.fields
+      val geomIdx = df.schema.fieldIndex(geometryCol)
+
+      // envelope + geometry type from the data
+      var minX = Double.PositiveInfinity; var minY = Double.PositiveInfinity
+      var maxX = Double.NegativeInfinity; var maxY = Double.NegativeInfinity
+      val typeNames = scala.collection.mutable.Set[String]()
+      val featureRows = rows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+        val vals = fields.indices.map { j =>
+          val v = r.get(j)
+          if (j == geomIdx) v match {
+            case wkb: Array[Byte] =>
+              val g = WKB.read(wkb)
+              if (!g.isEmpty) {
+                val (x1, y1, x2, y2) = g.bbox
+                minX = math.min(minX, x1); minY = math.min(minY, y1)
+                maxX = math.max(maxX, x2); maxY = math.max(maxY, y2)
+              }
+              typeNames += gpkgTypeName(g)
+              wkbToGpkg(wkb, srid)
+            case _ => null
+          }
+          else v
         }
-        else v
+        // fid column first, stored NULL (rowid alias)
+        ((i + 1).toLong, null +: vals)
       }
-      // fid column first, stored NULL (rowid alias)
-      ((i + 1).toLong, null +: vals)
+      val featureRoot = b.writeTable(featureRows)
+      val geomType = if (typeNames.size == 1) typeNames.head else "GEOMETRY"
+      val featureCols = fields.map { f =>
+        if (f.name == geometryCol) s"${quoted(f.name)} $geomType"
+        else s"${quoted(f.name)} ${declType(f.dataType)}"
+      }.mkString(", ")
+      val featureSql =
+        s"CREATE TABLE ${quoted(layerName)} (${quoted("fid")} INTEGER PRIMARY KEY, $featureCols)"
+      Built(layerName, featureRoot, geomType, featureSql, minX <= maxX, minX, minY, maxX, maxY)
     }
-    val featureRoot = b.writeTable(featureRows)
-    val geomType = if (typeNames.size == 1) typeNames.head else "GEOMETRY"
 
     // every srs_id referenced by contents/geometry_columns must exist here
     val srsBase = Seq(
@@ -620,23 +645,17 @@ object Gpkg {
       else srsBase :+ ((4L, Seq[Any](s"EPSG:$srid", srid.toLong, "EPSG", srid.toLong,
         "undefined", null)))
     val srsRoot = b.writeTable(srsRows)
-    val hasEnv = minX <= maxX
-    val contentsRoot = b.writeTable(Seq(
-      (1L, Seq[Any](layerName, "features", layerName, "",
+    val contentsRoot = b.writeTable(built.zipWithIndex.map { case (l, i) =>
+      ((i + 1).toLong, Seq[Any](l.name, "features", l.name, "",
         "2024-01-01T00:00:00.000Z",
-        if (hasEnv) minX else null, if (hasEnv) minY else null,
-        if (hasEnv) maxX else null, if (hasEnv) maxY else null,
-        srid.toLong))))
-    val geomColsRoot = b.writeTable(Seq(
-      (1L, Seq[Any](layerName, geometryCol, geomType, srid.toLong, 0L, 0L))))
+        if (l.hasEnv) l.minX else null, if (l.hasEnv) l.minY else null,
+        if (l.hasEnv) l.maxX else null, if (l.hasEnv) l.maxY else null,
+        srid.toLong))
+    })
+    val geomColsRoot = b.writeTable(built.zipWithIndex.map { case (l, i) =>
+      ((i + 1).toLong, Seq[Any](l.name, geometryCol, l.geomType, srid.toLong, 0L, 0L))
+    })
 
-    def quoted(s: String) = "\"" + s + "\""
-    val featureCols = fields.map { f =>
-      if (f.name == geometryCol) s"${quoted(f.name)} $geomType"
-      else s"${quoted(f.name)} ${declType(f.dataType)}"
-    }.mkString(", ")
-    val featureSql =
-      s"CREATE TABLE ${quoted(layerName)} (${quoted("fid")} INTEGER PRIMARY KEY, $featureCols)"
     val master = Seq(
       (1L, Seq[Any]("table", "gpkg_spatial_ref_sys", "gpkg_spatial_ref_sys", srsRoot.toLong,
         "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY, " +
@@ -649,8 +668,10 @@ object Gpkg {
       (3L, Seq[Any]("table", "gpkg_geometry_columns", "gpkg_geometry_columns", geomColsRoot.toLong,
         "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, column_name TEXT NOT NULL, " +
           "geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, z TINYINT NOT NULL, " +
-          "m TINYINT NOT NULL)")),
-      (4L, Seq[Any]("table", layerName, layerName, featureRoot.toLong, featureSql)))
+          "m TINYINT NOT NULL)"))) ++
+      built.zipWithIndex.map { case (l, i) =>
+        ((4 + i).toLong, Seq[Any]("table", l.name, l.name, l.root.toLong, l.sql))
+      }
 
     val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
     try b.finish(master, out) finally out.close()

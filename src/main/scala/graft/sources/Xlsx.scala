@@ -3,17 +3,20 @@ package graft.sources
 import java.io.ByteArrayInputStream
 import java.util.zip.ZipInputStream
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
 
-/** XLSX reader (OOXML spreadsheet — a zip of XML, both JDK-parseable), the
-  * erde io matrix's spreadsheet driver re-expressed without POI/pandas
-  * (reference: erde/io/xls.py). First row = header; every cell surfaces as a
-  * string (cast downstream — same contract as Spark's csv without
-  * inferSchema). Whole file per task; many files parallelize.
+/** XLSX/ODS reader (zip-of-XML spreadsheets, both JDK-parseable), the erde io
+  * matrix's spreadsheet driver re-expressed without POI/pandas (reference:
+  * erde/io/xls.py). First row = header; sheets are addressed by their
+  * user-visible name (workbook.xml + rels indirection — `pd.read_excel`'s
+  * `sheet_name` semantics), default = first sheet. Columns come back TYPED
+  * like the reference's pandas frame: long / double / boolean inferred from
+  * the first file's values (cast applied distributed; a value that breaks
+  * the inferred type in a later file nulls out, csv-permissive style).
+  * Whole file per task; many files parallelize.
   */
 object Xlsx {
 
@@ -34,8 +37,42 @@ object Xlsx {
     f.newDocumentBuilder().parse(new ByteArrayInputStream(xml))
   }
 
+  /** Resolves a user-visible sheet name to its worksheet zip entry through
+    * xl/workbook.xml (sheet name → r:id) and xl/_rels/workbook.xml.rels
+    * (r:id → target). `None` = first sheet in workbook order.
+    */
+  private[sources] def sheetEntry(files: Map[String, Array[Byte]], sheet: Option[String]): String =
+    files.get("xl/workbook.xml") match {
+      case None => "xl/worksheets/sheet1.xml" // minimal files without a workbook part
+      case Some(wb) =>
+        val doc = dom(wb)
+        val nodes = doc.getElementsByTagName("sheet")
+        val sheets = (0 until nodes.getLength).map { i =>
+          val e = nodes.item(i).asInstanceOf[org.w3c.dom.Element]
+          (e.getAttribute("name"), e.getAttribute("r:id"))
+        }
+        require(sheets.nonEmpty, "workbook has no sheets")
+        val (_, rid) = sheet match {
+          case None => sheets.head
+          case Some(s) => sheets.find(_._1 == s).getOrElse(throw new IllegalArgumentException(
+            s"no sheet '$s' in workbook (sheets: ${sheets.map(_._1).mkString(", ")})"))
+        }
+        val rels = files.get("xl/_rels/workbook.xml.rels").map { rb =>
+          val rs = dom(rb).getElementsByTagName("Relationship")
+          (0 until rs.getLength).map { i =>
+            val e = rs.item(i).asInstanceOf[org.w3c.dom.Element]
+            (e.getAttribute("Id"), e.getAttribute("Target"))
+          }.toMap
+        }.getOrElse(Map.empty)
+        rels.get(rid) match {
+          case Some(t) if t.startsWith("/") => t.drop(1)
+          case Some(t) => "xl/" + t
+          case None => "xl/worksheets/sheet1.xml"
+        }
+    }
+
   /** Parses one sheet into rows of (columnIndex → string value). */
-  private[sources] def parseRows(bytes: Array[Byte], sheet: String): Seq[Map[Int, String]] = {
+  private[sources] def parseRows(bytes: Array[Byte], sheet: Option[String]): Seq[Map[Int, String]] = {
     val files = entries(bytes)
     val shared: IndexedSeq[String] = files.get("xl/sharedStrings.xml").map { ss =>
       val doc = dom(ss)
@@ -46,8 +83,9 @@ object Xlsx {
       }
     }.getOrElse(IndexedSeq.empty)
 
-    val sheetXml = files.getOrElse(s"xl/worksheets/$sheet.xml",
-      throw new IllegalArgumentException(s"no worksheet $sheet in xlsx"))
+    val entry = sheetEntry(files, sheet)
+    val sheetXml = files.getOrElse(entry,
+      throw new IllegalArgumentException(s"no worksheet $entry in xlsx"))
     val doc = dom(sheetXml)
     val rows = doc.getElementsByTagName("row")
     def colIndex(ref: String): Int = {
@@ -70,6 +108,7 @@ object Xlsx {
         raw.map { v =>
           val value = t match {
             case "s" => shared(v.toInt)
+            case "b" => if (v.trim == "1") "true" else "false" // xlsx bools are 0/1
             case _ => v
           }
           idx -> value
@@ -79,14 +118,30 @@ object Xlsx {
   }
 
   /** Parses an ODS content.xml table into rows of (columnIndex → value),
-    * honoring `table:number-columns-repeated`.
+    * honoring `table:number-columns-repeated`. `sheet` selects a
+    * `table:table` by its `table:name` (default: the first table — and ONLY
+    * that table's rows; multi-table documents don't bleed together).
     */
-  private[sources] def parseOdsRows(bytes: Array[Byte]): Seq[Map[Int, String]] = {
+  private[sources] def parseOdsRows(bytes: Array[Byte],
+      sheet: Option[String] = None): Seq[Map[Int, String]] = {
     val files = entries(bytes)
     val content = files.getOrElse("content.xml",
       throw new IllegalArgumentException("no content.xml in ods"))
     val doc = dom(content)
-    val rows = doc.getElementsByTagName("table:table-row")
+    val tables = doc.getElementsByTagName("table:table")
+    require(tables.getLength > 0, "no table:table in ods content")
+    val names = (0 until tables.getLength)
+      .map(i => tables.item(i).asInstanceOf[org.w3c.dom.Element].getAttribute("table:name"))
+    val pick = sheet match {
+      case None => 0
+      case Some(s) => names.indexOf(s) match {
+        case -1 => throw new IllegalArgumentException(
+          s"no sheet '$s' in ods (sheets: ${names.mkString(", ")})")
+        case i => i
+      }
+    }
+    val rows = tables.item(pick).asInstanceOf[org.w3c.dom.Element]
+      .getElementsByTagName("table:table-row")
     (0 until rows.getLength).map { r =>
       val cells = rows.item(r).asInstanceOf[org.w3c.dom.Element]
         .getElementsByTagName("table:table-cell")
@@ -108,32 +163,61 @@ object Xlsx {
     }
   }
 
-  /** Reads `*.ods` under `path` (OpenDocument spreadsheet — same contract as
-    * [[read]]: header row → column names, all strings).
+  /** Narrowest of long / double / boolean / string that fits every non-empty
+    * sample value (the `pd.read_excel` typed-column contract, csv-inferSchema
+    * style). Empty/missing-only columns stay string.
     */
-  def readOds(spark: SparkSession, path: String): DataFrame = {
+  private[sources] def inferType(vals: Seq[String]): DataType = {
+    val vs = vals.filter(v => v != null && v.nonEmpty)
+    def all(p: String => Boolean) = vs.forall(v => p(v.trim))
+    if (vs.isEmpty) StringType
+    else if (all(v => v.toLongOption.isDefined)) LongType
+    else if (all(v => v.toDoubleOption.isDefined)) DoubleType
+    else if (all(v => v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"))) BooleanType
+    else StringType
+  }
+
+  /** Builds the typed frame from header names, the first file's sample rows
+    * (type inference), and the distributed all-strings frame.
+    */
+  private def typed(strings: DataFrame, names: Seq[String],
+      sampleRows: Seq[Map[Int, String]], inferSchema: Boolean): DataFrame =
+    if (!inferSchema) strings
+    else strings.select(names.zipWithIndex.map { case (n, i) =>
+      col(n).cast(inferType(sampleRows.map(_.get(i).orNull))).as(n)
+    }: _*)
+
+  /** Reads `*.ods` under `path` (OpenDocument spreadsheet — same contract as
+    * [[read]]: header row → column names, typed columns, `sheet` by name).
+    */
+  def readOds(spark: SparkSession, path: String, sheet: Option[String] = None,
+      inferSchema: Boolean = true): DataFrame = {
     import spark.implicits._
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.ods").load(path)
       .select("content").as[Array[Byte]]
-    val headRows = parseOdsRows(files.head())
+    val headRows = parseOdsRows(files.head(), sheet)
     require(headRows.nonEmpty, "empty ods table")
     val header = headRows.head
     val nCols = header.keys.maxOption.getOrElse(-1) + 1
     val names = (0 until nCols).map(i => header.getOrElse(i, s"_c$i"))
     val schema = StructType(names.map(n => StructField(n, StringType)))
     val enc = RowEncoder.encoderFor(schema)
-    files.mapPartitions { it =>
+    val strings = files.mapPartitions { it =>
       it.flatMap { bytes =>
-        parseOdsRows(bytes).drop(1)
+        parseOdsRows(bytes, sheet).drop(1)
           .filter(_.nonEmpty)
           .map(cells => Row.fromSeq((0 until nCols).map(i => cells.get(i).orNull)))
       }
-    }(enc)
+    }(enc).toDF()
+    typed(strings, names, headRows.drop(1), inferSchema)
   }
 
-  /** Reads `*.xlsx` under `path`: header row → column names, all strings. */
-  def read(spark: SparkSession, path: String, sheet: String = "sheet1"): DataFrame = {
+  /** Reads `*.xlsx` under `path`: header row → column names, typed columns
+    * (see object doc), `sheet` by user-visible name (default first).
+    */
+  def read(spark: SparkSession, path: String, sheet: Option[String] = None,
+      inferSchema: Boolean = true): DataFrame = {
     import spark.implicits._
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xlsx").load(path)
@@ -147,12 +231,13 @@ object Xlsx {
     val schema = StructType(names.map(n => StructField(n, StringType)))
     val enc = RowEncoder.encoderFor(schema)
 
-    files.mapPartitions { it =>
+    val strings = files.mapPartitions { it =>
       it.flatMap { bytes =>
         parseRows(bytes, sheet).drop(1).map { cells =>
           Row.fromSeq((0 until nCols).map(i => cells.get(i).orNull))
         }
       }
-    }(enc)
+    }(enc).toDF()
+    typed(strings, names, headRows.drop(1), inferSchema)
   }
 }

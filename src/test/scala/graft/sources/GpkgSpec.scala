@@ -172,6 +172,27 @@ class GpkgSpec extends AnyFunSuite with SparkSpec {
     assert(back.select(st_x(col("geometry"))).head().getDouble(0) == 5.0)
   }
 
+  test("multi-layer file: writeLayers + :layer suffix addressing (erde gpkg.py PATH_REGEXP)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gpkg-ml").toString
+    val towns = Seq((1L, "a", (1.0, 2.0)), (2L, "b", (3.0, 4.0))).toDF("k", "name", "pt")
+      .select(col("k"), col("name"), st_point(col("pt._1"), col("pt._2")).as("geometry"))
+    val roads = Seq((10L, 7.5, (5.0, 6.0))).toDF("rk", "len", "pt")
+      .select(col("rk"), col("len"), st_point(col("pt._1"), col("pt._2")).as("geometry"))
+    Gpkg.writeLayers(Seq("towns" -> towns, "roads" -> roads), s"$dir/ml.gpkg")
+    assert(Gpkg.layers(spark, s"$dir/ml.gpkg") == Seq("towns", "roads"))
+    // un-suffixed read of a multi-layer file must demand a layer choice
+    intercept[IllegalArgumentException](Gpkg.read(spark, s"$dir/ml.gpkg").count())
+    val t = GeoSources.readAuto(spark, s"$dir/ml.gpkg:towns")
+    assert(t.count() == 2 && t.columns.contains("name"))
+    val r = GeoSources.readAuto(spark, s"$dir/ml.gpkg:roads")
+    assert(r.count() == 1 && r.select("len").head().getDouble(0) == 7.5)
+    assert(r.select(st_x(col("geometry"))).head().getDouble(0) == 5.0)
+    // write through the suffix names the layer
+    GeoSources.writeAuto(towns, s"$dir/named.gpkg:settlements")
+    assert(Gpkg.layers(spark, s"$dir/named.gpkg") == Seq("settlements"))
+    assert(GeoSources.readAuto(spark, s"$dir/named.gpkg:settlements").count() == 2)
+  }
+
   test("polygons.gpkg parses areal geometries") {
     val gpkg = Gpkg.read(spark, stage("polygons.gpkg"))
     val areas = gpkg.select(st_area(gpkg.columns.filter(c =>
