@@ -18,6 +18,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     readTable(s, dir, name)
 
+  /** Synthetic OSM elements table from `part`: nodes (id ≡ 0 mod 3) with
+    * lon/lat grids, ways (≡ 1) referencing their flanking node ids, relations
+    * (≡ 2) referencing one way (id-1) and one node (id+1). Shared by the
+    * osm_crop / osm_merge queries and mirrored literally in their oracles.
+    */
+  private def osmElements(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      element_at(array(lit("n"), lit("w"), lit("r")), (col("p_partkey") % 3 + 1).cast("int")).as("type"),
+      col("p_partkey").as("id"),
+      map(lit("brand"), col("p_brand")).as("tags"),
+      when(col("p_partkey") % 3 === 0, expr("(p_partkey % 60) * 0.1 + 0.05").cast("double")).as("lon"),
+      when(col("p_partkey") % 3 === 0, expr("(p_partkey % 35) * 0.1 - 1.05").cast("double")).as("lat"),
+      when(col("p_partkey") % 3 === 1, array(col("p_partkey") - 1, col("p_partkey") + 2))
+        .when(col("p_partkey") % 3 === 2, array(col("p_partkey") - 1, col("p_partkey") + 1))
+        .as("refs"))
+
   // Deterministic geometry derivations from the TPC-H-ish tables. Every
   // arithmetic step is written identically in the DuckDB oracles, so both
   // engines see bit-identical doubles.
@@ -452,6 +468,26 @@ object SparkEntry {
         map(lit("brand"), col("p_brand"), lit("container"), col("p_type")).as("tags"))
       OsmFilter.tagFilter(elements, Seq("wr/brand=Brand#13,Brand#23", "n/container"))
         .select("osm_id", "type")
+    }),
+
+    // --- osm crop: extract-to-polygon with way/relation membership cascade -
+    "osm_crop" -> ((s, dir) => {
+      // synthetic n/w/r table: nodes carry lon/lat; each way references the
+      // two flanking node ids (id∓1 ≡ 0 mod 3); each relation references one
+      // way (id-1) and one node (id+1)
+      OsmFilter.crop(osmElements(s, dir), "POLYGON ((1 0, 4 0, 4 2, 1 2, 1 0))")
+        .select(col("id").as("osm_id"), col("type"))
+    }),
+
+    // --- osm merge: later extract overrides shared (type, id) -------------
+    "osm_merge" -> ((s, dir) => {
+      val base = osmElements(s, dir)
+      val patch = base.where(col("id") % 5 === 0)
+        .withColumn("tags", map(lit("brand"), lit("PATCHED")))
+      OsmFilter.merge(Seq(base, patch))
+        .select(col("id").as("osm_id"), col("type"),
+          col("tags").getItem("brand").as("brand"),
+          coalesce(round(col("lon"), 5), lit(-999.0)).as("lon5"))
     }),
 
     // --- multimodal header metadata (hash-stub fallback, exact-mirrored) ---
@@ -926,6 +962,32 @@ object SparkEntry {
         |SELECT osm_id, type FROM e
         |WHERE (type IN ('w','r') AND p_brand IN ('Brand#13','Brand#23'))
         |   OR (type = 'n')""".stripMargin,
+    "osm_crop" ->
+      """WITH e AS (SELECT p_partkey AS id,
+        |  CASE (p_partkey % 3) WHEN 0 THEN 'n' WHEN 1 THEN 'w' ELSE 'r' END AS type,
+        |  CASE WHEN p_partkey % 3 = 0 THEN (p_partkey % 60) * 0.1 + 0.05 END AS lon,
+        |  CASE WHEN p_partkey % 3 = 0 THEN (p_partkey % 35) * 0.1 - 1.05 END AS lat,
+        |  CASE WHEN p_partkey % 3 = 1 THEN [p_partkey - 1, p_partkey + 2]
+        |       WHEN p_partkey % 3 = 2 THEN [p_partkey - 1, p_partkey + 1] END AS refs
+        |  FROM part),
+        |kn AS (SELECT id FROM e WHERE type = 'n'
+        |       AND lon > 1 AND lon < 4 AND lat > 0 AND lat < 2),
+        |kw AS (SELECT DISTINCT e.id FROM e, unnest(e.refs) AS u(r)
+        |       WHERE e.type = 'w' AND u.r IN (SELECT id FROM kn)),
+        |kr AS (SELECT DISTINCT e.id FROM e, unnest(e.refs) AS u(r)
+        |       WHERE e.type = 'r'
+        |       AND u.r IN (SELECT id FROM kn UNION ALL SELECT id FROM kw))
+        |SELECT id AS osm_id, type FROM e
+        |WHERE (type = 'n' AND id IN (SELECT id FROM kn))
+        |   OR (type = 'w' AND id IN (SELECT id FROM kw))
+        |   OR (type = 'r' AND id IN (SELECT id FROM kr))""".stripMargin,
+    "osm_merge" ->
+      """SELECT p_partkey AS osm_id,
+        |  CASE (p_partkey % 3) WHEN 0 THEN 'n' WHEN 1 THEN 'w' ELSE 'r' END AS type,
+        |  CASE WHEN p_partkey % 5 = 0 THEN 'PATCHED' ELSE p_brand END AS brand,
+        |  CASE WHEN p_partkey % 3 = 0 THEN CAST(round((p_partkey % 60) * 0.1 + 0.05, 5) AS DOUBLE)
+        |       ELSE -999.0 END AS lon5
+        |FROM part""".stripMargin,
     "sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
         |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,

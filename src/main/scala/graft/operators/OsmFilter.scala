@@ -53,4 +53,82 @@ object OsmFilter {
     */
   def tagsToColumns(df: DataFrame, keys: Seq[String], tagsCol: String = "tags"): DataFrame =
     keys.foldLeft(df)((d, k) => d.withColumn(k, col(tagsCol).getItem(k)))
+
+  /** Crops an OSM elements frame to a (multi)polygon, the `osmium extract -p`
+    * step of the reference pipeline (erde/op/osm.py:67 `crop_cmd`) as a named
+    * distributed operator over the [[graft.sources.OsmPbf]] table shape
+    * (`type` n/w/r, `id`, `lon`/`lat` on nodes, `refs` member ids):
+    *
+    *  - nodes: kept when inside `areaWkt` (bbox gate pushed to the scan,
+    *    exact point-in-polygon after);
+    *  - ways: kept when ≥1 referenced node is kept (osmium's default
+    *    "simple" strategy); with `completeWays` every node of a kept way is
+    *    retained too (its "complete_ways" strategy);
+    *  - relations: kept when ≥1 member id is a kept node or way. The flat
+    *    `refs` schema carries no member type, so an id collision across the
+    *    node/way id spaces can over-keep a relation — acceptable for
+    *    extract-style cropping (never drops a needed element).
+    *
+    * All joins are semi-joins hash-partitioned on element id — no geometry
+    * shuffle, no driver state; membership frames carry only ids.
+    */
+  def crop(
+      df: DataFrame,
+      areaWkt: String,
+      completeWays: Boolean = false,
+      typeCol: String = "type",
+      idCol: String = "id",
+      refsCol: String = "refs"): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val g = graft.geom.WKT.read(areaWkt)
+    val (x1, y1, x2, y2) = g.bbox
+    val area = lit(graft.geom.WKB.write(g))
+
+    val nodes = df.where(col(typeCol) === "n")
+    val ways = df.where(col(typeCol) === "w")
+    val rels = df.where(col(typeCol) === "r")
+
+    val keptNodeIds = nodes
+      .where(col("lon").between(x1, x2) && col("lat").between(y1, y2) &&
+        st_contains(area, st_point(col("lon"), col("lat"))))
+      .select(col(idCol))
+    val keptWayIds = ways
+      .select(col(idCol), explode(col(refsCol)).as("__ref"))
+      .join(keptNodeIds.select(col(idCol).as("__ref")), Seq("__ref"), "left_semi")
+      .select(col(idCol)).distinct()
+    val keptRelIds = rels
+      .select(col(idCol), explode(col(refsCol)).as("__ref"))
+      .join(keptNodeIds.unionByName(keptWayIds).select(col(idCol).as("__ref")),
+        Seq("__ref"), "left_semi")
+      .select(col(idCol)).distinct()
+
+    val keptWays = ways.join(keptWayIds, Seq(idCol), "left_semi")
+    val nodeIds =
+      if (!completeWays) keptNodeIds
+      else keptNodeIds.unionByName(
+        keptWays.select(explode(col(refsCol)).as(idCol))).distinct()
+    val keptNodes = nodes.join(nodeIds, Seq(idCol), "left_semi")
+    keptNodes
+      .unionByName(keptWays)
+      .unionByName(rels.join(keptRelIds, Seq(idCol), "left_semi"))
+  }
+
+  /** Merges OSM extracts (the reference's `osmium merge` stage, erde/op/
+    * osm.py merge path): elements sharing (type, id) collapse to one row,
+    * later inputs winning — osmium's newer-file-overrides contract. One
+    * shuffle on (type, id); the winner is a map-side-combined max_by.
+    */
+  def merge(dfs: Seq[DataFrame], typeCol: String = "type", idCol: String = "id"): DataFrame = {
+    require(dfs.nonEmpty, "merge needs at least one frame")
+    val cols = dfs.head.columns.toIndexedSeq
+    val all = dfs.zipWithIndex
+      .map { case (d, i) => d.select(cols.map(col): _*).withColumn("__src", lit(i)) }
+      .reduce(_ unionByName _)
+    val payload = cols.filterNot(c => c == typeCol || c == idCol)
+    if (payload.isEmpty) all.select(cols.map(col): _*).distinct()
+    else all
+      .groupBy(col(typeCol), col(idCol))
+      .agg(max_by(struct(payload.map(col): _*), col("__src")).as("__e"))
+      .select(cols.map(c => if (payload.contains(c)) col(s"__e.$c") else col(c)): _*)
+  }
 }

@@ -162,4 +162,43 @@ class MultimodalOsmSpec extends AnyFunSuite with SparkSpec {
     val r = out.where(col("osm_id") === 2).head()
     assert(r.getAs[String]("highway") == "primary" && r.getAs[String]("name") == "Main St")
   }
+
+  // crop fixture: nodes 1-4 (1,2 inside the unit square's [0..2]² area),
+  // way 10 = [1, 3] (node 1 inside), way 11 = [3, 4] (none inside),
+  // relation 20 = [10, 4] (kept via way 10), relation 21 = [11] (dropped)
+  private lazy val cropOsm = {
+    val nodes = Seq(
+      (1L, 0.5, 0.5), (2L, 1.5, 1.5), (3L, 5.0, 5.0), (4L, 6.0, 6.0))
+      .map { case (i, x, y) =>
+        ("n", i, Map.empty[String, String], Option(x), Option(y), Option.empty[Seq[Long]]) }
+    val ways = Seq((10L, Seq(1L, 3L)), (11L, Seq(3L, 4L)))
+      .map { case (i, rs) =>
+        ("w", i, Map.empty[String, String], Option.empty[Double], Option.empty[Double], Option(rs)) }
+    val rels = Seq((20L, Seq(10L, 4L)), (21L, Seq(11L)))
+      .map { case (i, rs) =>
+        ("r", i, Map.empty[String, String], Option.empty[Double], Option.empty[Double], Option(rs)) }
+    (nodes ++ ways ++ rels).toDF("type", "id", "tags", "lon", "lat", "refs")
+  }
+
+  test("OsmFilter.crop: node PIP, way/relation membership cascade") {
+    val area = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    val kept = OsmFilter.crop(cropOsm, area)
+      .select("type", "id").as[(String, Long)].collect().toSet
+    assert(kept == Set(("n", 1L), ("n", 2L), ("w", 10L), ("r", 20L)))
+    // complete_ways keeps every node of a kept way (node 3 rides along)
+    val complete = OsmFilter.crop(cropOsm, area, completeWays = true)
+      .select("type", "id").as[(String, Long)].collect().toSet
+    assert(complete == kept + (("n", 3L)))
+  }
+
+  test("OsmFilter.merge: later extract wins shared (type, id); others union") {
+    val patch = cropOsm.where(col("id") === 1)
+      .withColumn("tags", map(lit("fixme"), lit("moved")))
+      .unionByName(cropOsm.where(col("id") === 4).withColumn("id", lit(99L)))
+    val merged = OsmFilter.merge(Seq(cropOsm, patch))
+    assert(merged.count() == cropOsm.count() + 1) // 99 added, 1 replaced in place
+    assert(merged.where(col("id") === 1).head().getAs[Map[String, String]]("tags")
+      == Map("fixme" -> "moved"))
+    assert(merged.columns.toSeq == cropOsm.columns.toSeq)
+  }
 }
