@@ -13,7 +13,9 @@ import scala.collection.mutable
   * database: tables are in-memory string matrices and the SQL "engine"
   * understands only the statement shapes the driver emits (DROP/CREATE/
   * INSERT/SELECT * [WHERE range][LIMIT 0]/SELECT min,max/ALTER/UPDATE
-  * st_setsrid). Thread-per-connection, so partitioned reads and per-partition
+  * st_setsrid/BEGIN/COMMIT/DECLARE CURSOR/FETCH/CLOSE — cursors are
+  * per-connection snapshots, like a real server's within one transaction).
+  * Thread-per-connection, so partitioned reads and per-partition
   * writes genuinely run concurrently against it.
   */
 final class PgMiniServer(auth: String = "trust", user: String = "graft",
@@ -67,6 +69,7 @@ final class PgMiniServer(auth: String = "trust", user: String = "graft",
     }
     def i32(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4).putInt(v).array()
     def readyForQuery(): Unit = { msg('Z', Array('I'.toByte)); out.flush() }
+    val cursors = mutable.Map.empty[String, Cursor] // per-connection state
 
     try {
       // startup: length + protocol + params
@@ -104,7 +107,7 @@ final class PgMiniServer(auth: String = "trust", user: String = "graft",
             val sql = new String(payload, 0, math.max(0, payload.length - 1), UTF_8).trim
             statements.add(sql)
             try {
-              execute(sql) match {
+              execute(sql, cursors) match {
                 case Left(tag) =>
                   val b = new java.io.ByteArrayOutputStream(); cstr(b, tag)
                   msg('C', b.toByteArray)
@@ -189,6 +192,13 @@ final class PgMiniServer(auth: String = "trust", user: String = "graft",
     case _ => 25 // text, Geometry, anything else
   }
 
+  private final class Cursor(
+      val cols: Vector[String],
+      val types: Vector[Int],
+      val rows: Vector[Array[String]]) {
+    var pos: Int = 0
+  }
+
   private val DropRe = "(?is)^DROP TABLE IF EXISTS\\s+(.+)$".r
   private val CreateRe = "(?is)^CREATE TABLE\\s+([^(]+)\\((.*)\\)$".r
   private val InsertRe = "(?is)^INSERT INTO\\s+([^(]+)\\(([^)]*)\\)\\s*VALUES\\s*(.*)$".r
@@ -202,11 +212,37 @@ final class PgMiniServer(auth: String = "trust", user: String = "graft",
   private val SetSridRe =
     "(?is)^UPDATE\\s+(\\S+)\\s+SET\\s+(\\S+?)\\s*=\\s*st_setsrid\\(\\s*\\S+?\\s*,\\s*(\\d+)\\s*\\)$".r
   private val UpdateRe = "(?is)^UPDATE\\s+.*$".r
+  private val BeginRe = "(?is)^BEGIN$".r
+  private val CommitRe = "(?is)^(?:COMMIT|END)$".r
+  private val DeclareRe = "(?is)^DECLARE\\s+(\\S+)\\s+(?:NO\\s+SCROLL\\s+)?CURSOR\\s+FOR\\s+(.+)$".r
+  private val FetchRe = "(?is)^FETCH\\s+(?:FORWARD\\s+)?(\\d+)\\s+FROM\\s+(\\S+)$".r
+  private val CloseRe = "(?is)^CLOSE\\s+(\\S+)$".r
 
-  private def execute(sql: String)
+  private def execute(sql: String, cursors: mutable.Map[String, Cursor])
       : Either[String, (Vector[String], Vector[Int], Vector[Array[String]])] =
     lock.synchronized {
       sql match {
+        case BeginRe() => Left("BEGIN")
+        case CommitRe() =>
+          cursors.clear() // transaction end closes its cursors
+          Left("COMMIT")
+        case DeclareRe(name, inner) =>
+          execute(inner.trim, cursors) match {
+            case Right((cols, types, rows)) =>
+              cursors(unquoteIdent(name)) = new Cursor(cols, types, rows)
+              Left("DECLARE CURSOR")
+            case Left(tag) =>
+              throw new IllegalArgumentException(s"DECLARE needs a row-returning statement, got $tag")
+          }
+        case FetchRe(n, name) =>
+          val cur = cursors.getOrElse(unquoteIdent(name),
+            throw new IllegalArgumentException(s"cursor \"$name\" does not exist"))
+          val slice = cur.rows.slice(cur.pos, cur.pos + n.toInt)
+          cur.pos += slice.size
+          Right((cur.cols, cur.types, slice))
+        case CloseRe(name) if cursors.contains(unquoteIdent(name)) =>
+          cursors.remove(unquoteIdent(name))
+          Left("CLOSE CURSOR")
         case DropRe(name) =>
           tables.remove(unquoteIdent(name)); Left("DROP TABLE")
         case CreateRe(name, colsDef) =>
@@ -239,10 +275,17 @@ final class PgMiniServer(auth: String = "trust", user: String = "graft",
           val t = tables(unquoteIdent(name))
           val i = t.cols.indexOf(unquoteIdent(colName))
           require(i >= 0, s"no column $colName")
-          val vals = t.rows.flatMap(r => Option(r(i))).map(BigDecimal(_))
+          // real postgres sorts NaN greater than every number, so a double
+          // column containing NaN reports max = 'NaN' — reproduce that so
+          // the client's finite-bounds validation is exercised hermetically
+          val raw = t.rows.flatMap(r => Option(r(i)))
+          val hasNaN = raw.exists(_.equalsIgnoreCase("nan"))
+          val vals = raw.filterNot(_.equalsIgnoreCase("nan")).map(BigDecimal(_))
           val (mn, mx) =
-            if (vals.isEmpty) (null, null)
-            else (vals.min.bigDecimal.toPlainString, vals.max.bigDecimal.toPlainString)
+            if (raw.isEmpty) (null, null)
+            else (
+              if (vals.isEmpty) "NaN" else vals.min.bigDecimal.toPlainString,
+              if (hasNaN) "NaN" else vals.max.bigDecimal.toPlainString)
           Right((Vector("min", "max"), Vector(1700, 1700), Vector(Array(mn, mx))))
         case SelectWhereRe(name, colName, lo, op, hi, orNull) =>
           val t = tables(unquoteIdent(name))

@@ -252,10 +252,12 @@ object Postgres {
     }
 
     private def readCstr(buf: java.nio.ByteBuffer): String = {
-      val sb = new java.lang.StringBuilder
+      // bytes-then-decode: byte-by-byte toChar would read Latin-1 and mangle
+      // non-ASCII UTF-8 column names a real server sends
+      val bytes = new java.io.ByteArrayOutputStream
       var c = buf.get()
-      while (c != 0) { sb.append(c.toChar); c = buf.get() }
-      sb.toString
+      while (c != 0) { bytes.write(c); c = buf.get() }
+      new String(bytes.toByteArray, UTF_8)
     }
 
     override def close(): Unit = {
@@ -345,13 +347,15 @@ object Postgres {
     * their own connection; otherwise one task streams the whole result.
     * Geometry columns named in the url (`@geom1,geom2`) arrive as hex WKB
     * text (the reference's convention) and are decoded to WKB BinaryType.
-    * Each task holds its own range's rows (the simple-query subprotocol
-    * delivers the full result set) — size `numPartitions` so a range fits an
-    * executor, the same contract as Spark's JDBC source.
+    * Each task streams its range through a server-side cursor (`DECLARE …
+    * FETCH FORWARD fetchSize`), so task memory holds at most one
+    * `fetchSize` batch — a mis-sized range cannot OOM an executor.
     */
   def read(spark: SparkSession, url: String,
       partitionColumn: Option[String] = None,
-      numPartitions: Int = 1): DataFrame = {
+      numPartitions: Int = 1,
+      fetchSize: Int = 10000): DataFrame = {
+    require(fetchSize > 0, "fetchSize must be positive")
     val u = parseUrl(url)
     val tq = u.tableOrQuery.getOrElse(
       throw new IllegalArgumentException(s"no table or query in '$url'"))
@@ -371,8 +375,18 @@ object Postgres {
         val row = mm.rows.headOption.getOrElse(Array[String](null, null))
         if (row(0) == null) Seq("")
         else {
-          val lo = BigDecimal(row(0))
-          val hi = BigDecimal(row(1))
+          // a double column can legally hold NaN/Infinity (and date/timestamp
+          // columns 'infinity') — fail with the actual problem, not a bare
+          // NumberFormatException from the bound text
+          def bound(v: String): BigDecimal =
+            try BigDecimal(v) catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                s"partitionColumn '$pc' needs finite numeric bounds to split " +
+                  s"into ranges; server reports min/max '$v' — clean the column " +
+                  "or drop partitionColumn for a single-stream read")
+            }
+          val lo = bound(row(0))
+          val hi = bound(row(1))
           val span = (hi - lo) / numPartitions
           val q = quoteIdent(pc)
           (0 until numPartitions).map { i =>
@@ -395,12 +409,39 @@ object Postgres {
       .parallelize(wherePreds, math.max(1, wherePreds.size))
       .flatMap { pred =>
         val conn = new PgConnection(host, port, db, user, password)
-        try {
-          conn.query(s"SELECT * FROM $src$pred").rows.map { cells =>
-            Row.fromSeq(ArraySeq.unsafeWrapArray(
-              cells.zip(fieldTypes).map { case (c, dt) => decodeCell(c, dt) }))
+        var closed = false
+        def shutdown(commit: Boolean): Unit = if (!closed) {
+          closed = true
+          if (commit) try conn.query("COMMIT") catch { case _: Exception => () }
+          try conn.close() catch { case _: Exception => () }
+        }
+        // a task that stops early (limit, failure) must still free the socket;
+        // dropping the connection mid-transaction aborts it, which is fine for
+        // a read
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => shutdown(commit = false)))
+        conn.query("BEGIN")
+        conn.query(s"DECLARE __graft_cur NO SCROLL CURSOR FOR SELECT * FROM $src$pred")
+        val batches: Iterator[Seq[Array[String]]] = new Iterator[Seq[Array[String]]] {
+          private var pending: Seq[Array[String]] = null
+          private var exhausted = false
+          override def hasNext: Boolean = {
+            if (pending == null && !exhausted) {
+              val got = conn.query(s"FETCH FORWARD $fetchSize FROM __graft_cur").rows
+              if (got.isEmpty) { exhausted = true; shutdown(commit = true) }
+              else pending = got
+            }
+            pending != null
           }
-        } finally conn.close()
+          override def next(): Seq[Array[String]] = {
+            if (!hasNext) throw new NoSuchElementException("cursor exhausted")
+            val b = pending; pending = null; b
+          }
+        }
+        batches.flatMap(_.iterator).map { cells =>
+          Row.fromSeq(ArraySeq.unsafeWrapArray(
+            cells.zip(fieldTypes).map { case (c, dt) => decodeCell(c, dt) }))
+        }
       }
     val df = spark.createDataFrame(rowsRdd, schema)
 
@@ -455,42 +496,49 @@ object Postgres {
     val geomCols = (u.geometryColumns ++ Seq("geometry")).distinct
       .filter(df.columns.contains)
       .filter(c => df.schema(c).dataType == BinaryType)
-    // geometry → hex text for transport (the reference's wkb.dumps().hex())
-    val out = geomCols.foldLeft(df)((d, c) => d.withColumn(c, lower(hex(col(c)))))
+    // the SRID probe and the insert pass must see the SAME rows: without a
+    // persist a nondeterministic/recomputed source could write rows
+    // inconsistent with the inferred SRID (and would recompute its lineage
+    // twice). Geometry-free writes scan once and skip the cache.
+    if (geomCols.nonEmpty) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // geometry → hex text for transport (the reference's wkb.dumps().hex())
+      val out = geomCols.foldLeft(df)((d, c) => d.withColumn(c, lower(hex(col(c)))))
 
-    // CRS inference needs the pre-hex x extent; NULL-safe (NaN-free) min
-    val srid: Option[Int] = geomCols.headOption.map { c =>
-      val minx = df.where(col(c).isNotNull)
-        .agg(min(element_at(st_bbox(col(c)), 1))).head().get(0)
-      minx match {
-        case x: java.lang.Double if x > -181 && x < 181 => 4326
-        case null => 4326
-        case _ => 3857
-      }
-    }
-
-    val qTable = quoteIdent(table)
-    val colDefs = out.schema.fields
-      .map(f => s"${quoteIdent(f.name)} ${pgType(f.dataType)}").mkString(", ")
-    withConnection(u) { conn =>
-      conn.query(s"DROP TABLE IF EXISTS $qTable")
-      conn.query(s"CREATE TABLE $qTable ($colDefs)")
-    }
-
-    insertPartitions(out, u, qTable, chunkSize)
-
-    // geometry epilogue (reference lines 57-66, verbatim statement shapes).
-    // The reference only ever handles its single `geometry` column; with an
-    // explicit @geom1,geom2 url every listed column gets the conversion (the
-    // srid is inferred once, from the first column's extent).
-    srid.foreach { s =>
-      withConnection(u) { conn =>
-        geomCols.foreach { g =>
-          conn.query(s"ALTER TABLE $qTable ALTER COLUMN ${quoteIdent(g)} TYPE Geometry")
-          conn.query(s"UPDATE $qTable SET ${quoteIdent(g)}=st_setsrid(${quoteIdent(g)}, $s)")
+      // CRS inference needs the pre-hex x extent; NULL-safe (NaN-free) min
+      val srid: Option[Int] = geomCols.headOption.map { c =>
+        val minx = df.where(col(c).isNotNull)
+          .agg(min(element_at(st_bbox(col(c)), 1))).head().get(0)
+        minx match {
+          case x: java.lang.Double if x > -181 && x < 181 => 4326
+          case null => 4326
+          case _ => 3857
         }
       }
-    }
+
+      val qTable = quoteIdent(table)
+      val colDefs = out.schema.fields
+        .map(f => s"${quoteIdent(f.name)} ${pgType(f.dataType)}").mkString(", ")
+      withConnection(u) { conn =>
+        conn.query(s"DROP TABLE IF EXISTS $qTable")
+        conn.query(s"CREATE TABLE $qTable ($colDefs)")
+      }
+
+      insertPartitions(out, u, qTable, chunkSize)
+
+      // geometry epilogue (reference lines 57-66, verbatim statement shapes).
+      // The reference only ever handles its single `geometry` column; with an
+      // explicit @geom1,geom2 url every listed column gets the conversion (the
+      // srid is inferred once, from the first column's extent).
+      srid.foreach { s =>
+        withConnection(u) { conn =>
+          geomCols.foreach { g =>
+            conn.query(s"ALTER TABLE $qTable ALTER COLUMN ${quoteIdent(g)} TYPE Geometry")
+            conn.query(s"UPDATE $qTable SET ${quoteIdent(g)}=st_setsrid(${quoteIdent(g)}, $s)")
+          }
+        }
+      }
+    } finally if (geomCols.nonEmpty) df.unpersist()
   }
 
   /** One connection per partition, `chunkSize`-row multi-row INSERTs. */

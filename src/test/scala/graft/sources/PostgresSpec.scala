@@ -279,6 +279,46 @@ class PostgresSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("cursor-chunked read: a range streams through multiple FETCHes") {
+    val server = new PgMiniServer()
+    try {
+      import testImplicits._
+      val df = (0L until 1000L).toDF("id").withColumn("v", col("id") * 3)
+      Postgres.write(df, url(server, "/cur"))
+      server.statements.clear()
+
+      val back = Postgres.read(spark, url(server, "/cur"),
+        partitionColumn = Some("id"), numPartitions = 2, fetchSize = 64)
+      assert(back.count() == 1000)
+      assert(back.agg(sum("v")).head().getLong(0) == (0L until 1000L).map(_ * 3).sum)
+
+      val stmts = server.statements.toArray.map(_.toString)
+      // 500-row ranges at fetchSize 64 → 8 full + 1 empty FETCH per range
+      assert(stmts.count(_.startsWith("DECLARE")) >= 2)
+      assert(stmts.count(_.startsWith("FETCH FORWARD 64")) >= 18,
+        s"ranges must stream in fetchSize batches: ${stmts.count(_.startsWith("FETCH"))} fetches")
+      assert(stmts.exists(_.startsWith("BEGIN")) && stmts.exists(_.startsWith("COMMIT")))
+      // no full-range SELECT outside the cursor (the LIMIT 0 probe aside)
+      assert(!stmts.exists(s => s.startsWith("SELECT * FROM") && !s.contains("LIMIT 0")))
+    } finally server.close()
+  }
+
+  test("partitionColumn with NaN bounds fails with a clear error") {
+    val server = new PgMiniServer()
+    try {
+      import testImplicits._
+      val df = Seq(1.0, Double.NaN, 5.0).toDF("x").withColumn("id", monotonically_increasing_id())
+      Postgres.write(df, url(server, "/nanb"))
+      val e = intercept[IllegalArgumentException] {
+        Postgres.read(spark, url(server, "/nanb"),
+          partitionColumn = Some("x"), numPartitions = 3).count()
+      }
+      assert(e.getMessage.contains("finite numeric"), e.getMessage)
+      // unpartitioned read of the same table still works
+      assert(Postgres.read(spark, url(server, "/nanb")).count() == 3)
+    } finally server.close()
+  }
+
   test("write chunks inserts at chunkSize rows") {
     val server = new PgMiniServer()
     try {
