@@ -15,6 +15,17 @@ object Graph {
     * as the cheap first stage of the fixpoint test. The sums accumulate in
     * DECIMAL(38,0): a long sum would overflow (and throw under ANSI mode).
     */
+  /** Frees a lazy localCheckpoint's blocks. The persistence lives on the
+    * RDD wrapped by the checkpoint's LogicalRDD plan — `Dataset.unpersist`
+    * only drops CacheManager-registered plans, so it never touches these; a
+    * non-checkpoint plan is left alone.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   private def signatureOf(e: DataFrame): (Long, (BigDecimal, BigDecimal)) = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val r = e.agg(
@@ -106,10 +117,14 @@ object Graph {
       val (nextCount, nextSig) = signatureOf(next)
       converged = nextCount == eCount && nextSig == eSig && next.except(e).isEmpty
       // the prior round's checkpoint is dead once `next` is materialized and
-      // the fixpoint test above has read it — drop its cached blocks so a
-      // long-lived session doesn't accumulate one edge-set copy per round
-      // (safe: nothing downstream references it; e0 and the final round stay)
-      e.unpersist()
+      // the fixpoint test above has read it — free its blocks so a long-lived
+      // session doesn't accumulate one edge-set copy per round. Dataset
+      // .unpersist would be a NO-OP here: localCheckpoint persistence lives
+      // on the wrapped RDD (CacheManager never sees it), so unpersist the
+      // LogicalRDD's rdd itself. Safe: nothing downstream references the
+      // round (a local checkpoint can't recompute after the drop, but e0 and
+      // the final round are never dropped).
+      unpersistCheckpoint(e)
       e = next
       eCount = nextCount
       eSig = nextSig

@@ -52,6 +52,21 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("dead rounds' localCheckpoint blocks are actually freed") {
+    // a 256-node path needs several contraction rounds; each round local-
+    // checkpoints its edge set. Dataset.unpersist would silently keep every
+    // round's blocks (they are RDD-level, invisible to the CacheManager) —
+    // after the run only a bounded handful of persistent RDDs may remain
+    // (e0, the final round, and the session's unrelated cache entries).
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val n = 256
+    val got = cc((1 until n).map(i => (i.toLong, (i + 1).toLong)))
+    assert(got.values.toSet == Set(1L))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 3,
+      s"${leaked.size} persistent RDDs left behind — dead CC rounds not freed")
+  }
+
   test("empty edge frame yields an empty assignment") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Graph.connectedComponents(empty).count() == 0)
