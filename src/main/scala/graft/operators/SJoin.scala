@@ -136,6 +136,17 @@ object SJoin {
       if (clash(c0)) df.withColumnRenamed(c0, c0 + suffix) else df
     }
 
+  /** Left columns (beyond the geometry) that user expressions reference by
+    * name — the slim pair pass must carry exactly those, so aggs/lookups
+    * over left attributes keep resolving as they did when the full left
+    * payload rode along.
+    */
+  private def referencedLeftCols(lt: DataFrame, leftGeom: String, names: Set[String]): Seq[String] =
+    lt.columns.toIndexedSeq.filter(c => c != leftGeom && c != LID && names.contains(c))
+
+  private def attrNames(cols: Seq[Column]): Set[String] =
+    cols.flatMap(org.apache.spark.sql.graftbridge.ColumnBridge.attributeNames).toSet
+
   private def pairsKeyed(
       taggedLeft: DataFrame,
       right: DataFrame,
@@ -350,14 +361,15 @@ object SJoin {
     val clash = lt.columns.toSet
     val renamed = renameClashing(right, clash, "_right")
     val rGeom = if (clash(rightGeom)) rightGeom + "_right" else rightGeom
-    // Only (tag, geometry) feeds pair generation — the aggs reference right
-    // columns and the join-back restores the left columns, so the pair pass
-    // never carries the (possibly wide) left payload. Content-path only:
-    // identical left rows share a tag, so their candidate pairs would merge
-    // under groupBy(tag) and double every sum — collapse duplicate tags
-    // (narrow shuffle of tag+geometry) so each distinct row aggregates once;
-    // the join-back then fans the correct result onto every duplicate.
-    val slim0 = lt.select(col(LID), col(leftGeom))
+    // Only (tag, geometry, agg-referenced left columns) feed pair generation
+    // — the join-back restores the full left payload, so the pair pass never
+    // carries columns nobody aggregates. Content-path only: identical left
+    // rows share a tag, so their candidate pairs would merge under
+    // groupBy(tag) and double every sum — collapse duplicate tags (narrow
+    // shuffle) so each distinct row aggregates once; the join-back then fans
+    // the correct result onto every duplicate.
+    val keep = Seq(LID, leftGeom) ++ referencedLeftCols(lt, leftGeom, attrNames(aggs))
+    val slim0 = lt.select(keep.map(col): _*)
     val slim = if (content) slim0.dropDuplicates(Seq(LID)) else slim0
     val inner = pairsKeyed(slim, renamed, predicate, leftGeom, rGeom, cellDeg, "_right", tuning)
     val agged = inner.groupBy(col(LID)).agg(aggs.head, aggs.tail: _*)
@@ -387,7 +399,9 @@ object SJoin {
     // min_by is idempotent under whole-candidate-set duplication, so the
     // content tag needs no duplicate collapse here (unlike sagg): merged
     // duplicates pick the same minimum, and the join-back fans it out.
-    val slim = lt.select(col(LID), col(leftGeom))
+    val named = (columns :+ orderBy).map(c0 => col(c0))
+    val keep = Seq(LID, leftGeom) ++ referencedLeftCols(lt, leftGeom, attrNames(named))
+    val slim = lt.select(keep.map(col): _*)
     val inner = pairsKeyed(slim, renamed, predicate, leftGeom, rGeom, cellDeg, "_right", tuning)
     val picks = columns.map(c0 => min_by(col(c0), col(orderBy)).as(c0))
     val agged = inner.groupBy(col(LID)).agg(picks.head, picks.tail: _*)

@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Column names an unresolved Column references (walks the `private[sql]`
+    * ColumnNode tree — the converted Expression is one opaque
+    * ColumnNodeExpression, so catalyst-side collect sees nothing). Used by
+    * SJoin to ship exactly the left columns a user's aggs/lookups name.
+    */
+  def attributeNames(c: Column): Seq[String] =
+    c.node.collect {
+      case a: org.apache.spark.sql.internal.UnresolvedAttribute => a.nameParts.last
+    }
 }

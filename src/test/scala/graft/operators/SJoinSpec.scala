@@ -224,6 +224,22 @@ class SJoinSpec extends AnyFunSuite with SparkSpec {
     assert(SJoin.sfilter(dupPts, zones, predicate = "within").count() == 2)
   }
 
+  test("sagg/slookup may reference LEFT columns; the slim pair pass carries them") {
+    // the pair pass only ships columns the user's expressions name — an agg
+    // over a left attribute (zid) must still resolve
+    val out = SJoin.sagg(zones, points,
+      Seq(count(lit(1)).as("n"), max(col("zid") * 1000 + col("pid")).as("mix")),
+      predicate = "contains", how = "left")
+    val m = out.select("zid", "mix").collect().map(r => r.getInt(0) -> r.get(1)).toMap
+    // zone 1 holds the 3×3 grid pids {0,1,2,5,6,7,10,11,12} → max 12
+    assert(m(1) == 1012L)
+    assert(m(2) == 2024L) // zone 2: pids {12,…,24} → max 24
+    assert(m(3) == null)
+    val lk = SJoin.slookup(points, zones, columns = Seq("zid"), orderBy = "zid",
+      predicate = "within", how = "left")
+    assert(lk.count() == 25)
+  }
+
   test("sjfull right join keeps unmatched right rows") {
     val out = SJoin.sjfull(points, zones, predicate = "within", how = "right")
     // zone 3 (far away) matches nothing but must survive with null point cols
