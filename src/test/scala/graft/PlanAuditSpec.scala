@@ -59,6 +59,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("osm crop runs as id semi-joins, no cartesian, no geometry shuffle") {
+    val plan = physical(q("osm_crop"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"osm_crop degenerated:\n$plan")
+    assert(plan.contains("LeftSemi"), s"membership must be semi-joins:\n$plan")
+  }
+
+  test("osm merge keeps its map-side partial max_by") {
+    val plan = physical(q("osm_merge"))
+    assert("HashAggregate|SortAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation step:\n$plan")
+  }
+
   test("geometry expressions run inside whole-stage codegen") {
     val df = q("geo_area")
     df.collect() // force execution so the final adaptive plan exists
