@@ -243,9 +243,17 @@ object Gpkg {
       .map(v => (v(0).asInstanceOf[String], v(1).asInstanceOf[String])).toMap
     val layerName = layer.getOrElse {
       require(geomCols.nonEmpty, "no feature layers in gpkg")
-      require(layer.isDefined || geomCols.size == 1,
-        s"multiple layers ${geomCols.keys.mkString(", ")} — pass layer=")
-      geomCols.keys.head
+      if (geomCols.size == 1) geomCols.keys.head
+      else {
+        // reference fallback (erde/io/gpkg.py:38-43): several layers and no
+        // explicit choice → the layer named like the file's own name
+        val f = new java.io.File(path).getName
+        Option(f).filter(_.toLowerCase.endsWith(".gpkg"))
+          .map(_.dropRight(5))
+          .filter(geomCols.contains)
+          .getOrElse(throw new IllegalArgumentException(
+            s"multiple layers ${geomCols.keys.mkString(", ")} — pass layer= or a path:layer suffix"))
+      }
     }
     val geomCol = geomCols.getOrElse(layerName,
       throw new IllegalArgumentException(s"layer $layerName not in gpkg_geometry_columns"))

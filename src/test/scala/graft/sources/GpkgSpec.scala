@@ -60,6 +60,18 @@ class GpkgSpec extends AnyFunSuite with SparkSpec {
     assert(one.count() > 0)
   }
 
+  test("layer guessing matches the reference (test_stream_guess_layer)") {
+    // single layer, name unlike the file → read it
+    assert(Gpkg.read(spark, s"$data/layer-name-different.gpkg").count() > 0)
+    // several layers, one named like the file's own name → guessed
+    assert(Gpkg.read(spark, s"$data/guessable-layer.gpkg").count() > 0)
+    assert(Gpkg.read(spark, s"$data/multiple-layers.gpkg").count() > 0)
+    // several layers, none like the file name → error (explicit choice works)
+    intercept[IllegalArgumentException](
+      Gpkg.read(spark, s"$data/unguessable-layer.gpkg").count())
+    assert(Gpkg.read(spark, s"$data/unguessable-layer.gpkg", layer = Some("layer1")).count() > 0)
+  }
+
   test("multi-page table with overflow records: 3000 rows, interior b-tree pages") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gpkg-big")
     java.nio.file.Files.copy(
