@@ -40,7 +40,14 @@ class OsrmRouter(
   private def coords(pts: Seq[(Double, Double)]): String =
     pts.map { case (lon, lat) => s"$lon,$lat" }.mkString(";")
 
-  private def num(j: GeoJson.J): Double = j.asInstanceOf[JNum].d
+  /** OSRM emits `null` for unroutable matrix cells (disconnected snap,
+    * island) — the reference maps those to NaN (erde/op/table.py via pandas).
+    */
+  private def num(j: GeoJson.J): Double = j match {
+    case n: JNum => n.d
+    case GeoJson.JNull => Double.NaN
+    case other => throw new IllegalArgumentException(s"expected number, got $other")
+  }
   private def obj(j: GeoJson.J): JObj = j.asInstanceOf[JObj]
   private def arr(j: GeoJson.J): JArr = j.asInstanceOf[JArr]
 

@@ -91,6 +91,21 @@ class GeoFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(back == "LINESTRING (-120.2 38.5, -120.95 40.7, -126.453 43.252)")
   }
 
+  test("polyline matches the reference's exact fixtures (tests/utils/test_utils.py)") {
+    // encode_poly(pl1) — exact-string equality catches any rounding or
+    // zigzag off-by-one the round-trip test alone would miss
+    val pl1 = "LINESTRING (82.956142 55.050099, 83.174036 54.923359, 83.019111 54.845166, " +
+      "82.801218 54.963546, 82.913163 55.0438, 83.12406 54.926231, " +
+      "83.008117 54.879681, 82.861188 54.966989)"
+    val enc = one[String](st_polyline_encode(st_geomfromtext(lit(pl1))))
+    assert(enc == "c~~nI{jiyNbwW{pi@tgNhg]{bVxpi@qtNszTx}Uceh@|aHrsUu`Phu[")
+    // decode_poly(pl2 string) equals pl2 at 1e-5
+    val dec = one[String](st_astext(st_polyline_decode(
+      lit("gumuIa_{|NzytCofhNjonHcd~E`ppAhn|Sqi`Ijzn}@"))))
+    assert(dec == "LINESTRING (83.53793 56.10852, 86.04281 55.34134, 87.18539 53.78736, " +
+      "83.75766 53.36991, 73.5184 55.01512)")
+  }
+
   test("st_intersection / st_difference / st_union column ops") {
     val a = st_geomfromtext(lit("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
     val b = st_geomfromtext(lit("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"))

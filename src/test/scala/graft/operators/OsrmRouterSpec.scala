@@ -81,6 +81,49 @@ class OsrmRouterSpec extends AnyFunSuite with SparkSpec {
     assert(srcSnap.toSeq == Seq(1.0, 2.0, 3.0) && dstSnap.toSeq == Seq(5.0, 6.0, 7.0))
   }
 
+  test("table: a REAL captured OSRM response reproduces the reference's result.csv") {
+    // tests/table/resp.json is a genuine /table/v1 response the reference
+    // captured against a live OSRM (166 houses × 7 shops); result.csv is the
+    // reference's golden output for it. Our client must map the matrix and
+    // the snap distances onto the same (source, destination) cells.
+    val d = "/root/reference/tests/table"
+    def pts(path: String, col0: String): Seq[(Double, Double)] = {
+      import org.apache.spark.sql.functions._
+      import graft.functions.GeoFunctions._
+      graft.sources.GeoSources.GeoCSV.read(spark, path, geometryCol = col0)
+        .select(st_x(col(col0)), st_y(col(col0)))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    }
+    val houses = pts(s"$d/houses.csv", "WKT")
+    val shops = pts(s"$d/shops.csv", "WKT")
+    assert(houses.size == 166 && shops.size == 7)
+
+    val resp = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$d/resp.json")), java.nio.charset.StandardCharsets.UTF_8)
+    var calls = 0
+    val router = new OsrmRouter("http://osrm.local", transport = { _ => calls += 1; resp },
+      maxTableSize = 1000000)
+    val (dur, dist, srcSnap, dstSnap) = router.table(houses, shops)
+    assert(calls == 1, "166x7 fits one request under the table-size cap")
+
+    def dbl(s: String): Double = if (s == "nan") Double.NaN else s.toDouble
+    def close(a: Double, b: Double, tol: Double): Boolean =
+      (a.isNaN && b.isNaN) || math.abs(a - b) < tol
+    val golden = scala.io.Source.fromFile(s"$d/result.csv").getLines().drop(1).map { line =>
+      val c = line.split(",", 7)
+      (c(0).toInt, c(1).toInt, dbl(c(2)), dbl(c(3)), dbl(c(4)), dbl(c(5)))
+    }.toSeq
+    assert(golden.size == 166 * 7)
+    // 186 unroutable pairs: OSRM sends null cells, the reference maps NaN
+    assert(golden.count(_._3.isNaN) == 186)
+    golden.foreach { case (s, t, gDist, gDur, gSrcSnap, gDstSnap) =>
+      assert(close(dist(s)(t), gDist, 0.051), s"distance[$s][$t]: ${dist(s)(t)} vs $gDist")
+      assert(close(dur(s)(t), gDur, 0.051), s"duration[$s][$t]: ${dur(s)(t)} vs $gDur")
+      assert(close(srcSnap(s), gSrcSnap, 1e-6), s"source_snap[$s]")
+      assert(close(dstSnap(t), gDstSnap, 1e-6), s"destination_snap[$t]")
+    }
+  }
+
   test("retries: transient transport failures are retried, then surface") {
     var calls = 0
     val flaky: String => String = { url =>
