@@ -124,6 +124,59 @@ class OsrmRouterSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("route alternatives: reference canned responses reproduce routes-result.csv") {
+    // tests/route/test_route.py::test_main replays 4 canned OSRM responses
+    // (read here straight out of the reference test file — they are plain
+    // JSON literals) over multiple-routes.csv and pins routes-result.csv.
+    val d = "/root/reference/tests/route"
+    val src = scala.io.Source.fromFile(s"$d/test_route.py")(scala.io.Codec.UTF8).getLines().toIndexedSeq
+    val start = src.indexWhere(_.startsWith("responses = ("))
+    assert(start > 0, "reference test_route.py moved its responses block")
+    val canned = src.drop(start + 1).takeWhile(!_.trim.startsWith(")"))
+      .map(_.trim.stripSuffix(",")).filter(_.startsWith("{"))
+    assert(canned.size == 4)
+
+    val Wkt = "\"LINESTRING \\(([-0-9.]+) ([-0-9.]+),([-0-9.]+) ([-0-9.]+)\\)\",(\\d+)".r
+    val inputs = scala.io.Source.fromFile(s"$d/multiple-routes.csv").getLines().drop(1)
+      .map { case Wkt(x1, y1, x2, y2, rid) =>
+        // key must match the router's Double.toString rendering (no
+        // trailing zeros), not the CSV's literal text
+        (rid.toInt, x1.toDouble, y1.toDouble, x2.toDouble, y2.toDouble,
+          s"${x1.toDouble},${y1.toDouble};${x2.toDouble},${y2.toDouble}")
+      }.toSeq
+    assert(inputs.size == 4)
+
+    val transport: String => String = { url =>
+      val i = inputs.indexWhere(in => url.contains(in._6))
+      assert(i >= 0, s"no canned response for $url")
+      canned(i)
+    }
+    val router = new OsrmRouter("http://osrm.local", transport = transport)
+
+    val ExpRow = "(\\d+),(\\d+),([0-9.]+),([0-9.]+),\"LINESTRING \\(([^)]+)\\)\"".r
+    val expected = scala.io.Source.fromFile(s"$d/routes-result.csv").getLines().drop(1)
+      .map { case ExpRow(rid, alt, dur, dist, coords) =>
+        (rid.toInt, alt.toInt, dur.toDouble, dist.toDouble,
+          coords.split(",").map(_.trim.split(" ").map(_.toDouble)).toSeq)
+      }.toSeq.groupBy(_._1)
+
+    inputs.foreach { case (rid, x1, y1, x2, y2, _) =>
+      val legs = router.alternatives(x1, y1, x2, y2, max = 3)
+      val want = expected(rid).sortBy(_._2)
+      assert(legs.size == want.size, s"r_id $rid: ${legs.size} alternatives vs ${want.size}")
+      legs.zip(want).foreach { case (leg, (_, _, dur, dist, coords)) =>
+        assert(math.abs(leg.durationS - dur) < 1e-9, s"r_id $rid duration")
+        assert(math.abs(leg.distanceM - dist) < 1e-9, s"r_id $rid distance")
+        val got = WKB.read(leg.wkb).asInstanceOf[LineString].coords.grouped(2).toSeq
+        assert(got.size == coords.size, s"r_id $rid geometry length")
+        got.zip(coords).foreach { case (g, w) =>
+          assert(math.abs(g(0) - w(0)) < 1e-9 && math.abs(g(1) - w(1)) < 1e-9,
+            s"r_id $rid vertex ${g.toSeq} vs ${w.toSeq}")
+        }
+      }
+    }
+  }
+
   test("retries: transient transport failures are retried, then surface") {
     var calls = 0
     val flaky: String => String = { url =>
