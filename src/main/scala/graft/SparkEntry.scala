@@ -573,6 +573,10 @@ object SparkEntry {
           col("ws_tokens").cast("long").as("ws_tokens"),
           col("bpe_tokens").cast("long").as("bpe_tokens"))),
 
+    // --- tf-idf keyword extraction (corpus IDF + per-doc top-k) ------------
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidf(t(s, dir, "documents"), topK = 5)),
+
     // --- PII redaction (pre-training scrub; patterns mirrored in SQL) ------
     "text_pii" -> ((s, dir) => {
       val withPii = t(s, dir, "documents").withColumn("text",
@@ -1048,6 +1052,19 @@ object SparkEntry {
         |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
         |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe_tokens
         |FROM documents""".stripMargin,
+    "text_tfidf" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(trim(text)), ' '), s -> s <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |    round(tf.tf * ln(CAST(nd.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 4) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |  FROM sc)
+        |SELECT doc_id, term, tf, score FROM rk WHERE rn <= 5""".stripMargin,
     "geo_convert_utm" -> OracleSql.geoConvertUtm(zone = 31),
     "geo_convert_lcc" -> OracleSql.geoConvertLcc(),
     "geo_convert_laea" -> OracleSql.geoConvertLaea(),

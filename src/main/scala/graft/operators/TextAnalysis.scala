@@ -59,6 +59,49 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, textCol: String = "text", into: String = "doc_fp"): DataFrame =
     df.withColumn(into, doc_fingerprint(col(textCol)))
 
+  /** TF-IDF term weights per document — keyword extraction / quality
+    * weighting, the classic corpus-statistics step between raw text and
+    * embeddings. Tokens are the lowercased whitespace words of
+    * [[repetitionStats]]; `score = tf · ln(N / df)` with N = documents
+    * containing ≥1 token, rounded to 4 decimals BEFORE the top-k ordering so
+    * rank ties resolve identically on any engine (tie-break: term asc).
+    * `topK` ≤ 0 returns every (doc, term) pair.
+    *
+    * Scale shape: tf is a (doc, term) map-side-combined count; the document
+    * frequencies and N re-derive from the same explode (column pruning makes
+    * the two aggregates structurally different, so the exchange is NOT
+    * shared — two passes over the token stream, which beats persisting a
+    * corpus-scale exploded intermediate; callers looping on tfidf can
+    * persist the input themselves). The IDF join shuffles on term (no
+    * broadcast requirement: a web-scale vocabulary is not small — AQE
+    * broadcasts when it happens to be), and the top-k filter is a per-doc
+    * window that WindowGroupLimit prunes to k rows per doc BEFORE its
+    * shuffle. No driver action, no global sort.
+    */
+  def tfidf(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      topK: Int = 0): DataFrame = {
+    val toks = filter(split(trim(lower(col(textCol))), " +"), x => x =!= "")
+    val words = df.select(col(idCol), explode(toks).as("term"))
+    val tf = words.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nd = tf.agg(countDistinct(col(idCol)).as("__n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nd))
+      .withColumn("score",
+        round(col("tf") * log(col("__n").cast("double") / col("df").cast("double")), 4))
+      .select(col(idCol), col("term"), col("tf"), col("score"))
+    if (topK <= 0) scored
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(idCol).orderBy(col("score").desc, col("term"))
+      scored.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= topK)
+        .drop("__rn")
+    }
+  }
+
   /** PII patterns redacted by [[redactPii]], applied in order (SSN before the
     * more general phone pattern). RE2-compatible (no lookaround), so the
     * DuckDB oracle mirrors them verbatim.

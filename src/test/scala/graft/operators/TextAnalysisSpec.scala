@@ -154,6 +154,33 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(out(3) == ((1, 0.0, 1.0, 0.0, 0.0, false))) // no bigrams → zero fracs
   }
 
+  test("tfidf: closed-form scores, corpus-wide idf, per-doc top-k") {
+    // 3 docs; "shared" in all (idf 0), "pair" in two, "only" in one
+    val df = Seq(
+      (1L, "shared pair only only"),
+      (2L, "shared pair"),
+      (3L, "shared")).toDF("doc_id", "text")
+    val all = TextAnalysis.tfidf(df).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    def s(tf: Long, dfq: Int) = math.rint(tf * math.log(3.0 / dfq) * 1e4) / 1e4
+    assert(all((1L, "only")) == ((2L, s(2, 1))))
+    assert(all((1L, "pair")) == ((1L, s(1, 2))))
+    assert(all((1L, "shared")) == ((1L, 0.0)))
+    assert(all.size == 6)
+    // topK: doc 1's best term is the rare doubled one; ties break by term asc
+    val top1 = TextAnalysis.tfidf(df, topK = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top1(1L) == "only")
+    assert(top1(2L) == "pair")
+    assert(top1(3L) == "shared")
+    // empty/whitespace docs contribute nothing and don't count into N
+    val withEmpty = df.unionByName(Seq((4L, "   ")).toDF("doc_id", "text"))
+    val n4 = TextAnalysis.tfidf(withEmpty).collect()
+    assert(!n4.exists(_.getLong(0) == 4L))
+    assert(n4.map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
+      == all.map { case (k, v) => k -> v._2 })
+  }
+
   test("repetitionStats: a 100k-word document completes in linear time") {
     // ~50k distinct words + a hot word: the old O(distinct × n) per-row
     // transform would do ~5×10^9 comparisons here; the sorted-run fold is ms
