@@ -122,6 +122,9 @@ object ScaleCheck {
         predicate = "contains", how = "inner"),
       SJoin.sagg(zones, ptsN, Seq(count(lit(1)).as("n_items"), sum("l_quantity").as("qty")),
         predicate = "contains", how = "inner"))
+    pair("text_tfidf")(
+      graft.operators.TextAnalysis.tfidf(docs, topK = 5),
+      graft.operators.TextAnalysis.tfidf(docsN, topK = 5))
 
     println(f"\n${"operator"}%-18s ${"1x"}%8s ${s"${factor}x"}%8s ${"ratio"}%7s  (linear = $factor)")
     results.foreach { case (name, (a, b)) =>
