@@ -96,7 +96,13 @@ object SJoin {
     * functions and explicit repartitions also force the fallback even though
     * Spark flags them deterministic: row_number over a tied/partial ordering
     * and round-robin partition placement can change row CONTENT between the
-    * two scans of the no-persist path, mis-pairing the anti-join.
+    * two scans of the no-persist path, mis-pairing the anti-join. The same
+    * goes for order-dependent aggregates — first/last/collect_list/
+    * collect_set pick whatever row a shuffle fetch happened to deliver
+    * first, which a second scan can deliver differently — and for
+    * dropDuplicates over a column SUBSET (the kept row's other columns are
+    * order-dependent; full-row dropDuplicates is safe, duplicates are
+    * identical).
     */
   private def contentTaggable(df: DataFrame): Boolean = {
     def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
@@ -105,12 +111,18 @@ object SJoin {
       case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
       case _ => true
     }
-    import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression, Window}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Repartition, RepartitionByExpression, Window}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet, First, Last}
     val plan = df.queryExecution.analyzed
     df.schema.fields.forall(f => hashable(f.dataType)) &&
       plan.find(_.expressions.exists(e => !e.deterministic)).isEmpty &&
       plan.find {
         case _: Window | _: Repartition | _: RepartitionByExpression => true
+        case a: Aggregate => a.aggregateExpressions.exists(_.exists {
+          case _: First | _: Last | _: CollectList | _: CollectSet => true
+          case _ => false
+        })
+        case d: Deduplicate => !d.child.output.forall(d.keys.contains)
         case _ => false
       }.isEmpty
   }

@@ -173,6 +173,25 @@ class SJoinSpec extends AnyFunSuite with SparkSpec {
     assert(kept.columns.toSeq == points.columns.toSeq) // schema preserved
   }
 
+  test("order-dependent aggregates and subset dropDuplicates fall back to persist") {
+    // first()/collect_list pick whatever row the shuffle delivered first —
+    // a second scan can deliver differently, so content tags are unsafe
+    val agged = points.groupBy(col("pid") % 5).agg(first(col("geometry")).as("geometry"))
+      .withColumnRenamed("(pid % 5)", "grp")
+    val aOut = SJoin.sjfull(agged, zones, predicate = "within", how = "left")
+    assert(aOut.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    // dropDuplicates over a SUBSET keeps order-dependent non-key columns
+    val dd = points.withColumn("grp", col("pid") % 5).dropDuplicates("grp")
+    val dOut = SJoin.sfilter(dd, zones, predicate = "within")
+    assert(dOut.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    // full-row dropDuplicates is safe: duplicates are identical
+    val full = points.unionByName(points).dropDuplicates()
+    val fOut = SJoin.sfilter(full, zones, predicate = "within")
+    assert(!fOut.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    assert(fOut.count() == SJoin.sfilter(points, zones, predicate = "within").count())
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("sagg/slookup/sfilter: repartitioned or nondeterministic left falls back to persist") {
     // round-robin repartition and rand() can re-assign monotonic ids between
     // the pair pass and the join-back pass — all three variants must persist
