@@ -290,6 +290,20 @@ object SparkEntry {
           round(st_y(col("geometry")), 6).as("py"))
     }),
 
+    // --- shp driver end-to-end: own ESRI writer + shx-indexed split reader -
+    "shp_roundtrip" -> ((s, dir) => {
+      val pts = custPoints(s, dir).select(col("c_custkey"), col("c_acctbal"), col("geometry"))
+      val out = new java.io.File(
+        s"/tmp/graft_shp_${new java.io.File(dir).getName}")
+      out.mkdirs()
+      graft.sources.Shapefile.write(pts, s"$out/customer")
+      graft.sources.Shapefile.readSplit(s, s"$out/customer.shp")
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          round(col("c_acctbal").cast("double"), 2).as("acctbal2"),
+          round(st_x(col("geometry")), 6).as("px"),
+          round(st_y(col("geometry")), 6).as("py"))
+    }),
+
     // --- IO entry point: suffix-dispatched write→read (erde read_df/write_df)
     "auto_roundtrip" -> ((s, dir) => {
       val pts = custPoints(s, dir).select(col("c_custkey"), col("c_acctbal"), col("geometry"))
@@ -877,6 +891,11 @@ object SparkEntry {
         |   OR (type = 'n' AND p_type IS NOT NULL)""".stripMargin,
     "fgb_roundtrip" ->
       """SELECT c_custkey, c_acctbal,
+        |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,
+        |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py
+        |FROM customer""".stripMargin,
+    "shp_roundtrip" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal2,
         |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,
         |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py
         |FROM customer""".stripMargin,
