@@ -111,13 +111,17 @@ object SJoin {
       case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
       case _ => true
     }
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Repartition, RepartitionByExpression, Window}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, GlobalLimit, LocalLimit, Repartition, RepartitionByExpression, Sample, Window}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet, First, Last}
     val plan = df.queryExecution.analyzed
     df.schema.fields.forall(f => hashable(f.dataType)) &&
       plan.find(_.expressions.exists(e => !e.deterministic)).isEmpty &&
       plan.find {
         case _: Window | _: Repartition | _: RepartitionByExpression => true
+        // sample/limit row SETS above a shuffle depend on fetch order — two
+        // scans can keep different rows even though the operators' own
+        // expressions are all "deterministic"
+        case _: Sample | _: GlobalLimit | _: LocalLimit => true
         case a: Aggregate => a.aggregateExpressions.exists(_.exists {
           case _: First | _: Last | _: CollectList | _: CollectSet => true
           case _ => false
@@ -132,7 +136,11 @@ object SJoin {
     * re-scanning the (pruned, pushed-down) source beats caching a side that
     * can be 100 TB — else monotonic id + persist, because a second scan of a
     * nondeterministic / round-robin-repartitioned frame can re-assign ids
-    * and silently mis-join results onto the wrong rows. Returns
+    * and silently mis-join results onto the wrong rows. The fallback persist
+    * lives until cache eviction / session end (there is no action-completion
+    * hook to release it — same contract as sjfull's left join); sessions
+    * looping such frames through these operators should
+    * `spark.catalog.clearCache()` between batches. Returns
     * (tagged, usedContentTag).
     */
   private def stableTagged(left: DataFrame): (DataFrame, Boolean) =
@@ -151,13 +159,17 @@ object SJoin {
   /** Left columns (beyond the geometry) that user expressions reference by
     * name — the slim pair pass must carry exactly those, so aggs/lookups
     * over left attributes keep resolving as they did when the full left
-    * payload rode along.
+    * payload rode along. An expression whose references can't be enumerated
+    * (`expr("…")` SQL text, a star, a raw catalyst Expression) keeps EVERY
+    * left column — correctness over narrowness.
     */
-  private def referencedLeftCols(lt: DataFrame, leftGeom: String, names: Set[String]): Seq[String] =
+  private def referencedLeftCols(lt: DataFrame, leftGeom: String, cols: Seq[Column]): Seq[String] = {
+    val walked = cols.map(org.apache.spark.sql.graftbridge.ColumnBridge.attributeNames)
+    val names: Set[String] =
+      if (walked.exists(_.isEmpty)) lt.columns.toSet // opaque: assume all referenced
+      else walked.flatMap(_.get).toSet
     lt.columns.toIndexedSeq.filter(c => c != leftGeom && c != LID && names.contains(c))
-
-  private def attrNames(cols: Seq[Column]): Set[String] =
-    cols.flatMap(org.apache.spark.sql.graftbridge.ColumnBridge.attributeNames).toSet
+  }
 
   private def pairsKeyed(
       taggedLeft: DataFrame,
@@ -169,9 +181,7 @@ object SJoin {
       rightSuffix: String,
       tuning: Tuning = Tuning()): DataFrame = {
     val clash = taggedLeft.columns.toSet
-    val renamed = right.columns.foldLeft(right) { (df, c0) =>
-      if (clash(c0)) df.withColumnRenamed(c0, c0 + rightSuffix) else df
-    }
+    val renamed = renameClashing(right, clash, rightSuffix)
     val rGeom = if (clash(rightGeom)) rightGeom + rightSuffix else rightGeom
 
     val salted = tuning.saltFactor > 1
@@ -277,9 +287,7 @@ object SJoin {
     val cd = if (cellDeg > 0) cellDeg else math.max(0.05, 2.0 * dLat)
 
     val clash = left.columns.toSet ++ Set("nearest_dist_m")
-    val renamed = right.columns.foldLeft(right) { (df, c0) =>
-      if (clash(c0)) df.withColumnRenamed(c0, c0 + rightSuffix) else df
-    }
+    val renamed = renameClashing(right, clash, rightSuffix)
     val rGeom = if (clash(rightGeom)) rightGeom + rightSuffix else rightGeom
     val rId = if (clash(rightId)) rightId + rightSuffix else rightId
 
@@ -380,7 +388,7 @@ object SJoin {
     // groupBy(tag) and double every sum — collapse duplicate tags (narrow
     // shuffle) so each distinct row aggregates once; the join-back then fans
     // the correct result onto every duplicate.
-    val keep = Seq(LID, leftGeom) ++ referencedLeftCols(lt, leftGeom, attrNames(aggs))
+    val keep = Seq(LID, leftGeom) ++ referencedLeftCols(lt, leftGeom, aggs)
     val slim0 = lt.select(keep.map(col): _*)
     val slim = if (content) slim0.dropDuplicates(Seq(LID)) else slim0
     val inner = pairsKeyed(slim, renamed, predicate, leftGeom, rGeom, cellDeg, "_right", tuning)
@@ -412,7 +420,7 @@ object SJoin {
     // content tag needs no duplicate collapse here (unlike sagg): merged
     // duplicates pick the same minimum, and the join-back fans it out.
     val named = (columns :+ orderBy).map(c0 => col(c0))
-    val keep = Seq(LID, leftGeom) ++ referencedLeftCols(lt, leftGeom, attrNames(named))
+    val keep = Seq(LID, leftGeom) ++ referencedLeftCols(lt, leftGeom, named)
     val slim = lt.select(keep.map(col): _*)
     val inner = pairsKeyed(slim, renamed, predicate, leftGeom, rGeom, cellDeg, "_right", tuning)
     val picks = columns.map(c0 => min_by(col(c0), col(orderBy)).as(c0))

@@ -14,8 +14,9 @@ import org.apache.spark.sql.types._
   * user-visible name (workbook.xml + rels indirection — `pd.read_excel`'s
   * `sheet_name` semantics), default = first sheet. Columns come back TYPED
   * like the reference's pandas frame: long / double / boolean inferred from
-  * the first file's values (cast applied distributed; a value that breaks
-  * the inferred type in a later file nulls out, csv-permissive style).
+  * ONE sample file's values (Spark's first-listed — size-descending — file;
+  * try_cast applied distributed, so a value that breaks the inferred type
+  * in another file nulls out, csv-permissive style even under ANSI).
   * Whole file per task; many files parallelize.
   */
 object Xlsx {
@@ -67,7 +68,12 @@ object Xlsx {
         rels.get(rid) match {
           case Some(t) if t.startsWith("/") => t.drop(1)
           case Some(t) => "xl/" + t
-          case None => "xl/worksheets/sheet1.xml"
+          // a silent sheet1 fallback here would return the WRONG sheet's
+          // rows under the requested name — only legal when the rels part is
+          // absent entirely (minimal single-sheet files)
+          case None if rels.isEmpty => "xl/worksheets/sheet1.xml"
+          case None => throw new IllegalArgumentException(
+            s"workbook relationship '$rid' not found in xl/_rels/workbook.xml.rels")
         }
     }
 
@@ -178,13 +184,16 @@ object Xlsx {
   }
 
   /** Builds the typed frame from header names, the first file's sample rows
-    * (type inference), and the distributed all-strings frame.
+    * (type inference), and the distributed all-strings frame. try_cast, not
+    * cast: ANSI mode is on in Spark 4, so a later file's value that breaks
+    * the first file's inferred type (or an empty-text cell) must null out —
+    * the documented csv-permissive contract — not crash the action.
     */
   private def typed(strings: DataFrame, names: Seq[String],
       sampleRows: Seq[Map[Int, String]], inferSchema: Boolean): DataFrame =
     if (!inferSchema) strings
     else strings.select(names.zipWithIndex.map { case (n, i) =>
-      col(n).cast(inferType(sampleRows.map(_.get(i).orNull))).as(n)
+      col(n).try_cast(inferType(sampleRows.map(_.get(i).orNull))).as(n)
     }: _*)
 
   /** Reads `*.ods` under `path` (OpenDocument spreadsheet — same contract as

@@ -15,11 +15,23 @@ object ColumnBridge {
 
   /** Column names an unresolved Column references (walks the `private[sql]`
     * ColumnNode tree — the converted Expression is one opaque
-    * ColumnNodeExpression, so catalyst-side collect sees nothing). Used by
-    * SJoin to ship exactly the left columns a user's aggs/lookups name.
+    * ColumnNodeExpression, so catalyst-side collect sees nothing). Returns
+    * None when the tree contains a node whose references CANNOT be
+    * enumerated without an analyzer — `expr("...")` (unparsed SQL text), a
+    * star, or a raw wrapped Expression — so callers must assume every
+    * column may be referenced. Used by SJoin to ship exactly the left
+    * columns a user's aggs/lookups name.
     */
-  def attributeNames(c: Column): Seq[String] =
-    c.node.collect {
-      case a: org.apache.spark.sql.internal.UnresolvedAttribute => a.nameParts.last
+  def attributeNames(c: Column): Option[Seq[String]] = {
+    import org.apache.spark.sql.internal
+    val opaque = c.node.collect {
+      case _: internal.SqlExpression => true // expr("…"): names live in SQL text
+      case _: internal.UnresolvedStar => true
+      case _: org.apache.spark.sql.classic.ExpressionColumnNode => true // pre-built catalyst Expression
     }
+    if (opaque.nonEmpty) None
+    else Some(c.node.collect {
+      case a: internal.UnresolvedAttribute => a.nameParts.last
+    })
+  }
 }

@@ -206,7 +206,11 @@ class SJoinSpec extends AnyFunSuite with SparkSpec {
       .select("pid").as[Int].collect().toSet
     for (wrap <- Seq[DataFrame => DataFrame](
         _.repartition(7),
-        _.where(rand(42) >= -1.0))) {
+        _.where(rand(42) >= -1.0),
+        // sample/limit row sets above a shuffle depend on fetch order — they
+        // must persist too (full-keep variants so the baseline still matches)
+        _.sample(1.0, 7),
+        _.limit(1000))) {
       val aOut = SJoin.sagg(wrap(zones), points, Seq(count(lit(1)).as("n")),
         predicate = "contains", how = "left")
       assert(aOut.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
@@ -257,6 +261,12 @@ class SJoinSpec extends AnyFunSuite with SparkSpec {
     val lk = SJoin.slookup(points, zones, columns = Seq("zid"), orderBy = "zid",
       predicate = "within", how = "left")
     assert(lk.count() == 25)
+    // expr("...") hides its references in SQL text — the slim pass must go
+    // conservative and keep every left column, not drop zid
+    val ex = SJoin.sagg(zones, points,
+      Seq(expr("max(zid * 1000 + pid)").as("mix")), predicate = "contains", how = "left")
+      .select("zid", "mix").collect().map(r => r.getInt(0) -> r.get(1)).toMap
+    assert(ex(1) == 1012L && ex(2) == 2024L && ex(3) == null)
   }
 
   test("sjfull right join keeps unmatched right rows") {

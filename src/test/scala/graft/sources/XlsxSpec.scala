@@ -85,6 +85,39 @@ class XlsxSpec extends AnyFunSuite with SparkSpec {
     assert(auto.count() == byName.count())
   }
 
+  test("a later file breaking the inferred type nulls out (ANSI-safe), not crash") {
+    // minimal xlsx: one worksheet part, inline strings (no workbook/rels —
+    // the single-sheet fallback path)
+    def mkXlsx(dir: java.nio.file.Path, name: String, rows: Seq[Seq[String]]): Unit = {
+      val sb = new StringBuilder("<worksheet>")
+      rows.zipWithIndex.foreach { case (r, i) =>
+        sb ++= s"""<row r="${i + 1}">"""
+        r.zipWithIndex.foreach { case (v, j) =>
+          sb ++= s"""<c r="${('A' + j).toChar}${i + 1}" t="inlineStr"><is><t>$v</t></is></c>"""
+        }
+        sb ++= "</row>"
+      }
+      sb ++= "</worksheet>"
+      val zos = new java.util.zip.ZipOutputStream(
+        new java.io.FileOutputStream(dir.resolve(name).toFile))
+      zos.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+      zos.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zos.closeEntry(); zos.close()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx-ansi")
+    // a.xlsx strictly larger: the sample file is Spark's first-listed
+    // (size-descending bin packing), so size decides which file infers
+    mkXlsx(dir, "a.xlsx", Seq("x") +: (1 to 12).map(i => Seq(i.toString)))
+    mkXlsx(dir, "b.xlsx", Seq(Seq("x"), Seq("oops"), Seq("")))
+    val df = Xlsx.read(spark, dir.toString)
+    assert(df.schema("x").dataType.typeName == "long") // inferred from a.xlsx
+    // b.xlsx's non-numeric and empty cells null out instead of throwing
+    // under Spark 4's default ANSI mode
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(got.flatten.sorted == (1L to 12L))
+    assert(got.count(_.isEmpty) == 2)
+  }
+
   test("inferType: narrowest of long/double/boolean/string") {
     import org.apache.spark.sql.types._
     assert(Xlsx.inferType(Seq("1", "2", null)) == LongType)
