@@ -118,6 +118,36 @@ class XlsxSpec extends AnyFunSuite with SparkSpec {
     assert(got.count(_.isEmpty) == 2)
   }
 
+  test("ods: sheet by name selects ONE table; multi-table docs don't bleed") {
+    def cell(v: String) = s"<table:table-cell><text:p>$v</text:p></table:table-cell>"
+    def row(vs: String*) = s"<table:table-row>${vs.map(cell).mkString}</table:table-row>"
+    def table(name: String, rows: String) = s"""<table:table table:name="$name">$rows</table:table>"""
+    val content =
+      "<office:document-content>" +
+        table("first", row("x") + row("1") + row("2")) +
+        table("second", row("y") + row("9")) +
+      "</office:document-content>"
+    val dir = java.nio.file.Files.createTempDirectory("graft-ods-multi")
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(dir.resolve("m.ods").toFile))
+    zos.putNextEntry(new java.util.zip.ZipEntry("content.xml"))
+    zos.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    zos.closeEntry(); zos.close()
+
+    val first = Xlsx.readOds(spark, dir.toString)
+    assert(first.columns.toSeq == Seq("x") && first.count() == 2) // no bleed from "second"
+    assert(first.schema("x").dataType.typeName == "long")
+    val second = Xlsx.readOds(spark, dir.toString, sheet = Some("second"))
+    assert(second.columns.toSeq == Seq("y"))
+    assert(second.collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // suffix dispatch reaches the same selection
+    assert(GeoSources.readAuto(spark, s"$dir/m.ods:second").count() == 1)
+    val err = intercept[IllegalArgumentException] {
+      Xlsx.readOds(spark, dir.toString, sheet = Some("nope"))
+    }
+    assert(err.getMessage.contains("first") && err.getMessage.contains("second"))
+  }
+
   test("inferType: narrowest of long/double/boolean/string") {
     import org.apache.spark.sql.types._
     assert(Xlsx.inferType(Seq("1", "2", null)) == LongType)
