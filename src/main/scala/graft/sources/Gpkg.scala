@@ -7,6 +7,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions.{avg, col, count, max, min, var_pop}
 import org.apache.spark.sql.types._
 
 import graft.geom.WKB
@@ -295,6 +296,58 @@ object Gpkg {
         }
       }
     }(enc)
+  }
+
+  /** Per-column statistics of a feature layer (reference: erde/io/gpkg.py:105
+    * `GpkgReader.stats` — sqlite min/avg/max/population-variance/count per
+    * column whose DECLARED type is INTEGER or REAL; other columns carry just
+    * (name, type), nulls elsewhere, like the reference's dict rows). The
+    * aggregation runs distributed in ONE pass over the layer (map-side
+    * partial min/avg/max/var_pop — var_pop is exactly the reference's
+    * sum((x-avg)²)/count); only the per-column scalars reach the driver.
+    */
+  def stats(spark: SparkSession, path: String, layer: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val head = spark.read.format("binaryFile").option("pathGlobFilter", "*.gpkg")
+      .load(path).select("content").as[Array[Byte]].head()
+    val db = new Sqlite(head)
+    val geomCols = db.master.find(_._2 == "gpkg_geometry_columns")
+      .map(m => db.table(m._4).map(_._2))
+      .getOrElse(Seq.empty)
+      .map(v => (v(0).asInstanceOf[String], v(1).asInstanceOf[String])).toMap
+    val layerName = layer.getOrElse {
+      require(geomCols.size == 1,
+        s"layers ${geomCols.keys.mkString(", ")} — pass layer=")
+      geomCols.keys.head
+    }
+    val masterRow = db.master.find(m => m._1 == "table" && m._2 == layerName)
+      .getOrElse(throw new IllegalArgumentException(s"no table $layerName"))
+    val cols = parseColumns(masterRow._5)
+    val declType = cols.map { case (n, d) => n -> d.split("\\s+").head }.toMap
+
+    val df = read(spark, path, Some(layerName))
+    val numeric = df.columns.filter(c => Set("INTEGER", "REAL")(declType.getOrElse(c, "")))
+    val aggs = numeric.flatMap { c =>
+      Seq(min(col(c)).cast("double").as(s"${c}__min"),
+        avg(col(c)).as(s"${c}__mean"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        var_pop(col(c)).as(s"${c}__variance"),
+        count(col(c)).as(s"${c}__count"))
+    }
+    val scalars: Map[String, Any] =
+      if (aggs.isEmpty) Map.empty
+      else {
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        row.schema.fieldNames.zipWithIndex.map { case (f, i) => f -> row.get(i) }.toMap
+      }
+    val out = df.columns.toIndexedSeq.map { c =>
+      def d(k: String): Option[Double] =
+        scalars.get(s"${c}__$k").collect { case x: java.lang.Double => x.doubleValue }
+      val cnt: Option[Long] =
+        scalars.get(s"${c}__count").collect { case x: java.lang.Long => x.longValue }
+      (c, declType.getOrElse(c, ""), d("min"), d("mean"), d("max"), d("variance"), cnt)
+    }
+    out.toDF("name", "type", "min", "mean", "max", "variance", "count")
   }
 
   /** Feature layer names of a gpkg file (driver-side metadata helper). */

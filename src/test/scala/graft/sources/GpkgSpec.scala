@@ -205,6 +205,34 @@ class GpkgSpec extends AnyFunSuite with SparkSpec {
     assert(GeoSources.readAuto(spark, s"$dir/named.gpkg:settlements").count() == 2)
   }
 
+  test("stats replicates the reference's per-column sqlite statistics (stats.gpkg)") {
+    // reference GpkgReader.stats (gpkg.py:105): min/avg/max/sum((x-avg)²)/n/
+    // count for columns DECLARED INTEGER or REAL only — fid and real_field
+    // here; MEDIUMINT/TEXT/geometry rows carry just (name, type)
+    val dir = stage("stats.gpkg")
+    val st = Gpkg.stats(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(st.keySet == Set("fid", "geom", "int_field", "real_field", "name"))
+    assert(st("int_field").getString(1) == "MEDIUMINT" && st("int_field").isNullAt(2))
+    assert(st("name").getString(1) == "TEXT" && st("name").isNullAt(6))
+    assert(st("geom").getString(1) == "POINT")
+
+    // independent expected values: driver-side math over the read rows
+    val rows = Gpkg.read(spark, dir).select("fid", "real_field").collect()
+    for ((cName, vals) <- Seq(
+        "fid" -> rows.map(_.getLong(0).toDouble),
+        "real_field" -> rows.flatMap(r => if (r.isNullAt(1)) None else Some(r.getDouble(1))))) {
+      val r = st(cName)
+      val mean = vals.sum / vals.length
+      val varPop = vals.map(v => (v - mean) * (v - mean)).sum / vals.length
+      assert(math.abs(r.getDouble(2) - vals.min) < 1e-9, s"$cName min")
+      assert(math.abs(r.getDouble(3) - mean) < 1e-9, s"$cName mean")
+      assert(math.abs(r.getDouble(4) - vals.max) < 1e-9, s"$cName max")
+      assert(math.abs(r.getDouble(5) - varPop) < 1e-6, s"$cName variance")
+      assert(r.getLong(6) == vals.length, s"$cName count")
+    }
+  }
+
   test("polygons.gpkg parses areal geometries") {
     val gpkg = Gpkg.read(spark, stage("polygons.gpkg"))
     val areas = gpkg.select(st_area(gpkg.columns.filter(c =>
