@@ -64,10 +64,13 @@ object OsmFilter {
     *  - ways: kept when ≥1 referenced node is kept (osmium's default
     *    "simple" strategy); with `completeWays` every node of a kept way is
     *    retained too (its "complete_ways" strategy);
-    *  - relations: kept when ≥1 member id is a kept node or way. The flat
-    *    `refs` schema carries no member type, so an id collision across the
-    *    node/way id spaces can over-keep a relation — acceptable for
-    *    extract-style cropping (never drops a needed element).
+    *  - relations: kept when ≥1 member id is a kept node or way; nested
+    *    relations (members that are themselves relations) resolve through
+    *    `relationDepth` extra membership rounds (OSM nesting is shallow —
+    *    2 covers virtually all real data). The flat `refs` schema carries no
+    *    member type, so an id collision across the node/way id spaces can
+    *    over-keep a relation — acceptable for extract-style cropping (never
+    *    drops a needed element).
     *
     * All joins are semi-joins hash-partitioned on element id — no geometry
     * shuffle, no driver state; membership frames carry only ids.
@@ -78,7 +81,8 @@ object OsmFilter {
       completeWays: Boolean = false,
       typeCol: String = "type",
       idCol: String = "id",
-      refsCol: String = "refs"): DataFrame = {
+      refsCol: String = "refs",
+      relationDepth: Int = 2): DataFrame = {
     import graft.functions.GeoFunctions._
     val g = graft.geom.WKT.read(areaWkt)
     val (x1, y1, x2, y2) = g.bbox
@@ -96,11 +100,18 @@ object OsmFilter {
       .select(col(idCol), explode(col(refsCol)).as("__ref"))
       .join(keptNodeIds.select(col(idCol).as("__ref")), Seq("__ref"), "left_semi")
       .select(col(idCol)).distinct()
-    val keptRelIds = rels
-      .select(col(idCol), explode(col(refsCol)).as("__ref"))
+    val relMembers = rels.select(col(idCol), explode(col(refsCol)).as("__ref"))
+    var keptRelIds = relMembers
       .join(keptNodeIds.unionByName(keptWayIds).select(col(idCol).as("__ref")),
         Seq("__ref"), "left_semi")
       .select(col(idCol)).distinct()
+    // nested relations: each extra round admits relations whose members are
+    // already-kept relations (bounded — no driver-side fixpoint loop state)
+    for (_ <- 1 until math.max(1, relationDepth))
+      keptRelIds = relMembers
+        .join(keptNodeIds.unionByName(keptWayIds).unionByName(keptRelIds)
+          .select(col(idCol).as("__ref")), Seq("__ref"), "left_semi")
+        .select(col(idCol)).distinct()
 
     val keptWays = ways.join(keptWayIds, Seq(idCol), "left_semi")
     val nodeIds =

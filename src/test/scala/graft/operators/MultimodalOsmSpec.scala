@@ -185,6 +185,17 @@ class MultimodalOsmSpec extends AnyFunSuite with SparkSpec {
     val kept = OsmFilter.crop(cropOsm, area)
       .select("type", "id").as[(String, Long)].collect().toSet
     assert(kept == Set(("n", 1L), ("n", 2L), ("w", 10L), ("r", 20L)))
+    // a super-relation referencing kept relation 20 survives via the nested
+    // round; at relationDepth=1 it would be dropped
+    val withSuper = cropOsm.unionByName(Seq(
+      ("r", 30L, Map.empty[String, String], Option.empty[Double], Option.empty[Double],
+        Option(Seq(20L)))).toDF("type", "id", "tags", "lon", "lat", "refs"))
+    val nested = OsmFilter.crop(withSuper, area)
+      .select("type", "id").as[(String, Long)].collect().toSet
+    assert(nested == kept + (("r", 30L)))
+    val shallow = OsmFilter.crop(withSuper, area, relationDepth = 1)
+      .select("type", "id").as[(String, Long)].collect().toSet
+    assert(shallow == kept)
     // complete_ways keeps every node of a kept way (node 3 rides along)
     val complete = OsmFilter.crop(cropOsm, area, completeWays = true)
       .select("type", "id").as[(String, Long)].collect().toSet
