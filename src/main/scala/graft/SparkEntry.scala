@@ -504,6 +504,29 @@ object SparkEntry {
           coalesce(round(col("lon"), 5), lit(-999.0)).as("lon5"))
     }),
 
+    // --- osm assemble: the ogr2ogr layer stage (points/lines/multipolygons)
+    "osm_assemble" -> ((s, dir) => {
+      // nodes ≡0 mod 3 with coords; ways ≡1: every 6th (≡4 mod 6) a CLOSED
+      // building triangle [id-1, id+2, id+5, id-1], the rest open 2-node
+      // lines; ways whose nodes fall off the table edge drop (completeness)
+      val elements = t(s, dir, "part").select(
+        element_at(array(lit("n"), lit("w"), lit("r")), (col("p_partkey") % 3 + 1).cast("int")).as("type"),
+        col("p_partkey").as("id"),
+        when(col("p_partkey") % 6 === 4, map(lit("building"), lit("yes")))
+          .otherwise(map(lit("brand"), col("p_brand"))).as("tags"),
+        when(col("p_partkey") % 3 === 0, expr("(p_partkey % 60) * 0.1 + 0.05").cast("double")).as("lon"),
+        when(col("p_partkey") % 3 === 0, expr("(p_partkey % 35) * 0.1 - 1.05").cast("double")).as("lat"),
+        when(col("p_partkey") % 6 === 4,
+            array(col("p_partkey") - 1, col("p_partkey") + 2, col("p_partkey") + 5, col("p_partkey") - 1))
+          .when(col("p_partkey") % 3 === 1, array(col("p_partkey") - 1, col("p_partkey") + 2))
+          .as("refs"))
+      OsmFilter.assemble(elements)
+        .select(col("layer"), col("id").as("osm_id"),
+          round(when(col("layer") === "multipolygons", st_area(col("geometry")))
+            .when(col("layer") === "lines", st_length(col("geometry")))
+            .otherwise(lit(0.0)), 6).as("measure6"))
+    }),
+
     // --- multimodal header metadata (hash-stub fallback, exact-mirrored) ---
     "multimodal_meta" -> ((s, dir) => {
       val media = t(s, dir, "documents")
@@ -1004,6 +1027,27 @@ object SparkEntry {
         |WHERE (type = 'n' AND id IN (SELECT id FROM kn))
         |   OR (type = 'w' AND id IN (SELECT id FROM kw))
         |   OR (type = 'r' AND id IN (SELECT id FROM kr))""".stripMargin,
+    "osm_assemble" ->
+      """WITH n AS (SELECT p_partkey AS id,
+        |    CAST((p_partkey % 60) * 0.1 + 0.05 AS DOUBLE) AS x,
+        |    CAST((p_partkey % 35) * 0.1 - 1.05 AS DOUBLE) AS y
+        |  FROM part WHERE p_partkey % 3 = 0),
+        |w AS (SELECT p_partkey AS id, p_partkey % 6 = 4 AS poly
+        |  FROM part WHERE p_partkey % 3 = 1),
+        |j AS (SELECT w.id, w.poly, a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb,
+        |    c.x AS xc, c.y AS yc
+        |  FROM w
+        |  JOIN n a ON a.id = w.id - 1
+        |  JOIN n b ON b.id = w.id + 2
+        |  LEFT JOIN n c ON c.id = w.id + 5),
+        |lines AS (SELECT 'lines' AS layer, id AS osm_id,
+        |    round(sqrt((xb - xa) * (xb - xa) + (yb - ya) * (yb - ya)), 6) AS measure6
+        |  FROM j WHERE NOT poly),
+        |polys AS (SELECT 'multipolygons' AS layer, id AS osm_id,
+        |    round(abs(((xa * yb - xb * ya) + (xb * yc - xc * yb) + (xc * ya - xa * yc)) / 2.0), 6) AS measure6
+        |  FROM j WHERE poly AND xc IS NOT NULL),
+        |pts AS (SELECT 'points' AS layer, id AS osm_id, CAST(0 AS DOUBLE) AS measure6 FROM n)
+        |SELECT * FROM pts UNION ALL SELECT * FROM lines UNION ALL SELECT * FROM polys""".stripMargin,
     "osm_merge" ->
       """SELECT p_partkey AS osm_id,
         |  CASE (p_partkey % 3) WHEN 0 THEN 'n' WHEN 1 THEN 'w' ELSE 'r' END AS type,

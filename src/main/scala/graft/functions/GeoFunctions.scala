@@ -131,6 +131,13 @@ object GeoFunctions {
   def st_polyline_encode(g: Column): Column = c(StPolylineEncode(e(g)))
   def st_polyline_decode(s: Column): Column = c(StPolylineDecode(e(s)))
 
+  /** Geometry constructors from flat [x0,y0,x1,y1,…] coordinate arrays —
+    * the OSM way-assembly path (reference pipeline's ogr2ogr stage).
+    * The polygon ring closes automatically.
+    */
+  def st_line_from_coords(a: Column): Column = c(StLineFromCoords(e(a)))
+  def st_polygon_from_coords(a: Column): Column = c(StPolygonFromCoords(e(a)))
+
   // ---- grid (spatial-join partitioning) -----------------------------------
   def st_cellcover(g: Column, cellDeg: Column): Column = c(StCellCover(e(g), ed(cellDeg)))
   def st_cellof(lon: Column, lat: Column, cellDeg: Column): Column =
@@ -195,6 +202,8 @@ object GeoFunctions {
     r2("st_simplify", (g, t) => StSimplify(g, Cast(t, DoubleType)))
     r1("st_polyline_encode", StPolylineEncode.apply)
     r1("st_polyline_decode", StPolylineDecode.apply)
+    r1("st_line_from_coords", StLineFromCoords.apply)
+    r1("st_polygon_from_coords", StPolygonFromCoords.apply)
     r2("st_distance", StDistance.apply)
     r2("st_makeline", StMakeLine.apply)
     r2("st_intersects", StIntersects.apply)

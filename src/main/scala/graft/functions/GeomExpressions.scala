@@ -326,6 +326,22 @@ case class StPolylineDecode(child: Expression) extends GeomUnary {
   override protected def withNewChildInternal(c: Expression): StPolylineDecode = copy(child = c)
 }
 
+case class StLineFromCoords(child: Expression) extends GeomUnary {
+  override def method: String = "lineFromCoords"
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(a: Any): Any =
+    GeomKernel.lineFromCoords(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildInternal(c: Expression): StLineFromCoords = copy(child = c)
+}
+
+case class StPolygonFromCoords(child: Expression) extends GeomUnary {
+  override def method: String = "polygonFromCoords"
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(a: Any): Any =
+    GeomKernel.polygonFromCoords(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildInternal(c: Expression): StPolygonFromCoords = copy(child = c)
+}
+
 case class StBufferMStyled(first: Expression, second: Expression, third: Expression, fourth: Expression)
     extends QuaternaryExpression with Serializable {
   override def dataType: DataType = BinaryType

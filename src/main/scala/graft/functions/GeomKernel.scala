@@ -268,6 +268,25 @@ object GeomKernel {
     (ix << 32) | (iy & 0xffffffffL)
   }
 
+  /** LineString WKB from a flat [x0,y0,x1,y1,…] coordinate array — the OSM
+    * way-assembly constructor (reference pipeline's ogr2ogr stage,
+    * erde/op/osm.py:12).
+    */
+  def lineFromCoords(arr: ArrayData): Array[Byte] =
+    WKB.write(LineString(arr.toDoubleArray()))
+
+  /** Single-ring Polygon WKB from a flat coordinate array; the ring is
+    * closed automatically when the last vertex differs from the first.
+    */
+  def polygonFromCoords(arr: ArrayData): Array[Byte] = {
+    val cs = arr.toDoubleArray()
+    val ring =
+      if (cs.length >= 2 && (cs(0) != cs(cs.length - 2) || cs(1) != cs(cs.length - 1)))
+        cs ++ Array(cs(0), cs(1))
+      else cs
+    WKB.write(Polygon(Array(ring)))
+  }
+
   /** All cell ids covered by the geometry's bbox. The spatial join explodes on
     * this — shuffle weight is O(rows × avg cover), never O(N×M).
     */

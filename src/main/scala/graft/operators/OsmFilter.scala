@@ -124,6 +124,74 @@ object OsmFilter {
       .unionByName(rels.join(keptRelIds, Seq(idCol), "left_semi"))
   }
 
+  /** Tag keys whose presence makes a CLOSED way a polygon (the reference's
+    * `closed_ways_are_polygons` ini list, erde/op/osm.py:53).
+    */
+  val ClosedWayPolygonKeys: Seq[String] = Seq(
+    "aeroway", "amenity", "boundary", "building", "building:part", "craft",
+    "geological", "historic", "landuse", "leisure", "military", "natural",
+    "office", "place", "shop", "sport", "tourism")
+
+  /** Assembles geometric layers from the flat OSM elements table — the
+    * reference pipeline's ogr2ogr stage (erde/op/osm.py:12 exports layers
+    * `points,lines,multipolygons`; closed tagged ways become polygons per
+    * `closed_ways_are_polygons`, osm.py:53). Output: (layer, id, tags,
+    * geometry WKB) where layer ∈ points | lines | multipolygons:
+    *
+    *  - points: tagged nodes (`keepUntagged` keeps bare ones too);
+    *  - lines: COMPLETE ways (every node ref resolved — partial ways drop,
+    *    the extract-boundary contract) as LineStrings in ref order;
+    *  - multipolygons: complete CLOSED ways (first ref == last ref, ≥ 4
+    *    refs) carrying a [[ClosedWayPolygonKeys]] tag. Relation
+    *    multipolygons need member roles the flat `refs` schema does not
+    *    carry — compose [[crop]]/[[tagFilter]] with a role-aware source for
+    *    those.
+    *
+    * Scale shape: refs posexplode → hash join on node id → groupBy way with
+    * a sort_array over (pos, x, y) structs (collect_list order normalized by
+    * the explicit position — deterministic), then one codegen'd
+    * coords→geometry constructor. No driver state, no geometry shuffle:
+    * coordinates travel as plain doubles until the final construction.
+    */
+  def assemble(
+      df: DataFrame,
+      keepUntagged: Boolean = false,
+      typeCol: String = "type",
+      idCol: String = "id",
+      tagsCol: String = "tags",
+      lonCol: String = "lon",
+      latCol: String = "lat",
+      refsCol: String = "refs"): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val nodes = df.where(col(typeCol) === "n")
+    val points = (if (keepUntagged) nodes
+      else nodes.where(size(col(tagsCol)) > 0))
+      .select(lit("points").as("layer"), col(idCol), col(tagsCol),
+        st_point(col(lonCol), col(latCol)).as("geometry"))
+
+    val ways = df.where(col(typeCol) === "w")
+    val wayRefs = ways.select(col(idCol), posexplode(col(refsCol)).as(Seq("__pos", "__ref")))
+    val nodeXY = nodes.select(col(idCol).as("__ref"), col(lonCol).as("__x"), col(latCol).as("__y"))
+    val coords = wayRefs.join(nodeXY, Seq("__ref"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__x"), col("__y")))).as("__pts"))
+    val flat = flatten(transform(col("__pts"), p => array(p("__x"), p("__y"))))
+    val closed = size(col(refsCol)) >= 4 &&
+      element_at(col(refsCol), 1) === element_at(col(refsCol), -1)
+    val polyTagged = ClosedWayPolygonKeys
+      .map(k => col(tagsCol).getItem(k).isNotNull)
+      .reduce(_ || _)
+    val wayGeoms = ways.select(col(idCol), col(tagsCol), col(refsCol))
+      .join(coords, Seq(idCol))
+      .where(size(col("__pts")) === size(col(refsCol))) // complete ways only
+      .select(
+        when(closed && polyTagged, lit("multipolygons")).otherwise(lit("lines")).as("layer"),
+        col(idCol), col(tagsCol),
+        when(closed && polyTagged, st_polygon_from_coords(flat))
+          .otherwise(st_line_from_coords(flat)).as("geometry"))
+    points.unionByName(wayGeoms)
+  }
+
   /** Merges OSM extracts (the reference's `osmium merge` stage, erde/op/
     * osm.py merge path): elements sharing (type, id) collapse to one row,
     * later inputs winning — osmium's newer-file-overrides contract. One

@@ -202,6 +202,36 @@ class MultimodalOsmSpec extends AnyFunSuite with SparkSpec {
     assert(complete == kept + (("n", 3L)))
   }
 
+  test("OsmFilter.assemble: tagged points, ordered way lines, closed building polygons") {
+    import graft.functions.GeoFunctions._
+    val rows =
+      Seq(("n", 1L, Map("amenity" -> "pub"), Option(0.0), Option(0.0), Option.empty[Seq[Long]]),
+        ("n", 2L, Map.empty[String, String], Option(2.0), Option(0.0), Option.empty[Seq[Long]]),
+        ("n", 3L, Map.empty[String, String], Option(2.0), Option(3.0), Option.empty[Seq[Long]]),
+        ("w", 10L, Map("brand" -> "x"), Option.empty[Double], Option.empty[Double], Option(Seq(1L, 2L, 3L))),
+        ("w", 11L, Map("building" -> "yes"), Option.empty[Double], Option.empty[Double], Option(Seq(1L, 2L, 3L, 1L))),
+        ("w", 12L, Map("brand" -> "y"), Option.empty[Double], Option.empty[Double], Option(Seq(1L, 99L))))
+      .toDF("type", "id", "tags", "lon", "lat", "refs")
+    val out = OsmFilter.assemble(rows)
+    val byId = out.collect().map(r => r.getAs[Long]("id") ->
+      ((r.getAs[String]("layer"), r.getAs[Array[Byte]]("geometry")))).toMap
+    assert(byId.keySet == Set(1L, 10L, 11L)) // node 2,3 untagged; way 12 incomplete
+    assert(byId(1L)._1 == "points")
+    assert(byId(10L)._1 == "lines")
+    assert(byId(11L)._1 == "multipolygons")
+    // line follows ref order 1→2→3: planar length 2 + 3
+    val lineLen = out.where(col("id") === 10L)
+      .select(st_length(col("geometry"))).head().getDouble(0)
+    assert(math.abs(lineLen - 5.0) < 1e-12)
+    // triangle (0,0)-(2,0)-(2,3): area 3
+    val area = out.where(col("id") === 11L)
+      .select(st_area(col("geometry"))).head().getDouble(0)
+    assert(math.abs(area - 3.0) < 1e-12)
+    // keepUntagged admits bare nodes
+    assert(OsmFilter.assemble(rows, keepUntagged = true)
+      .where(col("layer") === "points").count() == 3)
+  }
+
   test("OsmFilter.merge: later extract wins shared (type, id); others union") {
     val patch = cropOsm.where(col("id") === 1)
       .withColumn("tags", map(lit("fixme"), lit("moved")))
