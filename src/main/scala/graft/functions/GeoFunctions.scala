@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
 
 /** graft's SQL surface: geometry functions as `Column`s (native Catalyst
   * expressions over WKB) plus numeric geo math composed purely from Spark
@@ -135,8 +135,10 @@ object GeoFunctions {
     * the OSM way-assembly path (reference pipeline's ogr2ogr stage).
     * The polygon ring closes automatically.
     */
-  def st_line_from_coords(a: Column): Column = c(StLineFromCoords(e(a)))
-  def st_polygon_from_coords(a: Column): Column = c(StPolygonFromCoords(e(a)))
+  def st_line_from_coords(a: Column): Column =
+    c(StLineFromCoords(e(a.cast("array<double>"))))
+  def st_polygon_from_coords(a: Column): Column =
+    c(StPolygonFromCoords(e(a.cast("array<double>"))))
 
   // ---- grid (spatial-join partitioning) -----------------------------------
   def st_cellcover(g: Column, cellDeg: Column): Column = c(StCellCover(e(g), ed(cellDeg)))
@@ -202,8 +204,8 @@ object GeoFunctions {
     r2("st_simplify", (g, t) => StSimplify(g, Cast(t, DoubleType)))
     r1("st_polyline_encode", StPolylineEncode.apply)
     r1("st_polyline_decode", StPolylineDecode.apply)
-    r1("st_line_from_coords", StLineFromCoords.apply)
-    r1("st_polygon_from_coords", StPolygonFromCoords.apply)
+    r1("st_line_from_coords", a => StLineFromCoords(Cast(a, ArrayType(DoubleType))))
+    r1("st_polygon_from_coords", a => StPolygonFromCoords(Cast(a, ArrayType(DoubleType))))
     r2("st_distance", StDistance.apply)
     r2("st_makeline", StMakeLine.apply)
     r2("st_intersects", StIntersects.apply)

@@ -326,17 +326,32 @@ case class StPolylineDecode(child: Expression) extends GeomUnary {
   override protected def withNewChildInternal(c: Expression): StPolylineDecode = copy(child = c)
 }
 
-case class StLineFromCoords(child: Expression) extends GeomUnary {
-  override def method: String = "lineFromCoords"
+/** Coords→WKB constructors: callers must feed array<double> — the
+  * GeoFunctions wrappers and the SQL registry insert an explicit element
+  * Cast (an int array must convert, not be reinterpreted bitwise); a null
+  * ordinate yields a NULL geometry, propagated through codegen.
+  */
+abstract class CoordsConstructor extends UnaryExpression with Serializable {
+  def method: String
   override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $K.$method($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override def prettyName: String = nodeName.toLowerCase(java.util.Locale.ROOT)
+}
+
+case class StLineFromCoords(child: Expression) extends CoordsConstructor {
+  override def method: String = "lineFromCoords"
   override protected def nullSafeEval(a: Any): Any =
     GeomKernel.lineFromCoords(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
   override protected def withNewChildInternal(c: Expression): StLineFromCoords = copy(child = c)
 }
 
-case class StPolygonFromCoords(child: Expression) extends GeomUnary {
+case class StPolygonFromCoords(child: Expression) extends CoordsConstructor {
   override def method: String = "polygonFromCoords"
-  override def dataType: DataType = BinaryType
   override protected def nullSafeEval(a: Any): Any =
     GeomKernel.polygonFromCoords(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
   override protected def withNewChildInternal(c: Expression): StPolygonFromCoords = copy(child = c)

@@ -268,18 +268,32 @@ object GeomKernel {
     (ix << 32) | (iy & 0xffffffffL)
   }
 
+  /** Flat coordinate array → doubles, or null when any ordinate is null
+    * (a null vertex must yield a null geometry, not a silent (0, 0)).
+    */
+  private def coordArray(arr: ArrayData): Array[Double] = {
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) { if (arr.isNullAt(i)) return null; i += 1 }
+    arr.toDoubleArray()
+  }
+
   /** LineString WKB from a flat [x0,y0,x1,y1,…] coordinate array — the OSM
     * way-assembly constructor (reference pipeline's ogr2ogr stage,
-    * erde/op/osm.py:12).
+    * erde/op/osm.py:12). Null when any ordinate is null.
     */
-  def lineFromCoords(arr: ArrayData): Array[Byte] =
-    WKB.write(LineString(arr.toDoubleArray()))
+  def lineFromCoords(arr: ArrayData): Array[Byte] = {
+    val cs = coordArray(arr)
+    if (cs == null) null else WKB.write(LineString(cs))
+  }
 
   /** Single-ring Polygon WKB from a flat coordinate array; the ring is
     * closed automatically when the last vertex differs from the first.
+    * Null when any ordinate is null.
     */
   def polygonFromCoords(arr: ArrayData): Array[Byte] = {
-    val cs = arr.toDoubleArray()
+    val cs = coordArray(arr)
+    if (cs == null) return null
     val ring =
       if (cs.length >= 2 && (cs(0) != cs(cs.length - 2) || cs(1) != cs(cs.length - 1)))
         cs ++ Array(cs(0), cs(1))

@@ -66,8 +66,9 @@ object OsmFilter {
     *    retained too (its "complete_ways" strategy);
     *  - relations: kept when ≥1 member id is a kept node or way; nested
     *    relations (members that are themselves relations) resolve through
-    *    `relationDepth` extra membership rounds (OSM nesting is shallow —
-    *    2 covers virtually all real data). The flat `refs` schema carries no
+    *    `relationDepth` TOTAL membership rounds — a chain nested k relations
+    *    deep needs relationDepth = k (OSM nesting is shallow, the default 2
+    *    covers virtually all real data). The flat `refs` schema carries no
     *    member type, so an id collision across the node/way id spaces can
     *    over-keep a relation — acceptable for extract-style cropping (never
     *    drops a needed element).
@@ -132,6 +133,12 @@ object OsmFilter {
     "geological", "historic", "landuse", "leisure", "military", "natural",
     "office", "place", "shop", "sport", "tourism")
 
+  /** Exact key=value entries of the same ini list (its tail names
+    * `highway=platform,public_transport=platform`, not whole keys).
+    */
+  val ClosedWayPolygonKeyValues: Seq[(String, String)] = Seq(
+    "highway" -> "platform", "public_transport" -> "platform")
+
   /** Assembles geometric layers from the flat OSM elements table — the
     * reference pipeline's ogr2ogr stage (erde/op/osm.py:12 exports layers
     * `points,lines,multipolygons`; closed tagged ways become polygons per
@@ -171,15 +178,19 @@ object OsmFilter {
 
     val ways = df.where(col(typeCol) === "w")
     val wayRefs = ways.select(col(idCol), posexplode(col(refsCol)).as(Seq("__pos", "__ref")))
+    // one coordinate per node id: duplicated ids (unmerged extracts — run
+    // merge() for the override contract) must not inflate the join and fake
+    // the completeness count or inject duplicate vertices
     val nodeXY = nodes.select(col(idCol).as("__ref"), col(lonCol).as("__x"), col(latCol).as("__y"))
+      .dropDuplicates("__ref")
     val coords = wayRefs.join(nodeXY, Seq("__ref"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("__pos"), col("__x"), col("__y")))).as("__pts"))
     val flat = flatten(transform(col("__pts"), p => array(p("__x"), p("__y"))))
     val closed = size(col(refsCol)) >= 4 &&
       element_at(col(refsCol), 1) === element_at(col(refsCol), -1)
-    val polyTagged = ClosedWayPolygonKeys
-      .map(k => col(tagsCol).getItem(k).isNotNull)
+    val polyTagged = (ClosedWayPolygonKeys.map(k => col(tagsCol).getItem(k).isNotNull) ++
+      ClosedWayPolygonKeyValues.map { case (k, v) => col(tagsCol).getItem(k) === v })
       .reduce(_ || _)
     val wayGeoms = ways.select(col(idCol), col(tagsCol), col(refsCol))
       .join(coords, Seq(idCol))

@@ -226,18 +226,13 @@ object Gpkg {
     case _ => BinaryType
   }
 
-  /** First feature layer of the file (or `layer`): columns as declared
-    * (geometry column → WKB binary named as in the file).
+  /** Resolves the target feature layer: explicit `layer`, the only layer,
+    * or — several layers, no choice — the one named like the file's own
+    * name (reference fallback, erde/io/gpkg.py:38-43). Returns
+    * (layer name, geometry column, sqlite_master row).
     */
-  def read(spark: SparkSession, path: String, layer: Option[String] = None): DataFrame = {
-    import spark.implicits._
-    val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.gpkg").load(path)
-      .select("content").as[Array[Byte]]
-
-    // schema from the first file
-    val head = files.head()
-    val db = new Sqlite(head)
+  private def resolveLayer(db: Sqlite, path: String, layer: Option[String])
+      : (String, String, (String, String, String, Int, String)) = {
     val geomCols = db.master.find(_._2 == "gpkg_geometry_columns")
       .map(m => db.table(m._4).map(_._2))
       .getOrElse(Seq.empty)
@@ -246,8 +241,6 @@ object Gpkg {
       require(geomCols.nonEmpty, "no feature layers in gpkg")
       if (geomCols.size == 1) geomCols.keys.head
       else {
-        // reference fallback (erde/io/gpkg.py:38-43): several layers and no
-        // explicit choice → the layer named like the file's own name
         val f = new java.io.File(path).getName
         Option(f).filter(_.toLowerCase.endsWith(".gpkg"))
           .map(_.dropRight(5))
@@ -260,6 +253,22 @@ object Gpkg {
       throw new IllegalArgumentException(s"layer $layerName not in gpkg_geometry_columns"))
     val masterRow = db.master.find(m => m._1 == "table" && m._2 == layerName)
       .getOrElse(throw new IllegalArgumentException(s"no table $layerName"))
+    (layerName, geomCol, masterRow)
+  }
+
+  /** First feature layer of the file (or `layer`): columns as declared
+    * (geometry column → WKB binary named as in the file).
+    */
+  def read(spark: SparkSession, path: String, layer: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.gpkg").load(path)
+      .select("content").as[Array[Byte]]
+
+    // schema from the first file
+    val head = files.head()
+    val db = new Sqlite(head)
+    val (layerName, geomCol, masterRow) = resolveLayer(db, path, layer)
     val cols = parseColumns(masterRow._5)
 
     val schema = StructType(cols.map { case (n, decl) =>
@@ -311,17 +320,7 @@ object Gpkg {
     val head = spark.read.format("binaryFile").option("pathGlobFilter", "*.gpkg")
       .load(path).select("content").as[Array[Byte]].head()
     val db = new Sqlite(head)
-    val geomCols = db.master.find(_._2 == "gpkg_geometry_columns")
-      .map(m => db.table(m._4).map(_._2))
-      .getOrElse(Seq.empty)
-      .map(v => (v(0).asInstanceOf[String], v(1).asInstanceOf[String])).toMap
-    val layerName = layer.getOrElse {
-      require(geomCols.size == 1,
-        s"layers ${geomCols.keys.mkString(", ")} — pass layer=")
-      geomCols.keys.head
-    }
-    val masterRow = db.master.find(m => m._1 == "table" && m._2 == layerName)
-      .getOrElse(throw new IllegalArgumentException(s"no table $layerName"))
+    val (layerName, _, masterRow) = resolveLayer(db, path, layer)
     val cols = parseColumns(masterRow._5)
     val declType = cols.map { case (n, d) => n -> d.split("\\s+").head }.toMap
 

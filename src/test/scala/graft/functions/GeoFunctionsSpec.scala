@@ -106,6 +106,22 @@ class GeoFunctionsSpec extends AnyFunSuite with SparkSpec {
       "83.75766 53.36991, 73.5184 55.01512)")
   }
 
+  test("coords constructors: int arrays cast (not bit-reinterpreted), null ordinate → null") {
+    GeoFunctions.registerAll(spark)
+    // SQL path with an INT array — must cast elementwise
+    val viaSql = spark.sql("SELECT st_astext(st_line_from_coords(array(0, 0, 3, 4))) AS t")
+      .head().getString(0)
+    assert(viaSql == "LINESTRING (0 0, 3 4)")
+    assert(one[Double](st_length(st_line_from_coords(
+      array(lit(0.0), lit(0.0), lit(3.0), lit(4.0))))) == 5.0)
+    // auto-closing polygon ring
+    assert(one[Double](st_area(st_polygon_from_coords(
+      array(lit(0.0), lit(0.0), lit(4.0), lit(0.0), lit(4.0), lit(4.0))))) == 8.0)
+    // a null ordinate yields NULL, not a silent (0, 0) vertex
+    assert(spark.sql("SELECT st_line_from_coords(array(0.0, 0.0, CAST(NULL AS DOUBLE), 1.0)) AS g")
+      .head().isNullAt(0))
+  }
+
   test("st_intersection / st_difference / st_union column ops") {
     val a = st_geomfromtext(lit("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
     val b = st_geomfromtext(lit("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"))

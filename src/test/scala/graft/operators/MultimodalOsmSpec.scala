@@ -230,6 +230,25 @@ class MultimodalOsmSpec extends AnyFunSuite with SparkSpec {
     // keepUntagged admits bare nodes
     assert(OsmFilter.assemble(rows, keepUntagged = true)
       .where(col("layer") === "points").count() == 3)
+    // the ini list's key=VALUE tail: a closed highway=platform way is a
+    // polygon, a closed highway=primary ring stays a line
+    val platforms = rows.where(col("type") === "n").unionByName(Seq(
+      ("w", 20L, Map("highway" -> "platform"), Option.empty[Double], Option.empty[Double],
+        Option(Seq(1L, 2L, 3L, 1L))),
+      ("w", 21L, Map("highway" -> "primary"), Option.empty[Double], Option.empty[Double],
+        Option(Seq(1L, 2L, 3L, 1L))))
+      .toDF("type", "id", "tags", "lon", "lat", "refs"))
+    val layers = OsmFilter.assemble(platforms)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("layer")).toMap
+    assert(layers(20L) == "multipolygons" && layers(21L) == "lines")
+    // a duplicated node id must not fake completeness or inject vertices
+    val dupNode = rows.unionByName(Seq(
+      ("n", 2L, Map.empty[String, String], Option(9.0), Option(9.0), Option.empty[Seq[Long]]))
+      .toDF("type", "id", "tags", "lon", "lat", "refs"))
+    val dOut = OsmFilter.assemble(dupNode)
+    assert(dOut.where(col("id") === 12L).count() == 0) // still incomplete
+    assert(dOut.where(col("id") === 10L)
+      .select(st_npoints(col("geometry"))).head().getInt(0) == 3)
   }
 
   test("OsmFilter.merge: later extract wins shared (type, id); others union") {
