@@ -66,6 +66,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"membership must be semi-joins:\n$plan")
   }
 
+  test("osm assemble joins on node id hash, no cartesian") {
+    val plan = physical(q("osm_assemble"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"osm_assemble degenerated:\n$plan")
+  }
+
   test("osm merge keeps its map-side partial max_by") {
     val plan = physical(q("osm_merge"))
     assert("HashAggregate|SortAggregate".r.findAllIn(plan).size >= 2,
