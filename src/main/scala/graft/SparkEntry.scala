@@ -993,7 +993,7 @@ object SparkEntry {
     "events_sessionize" ->
       """WITH g AS (SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |        OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) > 1800
+        |        OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
         |       THEN 1 ELSE 0 END AS brk
         |  FROM events),
         |s AS (SELECT user_id, value,

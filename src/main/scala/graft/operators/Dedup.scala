@@ -36,14 +36,19 @@ object Dedup {
   /** Exact dedup on `keys`: keeps, per distinct key combination, the row with
     * the smallest `tieBreak` value. groupBy gets a map-side partial min_by, so
     * at 100 TB the shuffle carries one candidate row per key per input
-    * partition, not every duplicate.
+    * partition, not every duplicate. The pick is ATOMIC — one min_by over the
+    * packed payload struct, never independent per-column min_bys, which under
+    * tieBreak ties could stitch together a row that never existed. Exact
+    * tieBreak ties keep one real row (make tieBreak unique for a fully
+    * deterministic pick). `keys` covering every column degrades to distinct.
     */
   def exact(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
     val others = df.columns.toIndexedSeq.filterNot(keys.contains)
-    val aggs = others.map(c => min_by(col(c), col(tieBreak)).as(c))
-    df.groupBy(keys.map(col).toSeq: _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .select(df.columns.toIndexedSeq.map(col): _*)
+    if (others.isEmpty) df.dropDuplicates(keys)
+    else df.groupBy(keys.map(col).toSeq: _*)
+      .agg(min_by(struct(others.map(col): _*), col(tieBreak)).as("__rep"))
+      .select(df.columns.toIndexedSeq.map(c =>
+        if (keys.contains(c)) col(c) else col(s"__rep.$c").as(c)): _*)
   }
 
   /** Caps pair generation: with `maxBucket` > 0 only the `maxBucket`
@@ -116,12 +121,19 @@ object Dedup {
     size(filter(zip_with(a, b, (x, y) => (x === y).cast("int")), v => v === 1))
       .cast("double") / size(a)
 
+  /** LSH band bucket id of one signature band — THE banding formula, shared
+    * by the batch family here and the streaming dedup variants
+    * ([[graft.streaming.EventStream]]): any drift between the two would
+    * silently break their documented kept-set parity.
+    */
+  private[graft] def bandBucket(band: Column, sig: Column, rowsPerBand: Int): Column =
+    xxhash64(band, slice(sig, band * rowsPerBand + 1, lit(rowsPerBand)))
+
   /** Appends the exploded MinHash band bucket column. */
   private def minhashBuckets(numBands: Int, rowsPerBand: Int)(reps: DataFrame): DataFrame =
     reps
       .withColumn("__band", explode(sequence(lit(0), lit(numBands - 1))))
-      .withColumn("__bucket",
-        xxhash64(col("__band"), slice(col("__sketch"), col("__band") * rowsPerBand + 1, lit(rowsPerBand))))
+      .withColumn("__bucket", bandBucket(col("__band"), col("__sketch"), rowsPerBand))
       .drop("__band")
 
   /** MinHash + banded LSH near-dedup: keeps one representative (smallest

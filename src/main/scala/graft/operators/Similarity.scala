@@ -18,14 +18,17 @@ import graft.functions.TextFunctions._
 object Similarity {
 
   /** Cosine similarity of two array columns (float or double), computed in
-    * double precision with a left-to-right fold — pure built-ins.
+    * double precision with a left-to-right fold — pure built-ins. A
+    * zero-norm vector scores 0 (the usual convention): the bare division
+    * would throw DIVIDE_BY_ZERO under Spark 4's default ANSI mode and kill
+    * the whole top-k job on one all-zero embedding.
     */
   def cosineSim(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>"); val bd = b.cast("array<double>")
     val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
     val nb = sqrt(aggregate(bd, lit(0.0), (acc, x) => acc + x * x))
-    dot / (na * nb)
+    when(na * nb > 0, dot / (na * nb)).otherwise(lit(0.0))
   }
 
   /** Null-safe cosine: NULL when either norm is zero (ANSI mode would raise
@@ -160,7 +163,11 @@ object Similarity {
       nprobe: Int = 4,
       seed: Long = 42L,
       fitSampleBytes: Long = 64L << 20): DataFrame = {
-    val featured = corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("__cv"))
+    // null embeddings can't be assigned or fit — drop them up front (the
+    // sample collect and the dim probe would otherwise NPE on one null row)
+    val featured = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("__cv"))
+      .where(col("__cv").isNotNull)
     val dim = featured.select(size(col("__cv"))).head(1) match {
       case Array(r) => r.getInt(0)
       case _ => 0

@@ -133,8 +133,10 @@ object EventStream {
       var warned = false // once per bucket per micro-batch, not per row —
       // the flood that trips the cap would otherwise BE the log flood
       val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).map { r =>
-        val hit = sigs.exists(s => estSim(s, r.sig) >= threshold)
-        if (!sigs.exists(_.sameElements(r.sig))) {
+        // NULL-text docs have a null signature: kept, never candidates, and
+        // never registered — the batch family's deliberate NULL contract
+        val hit = r.sig != null && sigs.exists(s => estSim(s, r.sig) >= threshold)
+        if (r.sig != null && !sigs.exists(_.sameElements(r.sig))) {
           if (sigs.length < maxSigs) sigs ::= r.sig
           else if (!warned) { warnSigCap("minhashDedupStream", bucket, maxSigs); warned = true }
         }
@@ -154,6 +156,15 @@ object EventStream {
       .agg(max(col("hit")).as("__dropped"), max(col("text")).as(textCol))
       .where(!col("__dropped"))
       .select(col("doc_id").as(idCol), col("ts"), col(textCol))
+  }
+
+  /** Duration string ("2 hours") → milliseconds, via Spark's own interval
+    * parser (calendar months count as 30 days, like watermark handling).
+    */
+  private def intervalMs(duration: String): Long = {
+    val i = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(duration))
+    i.months * 30L * 86400000L + i.days * 86400000L + i.microseconds / 1000L
   }
 
   /** Estimated Jaccard of two MinHash signatures (fraction of equal
@@ -189,8 +200,9 @@ object EventStream {
       var maxTs = 0L
       var warned = false // once per bucket per micro-batch (see update above)
       val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).map { r =>
-        val hit = list.exists(s => estSim(s, r.sig) >= threshold)
-        if (!list.exists(_.sameElements(r.sig))) {
+        // null signature (NULL text): kept, never a candidate, never stored
+        val hit = r.sig != null && list.exists(s => estSim(s, r.sig) >= threshold)
+        if (r.sig != null && !list.exists(_.sameElements(r.sig))) {
           if (list.length < maxSigs) {
             list ::= r.sig
             changed = true
@@ -238,12 +250,17 @@ object EventStream {
       threshold: Double = 0.8,
       watermark: String = "1 hour",
       maxSigs: Int = 128,
-      expireDelayMs: Long = 3600000L): DataFrame = {
+      expireDelayMs: Long = -1L): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
+    // default the bucket expiry to the WATERMARK duration: a fixed delay
+    // shorter than the watermark would clear state while near-duplicates are
+    // still admissible (silent misses); the fMGWS variant ties expiry to the
+    // watermark string for exactly this reason
+    val delayMs = if (expireDelayMs >= 0) expireDelayMs else intervalMs(watermark)
     val verdicts = bandedRows(stream, textCol, idCol, numHashes, numBands, shingle, watermark)
       .groupByKey(_.bucket)
-      .transformWithState(new BandBucketProcessor(threshold, maxSigs, expireDelayMs),
+      .transformWithState(new BandBucketProcessor(threshold, maxSigs, delayMs),
         "ts", OutputMode.Append())
     verdicts
       .groupBy(col("doc_id"), col("ts"))
@@ -265,8 +282,8 @@ object EventStream {
       .withColumn("__sig", graft.functions.TextFunctions.minhash_sig(col(textCol), numHashes, shingle))
       .withColumn("__band", explode(sequence(lit(0), lit(numBands - 1))))
       .select(
-        xxhash64(col("__band"),
-          slice(col("__sig"), col("__band") * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"),
+        // the ONE banding formula, shared with the batch family
+        graft.operators.Dedup.bandBucket(col("__band"), col("__sig"), rowsPerBand).as("bucket"),
         col(idCol).as("doc_id"), col("ts"), col("__band").as("band"),
         col("__sig").as("sig"), col(textCol).as("text"))
       .withWatermark("ts", watermark)
@@ -277,15 +294,19 @@ object EventStream {
 
   /** Batch sessionization with window functions: a session breaks when the
     * gap to the previous event of the same user exceeds `gapMinutes`.
+    * Gaps compare in exact integer MICROseconds (unix_micros) — whole-second
+    * truncation would merge sessions whose true gap exceeds the bound by a
+    * sub-second fraction, silently diverging from [[sessionizeStream]] on
+    * the nanosecond-stamped event tables.
     */
   def sessionizeBatch(df: DataFrame, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts")
-    val gapS = gapMinutes * 60L
+    val gapUs = gapMinutes * 60L * 1000000L
     df.withColumn("__prev", lag(col("ts"), 1).over(byUser))
       .withColumn("__newsess",
         when(col("__prev").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("__prev")) > gapS, 1).otherwise(0))
+          unix_micros(col("ts")) - unix_micros(col("__prev")) > gapUs, 1).otherwise(0))
       .withColumn("__sess", sum("__newsess").over(byUser))
       .groupBy("user_id", "__sess")
       .agg(count(lit(1)).cast("int").as("n_events"),
@@ -301,7 +322,11 @@ object EventStream {
     */
   def sessionizeStream(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
+    val gapUs = gapMinutes * 60L * 1000000L
+    // exact microseconds (getTime truncates sub-ms; the batch face compares
+    // unix_micros — both faces must agree at sub-second gap boundaries)
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
 
     def update(userId: Long, rows: Iterator[Event],
         state: GroupState[Session]): Iterator[Session] = {
@@ -312,11 +337,14 @@ object EventStream {
       }
       var closed = List.empty[Session]
       var open = state.getOption
-      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+      rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
         open match {
-          case Some(s) if e.ts.getTime - s.end.getTime <= gapMs =>
+          case Some(s) if micros(e.ts) - micros(s.end) <= gapUs =>
             open = Some(s.copy(
               n_events = s.n_events + 1,
+              // a late-but-admissible event can precede the open session —
+              // both bounds must absorb it or start drifts from the batch face
+              start = if (e.ts.before(s.start)) e.ts else s.start,
               end = if (e.ts.after(s.end)) e.ts else s.end,
               value_sum = s.value_sum + e.value))
           case Some(s) =>
@@ -328,7 +356,7 @@ object EventStream {
       }
       open.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp(s.end.getTime + gapMs)
+        state.setTimeoutTimestamp(s.end.getTime + gapUs / 1000L)
       }
       closed.reverseIterator
     }

@@ -22,6 +22,22 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
 
   private lazy val docs = base.toDF("id", "text")
 
+  test("exact: tieBreak ties keep ONE real row, never a stitched hybrid") {
+    // two rows share key AND tieBreak but differ in payload: independent
+    // per-column min_bys could emit text from one and lang from the other
+    val df = Seq(
+      (1L, "k", "textA", "en"), (1L, "k", "textB", "fr"), (2L, "k2", "only", "de"))
+      .toDF("ts", "key", "text", "lang")
+    val out = Dedup.exact(df, Seq("key"), "ts").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(out.size == 2)
+    val kRow = out.find(_._1 == "k").get
+    assert(Set(("k", "textA", "en"), ("k", "textB", "fr"))(kRow),
+      s"fabricated row: $kRow")
+    // keys covering every column degrades to distinct, not a crash
+    assert(Dedup.exact(df, df.columns.toSeq, "ts").count() == 3)
+  }
+
   test("minhashLsh drops planted near-dups, keeps distinct docs") {
     val kept = Dedup.minhashLsh(docs, "text", "id", numHashes = 128, numBands = 32,
       shingle = 5, threshold = 0.6).select("id").as[Long].collect().toSet

@@ -20,6 +20,23 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
   }
 
+  test("zero-norm and null vectors don't kill top-k under ANSI mode") {
+    val withZero = corpus.unionByName(
+      Seq((100L, Array.fill(16)(0f))).toDF("vec_id", "embedding"))
+    val out = Similarity.bruteForceTopK(withZero, withZero.where(col("vec_id") === 100L),
+      "embedding", "vec_id", k = 3)
+    // the zero vector scores 0 against everything — job completes, k rows
+    assert(out.count() == 3)
+    assert(out.agg(max(abs(col("cosine")))).head().getDouble(0) == 0.0)
+    // a null embedding can't be fit or assigned — IVF drops it, no NPE
+    val withNull = corpus.unionByName(
+      Seq((101L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val ivf = Similarity.ivfTopK(withNull, corpus.where(col("vec_id") < 2),
+      "embedding", "vec_id", k = 3, nlist = 4, nprobe = 4)
+    assert(ivf.count() == 6)
+    assert(ivf.where(col("neighbor_id") === 101L).count() == 0)
+  }
+
   test("cosineSim: orthogonal ≈ 0, identical = 1") {
     val df = Seq(
       (Array(1f, 0f, 0f), Array(0f, 1f, 0f), "orth"),

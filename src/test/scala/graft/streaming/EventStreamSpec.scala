@@ -56,6 +56,60 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     assert(u1(0).getAs[Int]("n_events") == 2 && u1(1).getAs[Int]("n_events") == 1)
   }
 
+  test("sessionizeBatch gaps compare in exact microseconds, not whole seconds") {
+    // true gap 1800.8 s > 30 min: whole-second truncation would read 1800
+    // and merge; events tables carry nanosecond stamps, so this is real data
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00.1")
+    val t1 = Timestamp.valueOf("2024-01-01 10:30:00.9")
+    val df = Seq(Event(1, t0, 1, "a", 1.0), Event(2, t1, 1, "a", 1.0)).toDF()
+    assert(sessionizeBatch(df, gapMinutes = 30).count() == 2)
+    // and a gap fractionally UNDER the bound still merges
+    val t2 = Timestamp.valueOf("2024-01-01 10:30:00.05")
+    val df2 = Seq(Event(1, t0, 1, "a", 1.0), Event(2, t2, 1, "a", 1.0)).toDF()
+    assert(sessionizeBatch(df2, gapMinutes = 30).count() == 1)
+  }
+
+  test("sessionizeStream: late-but-admissible event extends the session START") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionizeStream(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_late").outputMode("append").start()
+    try {
+      mem.addData(Event(1, tsH(10, 0), 1, "a", 1.0), Event(2, tsH(10, 5), 1, "a", 2.0))
+      q.processAllAvailable()
+      // 09:40 is within the watermark and the 30-min gap to the open session
+      mem.addData(Event(3, tsH(9, 40), 1, "a", 4.0))
+      q.processAllAvailable()
+      mem.addData(Event(9, tsH(23, 0), 99, "z", 0.0)) // advance watermark, close
+      q.processAllAvailable()
+      val s = spark.table("sess_late").where(col("user_id") === 1).collect()
+      assert(s.length == 1)
+      assert(s(0).getAs[Timestamp]("start") == tsH(9, 40), "late event must pull start back")
+      assert(s(0).getAs[Timestamp]("end") == tsH(10, 5))
+      assert(s(0).getAs[Int]("n_events") == 3 && s(0).getAs[Double]("value_sum") == 7.0)
+    } finally q.stop()
+  }
+
+  test("minhashDedupStream: NULL-text docs are kept, never crash the bucket state") {
+    withRelaxedChainCheck {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val stream = mem.toDF().toDF("doc_id", "ts", "text")
+      val q = minhashDedupStream(stream, numBands = 8, watermark = "10 minutes")
+        .writeStream.format("memory").queryName("mh_null").outputMode("append").start()
+      try {
+        mem.addData((1L, ts(0), null), (2L, ts(1), null),
+          (3L, ts(2), "a real document with plenty of words to shingle and hash tonight"))
+        q.processAllAvailable()
+        mem.addData((99L, tsH(23, 0), "watermark flush sentinel"))
+        q.processAllAvailable()
+        val kept = spark.table("mh_null").select("doc_id").as[Long].collect().toSet
+        // the batch contract: null-text docs are kept, never candidates
+        assert(Set(1L, 2L, 3L).subsetOf(kept), s"kept=$kept")
+      } finally q.stop()
+    }
+  }
+
   test("sessionizeStream emits closed sessions as watermark advances") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
