@@ -18,7 +18,11 @@ object Ops {
     * row, joins `right` on `leftOn == rightOn` and takes the *first* matching
     * value of each requested column. Pandas "first" depends on row order,
     * which has no distributed meaning, so the match is made deterministic:
-    * the first row by `orderBy` (ascending) wins.
+    * the first row by `orderBy` (ascending) wins — picked ATOMICALLY (one
+    * min_by over the packed column struct, never independent per-column
+    * min_bys, which under orderBy ties could stitch together values from
+    * different rows into a row that never existed; unique orderBy per key ⇒
+    * fully deterministic).
     *
     * Implemented as broadcast-friendly equi-join against a pre-reduced right
     * side (one row per key after a partial-aggregated min_by), so the shuffle
@@ -33,9 +37,8 @@ object Ops {
       orderBy: String): DataFrame = {
     val firstMatch = right
       .groupBy(col(rightOn))
-      .agg(
-        columns.map(c => min_by(col(c), col(orderBy)).as(c)).head,
-        columns.map(c => min_by(col(c), col(orderBy)).as(c)).tail: _*)
+      .agg(min_by(struct(columns.map(col): _*), col(orderBy)).as("__pick"))
+      .select(col(rightOn) +: columns.map(c => col("__pick").getField(c).as(c)): _*)
     left.join(firstMatch, left(leftOn) === firstMatch(rightOn), "left")
       .drop(firstMatch(rightOn))
   }

@@ -423,8 +423,13 @@ object SJoin {
     val keep = Seq(LID, leftGeom) ++ referencedLeftCols(lt, leftGeom, named)
     val slim = lt.select(keep.map(col): _*)
     val inner = pairsKeyed(slim, renamed, predicate, leftGeom, rGeom, cellDeg, "_right", tuning)
-    val picks = columns.map(c0 => min_by(col(c0), col(orderBy)).as(c0))
-    val agged = inner.groupBy(col(LID)).agg(picks.head, picks.tail: _*)
+    // ATOMIC pick: one min_by over the packed column struct, never
+    // independent per-column min_bys — under orderBy ties those could stitch
+    // together values from different matching rows into a row that never
+    // existed. Ties keep one real row (unique orderBy ⇒ fully deterministic).
+    val agged = inner.groupBy(col(LID))
+      .agg(min_by(struct(columns.map(col): _*), col(orderBy)).as("__pick"))
+      .select(col(LID) +: columns.map(c0 => col("__pick").getField(c0).as(c0)): _*)
     lt.join(agged, Seq(LID), how).drop(LID)
   }
 

@@ -31,6 +31,23 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("lookup: first match by orderBy, atomically — ties never stitch rows") {
+    val left = Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "payload")
+    val right = Seq(
+      (1, 5, 1, 9), // k=1: two rows TIED on orderBy, per-column minimums cross
+      (1, 5, 9, 1),
+      (2, 2, 7, 7), // k=2: smaller orderBy wins over
+      (2, 8, 6, 6))
+      .toDF("rk", "o", "a", "b")
+    val out = Ops.lookup(left, right, columns = Seq("a", "b"),
+      leftOn = "k", rightOn = "rk", orderBy = "o")
+    assert(out.columns.toSeq == Seq("k", "payload", "a", "b"))
+    val m = out.collect().map(r => r.getInt(0) -> (r.get(2), r.get(3))).toMap
+    assert(m(1) == ((1, 9)) || m(1) == ((9, 1))) // one REAL row, never (1, 1)
+    assert(m(2) == ((7, 7)))                     // min orderBy wins
+    assert(m(3) == ((null, null)))               // unmatched left row kept
+  }
+
   test("splitByHash rejects weights that do not sum to 1") {
     val df = spark.range(10).toDF("id")
     intercept[IllegalArgumentException] {

@@ -166,6 +166,23 @@ class SJoinSpec extends AnyFunSuite with SparkSpec {
     assert(m(4 * 5 + 0) == null) // (4.25, 0.25) in neither
   }
 
+  test("slookup picks ATOMICALLY: orderBy ties never stitch columns from different rows") {
+    // two zones covering the same point, TIED on orderBy, with two lookup
+    // columns whose per-column minimums cross rows: an independent
+    // per-column min_by could return (a=1, b=1) — a row that never existed
+    val tiedZones = Seq(
+      (10, 1, 9, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+      (10, 9, 1, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+      .toDF("prio", "a", "b", "wkt")
+      .select(col("prio"), col("a"), col("b"), st_geomfromtext(col("wkt")).as("geometry"))
+    val one = points.where(col("pid") === 0) // (0.25, 0.25)
+    val out = SJoin.slookup(one, tiedZones, columns = Seq("a", "b"), orderBy = "prio",
+      predicate = "within", how = "inner")
+    val r = out.select("a", "b").as[(Int, Int)].collect()
+    assert(r.length == 1)
+    assert(r(0) == (1, 9) || r(0) == (9, 1)) // one REAL row, never (1, 1)
+  }
+
   test("sfilter semi and anti partition the left side") {
     val kept = SJoin.sfilter(points, zones, predicate = "within")
     val dropped = SJoin.sfilter(points, zones, predicate = "within", negative = true)
