@@ -27,6 +27,7 @@ object ColumnBridge {
     val opaque = c.node.collect {
       case _: internal.SqlExpression => true // expr("…"): names live in SQL text
       case _: internal.UnresolvedStar => true
+      case _: internal.UnresolvedRegex => true // colRegex("…"): names need the schema
       case _: org.apache.spark.sql.classic.ExpressionColumnNode => true // pre-built catalyst Expression
     }
     if (opaque.nonEmpty) None

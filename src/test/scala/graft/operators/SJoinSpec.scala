@@ -284,6 +284,13 @@ class SJoinSpec extends AnyFunSuite with SparkSpec {
       Seq(expr("max(zid * 1000 + pid)").as("mix")), predicate = "contains", how = "left")
       .select("zid", "mix").collect().map(r => r.getInt(0) -> r.get(1)).toMap
     assert(ex(1) == 1012L && ex(2) == 2024L && ex(3) == null)
+    // colRegex also hides its references (resolving needs the schema) — the
+    // slim pass must keep every left column rather than drop zid
+    val rx = SJoin.sagg(zones, points,
+      Seq(max(zones.colRegex("`^z.d$`") * 1000 + col("pid")).as("mix")),
+      predicate = "contains", how = "left")
+      .select("zid", "mix").collect().map(r => r.getInt(0) -> r.get(1)).toMap
+    assert(rx(1) == 1012L && rx(2) == 2024L && rx(3) == null)
   }
 
   test("sjfull right join keeps unmatched right rows") {
