@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringType}
 
 /** graft's SQL surface: geometry functions as `Column`s (native Catalyst
   * expressions over WKB) plus numeric geo math composed purely from Spark
@@ -140,6 +140,15 @@ object GeoFunctions {
   def st_polygon_from_coords(a: Column): Column =
     c(StPolygonFromCoords(e(a.cast("array<double>"))))
 
+  /** Relation-layer constructors (OSM multipolygon / route relations):
+    * member roles × member coord paths → MultiPolygon; member coord paths →
+    * MultiLineString. Null (dropped feature) on incomplete members.
+    */
+  def st_relation_multipolygon(roles: Column, lines: Column): Column =
+    c(StRelationMultipolygon(e(roles.cast("array<string>")), e(lines.cast("array<array<double>>"))))
+  def st_multiline_from_lines(lines: Column): Column =
+    c(StMultilineFromLines(e(lines.cast("array<array<double>>"))))
+
   // ---- grid (spatial-join partitioning) -----------------------------------
   def st_cellcover(g: Column, cellDeg: Column): Column = c(StCellCover(e(g), ed(cellDeg)))
   def st_cellof(lon: Column, lat: Column, cellDeg: Column): Column =
@@ -206,6 +215,9 @@ object GeoFunctions {
     r1("st_polyline_decode", StPolylineDecode.apply)
     r1("st_line_from_coords", a => StLineFromCoords(Cast(a, ArrayType(DoubleType))))
     r1("st_polygon_from_coords", a => StPolygonFromCoords(Cast(a, ArrayType(DoubleType))))
+    r2("st_relation_multipolygon", (r, l) => StRelationMultipolygon(
+      Cast(r, ArrayType(StringType)), Cast(l, ArrayType(ArrayType(DoubleType)))))
+    r1("st_multiline_from_lines", l => StMultilineFromLines(Cast(l, ArrayType(ArrayType(DoubleType)))))
     r2("st_distance", StDistance.apply)
     r2("st_makeline", StMakeLine.apply)
     r2("st_intersects", StIntersects.apply)

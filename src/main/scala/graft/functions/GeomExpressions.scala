@@ -357,6 +357,45 @@ case class StPolygonFromCoords(child: Expression) extends CoordsConstructor {
   override protected def withNewChildInternal(c: Expression): StPolygonFromCoords = copy(child = c)
 }
 
+/** MultiPolygon from OSM relation members: roles array<string> ×
+  * lines array<array<double>> — see [[GeomKernel.relationMultipolygon]].
+  * Null (row drops) on incomplete/unstitchable members.
+  */
+case class StRelationMultipolygon(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(roles: Any, lines: Any): Any =
+    GeomKernel.relationMultipolygon(
+      roles.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      lines.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, l) => s"""
+      ${ev.value} = $K.relationMultipolygon($r, $l);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override def prettyName: String = "st_relation_multipolygon"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StRelationMultipolygon =
+    copy(left = l, right = r)
+}
+
+/** MultiLineString from member coord paths (array<array<double>>) — the
+  * `multilinestrings` relation layer; null on any incomplete member.
+  */
+case class StMultilineFromLines(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    GeomKernel.multilineFromLines(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $K.multilineFromLines($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override def prettyName: String = "st_multiline_from_lines"
+  override protected def withNewChildInternal(c: Expression): StMultilineFromLines = copy(child = c)
+}
+
 case class StBufferMStyled(first: Expression, second: Expression, third: Expression, fourth: Expression)
     extends QuaternaryExpression with Serializable {
   override def dataType: DataType = BinaryType

@@ -301,6 +301,53 @@ object GeomKernel {
     WKB.write(Polygon(Array(ring)))
   }
 
+  /** MultiPolygon WKB assembled from OSM relation member ways — `lines` is
+    * array<array<double>> (one flat coord path per member, member order),
+    * `roles` the parallel role strings ("inner" ⇒ hole, anything else ⇒
+    * outer shell). Null when any member path is null/incomplete or a ring
+    * fails to stitch closed — the relation equivalent of dropping partial
+    * ways (reference: erde/op/osm.py ogr2ogr `multipolygons` layer).
+    */
+  def relationMultipolygon(roles: ArrayData, lines: ArrayData): Array[Byte] = {
+    val n = lines.numElements()
+    if (n == 0) return null
+    val parts = new Array[Array[Double]](n)
+    val inner = new Array[Boolean](n)
+    val nRoles = roles.numElements()
+    var i = 0
+    while (i < n) {
+      if (lines.isNullAt(i)) return null
+      val cs = coordArray(lines.getArray(i))
+      if (cs == null) return null
+      parts(i) = cs
+      inner(i) = i < nRoles && !roles.isNullAt(i) && roles.getUTF8String(i).toString == "inner"
+      i += 1
+    }
+    RelationAssembly.buildMultiPolygon(parts, inner) match {
+      case Some(mp) => WKB.write(mp)
+      case None => null
+    }
+  }
+
+  /** MultiLineString WKB from member coord paths in member order — the
+    * `multilinestrings` layer constructor (type=route relations). Null when
+    * any member path is null (incomplete member way).
+    */
+  def multilineFromLines(lines: ArrayData): Array[Byte] = {
+    val n = lines.numElements()
+    if (n == 0) return null
+    val parts = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      if (lines.isNullAt(i)) return null
+      val cs = coordArray(lines.getArray(i))
+      if (cs == null) return null
+      parts(i) = cs
+      i += 1
+    }
+    WKB.write(MultiLineString(parts))
+  }
+
   /** All cell ids covered by the geometry's bbox. The spatial join explodes on
     * this — shuffle weight is O(rows × avg cover), never O(N×M).
     */

@@ -68,13 +68,15 @@ object OsmFilter {
     *    relations (members that are themselves relations) resolve through
     *    `relationDepth` TOTAL membership rounds — a chain nested k relations
     *    deep needs relationDepth = k (OSM nesting is shallow, the default 2
-    *    covers virtually all real data). The flat `refs` schema carries no
-    *    member type, so an id collision across the node/way id spaces can
-    *    over-keep a relation — acceptable for extract-style cropping (never
-    *    drops a needed element).
+    *    covers virtually all real data). When the frame carries a
+    *    `member_types` column ([[graft.sources.OsmPbf]] relations), the
+    *    membership joins are TYPED — a member matches only a kept element of
+    *    its own type, so node/way id collisions stop over-keeping; rows with
+    *    a null member_types array fall back to the untyped id match.
     *
     * All joins are semi-joins hash-partitioned on element id — no geometry
-    * shuffle, no driver state; membership frames carry only ids.
+    * shuffle, no driver state; membership frames carry only ids (+ a
+    * one-byte type).
     */
   def crop(
       df: DataFrame,
@@ -83,7 +85,8 @@ object OsmFilter {
       typeCol: String = "type",
       idCol: String = "id",
       refsCol: String = "refs",
-      relationDepth: Int = 2): DataFrame = {
+      relationDepth: Int = 2,
+      memberTypesCol: String = "member_types"): DataFrame = {
     import graft.functions.GeoFunctions._
     val g = graft.geom.WKT.read(areaWkt)
     val (x1, y1, x2, y2) = g.bbox
@@ -101,18 +104,29 @@ object OsmFilter {
       .select(col(idCol), explode(col(refsCol)).as("__ref"))
       .join(keptNodeIds.select(col(idCol).as("__ref")), Seq("__ref"), "left_semi")
       .select(col(idCol)).distinct()
-    val relMembers = rels.select(col(idCol), explode(col(refsCol)).as("__ref"))
-    var keptRelIds = relMembers
-      .join(keptNodeIds.unionByName(keptWayIds).select(col(idCol).as("__ref")),
-        Seq("__ref"), "left_semi")
-      .select(col(idCol)).distinct()
+    // member rows with their member type when the schema carries one —
+    // null __mtype (flat schema, or a null array on one row) matches any type
+    val relMembers = (if (df.columns.contains(memberTypesCol))
+        rels.select(col(idCol), posexplode(col(refsCol)).as(Seq("__mpos", "__ref")), col(memberTypesCol))
+          .withColumn("__mtype", element_at(col(memberTypesCol), col("__mpos") + 1))
+          .select(col(idCol), col("__ref"), col("__mtype"))
+      else rels.select(col(idCol), explode(col(refsCol)).as("__ref"),
+        lit(null).cast("string").as("__mtype")))
+    def keptRelRound(kept: DataFrame): DataFrame = {
+      val typed = relMembers.where(col("__mtype").isNotNull)
+        .join(kept, col("__ref") === col("__kid") && col("__mtype") === col("__ktype"), "left_semi")
+      val untyped = relMembers.where(col("__mtype").isNull)
+        .join(kept, col("__ref") === col("__kid"), "left_semi")
+      typed.select(col(idCol)).unionByName(untyped.select(col(idCol))).distinct()
+    }
+    def asKept(ids: DataFrame, t: String): DataFrame =
+      ids.select(col(idCol).as("__kid"), lit(t).as("__ktype"))
+    val keptNW = asKept(keptNodeIds, "n").unionByName(asKept(keptWayIds, "w"))
+    var keptRelIds = keptRelRound(keptNW)
     // nested relations: each extra round admits relations whose members are
     // already-kept relations (bounded — no driver-side fixpoint loop state)
     for (_ <- 1 until math.max(1, relationDepth))
-      keptRelIds = relMembers
-        .join(keptNodeIds.unionByName(keptWayIds).unionByName(keptRelIds)
-          .select(col(idCol).as("__ref")), Seq("__ref"), "left_semi")
-        .select(col(idCol)).distinct()
+      keptRelIds = keptRelRound(keptNW.unionByName(asKept(keptRelIds, "r")))
 
     val keptWays = ways.join(keptWayIds, Seq(idCol), "left_semi")
     val nodeIds =
@@ -139,26 +153,42 @@ object OsmFilter {
   val ClosedWayPolygonKeyValues: Seq[(String, String)] = Seq(
     "highway" -> "platform", "public_transport" -> "platform")
 
+  /** Relation `tags.type` values assembled as area geometry (the osmconf
+    * `multipolygons` layer takes both).
+    */
+  private val MultipolygonKinds = Seq("multipolygon", "boundary")
+
+  /** Relation `tags.type` values assembled as MultiLineStrings. */
+  private val MultilineKinds = Seq("route", "multilinestring")
+
   /** Assembles geometric layers from the flat OSM elements table — the
-    * reference pipeline's ogr2ogr stage (erde/op/osm.py:12 exports layers
-    * `points,lines,multipolygons`; closed tagged ways become polygons per
-    * `closed_ways_are_polygons`, osm.py:53). Output: (layer, id, tags,
-    * geometry WKB) where layer ∈ points | lines | multipolygons:
+    * reference pipeline's ogr2ogr stage (erde/op/osm.py:10-15 exports layers
+    * `points,lines,multipolygons,multilinestrings,other_relations`; closed
+    * tagged ways become polygons per `closed_ways_are_polygons`, osm.py:53).
+    * Output: (layer, id, tags, geometry WKB):
     *
     *  - points: tagged nodes (`keepUntagged` keeps bare ones too);
     *  - lines: COMPLETE ways (every node ref resolved — partial ways drop,
     *    the extract-boundary contract) as LineStrings in ref order;
     *  - multipolygons: complete CLOSED ways (first ref == last ref, ≥ 4
-    *    refs) carrying a [[ClosedWayPolygonKeys]] tag. Relation
-    *    multipolygons need member roles the flat `refs` schema does not
-    *    carry — compose [[crop]]/[[tagFilter]] with a role-aware source for
-    *    those.
+    *    refs) carrying a [[ClosedWayPolygonKeys]] tag, plus — when the frame
+    *    carries `member_types`/`member_roles` columns
+    *    ([[graft.sources.OsmPbf]]) — relations with
+    *    `type` ∈ [[MultipolygonKinds]]: member-way paths stitched into
+    *    closed rings ([[graft.geom.RelationAssembly]]), role `inner` rings
+    *    as holes. Incomplete/unstitchable relations drop;
+    *  - multilinestrings: relations with `type` ∈ [[MultilineKinds]] — one
+    *    LineString per complete member way, member order;
+    *  - other_relations: every remaining relation, tabular (null geometry) —
+    *    membership semantics without a canonical geometry.
     *
     * Scale shape: refs posexplode → hash join on node id → groupBy way with
     * a sort_array over (pos, x, y) structs (collect_list order normalized by
     * the explicit position — deterministic), then one codegen'd
-    * coords→geometry constructor. No driver state, no geometry shuffle:
-    * coordinates travel as plain doubles until the final construction.
+    * coords→geometry constructor. Relations ride the same assembled
+    * way-path frame: member posexplode → hash join on way id → groupBy
+    * relation, so member geometry never shuffles more than once. No driver
+    * state: coordinates travel as plain doubles until the final construction.
     */
   def assemble(
       df: DataFrame,
@@ -168,7 +198,9 @@ object OsmFilter {
       tagsCol: String = "tags",
       lonCol: String = "lon",
       latCol: String = "lat",
-      refsCol: String = "refs"): DataFrame = {
+      refsCol: String = "refs",
+      memberTypesCol: String = "member_types",
+      memberRolesCol: String = "member_roles"): DataFrame = {
     import graft.functions.GeoFunctions._
     val nodes = df.where(col(typeCol) === "n")
     val points = (if (keepUntagged) nodes
@@ -200,7 +232,53 @@ object OsmFilter {
         col(idCol), col(tagsCol),
         when(closed && polyTagged, st_polygon_from_coords(flat))
           .otherwise(st_line_from_coords(flat)).as("geometry"))
-    points.unionByName(wayGeoms)
+    val wayLayers = points.unionByName(wayGeoms)
+
+    if (!df.columns.contains(memberTypesCol) || !df.columns.contains(memberRolesCol))
+      return wayLayers // flat schema: relation geometry impossible, way layers only
+
+    val rels = df.where(col(typeCol) === "r")
+    val relKind = lower(coalesce(col(tagsCol).getItem("type"), lit("")))
+    val geoKinds = MultipolygonKinds ++ MultilineKinds
+    // complete way paths (any tags — multipolygon member ways are usually
+    // bare), keyed by way id for the member join
+    val wayLines = ways.select(col(idCol).as("__wid"), col(refsCol).as("__wrefs"))
+      .join(coords.select(col(idCol).as("__wid"), col("__pts")), Seq("__wid"))
+      .where(size(col("__pts")) === size(col("__wrefs")))
+      .select(col("__wid"),
+        flatten(transform(col("__pts"), p => array(p("__x"), p("__y")))).as("__line"))
+    // way members only: ogr2ogr ignores node/relation members of geometry
+    // relations, and a missing WAY member (left join null) voids the feature
+    val members = rels
+      .where(relKind.isin(geoKinds: _*) && col(refsCol).isNotNull && col(memberTypesCol).isNotNull)
+      .select(col(idCol).as("__rid"), col(tagsCol), relKind.as("__kind"),
+        col(memberTypesCol), col(memberRolesCol),
+        posexplode(col(refsCol)).as(Seq("__mpos", "__mref")))
+      .where(element_at(col(memberTypesCol), col("__mpos") + 1) === "w")
+      .select(col("__rid"), col(tagsCol), col("__kind"), col("__mpos"), col("__mref"),
+        coalesce(element_at(col(memberRolesCol), col("__mpos") + 1), lit("")).as("__mrole"))
+      .join(wayLines, col("__mref") === col("__wid"), "left")
+    val relAgg = members.groupBy(col("__rid"))
+      .agg(first(col("__kind")).as("__kind"), first(col(tagsCol)).as(tagsCol),
+        sort_array(collect_list(struct(col("__mpos"), col("__mrole").as("role"),
+          col("__line").as("line")))).as("__mems"),
+        max(when(col("__line").isNull, 1).otherwise(0)).as("__incomplete"))
+    val memRoles = expr("transform(__mems, m -> m.role)")
+    val memLines = expr("transform(__mems, m -> m.line)")
+    val relGeoms = relAgg
+      .where(col("__incomplete") === 0)
+      .select(
+        when(col("__kind").isin(MultipolygonKinds: _*), lit("multipolygons"))
+          .otherwise(lit("multilinestrings")).as("layer"),
+        col("__rid").as(idCol), col(tagsCol),
+        when(col("__kind").isin(MultipolygonKinds: _*),
+            st_relation_multipolygon(memRoles, memLines))
+          .otherwise(st_multiline_from_lines(memLines)).as("geometry"))
+      .where(col("geometry").isNotNull)
+    val otherRels = rels.where(!relKind.isin(geoKinds: _*))
+      .select(lit("other_relations").as("layer"), col(idCol), col(tagsCol),
+        lit(null).cast("binary").as("geometry"))
+    wayLayers.unionByName(relGeoms).unionByName(otherRels)
   }
 
   /** Merges OSM extracts (the reference's `osmium merge` stage, erde/op/

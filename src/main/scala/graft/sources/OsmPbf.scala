@@ -22,8 +22,13 @@ import org.apache.spark.sql.types._
   *
   * Output schema: `type` ("n"/"w"/"r"), `id`, `tags map<string,string>`,
   * `lon`/`lat` (nodes; null otherwise), `refs array<long>` (way node refs /
-  * relation member ids) — the element model erde's tag filter operates on
-  * ([[graft.operators.OsmFilter]] runs directly on this frame).
+  * relation member ids), and — relations only — `member_types`
+  * ("n"/"w"/"r" per member, the PBF Relation `types` enum) and
+  * `member_roles` (the `roles_sid` strings). The element model erde's tag
+  * filter operates on ([[graft.operators.OsmFilter]] runs directly on this
+  * frame); the member columns are what lets [[graft.operators.OsmFilter]]
+  * type its crop membership joins and assemble relation multipolygons
+  * (reference: erde/op/osm.py:10-15 ogr2ogr `multipolygons` layer).
   */
 object OsmPbf {
 
@@ -33,7 +38,11 @@ object OsmPbf {
     StructField("tags", MapType(StringType, StringType, valueContainsNull = false)),
     StructField("lon", DoubleType, nullable = true),
     StructField("lat", DoubleType, nullable = true),
-    StructField("refs", ArrayType(LongType, containsNull = false), nullable = true)))
+    StructField("refs", ArrayType(LongType, containsNull = false), nullable = true),
+    StructField("member_types", ArrayType(StringType, containsNull = false), nullable = true),
+    StructField("member_roles", ArrayType(StringType, containsNull = false), nullable = true)))
+
+  private val MemberTypeNames = Array("n", "w", "r") // PBF Relation.MemberType enum order
 
   private def inflate(data: Array[Byte], rawSize: Int): Array[Byte] = {
     val inf = new Inflater()
@@ -140,7 +149,7 @@ object OsmPbf {
               }
             }
             val tags = keys.zip(vals).map { case (k, v) => strings(k.toInt) -> strings(v.toInt) }.toMap
-            out += Row("n", id, tags, coord(lonOffset, lon), coord(latOffset, lat), null)
+            out += Row("n", id, tags, coord(lonOffset, lon), coord(latOffset, lat), null, null, null)
           case 2 => // DenseNodes
             val (ds, dl) = gr.lenDelimited()
             val dr = gr.slice(ds, dl)
@@ -167,7 +176,7 @@ object OsmPbf {
                 kv += 2
               }
               kv += 1 // the 0 delimiter
-              out += Row("n", id, tags.toMap, coord(lonOffset, lon), coord(latOffset, lat), null)
+              out += Row("n", id, tags.toMap, coord(lonOffset, lon), coord(latOffset, lat), null, null, null)
               i += 1
             }
           case 3 => // Way
@@ -188,26 +197,37 @@ object OsmPbf {
             val tags = keys.zip(vals).map { case (k, v) => strings(k.toInt) -> strings(v.toInt) }.toMap
             var acc = 0L
             val absRefs = refs.map { d => acc += d; acc }
-            out += Row("w", id, tags, null, null, absRefs.toSeq)
+            out += Row("w", id, tags, null, null, absRefs.toSeq, null, null)
           case 4 => // Relation
             val (rs, rl) = gr.lenDelimited()
             val rr = gr.slice(rs, rl)
             var id = 0L
             var keys = Array.empty[Long]; var vals = Array.empty[Long]; var memids = Array.empty[Long]
+            var rolesSid = Array.empty[Long]; var memTypes = Array.empty[Long]
             while (rr.hasMore) {
               val (rf, rw) = rr.tag()
               rf match {
                 case 1 => id = rr.varint()
                 case 2 => val (s, l) = rr.lenDelimited(); keys = rr.packedVarints(s, l)
                 case 3 => val (s, l) = rr.lenDelimited(); vals = rr.packedVarints(s, l)
+                case 8 => val (s, l) = rr.lenDelimited(); rolesSid = rr.packedVarints(s, l)
                 case 9 => val (s, l) = rr.lenDelimited(); memids = rr.packedZigzags(s, l)
+                case 10 => val (s, l) = rr.lenDelimited(); memTypes = rr.packedVarints(s, l)
                 case _ => rr.skip(rw)
               }
             }
             val tags = keys.zip(vals).map { case (k, v) => strings(k.toInt) -> strings(v.toInt) }.toMap
             var acc = 0L
             val absIds = memids.map { d => acc += d; acc }
-            out += Row("r", id, tags, null, null, absIds.toSeq)
+            // types/roles run parallel to memids by spec; a missing/short array
+            // (hand-rolled writers) pads to NODE / "" rather than failing
+            val mTypes = Array.tabulate(absIds.length) { i =>
+              if (i < memTypes.length) MemberTypeNames(math.min(2, math.max(0, memTypes(i).toInt))) else "n"
+            }
+            val mRoles = Array.tabulate(absIds.length) { i =>
+              if (i < rolesSid.length) strings(rolesSid(i).toInt) else ""
+            }
+            out += Row("r", id, tags, null, null, absIds.toSeq, mTypes.toSeq, mRoles.toSeq)
           case _ => gr.skip(w)
         }
       }
@@ -319,14 +339,28 @@ object OsmPbf {
         w.packedZigzags(8, refsOf(r).map { v => val d = v - prev; prev = v; d })
         g.bytesField(3, w.toBytes)
       }
+      def memberStringsOf(r: Row, colName: String, n: Int, default: String): Seq[String] =
+        idx.get(colName) match {
+          case Some(i) if !r.isNullAt(i) =>
+            val vs = r.getSeq[String](i)
+            Seq.tabulate(n)(j => if (j < vs.length) vs(j) else default)
+          case _ => Seq.fill(n)(default)
+        }
       rels.foreach { r =>
         val w = new Pbf.Writer
         w.varintField(1, r.getLong(idx("id")))
         val tags = tagsOf(r)
         w.packedVarints(2, tags.map(t => sid(t._1).toLong))
         w.packedVarints(3, tags.map(t => sid(t._2).toLong))
+        val refs = refsOf(r)
+        // roles_sid (8) / types (10) run parallel to memids (9); frames from
+        // flat sources without the member columns default to NODE / ""
+        w.packedVarints(8,
+          memberStringsOf(r, "member_roles", refs.length, "").map(role => sid(role).toLong))
         var prev = 0L
-        w.packedZigzags(9, refsOf(r).map { v => val d = v - prev; prev = v; d })
+        w.packedZigzags(9, refs.map { v => val d = v - prev; prev = v; d })
+        w.packedVarints(10, memberStringsOf(r, "member_types", refs.length, "n")
+          .map(t => math.max(0, MemberTypeNames.indexOf(t)).toLong))
         g.bytesField(4, w.toBytes)
       }
       groups.bytesField(2, g.toBytes)

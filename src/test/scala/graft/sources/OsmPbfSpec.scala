@@ -20,12 +20,13 @@ class OsmPbfSpec extends AnyFunSuite with SparkSpec {
       spark.sparkContext.parallelize(rows, 2), OsmPbf.schema)
 
   private val elements = Seq(
-    Row("n", 1L, Map("amenity" -> "cafe", "name" -> "Crema"), 13.3777, 52.5163, null),
-    Row("n", 2L, Map.empty[String, String], -0.1276, 51.5072, null),
-    Row("n", 5L, Map("highway" -> "crossing"), 2.3522, 48.8566, null),
-    Row("w", 10L, Map("highway" -> "primary", "name" -> "Main St"), null, null, Seq(1L, 2L, 5L)),
-    Row("w", 11L, Map("building" -> "yes"), null, null, Seq(5L, 2L)),
-    Row("r", 20L, Map("type" -> "route", "route" -> "bus"), null, null, Seq(10L, 11L)))
+    Row("n", 1L, Map("amenity" -> "cafe", "name" -> "Crema"), 13.3777, 52.5163, null, null, null),
+    Row("n", 2L, Map.empty[String, String], -0.1276, 51.5072, null, null, null),
+    Row("n", 5L, Map("highway" -> "crossing"), 2.3522, 48.8566, null, null, null),
+    Row("w", 10L, Map("highway" -> "primary", "name" -> "Main St"), null, null, Seq(1L, 2L, 5L), null, null),
+    Row("w", 11L, Map("building" -> "yes"), null, null, Seq(5L, 2L), null, null),
+    Row("r", 20L, Map("type" -> "route", "route" -> "bus"), null, null, Seq(10L, 11L),
+      Seq("w", "w"), Seq("forward", "")))
 
   test("osm.pbf round-trip: dense nodes, ways, relations, tags, coords") {
     val dir = tmpDir("rt")
@@ -46,6 +47,11 @@ class OsmPbfSpec extends AnyFunSuite with SparkSpec {
     val rel = rows(("r", 20L))
     assert(rel.getAs[Map[String, String]]("tags")("route") == "bus")
     assert(rel.getSeq[Long](rel.fieldIndex("refs")) == Seq(10L, 11L))
+    assert(rel.getSeq[String](rel.fieldIndex("member_types")) == Seq("w", "w"))
+    assert(rel.getSeq[String](rel.fieldIndex("member_roles")) == Seq("forward", ""))
+    // ways/nodes carry no member columns
+    assert(way.isNullAt(way.fieldIndex("member_types")))
+    assert(cafe.isNullAt(cafe.fieldIndex("member_roles")))
   }
 
   test("osm.pbf file structure: framed blobs, zlib block, header blob") {
@@ -61,9 +67,9 @@ class OsmPbfSpec extends AnyFunSuite with SparkSpec {
 
   test("negative coordinates and ids survive the zigzag delta coding") {
     val rows = Seq(
-      Row("n", 100L, Map.empty[String, String], -179.9999999, -89.9999999, null),
-      Row("n", 101L, Map.empty[String, String], 179.9999999, 89.9999999, null),
-      Row("n", 102L, Map.empty[String, String], -0.0000001, 0.0000001, null))
+      Row("n", 100L, Map.empty[String, String], -179.9999999, -89.9999999, null, null, null),
+      Row("n", 101L, Map.empty[String, String], 179.9999999, 89.9999999, null, null, null),
+      Row("n", 102L, Map.empty[String, String], -0.0000001, 0.0000001, null, null, null))
     val dir = tmpDir("neg")
     OsmPbf.write(elementsDf(rows), s"$dir/neg.osm.pbf")
     val back = OsmPbf.read(spark, dir).orderBy("id").collect()
@@ -86,9 +92,9 @@ class OsmPbfSpec extends AnyFunSuite with SparkSpec {
 
   test("readSplit: per-blob ranges return exactly what the whole-file read returns") {
     val many = (1 to 57).map(i =>
-      Row("n", i.toLong, Map("k" -> s"v$i"), i * 0.01, -i * 0.01, null)) ++ Seq(
-      Row("w", 100L, Map("highway" -> "x"), null, null, Seq(1L, 2L)),
-      Row("r", 200L, Map.empty[String, String], null, null, Seq(100L)))
+      Row("n", i.toLong, Map("k" -> s"v$i"), i * 0.01, -i * 0.01, null, null, null)) ++ Seq(
+      Row("w", 100L, Map("highway" -> "x"), null, null, Seq(1L, 2L), null, null),
+      Row("r", 200L, Map.empty[String, String], null, null, Seq(100L), Seq("w"), Seq("outer")))
     val dir = tmpDir("split")
     OsmPbf.write(elementsDf(many), s"$dir/big.osm.pbf", elementsPerBlock = 10)
     // multiple genuine blob ranges
