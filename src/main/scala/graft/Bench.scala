@@ -45,7 +45,15 @@ object Bench {
       s"\"" + name + "\":" + passes.map(_(name)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout gets sbt's [success] trailer appended after the JSON line, which
+    // has broken the driver's parse twice — also drop the bare line in a file
+    // any parser can read verbatim
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Exception => () }
     spark.stop()
   }
 }

@@ -354,7 +354,11 @@ object SparkEntry {
         map(lit("brand"), col("p_brand"), lit("container"), col("p_type")).as("tags"),
         when(col("p_partkey") % 3 === 0, expr("(p_partkey % 60) * 0.1 + 0.05").cast("double")).as("lon"),
         when(col("p_partkey") % 3 === 0, expr("(p_partkey % 35) * 0.1 - 1.05").cast("double")).as("lat"),
-        lit(null).cast("array<bigint>").as("refs"))
+        when(col("p_partkey") % 3 === 1, array(col("p_partkey") - 1, col("p_partkey") + 2))
+          .when(col("p_partkey") % 3 === 2, array(col("p_partkey") - 1, col("p_partkey") + 1))
+          .as("refs"),
+        when(col("p_partkey") % 3 === 2, array(lit("w"), lit("n"))).as("member_types"),
+        when(col("p_partkey") % 3 === 2, array(lit("outer"), lit(""))).as("member_roles"))
       val out = new java.io.File(s"/tmp/graft_pbf_${new java.io.File(dir).getName}")
       out.mkdirs()
       graft.sources.OsmPbf.write(elements, s"$out/elements.osm.pbf")
@@ -364,7 +368,10 @@ object SparkEntry {
           Seq("wr/brand=Brand#13,Brand#23", "n/container"))
         .select(col("id").as("osm_id"), col("type"),
           coalesce(round(col("lon"), 5), lit(-999.0)).as("lon5"),
-          coalesce(round(col("lat"), 5), lit(-999.0)).as("lat5"))
+          coalesce(round(col("lat"), 5), lit(-999.0)).as("lat5"),
+          when(col("type") === "n", lit(-1)).otherwise(size(col("refs"))).as("nrefs"),
+          when(col("type") === "r", concat_ws("|", col("member_types"))).otherwise(lit("-")).as("mtypes"),
+          when(col("type") === "r", concat_ws("|", col("member_roles"))).otherwise(lit("-")).as("mroles"))
     }),
 
     // --- skew stress: every point in ONE grid cell; salting spreads it -----
@@ -524,6 +531,79 @@ object SparkEntry {
         .select(col("layer"), col("id").as("osm_id"),
           round(when(col("layer") === "multipolygons", st_area(col("geometry")))
             .when(col("layer") === "lines", st_length(col("geometry")))
+            .otherwise(lit(0.0)), 6).as("measure6"))
+    }),
+
+    // --- osm assemble: relation layers (multipolygons w/ holes via member
+    //     roles, route multilinestrings, other_relations tabular) ----------
+    "osm_assemble_rel" -> ((s, dir) => {
+      // three relation families from part (k = p_partkey):
+      //  k≡2 (mod 6): type=multipolygon — outer square (side s) split into
+      //    TWO member ways (stitching exercised) + one closed inner-ring way;
+      //  k≡5 (mod 6): type=route — two member ways, member-order multiline;
+      //  k≡0 (mod 6): type=site — no geometry, other_relations layer.
+      // Node/way/relation ids live in disjoint 1e6/2e6/3e6 ranges.
+      val base = t(s, dir, "part").select(col("p_partkey").as("k"))
+        .withColumn("s", expr("1.0 + (k % 5) * 0.2"))
+        .withColumn("x0", expr("(k % 50) * 3.0"))
+        .withColumn("y0", expr("(k % 35) * 3.0"))
+      def fam(m: Int) = base.where(pmod(col("k"), lit(6)) === m)
+      val noGeo = Seq(lit(null).cast("double").as("lon"), lit(null).cast("double").as("lat"))
+      val noMembers = Seq(lit(null).cast("array<string>").as("member_types"),
+        lit(null).cast("array<string>").as("member_roles"))
+      val nodesA = fam(2).select(col("k"), col("s"), col("x0"), col("y0"),
+          explode(sequence(lit(0), lit(7))).as("j"))
+        .select(Seq(lit("n").as("type"), expr("1000000 + k*10 + j").as("id"), map().as("tags"),
+          expr("""CASE j WHEN 0 THEN x0 WHEN 1 THEN x0 + s WHEN 2 THEN x0 + s WHEN 3 THEN x0
+                  WHEN 4 THEN x0 + 0.25 WHEN 5 THEN x0 + 0.25 + s/4
+                  WHEN 6 THEN x0 + 0.25 + s/4 ELSE x0 + 0.25 END""").as("lon"),
+          expr("""CASE j WHEN 0 THEN y0 WHEN 1 THEN y0 WHEN 2 THEN y0 + s WHEN 3 THEN y0 + s
+                  WHEN 4 THEN y0 + 0.25 WHEN 5 THEN y0 + 0.25
+                  WHEN 6 THEN y0 + 0.25 + s/4 ELSE y0 + 0.25 + s/4 END""").as("lat"),
+          lit(null).cast("array<bigint>").as("refs")) ++ noMembers: _*)
+      val waysA = fam(2).select(col("k"), explode(sequence(lit(0), lit(2))).as("j"))
+        .select(Seq(lit("w").as("type"), expr("2000000 + k*10 + j").as("id"), map().as("tags")) ++
+          noGeo ++ Seq(
+          expr("""CASE j
+            WHEN 0 THEN array(1000000 + k*10, 1000000 + k*10 + 1, 1000000 + k*10 + 2)
+            WHEN 1 THEN array(1000000 + k*10 + 2, 1000000 + k*10 + 3, 1000000 + k*10)
+            ELSE array(1000000 + k*10 + 4, 1000000 + k*10 + 5, 1000000 + k*10 + 6,
+                       1000000 + k*10 + 7, 1000000 + k*10 + 4) END""").as("refs")) ++
+          noMembers: _*)
+      val relsA = fam(2).select(Seq(lit("r").as("type"), expr("3000000 + k").as("id"),
+          map(lit("type"), lit("multipolygon"), lit("landuse"), lit("meadow")).as("tags")) ++
+          noGeo ++ Seq(
+          expr("array(2000000 + k*10, 2000000 + k*10 + 1, 2000000 + k*10 + 2)").as("refs"),
+          array(lit("w"), lit("w"), lit("w")).as("member_types"),
+          array(lit("outer"), lit("outer"), lit("inner")).as("member_roles")): _*)
+      val nodesB = fam(5).select(col("k"), col("x0"), col("y0"),
+          expr("(k % 4) * 0.3").as("dx"), explode(sequence(lit(0), lit(2))).as("j"))
+        .select(Seq(lit("n").as("type"), expr("1000000 + k*10 + j").as("id"), map().as("tags"),
+          expr("CASE j WHEN 0 THEN x0 WHEN 1 THEN x0 + dx ELSE x0 + dx + 1.0 END").as("lon"),
+          expr("CASE j WHEN 0 THEN y0 WHEN 1 THEN y0 + 1.0 ELSE y0 + 1.5 END").as("lat"),
+          lit(null).cast("array<bigint>").as("refs")) ++ noMembers: _*)
+      val waysB = fam(5).select(col("k"), explode(sequence(lit(0), lit(1))).as("j"))
+        .select(Seq(lit("w").as("type"), expr("2000000 + k*10 + j").as("id"), map().as("tags")) ++
+          noGeo ++ Seq(
+          expr("""CASE j WHEN 0 THEN array(1000000 + k*10, 1000000 + k*10 + 1)
+            ELSE array(1000000 + k*10 + 1, 1000000 + k*10 + 2) END""").as("refs")) ++
+          noMembers: _*)
+      val relsB = fam(5).select(Seq(lit("r").as("type"), expr("3000000 + k").as("id"),
+          map(lit("type"), lit("route"), lit("route"), lit("bus")).as("tags")) ++ noGeo ++ Seq(
+          expr("array(2000000 + k*10, 2000000 + k*10 + 1)").as("refs"),
+          array(lit("w"), lit("w")).as("member_types"),
+          array(lit(""), lit("")).as("member_roles")): _*)
+      val relsC = fam(0).select(Seq(lit("r").as("type"), expr("3000000 + k").as("id"),
+          map(lit("type"), lit("site")).as("tags")) ++ noGeo ++ Seq(
+          expr("array(CAST(1 AS BIGINT))").as("refs"),
+          array(lit("n")).as("member_types"), array(lit("")).as("member_roles")): _*)
+      val elements = nodesA.unionByName(waysA).unionByName(relsA)
+        .unionByName(nodesB).unionByName(waysB).unionByName(relsB).unionByName(relsC)
+      OsmFilter.assemble(elements)
+        .where(col("id") >= 3000000)
+        .select(col("layer"), col("id").as("osm_id"),
+          round(when(col("layer") === "multipolygons", st_area(col("geometry")))
+            .when(col("layer") === "multilinestrings", st_length(col("geometry")))
             .otherwise(lit(0.0)), 6).as("measure6"))
     }),
 
@@ -907,9 +987,12 @@ object SparkEntry {
         |  CASE WHEN p_partkey % 3 = 0 THEN CAST(round((p_partkey % 60) * 0.1 + 0.05, 5) AS DOUBLE)
         |       ELSE -999.0 END AS lon5,
         |  CASE WHEN p_partkey % 3 = 0 THEN CAST(round((p_partkey % 35) * 0.1 - 1.05, 5) AS DOUBLE)
-        |       ELSE -999.0 END AS lat5
+        |       ELSE -999.0 END AS lat5,
+        |  CASE WHEN p_partkey % 3 = 0 THEN -1 ELSE 2 END AS nrefs,
+        |  CASE WHEN p_partkey % 3 = 2 THEN 'w|n' ELSE '-' END AS mtypes,
+        |  CASE WHEN p_partkey % 3 = 2 THEN 'outer|' ELSE '-' END AS mroles
         |  FROM part)
-        |SELECT osm_id, type, lon5, lat5 FROM e
+        |SELECT osm_id, type, lon5, lat5, nrefs, mtypes, mroles FROM e
         |WHERE (type IN ('w','r') AND p_brand IN ('Brand#13','Brand#23'))
         |   OR (type = 'n' AND p_type IS NOT NULL)""".stripMargin,
     "fgb_roundtrip" ->
@@ -1048,6 +1131,39 @@ object SparkEntry {
         |  FROM j WHERE poly AND xc IS NOT NULL),
         |pts AS (SELECT 'points' AS layer, id AS osm_id, CAST(0 AS DOUBLE) AS measure6 FROM n)
         |SELECT * FROM pts UNION ALL SELECT * FROM lines UNION ALL SELECT * FROM polys""".stripMargin,
+    "osm_assemble_rel" ->
+      """WITH a AS (SELECT p_partkey AS k,
+        |    CAST(1.0 AS DOUBLE) + (p_partkey % 5) * CAST(0.2 AS DOUBLE) AS s,
+        |    (p_partkey % 50) * CAST(3.0 AS DOUBLE) AS x0,
+        |    (p_partkey % 35) * CAST(3.0 AS DOUBLE) AS y0
+        |  FROM part WHERE p_partkey % 6 = 2),
+        |c AS (SELECT k,
+        |    x0 AS xa, y0 AS ya, x0 + s AS xb, y0 AS yb,
+        |    x0 + s AS xc, y0 + s AS yc, x0 AS xd, y0 + s AS yd,
+        |    x0 + CAST(0.25 AS DOUBLE) AS xe, y0 + CAST(0.25 AS DOUBLE) AS ye,
+        |    x0 + CAST(0.25 AS DOUBLE) + s/4 AS xf, y0 + CAST(0.25 AS DOUBLE) AS yf,
+        |    x0 + CAST(0.25 AS DOUBLE) + s/4 AS xg, y0 + CAST(0.25 AS DOUBLE) + s/4 AS yg,
+        |    x0 + CAST(0.25 AS DOUBLE) AS xh, y0 + CAST(0.25 AS DOUBLE) + s/4 AS yh
+        |  FROM a),
+        |mp AS (SELECT 'multipolygons' AS layer, 3000000 + k AS osm_id,
+        |    round(abs(((xa*yb - xb*ya) + (xb*yc - xc*yb) + (xc*yd - xd*yc) + (xd*ya - xa*yd)) / 2)
+        |        - abs(((xe*yf - xf*ye) + (xf*yg - xg*yf) + (xg*yh - xh*yg) + (xh*ye - xe*yh)) / 2),
+        |      6) AS measure6
+        |  FROM c),
+        |b AS (SELECT p_partkey AS k,
+        |    (p_partkey % 50) * CAST(3.0 AS DOUBLE) AS x0,
+        |    (p_partkey % 35) * CAST(3.0 AS DOUBLE) AS y0,
+        |    (p_partkey % 4) * CAST(0.3 AS DOUBLE) AS dx
+        |  FROM part WHERE p_partkey % 6 = 5),
+        |ml AS (SELECT 'multilinestrings' AS layer, 3000000 + k AS osm_id,
+        |    round(sqrt(((x0 + dx) - x0)*((x0 + dx) - x0) + ((y0 + 1.0) - y0)*((y0 + 1.0) - y0))
+        |        + sqrt(((x0 + dx + 1.0) - (x0 + dx))*((x0 + dx + 1.0) - (x0 + dx))
+        |             + ((y0 + 1.5) - (y0 + 1.0))*((y0 + 1.5) - (y0 + 1.0))), 6) AS measure6
+        |  FROM b),
+        |ot AS (SELECT 'other_relations' AS layer, 3000000 + p_partkey AS osm_id,
+        |    CAST(0 AS DOUBLE) AS measure6
+        |  FROM part WHERE p_partkey % 6 = 0)
+        |SELECT * FROM mp UNION ALL SELECT * FROM ml UNION ALL SELECT * FROM ot""".stripMargin,
     "osm_merge" ->
       """SELECT p_partkey AS osm_id,
         |  CASE (p_partkey % 3) WHEN 0 THEN 'n' WHEN 1 THEN 'w' ELSE 'r' END AS type,

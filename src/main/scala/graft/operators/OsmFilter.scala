@@ -76,7 +76,13 @@ object OsmFilter {
     *
     * All joins are semi-joins hash-partitioned on element id — no geometry
     * shuffle, no driver state; membership frames carry only ids (+ a
-    * one-byte type).
+    * one-byte type). The kept-id frames are REUSED across rounds and the
+    * final filters, so `materializeIds` (default true) lazily
+    * localCheckpoints them — the distributed analogue of osmium's in-memory
+    * id sets. Without it each reuse re-derives the ids from the full source,
+    * and the plan (and scan count) grows multiplicatively with
+    * `relationDepth`: at extract scale that's re-reading the planet per
+    * round; the id frames are selectivity-bounded and block-cached instead.
     */
   def crop(
       df: DataFrame,
@@ -86,24 +92,27 @@ object OsmFilter {
       idCol: String = "id",
       refsCol: String = "refs",
       relationDepth: Int = 2,
-      memberTypesCol: String = "member_types"): DataFrame = {
+      memberTypesCol: String = "member_types",
+      materializeIds: Boolean = true): DataFrame = {
     import graft.functions.GeoFunctions._
     val g = graft.geom.WKT.read(areaWkt)
     val (x1, y1, x2, y2) = g.bbox
     val area = lit(graft.geom.WKB.write(g))
+    val mat: DataFrame => DataFrame =
+      if (materializeIds) _.localCheckpoint(eager = false) else identity
 
     val nodes = df.where(col(typeCol) === "n")
     val ways = df.where(col(typeCol) === "w")
     val rels = df.where(col(typeCol) === "r")
 
-    val keptNodeIds = nodes
+    val keptNodeIds = mat(nodes
       .where(col("lon").between(x1, x2) && col("lat").between(y1, y2) &&
         st_contains(area, st_point(col("lon"), col("lat"))))
-      .select(col(idCol))
-    val keptWayIds = ways
+      .select(col(idCol)))
+    val keptWayIds = mat(ways
       .select(col(idCol), explode(col(refsCol)).as("__ref"))
       .join(keptNodeIds.select(col(idCol).as("__ref")), Seq("__ref"), "left_semi")
-      .select(col(idCol)).distinct()
+      .select(col(idCol)).distinct())
     // member rows with their member type when the schema carries one —
     // null __mtype (flat schema, or a null array on one row) matches any type
     val relMembers = (if (df.columns.contains(memberTypesCol))
@@ -112,21 +121,20 @@ object OsmFilter {
           .select(col(idCol), col("__ref"), col("__mtype"))
       else rels.select(col(idCol), explode(col(refsCol)).as("__ref"),
         lit(null).cast("string").as("__mtype")))
-    def keptRelRound(kept: DataFrame): DataFrame = {
-      val typed = relMembers.where(col("__mtype").isNotNull)
-        .join(kept, col("__ref") === col("__kid") && col("__mtype") === col("__ktype"), "left_semi")
-      val untyped = relMembers.where(col("__mtype").isNull)
-        .join(kept, col("__ref") === col("__kid"), "left_semi")
-      typed.select(col(idCol)).unionByName(untyped.select(col(idCol))).distinct()
-    }
+    // one hash semi join per round: __ref = __kid is the join key, the type
+    // check rides as a residual filter (null member type matches any)
+    def keptRelRound(kept: DataFrame): DataFrame = relMembers
+      .join(kept, col("__ref") === col("__kid") &&
+        (col("__mtype").isNull || col("__mtype") === col("__ktype")), "left_semi")
+      .select(col(idCol)).distinct()
     def asKept(ids: DataFrame, t: String): DataFrame =
       ids.select(col(idCol).as("__kid"), lit(t).as("__ktype"))
     val keptNW = asKept(keptNodeIds, "n").unionByName(asKept(keptWayIds, "w"))
-    var keptRelIds = keptRelRound(keptNW)
+    var keptRelIds = mat(keptRelRound(keptNW))
     // nested relations: each extra round admits relations whose members are
     // already-kept relations (bounded — no driver-side fixpoint loop state)
     for (_ <- 1 until math.max(1, relationDepth))
-      keptRelIds = keptRelRound(keptNW.unionByName(asKept(keptRelIds, "r")))
+      keptRelIds = mat(keptRelRound(keptNW.unionByName(asKept(keptRelIds, "r"))))
 
     val keptWays = ways.join(keptWayIds, Seq(idCol), "left_semi")
     val nodeIds =
@@ -285,6 +293,14 @@ object OsmFilter {
     * osm.py merge path): elements sharing (type, id) collapse to one row,
     * later inputs winning — osmium's newer-file-overrides contract. One
     * shuffle on (type, id); the winner is a map-side-combined max_by.
+    *
+    * Precondition (osmium's own input contract): (type, id) is unique WITHIN
+    * each input frame. Rows duplicated inside one frame tie on the source
+    * index and max_by picks arbitrarily — a content-total tiebreak would
+    * need per-row serialization of the map-typed tags (Spark can neither
+    * order nor hash maps), an always-on cost for an input that is malformed
+    * to begin with. Run the duplicates through [[tagFilter]]/dedup first if
+    * an input can violate this.
     */
   def merge(dfs: Seq[DataFrame], typeCol: String = "type", idCol: String = "id"): DataFrame = {
     require(dfs.nonEmpty, "merge needs at least one frame")

@@ -137,10 +137,12 @@ object SJoin {
     * can be 100 TB — else monotonic id + persist, because a second scan of a
     * nondeterministic / round-robin-repartitioned frame can re-assign ids
     * and silently mis-join results onto the wrong rows. The fallback persist
-    * lives until cache eviction / session end (there is no action-completion
-    * hook to release it — same contract as sjfull's left join); sessions
-    * looping such frames through these operators should
-    * `spark.catalog.clearCache()` between batches. Returns
+    * is released DETERMINISTICALLY: a QueryExecutionListener unpersists it
+    * the first time an action consuming the tagged frame completes, so
+    * looped pipelines over nondeterministic frames don't accumulate cached
+    * left sides. (Re-running an action on the same result frame after that
+    * first completion would re-scan uncached — callers that act twice should
+    * cache the RESULT, which is the cheap side.) Returns
     * (tagged, usedContentTag).
     */
   private def stableTagged(left: DataFrame): (DataFrame, Boolean) =
@@ -148,8 +150,36 @@ object SJoin {
     else {
       val lt = tagged(left, "", 0.0)
       lt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      releaseAfterAction(lt)
       (lt, false)
     }
+
+  /** Unpersists `lt` (and retires the listener) once an action whose
+    * analyzed plan contains the tagged frame completes — success or failure.
+    * Plan containment is checked with `sameResult`, so unrelated queries the
+    * session runs in between never trigger the release.
+    */
+  private def releaseAfterAction(lt: DataFrame): Unit = {
+    val session = lt.sparkSession
+    val target = lt.queryExecution.analyzed
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    lazy val listener: org.apache.spark.sql.util.QueryExecutionListener =
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        private def maybeRelease(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+          if (qe.analyzed.find(_.sameResult(target)).isDefined &&
+              done.compareAndSet(false, true)) {
+            lt.unpersist(blocking = false)
+            session.listenerManager.unregister(listener)
+          }
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          maybeRelease(qe)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+          maybeRelease(qe)
+      }
+    session.listenerManager.register(listener)
+  }
 
   private def renameClashing(right: DataFrame, clash: Set[String], suffix: String): DataFrame =
     right.columns.foldLeft(right) { (df, c0) =>
@@ -165,10 +195,16 @@ object SJoin {
     */
   private def referencedLeftCols(lt: DataFrame, leftGeom: String, cols: Seq[Column]): Seq[String] = {
     val walked = cols.map(org.apache.spark.sql.graftbridge.ColumnBridge.attributeNames)
+    // name matching honors the session's resolution mode: with the default
+    // spark.sql.caseSensitive=false, sum(col("QTY")) must keep left column
+    // "qty" in the slim pass exactly as the analyzer would resolve it
+    val caseSensitive =
+      lt.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def norm(s: String) = if (caseSensitive) s else s.toLowerCase(java.util.Locale.ROOT)
     val names: Set[String] =
-      if (walked.exists(_.isEmpty)) lt.columns.toSet // opaque: assume all referenced
-      else walked.flatMap(_.get).toSet
-    lt.columns.toIndexedSeq.filter(c => c != leftGeom && c != LID && names.contains(c))
+      if (walked.exists(_.isEmpty)) lt.columns.map(norm).toSet // opaque: assume all referenced
+      else walked.flatMap(_.get).map(norm).toSet
+    lt.columns.toIndexedSeq.filter(c => c != leftGeom && c != LID && names.contains(norm(c)))
   }
 
   private def pairsKeyed(

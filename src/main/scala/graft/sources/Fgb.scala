@@ -368,50 +368,98 @@ object Fgb {
     out.toArray
   }
 
-  /** Writes one `.fgb` file (driver-side legacy-export path, no spatial
-    * index, capped at `maxRows` like [[Shapefile.write]]).
+  /** Serializes `rows` as one complete .fgb byte stream (magic + header +
+    * size-prefixed features, no spatial index) — shared by the driver-side
+    * [[write]] and the per-partition shards of [[writeSharded]].
     */
-  def write(df: DataFrame, path: String, geometryCol: String = "geometry",
-      layerName: String = "layer", maxRows: Int = 1000000): Unit = {
+  private def writeOne(rows: Array[Row], schema: StructType, geometryCol: String,
+      layerName: String, out: java.io.OutputStream): Unit = {
     import Flatbuf._
-    val attrFields = df.schema.fields.filterNot(_.name == geometryCol)
+    val attrFields = schema.fields.filterNot(_.name == geometryCol)
     val specs = attrFields.map(colSpecOf)
-    val rowIdxs = attrFields.map(f => df.schema.fieldIndex(f.name)).zip(specs).toSeq
-    val geomIdx = df.schema.fieldIndex(geometryCol)
-    val rows = df.limit(maxRows + 1).collect()
-    require(rows.length <= maxRows,
-      s"Fgb.write collects to the driver and is capped at maxRows=$maxRows rows; " +
-        "use parquet/geojsonseq for large frames")
+    val rowIdxs = attrFields.map(f => schema.fieldIndex(f.name)).zip(specs).toSeq
+    val geomIdx = schema.fieldIndex(geometryCol)
     val geoms = rows.map(r => WKB.read(r.getAs[Array[Byte]](geomIdx)))
     val types = geoms.map(fgbGeomType).distinct
     val headerType = if (types.length == 1) types.head else 0
 
+    out.write(Magic)
+    // header flatbuffer
+    val hb = new FbBuilder
+    val headerPos = hb.writeTable(Seq(
+      0 -> Ref((b: FbBuilder) => b.writeString(layerName)),
+      2 -> Scalar(Array(headerType.toByte)),
+      7 -> Ref((b: FbBuilder) => b.writeTableVector(specs.toIndexedSeq.map { spec => (bb: FbBuilder) =>
+        bb.writeTable(Seq(
+          0 -> Ref((b2: FbBuilder) => b2.writeString(spec.name)),
+          1 -> Scalar(Array(spec.ct.toByte))))
+      })),
+      8 -> Scalar { val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN); b.putLong(rows.length.toLong); b.array() },
+      9 -> Scalar(Array[Byte](0, 0)) // index_node_size = 0: no index follows
+    ))
+    out.write(hb.sizePrefixed(headerPos))
+    // features
+    rows.zip(geoms).foreach { case (row, geom) =>
+      val fb = new FbBuilder
+      val props = propBytes(row, rowIdxs)
+      val featPos = fb.writeTable(Seq(
+        0 -> Ref((b: FbBuilder) => b.writeTable(geomFields(geom)))) ++
+        (if (props.nonEmpty) Seq(1 -> Ref((b: FbBuilder) => b.writeByteVector(props))) else Nil))
+      out.write(fb.sizePrefixed(featPos))
+    }
+  }
+
+  /** Writes one `.fgb` file (driver-side legacy-export path, no spatial
+    * index, capped at `maxRows` like [[Shapefile.write]]). The scale path is
+    * [[writeSharded]].
+    */
+  def write(df: DataFrame, path: String, geometryCol: String = "geometry",
+      layerName: String = "layer", maxRows: Int = 1000000): Unit = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"Fgb.write collects to the driver and is capped at maxRows=$maxRows rows; " +
+        "use writeSharded (one .fgb per partition) or parquet/geojsonseq for large frames")
     val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
-    try {
-      out.write(Magic)
-      // header flatbuffer
-      val hb = new FbBuilder
-      val headerPos = hb.writeTable(Seq(
-        0 -> Ref((b: FbBuilder) => b.writeString(layerName)),
-        2 -> Scalar(Array(headerType.toByte)),
-        7 -> Ref((b: FbBuilder) => b.writeTableVector(specs.toIndexedSeq.map { spec => (bb: FbBuilder) =>
-          bb.writeTable(Seq(
-            0 -> Ref((b2: FbBuilder) => b2.writeString(spec.name)),
-            1 -> Scalar(Array(spec.ct.toByte))))
-        })),
-        8 -> Scalar { val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN); b.putLong(rows.length.toLong); b.array() },
-        9 -> Scalar(Array[Byte](0, 0)) // index_node_size = 0: no index follows
-      ))
-      out.write(hb.sizePrefixed(headerPos))
-      // features
-      rows.zip(geoms).foreach { case (row, geom) =>
-        val fb = new FbBuilder
-        val props = propBytes(row, rowIdxs)
-        val featPos = fb.writeTable(Seq(
-          0 -> Ref((b: FbBuilder) => b.writeTable(geomFields(geom)))) ++
-          (if (props.nonEmpty) Seq(1 -> Ref((b: FbBuilder) => b.writeByteVector(props))) else Nil))
-        out.write(fb.sizePrefixed(featPos))
+    try writeOne(rows, df.schema, geometryCol, layerName, out) finally out.close()
+  }
+
+  /** Distributed multi-file write — one `part-NNNNN.fgb` per non-empty
+    * partition under `dir`, plus a `_manifest.json` listing shards and row
+    * counts. No driver collect, no row cap: each task streams only ITS
+    * partition (repartition upstream to size the shards). `dir` must be
+    * visible to executors (local/NFS — same contract as [[readSplit]], which
+    * reads the shard set back as one frame; task retries rewrite their own
+    * shard file idempotently). Every shard is a complete standalone .fgb,
+    * so external tools read them individually too.
+    */
+  def writeSharded(df: DataFrame, dir: String, geometryCol: String = "geometry",
+      layerName: String = "layer"): Unit = {
+    val schema = df.schema
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val counts = df.rdd.mapPartitionsWithIndex { (i, it) =>
+      val rows = it.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val name = f"part-$i%05d.fgb"
+        val out = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(new java.io.File(dir, name)))
+        try writeOne(rows, schema, geometryCol, layerName, out) finally out.close()
+        Iterator.single(name -> rows.length.toLong)
       }
-    } finally out.close()
+    }.collect().sortBy(_._1).toIndexedSeq
+    // an all-empty frame still yields one header-only shard so read/readSplit
+    // recover the schema instead of failing on an empty directory
+    val shards =
+      if (counts.nonEmpty) counts
+      else {
+        val out = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(new java.io.File(dir, "part-00000.fgb")))
+        try writeOne(Array.empty, schema, geometryCol, layerName, out) finally out.close()
+        IndexedSeq("part-00000.fgb" -> 0L)
+      }
+    val manifest = shards.map { case (n, c) => s"""{"file":"$n","rows":$c}""" }
+      .mkString("[", ",", "]")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_manifest.json"),
+      (s"""{"layer":"$layerName","shards":$manifest}""" + "\n").getBytes("UTF-8"))
   }
 }

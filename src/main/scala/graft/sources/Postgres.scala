@@ -499,8 +499,13 @@ object Postgres {
     // the SRID probe and the insert pass must see the SAME rows: without a
     // persist a nondeterministic/recomputed source could write rows
     // inconsistent with the inferred SRID (and would recompute its lineage
-    // twice). Geometry-free writes scan once and skip the cache.
-    if (geomCols.nonEmpty) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // twice). Geometry-free writes scan once and skip the cache. A frame the
+    // CALLER already cached is left alone — persisting would warn-noop and
+    // the finally-unpersist would silently drop the caller's cache.
+    val ownCache = geomCols.nonEmpty &&
+      df.sparkSession.sharedState.cacheManager
+        .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isEmpty
+    if (ownCache) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // geometry → hex text for transport (the reference's wkb.dumps().hex())
       val out = geomCols.foldLeft(df)((d, c) => d.withColumn(c, lower(hex(col(c)))))
@@ -538,7 +543,7 @@ object Postgres {
           }
         }
       }
-    } finally if (geomCols.nonEmpty) df.unpersist()
+    } finally if (ownCache) df.unpersist()
   }
 
   /** One connection per partition, `chunkSize`-row multi-row INSERTs. */

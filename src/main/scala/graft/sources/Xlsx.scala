@@ -40,7 +40,10 @@ object Xlsx {
 
   /** Resolves a user-visible sheet name to its worksheet zip entry through
     * xl/workbook.xml (sheet name → r:id) and xl/_rels/workbook.xml.rels
-    * (r:id → target). `None` = first sheet in workbook order.
+    * (r:id → target). `None` = LAST sheet in workbook order — the
+    * reference's observed default: erde/io/xls.py read_df calls
+    * `excel_dict.popitem()`, and dict.popitem pops the last entry (its
+    * `last=False` comment notwithstanding).
     */
   private[sources] def sheetEntry(files: Map[String, Array[Byte]], sheet: Option[String]): String =
     files.get("xl/workbook.xml") match {
@@ -54,7 +57,7 @@ object Xlsx {
         }
         require(sheets.nonEmpty, "workbook has no sheets")
         val (_, rid) = sheet match {
-          case None => sheets.head
+          case None => sheets.last
           case Some(s) => sheets.find(_._1 == s).getOrElse(throw new IllegalArgumentException(
             s"no sheet '$s' in workbook (sheets: ${sheets.map(_._1).mkString(", ")})"))
         }
@@ -139,7 +142,7 @@ object Xlsx {
     val names = (0 until tables.getLength)
       .map(i => tables.item(i).asInstanceOf[org.w3c.dom.Element].getAttribute("table:name"))
     val pick = sheet match {
-      case None => 0
+      case None => tables.getLength - 1 // reference popitem() default: last sheet
       case Some(s) => names.indexOf(s) match {
         case -1 => throw new IllegalArgumentException(
           s"no sheet '$s' in ods (sheets: ${names.mkString(", ")})")
@@ -223,7 +226,8 @@ object Xlsx {
   }
 
   /** Reads `*.xlsx` under `path`: header row → column names, typed columns
-    * (see object doc), `sheet` by user-visible name (default first).
+    * (see object doc), `sheet` by user-visible name (default LAST, matching
+    * the reference's `popitem()` behavior — see [[sheetEntry]]).
     */
   def read(spark: SparkSession, path: String, sheet: Option[String] = None,
       inferSchema: Boolean = true): DataFrame = {

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, SJoin, Similarity}
+import graft.operators.{Dedup, OsmFilter, SJoin, Similarity}
 
 /** Scale validation for the join/dedup/similarity tier:
   * `runMain graft.tools.ScaleCheck [sfDir] [factor]`.
@@ -84,6 +84,26 @@ object ScaleCheck {
           graft.functions.GeoFunctions.st_point(expr("(n_nationkey % 5) * 10.0 - 28.0"), expr("(n_nationkey % 5) * 7.0 - 18.0")),
           graft.functions.GeoFunctions.st_point(expr("(n_nationkey % 5) * 10.0 - 28.0 + 12"), expr("(n_nationkey % 5) * 7.0 - 18.0 + 9")))).as("geometry"))
 
+    // synthetic OSM elements (the osm_crop/osm_assemble query shape): the
+    // id shift keeps each copy's n/w/r membership pattern self-consistent
+    // (type, coords and refs all derive from the shifted id), while the
+    // shifted (id % 60) grid re-spreads every copy over the same bbox
+    def osmElems(copy: Int): DataFrame =
+      graft.readTable(spark, sfDir, "part")
+        .select((col("p_partkey") + lit(copy.toLong * 100000000L)).as("k"))
+        .select(
+          element_at(array(lit("n"), lit("w"), lit("r")),
+            (pmod(col("k"), lit(3)) + 1).cast("int")).as("type"),
+          col("k").as("id"),
+          map(lit("brand"), concat(lit("b"), pmod(col("k"), lit(40)))).as("tags"),
+          when(pmod(col("k"), lit(3)) === 0, expr("(k % 60) * 0.1 + 0.05").cast("double")).as("lon"),
+          when(pmod(col("k"), lit(3)) === 0, expr("(k % 35) * 0.1 - 1.05").cast("double")).as("lat"),
+          when(pmod(col("k"), lit(3)) === 1, array(col("k") - 1, col("k") + 2))
+            .when(pmod(col("k"), lit(3)) === 2, array(col("k") - 1, col("k") + 1)).as("refs"))
+    val osm1 = osmElems(0)
+    val osmN = (0 until factor).map(osmElems).reduce(_ unionByName _)
+    val cropWkt = "POLYGON ((1 0, 4 0, 4 2, 1 2, 1 0))"
+
     val queries = emb.where(col("vec_id") < 8)
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     def pair(name: String)(at1: => DataFrame, atN: => DataFrame): Unit = {
@@ -125,6 +145,12 @@ object ScaleCheck {
     pair("text_tfidf")(
       graft.operators.TextAnalysis.tfidf(docs, topK = 5),
       graft.operators.TextAnalysis.tfidf(docsN, topK = 5))
+    pair("osm_crop")(
+      OsmFilter.crop(osm1, cropWkt),
+      OsmFilter.crop(osmN, cropWkt))
+    pair("osm_assemble")(
+      OsmFilter.assemble(osm1),
+      OsmFilter.assemble(osmN))
 
     println(f"\n${"operator"}%-18s ${"1x"}%8s ${s"${factor}x"}%8s ${"ratio"}%7s  (linear = $factor)")
     results.foreach { case (name, (a, b)) =>

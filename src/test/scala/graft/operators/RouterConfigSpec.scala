@@ -32,6 +32,37 @@ class RouterConfigSpec extends AnyFunSuite {
     assert(!r.contains("key")) // other sections don't leak
   }
 
+  test("data_merge mirrors the reference's cases (tests/test_data_merge.py)") {
+    import RouterConfig.{dataMerge, MergeError}
+    // no nested data: b's keys override/extend a's
+    val a1 = Map[String, Any]("key1" -> "val1", "key2" -> 123, "key3" -> 4.56)
+    val b1 = Map[String, Any]("key1" -> "val2", "key4" -> Seq("x", "y", "z"))
+    assert(dataMerge(a1, b1) == a1 ++ b1)
+    // nested dicts merge recursively, leaves overwritten
+    val a2 = Map[String, Any]("key1" -> Map[String, Any](
+      "key2" -> 456, "key3" -> Map[String, Any]("key4" -> 987, "key5" -> "xxxxx")))
+    val b2 = Map[String, Any]("key1" -> Map[String, Any](
+      "key3" -> Map[String, Any]("key4" -> 987, "key5" -> "overwritten")))
+    assert(dataMerge(a2, b2) == Map("key1" -> Map(
+      "key2" -> 456, "key3" -> Map("key4" -> 987, "key5" -> "overwritten"))))
+    // lists: scalar appends, list extends
+    assert(dataMerge(Map[String, Any]("key1" -> Seq(1, 2, 3)), Map[String, Any]("key1" -> 4))
+      == Map("key1" -> Seq(1, 2, 3, 4)))
+    assert(dataMerge(
+      Map[String, Any]("key1" -> Seq(1, 2, 3)), Map[String, Any]("key1" -> Seq(4, 5, 6)))
+      == Map("key1" -> Seq(1, 2, 3, 4, 5, 6)))
+    // scalar b into dict a: MergeError
+    intercept[MergeError] {
+      dataMerge(Map[String, Any]("key1" -> Map[String, Any]("key2" -> 1)),
+        Map[String, Any]("key1" -> 321))
+    }
+    // unsupported a type (the reference's tuple case): MergeError
+    intercept[MergeError] { dataMerge((1, 2, 3), 1) }
+    // null / scalar a is replaced by b
+    assert(dataMerge(null, Seq(1)) == Seq(1))
+    assert(dataMerge("old", "new") == "new")
+  }
+
   test("missing files read as empty; defaults survive") {
     val dir = Files.createTempDirectory("graft_cfg")
     val r = RouterConfig.routers(

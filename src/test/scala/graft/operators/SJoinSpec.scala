@@ -293,6 +293,47 @@ class SJoinSpec extends AnyFunSuite with SparkSpec {
     assert(rx(1) == 1012L && rx(2) == 2024L && rx(3) == null)
   }
 
+  test("left-column references match case-insensitively (session default)") {
+    // sum(col("ZID")) against left column "zid": the analyzer resolves it
+    // case-insensitively with spark.sql.caseSensitive=false, so the slim
+    // pair pass must keep "zid" — dropping it fails analysis
+    val m = SJoin.sagg(zones, points,
+        Seq(max(col("ZID") * 1000 + col("pid")).as("mix")),
+        predicate = "contains", how = "left")
+      .select("zid", "mix").collect().map(r => r.getInt(0) -> r.get(1)).toMap
+    assert(m(1) == 1012L && m(2) == 2024L && m(3) == null)
+  }
+
+  test("persist fallback frees its storage once the consuming action completes") {
+    spark.sharedState.cacheManager.clearCache()
+    // rand() makes the left nondeterministic → monotonic tag + persist path
+    val nd = zones.where(rand(7) >= -1.0)
+    val out = SJoin.sagg(nd, points, Seq(count(lit(1)).as("n")),
+      predicate = "contains", how = "left")
+    assert(out.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    assert(out.count() == 3)
+    // the release listener runs on the async listener bus — poll briefly
+    val deadline = System.currentTimeMillis() + 20000
+    while (!spark.sharedState.cacheManager.isEmpty &&
+      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "stableTagged persist fallback was not released after its action completed")
+    // an unrelated action in between must NOT release a pending fallback
+    spark.sharedState.cacheManager.clearCache()
+    val out2 = SJoin.sagg(nd, points, Seq(count(lit(1)).as("n")),
+      predicate = "contains", how = "left")
+    out2.queryExecution.executedPlan // plan (and persist registration) only
+    points.count() // unrelated action
+    Thread.sleep(500)
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "unrelated action released a fallback persist it never consumed")
+    out2.count()
+    val d2 = System.currentTimeMillis() + 20000
+    while (!spark.sharedState.cacheManager.isEmpty &&
+      System.currentTimeMillis() < d2) Thread.sleep(50)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("sjfull right join keeps unmatched right rows") {
     val out = SJoin.sjfull(points, zones, predicate = "within", how = "right")
     // zone 3 (far away) matches nothing but must survive with null point cols

@@ -119,6 +119,37 @@ class FgbSpec extends AnyFunSuite with SparkSpec {
     assert(names == csv.columns.filterNot(_ == "WKT").toSet)
   }
 
+  test("writeSharded: one complete .fgb per partition + manifest; reads back as one frame") {
+    val dir = tmpDir("shard")
+    val df = (1 to 200).map(i => (i.toLong, s"row$i", i * 0.5)).toDF("id", "name", "score")
+      .withColumn("geometry", st_point(col("id") * 1.0, col("id") * -0.5))
+      .repartition(7)
+    Fgb.writeSharded(df, dir)
+    val shardFiles = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
+    assert(shardFiles.count(_.endsWith(".fgb")) == 7, s"got $shardFiles")
+    assert(shardFiles.contains("_manifest.json"))
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifest.json")), "UTF-8")
+    assert(manifest.contains("\"file\":\"part-00000.fgb\"") && manifest.contains("\"rows\":"))
+    // both read paths see the union of shards, row-identical with the input
+    val in = df.drop("geometry").orderBy("id").collect().toSeq
+    assert(Fgb.read(spark, dir).drop("geometry").orderBy("id").collect().toSeq == in)
+    assert(Fgb.readSplit(spark, dir).drop("geometry").orderBy("id").collect().toSeq == in)
+    // each shard is a standalone valid fgb (magic + own header)
+    val one = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, shardFiles.find(_.endsWith(".fgb")).get))
+    assert(one(0) == 0x66 && one(1) == 0x67 && one(2) == 0x62) // "fgb"
+    // no driver cap: geometry x-values survive per shard
+    val xs = Fgb.read(spark, dir).select(st_x(col("geometry"))).as[Double].collect().sorted
+    assert(xs.length == 200 && xs.head == 1.0 && xs.last == 200.0)
+    // empty frame still leaves a schema-bearing shard
+    val empty = df.where(col("id") < 0)
+    val dir2 = tmpDir("shard-empty")
+    Fgb.writeSharded(empty, dir2)
+    assert(Fgb.read(spark, dir2).count() == 0)
+    assert(Fgb.read(spark, dir2).columns.toSet == df.columns.toSet)
+  }
+
   test("fgb write cap fails fast") {
     val df = (1 to 5).map(i => (i.toLong, i * 1.0)).toDF("id", "x")
       .select(col("id"), st_point(col("x"), lit(0.0)).as("geometry"))

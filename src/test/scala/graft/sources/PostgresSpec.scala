@@ -101,6 +101,25 @@ class PostgresSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("geometry write leaves a CALLER-persisted frame cached") {
+    val server = new PgMiniServer()
+    try {
+      import testImplicits._
+      val df = Seq((1L, 10.5, 59.9)).toDF("id", "lon", "lat")
+        .withColumn("geometry", st_point(col("lon"), col("lat")))
+        .drop("lon", "lat")
+      df.persist()
+      try {
+        df.count()
+        Postgres.write(df, url(server, "/keepcache"))
+        // the write's defensive persist/unpersist pair must not steal this
+        assert(df.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+          "write() dropped the caller's cache")
+        assert(server.tableRows("keepcache").length == 1)
+      } finally df.unpersist()
+    } finally server.close()
+  }
+
   test("web-mercator extents infer srid 3857") {
     val server = new PgMiniServer()
     try {

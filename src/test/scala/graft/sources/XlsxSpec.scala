@@ -134,7 +134,11 @@ class XlsxSpec extends AnyFunSuite with SparkSpec {
     zos.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     zos.closeEntry(); zos.close()
 
-    val first = Xlsx.readOds(spark, dir.toString)
+    // no :sheet suffix = LAST sheet, the reference's popitem() behavior
+    val dflt = Xlsx.readOds(spark, dir.toString)
+    assert(dflt.columns.toSeq == Seq("y"))
+    assert(dflt.collect().map(_.getLong(0)).toSeq == Seq(9L))
+    val first = Xlsx.readOds(spark, dir.toString, sheet = Some("first"))
     assert(first.columns.toSeq == Seq("x") && first.count() == 2) // no bleed from "second"
     assert(first.schema("x").dataType.typeName == "long")
     val second = Xlsx.readOds(spark, dir.toString, sheet = Some("second"))
