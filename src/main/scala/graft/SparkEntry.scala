@@ -597,8 +597,13 @@ object SparkEntry {
           map(lit("type"), lit("site")).as("tags")) ++ noGeo ++ Seq(
           expr("array(CAST(1 AS BIGINT))").as("refs"),
           array(lit("n")).as("member_types"), array(lit("")).as("member_roles")): _*)
+      // assemble views the elements frame several times (points/lines/
+      // relation members); materialize the 7-branch synthetic union once so
+      // the query times the operator, not the generator × rescans (a real
+      // pbf/parquet source would be a single pushdown-pruned scan)
       val elements = nodesA.unionByName(waysA).unionByName(relsA)
         .unionByName(nodesB).unionByName(waysB).unionByName(relsB).unionByName(relsC)
+        .localCheckpoint(eager = false)
       OsmFilter.assemble(elements)
         .where(col("id") >= 3000000)
         .select(col("layer"), col("id").as("osm_id"),

@@ -72,6 +72,16 @@ class PlanAuditSpec extends SparkSpec {
       s"osm_assemble degenerated:\n$plan")
   }
 
+  test("osm relation assembly joins members on way-id hash, no cartesian") {
+    val plan = physical(q("osm_assemble_rel"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"osm_assemble_rel degenerated:\n$plan")
+    // member geometry rides hash joins keyed on ids; the only shuffles are
+    // the way/relation groupBys and joins — never a geometry-blob exchange
+    assert(plan.contains("st_relation_multipolygon") || plan.contains("strelationmultipolygon"),
+      s"relation constructor missing from plan:\n$plan")
+  }
+
   test("osm merge keeps its map-side partial max_by") {
     val plan = physical(q("osm_merge"))
     assert("HashAggregate|SortAggregate".r.findAllIn(plan).size >= 2,

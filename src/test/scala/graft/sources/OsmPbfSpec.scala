@@ -106,6 +106,25 @@ class OsmPbfSpec extends AnyFunSuite with SparkSpec {
     assert(split == whole && split.size == 59)
   }
 
+  test("writeSharded: one pbf per partition + manifest; read unions the shards") {
+    val many = (1 to 120).map(i =>
+      Row("n", i.toLong, Map("k" -> s"v$i"), i * 0.01, -i * 0.01, null, null, null))
+    val dir = tmpDir("sharded")
+    OsmPbf.writeSharded(
+      spark.createDataFrame(spark.sparkContext.parallelize(many, 5), OsmPbf.schema),
+      dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
+    assert(files.count(_.endsWith(".osm.pbf")) == 5 && files.contains("_manifest.json"))
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifest.json")), "UTF-8")
+    assert(manifest.contains("part-00000.osm.pbf") && manifest.contains("\"rows\":"))
+    val back = OsmPbf.read(spark, dir)
+    assert(back.count() == 120)
+    assert(back.select("id").as[Long].collect().toSet == (1L to 120L).toSet)
+    // splittable read sees the same union
+    assert(OsmPbf.readSplit(spark, dir).count() == 120)
+  }
+
   test("write cap fails fast") {
     val dir = tmpDir("cap")
     val e = intercept[IllegalArgumentException] {
