@@ -517,6 +517,29 @@ object OracleSql {
        |  len(string_split(f.text, chr(10))) AS segments_total
        |FROM f LEFT JOIN o USING (doc_id)""".stripMargin
 
+  /** Mirrors [[graft.operators.TextAnalysis.dedupSegments]] over the same
+    * planted crawl shape as [[textBoilerplate]]: a segment survives only at
+    * its corpus-wide first (doc_id, pos). Grouping on the segment STRING is
+    * the hash-free equivalent of graft's 64-bit segment hash (the hash is a
+    * shuffle-width optimization, not a semantic).
+    */
+  def textSegdedup(docsrc: String = "documents"): String =
+    s"""WITH f AS (SELECT doc_id,
+       |  'doc ' || doc_id || ' body: ' || substr(text, 1, 48) || chr(10) ||
+       |  'subscribe to ' || source || ' newsletter' || chr(10) ||
+       |  'all rights reserved' || chr(10) ||
+       |  substr(text, 49, 64) AS text FROM $docsrc),
+       |segs AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS seg,
+       |  generate_subscripts(string_split(text, chr(10)), 1) AS pos FROM f),
+       |w AS (SELECT doc_id, pos, seg,
+       |  row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM segs),
+       |o AS (SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS text_dedup,
+       |  count(*) AS segments_kept FROM w WHERE rn = 1 GROUP BY doc_id)
+       |SELECT f.doc_id, coalesce(o.text_dedup, '') AS text_dedup,
+       |  coalesce(o.segments_kept, 0) AS segments_kept,
+       |  len(string_split(f.text, chr(10))) AS segments_total
+       |FROM f LEFT JOIN o USING (doc_id)""".stripMargin
+
   /** (doc_id, `labelCol`): deterministic stratified sample — mirrors
     * [[graft.operators.Ops.sampleStratified]]: splitmix64 bucket vs the
     * per-label floor(f·10000) threshold.
@@ -573,6 +596,78 @@ object OracleSql {
        |      THEN $mD * ln($mD / CAST($m - nb AS DOUBLE))
        |    ELSE $raw END, 3) AS approx_distinct
        |FROM ag""".stripMargin
+  }
+
+  /** Mirrors the count-min sketch ([[graft.operators.Sketch.cmsRegisters]] /
+    * cmsLookup) counter-for-counter over the space-tokenized `documents`
+    * corpus: same stringHash64 chain per token (fold → mix → xor seed →
+    * mix), same per-depth remix mix64(base xor (seed+d)), width a power of
+    * two so the unsigned modulus here equals Spark's signed pmod.
+    */
+  def statsCms(probes: Seq[String], docsrc: String = "documents",
+      depth: Int = 4, width: Int = 1024, seed: Long = 42L): String = {
+    require((width & (width - 1)) == 0, "width must be a power of two")
+    val probeVals = probes.map(p => s"('$p')").mkString(", ")
+    // stringHash64(tok, seed) = mix64(xor(mix64(poly), seed)); per-depth
+    // idx = mix64(xor(base, seed + d)) % width (unsigned == signed pmod)
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM $docsrc),
+       |tb0 AS (SELECT tok, list_reduce(list_prepend(CAST($K31 AS HUGEINT),
+       |  ${codesOf("tok")}), (h, c) -> (31*h + c) % $H) AS poly FROM toks),
+       |tb1 AS (SELECT ${mix64("poly")} AS hr FROM tb0),
+       |tb2 AS (SELECT ${xor64("hr", seed.toString)} AS z0 FROM tb1),
+       |tb3 AS (SELECT ${mix64("z0")} AS base FROM tb2),
+       |td AS (SELECT base, d FROM tb3 CROSS JOIN (SELECT unnest(range(0, $depth)) AS d)),
+       |tz AS (SELECT d, ${xor64("base", s"($seed + d)")} AS z0 FROM td),
+       |regs AS (SELECT d, (${mix64("z0")}) % $width AS idx, count(*) AS c
+       |  FROM tz GROUP BY d, idx),
+       |pr AS (SELECT tok FROM (VALUES $probeVals) v(tok)),
+       |pb0 AS (SELECT tok, list_reduce(list_prepend(CAST($K31 AS HUGEINT),
+       |  ${codesOf("tok")}), (h, c) -> (31*h + c) % $H) AS poly FROM pr),
+       |pb1 AS (SELECT tok, ${mix64("poly")} AS hr FROM pb0),
+       |pb2 AS (SELECT tok, ${xor64("hr", seed.toString)} AS z0 FROM pb1),
+       |pb3 AS (SELECT tok, ${mix64("z0")} AS base FROM pb2),
+       |pd AS (SELECT tok, base, d FROM pb3 CROSS JOIN (SELECT unnest(range(0, $depth)) AS d)),
+       |pz AS (SELECT tok, d, ${xor64("base", s"($seed + d)")} AS z0 FROM pd),
+       |pi AS (SELECT tok, d, (${mix64("z0")}) % $width AS idx FROM pz)
+       |SELECT pi.tok AS token, min(coalesce(regs.c, 0)) AS approx_count
+       |FROM pi LEFT JOIN regs ON pi.d = regs.d AND pi.idx = regs.idx
+       |GROUP BY pi.tok""".stripMargin
+  }
+
+  /** (doc_id, shard, shard_pos): deterministic shuffle-shard — mirrors
+    * [[graft.operators.Ops.shuffleShard]]: shard = splitmix64(id, seed) mod
+    * k (signed pmod), within-shard order by the SIGNED seed+1 hash then id.
+    */
+  def dataShard(shards: Int, seed: Long = 42L, docsrc: String = "documents"): String =
+    s"""WITH z AS (SELECT doc_id, ${ub2(s"xor(doc_id, $seed)")} AS z0,
+       |  ${ub2(s"xor(doc_id, ${seed + 1})")} AS z1 FROM $docsrc),
+       |m AS (SELECT doc_id, ${sb2(mix64("z0"))} AS hs, ${sb2(mix64("z1"))} AS ho FROM z)
+       |SELECT doc_id, ((hs % $shards) + $shards) % $shards AS shard,
+       |  row_number() OVER (PARTITION BY ((hs % $shards) + $shards) % $shards
+       |    ORDER BY ho, doc_id) AS shard_pos
+       |FROM m""".stripMargin
+
+  /** (q, quantile4): equal-width histogram quantiles — mirrors
+    * [[graft.operators.Sketch.histQuantiles]] double-op for double-op (bin
+    * width (hi−lo)/bins, floor-least binning, cumulative-count bin pick,
+    * in-bin linear interpolation) so the result is bit-identical before the
+    * shared round. Quantile literals are CAST to DOUBLE — DuckDB types bare
+    * decimals as DECIMAL, which would change the arithmetic.
+    */
+  def statsQuantile(src: String, valExpr: String, bins: Int, qs: Seq[Double]): String = {
+    val qList = qs.map(q => s"CAST($q AS DOUBLE)").mkString("[", ", ", "]")
+    s"""WITH data AS (SELECT CAST($valExpr AS DOUBLE) AS v FROM $src WHERE $valExpr IS NOT NULL),
+       |st AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS n FROM data),
+       |b AS (SELECT CAST(CASE WHEN hi = lo THEN CAST(0.0 AS DOUBLE)
+       |    ELSE least(floor((v - lo) / ((hi - lo) / CAST($bins AS DOUBLE))), CAST(${bins - 1} AS DOUBLE))
+       |  END AS INT) AS bn FROM data CROSS JOIN st),
+       |c AS (SELECT bn, count(*) AS c FROM b GROUP BY bn),
+       |cm AS (SELECT bn, c, sum(c) OVER (ORDER BY bn ROWS UNBOUNDED PRECEDING) AS cum FROM c),
+       |qf AS (SELECT unnest($qList) AS q),
+       |e AS (SELECT q, bn,
+       |  lo + ((hi - lo) / CAST($bins AS DOUBLE)) * (bn + (q * n - (cum - c)) / c) AS est
+       |  FROM qf CROSS JOIN cm CROSS JOIN st WHERE cum >= q * n)
+       |SELECT q, round(min_by(est, bn), 4) AS quantile4 FROM e GROUP BY q""".stripMargin
   }
 
   /** The stats_hll oracle: three columns profiled across two tables. */

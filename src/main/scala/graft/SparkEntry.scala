@@ -776,17 +776,53 @@ object SparkEntry {
         .select("doc_id", "text_clean", "segments_kept", "segments_total")
     }),
 
+    // --- CCNet first-occurrence segment dedup (keep ONE copy corpus-wide) --
+    // same planted crawl shape as text_boilerplate: the shared nav/footer
+    // lines survive only in the earliest (doc_id, pos) document
+    "text_segdedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("doc "), col("doc_id"), lit(" body: "), substring(col("text"), 1, 48)),
+          concat(lit("subscribe to "), col("source"), lit(" newsletter")),
+          lit("all rights reserved"),
+          substring(col("text"), 49, 64)).as("text"))
+      TextAnalysis.dedupSegments(docs)
+        .select("doc_id", "text_dedup", "segments_kept", "segments_total")
+    }),
+
     // --- deterministic stratified sampling (pure codegen'd filter) ---------
     "data_stratified" -> ((s, dir) =>
       Ops.sampleStratified(t(s, dir, "documents"), "lang", "doc_id",
         Seq("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), defaultFraction = 0.05)
         .select("doc_id", "lang")),
 
+    // --- deterministic global shuffle into training shards -----------------
+    "data_shard" -> ((s, dir) =>
+      Ops.shuffleShard(t(s, dir, "documents"), "doc_id", shards = 8)
+        .select("doc_id", "shard", "shard_pos")),
+
+    // --- histogram quantile sketch (literal double-op mirror) --------------
+    "stats_quantile" -> ((s, dir) =>
+      Sketch.histQuantiles(t(s, dir, "lineitem"), "l_extendedprice",
+          bins = 128, qs = Seq(0.25, 0.5, 0.9, 0.99))
+        .select(col("q"), round(col("quantile"), 4).as("quantile4"))),
+
     // --- top-k per group (WindowGroupLimit prunes before the exchange) -----
     "data_topk_group" -> ((s, dir) =>
       Ops.topKPerGroup(t(s, dir, "documents"), Seq("lang"), "n_chars",
           k = 3, tieCol = "doc_id")
         .select("lang", "doc_id", "n_chars", "rank_in_group")),
+
+    // --- count-min sketch point frequencies (counter-exact mirror) ---------
+    "stats_cms" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val regs = Sketch.cmsRegisters(toks, "tok")
+      val probes = s.range(1).select(
+        explode(array(lit("table"), lit("spark"), lit("window"), lit("zebra"))).as("tok"))
+      Sketch.cmsLookup(regs, probes, "tok")
+        .select(col("tok").as("token"), col("approx_count"))
+    }),
 
     // --- HyperLogLog distinct sketch (register-exact mirror) ---------------
     "stats_hll" -> ((s, dir) => {
@@ -1269,6 +1305,7 @@ object SparkEntry {
     "text_repetition" -> OracleSql.textRepetition(),
     "text_perplexity" -> OracleSql.textPerplexity(),
     "text_boilerplate" -> OracleSql.textBoilerplate(),
+    "text_segdedup" -> OracleSql.textSegdedup(),
     "data_stratified" -> OracleSql.dataSample(
       Seq("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), defaultFraction = 0.05),
     "data_topk_group" ->
@@ -1277,6 +1314,10 @@ object SparkEntry {
         |  FROM documents)
         |SELECT lang, doc_id, n_chars, rank_in_group FROM r WHERE rank_in_group <= 3""".stripMargin,
     "stats_hll" -> OracleSql.statsHll(),
+    "stats_cms" -> OracleSql.statsCms(Seq("table", "spark", "window", "zebra")),
+    "data_shard" -> OracleSql.dataShard(shards = 8),
+    "stats_quantile" -> OracleSql.statsQuantile("lineitem", "l_extendedprice",
+      bins = 128, qs = Seq(0.25, 0.5, 0.9, 0.99)),
     "multimodal_meta" -> OracleSql.multimodalMeta(),
     "multimodal_pixels" -> OracleSql.multimodalPixels(),
     "multimodal_audio" -> OracleSql.multimodalAudio(),

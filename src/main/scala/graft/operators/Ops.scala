@@ -134,6 +134,36 @@ object Ops {
     df.where(bucket < thr)
   }
 
+  /** Deterministic global shuffle into training shards: every row gets a
+    * `shard` in [0, shards) and a dense 1-based `shard_pos` — together a
+    * reproducible random permutation of the corpus (the "globally shuffle
+    * the training set, write k shards" step every pretraining pipeline
+    * runs). Both coordinates derive from seeded splitmix64 over `idCol`
+    * (shard from seed, within-shard order from seed+1 — decorrelated), so
+    * the permutation is stable across runs, partitionings, and engines,
+    * unlike `orderBy(rand())`.
+    *
+    * Scale shape: one hash-partitioned exchange on `shard` and a
+    * partition-local sort per shard — no global sort, no single-partition
+    * row_number. Each shard sorts on one executor, so pick `shards` ≫
+    * cluster parallelism with shard sizes that fit an executor (the shape
+    * training shards have anyway); `idCol` ties broken by the id itself, so
+    * duplicate ids still order totally.
+    */
+  def shuffleShard(
+      df: DataFrame,
+      idCol: String,
+      shards: Int,
+      seed: Long = 42L): DataFrame = {
+    require(shards >= 1, "shards must be positive")
+    import graft.functions.TextFunctions.mix64_hash
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(mix64_hash(col(idCol), seed + 1), col(idCol))
+    df.withColumn("shard", pmod(mix64_hash(col(idCol), seed), lit(shards.toLong)))
+      .withColumn("shard_pos", row_number().over(w))
+  }
+
   /** Top-k rows per group, deterministically (`tieCol` breaks order ties).
     * Expressed as the rank-filter idiom on purpose: Spark rewrites
     * `row_number ≤ k` into a WindowGroupLimit, which prunes every partition

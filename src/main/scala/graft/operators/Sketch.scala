@@ -6,12 +6,13 @@ import org.apache.spark.sql.types._
 
 import graft.functions.TextFunctions.{mix64_hash, string_hash64}
 
-/** Cardinality sketching for corpus profiling: a fully relational
-  * HyperLogLog (Flajolet, Fusy, Gandouet, Meunier 2007) built from graft's
-  * own mirrored hash kernels, so — unlike Spark's built-in
-  * `approx_count_distinct` — every register and the final estimate are
-  * bit-reproducible in plain SQL (the DuckDB oracle recomputes them
-  * value-for-value).
+/** Sketching for corpus profiling: a fully relational HyperLogLog
+  * (Flajolet, Fusy, Gandouet, Meunier 2007) for cardinality and a
+  * count-min sketch (Cormode & Muthukrishnan 2005) for point frequencies /
+  * heavy hitters, both built from graft's own mirrored hash kernels, so —
+  * unlike Spark's built-in `approx_count_distinct` — every register and
+  * final estimate is bit-reproducible in plain SQL (the DuckDB oracle
+  * recomputes them value-for-value).
   *
   * Scale shape: one codegen'd projection (hash → bucket/rho) and one
   * map-side-combined groupBy to at most 2^p register rows, whatever the
@@ -37,7 +38,7 @@ object Sketch {
     case StringType => string_hash64(c, seed)
     case ByteType | ShortType | IntegerType | LongType => mix64_hash(c.cast("long"), seed)
     case other =>
-      throw new IllegalArgumentException(s"hllDistinct supports string/integral columns, got $other")
+      throw new IllegalArgumentException(s"sketches support string/integral columns, got $other")
   }
 
   /** HLL registers of one column: at most 2^p rows `(bucket, m)` where `m`
@@ -106,5 +107,114 @@ object Sketch {
       hllEstimate(hllRegisters(df, c, p, seed), p)
         .select(lit(c).as("column"), col("approx_distinct"))
     }.reduce(_ unionByName _)
+  }
+
+  // ---- count-min sketch ----------------------------------------------------
+
+  /** Per-row, per-depth counter index for the count-min sketch: row hash
+    * xor'd with a per-depth seed, remixed, masked to `width` (power of two,
+    * so the signed pmod equals the unsigned modulus the SQL mirror computes).
+    */
+  private def cmsIdx(h: Column, d: Column, width: Int, seed: Long): Column =
+    pmod(mix64_hash(h.bitwiseXOR(lit(seed) + d), 0L), lit(width.toLong))
+
+  /** Count-min sketch registers (Cormode & Muthukrishnan 2005, "An improved
+    * data stream summary: the count-min sketch and its applications") of one
+    * column: at most `depth`×`width` rows `(d, idx, c)` — frequency mass per
+    * hashed counter. Like [[hllRegisters]] this is the mergeable
+    * intermediate: persist per shard / per day and [[cmsMerge]] across
+    * shards, then answer point frequency queries with [[cmsLookup]] without
+    * rescanning the corpus — heavy-hitter profiling over unbounded key
+    * domains (tokens, domains, n-grams) in O(depth·width) memory, whatever
+    * the input size.
+    *
+    * Scale shape: one codegen'd projection (hash → depth×idx) and one
+    * map-side-combined groupBy to ≤ depth·width rows. `width` must be a
+    * power of two (the index is the hash's unsigned remainder — a power of
+    * two makes signed and unsigned arithmetic agree, see [[cmsIdx]]).
+    */
+  def cmsRegisters(df: DataFrame, valueCol: String, depth: Int = 4, width: Int = 1024,
+      seed: Long = 42L): DataFrame = {
+    require(depth >= 1 && depth <= 16, "depth must be in [1, 16]")
+    require(width >= 2 && (width & (width - 1)) == 0, "width must be a power of two")
+    val h = hash64(df.schema(valueCol).dataType, col(valueCol), seed)
+    df.where(col(valueCol).isNotNull)
+      .select(h.as("__h"), explode(lit((0 until depth).toArray)).as("d"))
+      .groupBy(col("d"), cmsIdx(col("__h"), col("d"), width, seed).as("idx"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Merges register tables of the SAME (depth, width, seed): per-counter sum. */
+  def cmsMerge(regs: DataFrame*): DataFrame =
+    regs.reduce(_ unionByName _).groupBy("d", "idx").agg(sum("c").as("c"))
+
+  /** Equal-width histogram bin counts of a numeric column over [min, max]:
+    * at most `bins` rows `(__b, __c)` plus the (lo, hi, n) stats row folded
+    * in — the mergeable intermediate behind [[histQuantiles]] (same-bounds
+    * tables merge by per-bin sum). Two exact passes: a 3-value min/max/count
+    * aggregate, then one map-side-combined groupBy to ≤ `bins` rows —
+    * corpus-size-independent state, the histogram-sketch shape (Greenwald-
+    * Khanna-class accuracy is unnecessary for corpus profiling; equal-width
+    * bins are deterministic and SQL-mirrorable bit-for-bit).
+    */
+  private def histCounts(data: DataFrame, stats: DataFrame, bins: Int): DataFrame = {
+    val width = (col("__hi") - col("__lo")) / lit(bins.toDouble)
+    val bin = when(col("__hi") === col("__lo"), lit(0.0))
+      .otherwise(least(floor((col("__v") - col("__lo")) / width), lit(bins - 1.0)))
+      .cast("int")
+    data.crossJoin(broadcast(stats))
+      .groupBy(bin.as("__b")).agg(count(lit(1)).as("__c"))
+  }
+
+  /** Quantile estimates from an equal-width histogram: one row
+    * `(q, quantile)` per requested quantile — bin located by cumulative
+    * count, value linearly interpolated inside the bin. Deterministic double
+    * arithmetic in a fixed op order (the DuckDB oracle mirrors it literally)
+    * — unlike `approx_percentile`, whose sketch is not reproducible in SQL.
+    * Empty input yields no rows; constant input yields the constant.
+    *
+    * Scale shape: after the two corpus passes of [[histCounts]] everything
+    * runs on ≤ `bins` rows (the single-partition cumulative window is over
+    * the bin table, a model artifact, never the data).
+    */
+  def histQuantiles(df: DataFrame, valueCol: String, bins: Int = 128,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(bins >= 1 && bins <= 65536, "bins must be in [1, 65536]")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0), "quantiles must be in [0, 1]")
+    val data = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"))
+    val stats = data.agg(min("__v").as("__lo"), max("__v").as("__hi"),
+      count(lit(1)).as("__n"))
+    val counts = histCounts(data, stats, bins)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = counts.withColumn("__cum", sum("__c").over(w))
+    val qf = df.sparkSession.range(1).select(explode(array(qs.map(lit): _*)).as("q"))
+    val width = (col("__hi") - col("__lo")) / lit(bins.toDouble)
+    val est = col("__lo") + width *
+      (col("__b") + (col("q") * col("__n") - (col("__cum") - col("__c"))) / col("__c"))
+    qf.crossJoin(cum).crossJoin(broadcast(stats))
+      .where(col("__cum") >= col("q") * col("__n"))
+      .select(col("q"), col("__b"), est.as("__est"))
+      .groupBy("q").agg(min_by(col("__est"), col("__b")).as("quantile"))
+  }
+
+  /** Point frequency queries against a register table: for each probe row,
+    * the count-min estimate of its `valueCol` frequency — min over the
+    * `depth` counters the value hashes to, 0 when a counter is absent
+    * (never an underestimate, overestimates bounded by the sketch's ε·N).
+    * Probe values must be distinct. The register table is counter-bounded,
+    * so the join broadcasts; probes never rescan the sketched corpus.
+    */
+  def cmsLookup(regs: DataFrame, probes: DataFrame, valueCol: String,
+      depth: Int = 4, width: Int = 1024, seed: Long = 42L): DataFrame = {
+    val h = hash64(probes.schema(valueCol).dataType, col(valueCol), seed)
+    val pd = probes.where(col(valueCol).isNotNull)
+      .select(col(valueCol), h.as("__h"), explode(lit((0 until depth).toArray)).as("d"))
+      .select(col(valueCol), col("d"), cmsIdx(col("__h"), col("d"), width, seed).as("idx"))
+    pd.join(broadcast(regs), Seq("d", "idx"), "left")
+      .groupBy(col(valueCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as("approx_count"))
   }
 }

@@ -204,6 +204,47 @@ object TextAnalysis {
         size(split(col(textCol), delimRe)).cast("long"))
   }
 
+  /** Corpus-wide first-occurrence segment dedup (the CCNet paragraph-dedup
+    * pass — Wenzek et al. 2020 §3.1: drop every repeated paragraph, keeping
+    * one copy): splits each document on `delimiter`, keeps only the
+    * corpus-wide FIRST occurrence of each distinct segment — earliest
+    * (`idCol`, position), a total deterministic order — and reassembles the
+    * survivors in original order into `into`. Contrast with
+    * [[stripBoilerplate]], which deletes corpus-frequent segments from
+    * EVERY document; this keeps exactly one copy of each.
+    *
+    * Scale shape: segments travel as 64-bit hashes; the winner-per-segment
+    * groupBy is a map-side-combined min over a 16-byte (id, pos) struct
+    * keyed on the 8-byte hash, the verdict join back is hash-partitioned,
+    * and only the per-doc rebuild groupBy moves segment text. O(total
+    * segments) with no doc×doc pair space — the same shape at 100 TB.
+    */
+  def dedupSegments(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      delimiter: String = "\n",
+      into: String = "text_dedup"): DataFrame = {
+    val delimRe = java.util.regex.Pattern.quote(delimiter)
+    val segs = df.select(col(idCol),
+      posexplode(split(col(textCol), delimRe)).as(Seq("__pos", "__seg")))
+    val hashed = segs.withColumn("__h", xxhash64(col("__seg")))
+    val first = hashed.groupBy("__h")
+      .agg(min(struct(col(idCol).as("__fid"), col("__pos").as("__fpos"))).as("__w"))
+    val kept = hashed.join(first, Seq("__h"))
+      .where(col(idCol) === col("__w").getField("__fid") &&
+        col("__pos") === col("__w").getField("__fpos"))
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      array_join(transform(array_sort(collect_list(struct(col("__pos"), col("__seg")))),
+        s => s.getField("__seg")), delimiter).as(into),
+      count(lit(1)).as("segments_kept"))
+    df.join(rebuilt, Seq(idCol), "left")
+      .withColumn(into, coalesce(col(into), lit("")))
+      .withColumn("segments_kept", coalesce(col("segments_kept"), lit(0L)))
+      .withColumn("segments_total",
+        size(split(col(textCol), delimRe)).cast("long"))
+  }
+
   /** Fits the char-bigram language model: add-one-smoothed conditional
     * log-probabilities ln((count(c1c2)+1)/(count(c1·)+38)) over a 38-symbol
     * ASCII-normalized alphabet, returned as a flat 38×38 array (unseen

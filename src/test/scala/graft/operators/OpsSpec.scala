@@ -122,4 +122,31 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
+
+  test("shuffleShard: a reproducible permutation — complete, dense, stable") {
+    val df = spark.range(0, 5000).select(col("id"))
+    val out = Ops.shuffleShard(df, "id", shards = 8)
+      .select("id", "shard", "shard_pos")
+      .as[(Long, Long, Int)].collect()
+    assert(out.length == 5000)
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet == (0L until 8L).toSet)
+    // positions are dense 1..n within every shard (a true permutation)
+    byShard.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // shards are balanced-ish (hash, not round-robin): no shard > 2× fair share
+    assert(byShard.values.map(_.length).max < 1250)
+    // deterministic across partitionings; seed changes the permutation
+    val again = Ops.shuffleShard(df.repartition(13), "id", shards = 8)
+      .select("id", "shard", "shard_pos").as[(Long, Long, Int)].collect()
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    val other = Ops.shuffleShard(df, "id", shards = 8, seed = 7L)
+      .select("id", "shard", "shard_pos").as[(Long, Long, Int)].collect()
+    assert(other.sortBy(_._1).toSeq != out.sortBy(_._1).toSeq)
+    // shard assignment and within-shard order are decorrelated: the order
+    // hash is not a function of the shard hash
+    val firstIds = out.filter(_._3 == 1).map(_._1).toSet
+    assert(firstIds.size == 8)
+  }
 }

@@ -61,4 +61,70 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     val est = Sketch.hllDistinct(tiny, Seq("v")).select("approx_distinct").as[Double].head()
     assert(math.abs(est - 5.0) < 0.01) // m·ln(m/V) ≈ exact at tiny cardinality
   }
+
+  test("cms never underestimates and is near-exact when counters are sparse") {
+    // 50 distinct tokens, token i repeated i times — ≪ 4×1024 counters
+    val toks = (1 to 50).flatMap(i => Seq.fill(i)(s"tok$i")).toDF("v")
+    val probes = Seq("tok1", "tok25", "tok50", "absent").toDF("v")
+    val regs = Sketch.cmsRegisters(toks, "v")
+    val est = Sketch.cmsLookup(regs, probes, "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("tok1") >= 1 && est("tok25") >= 25 && est("tok50") >= 50)
+    // with 50 keys in 4096 counters, collisions across ALL 4 rows are
+    // vanishingly unlikely — the min recovers the exact count
+    assert(est("tok1") == 1 && est("tok25") == 25 && est("tok50") == 50)
+    assert(est("absent") == 0)
+  }
+
+  test("cms registers merge: per-shard sketches sum to the whole-corpus sketch") {
+    val all = spark.range(0, 20000).select((col("id") % 97).as("v"))
+    val lo = all.where(col("id") < 9000)
+    val hi = all.where(col("id") >= 9000)
+    val whole = Sketch.cmsRegisters(all, "v").orderBy("d", "idx")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val merged = Sketch.cmsMerge(Sketch.cmsRegisters(lo, "v"), Sketch.cmsRegisters(hi, "v"))
+      .orderBy("d", "idx")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(merged == whole)
+  }
+
+  test("histQuantiles: uniform data interpolates to the true quantiles") {
+    // 0..9999 uniform: q-quantile ≈ q*10000; 128 equal bins interpolate
+    // within ±1 bin width (78.125)
+    val df = spark.range(0, 10000).select(col("id").as("v"))
+    val out = Sketch.histQuantiles(df, "v", bins = 128, qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(out(0.0) == 0.0)
+    assert(math.abs(out(0.25) - 2500) < 80)
+    assert(math.abs(out(0.5) - 5000) < 80)
+    assert(math.abs(out(0.9) - 9000) < 80)
+    assert(math.abs(out(1.0) - 9999) < 80)
+  }
+
+  test("histQuantiles: constant column returns the constant; empty is empty") {
+    val const = spark.range(0, 100).select(lit(7.5).as("v"))
+    val out = Sketch.histQuantiles(const, "v", qs = Seq(0.5, 0.99))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(out(0.5) == 7.5 && out(0.99) == 7.5)
+    val empty = spark.range(0, 100).where(col("id") < 0).select(col("id").as("v"))
+    assert(Sketch.histQuantiles(empty, "v").count() == 0)
+  }
+
+  test("histQuantiles is independent of partitioning") {
+    val df = spark.range(0, 3000).select(((col("id") * col("id")) % 977).as("v"))
+    val a = Sketch.histQuantiles(df.repartition(3), "v").orderBy("q")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    val b = Sketch.histQuantiles(df.repartition(29), "v").orderBy("q")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(a == b) // bin counts are set-determined; interpolation is exact
+  }
+
+  test("cms register table is bounded by depth*width regardless of input size") {
+    val big = spark.range(0, 200000).select(col("id").as("v")) // 200k distinct
+    val regs = Sketch.cmsRegisters(big, "v", depth = 3, width = 256)
+    assert(regs.count() <= 3 * 256)
+    // total mass is conserved: sum of each depth row == input rows
+    val mass = regs.groupBy("d").agg(sum("c").as("m")).select("m").as[Long].collect()
+    assert(mass.length == 3 && mass.forall(_ == 200000L))
+  }
 }

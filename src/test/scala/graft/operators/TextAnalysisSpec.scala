@@ -136,6 +136,33 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(out(1) == (("", 0L)) && out(2) == (("", 0L)) && out(3) == (("", 0L)))
   }
 
+  test("dedupSegments keeps the corpus-wide first occurrence only") {
+    val df = Seq(
+      (2L, "shared line\nunique two\ntail two"),
+      (1L, "unique one\nshared line\nshared line\ntail one"),
+      (3L, "shared line\ntail one\nunique three")).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSegments(df).orderBy("doc_id")
+      .select("text_dedup", "segments_kept", "segments_total")
+      .as[(String, Long, Long)].collect()
+    // doc 1 owns "shared line" (earliest doc_id) at pos 1 only (within-doc
+    // repeat at pos 2 dropped); doc 1 also owns "tail one"
+    assert(out(0) == (("unique one\nshared line\ntail one", 3L, 4L)))
+    assert(out(1) == (("unique two\ntail two", 2L, 3L)))
+    assert(out(2) == (("unique three", 1L, 3L)))
+  }
+
+  test("dedupSegments: fully duplicated later doc empties; order survives") {
+    val df = Seq(
+      (1L, "a\nb\nc"),
+      (2L, "c\nb\na"), // all owned by doc 1
+      (3L, "b\nz\na")).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSegments(df).orderBy("doc_id")
+      .select("text_dedup", "segments_kept").as[(String, Long)].collect()
+    assert(out(0) == (("a\nb\nc", 3L)))
+    assert(out(1) == (("", 0L)))
+    assert(out(2) == (("z", 1L)))
+  }
+
   test("repetitionStats: fractions and the repetitive flag") {
     val df = Seq(
       (1L, "buy now buy now buy now buy now buy now"), // one bigram loop
