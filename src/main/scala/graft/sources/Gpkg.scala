@@ -640,6 +640,64 @@ object Gpkg {
   def writeLayers(layers: Seq[(String, DataFrame)], path: String,
       geometryCol: String = "geometry", srid: Int = 4326, maxRows: Int = 1000000): Unit = {
     require(layers.nonEmpty, "writeLayers needs at least one layer")
+    val collected = layers.map { case (layerName, df) =>
+      require(!df.columns.contains("fid"),
+        "Gpkg.write adds its own 'fid' rowid-alias column; rename the incoming " +
+          "'fid' column first (the table would otherwise carry duplicate column names)")
+      val rows = df.limit(maxRows + 1).collect()
+      require(rows.length <= maxRows,
+        s"Gpkg.write collects to the driver and is capped at maxRows=$maxRows rows; " +
+          "use writeSharded (one .gpkg per partition) or parquet/geojsonseq for large frames")
+      (layerName, df.schema, rows.toIndexedSeq)
+    }
+    buildFile(collected, path, geometryCol, srid)
+  }
+
+  /** Distributed multi-file write — one complete single-layer `part-NNNNN
+    * .gpkg` per non-empty partition under `dir` (each with its own metadata
+    * trio), plus a `_manifest.json` of shards and row counts. No driver
+    * collect, no row cap (repartition upstream to size shards). `dir` must
+    * be executor-visible; [[read]] pointed at `dir` consumes the shard set
+    * back as one frame, and every shard is a standalone valid GeoPackage for
+    * external tools. Task retries rewrite their own shard idempotently.
+    */
+  def writeSharded(df: DataFrame, dir: String, layerName: String = "layer",
+      geometryCol: String = "geometry", srid: Int = 4326): Unit = {
+    require(!df.columns.contains("fid"),
+      "Gpkg.writeSharded adds its own 'fid' rowid-alias column; rename the " +
+        "incoming 'fid' column first")
+    val schema = df.schema
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val counts = df.rdd.mapPartitionsWithIndex { (i, it) =>
+      val rows = it.toIndexedSeq
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val name = f"part-$i%05d.gpkg"
+        buildFile(Seq((layerName, schema, rows)), new java.io.File(dir, name).getPath,
+          geometryCol, srid)
+        Iterator.single(name -> rows.length.toLong)
+      }
+    }.collect().sortBy(_._1).toIndexedSeq
+    // an all-empty frame still yields one schema-bearing shard
+    val shards =
+      if (counts.nonEmpty) counts
+      else {
+        buildFile(Seq((layerName, schema, IndexedSeq.empty[Row])),
+          new java.io.File(dir, "part-00000.gpkg").getPath, geometryCol, srid)
+        IndexedSeq("part-00000.gpkg" -> 0L)
+      }
+    val manifest = shards.map { case (n, c) => s"""{"file":"$n","rows":$c}""" }
+      .mkString("[", ",", "]")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_manifest.json"),
+      (s"""{"layer":"$layerName","shards":$manifest}""" + "\n").getBytes("UTF-8"))
+  }
+
+  /** Builds one GeoPackage file from materialized layer rows — shared by the
+    * driver-side [[writeLayers]] and the per-partition shards of
+    * [[writeSharded]].
+    */
+  private def buildFile(layers: Seq[(String, StructType, IndexedSeq[Row])], path: String,
+      geometryCol: String, srid: Int): Unit = {
     require(layers.map(_._1).distinct.size == layers.size,
       s"duplicate layer names: ${layers.map(_._1).mkString(", ")}")
     val b = new SqliteBuilder()
@@ -647,16 +705,9 @@ object Gpkg {
 
     case class Built(name: String, root: Int, geomType: String, sql: String,
         hasEnv: Boolean, minX: Double, minY: Double, maxX: Double, maxY: Double)
-    val built = layers.map { case (layerName, df) =>
-      require(!df.columns.contains("fid"),
-        "Gpkg.write adds its own 'fid' rowid-alias column; rename the incoming " +
-          "'fid' column first (the table would otherwise carry duplicate column names)")
-      val rows = df.limit(maxRows + 1).collect()
-      require(rows.length <= maxRows,
-        s"Gpkg.write collects to the driver and is capped at maxRows=$maxRows rows; " +
-          "use parquet/geojsonseq for large frames")
-      val fields = df.schema.fields
-      val geomIdx = df.schema.fieldIndex(geometryCol)
+    val built = layers.map { case (layerName, schema, rows) =>
+      val fields = schema.fields
+      val geomIdx = schema.fieldIndex(geometryCol)
 
       // envelope + geometry type from the data
       var minX = Double.PositiveInfinity; var minY = Double.PositiveInfinity

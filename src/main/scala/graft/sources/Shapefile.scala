@@ -287,7 +287,7 @@ object Shapefile {
 
   /** Writes the dataframe as one `<base>.shp` + `<base>.dbf` pair (driver
     * collects — the legacy-format export path, like the whole-file GeoJSON
-    * writer; cluster-scale data belongs in parquet/geojsonseq).
+    * writer; the scale path is [[writeSharded]] or parquet/geojsonseq).
     */
   def write(df: DataFrame, base: String, geometryCol: String = "geometry",
       maxRows: Int = 1000000): Unit = {
@@ -297,7 +297,54 @@ object Shapefile {
     val rows = df.limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
       s"Shapefile.write collects to the driver and is capped at maxRows=$maxRows rows; " +
-        "use parquet/geojsonseq for large frames")
+        "use writeSharded (one .shp/.shx/.dbf triple per partition) or " +
+        "parquet/geojsonseq for large frames")
+    writeOne(rows, attrCols, geometryCol, base)
+  }
+
+  /** Distributed multi-file write — one complete `part-NNNNN.shp`/`.shx`/
+    * `.dbf` triple per non-empty partition under `dir`, plus a
+    * `_manifest.json` listing shards and row counts. No driver collect, no
+    * row cap, and each shard stays inside the format's 2 GB file limit as
+    * long as partitions do (repartition upstream to size them). `dir` must
+    * be executor-visible (local/NFS); [[read]]/[[readSplit]] pointed at `dir`
+    * consume the shard set back as one frame, and every shard is a valid
+    * standalone shapefile for external tools. Task retries rewrite their own
+    * triple idempotently.
+    */
+  def writeSharded(df: DataFrame, dir: String, geometryCol: String = "geometry"): Unit = {
+    val attrCols = df.columns.filterNot(_ == geometryCol)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val counts = df.rdd.mapPartitionsWithIndex { (i, it) =>
+      val rows = it.toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val name = f"part-$i%05d"
+        writeOne(rows, attrCols, geometryCol, new java.io.File(dir, name).getPath)
+        Iterator.single(name -> rows.length.toLong)
+      }
+    }.collect().sortBy(_._1).toIndexedSeq
+    // an all-empty frame still yields one header-only shard so read/readSplit
+    // recover the schema instead of failing on an empty directory
+    val shards =
+      if (counts.nonEmpty) counts
+      else {
+        writeOne(Array.empty[Row], attrCols, geometryCol,
+          new java.io.File(dir, "part-00000").getPath)
+        IndexedSeq("part-00000" -> 0L)
+      }
+    val manifest = shards.map { case (n, c) => s"""{"file":"$n.shp","rows":$c}""" }
+      .mkString("[", ",", "]")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_manifest.json"),
+      (s"""{"shards":$manifest}""" + "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Builds and writes one `.shp`/`.shx`/`.dbf` triple at `base` — shared by
+    * the driver-side [[write]] and the per-partition shards of
+    * [[writeSharded]].
+    */
+  private def writeOne(rows: Array[Row], attrCols: Array[String],
+      geometryCol: String, base: String): Unit = {
     val geoms = rows.map(r => WKB.read(r.getAs[Array[Byte]](geometryCol)))
 
     val shapeType = geoms.headOption.map {

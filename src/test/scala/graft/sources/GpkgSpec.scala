@@ -240,4 +240,34 @@ class GpkgSpec extends AnyFunSuite with SparkSpec {
       .getOrElse(col("geom")))).as[Double].collect()
     assert(areas.nonEmpty && areas.forall(_ > 0))
   }
+
+  test("writeSharded: one standalone single-layer gpkg per partition + manifest; reads back as one frame") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gpkg-shard").toString
+    val df = (1 to 200).map(i => (i.toLong, s"row$i", i * 0.5)).toDF("k", "name", "score")
+      .withColumn("geometry", st_point(col("k") * 1.0, col("k") * -0.5))
+      .repartition(7)
+    Gpkg.writeSharded(df, dir, layerName = "towns")
+    val names = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
+    assert(names.count(_.endsWith(".gpkg")) == 7, s"got $names")
+    assert(names.contains("_manifest.json"))
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifest.json")), "UTF-8")
+    assert(manifest.contains("\"layer\":\"towns\"") && manifest.contains("\"file\":\"part-00000.gpkg\""))
+    // read over the shard dir sees the union, row-identical with the input
+    val back = Gpkg.read(spark, dir).orderBy("k")
+    assert(back.count() == 200)
+    assert(back.select("k", "name", "score").collect().toSeq ==
+      df.select("k", "name", "score").orderBy("k").collect().toSeq)
+    val xs = back.select(st_x(col("geometry"))).as[Double].collect().sorted
+    assert(xs.length == 200 && xs.head == 1.0 && xs.last == 200.0)
+    // each shard is a standalone valid gpkg: own metadata trio + layer
+    val one = s"$dir/${names.find(_.endsWith(".gpkg")).get}"
+    assert(Gpkg.layers(spark, one) == Seq("towns"))
+    assert(Gpkg.read(spark, one).columns.toSet == Set("fid", "k", "name", "score", "geometry"))
+    // empty frame still leaves a schema-bearing shard
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-gpkg-shard-empty").toString
+    Gpkg.writeSharded(df.where(col("k") < 0), dir2, layerName = "towns")
+    val back2 = Gpkg.read(spark, dir2)
+    assert(back2.count() == 0 && back2.columns.contains("geometry"))
+  }
 }

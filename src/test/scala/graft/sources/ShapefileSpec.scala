@@ -111,4 +111,34 @@ class ShapefileSpec extends AnyFunSuite with SparkSpec {
     val len = back.select(st_length(col("geometry"))).head().getDouble(0)
     assert(math.abs(len - 10.0) < 1e-9)
   }
+
+  test("writeSharded: one complete shp/shx/dbf triple per partition + manifest; reads back as one frame") {
+    val dir = tmpDir("shp-shard")
+    val df = (1 to 200).map(i => (i.toString, s"row$i")).toDF("id", "name")
+      .withColumn("geometry", st_point(col("id").cast("double"), col("id").cast("double") * -0.5))
+      .repartition(7)
+    Shapefile.writeSharded(df, dir)
+    val names = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
+    assert(names.count(_.endsWith(".shp")) == 7, s"got $names")
+    assert(names.count(_.endsWith(".shx")) == 7 && names.count(_.endsWith(".dbf")) == 7)
+    assert(names.contains("_manifest.json"))
+    val manifest = new String(Files.readAllBytes(Paths.get(dir, "_manifest.json")), "UTF-8")
+    assert(manifest.contains("\"file\":\"part-00000.shp\"") && manifest.contains("\"rows\":"))
+    // both read paths see the union of shards, row-identical with the input
+    val in = df.select("id", "name").orderBy("id").collect().toSeq
+    assert(Shapefile.read(spark, dir).select("id", "name").orderBy("id").collect().toSeq == in)
+    assert(Shapefile.readSplit(spark, dir).select("id", "name").orderBy("id").collect().toSeq == in)
+    // no driver cap: geometry x-values survive across all shards
+    val xs = Shapefile.read(spark, dir)
+      .select(st_x(col("geometry"))).as[Double].collect().sorted
+    assert(xs.length == 200 && xs.head == 1.0 && xs.last == 200.0)
+    // each shard is a standalone valid shapefile (own 9994 magic header)
+    val one = Files.readAllBytes(Paths.get(dir, names.find(_.endsWith(".shp")).get))
+    assert(ByteBuffer.wrap(one).order(ByteOrder.BIG_ENDIAN).getInt(0) == 9994)
+    // empty frame still leaves a schema-bearing shard
+    val dir2 = tmpDir("shp-shard-empty")
+    Shapefile.writeSharded(df.where(col("id") === "nope"), dir2)
+    val back2 = Shapefile.read(spark, dir2)
+    assert(back2.count() == 0 && back2.columns.toSet == Set("id", "name", "geometry"))
+  }
 }
