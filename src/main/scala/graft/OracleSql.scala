@@ -634,6 +634,39 @@ object OracleSql {
        |GROUP BY pi.tok""".stripMargin
   }
 
+  /** Mirrors the Bloom filter ([[graft.operators.Sketch.bloomBits]] /
+    * bloomContains) bit-for-bit over the space-tokenized `documents` corpus:
+    * same stringHash64 chain per token, same per-hash remix
+    * mix64(base xor (seed+k)) % numBits (power of two — unsigned modulus
+    * equals Spark's signed pmod), membership = all `numHashes` positions set.
+    */
+  def statsBloom(probes: Seq[String], docsrc: String = "documents",
+      numBits: Int = 1 << 16, numHashes: Int = 5, seed: Long = 42L): String = {
+    require((numBits & (numBits - 1)) == 0, "numBits must be a power of two")
+    val probeVals = probes.map(p => s"('$p')").mkString(", ")
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM $docsrc),
+       |tb0 AS (SELECT tok, list_reduce(list_prepend(CAST($K31 AS HUGEINT),
+       |  ${codesOf("tok")}), (h, c) -> (31*h + c) % $H) AS poly FROM toks),
+       |tb1 AS (SELECT ${mix64("poly")} AS hr FROM tb0),
+       |tb2 AS (SELECT ${xor64("hr", seed.toString)} AS z0 FROM tb1),
+       |tb3 AS (SELECT ${mix64("z0")} AS base FROM tb2),
+       |tk AS (SELECT base, k FROM tb3 CROSS JOIN (SELECT unnest(range(0, $numHashes)) AS k)),
+       |tz AS (SELECT k, ${xor64("base", s"($seed + k)")} AS z0 FROM tk),
+       |bits AS (SELECT DISTINCT (${mix64("z0")}) % $numBits AS bit FROM tz),
+       |pr AS (SELECT tok FROM (VALUES $probeVals) v(tok)),
+       |pb0 AS (SELECT tok, list_reduce(list_prepend(CAST($K31 AS HUGEINT),
+       |  ${codesOf("tok")}), (h, c) -> (31*h + c) % $H) AS poly FROM pr),
+       |pb1 AS (SELECT tok, ${mix64("poly")} AS hr FROM pb0),
+       |pb2 AS (SELECT tok, ${xor64("hr", seed.toString)} AS z0 FROM pb1),
+       |pb3 AS (SELECT tok, ${mix64("z0")} AS base FROM pb2),
+       |pk AS (SELECT tok, base, k FROM pb3 CROSS JOIN (SELECT unnest(range(0, $numHashes)) AS k)),
+       |pz AS (SELECT tok, k, ${xor64("base", s"($seed + k)")} AS z0 FROM pk),
+       |pi AS (SELECT tok, (${mix64("z0")}) % $numBits AS bit FROM pz)
+       |SELECT pi.tok AS token, count(bits.bit) = $numHashes AS maybe_present
+       |FROM pi LEFT JOIN bits ON pi.bit = bits.bit
+       |GROUP BY pi.tok""".stripMargin
+  }
+
   /** (doc_id, shard, shard_pos): deterministic shuffle-shard — mirrors
     * [[graft.operators.Ops.shuffleShard]]: shard = splitmix64(id, seed) mod
     * k (signed pmod), within-shard order by the SIGNED seed+1 hash then id.

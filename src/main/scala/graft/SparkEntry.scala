@@ -824,6 +824,18 @@ object SparkEntry {
         .select(col("tok").as("token"), col("approx_count"))
     }),
 
+    // --- Bloom filter membership (bit-exact mirror) ------------------------
+    "stats_bloom" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val bits = Sketch.bloomBits(toks, "tok")
+      val probes = s.range(1).select(
+        explode(array(lit("table"), lit("spark"), lit("window"), lit("zebra"),
+          lit("qqxyzzy"))).as("tok"))
+      Sketch.bloomContains(bits, probes, "tok")
+        .select(col("tok").as("token"), col("maybe_present"))
+    }),
+
     // --- HyperLogLog distinct sketch (register-exact mirror) ---------------
     "stats_hll" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1315,6 +1327,8 @@ object SparkEntry {
         |SELECT lang, doc_id, n_chars, rank_in_group FROM r WHERE rank_in_group <= 3""".stripMargin,
     "stats_hll" -> OracleSql.statsHll(),
     "stats_cms" -> OracleSql.statsCms(Seq("table", "spark", "window", "zebra")),
+    "stats_bloom" -> OracleSql.statsBloom(
+      Seq("table", "spark", "window", "zebra", "qqxyzzy")),
     "data_shard" -> OracleSql.dataShard(shards = 8),
     "stats_quantile" -> OracleSql.statsQuantile("lineitem", "l_extendedprice",
       bins = 128, qs = Seq(0.25, 0.5, 0.9, 0.99)),

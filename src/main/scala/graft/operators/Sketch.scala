@@ -200,6 +200,62 @@ object Sketch {
       .groupBy("q").agg(min_by(col("__est"), col("__b")).as("quantile"))
   }
 
+  // ---- Bloom filter --------------------------------------------------------
+
+  /** Per-row, per-hash bit position for the Bloom filter: the row hash xor'd
+    * with a per-hash seed, remixed, masked to `numBits` (power of two — same
+    * signed/unsigned agreement as [[cmsIdx]]).
+    */
+  private def bloomIdx(h: Column, k: Column, numBits: Int, seed: Long): Column =
+    pmod(mix64_hash(h.bitwiseXOR(lit(seed) + k), 0L), lit(numBits.toLong))
+
+  /** Bloom filter bit set of one column (Bloom 1970, "Space/time trade-offs
+    * in hash coding with allowable errors"): at most `numBits` rows `(bit)` —
+    * the DISTINCT positions set by hashing every value `numHashes` ways. The
+    * mergeable intermediate: persist per shard / per day, [[bloomMerge]]
+    * across shards (bitwise OR ≡ union-distinct), then gate a new batch with
+    * [[bloomContains]] without rescanning the corpus — the membership shape
+    * of incremental decontamination / URL-seen lists at 100 TB: sketch state
+    * is O(numBits) whatever the corpus size, no false negatives, false
+    * positives bounded by (1 − e^(−kn/m))^k.
+    *
+    * Scale shape: one codegen'd projection (hash → numHashes positions) and
+    * one map-side-combined distinct to ≤ `numBits` rows.
+    */
+  def bloomBits(df: DataFrame, valueCol: String, numBits: Int = 1 << 16,
+      numHashes: Int = 5, seed: Long = 42L): DataFrame = {
+    require(numBits >= 2 && (numBits & (numBits - 1)) == 0, "numBits must be a power of two")
+    require(numHashes >= 1 && numHashes <= 16, "numHashes must be in [1, 16]")
+    val h = hash64(df.schema(valueCol).dataType, col(valueCol), seed)
+    df.where(col(valueCol).isNotNull)
+      .select(h.as("__h"), explode(lit((0 until numHashes).toArray)).as("__k"))
+      .select(bloomIdx(col("__h"), col("__k"), numBits, seed).as("bit"))
+      .distinct()
+  }
+
+  /** Merges bit sets of the SAME (numBits, numHashes, seed): union-distinct
+    * (the relational bitwise OR).
+    */
+  def bloomMerge(regs: DataFrame*): DataFrame =
+    regs.reduce(_ unionByName _).distinct()
+
+  /** Membership queries against a bit set: for each probe row, `maybe_present`
+    * = all `numHashes` positions of its `valueCol` are set. False means
+    * definitely absent (the no-false-negative guarantee); true is approximate.
+    * Probe values must be distinct. The bit table is bounded by `numBits`,
+    * so the join broadcasts; probes never rescan the sketched corpus.
+    */
+  def bloomContains(regs: DataFrame, probes: DataFrame, valueCol: String,
+      numBits: Int = 1 << 16, numHashes: Int = 5, seed: Long = 42L): DataFrame = {
+    val h = hash64(probes.schema(valueCol).dataType, col(valueCol), seed)
+    val pd = probes.where(col(valueCol).isNotNull)
+      .select(col(valueCol), h.as("__h"), explode(lit((0 until numHashes).toArray)).as("__k"))
+      .select(col(valueCol), bloomIdx(col("__h"), col("__k"), numBits, seed).as("bit"))
+    pd.join(broadcast(regs.withColumn("__set", lit(1))), Seq("bit"), "left")
+      .groupBy(col(valueCol))
+      .agg((count(col("__set")) === lit(numHashes.toLong)).as("maybe_present"))
+  }
+
   /** Point frequency queries against a register table: for each probe row,
     * the count-min estimate of its `valueCol` frequency — min over the
     * `depth` counters the value hashes to, 0 when a counter is absent

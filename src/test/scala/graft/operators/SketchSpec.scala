@@ -127,4 +127,29 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     val mass = regs.groupBy("d").agg(sum("c").as("m")).select("m").as[Long].collect()
     assert(mass.length == 3 && mass.forall(_ == 200000L))
   }
+
+  test("bloom: no false negatives; absent values mostly reject; false-positive rate near theory") {
+    val members = spark.range(0, 2000).select(concat(lit("in"), col("id")).as("v"))
+    val bits = Sketch.bloomBits(members, "v", numBits = 1 << 15, numHashes = 5)
+    // every member must test present (the structural guarantee)
+    val inRes = Sketch.bloomContains(bits, members, "v", numBits = 1 << 15, numHashes = 5)
+    assert(inRes.where(!col("maybe_present")).count() == 0)
+    // absent probes: fp rate ≈ (1 - e^(-kn/m))^k ≈ 0.0043 at k=5 n=2000 m=32768
+    val out = spark.range(0, 2000).select(concat(lit("out"), col("id")).as("v"))
+    val fp = Sketch.bloomContains(bits, out, "v", numBits = 1 << 15, numHashes = 5)
+      .where(col("maybe_present")).count()
+    assert(fp < 40, s"false positives $fp / 2000")
+  }
+
+  test("bloom bit sets merge: union-distinct of halves == whole") {
+    val all = spark.range(0, 1000).select(concat(lit("m"), col("id")).as("v"))
+    val whole = Sketch.bloomBits(all, "v")
+    val merged = Sketch.bloomMerge(
+      Sketch.bloomBits(all.where(col("v") < "m5"), "v"),
+      Sketch.bloomBits(all.where(col("v") >= "m5"), "v"))
+    assert(merged.orderBy("bit").collect().toSeq == whole.orderBy("bit").collect().toSeq)
+    // bit table bounded by numBits; nulls ignored
+    val withNull = all.union(spark.range(1).select(lit(null).cast("string").as("v")))
+    assert(Sketch.bloomBits(withNull, "v").count() == whole.count())
+  }
 }
