@@ -481,6 +481,26 @@ object SparkEntry {
           sum("n_events").as("n_events_total"),
           round(sum("value_sum"), 4).as("value_total"))),
 
+    // --- as-of join: each purchase ↔ its latest at-or-before click --------
+    "events_asof" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"), col("value"))
+      // unmatched-left payload nulls become sentinels: the gate's tuple
+      // compare (and possibly the driver's hash) treats NaN != NaN, so a
+      // genuinely-null double column can never MATCH
+      Ops.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+          rightCols = Seq("click_id", "value", "ts"), rightTieCol = Some("click_id"))
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("purchase_value"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(round(col("value_right"), 4), lit(-1.0)).as("click_value"),
+          coalesce(unix_micros(col("ts")) - unix_micros(col("ts_right")), lit(-1L))
+            .as("lag_us"))
+    }),
+
     // --- osm tag filter (erde/op/osm.py re-expressed) ----------------------
     "osm_tagfilter" -> ((s, dir) => {
       val elements = t(s, dir, "part").select(
@@ -1137,6 +1157,16 @@ object SparkEntry {
         |SELECT user_id, count(DISTINCT sess) AS n_sessions,
         |  count(*) AS n_events_total, round(sum(value), 4) AS value_total
         |FROM s GROUP BY user_id""".stripMargin,
+    "events_asof" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |          WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS click_id, user_id, ts, value FROM events
+        |          WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, round(p.value, 4) AS purchase_value,
+        |       coalesce(c.click_id, -1) AS click_id,
+        |       coalesce(round(c.value, 4), -1.0) AS click_value,
+        |       coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS lag_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
     "osm_tagfilter" ->
       """WITH e AS (SELECT p_partkey AS osm_id, p_brand, p_type,
         |  CASE (p_partkey % 3) WHEN 0 THEN 'n' WHEN 1 THEN 'w' ELSE 'r' END AS type

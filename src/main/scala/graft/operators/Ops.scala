@@ -188,6 +188,103 @@ object Ops {
       .where(col("rank_in_group") <= k)
   }
 
+  /** As-of (point-in-time) join: for each left row, attach the payload of the
+    * single right row with the same `on` keys whose `rightTime` is the nearest
+    * at-or-before (`direction = "backward"`) or at-or-after (`"forward"`) the
+    * left row's `leftTime` — pandas `merge_asof` / DuckDB `ASOF JOIN`
+    * semantics, left-outer (unmatched left rows keep null payload).
+    *
+    * Spark-first as the union-sort idiom rather than a range join: both sides
+    * are projected onto a common shape, unioned, and scanned once per key in
+    * time order with a running `last(payload, ignoreNulls)` window — the
+    * most-recent-eligible right row "fills forward" onto each left row. One
+    * hash exchange on `on` plus a per-key sort; no join explosion, no
+    * per-left-row right-side probe, and the running frame is evaluated
+    * incrementally (never buffers the whole history). At 100 TB this is the
+    * shape that survives: cost is O(|L|+|R|) through one shuffle, vs the
+    * O(|L|·|R|) blowup of the naive time-inequality join. A single extremely
+    * hot key serializes its sort into one task — pre-split such keys by a
+    * coarse time bucket and fix up the boundary rows if that ever binds.
+    *
+    * Determinism: equal (`on`, time) ties between left and right rows are
+    * resolved by `allowExactMatches` (true ⇒ an equal-time right row is
+    * eligible); ties AMONG right rows at the same instant are broken by
+    * `rightTieCol` (max wins) when given, otherwise the pick among identical
+    * instants is scan-order-dependent — pass a tie column for fully
+    * deterministic output. `tolerance` (same units as a double cast of the
+    * time columns: seconds for timestamps) nulls out matches further than
+    * that from the left row, still keeping the left row.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String],
+      direction: String = "backward",
+      allowExactMatches: Boolean = true,
+      tolerance: Option[Double] = None,
+      rightTieCol: Option[String] = None,
+      suffix: String = "_right"): DataFrame = {
+    require(on.nonEmpty, "asofJoin needs at least one equi-key column")
+    require(direction == "backward" || direction == "forward",
+      "direction must be 'backward' or 'forward'")
+    require(rightCols.nonEmpty, "rightCols must name at least one payload column")
+    rightTieCol.foreach(tc =>
+      require(rightCols.contains(tc), "rightTieCol must be one of rightCols"))
+
+    // payload travels as ONE struct (right time first, for the tolerance
+    // check) so the window pick is atomic — never fields stitched from
+    // different right rows
+    val payStruct = struct(
+      col(rightTime).as("__rt") +: rightCols.map(c => col(c).as(c)): _*)
+    val payType = right.select(payStruct.as("__pay")).schema("__pay").dataType
+    val lrowType = left.select(struct(left.columns.map(col): _*).as("__lrow"))
+      .schema("__lrow").dataType
+
+    val lPart = left.select(
+      on.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side"),
+        struct(left.columns.map(col): _*).as("__lrow"),
+        lit(null).cast(payType).as("__pay")): _*)
+    val rPart = right.select(
+      on.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+        lit(null).cast(lrowType).as("__lrow"),
+        payStruct.as("__pay")): _*)
+
+    // scan order: backward walks time ascending (forward descending) so the
+    // running last() always holds the nearest eligible right row; the side
+    // key decides whether an equal-time right row lands before (eligible) or
+    // after (excluded) the left rows at that instant
+    val tOrd = if (direction == "backward") col("__t").asc else col("__t").desc
+    val sOrd = if (allowExactMatches) col("__side").asc else col("__side").desc
+    val tie = rightTieCol.map(tc => col("__pay").getField(tc).asc).toSeq
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(on.map(col): _*)
+      .orderBy(tOrd +: sOrd +: tie: _*)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+
+    val matched = lPart.unionByName(rPart)
+      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    val inTol = tolerance match {
+      case Some(tol) =>
+        abs(col("__t").cast("double") - col("__match").getField("__rt").cast("double")) <= lit(tol)
+      case None => lit(true)
+    }
+    val gated = matched.withColumn("__match",
+      when(col("__match").isNotNull && inTol, col("__match")))
+
+    val leftNames = left.columns.toSet
+    val outCols =
+      left.columns.toSeq.map(c => col("__lrow").getField(c).as(c)) ++
+        rightCols.map { c =>
+          val name = if (leftNames(c)) c + suffix else c
+          col("__match").getField(c).as(name)
+        }
+    gated.select(outCols: _*)
+  }
+
   /** Writes a bucketed+sorted table so repeated equi-joins/aggregations on
     * `key` are exchange-free (Spark bucketing: both sides pre-partitioned on
     * disk, the join plan has no shuffle). The 100 TB pattern for fact-to-fact

@@ -13,7 +13,10 @@ package object graft {
   def readTable(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(tablePath(dir, name))
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      // `div`, not `/`: Spark's `/` is double division, and a 2024-epoch
+      // nanosecond count (~1.7e18) exceeds double's 2^53 integer range, so
+      // the quotient wobbles ±1 µs vs DuckDB's exact epoch_us truncation.
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

@@ -149,4 +149,83 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     val firstIds = out.filter(_._3 == 1).map(_._1).toSet
     assert(firstIds.size == 8)
   }
+
+  private def asofLeft = Seq(
+    ("a", 5L, "L5"), ("a", 10L, "L10"), ("a", 20L, "L20"), ("b", 10L, "Lb")
+  ).toDF("k", "t", "lv")
+
+  private def asofRight = Seq(
+    ("a", 3L, "R3"), ("a", 10L, "R10"), ("a", 15L, "R15"), ("b", 50L, "R50")
+  ).toDF("k", "t", "rv")
+
+  test("asofJoin backward: nearest at-or-before match, left-outer") {
+    val out = Ops.asofJoin(asofLeft, asofRight, Seq("k"), "t", "t", Seq("rv", "t"))
+      .select("k", "t", "lv", "rv", "t_right")
+      .as[(String, Long, String, Option[String], Option[Long])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      ("a", 5L, "L5", Some("R3"), Some(3L)),
+      ("a", 10L, "L10", Some("R10"), Some(10L)), // exact match eligible
+      ("a", 20L, "L20", Some("R15"), Some(15L)),
+      ("b", 10L, "Lb", None, None)))             // nothing at-or-before
+  }
+
+  test("asofJoin: allowExactMatches=false skips the equal-instant row") {
+    val out = Ops.asofJoin(asofLeft, asofRight, Seq("k"), "t", "t", Seq("rv"),
+        allowExactMatches = false)
+      .select("k", "t", "rv").as[(String, Long, Option[String])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      ("a", 5L, Some("R3")),
+      ("a", 10L, Some("R3")),  // R10 excluded, falls back to R3
+      ("a", 20L, Some("R15")),
+      ("b", 10L, None)))
+  }
+
+  test("asofJoin forward: nearest at-or-after match") {
+    val out = Ops.asofJoin(asofLeft, asofRight, Seq("k"), "t", "t", Seq("rv"),
+        direction = "forward")
+      .select("k", "t", "rv").as[(String, Long, Option[String])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      ("a", 5L, Some("R10")),
+      ("a", 10L, Some("R10")),
+      ("a", 20L, None),        // nothing at-or-after
+      ("b", 10L, Some("R50"))))
+  }
+
+  test("asofJoin: tolerance nulls far matches but keeps the left row") {
+    val out = Ops.asofJoin(asofLeft, asofRight, Seq("k"), "t", "t", Seq("rv"),
+        tolerance = Some(4.0))
+      .select("k", "t", "rv").as[(String, Long, Option[String])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      ("a", 5L, Some("R3")),   // lag 2 <= 4
+      ("a", 10L, Some("R10")), // lag 0
+      ("a", 20L, None),        // lag 5 > 4 -> nulled
+      ("b", 10L, None)))
+  }
+
+  test("asofJoin: rightTieCol breaks equal-instant right ties; stable across partitionings") {
+    val right = Seq(("a", 15L, "first", 1L), ("a", 15L, "second", 2L))
+      .toDF("k", "t", "rv", "rid")
+    val left = Seq(("a", 20L, "L")).toDF("k", "t", "lv")
+    def run(r: org.apache.spark.sql.DataFrame) =
+      Ops.asofJoin(left, r, Seq("k"), "t", "t", Seq("rv", "rid"),
+          rightTieCol = Some("rid"))
+        .select("rv", "rid").as[(String, Long)].collect().toSeq
+    assert(run(right) == Seq(("second", 2L)))          // max rid wins
+    assert(run(right.repartition(7)) == Seq(("second", 2L)))
+  }
+
+  test("asofJoin: payload is atomic (fields never stitched across right rows)") {
+    // two right rows straddle the left instant; every payload field must come
+    // from the SAME picked row
+    val right = Seq(("a", 8L, "x8", 80L), ("a", 9L, "x9", 90L))
+      .toDF("k", "t", "rv", "rx")
+    val left = Seq(("a", 10L, "L")).toDF("k", "t", "lv")
+    val out = Ops.asofJoin(left, right, Seq("k"), "t", "t", Seq("rv", "rx"))
+      .select("rv", "rx").as[(String, Long)].collect().toSeq
+    assert(out == Seq(("x9", 90L)))
+  }
 }
