@@ -856,6 +856,32 @@ object SparkEntry {
         .select(col("tok").as("token"), col("maybe_present"))
     }),
 
+    // --- fuzzy (edit-distance) join: PassJoin segments + banded verify -----
+    "fuzzy_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey", "c_name")
+      Joins.fuzzyJoin(c, c, "c_name", "c_name", 1, "c_custkey", "c_custkey")
+        .where(col("c_custkey") =!= col("c_custkey_right"))
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_similar"),
+          min("c_custkey_right").as("min_similar"))
+    }),
+
+    // --- interval overlap join: bucketed range join, exactly-once pairs ----
+    "interval_join" -> ((s, dir) => {
+      val f = t(s, dir, "lineitem").select(
+        col("l_suppkey").as("k"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("iid"),
+        datediff(col("l_shipdate").cast("date"), to_date(lit("1992-01-01"))).as("s0"),
+        (datediff(col("l_shipdate").cast("date"), to_date(lit("1992-01-01")))
+          + floor(col("l_quantity")).cast("int")).as("e0"),
+        col("l_quantity").as("q"))
+      Joins.intervalJoin(f, f, Seq("k"), "s0", "e0", "s0", "e0", bucketWidth = 32.0)
+        .where(col("iid") =!= col("iid_right"))
+        .groupBy("iid")
+        .agg(count(lit(1)).as("n_overlap"),
+          round(sum(col("q_right")), 4).as("qty_overlap_sum"))
+    }),
+
     // --- HyperLogLog distinct sketch (register-exact mirror) ---------------
     "stats_hll" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1359,6 +1385,26 @@ object SparkEntry {
     "stats_cms" -> OracleSql.statsCms(Seq("table", "spark", "window", "zebra")),
     "stats_bloom" -> OracleSql.statsBloom(
       Seq("table", "spark", "window", "zebra", "qqxyzzy")),
+    "fuzzy_join" ->
+      """SELECT a.c_custkey, count(*) AS n_similar,
+        |       min(b.c_custkey) AS min_similar
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey <> b.c_custkey
+        | AND levenshtein(a.c_name, b.c_name) <= 1
+        |GROUP BY a.c_custkey""".stripMargin,
+    "interval_join" ->
+      """WITH f AS (SELECT l_suppkey AS k,
+        |    l_orderkey * 10 + l_linenumber AS iid,
+        |    date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS s0,
+        |    date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+        |      + CAST(floor(l_quantity) AS INT) AS e0,
+        |    l_quantity AS q
+        |  FROM lineitem)
+        |SELECT a.iid, count(*) AS n_overlap,
+        |       round(sum(b.q), 4) AS qty_overlap_sum
+        |FROM f a JOIN f b
+        |  ON a.k = b.k AND a.iid <> b.iid AND a.s0 <= b.e0 AND b.s0 <= a.e0
+        |GROUP BY a.iid""".stripMargin,
     "data_shard" -> OracleSql.dataShard(shards = 8),
     "stats_quantile" -> OracleSql.statsQuantile("lineitem", "l_extendedprice",
       bins = 128, qs = Seq(0.25, 0.5, 0.9, 0.99)),

@@ -130,6 +130,20 @@ case class StringHash64(left: Expression, right: Expression)
 }
 
 /** Column API for the text/vector sketch expressions. */
+case class PassjoinKeys(left: Expression, right: Expression, probe: Boolean)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(t: Any, d: Any): Any =
+    if (probe) TextKernel.passjoinProbe(t.asInstanceOf[UTF8String], d.asInstanceOf[Int])
+    else TextKernel.passjoinIndex(t.asInstanceOf[UTF8String], d.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, d) =>
+      s"${TextExpressions.K}.${if (probe) "passjoinProbe" else "passjoinIndex"}($t, $d)")
+  override def prettyName: String = if (probe) "passjoin_probe" else "passjoin_index"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PassjoinKeys =
+    copy(left = l, right = r)
+}
+
 object TextFunctions {
   private def e(c: Column) = ColumnBridge.expression(c)
   private def c(x: Expression) = ColumnBridge.column(x)
@@ -151,4 +165,8 @@ object TextFunctions {
     c(Mix64Hash(e(v.cast("long")), e(lit(seed))))
   def string_hash64(text: Column, seed: Long): Column =
     c(StringHash64(e(text), e(lit(seed))))
+  def passjoin_index(text: Column, d: Int): Column =
+    c(PassjoinKeys(e(text), e(lit(d)), probe = false))
+  def passjoin_probe(text: Column, d: Int): Column =
+    c(PassjoinKeys(e(text), e(lit(d)), probe = true))
 }

@@ -268,4 +268,74 @@ object TextKernel {
     while (i < k) { if (minima(i) != Long.MaxValue) out = mix64(out ^ minima(i)); i += 1 }
     out
   }
+
+  /** PassJoin segment keys, index side: a length-l string split into d+1
+    * contiguous segments (longer segments first), each emitted as the join
+    * key "slot:l:segment". If ed(s, t) <= d, at most d segments are touched
+    * by an edit, so at least one survives verbatim in t (pigeonhole) —
+    * probing [[passjoinProbe]] against these keys yields a complete
+    * candidate set for an edit-distance threshold join.
+    */
+  def passjoinIndex(text: org.apache.spark.unsafe.types.UTF8String, d: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toString
+    val k = d + 1
+    val l = s.length
+    val base = l / k
+    val rem = l % k
+    val out = new Array[Any](k)
+    var i = 0
+    var start = 0
+    while (i < k) {
+      val len = base + (if (i < rem) 1 else 0)
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(
+        s"$i:$l:${s.substring(start, start + len)}")
+      start += len
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** PassJoin segment keys, probe side: every substring of `text` that could
+    * equal slot i of a length-l index string for l within +-d of |text| and
+    * start within +-d of that segment's home position (each edit shifts
+    * later characters by at most one). Keys are deduped per row; the result
+    * is a compile-time-bounded (d+1)(2d+1)(2d+1) list, NOT a function of
+    * string length, so the probe fan-out stays O(1) per row at any scale.
+    */
+  def passjoinProbe(text: org.apache.spark.unsafe.types.UTF8String, d: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toString
+    val m = s.length
+    val k = d + 1
+    val seen = new java.util.LinkedHashSet[String]
+    var l = math.max(0, m - d)
+    while (l <= m + d) {
+      val base = l / k
+      val rem = l % k
+      var i = 0
+      var segStart = 0
+      while (i < k) {
+        val len = base + (if (i < rem) 1 else 0)
+        var shift = -d
+        while (shift <= d) {
+          val st = segStart + shift
+          if (st >= 0 && st + len <= m)
+            seen.add(s"$i:$l:${s.substring(st, st + len)}")
+          shift += 1
+        }
+        segStart += len
+        i += 1
+      }
+      l += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) {
+      out(j) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

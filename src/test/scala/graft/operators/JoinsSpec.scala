@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+class JoinsSpec extends AnyFunSuite with SparkSpec {
+  import testImplicits._
+
+  // ---- fuzzyJoin --------------------------------------------------------
+
+  private def names = Seq(
+    (1L, "kitten"), (2L, "sitten"), (3L, "sittin"), (4L, "apple"),
+    (5L, "apples"), (6L, "orange"), (7L, "kitten")
+  ).toDF("id", "name")
+
+  /** Brute-force oracle: full cross product + exact Levenshtein. */
+  private def bruteForce(maxDist: Int): Set[(Long, Long, Int)] = {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rows = Seq((1L, "kitten"), (2L, "sitten"), (3L, "sittin"), (4L, "apple"),
+      (5L, "apples"), (6L, "orange"), (7L, "kitten"))
+    (for {
+      (i, a) <- rows; (j, b) <- rows
+      d = lev(a, b) if d <= maxDist && i < j
+    } yield (i, j, d)).toSet
+  }
+
+  test("fuzzyJoin matches the brute-force pair set at d=1 and d=2") {
+    for (d <- Seq(1, 2)) {
+      val got = Joins.fuzzyJoin(names, names, "name", "name", d, "id", "id")
+        .where($"id" < $"id_right")
+        .select("id", "id_right", "edit_dist").as[(Long, Long, Int)]
+        .collect().toSet
+      assert(got == bruteForce(d), s"d=$d")
+    }
+  }
+
+  test("fuzzyJoin: exact duplicates pair at distance 0") {
+    val got = Joins.fuzzyJoin(names, names, "name", "name", 1, "id", "id")
+      .where($"id" < $"id_right" && $"edit_dist" === 0)
+      .select("id", "id_right").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 7L)))
+  }
+
+  test("fuzzyJoin: each qualifying pair is emitted exactly once") {
+    val out = Joins.fuzzyJoin(names, names, "name", "name", 2, "id", "id")
+      .select("id", "id_right").as[(Long, Long)].collect().toSeq
+    assert(out.size == out.toSet.size)
+  }
+
+  test("fuzzyJoin: length difference beyond d prunes without verify") {
+    val l = Seq((1L, "ab")).toDF("id", "s")
+    val r = Seq((9L, "abcdef")).toDF("id", "s")
+    assert(Joins.fuzzyJoin(l, r, "s", "s", 2, "id", "id").count() == 0)
+  }
+
+  test("fuzzyJoin: two-sided join carries both payloads with suffix") {
+    val l = Seq((1L, "color", "L")).toDF("id", "word", "tag")
+    val r = Seq((2L, "colour", "R")).toDF("id", "word", "tag")
+    val out = Joins.fuzzyJoin(l, r, "word", "word", 1, "id", "id")
+      .select("id", "word", "tag", "id_right", "word_right", "tag_right", "edit_dist")
+      .as[(Long, String, String, Long, String, String, Int)].collect().toSeq
+    assert(out == Seq((1L, "color", "L", 2L, "colour", "R", 1)))
+  }
+
+  test("fuzzyJoin: short strings (below d+1 chars) still join correctly") {
+    val l = Seq((1L, "a"), (2L, "xy")).toDF("id", "s")
+    val r = Seq((3L, "b"), (4L, "x")).toDF("id", "s")
+    val got = Joins.fuzzyJoin(l, r, "s", "s", 1, "id", "id")
+      .select("id", "id_right", "edit_dist").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(got == Set((1L, 3L, 1), (1L, 4L, 1), (2L, 4L, 1)))
+  }
+
+  // ---- intervalJoin -----------------------------------------------------
+
+  private def lIv = Seq(
+    ("u1", 1L, 0.0, 10.0), ("u1", 2L, 20.0, 30.0), ("u2", 3L, 0.0, 5.0)
+  ).toDF("k", "id", "s", "e")
+
+  private def rIv = Seq(
+    ("u1", 11L, 5.0, 15.0),   // overlaps id=1
+    ("u1", 12L, 30.0, 40.0),  // touches id=2 at the closed endpoint
+    ("u1", 13L, 11.0, 19.0),  // gap: overlaps nothing
+    ("u2", 14L, 4.0, 4.5),    // inside id=3
+    ("u3", 15L, 0.0, 100.0)   // no matching key
+  ).toDF("k", "id", "s", "e")
+
+  private def pairsOf(w: Double): Set[(Long, Long)] =
+    Joins.intervalJoin(lIv, rIv, Seq("k"), "s", "e", "s", "e", w)
+      .select("id", "id_right").as[(Long, Long)].collect().toSet
+
+  test("intervalJoin: closed-interval overlap semantics per key") {
+    assert(pairsOf(8.0) == Set((1L, 11L), (2L, 12L), (3L, 14L)))
+  }
+
+  test("intervalJoin: pair set is bucket-width invariant and duplicate-free") {
+    val expected = Set((1L, 11L), (2L, 12L), (3L, 14L))
+    for (w <- Seq(1.0, 3.0, 8.0, 50.0, 1000.0)) {
+      val out = Joins.intervalJoin(lIv, rIv, Seq("k"), "s", "e", "s", "e", w)
+        .select("id", "id_right").as[(Long, Long)].collect().toSeq
+      assert(out.toSet == expected, s"w=$w")
+      assert(out.size == expected.size, s"w=$w emitted duplicates")
+    }
+  }
+
+  test("intervalJoin: self-join on the same frame resolves without ambiguity") {
+    val out = Joins.intervalJoin(lIv, lIv, Seq("k"), "s", "e", "s", "e", 8.0)
+      .where($"id" < $"id_right")
+      .select("id", "id_right").as[(Long, Long)].collect().toSet
+    assert(out == Set.empty) // the three left intervals are pairwise disjoint
+  }
+
+  test("intervalJoin: no keys means a pure range join across all rows") {
+    val out = Joins.intervalJoin(lIv, rIv, Seq.empty, "s", "e", "s", "e", 8.0)
+      .select("id", "id_right").as[(Long, Long)].collect().toSet
+    // u3's [0,100] interval now overlaps every left interval
+    assert(out == Set((1L, 11L), (2L, 12L), (3L, 14L),
+      (1L, 15L), (2L, 15L), (3L, 15L), (3L, 11L), (1L, 14L)))
+  }
+
+  test("intervalJoin: negative coordinates bucket correctly") {
+    val l = Seq(("k", 1L, -25.0, -12.0)).toDF("k", "id", "s", "e")
+    val r = Seq(("k", 2L, -13.0, -1.0), ("k", 3L, -11.9, 0.0)).toDF("k", "id", "s", "e")
+    assert(Joins.intervalJoin(l, r, Seq("k"), "s", "e", "s", "e", 10.0)
+      .select("id", "id_right").as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+  }
+}
