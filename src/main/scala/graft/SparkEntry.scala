@@ -858,12 +858,12 @@ object SparkEntry {
 
     // --- fuzzy (edit-distance) join: PassJoin segments + banded verify -----
     "fuzzy_join" -> ((s, dir) => {
-      val c = t(s, dir, "customer").select("c_custkey", "c_name")
-      Joins.fuzzyJoin(c, c, "c_name", "c_name", 1, "c_custkey", "c_custkey")
-        .where(col("c_custkey") =!= col("c_custkey_right"))
-        .groupBy("c_custkey")
+      val p = t(s, dir, "part").select("p_partkey", "p_name")
+      Joins.fuzzyJoin(p, p, "p_name", "p_name", 1)
+        .where(col("p_partkey") =!= col("p_partkey_right"))
+        .groupBy("p_partkey")
         .agg(count(lit(1)).as("n_similar"),
-          min("c_custkey_right").as("min_similar"))
+          min("p_partkey_right").as("min_similar"))
     }),
 
     // --- interval overlap join: bucketed range join, exactly-once pairs ----
@@ -1386,12 +1386,12 @@ object SparkEntry {
     "stats_bloom" -> OracleSql.statsBloom(
       Seq("table", "spark", "window", "zebra", "qqxyzzy")),
     "fuzzy_join" ->
-      """SELECT a.c_custkey, count(*) AS n_similar,
-        |       min(b.c_custkey) AS min_similar
-        |FROM customer a JOIN customer b
-        |  ON a.c_custkey <> b.c_custkey
-        | AND levenshtein(a.c_name, b.c_name) <= 1
-        |GROUP BY a.c_custkey""".stripMargin,
+      """SELECT a.p_partkey, count(*) AS n_similar,
+        |       min(b.p_partkey) AS min_similar
+        |FROM part a JOIN part b
+        |  ON a.p_partkey <> b.p_partkey
+        | AND levenshtein(a.p_name, b.p_name) <= 1
+        |GROUP BY a.p_partkey""".stripMargin,
     "interval_join" ->
       """WITH f AS (SELECT l_suppkey AS k,
         |    l_orderkey * 10 + l_linenumber AS iid,

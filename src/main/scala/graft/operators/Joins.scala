@@ -30,22 +30,32 @@ object Joins {
     * `functions.levenshtein(_, _, threshold)` (codegen'd, band-limited with
     * early exit) verifies survivors.
     *
-    * Cost: the probe fan-out is a compile-time constant —
-    * (d+1) slots x (2d+1) lengths x (2d+1) starts, 18 keys at d=1, 75 at
-    * d=2 — and the index side emits d+1 rows per string, so both sides stay
-    * O(n) and the join is an ordinary shuffled/broadcast hash join; there
-    * is no O(n*m) comparison stage anywhere. Key skew: a segment that is a
-    * very common substring ("Customer#") floods one bucket — mitigated
-    * because segments cover the WHOLE string (the discriminating tail digit
-    * segments spread the load), and the verify is O(d * len) per candidate.
-    * At 100 TB the knobs are d (keep <= 3) and pre-deduping identical
-    * strings before the join (exact-dup collapse, same policy as the
-    * minhash family).
+    * Cost: the whole join runs at DISTINCT-VALUE granularity — both sides
+    * collapse to their distinct strings first (the exact-dup collapse, same
+    * policy as the minhash family), candidates are generated per distinct
+    * value, and verified value pairs re-expand to rows through two plain
+    * equi-joins on the string. Repeated values (fixed vocab, boilerplate
+    * fields) therefore cost ONE candidate row each, not one per occurrence.
+    * The probe fan-out is a compile-time constant — (d+1) slots x (2d+1)
+    * lengths x (2d+1) starts, 18 keys at d=1, 75 at d=2 — and the index
+    * side emits d+1 rows per value, so both sides stay O(distinct) and the
+    * join is an ordinary shuffled/broadcast hash join; there is no O(n*m)
+    * comparison stage anywhere. Two residual scale hazards at 100 TB:
+    * (1) DISTINCT values sharing a long common run (fixed-format ids like
+    * "Customer#00001729") collide on the shared segment's key, and
+    * candidates within such a family are inherently quadratic for any
+    * single-segment pigeonhole scheme — the banded verify sits as a
+    * streaming codegen'd filter right behind the hash join (bounded memory,
+    * O(d*len) per candidate; dedup-then-verify OOMed on exactly this shape
+    * at 10x), so the cost is CPU-linear in candidates, never a buffered
+    * shuffle; (2) the re-expansion joins key on the string value, so a
+    * value occurring k times on both sides legitimately emits k^2 pairs —
+    * aggregate at value granularity upstream if row-level pairs aren't
+    * needed. Keep d <= 3.
     *
-    * Pairs are deduped on (`leftId`, `rightId`) BEFORE the verify (a string
-    * pair can collide on several slots), so id columns must uniquely key
-    * their frames. Self-join: pass the same frame twice and filter
-    * `leftId < rightId` afterwards.
+    * A value pair can collide on several slots, so verified pairs are
+    * deduped on the value pair before re-expansion. Self-join: pass the
+    * same frame twice and filter on an id afterwards.
     */
   def fuzzyJoin(
       left: DataFrame,
@@ -53,40 +63,38 @@ object Joins {
       leftCol: String,
       rightCol: String,
       maxDist: Int,
-      leftId: String,
-      rightId: String,
       suffix: String = "_right"): DataFrame = {
     require(maxDist >= 1 && maxDist <= 5, "maxDist must be in [1, 5]")
     import graft.functions.TextFunctions.{passjoin_index, passjoin_probe}
 
-    // candidate keys come from one codegen'd kernel call per row (a
-    // column-expression expansion of the (d+1)(2d+1)(2d+1) probe grid blew
-    // past janino's method-size limit and dropped the stage to interpreted)
+    // candidate keys come from one codegen'd kernel call per distinct value
+    // (a column-expression expansion of the (d+1)(2d+1)(2d+1) probe grid
+    // blew past janino's method-size limit and dropped the stage to
+    // interpreted)
     val rKeyed = right
       .where(col(rightCol).isNotNull)
-      .select(col(rightId).as("__rid"), col(rightCol).as("__rstr"),
-        explode(passjoin_index(col(rightCol), maxDist)).as("__seg"))
+      .select(col(rightCol).as("__rstr")).distinct()
+      .select(col("__rstr"), explode(passjoin_index(col("__rstr"), maxDist)).as("__seg"))
     val lKeyed = left
       .where(col(leftCol).isNotNull)
-      .select(col(leftId).as("__lid"), col(leftCol).as("__lstr"),
-        explode(passjoin_probe(col(leftCol), maxDist)).as("__seg"))
+      .select(col(leftCol).as("__lstr")).distinct()
+      .select(col("__lstr"), explode(passjoin_probe(col("__lstr"), maxDist)).as("__seg"))
 
-    val pairs = lKeyed
+    val valuePairs = lKeyed
       .join(rKeyed, Seq("__seg"))
-      .select("__lid", "__rid", "__lstr", "__rstr")
-      .dropDuplicates("__lid", "__rid")
       .withColumn("__dist", levenshtein(col("__lstr"), col("__rstr"), maxDist))
       .where(col("__dist") >= 0) // threshold form returns -1 when above d
-      .select(col("__lid"), col("__rid"), col("__dist"))
+      .select("__lstr", "__rstr", "__dist")
+      .dropDuplicates("__lstr", "__rstr")
 
-    // join payloads back by id (ids uniquely key their frames); alias
-    // qualifiers keep the self-join case (left eq right) unambiguous
+    // re-expand value pairs to row pairs; alias qualifiers keep the
+    // self-join case (left eq right) unambiguous
     val lAl = left.alias("__fj_l")
     val rAl = right.alias("__fj_r")
     val leftNames = left.columns.toSet
-    pairs
-      .join(lAl, col("__lid") === col(s"__fj_l.$leftId"))
-      .join(rAl, col("__rid") === col(s"__fj_r.$rightId"))
+    valuePairs
+      .join(lAl, col("__lstr") === col(s"__fj_l.$leftCol"))
+      .join(rAl, col("__rstr") === col(s"__fj_r.$rightCol"))
       .select(left.columns.toSeq.map(c => col(s"__fj_l.$c").as(c)) ++
         right.columns.toSeq.map { c =>
           col(s"__fj_r.$c").as(if (leftNames(c)) c + suffix else c)

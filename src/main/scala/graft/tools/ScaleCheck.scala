@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, OsmFilter, SJoin, Similarity}
+import graft.operators.{Dedup, Joins, Ops, OsmFilter, SJoin, Similarity}
 
 /** Scale validation for the join/dedup/similarity tier:
   * `runMain graft.tools.ScaleCheck [sfDir] [factor]`.
@@ -151,6 +151,55 @@ object ScaleCheck {
     pair("osm_assemble")(
       OsmFilter.assemble(osm1),
       OsmFilter.assemble(osmN))
+
+    // join tier: copies get fresh keys (users/customers/suppliers), the
+    // honest 100 TB shape — more data means more keys at constant per-key
+    // density, so output and per-task state must stay O(copy count)
+    val ev = graft.readTable(spark, sfDir, "events")
+      .select("event_id", "user_id", "ts", "value", "event_type")
+    def evCopy(i: Int) = ev.select(
+      (col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+      (col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
+      col("ts"), col("value"), col("event_type"))
+    def asofOf(e: DataFrame) = {
+      val p = e.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val c = e.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"), col("value"))
+      Ops.asofJoin(p, c, Seq("user_id"), "ts", "ts",
+        rightCols = Seq("click_id", "value", "ts"), rightTieCol = Some("click_id"))
+    }
+    pair("asof_join")(
+      asofOf(evCopy(0)),
+      asofOf((0 until factor).map(evCopy).reduce(_ unionByName _)))
+
+    // names are letter-permuted per copy (distance >> 1 across copies), so
+    // cross-copy values never collide and pair volume stays per-copy-local
+    val parts = graft.readTable(spark, sfDir, "part").select("p_partkey", "p_name")
+    def partCopy(i: Int) = parts.select(
+      (col("p_partkey") + lit(i.toLong * 100000000L)).as("p_partkey"),
+      permuted(col("p_name"), i).as("p_name"))
+    def fuzzyOf(c: DataFrame) =
+      Joins.fuzzyJoin(c, c, "p_name", "p_name", 1)
+        .where(col("p_partkey") =!= col("p_partkey_right"))
+    pair("fuzzy_join")(
+      fuzzyOf(partCopy(0)),
+      fuzzyOf((0 until factor).map(partCopy).reduce(_ unionByName _)))
+
+    val ivBase = graft.readTable(spark, sfDir, "lineitem").select(
+      col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      datediff(col("l_shipdate").cast("date"), to_date(lit("1992-01-01"))).as("s0"),
+      col("l_quantity"))
+    def ivCopy(i: Int) = ivBase.select(
+      (col("l_suppkey") + lit(i.toLong * 1000000L)).as("k"),
+      (col("l_orderkey") * 10 + col("l_linenumber") + lit(i.toLong * 1000000000L)).as("iid"),
+      col("s0"), (col("s0") + floor(col("l_quantity")).cast("int")).as("e0"))
+    def ivOf(f: DataFrame) =
+      Joins.intervalJoin(f, f, Seq("k"), "s0", "e0", "s0", "e0", bucketWidth = 32.0)
+        .where(col("iid") =!= col("iid_right"))
+    pair("interval_join")(
+      ivOf(ivCopy(0)),
+      ivOf((0 until factor).map(ivCopy).reduce(_ unionByName _)))
 
     println(f"\n${"operator"}%-18s ${"1x"}%8s ${s"${factor}x"}%8s ${"ratio"}%7s  (linear = $factor)")
     results.foreach { case (name, (a, b)) =>

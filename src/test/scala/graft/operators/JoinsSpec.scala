@@ -34,7 +34,7 @@ class JoinsSpec extends AnyFunSuite with SparkSpec {
 
   test("fuzzyJoin matches the brute-force pair set at d=1 and d=2") {
     for (d <- Seq(1, 2)) {
-      val got = Joins.fuzzyJoin(names, names, "name", "name", d, "id", "id")
+      val got = Joins.fuzzyJoin(names, names, "name", "name", d)
         .where($"id" < $"id_right")
         .select("id", "id_right", "edit_dist").as[(Long, Long, Int)]
         .collect().toSet
@@ -43,14 +43,14 @@ class JoinsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("fuzzyJoin: exact duplicates pair at distance 0") {
-    val got = Joins.fuzzyJoin(names, names, "name", "name", 1, "id", "id")
+    val got = Joins.fuzzyJoin(names, names, "name", "name", 1)
       .where($"id" < $"id_right" && $"edit_dist" === 0)
       .select("id", "id_right").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 7L)))
   }
 
   test("fuzzyJoin: each qualifying pair is emitted exactly once") {
-    val out = Joins.fuzzyJoin(names, names, "name", "name", 2, "id", "id")
+    val out = Joins.fuzzyJoin(names, names, "name", "name", 2)
       .select("id", "id_right").as[(Long, Long)].collect().toSeq
     assert(out.size == out.toSet.size)
   }
@@ -58,13 +58,13 @@ class JoinsSpec extends AnyFunSuite with SparkSpec {
   test("fuzzyJoin: length difference beyond d prunes without verify") {
     val l = Seq((1L, "ab")).toDF("id", "s")
     val r = Seq((9L, "abcdef")).toDF("id", "s")
-    assert(Joins.fuzzyJoin(l, r, "s", "s", 2, "id", "id").count() == 0)
+    assert(Joins.fuzzyJoin(l, r, "s", "s", 2).count() == 0)
   }
 
   test("fuzzyJoin: two-sided join carries both payloads with suffix") {
     val l = Seq((1L, "color", "L")).toDF("id", "word", "tag")
     val r = Seq((2L, "colour", "R")).toDF("id", "word", "tag")
-    val out = Joins.fuzzyJoin(l, r, "word", "word", 1, "id", "id")
+    val out = Joins.fuzzyJoin(l, r, "word", "word", 1)
       .select("id", "word", "tag", "id_right", "word_right", "tag_right", "edit_dist")
       .as[(Long, String, String, Long, String, String, Int)].collect().toSeq
     assert(out == Seq((1L, "color", "L", 2L, "colour", "R", 1)))
@@ -73,7 +73,7 @@ class JoinsSpec extends AnyFunSuite with SparkSpec {
   test("fuzzyJoin: short strings (below d+1 chars) still join correctly") {
     val l = Seq((1L, "a"), (2L, "xy")).toDF("id", "s")
     val r = Seq((3L, "b"), (4L, "x")).toDF("id", "s")
-    val got = Joins.fuzzyJoin(l, r, "s", "s", 1, "id", "id")
+    val got = Joins.fuzzyJoin(l, r, "s", "s", 1)
       .select("id", "id_right", "edit_dist").as[(Long, Long, Int)]
       .collect().toSet
     assert(got == Set((1L, 3L, 1), (1L, 4L, 1), (2L, 4L, 1)))
