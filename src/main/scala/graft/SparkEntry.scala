@@ -675,6 +675,13 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // --- similarity: int8-quantized first-stage retriever ------------------
+    "sim_int8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.int8TopK(emb, emb.where(col("vec_id") < 8), "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("score"))
+    }),
+
     // --- similarity: LSH-bucketed ANN (bucket collisions exact-mirrored) ---
     "sim_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1290,6 +1297,30 @@ object SparkEntry {
         |  FROM embeddings e, q)
         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM sc
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
+    // int8 mirror: normalize -> quantize -> integer dot, all arithmetic in
+    // the same shapes/order as the Spark side (round() is half-away-from-
+    // zero on doubles in both engines)
+    "sim_int8" ->
+      """WITH nz AS (SELECT vec_id,
+        |    CASE WHEN n > 0
+        |      THEN list_transform(e, x -> CAST(x AS DOUBLE) / n)
+        |      ELSE list_transform(e, x -> CAST(x AS DOUBLE)) END AS en
+        |  FROM (SELECT vec_id, embedding AS e,
+        |      sqrt(list_sum(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+        |    FROM embeddings)),
+        |qz AS (SELECT vec_id,
+        |    CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS s,
+        |    list_transform(en, x -> CAST(round(x
+        |      / (CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END)) AS BIGINT)) AS q
+        |  FROM (SELECT vec_id, en,
+        |      list_max(list_transform(en, x -> abs(x))) AS m FROM nz)),
+        |qs AS (SELECT vec_id AS query_id, s AS qscale, q AS qq FROM qz WHERE vec_id < 8),
+        |sc AS (SELECT qs.query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(qs.qq, c.q) * qs.qscale * c.s AS score
+        |  FROM qz c, qs)
+        |SELECT query_id, neighbor_id, round(score, 6) AS score FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= 5""".stripMargin,
     // probing all nlist cells makes IVF ≡ exact top-k (see queries entry)
     "sim_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),

@@ -143,4 +143,40 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out.count() == 6) // 2 queries × k
     assert(out.where(col("query_id") === col("neighbor_id")).count() == 2) // self is top-1-able
   }
+
+  test("quantizeInt8: values bounded, max component hits ±127, zero vector safe") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "embedding")
+      .select($"vec_id", $"q8", $"q8_scale").as[(Long, Seq[Byte], Double)]
+      .collect().map { case (k, a, s) => k -> ((a, s)) }.toMap
+    val (q1, s1) = q(1L)
+    assert(s1 == 1.0 / 127.0)
+    assert(q1 == Seq[Byte](64, -127, 32)) // round(0.5*127)=64, round(0.25*127)=32
+    val (q2, s2) = q(2L)
+    assert(s2 == 1.0 && q2 == Seq[Byte](0, 0, 0))
+  }
+
+  test("int8TopK ranking matches float brute force on well-separated clusters") {
+    val a = Similarity.bruteForceTopK(corpus, corpus.where(col("vec_id") < 4),
+        "embedding", "vec_id", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val b = Similarity.int8TopK(corpus, corpus.where(col("vec_id") < 4),
+        "embedding", "vec_id", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // normalized int8 dot approximates cosine to ~1% of full scale; demand
+    // high agreement, not equality (near-ties can swap)
+    assert((a intersect b).size >= (a.size * 2) / 3, s"a=$a b=$b")
+    assert(b.size == 12)
+  }
+
+  test("int8Dot is exact integer arithmetic times scales") {
+    val df = Seq((1L, Seq[Byte](10, -20, 30), 0.5, Seq[Byte](1, 2, 3), 2.0))
+      .toDF("id", "qa", "sa", "qb", "sb")
+    val out = df.select(Similarity.int8Dot($"qa", $"sa", $"qb", $"sb").as("d"))
+      .as[Double].head()
+    assert(out == (10 * 1 + -20 * 2 + 30 * 3) * 0.5 * 2.0) // 60.0
+  }
 }
