@@ -130,6 +130,16 @@ case class StringHash64(left: Expression, right: Expression)
 }
 
 /** Column API for the text/vector sketch expressions. */
+case class CompressRatio(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernel.compressRatio(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"${TextExpressions.K}.compressRatio($t)")
+  override def prettyName: String = "compress_ratio"
+  override protected def withNewChildInternal(c: Expression): CompressRatio = copy(child = c)
+}
+
 case class PassjoinKeys(left: Expression, right: Expression, probe: Boolean)
     extends BinaryExpression with Serializable {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -165,6 +175,7 @@ object TextFunctions {
     c(Mix64Hash(e(v.cast("long")), e(lit(seed))))
   def string_hash64(text: Column, seed: Long): Column =
     c(StringHash64(e(text), e(lit(seed))))
+  def compress_ratio(text: Column): Column = c(CompressRatio(e(text)))
   def passjoin_index(text: Column, d: Int): Column =
     c(PassjoinKeys(e(text), e(lit(d)), probe = false))
   def passjoin_probe(text: Column, d: Int): Column =

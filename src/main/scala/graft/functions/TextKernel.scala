@@ -269,6 +269,26 @@ object TextKernel {
     out
   }
 
+  /** Deflate compression ratio of the UTF-8 bytes (compressed / raw, level
+    * 6, no dictionary): the classic redundancy signal for corpus quality
+    * gates — highly repetitive or templated text compresses far below
+    * natural prose (~0.4-0.6), random noise stays near 1. Deterministic for
+    * a given JDK zlib; empty text ratios 1.0.
+    */
+  def compressRatio(text: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val raw = text.getBytes
+    if (raw.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6, false)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / raw.length
+    } finally d.end()
+  }
+
   /** PassJoin segment keys, index side: a length-l string split into d+1
     * contiguous segments (longer segments first), each emitted as the join
     * key "slot:l:segment". If ed(s, t) <= d, at most d segments are touched

@@ -26,6 +26,19 @@ object TextAnalysis {
     * 0.4·min(1, n_tokens/50) + 0.3·max(0, 1−|avg_token_len−5|/5)
     * + 0.3·max(0, 1−5·(punct_ratio+digit_ratio)).
     */
+  /** Deflate compression ratio per document (compressed bytes / raw bytes),
+    * the Gopher-family redundancy gate: templated or repetitive documents
+    * compress dramatically (< ~0.3) while natural prose sits near 0.4-0.6.
+    * Codegen'd kernel call, one pass, no shuffle — compose with a range
+    * filter (`between(lo, hi)`) to drop both degenerate-repetitive and
+    * binary-noise rows. Not SQL-mirrorable (no deflate in DuckDB), so this
+    * is spec-verified against closed-form extremes rather than oracled.
+    */
+  def withCompressionRatio(df: DataFrame, textCol: String = "text",
+      outCol: String = "compress_ratio"): DataFrame =
+    df.withColumn(outCol,
+      graft.functions.TextFunctions.compress_ratio(col(textCol)))
+
   def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = tokens(textCol)
     val nChars = length(col(textCol)).cast("double")

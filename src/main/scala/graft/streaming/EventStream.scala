@@ -45,6 +45,54 @@ object EventStream {
       windowDur: String = "1 hour"): DataFrame =
     windowed(stream.withWatermark("ts", watermark), windowDur)
 
+  /** Stream-static as-of lookup: each stream row picks the latest static
+    * row with the same `on` keys whose `rightTime` is at-or-before the
+    * stream row's `leftTime` — the streaming face of
+    * [[graft.operators.Ops.asofJoin]] (backward, exact matches allowed),
+    * for slowly-changing dimension history (price books, config versions,
+    * model rollouts) against a live event stream.
+    *
+    * Shape: the static side aggregates once into a per-key TIME-SORTED
+    * array of payload structs (`__rt` leads the struct, so `sort_array`
+    * orders by time, then by the remaining fields as deterministic
+    * tie-breaks, later-wins via the array pick). The stream broadcast-joins
+    * that key table and selects `filter(history, e -> e.__rt <= ts)[-1]` —
+    * pure codegen'd array built-ins, no state store, no watermark coupling:
+    * the pick is a stateless projection, so it composes with any downstream
+    * windowed/sessionized stage. The per-key history array must fit in a
+    * row (dimension-history scale, not fact scale); for fact-to-fact as-of
+    * use the batch union-sort operator.
+    */
+  def asofLookup(
+      stream: DataFrame,
+      static: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String],
+      suffix: String = "_right"): DataFrame = {
+    require(on.nonEmpty, "asofLookup needs at least one equi-key column")
+    require(rightCols.nonEmpty, "rightCols must name at least one payload column")
+    val payStruct = struct(
+      col(rightTime).as("__rt") +: rightCols.map(c => col(c).as(c)): _*)
+    val hist = static
+      .groupBy(on.map(col): _*)
+      .agg(sort_array(collect_list(payStruct)).as("__hist"))
+    val streamNames = stream.columns.toSet
+    val eligible = filter(col("__hist"),
+      e => e.getField("__rt") <= col(leftTime))
+    // guard the pick: ANSI mode makes element_at(-1) on an empty array an
+    // error, and an unmatched key leaves __hist (hence `eligible`) null
+    val pick = when(size(eligible) > 0, element_at(eligible, -1))
+    stream
+      .join(broadcast(hist), on, "left")
+      .withColumn("__pick", pick)
+      .select(stream.columns.toSeq.map(col) ++ rightCols.map { c =>
+        val name = if (streamNames(c)) c + suffix else c
+        col("__pick").getField(c).as(name)
+      }: _*)
+  }
+
   /** File-based streaming source over a parquet events directory. */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema

@@ -263,4 +263,26 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     val a = graft.functions.TextKernel.BigramAlphabet
     assert(ids == Seq(2 * a + 1, 1 * a + 3))
   }
+
+  test("compression ratio: repetitive text << prose < random; empty = 1") {
+    val rnd = new scala.util.Random(7)
+    val noise = Array.fill(2000)((rnd.nextInt(0x7e - 0x21) + 0x21).toChar).mkString
+    val docs = Seq(
+      (1L, "spam " * 400),
+      (2L, "the quick brown fox jumps over the lazy dog and keeps " +
+        "running through fields of barley while the sun sets slowly " * 8),
+      (3L, noise),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withCompressionRatio(docs)
+      .select("doc_id", "compress_ratio").as[(Long, Double)].collect().toMap
+    assert(out(1L) < 0.05, s"repetitive=${out(1L)}")
+    assert(out(2L) > out(1L) && out(2L) < 0.6, s"prose=${out(2L)}")
+    assert(out(3L) > 0.8, s"noise=${out(3L)}")
+    assert(out(4L) == 1.0)
+    // deterministic across evaluation (codegen'd kernel, no state carry-over)
+    val again = TextAnalysis.withCompressionRatio(docs)
+      .select("doc_id", "compress_ratio").as[(Long, Double)].collect().toMap
+    assert(again == out)
+  }
 }

@@ -305,4 +305,42 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
       assert(got == expect)
     } finally q.stop()
   }
+
+  test("asofLookup: stream picks latest at-or-before static row, parity with batch asofJoin") {
+    val static = Seq(
+      (1L, tsH(10, 0), "v1"), (1L, tsH(10, 40), "v2"), (1L, tsH(12, 0), "v3"),
+      (2L, tsH(11, 0), "w1")
+    ).toDF("user_id", "valid_from", "version")
+
+    val batch = graft.operators.Ops.asofJoin(
+        events.toDF().select("event_id", "user_id", "ts"), static,
+        Seq("user_id"), "ts", "valid_from", rightCols = Seq("version"))
+      .select("event_id", "version").as[(Long, Option[String])].collect().toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = asofLookup(mem.toDF().select("event_id", "user_id", "ts"), static,
+        Seq("user_id"), "ts", "valid_from", Seq("version"))
+      .writeStream.format("memory").queryName("asof_lookup").outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      val got = spark.table("asof_lookup")
+        .select("event_id", "version").as[(Long, Option[String])].collect().toMap
+      assert(got == batch)
+      // spot-check semantics: event 4 (11:15, user 1) sees v2; user 2's
+      // 10:45 view predates w1 entirely -> null
+      assert(got(4L).contains("v2") && got(3L).isEmpty && got(5L).contains("w1"))
+    } finally q.stop()
+  }
+
+  test("asofLookup: equal-time static rows resolve later-wins deterministically") {
+    val static = Seq(
+      (1L, tsH(10, 0), "a"), (1L, tsH(10, 0), "b")
+    ).toDF("user_id", "valid_from", "version")
+    val stream = Seq((9L, 1L, tsH(10, 5))).toDF("event_id", "user_id", "ts")
+    val out = asofLookup(stream, static, Seq("user_id"), "ts", "valid_from", Seq("version"))
+      .select("version").as[String].collect().toSeq
+    assert(out == Seq("b")) // max over (__rt, version) — content tie-break
+  }
 }
