@@ -156,7 +156,14 @@ object Joins {
     val firstShared = lb("__bucket") ===
       greatest(bucket(col(s"__l_$leftStart")), bucket(col(s"__r_$rightStart")))
 
-    val joined = lb.join(rb,
+    // shuffle-hash, not broadcast: the planner's size estimate predates the
+    // bucket explode, so it happily broadcasts a million-row build side
+    // (single-threaded hashmap build, driver collect — 6.5 s vs 1.5 s at
+    // sf0.1, and a guaranteed OOM for a genuinely large left). A hash join
+    // partitioned on (key, bucket) is the shape that survives fact-to-fact
+    // interval joins at 100 TB; sort-merge adds nothing since bucket groups
+    // are small by construction.
+    val joined = lb.hint("shuffle_hash").join(rb,
       (Seq(overlap, firstShared) ++ keyCond).reduce(_ && _) &&
         lb("__bucket") === rb("__bucket"))
 
