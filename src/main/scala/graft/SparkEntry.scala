@@ -863,6 +863,12 @@ object SparkEntry {
         .select(col("tok").as("token"), col("maybe_present"))
     }),
 
+    // --- compression-ratio quality gate (deflate; no DuckDB mirror exists,
+    // so this entry has no oracleSql twin -> driver rows-only check) --------
+    "text_compress" -> ((s, dir) =>
+      TextAnalysis.withCompressionRatio(t(s, dir, "documents"))
+        .select(col("doc_id"), round(col("compress_ratio"), 6).as("compress_ratio"))),
+
     // --- fuzzy (edit-distance) join: PassJoin segments + banded verify -----
     "fuzzy_join" -> ((s, dir) => {
       val p = t(s, dir, "part").select("p_partkey", "p_name")

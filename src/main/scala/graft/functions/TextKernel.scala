@@ -275,18 +275,24 @@ object TextKernel {
     * natural prose (~0.4-0.6), random noise stays near 1. Deterministic for
     * a given JDK zlib; empty text ratios 1.0.
     */
+  // one native zlib stream per executor thread, reset() between rows — a
+  // per-row new/end pair is a JNI allocation/free on every document
+  private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, false)
+  }
+
   def compressRatio(text: org.apache.spark.unsafe.types.UTF8String): Double = {
     val raw = text.getBytes
     if (raw.isEmpty) return 1.0
-    val d = new java.util.zip.Deflater(6, false)
-    try {
-      d.setInput(raw)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total.toDouble / raw.length
-    } finally d.end()
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / raw.length
   }
 
   /** PassJoin segment keys, index side: a length-l string split into d+1

@@ -112,15 +112,6 @@ object Similarity {
     aggregate(zip_with(qa.cast("array<long>"), qb.cast("array<long>"), (x, y) => x * y),
       lit(0L), (acc, x) => acc + x).cast("double") * sa * sb
 
-  /** L2-normalizes an array column in double precision; an all-zero vector
-    * passes through unchanged (its quantized dot scores 0 everywhere).
-    */
-  def l2Normalize(v: Column): Column = {
-    val vd = v.cast("array<double>")
-    val n = sqrt(aggregate(vd, lit(0.0), (acc, x) => acc + x * x))
-    when(n > 0, transform(vd, x => x / n)).otherwise(vd)
-  }
-
   /** Brute-force top-k over the int8-quantized corpus: same broadcast-query
     * / per-partition-heap shape as [[bruteForceTopK]], but each pair costs
     * an integer dot over tinyints instead of a double fold over floats, and
@@ -136,10 +127,19 @@ object Similarity {
       vecCol: String,
       idCol: String,
       k: Int): DataFrame = {
-    def prep(df: DataFrame, idOut: String) =
-      quantizeInt8(
-        df.select(col(idCol).cast("long").as(idOut), l2Normalize(col(vecCol)).as("__nv")),
-        "__nv")
+    // the norm materializes as a column BEFORE the normalizing transform:
+    // inlining it into the lambda re-evaluates the whole fold per element
+    // (Spark's subexpression elimination skips lambda bodies), turning the
+    // corpus prep scan O(dim²) per row
+    def prep(df: DataFrame, idOut: String) = {
+      val withNorm = df
+        .select(col(idCol).cast("long").as(idOut),
+          col(vecCol).cast("array<double>").as("__vd"))
+        .withColumn("__n", sqrt(aggregate(col("__vd"), lit(0.0), (acc, x) => acc + x * x)))
+        .withColumn("__nv", when(col("__n") > 0,
+          transform(col("__vd"), x => x / col("__n"))).otherwise(col("__vd")))
+      quantizeInt8(withNorm, "__nv")
+    }
     val c = prep(corpus, "neighbor_id")
       .select(col("neighbor_id"), col("q8").as("__cq"), col("q8_scale").as("__cs"))
     val q = prep(queries, "query_id")

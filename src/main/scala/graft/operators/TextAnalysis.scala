@@ -22,10 +22,6 @@ object TextAnalysis {
 
   private def tokens(textCol: String): Column = split(trim(col(textCol)), "\\s+")
 
-  /** Quality features + a composite score in [0, 1]:
-    * 0.4·min(1, n_tokens/50) + 0.3·max(0, 1−|avg_token_len−5|/5)
-    * + 0.3·max(0, 1−5·(punct_ratio+digit_ratio)).
-    */
   /** Deflate compression ratio per document (compressed bytes / raw bytes),
     * the Gopher-family redundancy gate: templated or repetitive documents
     * compress dramatically (< ~0.3) while natural prose sits near 0.4-0.6.
@@ -39,6 +35,10 @@ object TextAnalysis {
     df.withColumn(outCol,
       graft.functions.TextFunctions.compress_ratio(col(textCol)))
 
+  /** Quality features + a composite score in [0, 1]:
+    * 0.4·min(1, n_tokens/50) + 0.3·max(0, 1−|avg_token_len−5|/5)
+    * + 0.3·max(0, 1−5·(punct_ratio+digit_ratio)).
+    */
   def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = tokens(textCol)
     val nChars = length(col(textCol)).cast("double")

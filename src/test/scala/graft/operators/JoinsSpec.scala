@@ -8,10 +8,13 @@ class JoinsSpec extends AnyFunSuite with SparkSpec {
 
   // ---- fuzzyJoin --------------------------------------------------------
 
-  private def names = Seq(
+  // one shared dataset: the DataFrame under test and the brute-force oracle
+  // both derive from it, so extending it extends BOTH sides of the parity
+  private val nameRows = Seq(
     (1L, "kitten"), (2L, "sitten"), (3L, "sittin"), (4L, "apple"),
-    (5L, "apples"), (6L, "orange"), (7L, "kitten")
-  ).toDF("id", "name")
+    (5L, "apples"), (6L, "orange"), (7L, "kitten"))
+
+  private def names = nameRows.toDF("id", "name")
 
   /** Brute-force oracle: full cross product + exact Levenshtein. */
   private def bruteForce(maxDist: Int): Set[(Long, Long, Int)] = {
@@ -24,10 +27,8 @@ class JoinsSpec extends AnyFunSuite with SparkSpec {
           d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
       d(a.length)(b.length)
     }
-    val rows = Seq((1L, "kitten"), (2L, "sitten"), (3L, "sittin"), (4L, "apple"),
-      (5L, "apples"), (6L, "orange"), (7L, "kitten"))
     (for {
-      (i, a) <- rows; (j, b) <- rows
+      (i, a) <- nameRows; (j, b) <- nameRows
       d = lev(a, b) if d <= maxDist && i < j
     } yield (i, j, d)).toSet
   }
