@@ -895,6 +895,14 @@ object SparkEntry {
           round(sum(col("q_right")), 4).as("qty_overlap_sum"))
     }),
 
+    // --- heavy hitters: CMS-prefiltered exact frequent tokens --------------
+    "stats_heavy" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      Sketch.heavyHitters(toks, "tok", minCount = 500L)
+        .select(col("tok").as("token"), col("exact_count"))
+    }),
+
     // --- HyperLogLog distinct sketch (register-exact mirror) ---------------
     "stats_hll" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1422,6 +1430,12 @@ object SparkEntry {
     "stats_cms" -> OracleSql.statsCms(Seq("table", "spark", "window", "zebra")),
     "stats_bloom" -> OracleSql.statsBloom(
       Seq("table", "spark", "window", "zebra", "qqxyzzy")),
+    // CMS only overestimates, so the exact-count filter makes the output
+    // identical to the plain frequent-items SQL — no sketch mirror needed
+    "stats_heavy" ->
+      """SELECT tok AS token, count(*) AS exact_count
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok HAVING count(*) >= 500""".stripMargin,
     "fuzzy_join" ->
       """SELECT a.p_partkey, count(*) AS n_similar,
         |       min(b.p_partkey) AS min_similar

@@ -273,4 +273,46 @@ object Sketch {
       .groupBy(col(valueCol))
       .agg(min(coalesce(col("c"), lit(0L))).as("approx_count"))
   }
+
+  /** Exact frequent items above `minCount`, CMS-prefiltered: pass 1 builds
+    * the count-min registers (≤ depth × width mergeable rows); pass 2
+    * estimates every distinct value against the broadcast registers and
+    * keeps only CMS-plausible candidates for the exact count.
+    *
+    * Count-min only ever OVERestimates, so the candidate set is a strict
+    * superset of the true frequent set and the exact-count filter makes the
+    * result EXACT — same output as a full `groupBy(value).count()` filter,
+    * but the wide exact aggregation only sees candidates. That inversion is
+    * the 100 TB point: over a billion-distinct token column the full exact
+    * count shuffles every distinct token, while here the register table is
+    * a broadcast constant and the per-partition pre-aggregation drops
+    * non-candidates before the exchange (the partial agg still touches all
+    * rows, but the shuffled state is candidates only). Size `width` so
+    * collision inflation (≈ n_rows / width per counter) stays well under
+    * `minCount`, or the candidate superset degrades toward "everything".
+    *
+    * Output: (`valueCol`, `exact_count`) for values with count ≥ minCount.
+    */
+  def heavyHitters(df: DataFrame, valueCol: String, minCount: Long,
+      depth: Int = 4, width: Int = 1024, seed: Long = 42L): DataFrame = {
+    require(minCount >= 1, "minCount must be positive")
+    require(depth.toLong * width <= (1 << 20),
+      "depth*width registers embed in the plan as a literal; keep them <= 1M")
+    // pass 1: registers, then a BOUNDED collect (<= depth*width counters —
+    // sketch metadata, same policy as the IVF centroid fetch) into a dense
+    // array literal, so the per-row estimate is pure codegen'd arithmetic:
+    // no explode, no join, nothing added to the row before the filter
+    val dense = new Array[Long](depth * width)
+    cmsRegisters(df, valueCol, depth, width, seed).collect().foreach { r =>
+      dense(r.getAs[Int]("d") * width + r.getAs[Long]("idx").toInt) = r.getAs[Long]("c")
+    }
+    val arr = typedLit(dense.toSeq)
+    val h = hash64(df.schema(valueCol).dataType, col(valueCol), seed)
+    val est = (0 until depth)
+      .map(d => element_at(arr, (cmsIdx(h, lit(d), width, seed) + lit(d * width) + 1).cast("int")))
+      .reduce(least(_, _))
+    df.where(col(valueCol).isNotNull && est >= minCount)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("exact_count"))
+      .where(col("exact_count") >= minCount)
+  }
 }

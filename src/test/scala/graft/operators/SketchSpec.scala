@@ -152,4 +152,35 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     val withNull = all.union(spark.range(1).select(lit(null).cast("string").as("v")))
     assert(Sketch.bloomBits(withNull, "v").count() == whole.count())
   }
+
+  // skewed corpus: value "vK" appears K times, K in 1..60
+  private def zipfish = {
+    import testImplicits._
+    (1 to 60).flatMap(k => Seq.fill(k)(s"v$k")).map(Tuple1(_)).toDF("v")
+  }
+
+  test("heavyHitters == plain exact frequent-items filter") {
+    import testImplicits._
+    val exact = zipfish.groupBy("v").count().where(col("count") >= 30)
+      .as[(String, Long)].collect().toMap
+    val got = Sketch.heavyHitters(zipfish, "v", minCount = 30L)
+      .as[(String, Long)].collect().toMap
+    assert(got == exact)
+    assert(got.keySet == (30 to 60).map(k => s"v$k").toSet)
+  }
+
+  test("heavyHitters stays exact under heavy register collisions (width=2)") {
+    import testImplicits._
+    // width 2 forces nearly every value onto shared counters: the candidate
+    // superset inflates, the exact-count filter must still cut it back
+    val exact = zipfish.groupBy("v").count().where(col("count") >= 45)
+      .as[(String, Long)].collect().toMap
+    val got = Sketch.heavyHitters(zipfish, "v", minCount = 45L, depth = 2, width = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got == exact)
+  }
+
+  test("heavyHitters: threshold above the max count yields empty, not error") {
+    assert(Sketch.heavyHitters(zipfish, "v", minCount = 1000L).count() == 0)
+  }
 }
