@@ -1,23 +1,35 @@
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 package object graft {
   /** Path of a driver-generated test table under an sf dir. */
   def tablePath(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  /** Reads a test table; normalizes nanosecond timestamps (stored as long
-    * when `spark.sql.legacy.parquet.nanosAsLong=true`) back to TimestampType
-    * so downstream window/date functions see real timestamps.
+  /** Normalizes an event-table `ts` column to TimestampType regardless of
+    * how the generator stamped it: nanosecond longs (parquet TIMESTAMP(NANOS)
+    * under `spark.sql.legacy.parquet.nanosAsLong=true`), microsecond
+    * TIMESTAMP_NTZ (isAdjustedToUTC=false), or already TIMESTAMP. The NTZ
+    * cast reinterprets wall-clock fields in the session zone — UTC here
+    * (sessionConfigs), matching DuckDB's naive-timestamp read of the same
+    * file.
     */
-  def readTable(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(tablePath(dir, name))
-    if (name == "events" && df.schema("ts").dataType == LongType)
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame =
+    df.schema(colName).dataType match {
       // `div`, not `/`: Spark's `/` is double division, and a 2024-epoch
       // nanosecond count (~1.7e18) exceeds double's 2^53 integer range, so
       // the quotient wobbles ±1 µs vs DuckDB's exact epoch_us truncation.
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+      case LongType => df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      case TimestampNTZType => df.withColumn(colName, col(colName).cast(TimestampType))
+      case _ => df
+    }
+
+  /** Reads a test table; normalizes the events `ts` column back to
+    * TimestampType so downstream window/date functions see real timestamps.
+    */
+  def readTable(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(tablePath(dir, name))
+    if (name == "events") normalizeTs(df) else df
   }
 
   /** Session configs every graft entrypoint needs. */

@@ -295,8 +295,7 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     val batchDf = graft.readTable(spark, sfDir, "events")
     val expect = windowed(batchDf).agg(sum("n_events")).head().getLong(0)
 
-    val stream = readStream(spark, dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val stream = graft.normalizeTs(readStream(spark, dir))
     val q = windowedStream(stream, watermark = "0 seconds")
       .writeStream.format("memory").queryName("stream_events").outputMode("complete").start()
     try {
