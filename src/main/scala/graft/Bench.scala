@@ -45,14 +45,17 @@ object Bench {
       s"\"" + name + "\":" + passes.map(_(name)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json =
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
-    println(json)
-    // stdout gets sbt's [success] trailer appended after the JSON line, which
-    // has broken the driver's parse twice — also drop the bare line in a file
-    // any parser can read verbatim
+    // the driver's stdout capture keeps only a ~2 KB tail: the full per-query
+    // map (~4 KB at 86 queries) got clipped mid-object two rounds running, so
+    // stdout carries a compact summary line that always fits, and the full
+    // per-query JSON goes to BENCH.json in cwd (which the driver archives)
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"BENCH.json"}"""
+    println(compact)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
-      (json + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     catch { case _: Exception => () }
     spark.stop()
   }

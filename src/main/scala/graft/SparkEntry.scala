@@ -702,6 +702,19 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // --- similarity: composed retriever — IVF cells × int8 candidates ×
+    // float rescore. nprobe = nlist probes every cell, so the algorithm is
+    // deterministically int8-top-20-then-exact-rescore-top-5, which the
+    // oracle mirrors value-exactly (same quantization arithmetic as
+    // sim_int8, same exact cosine as sim_topk). nprobe < nlist recall is
+    // covered by the spec in SimilaritySpec.
+    "sim_int8_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.int8IvfTopK(emb, emb.where(col("vec_id") < 8), "embedding", "vec_id",
+          k = 5, nlist = 8, nprobe = 8, rescore = 4)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // --- text quality scoring ---------------------------------------------
     "text_quality" -> ((s, dir) => {
       // fraction-valued columns can land exactly on round() tie boundaries
@@ -1345,6 +1358,40 @@ object SparkEntry {
         |   * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
         |  FROM embeddings e, q)
         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
+    // composed retriever at nprobe = nlist: int8 prefilter (sim_int8's exact
+    // quantization mirror) keeps the top rescore·k = 20 per query, then the
+    // true float cosine (sim_topk's mirror) ranks the survivors for top-5
+    "sim_int8_ivf" ->
+      """WITH nz AS (SELECT vec_id,
+        |    CASE WHEN n > 0
+        |      THEN list_transform(e, x -> CAST(x AS DOUBLE) / n)
+        |      ELSE list_transform(e, x -> CAST(x AS DOUBLE)) END AS en
+        |  FROM (SELECT vec_id, embedding AS e,
+        |      sqrt(list_sum(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+        |    FROM embeddings)),
+        |qz AS (SELECT vec_id,
+        |    CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS s,
+        |    list_transform(en, x -> CAST(round(x
+        |      / (CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END)) AS BIGINT)) AS q
+        |  FROM (SELECT vec_id, en,
+        |      list_max(list_transform(en, x -> abs(x))) AS m FROM nz)),
+        |qs AS (SELECT vec_id AS query_id, s AS qscale, q AS qq FROM qz WHERE vec_id < 8),
+        |sc AS (SELECT qs.query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(qs.qq, c.q) * qs.qscale * c.s AS score
+        |  FROM qz c, qs),
+        |cand AS (SELECT query_id, neighbor_id FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= 20),
+        |re AS (SELECT cand.query_id, cand.neighbor_id,
+        |  list_sum(list_transform(list_zip(q.embedding, e.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM cand
+        |  JOIN embeddings e ON e.vec_id = cand.neighbor_id
+        |  JOIN embeddings q ON q.vec_id = cand.query_id)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM re
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
     "text_quality" ->
       """WITH f AS (SELECT doc_id,

@@ -121,28 +121,33 @@ object Similarity {
     * at 100 TB this is the first-stage retriever, with the float rescore
     * reserved for the k survivors.
     */
+  /** Normalize-then-quantize prep shared by the int8 paths: L2-normalize the
+    * vector (so the rescaled integer dot approximates cosine), then
+    * symmetric int8 quantization. The norm materializes as a column BEFORE
+    * the normalizing transform: inlining it into the lambda re-evaluates the
+    * whole fold per element (Spark's subexpression elimination skips lambda
+    * bodies), turning the prep scan O(dim²) per row.
+    */
+  private def int8Prep(df: DataFrame, vecCol: String, idCol: String, idOut: String,
+      keep: Seq[String] = Nil): DataFrame = {
+    val withNorm = df
+      .select(col(idCol).cast("long").as(idOut) +: keep.map(col) :+
+        col(vecCol).cast("array<double>").as("__vd"): _*)
+      .withColumn("__n", sqrt(aggregate(col("__vd"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("__nv", when(col("__n") > 0,
+        transform(col("__vd"), x => x / col("__n"))).otherwise(col("__vd")))
+    quantizeInt8(withNorm, "__nv")
+  }
+
   def int8TopK(
       corpus: DataFrame,
       queries: DataFrame,
       vecCol: String,
       idCol: String,
       k: Int): DataFrame = {
-    // the norm materializes as a column BEFORE the normalizing transform:
-    // inlining it into the lambda re-evaluates the whole fold per element
-    // (Spark's subexpression elimination skips lambda bodies), turning the
-    // corpus prep scan O(dim²) per row
-    def prep(df: DataFrame, idOut: String) = {
-      val withNorm = df
-        .select(col(idCol).cast("long").as(idOut),
-          col(vecCol).cast("array<double>").as("__vd"))
-        .withColumn("__n", sqrt(aggregate(col("__vd"), lit(0.0), (acc, x) => acc + x * x)))
-        .withColumn("__nv", when(col("__n") > 0,
-          transform(col("__vd"), x => x / col("__n"))).otherwise(col("__vd")))
-      quantizeInt8(withNorm, "__nv")
-    }
-    val c = prep(corpus, "neighbor_id")
+    val c = int8Prep(corpus, vecCol, idCol, "neighbor_id")
       .select(col("neighbor_id"), col("q8").as("__cq"), col("q8_scale").as("__cs"))
-    val q = prep(queries, "query_id")
+    val q = int8Prep(queries, vecCol, idCol, "query_id")
       .select(col("query_id"), col("q8").as("__qq"), col("q8_scale").as("__qs"))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cosine", int8Dot(col("__qq"), col("__qs"), col("__cq"), col("__cs")))
@@ -215,16 +220,18 @@ object Similarity {
     math.max(nlist, math.min(hardCap, byBytes))
   }
 
-  def ivfTopK(
+  /** Shared IVF front end: fit the coarse quantizer on a bounded,
+    * corpus-spanning sample and assign every corpus row its cell. Returns
+    * the assigned corpus (`neighbor_id`, `__cv`, `__cell`) plus the centroid
+    * table (`__cell`, `__centroid`) for query-side probing.
+    */
+  private def fitAssign(
       corpus: DataFrame,
-      queries: DataFrame,
       vecCol: String,
       idCol: String,
-      k: Int,
-      nlist: Int = 16,
-      nprobe: Int = 4,
-      seed: Long = 42L,
-      fitSampleBytes: Long = 64L << 20): DataFrame = {
+      nlist: Int,
+      seed: Long,
+      fitSampleBytes: Long): (DataFrame, DataFrame) = {
     // null embeddings can't be assigned or fit — drop them up front (the
     // sample collect and the dim probe would otherwise NPE on one null row)
     val featured = corpus
@@ -261,19 +268,105 @@ object Similarity {
     val centroids = cents.zipWithIndex
       .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
       .toDF("__cell", "__centroid")
+    (assigned, centroids)
+  }
 
+  /** Query-side probe set: each query's `nprobe` nearest centroids by
+    * cosine, deterministic tie-break on cell id. The window runs over the
+    * query×nlist pair table — model-sized, never the corpus.
+    */
+  private def probeCells(
+      queries: DataFrame, centroids: DataFrame,
+      vecCol: String, idCol: String, nprobe: Int): DataFrame = {
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
     val probed = q.crossJoin(broadcast(centroids))
       .withColumn("__csim", cosineSim(col("__qv"), col("__centroid")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("__csim").desc, col("__cell"))
-    val probes = probed.withColumn("__rank", row_number().over(w))
+    probed.withColumn("__rank", row_number().over(w))
       .where(col("__rank") <= nprobe)
       .select("query_id", "__qv", "__cell")
+  }
 
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L,
+      fitSampleBytes: Long = 64L << 20): DataFrame = {
+    val (assigned, centroids) = fitAssign(corpus, vecCol, idCol, nlist, seed, fitSampleBytes)
+    val probes = probeCells(queries, centroids, vecCol, idCol, nprobe)
     val scored = assigned.join(probes, Seq("__cell"))
       .withColumn("cosine", cosineSim(col("__qv"), col("__cv")))
     topkColumns(scored, k)
+  }
+
+  /** The composed 100 TB retrieval path: IVF cell pruning × int8 candidate
+    * scoring × exact float rescore of the survivors.
+    *
+    * Stage shape, in corpus-scan terms:
+    *   1. cell assignment (one corpus pass, codegen'd argmax over the
+    *      literal centroid matrix — same front end as [[ivfTopK]]);
+    *   2. candidate generation reads a NARROW projection of the probed
+    *      cells — (id, cell, int8 vector, scale), 4× smaller than float32
+    *      and 8× smaller than the double intermediates; the float column is
+    *      NOT in the candidate rows. Scoring is the exact integer dot;
+    *      the per-query top-`rescore·k` survivors come out of the same O(k)
+    *      partial-merge aggregator as every other top-k here (no window
+    *      over the candidate space).
+    *   3. exact rescore: the survivor list (queries × rescore·k rows —
+    *      model-sized) is broadcast back against the corpus floats, so the
+    *      wide column is touched for only the survivors, and the final
+    *      top-k ranks by TRUE cosine. At 100 TB the floats stay in cold
+    *      storage (parquet column never scanned by stages 1-2 thanks to
+    *      column pruning) and only survivor row-groups pay the read.
+    *
+    * With `nprobe = nlist` and `rescore·k ≥ |corpus|` this is exactly
+    * [[bruteForceTopK]]; with `nprobe = nlist` and a finite rescore it is
+    * deterministically the int8-prefilter algorithm (mirrored value-exact
+    * by the DuckDB oracle); with `nprobe < nlist` it is the production ANN
+    * configuration (recall measured in SimilaritySpec).
+    */
+  def int8IvfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      rescore: Int = 4,
+      seed: Long = 42L,
+      fitSampleBytes: Long = 64L << 20): DataFrame = {
+    val (assigned, centroids) = fitAssign(corpus, vecCol, idCol, nlist, seed, fitSampleBytes)
+    // narrow candidate-stage projection: quantize, then DROP the float column
+    val narrow = int8Prep(assigned, "__cv", "neighbor_id", "neighbor_id", keep = Seq("__cell"))
+      .select(col("neighbor_id"), col("__cell"),
+        col("q8").as("__cq"), col("q8_scale").as("__cs"))
+    val qq = int8Prep(queries, vecCol, idCol, "query_id")
+      .select(col("query_id"), col("q8").as("__qq"), col("q8_scale").as("__qs"))
+    val probes = probeCells(queries, centroids, vecCol, idCol, nprobe)
+      .select("query_id", "__cell")
+      .join(broadcast(qq), Seq("query_id"))
+
+    val candScored = narrow.join(broadcast(probes), Seq("__cell"))
+      .withColumn("cosine", int8Dot(col("__qq"), col("__qs"), col("__cq"), col("__cs")))
+    val survivors = topkColumns(candScored, math.max(k, rescore * k))
+      .select("query_id", "neighbor_id")
+
+    // exact float rescore: survivors are model-sized — broadcast them onto
+    // the corpus so the wide float column is read only where it matters
+    val qFloat = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
+    val rescored = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("__cv"))
+      .join(broadcast(survivors), Seq("neighbor_id"))
+      .join(broadcast(qFloat), Seq("query_id"))
+      .withColumn("cosine", cosineSim(col("__qv"), col("__cv")))
+    topkColumns(rescored, k)
   }
 
   /** LSH-bucketed ANN (the scale path): `tables` independent random-hyperplane

@@ -172,6 +172,47 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(b.size == 12)
   }
 
+  test("int8IvfTopK with full probes and full rescore IS brute force, scores included") {
+    // nprobe = nlist (no cell pruning) and rescore·k ≥ |corpus| (no int8
+    // pruning): the composed path must reproduce exact brute-force top-k,
+    // including the TRUE cosine values — proof the final ranking comes from
+    // the float rescore, not the quantized approximation.
+    val queries = corpus.where(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    val got = Similarity.int8IvfTopK(corpus, queries, "embedding", "vec_id", k = 5,
+      nlist = 4, nprobe = 4, rescore = 8) // 8·5 = 40 = |corpus|
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == exact)
+  }
+
+  test("int8IvfTopK rescore returns true cosine even when the prefilter bites") {
+    // finite rescore: survivors may differ from exact top-k, but every
+    // emitted (query, neighbor) must carry the float cosine, bit-equal to
+    // cosineSim on the raw vectors
+    val queries = corpus.where(col("vec_id") < 4)
+    val got = Similarity.int8IvfTopK(corpus, queries, "embedding", "vec_id", k = 3,
+      nlist = 4, nprobe = 4, rescore = 2)
+    val check = got.join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")), "neighbor_id")
+      .join(corpus.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .withColumn("true_cos", Similarity.cosineSim(col("qv"), col("cv")))
+    assert(check.count() == 12)
+    assert(check.where(col("cosine") =!= col("true_cos")).count() == 0)
+  }
+
+  test("int8IvfTopK recall vs brute force with cell and candidate pruning") {
+    val queries = corpus.where(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.int8IvfTopK(corpus, queries, "embedding", "vec_id", k = 5,
+      nlist = 6, nprobe = 3, rescore = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ann).size.toDouble / exact.size
+    assert(recall >= 0.7, s"int8-ivf recall $recall too low")
+  }
+
   test("int8Dot is exact integer arithmetic times scales") {
     val df = Seq((1L, Seq[Byte](10, -20, 30), 0.5, Seq[Byte](1, 2, 3), 2.0))
       .toDF("id", "qa", "sa", "qb", "sb")
