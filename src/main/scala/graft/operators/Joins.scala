@@ -116,9 +116,24 @@ object Joins {
     * with a shuffled hash join whose cost is O(n * len/w) replicated rows.
     * Pick `bucketWidth` near the typical interval length: replication
     * factor is len/w + 1, while a too-wide bucket degrades toward
-    * per-key all-pairs within one bucket. Long-tail intervals (one row
-    * spanning thousands of buckets) are the skew risk at 100 TB — cap or
-    * split them upstream if the domain allows.
+    * per-key all-pairs within one bucket.
+    *
+    * Long-tail guard (`maxReplication = Some(n)`): under the single-width
+    * scheme one interval spanning thousands of buckets replicates that many
+    * rows — the skew that kills 100 TB runs. The guard switches to a
+    * geometric level ladder (widths `w·nˡ`): every interval lives NATIVELY
+    * at the smallest level where it spans ≤ n buckets, and additionally
+    * marks presence at every coarser level (≤ 2 buckets each, since its
+    * span is below one coarser-bucket width). A pair meets at the coarser
+    * of its two native levels — where the longer interval replicates ≤ n
+    * times and the shorter ≤ 2 — and is emitted exactly once by the same
+    * first-shared-bucket guard evaluated at that level's width, now with a
+    * level-equality key in the join. Per-row replication is therefore
+    * capped at n + 2·(levels above native), independent of interval
+    * length; the ladder height comes from one cheap max-span aggregate
+    * over each input (the only extra pass), so short-interval-only data
+    * gets maxLvl = 0 and the exact single-level plan. Output is
+    * row-identical to the unguarded path (spec'd).
     */
   def intervalJoin(
       left: DataFrame,
@@ -129,43 +144,80 @@ object Joins {
       rightStart: String,
       rightEnd: String,
       bucketWidth: Double,
-      suffix: String = "_right"): DataFrame = {
+      suffix: String = "_right",
+      maxReplication: Option[Int] = None): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    maxReplication.foreach(n => require(n >= 2, "maxReplication must be >= 2"))
 
-    def bucket(c: Column): Column = floor(c.cast("double") / bucketWidth).cast("long")
-    def buckets(s: String, e: String): Column =
-      sequence(bucket(col(s)), bucket(col(e)))
+    def valid(df: DataFrame, s: String, e: String): DataFrame =
+      df.where(col(s).isNotNull && col(e).isNotNull && col(s) <= col(e))
+
+    // ladder height: 0 without the guard; with it, enough levels that the
+    // longest interval in EITHER input spans <= n-1 native-level buckets
+    val maxLvl = maxReplication.fold(0) { n =>
+      def spanMax(df: DataFrame, s: String, e: String): Double = {
+        val r = valid(df, s, e)
+          .agg(max(col(e).cast("double") - col(s).cast("double"))).head()
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      }
+      val mx = math.max(spanMax(left, leftStart, leftEnd),
+        spanMax(right, rightStart, rightEnd))
+      var l = 0
+      while (mx > (n - 1).toDouble * bucketWidth * math.pow(n, l) && l < 40) l += 1
+      l
+    }
+    val base = maxReplication.getOrElse(2).toDouble
+
+    def widthAt(lvl: Column): Column = lit(bucketWidth) * pow(lit(base), lvl.cast("double"))
+    def bucketAt(c: Column, lvl: Column): Column =
+      floor(c.cast("double") / widthAt(lvl)).cast("long")
+    // native level: smallest l with span <= (n-1)·w·n^l; fp wobble here is
+    // harmless — the level is CARRIED with the row, so both the replication
+    // range (native..maxLvl) and the meet-level guard use the same value
+    def natLvl(s: String, e: String): Column = maxReplication match {
+      case None => lit(0)
+      case Some(n) =>
+        val span = col(e).cast("double") - col(s).cast("double")
+        val raw = ceil(log(n.toDouble, span / lit((n - 1).toDouble * bucketWidth))).cast("int")
+        least(greatest(coalesce(raw, lit(0)), lit(0)), lit(maxLvl))
+    }
 
     // prefix-rename both sides up front: kills self-join attribute
     // ambiguity (left and right may be the SAME frame) and makes the
     // equi-join keys plain columns Catalyst can hash-partition on
-    val lb = left
-      .where(col(leftStart).isNotNull && col(leftEnd).isNotNull &&
-        col(leftStart) <= col(leftEnd))
-      .select(left.columns.map(c => col(c).as(s"__l_$c")) :+
-        explode(buckets(leftStart, leftEnd)).as("__bucket"): _*)
-    val rb = right
-      .where(col(rightStart).isNotNull && col(rightEnd).isNotNull &&
-        col(rightStart) <= col(rightEnd))
-      .select(right.columns.map(c => col(c).as(s"__r_$c")) :+
-        explode(buckets(rightStart, rightEnd)).as("__bucket"): _*)
+    def replicate(df: DataFrame, s: String, e: String, pfx: String,
+        nat: String, lvl: String, bkt: String): DataFrame =
+      valid(df, s, e)
+        .select(df.columns.map(c => col(c).as(s"$pfx$c")) :+
+          natLvl(s, e).as(nat): _*)
+        .select(col("*"), explode(sequence(col(nat), lit(maxLvl))).as(lvl))
+        .select(col("*"), explode(sequence(
+          bucketAt(col(s"$pfx$s"), col(lvl)),
+          bucketAt(col(s"$pfx$e"), col(lvl)))).as(bkt))
+    val lb = replicate(left, leftStart, leftEnd, "__l_", "__lnat", "__llvl", "__lbkt")
+    val rb = replicate(right, rightStart, rightEnd, "__r_", "__rnat", "__rlvl", "__rbkt")
 
     val keyCond = on.map(c => col(s"__l_$c") === col(s"__r_$c"))
     val overlap = col(s"__l_$leftStart") <= col(s"__r_$rightEnd") &&
       col(s"__r_$rightStart") <= col(s"__l_$leftEnd")
-    val firstShared = lb("__bucket") ===
-      greatest(bucket(col(s"__l_$leftStart")), bucket(col(s"__r_$rightStart")))
+    // exactly-once: the pair meets only at the coarser of the two native
+    // levels, in the first bucket both intervals share at that level
+    val atMeetLvl = col("__llvl") === greatest(col("__lnat"), col("__rnat"))
+    val firstShared = col("__lbkt") === greatest(
+      bucketAt(col(s"__l_$leftStart"), col("__llvl")),
+      bucketAt(col(s"__r_$rightStart"), col("__llvl")))
 
     // shuffle-hash, not broadcast: the planner's size estimate predates the
     // bucket explode, so it happily broadcasts a million-row build side
     // (single-threaded hashmap build, driver collect — 6.5 s vs 1.5 s at
     // sf0.1, and a guaranteed OOM for a genuinely large left). A hash join
-    // partitioned on (key, bucket) is the shape that survives fact-to-fact
-    // interval joins at 100 TB; sort-merge adds nothing since bucket groups
-    // are small by construction.
+    // partitioned on (key, lvl, bucket) is the shape that survives
+    // fact-to-fact interval joins at 100 TB; sort-merge adds nothing since
+    // bucket groups are small by construction.
     val joined = lb.hint("shuffle_hash").join(rb,
-      (Seq(overlap, firstShared) ++ keyCond).reduce(_ && _) &&
-        lb("__bucket") === rb("__bucket"))
+      (Seq(overlap, atMeetLvl, firstShared,
+        col("__llvl") === col("__rlvl"), col("__lbkt") === col("__rbkt")) ++
+        keyCond).reduce(_ && _))
 
     val leftNames = left.columns.toSet
     joined.select(

@@ -202,9 +202,23 @@ object Ops {
     * per-left-row right-side probe, and the running frame is evaluated
     * incrementally (never buffers the whole history). At 100 TB this is the
     * shape that survives: cost is O(|L|+|R|) through one shuffle, vs the
-    * O(|L|·|R|) blowup of the naive time-inequality join. A single extremely
-    * hot key serializes its sort into one task — pre-split such keys by a
-    * coarse time bucket and fix up the boundary rows if that ever binds.
+    * O(|L|·|R|) blowup of the naive time-inequality join.
+    *
+    * Hot-key guard (`timeBucket = Some(w)`): a single extremely hot key
+    * serializes its whole history into one task under the plain per-key
+    * window. With a coarse time bucket the partition key becomes
+    * (`on`, floor(time / w)) — a hot key's timeline splits across tasks —
+    * and the boundary is fixed up in a second, compacted pass: each
+    * (key, bucket) reduces to its final in-bucket payload (one row per
+    * bucket), a running window over that model-sized table yields each
+    * bucket's carry-in from every earlier bucket, and left rows that found
+    * nothing inside their own bucket coalesce to the carry. Right rows in an
+    * earlier bucket are strictly earlier in time than every left row of a
+    * later bucket, so the carry is always eligible regardless of
+    * `allowExactMatches`. Output is row-for-row identical to the unsplit
+    * path (spec'd); cost is one extra shuffle of the compacted bucket table
+    * plus a rejoin on (key, bucket) — pick `w` so a hot key's per-bucket row
+    * count fits a task, e.g. hours-to-days for event streams.
     *
     * Determinism: equal (`on`, time) ties between left and right rows are
     * resolved by `allowExactMatches` (true ⇒ an equal-time right row is
@@ -226,8 +240,10 @@ object Ops {
       allowExactMatches: Boolean = true,
       tolerance: Option[Double] = None,
       rightTieCol: Option[String] = None,
-      suffix: String = "_right"): DataFrame = {
+      suffix: String = "_right",
+      timeBucket: Option[Double] = None): DataFrame = {
     require(on.nonEmpty, "asofJoin needs at least one equi-key column")
+    timeBucket.foreach(w => require(w > 0, "timeBucket must be positive"))
     require(direction == "backward" || direction == "forward",
       "direction must be 'backward' or 'forward'")
     require(rightCols.nonEmpty, "rightCols must name at least one payload column")
@@ -259,14 +275,47 @@ object Ops {
     val tOrd = if (direction == "backward") col("__t").asc else col("__t").desc
     val sOrd = if (allowExactMatches) col("__side").asc else col("__side").desc
     val tie = rightTieCol.map(tc => col("__pay").getField(tc).asc).toSeq
+    val scanOrd = tOrd +: sOrd +: tie
     val W = org.apache.spark.sql.expressions.Window
-    val w = W.partitionBy(on.map(col): _*)
-      .orderBy(tOrd +: sOrd +: tie: _*)
-      .rowsBetween(W.unboundedPreceding, W.currentRow)
 
-    val matched = lPart.unionByName(rPart)
-      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
+    val matched = timeBucket match {
+      case None =>
+        val w = W.partitionBy(on.map(col): _*)
+          .orderBy(scanOrd: _*)
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        lPart.unionByName(rPart)
+          .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+          .where(col("__side") === 1)
+      case Some(wb) =>
+        // hot-key pre-split: window per (key, coarse time bucket) — the same
+        // running pick, but a hot key's sort is now one task per bucket
+        val partCols = on.map(col) :+ col("__tb")
+        val wIn = W.partitionBy(partCols: _*).orderBy(scanOrd: _*)
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        // bucket-final payload: what the running pick holds at the END of the
+        // bucket — same partitioning and order as wIn, so both windows
+        // evaluate in one Window exec over one sort
+        val wFin = W.partitionBy(partCols: _*).orderBy(scanOrd: _*)
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        val rows = lPart.unionByName(rPart)
+          .withColumn("__tb", floor(col("__t").cast("double") / wb).cast("long"))
+          .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(wIn))
+          .withColumn("__bfin", last(col("__pay"), ignoreNulls = true).over(wFin))
+        // boundary fix-up on the COMPACTED (key, bucket) table: carry-in for
+        // bucket b = last non-null bucket-final among buckets strictly before
+        // b in scan direction. One row per populated bucket — model-sized
+        // relative to the data, so this window never sees a hot key's rows
+        val bOrd = if (direction == "backward") col("__tb").asc else col("__tb").desc
+        val wCarry = W.partitionBy(on.map(col): _*).orderBy(bOrd)
+          .rowsBetween(W.unboundedPreceding, -1)
+        val carry = rows.groupBy(partCols: _*)
+          .agg(first(col("__bfin"), ignoreNulls = true).as("__bf"))
+          .withColumn("__carry", last(col("__bf"), ignoreNulls = true).over(wCarry))
+          .select(on.map(col) :+ col("__tb") :+ col("__carry"): _*)
+        rows.where(col("__side") === 1)
+          .join(carry, on :+ "__tb")
+          .withColumn("__match", coalesce(col("__match"), col("__carry")))
+    }
     val inTol = tolerance match {
       case Some(tol) =>
         abs(col("__t").cast("double") - col("__match").getField("__rt").cast("double")) <= lit(tol)

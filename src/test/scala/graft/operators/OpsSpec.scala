@@ -218,6 +218,47 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(run(right.repartition(7)) == Seq(("second", 2L)))
   }
 
+  test("asofJoin: timeBucket hot-key split is row-identical to the unsplit path") {
+    // randomized timeline with a deliberately hot key: 3 keys, one carrying
+    // 80% of the rows; bucket width 10 forces many cross-bucket carries
+    // (left rows whose nearest right row lives several buckets back)
+    val rnd = new scala.util.Random(42)
+    def key(i: Int) = if (i % 5 != 0) "hot" else if (i % 2 == 0) "b" else "c"
+    val l = (0 until 400).map(i => (key(i), rnd.nextInt(300).toLong, s"L$i"))
+      .toDF("k", "t", "lv")
+    // sparse right side: long right-free stretches → carry must cross buckets
+    val r = (0 until 60).map(i => (key(i), rnd.nextInt(300).toLong, s"R$i", i.toLong))
+      .toDF("k", "t", "rv", "rid")
+    for (dir <- Seq("backward", "forward"); exact <- Seq(true, false);
+         tol <- Seq(None, Some(25.0))) {
+      val plain = Ops.asofJoin(l, r, Seq("k"), "t", "t", Seq("rv", "rid", "t"),
+          direction = dir, allowExactMatches = exact, tolerance = tol,
+          rightTieCol = Some("rid"))
+        .select("k", "t", "lv", "rv", "rid", "t_right")
+        .as[(String, Long, String, Option[String], Option[Long], Option[Long])]
+        .collect().sortBy(x => (x._1, x._2, x._3)).toSeq
+      val split = Ops.asofJoin(l, r, Seq("k"), "t", "t", Seq("rv", "rid", "t"),
+          direction = dir, allowExactMatches = exact, tolerance = tol,
+          rightTieCol = Some("rid"), timeBucket = Some(10.0))
+        .select("k", "t", "lv", "rv", "rid", "t_right")
+        .as[(String, Long, String, Option[String], Option[Long], Option[Long])]
+        .collect().sortBy(x => (x._1, x._2, x._3)).toSeq
+      assert(split == plain, s"divergence at dir=$dir exact=$exact tol=$tol")
+    }
+    // and across partitionings (the split path adds a join — must stay stable)
+    val a = Ops.asofJoin(l.repartition(13), r.repartition(7), Seq("k"), "t", "t",
+        Seq("rv", "rid"), rightTieCol = Some("rid"), timeBucket = Some(10.0))
+      .select("k", "t", "lv", "rv", "rid")
+      .as[(String, Long, String, Option[String], Option[Long])]
+      .collect().sortBy(x => (x._1, x._2, x._3)).toSeq
+    val b = Ops.asofJoin(l, r, Seq("k"), "t", "t",
+        Seq("rv", "rid"), rightTieCol = Some("rid"), timeBucket = Some(10.0))
+      .select("k", "t", "lv", "rv", "rid")
+      .as[(String, Long, String, Option[String], Option[Long])]
+      .collect().sortBy(x => (x._1, x._2, x._3)).toSeq
+    assert(a == b)
+  }
+
   test("asofJoin: payload is atomic (fields never stitched across right rows)") {
     // two right rows straddle the left instant; every payload field must come
     // from the SAME picked row
