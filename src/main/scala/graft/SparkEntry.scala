@@ -882,6 +882,13 @@ object SparkEntry {
       TextAnalysis.withCompressionRatio(t(s, dir, "documents"))
         .select(col("doc_id"), round(col("compress_ratio"), 6).as("compress_ratio"))),
 
+    // --- redundancy, SQL-mirrorable twin: distinct-8-gram ratio ------------
+    // (text_compress's deflate has no DuckDB mirror and stays rows-only by
+    // design; this carries the same signal through the full oracle)
+    "text_redundancy" -> ((s, dir) =>
+      TextAnalysis.withDistinctGramRatio(t(s, dir, "documents"))
+        .select(col("doc_id"), round(col("gram_ratio"), 6).as("gram_ratio"))),
+
     // --- fuzzy (edit-distance) join: PassJoin segments + banded verify -----
     "fuzzy_join" -> ((s, dir) => {
       val p = t(s, dir, "part").select("p_partkey", "p_name")
@@ -890,6 +897,15 @@ object SparkEntry {
         .groupBy("p_partkey")
         .agg(count(lit(1)).as("n_similar"),
           min("p_partkey_right").as("min_similar"))
+    }),
+
+    // --- fuzzy join, value granularity (no k² re-expansion) ----------------
+    "fuzzy_join_values" -> ((s, dir) => {
+      val p = t(s, dir, "part").select("p_partkey", "p_name")
+      Joins.fuzzyJoin(p, p, "p_name", "p_name", 1, expand = false)
+        .select(col("p_name"), col("p_name_right"),
+          col("edit_dist").cast("long").as("edit_dist"),
+          col("left_count"), col("right_count"))
     }),
 
     // --- interval overlap join: bucketed range join, exactly-once pairs ----
@@ -1432,6 +1448,14 @@ object SparkEntry {
         |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
         |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe_tokens
         |FROM documents""".stripMargin,
+    "text_redundancy" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) >= 8 THEN
+        |    round(CAST(len(list_distinct(list_transform(
+        |        generate_series(1, length(text) - 7), i -> substr(text, i, 8))))
+        |      AS DOUBLE) / CAST(length(text) - 7 AS DOUBLE), 6)
+        |  ELSE 1.0 END AS gram_ratio
+        |FROM documents""".stripMargin,
     "text_tfidf" ->
       """WITH w AS (SELECT doc_id,
         |    unnest(list_filter(string_split(lower(trim(text)), ' '), s -> s <> '')) AS term
@@ -1490,6 +1514,12 @@ object SparkEntry {
         |  ON a.p_partkey <> b.p_partkey
         | AND levenshtein(a.p_name, b.p_name) <= 1
         |GROUP BY a.p_partkey""".stripMargin,
+    "fuzzy_join_values" ->
+      """WITH v AS (SELECT p_name, count(*) AS c FROM part GROUP BY p_name)
+        |SELECT a.p_name, b.p_name AS p_name_right,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+        |       a.c AS left_count, b.c AS right_count
+        |FROM v a JOIN v b ON levenshtein(a.p_name, b.p_name) <= 1""".stripMargin,
     "interval_join" ->
       """WITH f AS (SELECT l_suppkey AS k,
         |    l_orderkey * 10 + l_linenumber AS iid,

@@ -50,8 +50,10 @@ object Joins {
     * at 10x), so the cost is CPU-linear in candidates, never a buffered
     * shuffle; (2) the re-expansion joins key on the string value, so a
     * value occurring k times on both sides legitimately emits k^2 pairs —
-    * aggregate at value granularity upstream if row-level pairs aren't
-    * needed. Keep d <= 3.
+    * pass `expand = false` to opt out: the result stays at value
+    * granularity, one row per verified value pair with `left_count` /
+    * `right_count` occurrence columns (everything an aggregate consumer
+    * needs, with the k² blowup never materialized). Keep d <= 3.
     *
     * A value pair can collide on several slots, so verified pairs are
     * deduped on the value pair before re-expansion. Self-join: pass the
@@ -63,7 +65,8 @@ object Joins {
       leftCol: String,
       rightCol: String,
       maxDist: Int,
-      suffix: String = "_right"): DataFrame = {
+      suffix: String = "_right",
+      expand: Boolean = true): DataFrame = {
     require(maxDist >= 1 && maxDist <= 5, "maxDist must be in [1, 5]")
     import graft.functions.TextFunctions.{passjoin_index, passjoin_probe}
 
@@ -87,18 +90,33 @@ object Joins {
       .select("__lstr", "__rstr", "__dist")
       .dropDuplicates("__lstr", "__rstr")
 
-    // re-expand value pairs to row pairs; alias qualifiers keep the
-    // self-join case (left eq right) unambiguous
-    val lAl = left.alias("__fj_l")
-    val rAl = right.alias("__fj_r")
-    val leftNames = left.columns.toSet
-    valuePairs
-      .join(lAl, col("__lstr") === col(s"__fj_l.$leftCol"))
-      .join(rAl, col("__rstr") === col(s"__fj_r.$rightCol"))
-      .select(left.columns.toSeq.map(c => col(s"__fj_l.$c").as(c)) ++
-        right.columns.toSeq.map { c =>
-          col(s"__fj_r.$c").as(if (leftNames(c)) c + suffix else c)
-        } ++ Seq(col("__dist").as("edit_dist")): _*)
+    if (!expand) {
+      // value granularity: one row per verified value pair plus occurrence
+      // counts — two pre-aggregated joins on the value, no k² re-expansion
+      val lCnt = left.where(col(leftCol).isNotNull)
+        .groupBy(col(leftCol).as("__lstr")).agg(count(lit(1)).as("left_count"))
+      val rCnt = right.where(col(rightCol).isNotNull)
+        .groupBy(col(rightCol).as("__rstr")).agg(count(lit(1)).as("right_count"))
+      val rName = if (rightCol == leftCol) rightCol + suffix else rightCol
+      valuePairs
+        .join(lCnt, Seq("__lstr"))
+        .join(rCnt, Seq("__rstr"))
+        .select(col("__lstr").as(leftCol), col("__rstr").as(rName),
+          col("__dist").as("edit_dist"), col("left_count"), col("right_count"))
+    } else {
+      // re-expand value pairs to row pairs; alias qualifiers keep the
+      // self-join case (left eq right) unambiguous
+      val lAl = left.alias("__fj_l")
+      val rAl = right.alias("__fj_r")
+      val leftNames = left.columns.toSet
+      valuePairs
+        .join(lAl, col("__lstr") === col(s"__fj_l.$leftCol"))
+        .join(rAl, col("__rstr") === col(s"__fj_r.$rightCol"))
+        .select(left.columns.toSeq.map(c => col(s"__fj_l.$c").as(c)) ++
+          right.columns.toSeq.map { c =>
+            col(s"__fj_r.$c").as(if (leftNames(c)) c + suffix else c)
+          } ++ Seq(col("__dist").as("edit_dist")): _*)
+    }
   }
 
   /** Interval overlap join: all (left, right) pairs sharing `on` keys whose

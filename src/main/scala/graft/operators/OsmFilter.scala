@@ -98,8 +98,13 @@ object OsmFilter {
     val g = graft.geom.WKT.read(areaWkt)
     val (x1, y1, x2, y2) = g.bbox
     val area = lit(graft.geom.WKB.write(g))
+    val checkpointed = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val mat: DataFrame => DataFrame =
-      if (materializeIds) _.localCheckpoint(eager = false) else identity
+      if (materializeIds) { df =>
+        val c = df.localCheckpoint(eager = false)
+        checkpointed += c
+        c
+      } else identity
 
     val nodes = df.where(col(typeCol) === "n")
     val ways = df.where(col(typeCol) === "w")
@@ -142,9 +147,49 @@ object OsmFilter {
       else keptNodeIds.unionByName(
         keptWays.select(explode(col(refsCol)).as(idCol))).distinct()
     val keptNodes = nodes.join(nodeIds, Seq(idCol), "left_semi")
-    keptNodes
+    val result = keptNodes
       .unionByName(keptWays)
       .unionByName(rels.join(keptRelIds, Seq(idCol), "left_semi"))
+    releaseCheckpointsAfterAction(result, checkpointed.toSeq)
+    result
+  }
+
+  /** Frees the lazily localCheckpointed id frames once an action whose plan
+    * contains the crop result completes — the same deterministic-release
+    * discipline as SJoin's fallback persist. `Dataset.unpersist` never
+    * touches these blocks (they live on the RDD wrapped by the checkpoint's
+    * LogicalRDD, invisible to the CacheManager), so the listener unpersists
+    * the wrapped RDDs directly. Re-running an action on the same crop frame
+    * afterwards just re-derives the ids — callers acting twice should cache
+    * the (selectivity-bounded) RESULT.
+    */
+  private def releaseCheckpointsAfterAction(result: DataFrame, cps: Seq[DataFrame]): Unit = {
+    if (cps.isEmpty) return
+    val session = result.sparkSession
+    val target = result.queryExecution.analyzed
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    lazy val listener: org.apache.spark.sql.util.QueryExecutionListener =
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        private def maybeRelease(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+          if (qe.analyzed.find(_.sameResult(target)).isDefined &&
+              done.compareAndSet(false, true)) {
+            cps.foreach { df =>
+              df.queryExecution.analyzed match {
+                case lr: org.apache.spark.sql.execution.LogicalRDD =>
+                  lr.rdd.unpersist(blocking = false)
+                case _ => ()
+              }
+            }
+            session.listenerManager.unregister(listener)
+          }
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          maybeRelease(qe)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+          maybeRelease(qe)
+      }
+    session.listenerManager.register(listener)
   }
 
   /** Tag keys whose presence makes a CLOSED way a polygon (the reference's
@@ -296,13 +341,17 @@ object OsmFilter {
     *
     * Precondition (osmium's own input contract): (type, id) is unique WITHIN
     * each input frame. Rows duplicated inside one frame tie on the source
-    * index and max_by picks arbitrarily — a content-total tiebreak would
-    * need per-row serialization of the map-typed tags (Spark can neither
-    * order nor hash maps), an always-on cost for an input that is malformed
-    * to begin with. Run the duplicates through [[tagFilter]]/dedup first if
-    * an input can violate this.
+    * index and max_by picks arbitrarily by default — Spark can neither order
+    * nor hash the map-typed tags, so a content tiebreak needs per-row
+    * serialization, an always-on cost for inputs that are malformed to begin
+    * with. Opt in with `totalTiebreak = true`: within-source ties then break
+    * on a canonical JSON of the payload (top-level map columns serialized
+    * with SORTED entries, so equal maps serialize equally regardless of
+    * internal order; greatest string wins), making the merge deterministic
+    * under any partitioning even on duplicated inputs.
     */
-  def merge(dfs: Seq[DataFrame], typeCol: String = "type", idCol: String = "id"): DataFrame = {
+  def merge(dfs: Seq[DataFrame], typeCol: String = "type", idCol: String = "id",
+      totalTiebreak: Boolean = false): DataFrame = {
     require(dfs.nonEmpty, "merge needs at least one frame")
     val cols = dfs.head.columns.toIndexedSeq
     val all = dfs.zipWithIndex
@@ -310,9 +359,24 @@ object OsmFilter {
       .reduce(_ unionByName _)
     val payload = cols.filterNot(c => c == typeCol || c == idCol)
     if (payload.isEmpty) all.select(cols.map(col): _*).distinct()
-    else all
-      .groupBy(col(typeCol), col(idCol))
-      .agg(max_by(struct(payload.map(col): _*), col("__src")).as("__e"))
-      .select(cols.map(c => if (payload.contains(c)) col(s"__e.$c") else col(c)): _*)
+    else {
+      val ord: Column =
+        if (!totalTiebreak) col("__src")
+        else {
+          val schema = dfs.head.schema
+          val canon = payload.map { c =>
+            schema(c).dataType match {
+              case _: org.apache.spark.sql.types.MapType =>
+                array_sort(map_entries(col(c))).as(c)
+              case _ => col(c).as(c)
+            }
+          }
+          struct(col("__src"), to_json(struct(canon: _*)))
+        }
+      all
+        .groupBy(col(typeCol), col(idCol))
+        .agg(max_by(struct(payload.map(col): _*), ord).as("__e"))
+        .select(cols.map(c => if (payload.contains(c)) col(s"__e.$c") else col(c)): _*)
+    }
   }
 }

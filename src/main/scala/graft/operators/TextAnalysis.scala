@@ -35,6 +35,29 @@ object TextAnalysis {
     df.withColumn(outCol,
       graft.functions.TextFunctions.compress_ratio(col(textCol)))
 
+  /** Distinct-n-gram ratio per document (distinct character n-grams /
+    * total n-grams, 1.0 for texts shorter than n): the SQL-mirrorable
+    * companion to [[withCompressionRatio]] — the same redundancy signal
+    * (templated/repetitive text scores low) computed with pure built-ins
+    * (substring enumeration + array_distinct, one pass, no shuffle), so the
+    * DuckDB oracle can verify it value-for-value where deflate cannot be
+    * mirrored. Gopher's repetition family uses exactly this shape
+    * (duplicate n-gram fractions).
+    */
+  def withDistinctGramRatio(df: DataFrame, textCol: String = "text", n: Int = 8,
+      outCol: String = "gram_ratio"): DataFrame = {
+    require(n >= 2, "n-gram size must be >= 2")
+    val L = length(col(textCol))
+    // sequence(1, L-n+1) flips to a DESCENDING range when L < n (Spark
+    // auto-negates the step) — the when() guard keeps it off that path
+    val grams = transform(sequence(lit(1), L - (n - 1)),
+      i => col(textCol).substr(i, lit(n)))
+    df.withColumn(outCol,
+      when(L >= n,
+        size(array_distinct(grams)).cast("double") / (L - (n - 1)).cast("double"))
+        .otherwise(lit(1.0)))
+  }
+
   /** Quality features + a composite score in [0, 1]:
     * 0.4·min(1, n_tokens/50) + 0.3·max(0, 1−|avg_token_len−5|/5)
     * + 0.3·max(0, 1−5·(punct_ratio+digit_ratio)).

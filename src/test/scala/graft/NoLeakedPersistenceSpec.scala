@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Release-valve sweep over the WHOLE registry: no `SparkEntry.queries`
+  * entry may leave persistent RDD blocks behind once its action finishes —
+  * session-lifetime caches accumulate across a long-lived 100 TB pipeline
+  * until executors die of storage pressure. Extends the CC-rounds pattern
+  * from GraphSpec to every operator surface at once.
+  *
+  * Two legitimate, bounded exceptions (both release deterministically, just
+  * not synchronously with the action): SJoin's monotonic-tag fallback
+  * persist frees via a QueryExecutionListener on the listener bus, and
+  * Graph/OsmFilter lazy localCheckpoints keep the FINAL round's blocks
+  * alive backing the returned frame's lineage. The sweep therefore waits
+  * for the listener bus to drain and then allows at most a bounded handful
+  * of residual RDDs per query — never growth proportional to rounds or
+  * partitions — and frees residuals between queries so leaks can't mask
+  * each other.
+  */
+class NoLeakedPersistenceSpec extends AnyFunSuite with SparkSpec {
+
+  test("every registry query releases its persistence once the action completes") {
+    val sc = spark.sparkContext
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val before = sc.getPersistentRDDs.keySet
+      try {
+        fn(spark, sfDir).count()
+        def leaked = sc.getPersistentRDDs.view.filterKeys(k => !before(k)).toMap
+        // listener-released persists (SJoin fallback) fire asynchronously
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+        val residual = leaked
+        if (residual.size > 3)
+          failures += s"$name left ${residual.size} persistent RDDs"
+        residual.values.foreach(_.unpersist(blocking = false))
+      } catch {
+        case e: Throwable => failures += s"$name failed to run: ${e.getMessage}"
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}

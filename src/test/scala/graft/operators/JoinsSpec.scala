@@ -81,6 +81,26 @@ class JoinsSpec extends AnyFunSuite with SparkSpec {
     assert(got == Set((1L, 3L, 1), (1L, 4L, 1), (2L, 4L, 1)))
   }
 
+  test("fuzzyJoin expand=false: value granularity with counts, no k² blowup") {
+    // "abc" appears 3× left and 2× right: expanded mode emits 3·2 = 6 rows
+    // for that value pair; value mode emits ONE row carrying the counts
+    val l = Seq((1L, "abc"), (2L, "abc"), (3L, "abc"), (4L, "xyz"))
+      .toDF("id", "name")
+    val r = Seq((11L, "abc"), (12L, "abc"), (13L, "abd"), (14L, "qqq"))
+      .toDF("id", "name")
+    val expanded = Joins.fuzzyJoin(l, r, "name", "name", 1)
+    assert(expanded.count() == 3 * 2 + 3 * 1) // abc×abc (6) + abc×abd (3)
+    val values = Joins.fuzzyJoin(l, r, "name", "name", 1, expand = false)
+      .select("name", "name_right", "edit_dist", "left_count", "right_count")
+      .as[(String, String, Int, Long, Long)].collect().toSet
+    assert(values == Set(
+      ("abc", "abc", 0, 3L, 2L),
+      ("abc", "abd", 1, 3L, 1L)))
+    // row count identity: sum(left_count·right_count) over value rows equals
+    // the expanded row count — the counts reconstruct what wasn't emitted
+    assert(values.toSeq.map(v => v._4 * v._5).sum == expanded.count())
+  }
+
   // ---- intervalJoin -----------------------------------------------------
 
   private def lIv = Seq(

@@ -261,4 +261,31 @@ class MultimodalOsmSpec extends AnyFunSuite with SparkSpec {
       == Map("fixme" -> "moved"))
     assert(merged.columns.toSeq == cropOsm.columns.toSeq)
   }
+
+  test("OsmFilter.merge totalTiebreak: within-frame duplicates resolve deterministically") {
+    // ONE frame with (type, id) duplicated — osmium's precondition violated.
+    // Default merge picks arbitrarily; totalTiebreak must pick the same
+    // winner under every partitioning, and equal-content maps with different
+    // internal entry order must compare equal (sorted canonical entries)
+    val dup = Seq(
+      ("n", 1L, Map("b" -> "2", "a" -> "1"), Some(1.0)),
+      ("n", 1L, Map("a" -> "1", "b" -> "2"), Some(1.0)), // same content, reordered map
+      ("n", 1L, Map("a" -> "1", "c" -> "9"), Some(2.0)), // different content
+      ("n", 2L, Map("x" -> "x"), Some(3.0))
+    ).toDF("type", "id", "tags", "lon")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      OsmFilter.merge(Seq(df), totalTiebreak = true)
+        .select(col("type"), col("id"), to_json(array_sort(map_entries(col("tags")))).as("t"),
+          col("lon"))
+        .as[(String, Long, String, Option[Double])]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    val a = run(dup)
+    val b = run(dup.repartition(7))
+    val c = run(dup.orderBy(desc("lon")).repartition(3))
+    assert(a == b && b == c, s"partitioning-dependent merge: $a vs $b vs $c")
+    assert(a.length == 2)
+    // id=1 winner is the greatest canonical payload — the c->9 row
+    assert(a.head._3.contains("\"key\":\"c\""), s"unexpected winner ${a.head}")
+    assert(a.head._4.contains(2.0), s"winner fields not atomic: ${a.head}")
+  }
 }

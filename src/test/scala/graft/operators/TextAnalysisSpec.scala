@@ -285,4 +285,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       .select("doc_id", "compress_ratio").as[(Long, Double)].collect().toMap
     assert(again == out)
   }
+
+  test("distinct-gram ratio: closed-form extremes and the short-text guard") {
+    val docs = Seq(
+      (1L, "a" * 100),            // one distinct 8-gram over 93 positions
+      (2L, ('a' to 'z').mkString * 4), // period-26 text: exactly 26 distinct 8-grams
+      (3L, "short"),              // below n: defined as 1.0
+      (4L, "")                    // empty: 1.0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withDistinctGramRatio(docs)
+      .select("doc_id", "gram_ratio").as[(Long, Double)].collect().toMap
+    assert(out(1L) == 1.0 / 93.0)
+    assert(out(2L) == 26.0 / (104 - 7))
+    assert(out(3L) == 1.0 && out(4L) == 1.0)
+    // the redundancy ordering agrees with the deflate gate's intent:
+    // repetitive text scores far below unique-ish prose
+    val mixed = Seq((1L, "the cat " * 40), (2L, (1 to 60).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.withDistinctGramRatio(mixed)
+      .select("doc_id", "gram_ratio").as[(Long, Double)].collect().toMap
+    assert(m(1L) < 0.1 && m(2L) > 0.5, s"ordering broken: $m")
+  }
 }
