@@ -220,10 +220,11 @@ object Joins {
       col(s"__r_$rightStart") <= col(s"__l_$leftEnd")
     // exactly-once: the pair meets only at the coarser of the two native
     // levels, in the first bucket both intervals share at that level
-    val atMeetLvl = col("__llvl") === greatest(col("__lnat"), col("__rnat"))
     val firstShared = col("__lbkt") === greatest(
       bucketAt(col(s"__l_$leftStart"), col("__llvl")),
       bucketAt(col(s"__r_$rightStart"), col("__llvl")))
+    val lvlEq = col("__llvl") === col("__rlvl")
+    val bktEq = col("__lbkt") === col("__rbkt")
 
     // shuffle-hash, not broadcast: the planner's size estimate predates the
     // bucket explode, so it happily broadcasts a million-row build side
@@ -232,10 +233,31 @@ object Joins {
     // partitioned on (key, lvl, bucket) is the shape that survives
     // fact-to-fact interval joins at 100 TB; sort-merge adds nothing since
     // bucket groups are small by construction.
-    val joined = lb.hint("shuffle_hash").join(rb,
-      (Seq(overlap, atMeetLvl, firstShared,
-        col("__llvl") === col("__rlvl"), col("__lbkt") === col("__rbkt")) ++
-        keyCond).reduce(_ && _))
+    val joined =
+      if (maxLvl == 0) {
+        // single level: every row is native, one join (the flat plan)
+        lb.hint("shuffle_hash").join(rb,
+          (Seq(overlap, firstShared, lvlEq, bktEq) ++ keyCond).reduce(_ && _))
+      } else {
+        // Two asymmetric halves so the BUILD side at every level holds only
+        // NATIVE rows of that level. A row's replicas exist at levels
+        // >= native, so matching at the build side's native level already
+        // implies the probe side's native <= it — pairs meet exactly at
+        // max(nat_l, nat_r) with no explicit meet-level predicate. Without
+        // this split, short intervals marked as ancestors in coarse levels
+        // all share a handful of planet-wide buckets and probe EACH OTHER
+        // there (per-key all-pairs at the top level, measured 2x the whole
+        // join's cost at sf0.1); with it, coarse buckets contain only the
+        // rare long intervals, so short×short candidates never form above
+        // level 0. Equal native levels land in half 1; half 2 takes
+        // strictly-coarser right natives, keeping the halves disjoint.
+        val half1 = lb.where(col("__llvl") === col("__lnat")).hint("shuffle_hash")
+          .join(rb, (Seq(overlap, firstShared, lvlEq, bktEq) ++ keyCond).reduce(_ && _))
+        val half2 = lb.join(rb.where(col("__rlvl") === col("__rnat")).hint("shuffle_hash"),
+          (Seq(overlap, firstShared, lvlEq, bktEq,
+            col("__lnat") < col("__rnat")) ++ keyCond).reduce(_ && _))
+        half1.unionByName(half2)
+      }
 
     val leftNames = left.columns.toSet
     joined.select(
