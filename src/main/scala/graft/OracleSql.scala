@@ -388,6 +388,42 @@ object OracleSql {
        |SELECT query_id, neighbor_id, round(cs, 6) AS cosine FROM scored
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) <= $k""".stripMargin
 
+  /** (query_id, neighbor_id, cosine): the composed LSH × int8 × float-rescore
+    * retriever — [[simLsh]]'s exact bucket-collision candidates, scored by
+    * the bit-exact int8 quantization mirror (normalize → symmetric int8 →
+    * integer dot, same arithmetic shapes as the sim_int8 oracle), top
+    * `rescore·k` survivors re-ranked by the true float cosine.
+    */
+  def simInt8Lsh(vecsrc: String = "embeddings", k: Int = 5, tables: Int = 8,
+      planes: Int = 12, dim: Int = 64, rescore: Int = 4,
+      queryPred: String = "vec_id < 8"): String =
+    s"""WITH ${vecsketchCore(vecsrc, tables, planes, dim)},
+       |qsk AS (SELECT * FROM sk WHERE $queryPred),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM qsk q JOIN sk c ON q.t = c.t AND q.sketch = c.sketch),
+       |nz AS (SELECT vec_id,
+       |    CASE WHEN n > 0 THEN list_transform(e, x -> CAST(x AS DOUBLE) / n)
+       |    ELSE list_transform(e, x -> CAST(x AS DOUBLE)) END AS en
+       |  FROM (SELECT vec_id, embedding AS e,
+       |      sqrt(list_sum(list_transform(embedding,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+       |    FROM $vecsrc)),
+       |qz AS (SELECT vec_id, CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS s,
+       |    list_transform(en, x -> CAST(round(x
+       |      / (CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END)) AS BIGINT)) AS q
+       |  FROM (SELECT vec_id, en, list_max(list_transform(en, x -> abs(x))) AS m FROM nz)),
+       |isc AS (SELECT cand.query_id, cand.neighbor_id,
+       |    list_dot_product(cq.q, cc.q) * cq.s * cc.s AS score
+       |  FROM cand JOIN qz cc ON cand.neighbor_id = cc.vec_id
+       |            JOIN qz cq ON cand.query_id = cq.vec_id),
+       |surv AS (SELECT query_id, neighbor_id FROM isc
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= ${rescore * k}),
+       |re AS (SELECT surv.query_id, surv.neighbor_id, ${cos("eq.embedding", "ec.embedding")} AS cs
+       |  FROM surv JOIN $vecsrc eq ON surv.query_id = eq.vec_id
+       |            JOIN $vecsrc ec ON surv.neighbor_id = ec.vec_id)
+       |SELECT query_id, neighbor_id, round(cs, 6) AS cosine FROM re
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) <= $k""".stripMargin
+
   /** (doc_id, contam_hits, contaminated): benchmark decontamination — mirrors
     * [[graft.operators.TextAnalysis.flagContaminated]] over a corpus/bench
     * split of `docsrc` by `benchPred`. One gramsCore instantiation feeds both

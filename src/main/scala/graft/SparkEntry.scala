@@ -715,6 +715,16 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // --- similarity: composed retriever — LSH buckets × int8 × rescore -----
+    // fully deterministic end-to-end (bucket collisions, int8 prefilter and
+    // float rescore all mirrored exactly), unlike IVF no fit action needed
+    "sim_int8_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.int8LshTopK(emb, emb.where(col("vec_id") < 8), "embedding", "vec_id",
+          k = 5, tables = 8, planes = 12, rescore = 4)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // --- text quality scoring ---------------------------------------------
     "text_quality" -> ((s, dir) => {
       // fraction-valued columns can land exactly on round() tie boundaries
@@ -1547,6 +1557,7 @@ object SparkEntry {
     "dedup_incremental" -> OracleSql.dedupIncremental(),
     "dedup_embedding" -> OracleSql.dedupEmbedding(),
     "sim_lsh" -> OracleSql.simLsh(),
+    "sim_int8_lsh" -> OracleSql.simInt8Lsh(),
     "isochrone_contours" -> OracleSql.isochroneContours(),
     "isochrone_cells" ->
       s"""WITH src AS (SELECT r_regionkey,

@@ -357,9 +357,15 @@ object Similarity {
       .withColumn("cosine", int8Dot(col("__qq"), col("__qs"), col("__cq"), col("__cs")))
     val survivors = topkColumns(candScored, math.max(k, rescore * k))
       .select("query_id", "neighbor_id")
+    rescoreExact(corpus, queries, vecCol, idCol, survivors, k)
+  }
 
-    // exact float rescore: survivors are model-sized — broadcast them onto
-    // the corpus so the wide float column is read only where it matters
+  /** Exact float rescore of a survivor list: the (query, neighbor) pairs are
+    * model-sized — broadcast them onto the corpus so the wide float column
+    * is read only where it matters, and rank by TRUE cosine.
+    */
+  private def rescoreExact(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, survivors: DataFrame, k: Int): DataFrame = {
     val qFloat = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
     val rescored = corpus
       .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("__cv"))
@@ -367,6 +373,47 @@ object Similarity {
       .join(broadcast(qFloat), Seq("query_id"))
       .withColumn("cosine", cosineSim(col("__qv"), col("__cv")))
     topkColumns(rescored, k)
+  }
+
+  /** LSH × int8 × float rescore — [[lshTopK]]'s bucket-join candidate
+    * generation with [[int8IvfTopK]]'s narrow scoring and exact final
+    * ranking. Buckets come from the float vector (one pass computes sketch
+    * AND quantization, then the float column is DROPPED); candidates carry
+    * only (id, table, bucket, int8, scale); the int8 integer dot picks the
+    * top `rescore·k` per query and the true-cosine rescore ranks the final
+    * k. Unlike IVF there is no fit action — fully lazy, the cheapest
+    * composed tier.
+    */
+  def int8LshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      tables: Int = 8,
+      planes: Int = 12,
+      rescore: Int = 4): DataFrame = {
+    def prep(df: DataFrame, id: String) = {
+      val base = df.select(col(idCol).cast("long").as(id), col(vecCol).as("__v0"))
+      int8Prep(base, "__v0", id, id, keep = Seq("__v0"))
+        .select(col(id), col("__v0"), col("q8"), col("q8_scale"))
+        .withColumn("__table", explode(sequence(lit(0), lit(tables - 1))))
+        .withColumn("__bucket",
+          xxhash64(col("__table"), vec_simhash(col("__v0"), planes, col("__table"))))
+        .drop("__v0")
+    }
+    val c = prep(corpus, "neighbor_id")
+      .withColumnRenamed("q8", "__cq").withColumnRenamed("q8_scale", "__cs")
+    val q = prep(queries, "query_id")
+      .withColumnRenamed("q8", "__qq").withColumnRenamed("q8_scale", "__qs")
+    val cands = c.join(q, Seq("__table", "__bucket"))
+      .select("query_id", "neighbor_id", "__qq", "__qs", "__cq", "__cs")
+      .dropDuplicates("query_id", "neighbor_id")
+    val candScored = cands
+      .withColumn("cosine", int8Dot(col("__qq"), col("__qs"), col("__cq"), col("__cs")))
+    val survivors = topkColumns(candScored, math.max(k, rescore * k))
+      .select("query_id", "neighbor_id")
+    rescoreExact(corpus, queries, vecCol, idCol, survivors, k)
   }
 
   /** LSH-bucketed ANN (the scale path): `tables` independent random-hyperplane

@@ -19,7 +19,10 @@ package object graft {
       // `div`, not `/`: Spark's `/` is double division, and a 2024-epoch
       // nanosecond count (~1.7e18) exceeds double's 2^53 integer range, so
       // the quotient wobbles ±1 µs vs DuckDB's exact epoch_us truncation.
-      case LongType => df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      // Backticks: the column name lands in SQL text, so reserved words /
+      // spaced names must parse as one identifier.
+      case LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"`$colName` div 1000")))
       case TimestampNTZType => df.withColumn(colName, col(colName).cast(TimestampType))
       case _ => df
     }

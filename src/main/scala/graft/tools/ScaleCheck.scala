@@ -140,6 +140,9 @@ object ScaleCheck {
     pair("sim_int8_ivf")(
       Similarity.int8IvfTopK(emb, queries, "embedding", "vec_id", k = 5),
       Similarity.int8IvfTopK(embN, queries, "embedding", "vec_id", k = 5))
+    pair("sim_int8_lsh")(
+      Similarity.int8LshTopK(emb, queries, "embedding", "vec_id", k = 5),
+      Similarity.int8LshTopK(embN, queries, "embedding", "vec_id", k = 5))
     pair("sjoin_agg")(
       SJoin.sagg(zones, pts1, Seq(count(lit(1)).as("n_items"), sum("l_quantity").as("qty")),
         predicate = "contains", how = "inner"),

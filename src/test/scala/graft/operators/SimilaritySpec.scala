@@ -213,6 +213,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.7, s"int8-ivf recall $recall too low")
   }
 
+  test("int8LshTopK: candidates from LSH buckets, scores are true cosine") {
+    val queries = corpus.where(col("vec_id") < 8)
+    val lsh = Similarity.lshTopK(corpus, queries, "embedding", "vec_id", k = 5,
+      tables = 8, planes = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // full rescore (rescore·k >= any candidate set): same pairs as plain LSH
+    // (identical bucket collisions), but ranked/valued by true cosine
+    val got = Similarity.int8LshTopK(corpus, queries, "embedding", "vec_id", k = 5,
+      tables = 8, planes = 8, rescore = 8)
+    val gotPairs = got.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(gotPairs == lsh, s"bucket candidate sets diverged: ${gotPairs diff lsh} / ${lsh diff gotPairs}")
+    val check = got
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")), "neighbor_id")
+      .join(corpus.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .withColumn("true_cos", Similarity.cosineSim(col("qv"), col("cv")))
+    assert(check.where(col("cosine") =!= col("true_cos")).count() == 0)
+    // recall vs brute force stays at the plain-LSH level
+    val exact = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(gotPairs).size.toDouble / exact.size
+    assert(recall >= 0.6, s"int8-lsh recall $recall too low")
+  }
+
   test("int8Dot is exact integer arithmetic times scales") {
     val df = Seq((1L, Seq[Byte](10, -20, 30), 0.5, Seq[Byte](1, 2, 3), 2.0))
       .toDF("id", "qa", "sa", "qb", "sb")
