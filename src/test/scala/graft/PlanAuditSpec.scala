@@ -88,6 +88,54 @@ class PlanAuditSpec extends SparkSpec {
       s"no partial aggregation step:\n$plan")
   }
 
+  test("non-equi join tier plans as equi-joins, never nested-loop") {
+    Seq("events_asof", "fuzzy_join", "fuzzy_join_values", "interval_join").foreach { name =>
+      val plan = physical(q(name))
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name degenerated to a nested loop:\n$plan")
+    }
+    // the shuffle_hash pin must hold — the planner's pre-explode estimate
+    // would otherwise broadcast a million-row build side
+    assert(physical(q("interval_join")).contains("ShuffledHashJoin"),
+      "interval_join lost its shuffle_hash pin")
+  }
+
+  test("join-tier skew guards keep the equi-join shape") {
+    import testImplicits._
+    val l = Seq(("a", 10L, "L")).toDF("k", "t", "lv")
+    val r = Seq(("a", 3L, "R")).toDF("k", "t", "rv")
+    val asofSplit = operators.Ops.asofJoin(l, r, Seq("k"), "t", "t", Seq("rv"),
+      timeBucket = Some(10.0))
+    val ap = physical(asofSplit)
+    assert(!ap.contains("CartesianProduct") && !ap.contains("BroadcastNestedLoopJoin"),
+      s"asof timeBucket path degenerated:\n$ap")
+    assert("Window".r.findAllIn(ap).nonEmpty, s"asof lost its window:\n$ap")
+
+    val iv = Seq(("k", 1L, 0.0, 100000.0), ("k", 2L, 5.0, 10.0)).toDF("k", "id", "s", "e")
+    val laddered = operators.Joins.intervalJoin(iv, iv, Seq("k"), "s", "e", "s", "e",
+      4.0, maxReplication = Some(16))
+    val lp = physical(laddered)
+    assert(!lp.contains("CartesianProduct") && !lp.contains("BroadcastNestedLoopJoin"),
+      s"interval ladder degenerated:\n$lp")
+    // two asymmetric native-build halves, both pinned shuffle-hash
+    assert("ShuffledHashJoin".r.findAllIn(lp).size == 2,
+      s"ladder must be exactly two shuffle-hash halves:\n$lp")
+  }
+
+  test("composed retrievers: candidate joins are hash joins, no cartesian") {
+    // (probeCells' broadcast over the <=nlist-row centroid table is the one
+    // deliberate tiny nested-loop pair in the IVF front end — model-sized)
+    val ivf = physical(q("sim_int8_ivf"))
+    assert(!ivf.contains("CartesianProduct"), s"sim_int8_ivf cartesian:\n$ivf")
+    assert(ivf.contains("HashJoin") || ivf.contains("SortMergeJoin"),
+      s"sim_int8_ivf candidate join not an equi-join:\n$ivf")
+    val lsh = physical(q("sim_int8_lsh"))
+    assert(!lsh.contains("CartesianProduct") && !lsh.contains("BroadcastNestedLoopJoin"),
+      s"sim_int8_lsh degenerated:\n$lsh")
+    assert(lsh.contains("HashJoin") || lsh.contains("SortMergeJoin"),
+      s"sim_int8_lsh candidate join not an equi-join:\n$lsh")
+  }
+
   test("geometry expressions run inside whole-stage codegen") {
     val df = q("geo_area")
     df.collect() // force execution so the final adaptive plan exists
