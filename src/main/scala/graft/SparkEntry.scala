@@ -501,6 +501,27 @@ object SparkEntry {
             .as("lag_us"))
     }),
 
+    // --- as-of join, hot-key split guard active on real data ---------------
+    // timeBucket = 6h splits every user's timeline across multiple window
+    // partitions with cross-bucket carries; output must equal the unsplit
+    // path — the SAME native DuckDB ASOF oracle gates it per round
+    "events_asof_split" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"), col("value"))
+      Ops.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+          rightCols = Seq("click_id", "value", "ts"), rightTieCol = Some("click_id"),
+          timeBucket = Some(21600.0))
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("purchase_value"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(round(col("value_right"), 4), lit(-1.0)).as("click_value"),
+          coalesce(unix_micros(col("ts")) - unix_micros(col("ts_right")), lit(-1L))
+            .as("lag_us"))
+    }),
+
     // --- osm tag filter (erde/op/osm.py re-expressed) ----------------------
     "osm_tagfilter" -> ((s, dir) => {
       val elements = t(s, dir, "part").select(
@@ -934,6 +955,27 @@ object SparkEntry {
           round(sum(col("q_right")), 4).as("qty_overlap_sum"))
     }),
 
+    // --- interval join, level-ladder guard active on real data -------------
+    // maxReplication = 2 forces maxLvl >= 1 on lineitem spans (up to ~50
+    // days vs (n-1)·w = 32), so the two-half native-build plan runs inside
+    // the per-round gate against the SAME native-IEJoin oracle as the flat
+    // path — identical output required
+    "interval_join_ladder" -> ((s, dir) => {
+      val f = t(s, dir, "lineitem").select(
+        col("l_suppkey").as("k"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("iid"),
+        datediff(col("l_shipdate").cast("date"), to_date(lit("1992-01-01"))).as("s0"),
+        (datediff(col("l_shipdate").cast("date"), to_date(lit("1992-01-01")))
+          + floor(col("l_quantity")).cast("int")).as("e0"),
+        col("l_quantity").as("q"))
+      Joins.intervalJoin(f, f, Seq("k"), "s0", "e0", "s0", "e0", bucketWidth = 32.0,
+          maxReplication = Some(2))
+        .where(col("iid") =!= col("iid_right"))
+        .groupBy("iid")
+        .agg(count(lit(1)).as("n_overlap"),
+          round(sum(col("q_right")), 4).as("qty_overlap_sum"))
+    }),
+
     // --- heavy hitters: CMS-prefiltered exact frequent tokens --------------
     "stats_heavy" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
@@ -1253,6 +1295,18 @@ object SparkEntry {
         |       coalesce(round(c.value, 4), -1.0) AS click_value,
         |       coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS lag_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    // guard twin: the hot-key split path must reproduce the SAME native
+    // ASOF result — identical oracle by construction
+    "events_asof_split" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |          WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS click_id, user_id, ts, value FROM events
+        |          WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, round(p.value, 4) AS purchase_value,
+        |       coalesce(c.click_id, -1) AS click_id,
+        |       coalesce(round(c.value, 4), -1.0) AS click_value,
+        |       coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS lag_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
     "osm_tagfilter" ->
       """WITH e AS (SELECT p_partkey AS osm_id, p_brand, p_type,
         |  CASE (p_partkey % 3) WHEN 0 THEN 'n' WHEN 1 THEN 'w' ELSE 'r' END AS type
@@ -1531,6 +1585,20 @@ object SparkEntry {
         |       a.c AS left_count, b.c AS right_count
         |FROM v a JOIN v b ON levenshtein(a.p_name, b.p_name) <= 1""".stripMargin,
     "interval_join" ->
+      """WITH f AS (SELECT l_suppkey AS k,
+        |    l_orderkey * 10 + l_linenumber AS iid,
+        |    date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS s0,
+        |    date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+        |      + CAST(floor(l_quantity) AS INT) AS e0,
+        |    l_quantity AS q
+        |  FROM lineitem)
+        |SELECT a.iid, count(*) AS n_overlap,
+        |       round(sum(b.q), 4) AS qty_overlap_sum
+        |FROM f a JOIN f b
+        |  ON a.k = b.k AND a.iid <> b.iid AND a.s0 <= b.e0 AND b.s0 <= a.e0
+        |GROUP BY a.iid""".stripMargin,
+    // guard twin: the level ladder must reproduce the flat pair set exactly
+    "interval_join_ladder" ->
       """WITH f AS (SELECT l_suppkey AS k,
         |    l_orderkey * 10 + l_linenumber AS iid,
         |    date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS s0,
