@@ -739,6 +739,19 @@ object OracleSql {
        |SELECT q, round(min_by(est, bn), 4) AS quantile4 FROM e GROUP BY q""".stripMargin
   }
 
+  /** The stats_kll oracle: the sketch's exact mode (k >= n, nothing ever
+    * compacts) IS the discrete lower quantile, i.e. DuckDB's native
+    * `quantile_disc` — two independent implementations agreeing, the same
+    * native-oracle pattern as the non-equi join tier.
+    */
+  def statsKll(src: String, valExpr: String, qs: Seq[Double]): String = {
+    val qList = qs.map(q => s"CAST($q AS DOUBLE)").mkString("[", ", ", "]")
+    s"""WITH data AS (SELECT CAST($valExpr AS DOUBLE) AS v FROM $src WHERE $valExpr IS NOT NULL),
+       |ql AS (SELECT quantile_disc(v, $qList) AS l FROM data)
+       |SELECT CAST($qList[i] AS DOUBLE) AS q, round(l[i], 4) AS quantile4
+       |FROM ql, (SELECT unnest(range(1, ${qs.length + 1})) AS i) ii""".stripMargin
+  }
+
   /** The stats_hll oracle: three columns profiled across two tables. */
   def statsHll(): String =
     Seq(
@@ -856,6 +869,27 @@ object OracleSql {
        |  round(0.0 + rho * sin(theta), 3) AS easting,
        |  round(CAST('${fn0 + rho00}' AS DOUBLE) - rho * cos(theta), 3) AS northing
        |FROM t2""".stripMargin
+  }
+
+  /** The geo_zorder oracle: unrolled Morton bit-interleave — the same
+    * floor-scale (step-for-step double arithmetic) then per-bit shifts, all
+    * in BIGINT space.
+    */
+  def geoZorder(bits: Int = 16, src: String = "customer"): String = {
+    val scale = (1L << bits).toDouble
+    val maxI = (1L << bits) - 1
+    def idx(v: String, lo: String, span: String) =
+      s"CAST(least(greatest(floor(($v - $lo) / $span * $scale), 0), $maxI) AS BIGINT)"
+    val zsum = (0 until bits).map(b =>
+      s"(((ix >> $b) & 1) << ${2 * b}) + (((iy >> $b) & 1) << ${2 * b + 1})")
+      .mkString(" + ")
+    s"""WITH pts AS (SELECT c_custkey,
+       |    (c_custkey % 120) * 0.5 - 30 + 0.25 AS lon,
+       |    (c_custkey % 80) * 0.5 - 20 + 0.25 AS lat FROM $src),
+       |ij AS (SELECT c_custkey,
+       |  ${idx("lon", "-180.0", "360.0")} AS ix,
+       |  ${idx("lat", "-90.0", "180.0")} AS iy FROM pts)
+       |SELECT c_custkey, $zsum AS z FROM ij""".stripMargin
   }
 
   def geoConvertUtm(zone: Int = 31): String = {

@@ -143,6 +143,25 @@ object SparkEntry {
           round(st_x(col("geometry")), 2).as("x_m"),
           round(st_y(col("geometry")), 2).as("y_m"))),
 
+    // --- Z-order storage layout (geom/ZOrder.scala) ------------------------
+    "geo_zorder" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .withColumn("lon", expr("(c_custkey % 120) * 0.5 - 30 + 0.25"))
+        .withColumn("lat", expr("(c_custkey % 80) * 0.5 - 20 + 0.25"))
+        .select(col("c_custkey"), st_zorder(col("lon"), col("lat"), 16).as("z"))),
+
+    "zorder_read" -> ((s, dir) => {
+      val pts = t(s, dir, "customer")
+        .withColumn("lon", expr("(c_custkey % 120) * 0.5 - 30 + 0.25"))
+        .withColumn("lat", expr("(c_custkey % 80) * 0.5 - 20 + 0.25"))
+        .select("c_custkey", "lon", "lat")
+      val out = s"/tmp/graft_zord_${new java.io.File(dir).getName}"
+      GeoOps.writeZOrdered(pts, "lon", "lat", out, bits = 16, partitions = 8)
+      GeoOps.readZOrdered(s, out, "lon", "lat", -10.0, -10.0, 5.0, 5.0)
+        .select(col("c_custkey"),
+          round(col("lon"), 6).as("lon6"), round(col("lat"), 6).as("lat6"))
+    }),
+
     // --- erde op/sjoin sjfull (erde/op/sjoin.py) --------------------------
     "sjoin_full" -> ((s, dir) =>
       SJoin.sjfull(custPoints(s, dir), nationZones(s, dir), predicate = "within")
@@ -878,6 +897,12 @@ object SparkEntry {
           bins = 128, qs = Seq(0.25, 0.5, 0.9, 0.99))
         .select(col("q"), round(col("quantile"), 4).as("quantile4"))),
 
+    // --- KLL one-pass mergeable quantile sketch (exact mode at gate sf) ----
+    "stats_kll" -> ((s, dir) =>
+      operators.Kll.kllQuantiles(t(s, dir, "lineitem"), "l_extendedprice",
+          k = 65536, qs = Seq(0.25, 0.5, 0.9, 0.99))
+        .select(col("q"), round(col("quantile"), 4).as("quantile4"))),
+
     // --- top-k per group (WindowGroupLimit prunes before the exchange) -----
     "data_topk_group" -> ((s, dir) =>
       Ops.topKPerGroup(t(s, dir, "documents"), Seq("lang"), "n_chars",
@@ -1534,6 +1559,14 @@ object SparkEntry {
         |  FROM sc)
         |SELECT doc_id, term, tf, score FROM rk WHERE rn <= 5""".stripMargin,
     "geo_convert_utm" -> OracleSql.geoConvertUtm(zone = 31),
+    "geo_zorder" -> OracleSql.geoZorder(),
+    "zorder_read" ->
+      """WITH pts AS (SELECT c_custkey,
+        |    (c_custkey % 120) * 0.5 - 30 + 0.25 AS lon,
+        |    (c_custkey % 80) * 0.5 - 20 + 0.25 AS lat FROM customer)
+        |SELECT c_custkey, round(lon, 6) AS lon6, round(lat, 6) AS lat6
+        |FROM pts
+        |WHERE lon >= -10.0 AND lon <= 5.0 AND lat >= -10.0 AND lat <= 5.0""".stripMargin,
     "geo_convert_lcc" -> OracleSql.geoConvertLcc(),
     "geo_convert_laea" -> OracleSql.geoConvertLaea(),
     "geo_convert_albers" -> OracleSql.geoConvertAlbers(),
@@ -1614,6 +1647,8 @@ object SparkEntry {
     "data_shard" -> OracleSql.dataShard(shards = 8),
     "stats_quantile" -> OracleSql.statsQuantile("lineitem", "l_extendedprice",
       bins = 128, qs = Seq(0.25, 0.5, 0.9, 0.99)),
+    "stats_kll" -> OracleSql.statsKll("lineitem", "l_extendedprice",
+      qs = Seq(0.25, 0.5, 0.9, 0.99)),
     "multimodal_meta" -> OracleSql.multimodalMeta(),
     "multimodal_pixels" -> OracleSql.multimodalPixels(),
     "multimodal_audio" -> OracleSql.multimodalAudio(),

@@ -54,6 +54,9 @@ object GeoFunctions {
   def st_lengthm(g: Column): Column = c(StLengthM(e(g)))
   def st_coslat(g: Column): Column = c(StCosLat(e(g)))
   def st_distance(a: Column, b: Column): Column = c(StDistance(e(a), e(b)))
+  /** Morton (Z-order) key of a lon/lat pair — see [[graft.geom.ZOrder]]. */
+  def st_zorder(lon: Column, lat: Column, bits: Int = 16): Column =
+    c(StZOrder(ed(lon), ed(lat), bits))
 
   // ---- CRS ----------------------------------------------------------------
   private def epsgOf(crs: String): Int = {

@@ -206,6 +206,22 @@ case class StCrsProj(child: Expression, epsg: Int, invert: Boolean) extends Geom
   override protected def withNewChildInternal(c: Expression): StCrsProj = copy(child = c)
 }
 
+/** Morton (Z-order) curve key of a lon/lat pair; `bits` per axis is a
+  * plan-time constant baked into the generated static call.
+  */
+case class StZOrder(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression with Serializable {
+  require(bits >= 1 && bits <= 31, s"zorder bits $bits out of range 1-31")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(lon: Any, lat: Any): Any =
+    GeomKernel.zorder(lon.asInstanceOf[Double], lat.asInstanceOf[Double], bits)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat) => s"$K.zorder($lon, $lat, $bits)")
+  override def prettyName: String = "st_zorder"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StZOrder =
+    copy(left = l, right = r)
+}
+
 case class StDistance(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
   override def dataType: DataType = DoubleType

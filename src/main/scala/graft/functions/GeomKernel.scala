@@ -109,6 +109,11 @@ object GeomKernel {
       if (invert) Projections.fromProjected(WKB.read(b), epsg)
       else Projections.toProjected(WKB.read(b), epsg))
 
+  /** Morton (Z-order) curve key of a lon/lat point — the write-side
+    * clustering key for spatially-pruned parquet layouts ([[ZOrder]]).
+    */
+  def zorder(lon: Double, lat: Double, bits: Int): Long = ZOrder.encode(lon, lat, bits)
+
   // ---- buffer -------------------------------------------------------------
 
   def buffer(b: Array[Byte], radius: Double, resolution: Int): Array[Byte] =

@@ -89,4 +89,44 @@ object GeoOps {
     val (lon, lat) = Ops.lonlatColumns(df)
     df.withColumn(into, st_point(lon.cast("double"), lat.cast("double")))
   }
+
+  // ---- Z-order storage layout ---------------------------------------------
+
+  /** Writes `df` as parquet clustered along the Morton curve of
+    * (`lonCol`, `latCol`): range-partitioned then sorted within partitions on
+    * the `__z` key, so each file and row group covers a compact z interval
+    * and carries tight `__z` min/max stats. The 100 TB layout story: a bbox
+    * read ([[readZOrdered]]) prunes files/row groups through ordinary
+    * column-statistics pushdown — no spatial index, no library-side planner.
+    * `partitions <= 0` keeps the session's shuffle parallelism.
+    */
+  def writeZOrdered(df: DataFrame, lonCol: String, latCol: String, path: String,
+      bits: Int = 16, partitions: Int = 0): Unit = {
+    val z = df.withColumn("__z", st_zorder(col(lonCol), col(latCol), bits))
+    val parted =
+      if (partitions > 0) z.repartitionByRange(partitions, col("__z"))
+      else z.repartitionByRange(col("__z"))
+    parted.sortWithinPartitions("__z").write.mode("overwrite").parquet(path)
+  }
+
+  /** Reads a [[writeZOrdered]] layout restricted to a bbox: the bbox becomes
+    * at most `maxRanges` contiguous z intervals (quadtree cover, driver-side
+    * arithmetic only) OR-ed into one pushable `__z` predicate, plus the exact
+    * lon/lat residual filter — so correctness never depends on the cover and
+    * the scan skips every row group whose z stats miss the bbox.
+    */
+  def readZOrdered(spark: org.apache.spark.sql.SparkSession, path: String,
+      lonCol: String, latCol: String,
+      minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
+      bits: Int = 16, maxRanges: Int = 32): DataFrame = {
+    val ranges = graft.geom.ZOrder.cover(minLon, minLat, maxLon, maxLat, bits,
+      maxRanges = maxRanges)
+    val zPred = ranges.map { case (lo, hi) => col("__z").between(lo, hi) }
+      .reduce(_ || _)
+    spark.read.parquet(path)
+      .where(zPred)
+      .where(col(lonCol) >= minLon && col(lonCol) <= maxLon &&
+        col(latCol) >= minLat && col(latCol) <= maxLat)
+      .drop("__z")
+  }
 }
