@@ -429,6 +429,34 @@ object OracleSql {
     * split of `docsrc` by `benchPred`. One gramsCore instantiation feeds both
     * sides; hits = distinct corpus grams present in the union of bench grams.
     */
+  /** The text_nbclassify oracle: the full NB pipeline re-derived in SQL —
+    * hashed-token buckets (same signed/unsigned power-of-two agreement as
+    * the CMS/Bloom mirrors), Laplace class-count weights, per-doc dot score.
+    */
+  def textNbClassify(labelExpr: String = "lang = 'en'", buckets: Int = 256,
+      seed: Long = 42L, docsrc: String = "documents"): String = {
+    require(seed >= 0, "oracle mirror expects a non-negative seed")
+    val d = s"$buckets.0"
+    s"""WITH toks AS (SELECT doc_id, $labelExpr AS y,
+       |    unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+')) AS tok FROM $docsrc),
+       |bk AS (SELECT doc_id, y,
+       |  (${mix64(xor64(hashFold(codesOf("tok")), seed.toString))}) % $buckets AS b FROM toks),
+       |counts AS (SELECT y, b, count(*) AS c FROM bk GROUP BY y, b),
+       |cb AS (SELECT b, sum(CASE WHEN y THEN c ELSE 0 END) AS c1,
+       |  sum(CASE WHEN NOT y THEN c ELSE 0 END) AS c0 FROM counts GROUP BY b),
+       |tt AS (SELECT sum(CASE WHEN y THEN c ELSE 0 END) AS t1,
+       |  sum(CASE WHEN NOT y THEN c ELSE 0 END) AS t0 FROM counts),
+       |w AS (SELECT b, ln((CAST(c1 AS DOUBLE) + 1.0) / (CAST(t1 AS DOUBLE) + $d))
+       |  - ln((CAST(c0 AS DOUBLE) + 1.0) / (CAST(t0 AS DOUBLE) + $d)) AS w FROM cb, tt),
+       |pr AS (SELECT ln(CAST(sum(CASE WHEN $labelExpr THEN 1 ELSE 0 END) AS DOUBLE)
+       |  / CAST(sum(CASE WHEN $labelExpr THEN 0 ELSE 1 END) AS DOUBLE)) AS prior FROM $docsrc),
+       |db AS (SELECT doc_id, b, count(*) AS n FROM bk GROUP BY doc_id, b),
+       |sc AS (SELECT doc_id, sum(CAST(n AS DOUBLE) * w) AS s FROM db JOIN w USING (b) GROUP BY doc_id)
+       |SELECT d.doc_id, round(pr.prior + coalesce(sc.s, 0.0), 4) AS nb_score4,
+       |  round(pr.prior + coalesce(sc.s, 0.0), 4) >= 0.0 AS nb_pred
+       |FROM $docsrc d CROSS JOIN pr LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
+  }
+
   def decontaminate(benchPred: String, n: Int = 3, minHits: Int = 1,
       docsrc: String = "documents"): String =
     s"""WITH ${gramsCore(docsrc, n)},

@@ -785,6 +785,12 @@ object SparkEntry {
           col("ws_tokens").cast("long").as("ws_tokens"),
           col("bpe_tokens").cast("long").as("bpe_tokens"))),
 
+    // --- Naive Bayes learned gate (hashed-token sufficient statistics) -----
+    "text_nbclassify" -> ((s, dir) =>
+      TextAnalysis.nbClassify(t(s, dir, "documents"), col("lang") === "en")
+        .select(col("doc_id"),
+          round(col("nb_score"), 4).as("nb_score4"), col("nb_pred"))),
+
     // --- tf-idf keyword extraction (corpus IDF + per-doc top-k) ------------
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidf(t(s, dir, "documents"), topK = 5)),
@@ -1545,6 +1551,7 @@ object SparkEntry {
         |      AS DOUBLE) / CAST(length(text) - 7 AS DOUBLE), 6)
         |  ELSE 1.0 END AS gram_ratio
         |FROM documents""".stripMargin,
+    "text_nbclassify" -> OracleSql.textNbClassify(),
     "text_tfidf" ->
       """WITH w AS (SELECT doc_id,
         |    unnest(list_filter(string_split(lower(trim(text)), ' '), s -> s <> '')) AS term

@@ -83,6 +83,65 @@ object TextAnalysis {
       .withColumn("quality_score", lit(0.4) * wlen + lit(0.3) * tlen + lit(0.3) * clean)
   }
 
+  /** Naive Bayes classifier over hashed token buckets — the fastText-style
+    * learned gate (quality filtering, language filtering) with ZERO driver
+    * state: training is one map-side-combined groupBy to at most 2·`buckets`
+    * weight rows (the mergeable sufficient statistics — per-shard count
+    * tables union by addition), scoring is a broadcast join of that weight
+    * table. `label` is any boolean expression over `df`'s columns (weak
+    * supervision: a heuristic score threshold, an existing metadata column).
+    *
+    * Multinomial NB with Laplace α=1 over `buckets` hashed unigram features:
+    * w(b) = ln((c₁(b)+1)/(t₁+D)) − ln((c₀(b)+1)/(t₀+D)), score(doc) =
+    * ln(n₁/n₀) + Σ_b n_b·w(b); predict positive at score ≥ 0. At 100 TB
+    * nothing here collects, sorts globally, or holds more than the D-row
+    * weight table per executor.
+    *
+    * `buckets` must be a power of two so the signed bucket hash agrees with
+    * the oracle's unsigned arithmetic (same trick as the CMS/Bloom indexes).
+    */
+  def nbClassify(
+      df: DataFrame,
+      label: Column,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      buckets: Int = 256,
+      seed: Long = 42L): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0, "buckets must be a power of two")
+    val d = buckets.toLong
+    val toks = df.select(col(idCol).as("__id"), label.cast("boolean").as("__y"),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[\\p{L}\\p{Nd}]+"), lit(0)))
+        .as("__tok"))
+    val bucketed = toks
+      .withColumn("__b", pmod(string_hash64(col("__tok"), seed), lit(d)))
+      .select("__id", "__y", "__b")
+    // sufficient statistics: (class, bucket) token counts — ≤ 2D rows
+    val counts = bucketed.groupBy("__y", "__b").agg(count(lit(1)).as("__c"))
+    val byBucket = counts.groupBy("__b").agg(
+      sum(when(col("__y"), col("__c")).otherwise(0L)).as("__c1"),
+      sum(when(!col("__y"), col("__c")).otherwise(0L)).as("__c0"))
+    val totals = counts.agg(
+      sum(when(col("__y"), col("__c")).otherwise(0L)).as("__t1"),
+      sum(when(!col("__y"), col("__c")).otherwise(0L)).as("__t0"))
+    val weights = byBucket.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        (log((col("__c1").cast("double") + lit(1.0)) / (col("__t1").cast("double") + lit(d.toDouble))) -
+         log((col("__c0").cast("double") + lit(1.0)) / (col("__t0").cast("double") + lit(d.toDouble))))
+          .as("__w"))
+    val prior = df.agg(
+      log(sum(when(label.cast("boolean"), 1L).otherwise(0L)).cast("double") /
+          sum(when(label.cast("boolean"), 0L).otherwise(1L)).cast("double")).as("__prior"))
+    val perDoc = bucketed.groupBy("__id", "__b").agg(count(lit(1)).as("__n"))
+      .join(broadcast(weights), Seq("__b"))
+      .groupBy("__id")
+      .agg(sum(col("__n").cast("double") * col("__w")).as("__s"))
+    df.join(perDoc.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .crossJoin(broadcast(prior))
+      .withColumn("nb_score", col("__prior") + coalesce(col("__s"), lit(0.0)))
+      .withColumn("nb_pred", round(col("nb_score"), 4) >= 0.0)
+      .drop("__s", "__prior")
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish regex count
     * (`\w+` runs plus single non-space symbols — the standard pre-tokenizer
     * shape).

@@ -306,4 +306,37 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       .select("doc_id", "gram_ratio").as[(Long, Double)].collect().toMap
     assert(m(1L) < 0.1 && m(2L) > 0.5, s"ordering broken: $m")
   }
+
+  test("NB classifier recovers a planted vocabulary signal") {
+    // two disjoint vocabularies with a little shared noise
+    val pos = (0 until 60).map(i => (i.toLong, s"alpha beta gamma shared${i % 5} delta", true))
+    val neg = (60 until 120).map(i => (i.toLong, s"omega psi chi shared${i % 5} phi", false))
+    val df = (pos ++ neg).toDF("doc_id", "text", "y").repartition(5)
+    val out = TextAnalysis.nbClassify(df, col("y"), buckets = 64)
+      .select("doc_id", "nb_pred").as[(Long, Boolean)].collect().toMap
+    val acc = (pos ++ neg).count { case (id, _, y) => out(id) == y }.toDouble / 120
+    assert(acc > 0.95, s"accuracy $acc")
+  }
+
+  test("NB classifier: tokenless docs score the prior; output is partition-stable") {
+    val df = Seq(
+      (1L, "aa bb cc", true), (2L, "aa bb", true), (3L, "dd ee ff", false),
+      (4L, "", true), (5L, "!!! ???", false)
+    ).toDF("doc_id", "text", "y")
+    val out = TextAnalysis.nbClassify(df, col("y"), buckets = 16)
+      .select("doc_id", "nb_score").as[(Long, Double)].collect().toMap
+    // docs 4 and 5 have no [\p{L}\p{Nd}] tokens → score == ln(n1/n0) exactly
+    val prior = math.log(3.0 / 2.0)
+    assert(out(4L) === prior && out(5L) === prior)
+    val again = TextAnalysis.nbClassify(df.repartition(7), col("y"), buckets = 16)
+      .select("doc_id", "nb_score").as[(Long, Double)].collect().toMap
+    for ((k, v) <- out) assert(math.abs(again(k) - v) < 1e-9, s"doc $k unstable")
+  }
+
+  test("NB classifier rejects non-power-of-two bucket counts") {
+    val df = Seq((1L, "a", true)).toDF("doc_id", "text", "y")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.nbClassify(df, col("y"), buckets = 100)
+    }
+  }
 }
