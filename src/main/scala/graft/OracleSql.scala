@@ -735,6 +735,24 @@ object OracleSql {
     * [[graft.operators.Ops.shuffleShard]]: shard = splitmix64(id, seed) mod
     * k (signed pmod), within-shard order by the SIGNED seed+1 hash then id.
     */
+  /** The data_bottomk oracles: seeded-hash bottom-k sampling, global (ORDER
+    * BY hash LIMIT k — signed order, matching Spark's long sort) or
+    * per-stratum (window rank).
+    */
+  def dataBottomK(k: Int, seed: Long = 42L, strata: Option[String] = None,
+      docsrc: String = "documents"): String = {
+    val h = sb2(mix64(ub2(s"xor(doc_id, $seed)")))
+    strata match {
+      case None =>
+        s"""SELECT doc_id FROM (
+           |  SELECT doc_id, $h AS h FROM $docsrc ORDER BY h LIMIT $k)""".stripMargin
+      case Some(s) =>
+        s"""WITH hh AS (SELECT $s, doc_id, $h AS h FROM $docsrc),
+           |r AS (SELECT $s, doc_id, row_number() OVER (PARTITION BY $s ORDER BY h) AS rn FROM hh)
+           |SELECT $s, doc_id FROM r WHERE rn <= $k""".stripMargin
+    }
+  }
+
   def dataShard(shards: Int, seed: Long = 42L, docsrc: String = "documents"): String =
     s"""WITH z AS (SELECT doc_id, ${ub2(s"xor(doc_id, $seed)")} AS z0,
        |  ${ub2(s"xor(doc_id, ${seed + 1})")} AS z1 FROM $docsrc),

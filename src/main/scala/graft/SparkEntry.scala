@@ -742,6 +742,22 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // --- similarity: persisted IVF index (build-once / search-many). The
+    // index roundtrips through parquet; nprobe = nlist makes the persisted
+    // search exactly brute force, which the oracle verifies
+    "sim_ivf_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (assigned, centroids) =
+        Similarity.ivfBuildIndex(emb, "embedding", "vec_id", nlist = 8)
+      val out = s"/tmp/graft_ivfidx_${new java.io.File(dir).getName}"
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$out/assigned")
+      centroids.write.mode("overwrite").parquet(s"$out/centroids")
+      Similarity.ivfSearchIndex(
+          s.read.parquet(s"$out/assigned"), s.read.parquet(s"$out/centroids"),
+          emb.where(col("vec_id") < 8), "embedding", "vec_id", k = 5, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // --- similarity: composed retriever — IVF cells × int8 candidates ×
     // float rescore. nprobe = nlist probes every cell, so the algorithm is
     // deterministically int8-top-20-then-exact-rescore-top-5, which the
@@ -902,6 +918,16 @@ object SparkEntry {
       Sketch.histQuantiles(t(s, dir, "lineitem"), "l_extendedprice",
           bins = 128, qs = Seq(0.25, 0.5, 0.9, 0.99))
         .select(col("q"), round(col("quantile"), 4).as("quantile4"))),
+
+    // --- deterministic mergeable bottom-k sampling -------------------------
+    "data_bottomk" -> ((s, dir) =>
+      Ops.bottomKSample(t(s, dir, "documents"), "doc_id", k = 200)
+        .select("doc_id")),
+
+    "data_bottomk_strata" -> ((s, dir) =>
+      Ops.bottomKSample(t(s, dir, "documents"), "doc_id", k = 20,
+          strataCols = Seq("lang"))
+        .select("lang", "doc_id")),
 
     // --- KLL one-pass mergeable quantile sketch (exact mode at gate sf) ----
     "stats_kll" -> ((s, dir) =>
@@ -1470,6 +1496,18 @@ object SparkEntry {
         |  FROM embeddings e, q)
         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM sc
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
+    // persisted-index search at nprobe = nlist is exactly brute force — the
+    // parquet roundtrip must not change a single cosine
+    "sim_ivf_index" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(q.qe, e.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e, q)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
     // composed retriever at nprobe = nlist: int8 prefilter (sim_int8's exact
     // quantization mirror) keeps the top rescore·k = 20 per query, then the
     // true float cosine (sim_topk's mirror) ranks the survivors for top-5
@@ -1656,6 +1694,8 @@ object SparkEntry {
       bins = 128, qs = Seq(0.25, 0.5, 0.9, 0.99)),
     "stats_kll" -> OracleSql.statsKll("lineitem", "l_extendedprice",
       qs = Seq(0.25, 0.5, 0.9, 0.99)),
+    "data_bottomk" -> OracleSql.dataBottomK(k = 200),
+    "data_bottomk_strata" -> OracleSql.dataBottomK(k = 20, strata = Some("lang")),
     "multimodal_meta" -> OracleSql.multimodalMeta(),
     "multimodal_pixels" -> OracleSql.multimodalPixels(),
     "multimodal_audio" -> OracleSql.multimodalAudio(),

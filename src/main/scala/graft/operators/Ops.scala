@@ -188,6 +188,42 @@ object Ops {
       .where(col("rank_in_group") <= k)
   }
 
+  /** Deterministic bottom-k sample: the k rows whose seeded id hash is
+    * globally smallest — a uniform sample with no RNG state that is (a)
+    * REPRODUCIBLE across runs and partitionings, (b) MERGEABLE across shards
+    * (the k smallest of a union are among the union of each shard's k
+    * smallest, so per-shard samples recombine without rescanning), and (c)
+    * CONSISTENT across scale — growing the corpus only evicts, never
+    * reshuffles, the retained set. With `strataCols` the same guarantee per
+    * stratum (window rank, pre-shuffle-pruned like [[topKPerGroup]]).
+    *
+    * Scale shape: global mode plans as TakeOrderedAndProject — each task
+    * keeps an O(k) heap, the driver merges k-per-partition; nothing sorts
+    * the corpus.
+    */
+  def bottomKSample(
+      df: DataFrame,
+      idCol: String,
+      k: Int,
+      seed: Long = 42L,
+      strataCols: Seq[String] = Nil): DataFrame = {
+    require(k >= 1, "k must be positive")
+    import org.apache.spark.sql.types.StringType
+    import graft.functions.TextFunctions.{mix64_hash, string_hash64}
+    val h = df.schema(idCol).dataType match {
+      case StringType => string_hash64(col(idCol), seed)
+      case _ => mix64_hash(col(idCol).cast("long"), seed)
+    }
+    val hashed = df.withColumn("__h", h)
+    if (strataCols.isEmpty) hashed.orderBy("__h").limit(k).drop("__h")
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(strataCols.map(col): _*).orderBy(col("__h").asc)
+      hashed.withColumn("__r", row_number().over(w))
+        .where(col("__r") <= k).drop("__h", "__r")
+    }
+  }
+
   /** As-of (point-in-time) join: for each left row, attach the payload of the
     * single right row with the same `on` keys whose `rightTime` is the nearest
     * at-or-before (`direction = "backward"`) or at-or-after (`"forward"`) the

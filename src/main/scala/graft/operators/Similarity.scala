@@ -305,6 +305,51 @@ object Similarity {
     topkColumns(scored, k)
   }
 
+  /** Builds a PERSISTABLE IVF index: `(assigned, centroids)` as two plain
+    * DataFrames — `assigned(neighbor_id, vec, cell)` is the cell-annotated
+    * corpus, `centroids(cell, centroid)` the coarse quantizer. Write both as
+    * parquet (partition `assigned` by `cell` for probe-side pruning), then
+    * serve any number of query batches with [[ivfSearchIndex]] without
+    * re-fitting or re-assigning — the build-once/search-many split that
+    * turns ANN at 100 TB from a per-query-batch corpus job into index-table
+    * algebra. Fit/assignment are identical to [[ivfTopK]]'s front end.
+    */
+  def ivfBuildIndex(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nlist: Int = 16,
+      seed: Long = 42L,
+      fitSampleBytes: Long = 64L << 20): (DataFrame, DataFrame) = {
+    val (assigned, centroids) = fitAssign(corpus, vecCol, idCol, nlist, seed, fitSampleBytes)
+    (assigned.select(col("neighbor_id"), col("__cv").as("vec"), col("__cell").as("cell")),
+      centroids.select(col("__cell").as("cell"), col("__centroid").as("centroid")))
+  }
+
+  /** Serves a query batch from a persisted [[ivfBuildIndex]] layout: probe
+    * the `nprobe` nearest centroids per query, score only the probed cells'
+    * rows, O(k) partial-merge top-k. With a `cell`-partitioned parquet
+    * `assigned`, the cell equi-join prunes unprobed partitions at the scan.
+    * `nprobe = nlist` probes everything — exact brute-force equivalence,
+    * which is how the oracle gates this path.
+    */
+  def ivfSearchIndex(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val a = assigned.select(col("neighbor_id"), col("vec").as("__cv"),
+      col("cell").as("__cell"))
+    val c = centroids.select(col("cell").as("__cell"), col("centroid").as("__centroid"))
+    val probes = probeCells(queries, c, vecCol, idCol, nprobe)
+    val scored = a.join(probes, Seq("__cell"))
+      .withColumn("cosine", cosineSim(col("__qv"), col("__cv")))
+    topkColumns(scored, k)
+  }
+
   /** The composed 100 TB retrieval path: IVF cell pruning × int8 candidate
     * scoring × exact float rescore of the survivors.
     *

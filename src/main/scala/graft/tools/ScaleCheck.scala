@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Joins, Ops, OsmFilter, SJoin, Similarity}
+import graft.operators.{Dedup, GeoOps, Joins, Kll, Ops, OsmFilter, SJoin, Similarity}
 
 /** Scale validation for the join/dedup/similarity tier:
   * `runMain graft.tools.ScaleCheck [sfDir] [factor]`.
@@ -245,6 +245,38 @@ object ScaleCheck {
     pair("interval_longtail")(
       ivLong(ivCopy(0), 1),
       ivLong((0 until factor).map(ivCopy).reduce(_ unionByName _), factor))
+
+    pair("stats_kll")(
+      Kll.kllQuantiles(li.select(col("l_quantity").cast("double").as("v")), "v", k = 4096),
+      Kll.kllQuantiles((0 until factor).map(i =>
+          li.select((col("l_quantity") + lit(i * 0.001)).cast("double").as("v")))
+        .reduce(_ unionByName _), "v", k = 4096))
+
+    pair("text_nbclassify")(
+      graft.operators.TextAnalysis.nbClassify(docs, col("lang") === "en"),
+      graft.operators.TextAnalysis.nbClassify(docsN, col("lang") === "en"))
+
+    // Z-order pruning at factor×: the same bbox read against the curve-
+    // clustered layout vs a round-robin (locality-destroyed) copy of the
+    // same rows — the delta is the I/O the row-group stats let us skip
+    val zpts = (0 until factor).map { i =>
+      li.select(
+        (expr("(l_partkey % 120) * 0.5 - 30 + 0.25") + lit(i * 0.003)).as("lon"),
+        (expr("(l_orderkey % 80) * 0.5 - 20 + 0.25") + lit(i * 0.003)).as("lat"),
+        (col("l_orderkey") + lit(i.toLong * 100000000L)).as("id"))
+    }.reduce(_ unionByName _)
+    val ztmp = java.nio.file.Files.createTempDirectory("graft_zscale").toString
+    GeoOps.writeZOrdered(zpts, "lon", "lat", s"$ztmp/zorder", bits = 16, partitions = 64)
+    zpts.withColumn("__z",
+        graft.functions.GeoFunctions.st_zorder(col("lon"), col("lat"), 16))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$ztmp/shuffled")
+    println("zorder_read (clustered vs locality-destroyed, same rows):")
+    val zc = timeIt("clustered")(
+      GeoOps.readZOrdered(spark, s"$ztmp/zorder", "lon", "lat", -10.0, -10.0, 5.0, 5.0))
+    val zs = timeIt("shuffled")(
+      GeoOps.readZOrdered(spark, s"$ztmp/shuffled", "lon", "lat", -10.0, -10.0, 5.0, 5.0))
+    println(f"  zorder pruning speedup at ${factor}x: ${zs / zc}%.2fx")
 
     println(f"\n${"operator"}%-18s ${"1x"}%8s ${s"${factor}x"}%8s ${"ratio"}%7s  (linear = $factor)")
     results.foreach { case (name, (a, b)) =>

@@ -269,4 +269,33 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       .select("rv", "rx").as[(String, Long)].collect().toSeq
     assert(out == Seq(("x9", 90L)))
   }
+
+  test("bottomKSample: deterministic, partition-stable, eviction-only growth") {
+    val df = spark.range(1000).toDF("id")
+    val s1 = Ops.bottomKSample(df, "id", 50).select("id").as[Long].collect().toSet
+    val s2 = Ops.bottomKSample(df.repartition(13), "id", 50)
+      .select("id").as[Long].collect().toSet
+    assert(s1 === s2 && s1.size === 50)
+    // growing the corpus only evicts rows from the sample, never reshuffles:
+    // the grown sample's old-id portion is a subset of the old sample
+    val grown = Ops.bottomKSample(spark.range(2000).toDF("id"), "id", 50)
+      .select("id").as[Long].collect().toSet
+    assert((grown.filter(_ < 1000) -- s1).isEmpty)
+    // mergeable: bottom-k of per-shard bottom-k equals the global sample
+    val shards = (0 until 4).map(i =>
+      Ops.bottomKSample(df.where(col("id") % 4 === i), "id", 50))
+    val merged = Ops.bottomKSample(shards.reduce(_ unionByName _), "id", 50)
+      .select("id").as[Long].collect().toSet
+    assert(merged === s1)
+  }
+
+  test("bottomKSample: per-stratum k and the O(k)-heap global plan") {
+    val df = spark.range(300)
+      .select(col("id"), (col("id") % 3).cast("string").as("g"))
+    val out = Ops.bottomKSample(df, "id", 10, strataCols = Seq("g"))
+    val sizes = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.toSet === Set(10L) && sizes.size === 3)
+    val plan = Ops.bottomKSample(df, "id", 10).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"global sample not heap-planned:\n$plan")
+  }
 }

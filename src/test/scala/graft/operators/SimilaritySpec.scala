@@ -243,4 +243,39 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .as[Double].head()
     assert(out == (10 * 1 + -20 * 2 + 30 * 3) * 0.5 * 2.0) // 60.0
   }
+
+  test("persisted IVF index: parquet roundtrip + full probe IS brute force") {
+    val queries = corpus.where(col("vec_id") < 8)
+    val (assigned, centroids) =
+      Similarity.ivfBuildIndex(corpus, "embedding", "vec_id", nlist = 6)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    val got = Similarity.ivfSearchIndex(
+        spark.read.parquet(s"$dir/assigned"), spark.read.parquet(s"$dir/centroids"),
+        queries, "embedding", "vec_id", k = 5, nprobe = 6)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === exact)
+    // the persisted layout is cell-partitioned: one directory per cell
+    val cellDirs = new java.io.File(s"$dir/assigned").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs > 1, "assigned corpus not partitioned by cell")
+  }
+
+  test("persisted IVF index: partial probe keeps recall on clustered data") {
+    val queries = corpus.where(col("vec_id") < 8)
+    val (assigned, centroids) =
+      Similarity.ivfBuildIndex(corpus, "embedding", "vec_id", nlist = 6)
+    val approx = Similarity.ivfSearchIndex(assigned, centroids, queries,
+        "embedding", "vec_id", k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall too low")
+  }
 }
