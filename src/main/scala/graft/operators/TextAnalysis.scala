@@ -115,15 +115,21 @@ object TextAnalysis {
     val bucketed = toks
       .withColumn("__b", pmod(string_hash64(col("__tok"), seed), lit(d)))
       .select("__id", "__y", "__b")
-    // sufficient statistics: (class, bucket) token counts — ≤ 2D rows
+    // sufficient statistics: (class, bucket) token counts — ≤ 2D rows. The
+    // class totals come from an UNPARTITIONED window over the ≤D-row bucket
+    // table (model-sized, the histQuantiles pattern) so the whole weight
+    // tree costs ONE corpus scan — a second aggregate off `counts` would
+    // re-execute the scan+explode subtree, tripling the 100 TB read
     val counts = bucketed.groupBy("__y", "__b").agg(count(lit(1)).as("__c"))
     val byBucket = counts.groupBy("__b").agg(
       sum(when(col("__y"), col("__c")).otherwise(0L)).as("__c1"),
       sum(when(!col("__y"), col("__c")).otherwise(0L)).as("__c0"))
-    val totals = counts.agg(
-      sum(when(col("__y"), col("__c")).otherwise(0L)).as("__t1"),
-      sum(when(!col("__y"), col("__c")).otherwise(0L)).as("__t0"))
-    val weights = byBucket.crossJoin(broadcast(totals))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val weights = byBucket
+      .withColumn("__t1", sum("__c1").over(wAll))
+      .withColumn("__t0", sum("__c0").over(wAll))
       .select(col("__b"),
         (log((col("__c1").cast("double") + lit(1.0)) / (col("__t1").cast("double") + lit(d.toDouble))) -
          log((col("__c0").cast("double") + lit(1.0)) / (col("__t0").cast("double") + lit(d.toDouble))))

@@ -272,11 +272,23 @@ object ScaleCheck {
       .repartition(64)
       .write.mode("overwrite").parquet(s"$ztmp/shuffled")
     println("zorder_read (clustered vs locality-destroyed, same rows):")
-    val zc = timeIt("clustered")(
-      GeoOps.readZOrdered(spark, s"$ztmp/zorder", "lon", "lat", -10.0, -10.0, 5.0, 5.0))
-    val zs = timeIt("shuffled")(
-      GeoOps.readZOrdered(spark, s"$ztmp/shuffled", "lon", "lat", -10.0, -10.0, 5.0, 5.0))
-    println(f"  zorder pruning speedup at ${factor}x: ${zs / zc}%.2fx")
+    // wall-clock is page-cache-flattered at this sf — the honest scale
+    // signals are rows DECODED after row-group pruning and bytes on disk
+    def zProbe(layout: String): (Long, Long, Long) = {
+      val df = GeoOps.readZOrdered(spark, s"$ztmp/$layout", "lon", "lat",
+        -10.0, -10.0, 5.0, 5.0)
+      val qe = df.queryExecution
+      val t0 = System.nanoTime()
+      val n = qe.executedPlan.execute().count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val m = qe.executedPlan.collectLeaves().head.metrics
+      println(f"  $layout%-10s $secs%6.2fs result=$n scanRows=${m("numOutputRows").value} bytes=${m("filesSize").value}")
+      (n, m("numOutputRows").value, m("filesSize").value)
+    }
+    val (_, zcRows, zcBytes) = zProbe("zorder")
+    val (_, zsRows, zsBytes) = zProbe("shuffled")
+    println(f"  zorder at ${factor}x: ${zsRows.toDouble / zcRows}%.1fx fewer rows decoded, " +
+      f"${zsBytes.toDouble / zcBytes}%.1fx smaller on disk")
 
     println(f"\n${"operator"}%-18s ${"1x"}%8s ${s"${factor}x"}%8s ${"ratio"}%7s  (linear = $factor)")
     results.foreach { case (name, (a, b)) =>

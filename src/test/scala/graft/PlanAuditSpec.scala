@@ -136,6 +136,42 @@ class PlanAuditSpec extends SparkSpec {
       s"sim_int8_lsh candidate join not an equi-join:\n$lsh")
   }
 
+  test("stats_kll aggregates in one pass with a map-side partial") {
+    val plan = physical(q("stats_kll"))
+    // one ObjectHashAggregate pair (partial + final) over a single scan —
+    // the one-pass claim vs histQuantiles' two scans
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"kll lost its partial aggregation:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size <= 1,
+      s"kll reads the corpus more than once:\n$plan")
+  }
+
+  test("nb classifier: weights broadcast, one scan feeds the weight tree") {
+    val plan = physical(q("text_nbclassify"))
+    assert(!plan.contains("CartesianProduct"), s"nbClassify cartesian:\n$plan")
+    // the D-row weight table rides a broadcast hash join onto per-doc counts
+    assert(plan.contains("BroadcastHashJoin"),
+      s"nbClassify weight table not broadcast:\n$plan")
+    // train + totals share ONE scan+explode subtree (the window-over-model
+    // fix): 4 scans total — weights, per-doc counts, prior (lang-only),
+    // output join-back (id-only). A 5th means a tree re-executed itself.
+    assert("Scan parquet".r.findAllIn(plan).size <= 4,
+      s"weight tree re-executes the corpus scan:\n$plan")
+  }
+
+  test("bottom-k sampling plans as TakeOrderedAndProject, never a global sort") {
+    val plan = physical(q("data_bottomk"))
+    assert(plan.contains("TakeOrderedAndProject"), s"no O(k)-heap plan:\n$plan")
+    assert(!plan.contains("Sort "), s"global sort crept in:\n$plan")
+  }
+
+  test("persisted-index search joins assigned cells as a hash join") {
+    val plan = physical(q("sim_ivf_index"))
+    assert(!plan.contains("CartesianProduct"), s"sim_ivf_index cartesian:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"cell join not an equi-join:\n$plan")
+  }
+
   test("geometry expressions run inside whole-stage codegen") {
     val df = q("geo_area")
     df.collect() // force execution so the final adaptive plan exists

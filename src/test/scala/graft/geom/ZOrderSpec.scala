@@ -74,4 +74,24 @@ class ZOrderSpec extends SparkSpec {
     assert(plan.contains("PushedFilters:") && plan.contains("__z"),
       s"__z predicate not pushed to the scan:\n$plan")
   }
+
+  test("clustered layout prunes row groups: scan decodes a fraction of the corpus") {
+    // decorrelated axes (lon from the low digits, lat from the high) — a
+    // full 480×320 grid, every bbox populated
+    val df = spark.range(200000).select(
+      (col("id") % 480 * 0.125 - 30 + 0.0625).as("lon"),
+      (expr("id div 480") % 320 * 0.125 - 20 + 0.0625).as("lat"),
+      col("id"))
+    val dir = java.nio.file.Files.createTempDirectory("zprune").toString + "/pts"
+    GeoOps.writeZOrdered(df, "lon", "lat", dir, bits = 16, partitions = 16)
+    val got = GeoOps.readZOrdered(spark, dir, "lon", "lat", -10.0, -10.0, 0.0, 0.0)
+    val qe = got.queryExecution
+    val n = qe.executedPlan.execute().count()
+    val scanRows = qe.executedPlan.collectLeaves().head.metrics("numOutputRows").value
+    assert(n > 0)
+    // the bbox is ~4% of the domain; with curve-clustered row groups the
+    // scan must decode a small fraction of the corpus, not all of it
+    assert(scanRows < 200000 / 3,
+      s"row-group pruning ineffective: scanned $scanRows of 200000 for $n matches")
+  }
 }
