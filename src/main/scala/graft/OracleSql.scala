@@ -798,6 +798,35 @@ object OracleSql {
        |FROM ql, (SELECT unnest(range(1, ${qs.length + 1})) AS i) ii""".stripMargin
   }
 
+  /** The stats_hll_group oracle: [[hllCore]]'s register math with the group
+    * key threaded through every CTE (long-valued columns).
+    */
+  def statsHllGroup(src: String, valExpr: String, groupExpr: String,
+      groupAlias: String, p: Int = 12, seed: Long = 42L): String = {
+    val m = 1 << p
+    val rhoMax = 64 - p + 1
+    val alphaMM = graft.operators.Sketch.alpha(m) * m.toDouble * m.toDouble
+    val two53 = "CAST('9007199254740992' AS DOUBLE)"
+    val mD = s"CAST('${m.toDouble}' AS DOUBLE)"
+    val raw = s"(CAST('$alphaMM' AS DOUBLE) / (CAST(s + ($m - nb) * CAST('9007199254740992' AS HUGEINT) AS DOUBLE) / $two53))"
+    s"""WITH h2 AS (SELECT $groupExpr AS g, ${ub2(s"xor($valExpr, $seed)")} AS z0 FROM $src
+       |  WHERE $valExpr IS NOT NULL),
+       |h3 AS (SELECT g, ${mix64("z0")} AS uh FROM h2),
+       |hb AS (SELECT g, (uh // ${BigInt(1) << (64 - p)}) AS bucket, ((uh * ${1L << p}) % $H) AS w FROM h3),
+       |hr AS (SELECT g, bucket,
+       |  CASE WHEN w = 0 THEN $rhoMax
+       |       ELSE strpos(lpad(bin(CAST(w AS UBIGINT)), 64, '0'), '1') END AS rho FROM hb),
+       |regs AS (SELECT g, bucket, max(rho) AS mreg FROM hr GROUP BY g, bucket),
+       |ag AS (SELECT g, count(*) AS nb,
+       |  coalesce(sum(CAST((CAST(1 AS BIGINT) << (53 - mreg)) AS HUGEINT)), 0) AS s FROM regs GROUP BY g)
+       |SELECT g AS $groupAlias,
+       |  round(CASE WHEN nb = 0 THEN CAST('0.0' AS DOUBLE)
+       |    WHEN $raw <= CAST('${2.5 * m}' AS DOUBLE) AND ($m - nb) > 0
+       |      THEN $mD * ln($mD / CAST($m - nb AS DOUBLE))
+       |    ELSE $raw END, 3) AS approx_distinct
+       |FROM ag""".stripMargin
+  }
+
   /** The stats_hll oracle: three columns profiled across two tables. */
   def statsHll(): String =
     Seq(

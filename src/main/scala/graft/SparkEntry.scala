@@ -919,6 +919,18 @@ object SparkEntry {
           bins = 128, qs = Seq(0.25, 0.5, 0.9, 0.99))
         .select(col("q"), round(col("quantile"), 4).as("quantile4"))),
 
+    // --- corpus snapshot diff (incremental-pipeline primitive) -------------
+    "data_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val newSnap = docs.where(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit("!"))).otherwise(col("text")))
+        .unionByName(docs.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Ops.snapshotDiff(docs, newSnap, "doc_id", Seq("text"))
+        .select("doc_id", "change")
+    }),
+
     // --- deterministic mergeable bottom-k sampling -------------------------
     "data_bottomk" -> ((s, dir) =>
       Ops.bottomKSample(t(s, dir, "documents"), "doc_id", k = 200)
@@ -1042,6 +1054,12 @@ object SparkEntry {
     }),
 
     // --- HyperLogLog distinct sketch (register-exact mirror) ---------------
+    // --- per-group HLL: distinct users per event type at sketch cost -------
+    "stats_hll_group" -> ((s, dir) =>
+      Sketch.hllDistinctByGroup(t(s, dir, "events"), "user_id", Seq("event_type"))
+        .select(col("event_type"),
+          round(col("approx_distinct"), 3).as("approx_distinct"))),
+
     "stats_hll" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val li = t(s, dir, "lineitem")
@@ -1640,6 +1658,8 @@ object SparkEntry {
         |  FROM documents)
         |SELECT lang, doc_id, n_chars, rank_in_group FROM r WHERE rank_in_group <= 3""".stripMargin,
     "stats_hll" -> OracleSql.statsHll(),
+    "stats_hll_group" -> OracleSql.statsHllGroup("events", "user_id",
+      "event_type", "event_type"),
     "stats_cms" -> OracleSql.statsCms(Seq("table", "spark", "window", "zebra")),
     "stats_bloom" -> OracleSql.statsBloom(
       Seq("table", "spark", "window", "zebra", "qqxyzzy")),
@@ -1694,6 +1714,22 @@ object SparkEntry {
       bins = 128, qs = Seq(0.25, 0.5, 0.9, 0.99)),
     "stats_kll" -> OracleSql.statsKll("lineitem", "l_extendedprice",
       qs = Seq(0.25, 0.5, 0.9, 0.99)),
+    "data_snapshot_diff" ->
+      """WITH olds AS (SELECT doc_id, text FROM documents),
+        |news AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || '!' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+        |j AS (SELECT o.doc_id AS oid, n.doc_id AS nid, o.text AS ot, n.text AS nt
+        |  FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id)
+        |SELECT coalesce(oid, nid) AS doc_id,
+        |  CASE WHEN oid IS NULL THEN 'added'
+        |       WHEN nid IS NULL THEN 'removed'
+        |       WHEN ot <> nt THEN 'changed'
+        |       ELSE 'unchanged' END AS change
+        |FROM j
+        |WHERE NOT (oid IS NOT NULL AND nid IS NOT NULL AND ot = nt)""".stripMargin,
     "data_bottomk" -> OracleSql.dataBottomK(k = 200),
     "data_bottomk_strata" -> OracleSql.dataBottomK(k = 20, strata = Some("lang")),
     "multimodal_meta" -> OracleSql.multimodalMeta(),

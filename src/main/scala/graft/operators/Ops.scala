@@ -188,6 +188,40 @@ object Ops {
       .where(col("rank_in_group") <= k)
   }
 
+  /** Corpus snapshot diff — the incremental-pipeline primitive: classify
+    * every id across two snapshots as `added` / `removed` / `changed` (any
+    * compare column differs) / `unchanged`. Each side is first collapsed to
+    * `(id, content_hash)` so only 16 bytes per row cross the join shuffle —
+    * the wide columns (document text, embeddings) never move; at 100 TB the
+    * diff costs two narrow scans plus one id-keyed exchange. Hash equality
+    * stands in for content equality (the dedup family's standard 64-bit
+    * assumption); nulls hash distinctly from empty strings.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      compareCols: Seq[String],
+      includeUnchanged: Boolean = false,
+      seed: Long = 42L): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must not be empty")
+    import graft.functions.TextFunctions.string_hash64
+    def prep(df: DataFrame, id: String) = df.select(
+      col(idCol).as(id),
+      string_hash64(concat_ws("\u0001",
+        compareCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*), seed)
+        .as(s"${id}_ch"))
+    val j = prep(oldDf, "__oid").join(prep(newDf, "__nid"),
+      col("__oid") === col("__nid"), "full_outer")
+    val change = when(col("__oid").isNull, "added")
+      .when(col("__nid").isNull, "removed")
+      .when(col("__oid_ch") =!= col("__nid_ch"), "changed")
+      .otherwise("unchanged")
+    val out = j.select(coalesce(col("__oid"), col("__nid")).as(idCol),
+      change.as("change"))
+    if (includeUnchanged) out else out.where(col("change") =!= "unchanged")
+  }
+
   /** Deterministic bottom-k sample: the k rows whose seeded id hash is
     * globally smallest — a uniform sample with no RNG state that is (a)
     * REPRODUCIBLE across runs and partitionings, (b) MERGEABLE across shards

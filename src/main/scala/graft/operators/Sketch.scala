@@ -64,34 +64,73 @@ object Sketch {
   def hllMerge(regs: DataFrame*): DataFrame =
     regs.reduce(_ unionByName _).groupBy("bucket").agg(max("m").as("m"))
 
-  /** Collapses a register table into the HLL estimate (one row, one double
-    * column `approx_distinct`). Small-range (linear counting) correction per
-    * the original paper; the large-range correction is unnecessary with
-    * 64-bit hashes at any feasible cardinality.
+  /** The estimate expression over a register aggregation's `(__nb, __s)`
+    * columns: exact-integer register sum + the paper's small-range linear
+    * counting correction (the large-range correction is unnecessary with
+    * 64-bit hashes at any feasible cardinality).
     */
-  def hllEstimate(regs: DataFrame, p: Int = 12): DataFrame = {
+  private def estimateCol(p: Int): Column = {
     val m = 1 << p
     val alphaMM = alpha(m) * m.toDouble * m.toDouble
     val two53 = 9007199254740992.0 // 2^53
-    // exact integer register sum: Σ 2^(53-M); empty registers contribute 2^53
-    val agg = regs.agg(
-      count(lit(1)).as("__nb"),
-      // shiftleft with a column shift amount needs the SQL form (the Column
-      // API variant only takes a literal Int)
-      sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - m)").cast(DecimalType(38, 0))).as("__s"))
-    agg.select(
-      (when(col("__nb") === 0, lit(0.0)).otherwise {
-        val total = coalesce(col("__s"), lit(0).cast(DecimalType(38, 0))) +
-          (lit(m.toLong) - col("__nb")).cast(DecimalType(38, 0)) *
-            lit(9007199254740992L).cast(DecimalType(38, 0))
-        val sumInv = total.cast("double") / lit(two53)
-        val raw = lit(alphaMM) / sumInv
-        val zeros = lit(m.toLong) - col("__nb")
-        when(raw <= lit(2.5 * m) && zeros > 0,
-          lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
-          .otherwise(raw)
-      }).as("approx_distinct"))
+    when(col("__nb") === 0, lit(0.0)).otherwise {
+      val total = coalesce(col("__s"), lit(0).cast(DecimalType(38, 0))) +
+        (lit(m.toLong) - col("__nb")).cast(DecimalType(38, 0)) *
+          lit(9007199254740992L).cast(DecimalType(38, 0))
+      val sumInv = total.cast("double") / lit(two53)
+      val raw = lit(alphaMM) / sumInv
+      val zeros = lit(m.toLong) - col("__nb")
+      when(raw <= lit(2.5 * m) && zeros > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+        .otherwise(raw)
+    }
   }
+
+  // exact integer register sum: Σ 2^(53-M); empty registers contribute 2^53.
+  // shiftleft with a column shift amount needs the SQL form (the Column API
+  // variant only takes a literal Int)
+  private def registerAggs: Seq[Column] = Seq(
+    count(lit(1)).as("__nb"),
+    sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - m)").cast(DecimalType(38, 0))).as("__s"))
+
+  /** Collapses a register table into the HLL estimate (one row, one double
+    * column `approx_distinct`).
+    */
+  def hllEstimate(regs: DataFrame, p: Int = 12): DataFrame =
+    regs.agg(registerAggs.head, registerAggs.tail: _*)
+      .select(estimateCol(p).as("approx_distinct"))
+
+  /** Per-group register tables: `(groupCols…, bucket, m)` — the mergeable
+    * per-group cardinality state ([[hllMerge]] per group after adding the
+    * group keys to its groupBy).
+    */
+  def hllRegistersByGroup(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      p: Int = 12, seed: Long = 42L): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must not be empty")
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val h = hash64(df.schema(valueCol).dataType, col(valueCol), seed)
+    val hashed = df.where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ h.as("__h"): _*)
+    val w = shiftleft(col("__h"), p)
+    val rho = when(w === 0L, lit(rhoMax(p)))
+      .otherwise(instr(lpad(bin(w), 64, "0"), "1"))
+    hashed
+      .select(groupCols.map(col) :+
+        shiftrightunsigned(col("__h"), 64 - p).as("bucket") :+ rho.as("rho"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*).agg(max("rho").as("m"))
+  }
+
+  /** Distinct-values-per-group at sketch cost: `(groupCols…,
+    * approx_distinct)` — group cardinality profiling (users per event type,
+    * domains per language…) in ONE pass with O(groups · 2^p) state instead
+    * of a `countDistinct` shuffle of every distinct pair.
+    */
+  def hllDistinctByGroup(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      p: Int = 12, seed: Long = 42L): DataFrame =
+    hllRegistersByGroup(df, valueCol, groupCols, p, seed)
+      .groupBy(groupCols.map(col): _*)
+      .agg(registerAggs.head, registerAggs.tail: _*)
+      .select(groupCols.map(col) :+ estimateCol(p).as("approx_distinct"): _*)
 
   /** Standard HLL bias constant (m ≥ 128 branch; p ≥ 7 in practice). */
   def alpha(m: Int): Double =

@@ -45,6 +45,26 @@ object EventStream {
       windowDur: String = "1 hour"): DataFrame =
     windowed(stream.withWatermark("ts", watermark), windowDur)
 
+  /** Per-window value quantiles — the KLL sketch as a streaming aggregation:
+    * the same mergeable [[graft.operators.Kll.QuantilesAgg]] buffer runs
+    * inside the stateful windowed aggregate (partials merge across
+    * micro-batches exactly as they merge across partitions in batch), so a
+    * live p50/p99 per window costs O(k·log n) state per open window, bounded
+    * by the watermark. `quantiles(i)` pairs positionally with `qs(i)`.
+    */
+  def quantilesStream(stream: DataFrame, qs: Seq[Double], k: Int = 1024,
+      valueCol: String = "value", watermark: String = "2 hours",
+      windowDur: String = "1 hour"): DataFrame =
+    quantilesWindowed(stream.withWatermark("ts", watermark), qs, k, valueCol, windowDur)
+
+  /** Batch twin of [[quantilesStream]] (shared plan shape, parity-spec'd). */
+  def quantilesWindowed(df: DataFrame, qs: Seq[Double], k: Int = 1024,
+      valueCol: String = "value", windowDur: String = "1 hour"): DataFrame =
+    df.where(col(valueCol).isNotNull)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(graft.operators.Kll.quantilesAgg(col(valueCol).cast("double"), k, qs)
+        .as("quantiles"))
+
   /** Stream-static as-of lookup: each stream row picks the latest static
     * row with the same `on` keys whose `rightTime` is at-or-before the
     * stream row's `leftTime` — the streaming face of

@@ -270,6 +270,25 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Seq(("x9", 90L)))
   }
 
+  test("snapshotDiff classifies added/removed/changed; unchanged opt-in; null-safe") {
+    val old = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("d")))
+      .toDF("id", "body")
+    val neu = Seq((1L, Some("a")), (2L, Some("B")), (3L, Some("")), (5L, Some("e")))
+      .toDF("id", "body")
+    val out = Ops.snapshotDiff(old, neu, "id", Seq("body"))
+      .as[(Long, String)].collect().toMap
+    // null body vs empty string must read as changed, not equal
+    assert(out === Map(2L -> "changed", 3L -> "changed", 4L -> "removed", 5L -> "added"))
+    val all = Ops.snapshotDiff(old, neu, "id", Seq("body"), includeUnchanged = true)
+      .as[(Long, String)].collect().toMap
+    assert(all(1L) === "unchanged" && all.size === 5)
+    // multi-column: boundary shifts between columns must not collide
+    val o2 = Seq((1L, "ab", "c")).toDF("id", "x", "y")
+    val n2 = Seq((1L, "a", "bc")).toDF("id", "x", "y")
+    assert(Ops.snapshotDiff(o2, n2, "id", Seq("x", "y"))
+      .as[(Long, String)].collect().toMap === Map(1L -> "changed"))
+  }
+
   test("bottomKSample: deterministic, partition-stable, eviction-only growth") {
     val df = spark.range(1000).toDF("id")
     val s1 = Ops.bottomKSample(df, "id", 50).select("id").as[Long].collect().toSet

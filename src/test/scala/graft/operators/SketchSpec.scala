@@ -183,4 +183,29 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
   test("heavyHitters: threshold above the max count yields empty, not error") {
     assert(Sketch.heavyHitters(zipfish, "v", minCount = 1000L).count() == 0)
   }
+
+  test("per-group HLL: each group's estimate tracks its exact cardinality") {
+    import testImplicits._
+    // group g has (g+1)*500 distinct values, plus repeats
+    val rows = for (g <- 0 to 3; i <- 0 until (g + 1) * 500; rep <- 0 to i % 2)
+      yield (s"g$g", (g * 1000000 + i).toLong)
+    val df = rows.toDF("grp", "v").repartition(7)
+    val est = Sketch.hllDistinctByGroup(df, "v", Seq("grp"))
+      .as[(String, Double)].collect().toMap
+    for (g <- 0 to 3) {
+      val exact = (g + 1) * 500.0
+      val e = est(s"g$g")
+      assert(math.abs(e - exact) / exact < 0.05, s"g$g: est $e vs exact $exact")
+    }
+    // per-group registers merge shard-wise: max per (grp, bucket) over the
+    // halves' registers reproduces the whole-corpus register table exactly
+    val (a, b) = (df.where(col("v") % 2 === 0), df.where(col("v") % 2 =!= 0))
+    val merged = Sketch.hllRegistersByGroup(a, "v", Seq("grp"))
+      .unionByName(Sketch.hllRegistersByGroup(b, "v", Seq("grp")))
+      .groupBy("grp", "bucket").agg(max("m").as("m"))
+      .as[(String, Long, Int)].collect().toSet
+    val whole = Sketch.hllRegistersByGroup(df, "v", Seq("grp"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(merged === whole)
+  }
 }

@@ -42,6 +42,39 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("quantilesStream: batch/stream parity and exact per-window quantiles") {
+    // more values per window so the quantile is non-trivial; k >> n → exact
+    val manyEvents = (0 until 60).map(i =>
+      Event(100 + i, tsH(10, i % 60), 1, "click", ((i * 37) % 100).toDouble)) ++
+      (0 until 30).map(i =>
+        Event(200 + i, tsH(11, i % 60), 2, "view", ((i * 13) % 50).toDouble))
+    val qs = Seq(0.5, 0.9)
+    val batch = quantilesWindowed(manyEvents.toDF(), qs, k = 1024)
+      .select(col("window.start"), col("quantiles"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = quantilesStream(mem.toDF(), qs, k = 1024, watermark = "10 minutes")
+      .select(col("window.start"), col("quantiles"))
+      .writeStream.format("memory").queryName("kll_parity").outputMode("complete").start()
+    try {
+      // two micro-batches: partials must merge across batches
+      mem.addData(manyEvents.take(40): _*)
+      q.processAllAvailable()
+      mem.addData(manyEvents.drop(40): _*)
+      q.processAllAvailable()
+      val got = spark.table("kll_parity").collect()
+        .map(r => r.getTimestamp(0) -> r.getSeq[Double](1)).toMap
+      val expect = batch.collect()
+        .map(r => r.getTimestamp(0) -> r.getSeq[Double](1)).toMap
+      assert(got == expect)
+      // exact-mode spot check: window 10:00's median over 0,37,74,11,48,…
+      val w10 = manyEvents.filter(_.ts.getHours == 10).map(_.value).sorted
+      val median = w10(math.max(1, math.ceil(0.5 * w10.length).toInt) - 1)
+      assert(expect.values.exists(_.head == median))
+    } finally q.stop()
+  }
+
   test("sessionizeBatch splits on gaps") {
     val df = Seq(
       Event(1, ts(0), 1, "a", 1.0),
