@@ -394,6 +394,31 @@ object OracleSql {
     * integer dot, same arithmetic shapes as the sim_int8 oracle), top
     * `rescore·k` survivors re-ranked by the true float cosine.
     */
+  /** The sim_project oracle: JL Rademacher projection (same ±1 weight family
+    * as the vec-simhash mirror, table = the seed) then projected-space
+    * cosine top-k.
+    */
+  def simProject(vecsrc: String = "embeddings", k: Int = 5, outDim: Int = 16,
+      dim: Int = 64, seed: Long = 42L): String = {
+    val inv = s"(1.0 / sqrt(CAST($outDim AS DOUBLE)))"
+    s"""WITH wts AS (SELECT p, list(CASE WHEN (${mix64(s"CAST(p AS HUGEINT) * 4294967296 + " + ub2(s"xor(CAST($seed AS BIGINT), CAST(d AS BIGINT))"))}) % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY d) AS wl
+       |  FROM (SELECT unnest(range(0, $outDim)) AS p) pp,
+       |       (SELECT unnest(range(0, $dim)) AS d) dd
+       |  GROUP BY p),
+       |prj AS (SELECT e.vec_id, w.p,
+       |  list_sum(list_transform(list_zip(e.embedding, w.wl), s -> CAST(s[1] AS DOUBLE) * s[2])) * $inv AS comp
+       |  FROM $vecsrc e, wts w),
+       |pv AS (SELECT vec_id, list(comp ORDER BY p) AS pvec FROM prj GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, pvec AS qv FROM pv WHERE vec_id < 8),
+       |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |  list_sum(list_transform(list_zip(q.qv, e.pvec), s -> s[1] * s[2]))
+       |  / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+       |   * sqrt(list_sum(list_transform(e.pvec, x -> x * x)))) AS cos
+       |  FROM pv e, q)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM sc
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= $k""".stripMargin
+  }
+
   def simInt8Lsh(vecsrc: String = "embeddings", k: Int = 5, tables: Int = 8,
       planes: Int = 12, dim: Int = 64, rescore: Int = 4,
       queryPred: String = "vec_id < 8"): String =

@@ -715,6 +715,14 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // --- similarity: JL-projected narrow-vector retrieval (64 -> 16 dims) --
+    "sim_project" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.projectedTopK(emb, emb.where(col("vec_id") < 8), "embedding", "vec_id",
+          k = 5, outDim = 16)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // --- similarity: int8-quantized first-stage retriever ------------------
     "sim_int8" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1504,6 +1512,7 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, round(score, 6) AS score FROM sc
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= 5""".stripMargin,
     // probing all nlist cells makes IVF ≡ exact top-k (see queries entry)
+    "sim_project" -> OracleSql.simProject(),
     "sim_ivf" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
         |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,

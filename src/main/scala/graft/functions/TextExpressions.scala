@@ -81,6 +81,18 @@ case class VecSimhash(first: Expression, second: Expression, third: Expression)
     copy(f, s, t)
 }
 
+case class VecProject(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(v: Any, p: Any, s: Any): Any =
+    TextKernel.vecProject(v.asInstanceOf[ArrayData], p.asInstanceOf[Int], s.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, p, s) => s"${TextExpressions.K}.vecProject($v, $p, $s)")
+  override def prettyName: String = "vec_project"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): VecProject =
+    copy(f, s, t)
+}
+
 case class LangId(child: Expression) extends UnaryExpression with Serializable {
   override def dataType: DataType = StringType
   override protected def nullSafeEval(t: Any): Any = TextKernel.langId(t.asInstanceOf[UTF8String])
@@ -169,6 +181,8 @@ object TextFunctions {
     c(VecSimhash(e(vec), e(lit(nPlanes)), e(lit(seed))))
   def vec_simhash(vec: Column, nPlanes: Int, seed: Column): Column =
     c(VecSimhash(e(vec), e(lit(nPlanes)), e(seed.cast("long"))))
+  def vec_project(vec: Column, outDim: Int, seed: Long): Column =
+    c(VecProject(e(vec), e(lit(outDim)), e(lit(seed))))
   def lang_id(text: Column): Column = c(LangId(e(text)))
   def doc_fingerprint(text: Column): Column = c(DocFingerprint(e(text)))
   def mix64_hash(v: Column, seed: Long): Column =

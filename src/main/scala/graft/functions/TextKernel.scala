@@ -201,6 +201,31 @@ object TextKernel {
     out
   }
 
+  /** Johnson–Lindenstrauss Rademacher projection: `out(j) = (1/√outDim) ·
+    * Σ_d ±v(d)`, signs drawn from the SAME mix64 plane family as
+    * [[vecSimhash]] (so the oracle mirrors both with one weight CTE).
+    * Distance-preserving to within the JL bound — project once, run any
+    * bucketed ANN on the narrower vectors.
+    */
+  def vecProject(vec: ArrayData, outDim: Int, seed: Long): ArrayData = {
+    val n = vec.numElements()
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    val out = new Array[Double](outDim)
+    var p = 0
+    while (p < outDim) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        val w = if ((mix64(seed ^ (p.toLong << 32) ^ d) & 1L) == 0L) 1.0 else -1.0
+        dot += w * vec.getFloat(d)
+        d += 1
+      }
+      out(p) = dot * inv
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   // ---- language id --------------------------------------------------------
 
   private val stopwords: Map[String, Set[String]] = Map(

@@ -305,6 +305,32 @@ object Similarity {
     topkColumns(scored, k)
   }
 
+  /** Brute-force top-k in Johnson–Lindenstrauss-projected space: both sides
+    * project through the deterministic Rademacher matrix
+    * ([[graft.functions.TextKernel.vecProject]]) and rank by projected
+    * cosine. At 100 TB the projection is the scan-narrowing lever ORTHOGONAL
+    * to int8 quantization — outDim/dim of the vector bytes (64→16 = 4×)
+    * with JL-bounded distance distortion; project once at ingest, persist
+    * the narrow column, and run any retrieval tier (brute force, LSH
+    * buckets, IVF cells) over it. Exact mirror in the oracle: the same ±1
+    * weight family as `vec_simhash`.
+    */
+  def projectedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      outDim: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.TextFunctions.vec_project
+    val c = corpus.select(col(idCol),
+      vec_project(col(vecCol), outDim, seed).as("__pv"))
+    val q = queries.select(col(idCol),
+      vec_project(col(vecCol), outDim, seed).as("__pv"))
+    bruteForceTopK(c, q, "__pv", idCol, k)
+  }
+
   /** Builds a PERSISTABLE IVF index: `(assigned, centroids)` as two plain
     * DataFrames — `assigned(neighbor_id, vec, cell)` is the cell-annotated
     * corpus, `centroids(cell, centroid)` the coarse quantizer. Write both as

@@ -244,6 +244,24 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out == (10 * 1 + -20 * 2 + 30 * 3) * 0.5 * 2.0) // 60.0
   }
 
+  test("JL projection preserves distances within the bound; top-k recall holds") {
+    import graft.functions.TextKernel
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // kernel sanity: norm of the projection of a unit basis vector is 1
+    val e0 = new GenericArrayData(Array.tabulate(64)(d => if (d == 0) 1f else 0f))
+    val p0 = TextKernel.vecProject(e0, 16, 42L).toDoubleArray()
+    assert(math.abs(p0.map(x => x * x).sum - 1.0) < 1e-9) // ±1/√16 entries
+    // pairwise cosine in projected space tracks float cosine on the corpus
+    val queries = corpus.where(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val proj = Similarity.projectedTopK(corpus, queries, "embedding", "vec_id",
+        k = 5, outDim = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(proj).size.toDouble / exact.size
+    assert(recall >= 0.7, s"projected recall $recall too low")
+  }
+
   test("persisted IVF index: parquet roundtrip + full probe IS brute force") {
     val queries = corpus.where(col("vec_id") < 8)
     val (assigned, centroids) =
