@@ -778,6 +778,18 @@ object OracleSql {
     }
   }
 
+  /** The data_weighted oracle: Efraimidis–Spirakis keys `-ln(u)/w` from the
+    * same hash-uniform, smallest k win.
+    */
+  def dataWeighted(k: Int, weightExpr: String = "n_chars", seed: Long = 42L,
+      docsrc: String = "documents"): String =
+    s"""WITH h AS (SELECT doc_id, $weightExpr AS w, ${mix64(ub2(s"xor(doc_id, $seed)"))} AS uh
+       |  FROM $docsrc WHERE $weightExpr IS NOT NULL AND $weightExpr > 0),
+       |kk AS (SELECT doc_id,
+       |  -ln((CAST(uh // 2048 AS DOUBLE) + 0.5) / CAST('9007199254740992' AS DOUBLE))
+       |    / CAST(w AS DOUBLE) AS wk FROM h)
+       |SELECT doc_id FROM (SELECT doc_id, wk FROM kk ORDER BY wk LIMIT $k)""".stripMargin
+
   def dataShard(shards: Int, seed: Long = 42L, docsrc: String = "documents"): String =
     s"""WITH z AS (SELECT doc_id, ${ub2(s"xor(doc_id, $seed)")} AS z0,
        |  ${ub2(s"xor(doc_id, ${seed + 1})")} AS z1 FROM $docsrc),

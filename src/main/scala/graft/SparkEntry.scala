@@ -949,6 +949,11 @@ object SparkEntry {
           strataCols = Seq("lang"))
         .select("lang", "doc_id")),
 
+    // --- weighted sample (inclusion probability proportional to n_chars) ---
+    "data_weighted" -> ((s, dir) =>
+      Ops.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars", k = 150)
+        .select("doc_id")),
+
     // --- KLL one-pass mergeable quantile sketch (exact mode at gate sf) ----
     "stats_kll" -> ((s, dir) =>
       operators.Kll.kllQuantiles(t(s, dir, "lineitem"), "l_extendedprice",
@@ -1740,6 +1745,7 @@ object SparkEntry {
         |FROM j
         |WHERE NOT (oid IS NOT NULL AND nid IS NOT NULL AND ot = nt)""".stripMargin,
     "data_bottomk" -> OracleSql.dataBottomK(k = 200),
+    "data_weighted" -> OracleSql.dataWeighted(k = 150),
     "data_bottomk_strata" -> OracleSql.dataBottomK(k = 20, strata = Some("lang")),
     "multimodal_meta" -> OracleSql.multimodalMeta(),
     "multimodal_pixels" -> OracleSql.multimodalPixels(),

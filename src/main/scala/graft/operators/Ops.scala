@@ -258,6 +258,38 @@ object Ops {
     }
   }
 
+  /** Deterministic weighted sample without replacement (Efraimidis–Spirakis
+    * 2006, "Weighted random sampling with a reservoir"): each row gets key
+    * `-ln(u)/w` with `u` the seeded-hash uniform in (0,1); the k smallest
+    * keys are a weighted sample — inclusion probability ∝ `weightCol`.
+    * Same scale/mergeability shape as [[bottomKSample]] (which is this with
+    * all weights equal): TakeOrderedAndProject O(k) heaps, per-shard samples
+    * recombine by re-taking the k smallest keys, fully reproducible.
+    * Rows with null, zero, or negative weight never qualify.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1, "k must be positive")
+    import org.apache.spark.sql.types.StringType
+    import graft.functions.TextFunctions.{mix64_hash, string_hash64}
+    val h = df.schema(idCol).dataType match {
+      case StringType => string_hash64(col(idCol), seed)
+      case _ => mix64_hash(col(idCol).cast("long"), seed)
+    }
+    // unsigned-uniform in (0,1): (h >>> 11) spans [0, 2^53) exactly like the
+    // double-mantissa trick; +0.5 keeps u strictly positive
+    val u = (shiftrightunsigned(h, 11).cast("double") + lit(0.5)) /
+      lit(9007199254740992.0) // 2^53
+    val key = -log(u) / col(weightCol).cast("double")
+    df.where(col(weightCol).isNotNull && col(weightCol).cast("double") > 0.0)
+      .withColumn("__wk", key)
+      .orderBy("__wk").limit(k).drop("__wk")
+  }
+
   /** As-of (point-in-time) join: for each left row, attach the payload of the
     * single right row with the same `on` keys whose `rightTime` is the nearest
     * at-or-before (`direction = "backward"`) or at-or-after (`"forward"`) the

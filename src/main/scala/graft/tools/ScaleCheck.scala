@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, GeoOps, Joins, Kll, Ops, OsmFilter, SJoin, Similarity}
+import graft.operators.{Dedup, GeoOps, Joins, Kll, Ops, OsmFilter, SJoin, Similarity, Sketch}
 
 /** Scale validation for the join/dedup/similarity tier:
   * `runMain graft.tools.ScaleCheck [sfDir] [factor]`.
@@ -245,6 +245,22 @@ object ScaleCheck {
     pair("interval_longtail")(
       ivLong(ivCopy(0), 1),
       ivLong((0 until factor).map(ivCopy).reduce(_ unionByName _), factor))
+
+    pair("sim_project")(
+      Similarity.projectedTopK(emb, queries, "embedding", "vec_id", k = 5),
+      Similarity.projectedTopK(embN, queries, "embedding", "vec_id", k = 5))
+
+    pair("stats_hll_group")(
+      Sketch.hllDistinctByGroup(ev, "user_id", Seq("event_type")),
+      Sketch.hllDistinctByGroup((0 until factor).map(evCopy).reduce(_ unionByName _),
+        "user_id", Seq("event_type")))
+
+    def mutate(d: DataFrame) = d.where(col("doc_id") % 13 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit("!"))).otherwise(col("text")))
+    pair("data_snapshot_diff")(
+      Ops.snapshotDiff(docs, mutate(docs), "doc_id", Seq("text")),
+      Ops.snapshotDiff(docsN, mutate(docsN), "doc_id", Seq("text")))
 
     pair("stats_kll")(
       Kll.kllQuantiles(li.select(col("l_quantity").cast("double").as("v")), "v", k = 4096),

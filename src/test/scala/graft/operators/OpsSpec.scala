@@ -308,6 +308,27 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(merged === s1)
   }
 
+  test("weightedSample: inclusion tracks weights; deterministic; zero weights excluded") {
+    // two weight classes, 10:1 — heavy rows should dominate the sample
+    val df = spark.range(2000).select(col("id"),
+      when(col("id") < 1000, 100.0).otherwise(10.0).as("w"))
+    val got = Ops.weightedSample(df, "id", "w", 200)
+      .select("id").as[Long].collect().toSet
+    val heavy = got.count(_ < 1000)
+    assert(heavy > 140, s"heavy-weight rows under-sampled: $heavy/200")
+    // deterministic across partitionings
+    val again = Ops.weightedSample(df.repartition(9), "id", "w", 200)
+      .select("id").as[Long].collect().toSet
+    assert(again === got)
+    // zero/negative/null weights never qualify
+    val withBad = df.withColumn("w",
+      when(col("id") === 5, 0.0).when(col("id") === 6, -1.0)
+        .when(col("id") === 7, lit(null)).otherwise(col("w")))
+    val sampled = Ops.weightedSample(withBad, "id", "w", 2000)
+      .select("id").as[Long].collect().toSet
+    assert(!sampled(5L) && !sampled(6L) && !sampled(7L) && sampled.size === 1997)
+  }
+
   test("bottomKSample: per-stratum k and the O(k)-heap global plan") {
     val df = spark.range(300)
       .select(col("id"), (col("id") % 3).cast("string").as("g"))
