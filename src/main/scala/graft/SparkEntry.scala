@@ -960,6 +960,23 @@ object SparkEntry {
           k = 65536, qs = Seq(0.25, 0.5, 0.9, 0.99))
         .select(col("q"), round(col("quantile"), 4).as("quantile4"))),
 
+    // --- KLL merge path IN the gate: per-shard sketch rows reduced to the
+    // same quantiles the one-shot aggregate yields (exact mode, k >= n per
+    // shard and after merge) — the persist-per-day / merge-without-rescan
+    // workflow end to end
+    "stats_kll_merged" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_extendedprice"), (col("l_orderkey") % 5).as("shard"))
+      val sketches = operators.Kll.kllSketches(li, "l_extendedprice",
+        Seq("shard"), k = 65536)
+      val qlits = array(Seq(0.25, 0.5, 0.9, 0.99).map(lit): _*)
+      sketches
+        .agg(operators.Kll.mergeQuantilesAgg(col("kll"), Seq(0.25, 0.5, 0.9, 0.99)).as("__qv"))
+        .select(posexplode(col("__qv")).as(Seq("__pos", "quantile")))
+        .select(element_at(qlits, col("__pos") + 1).as("q"),
+          round(col("quantile"), 4).as("quantile4"))
+    }),
+
     // --- top-k per group (WindowGroupLimit prunes before the exchange) -----
     "data_topk_group" -> ((s, dir) =>
       Ops.topKPerGroup(t(s, dir, "documents"), Seq("lang"), "n_chars",
@@ -1744,6 +1761,8 @@ object SparkEntry {
         |       ELSE 'unchanged' END AS change
         |FROM j
         |WHERE NOT (oid IS NOT NULL AND nid IS NOT NULL AND ot = nt)""".stripMargin,
+    "stats_kll_merged" -> OracleSql.statsKll("lineitem", "l_extendedprice",
+      qs = Seq(0.25, 0.5, 0.9, 0.99)),
     "data_bottomk" -> OracleSql.dataBottomK(k = 200),
     "data_weighted" -> OracleSql.dataWeighted(k = 150),
     "data_bottomk_strata" -> OracleSql.dataBottomK(k = 20, strata = Some("lang")),
