@@ -1004,6 +1004,37 @@ object OracleSql {
        |SELECT c_custkey, $zsum AS z FROM ij""".stripMargin
   }
 
+  /** The geo_hilbert oracle: the iterative rot/flip Hilbert index unrolled
+    * as one CTE pair per bit plane (rx/ry extraction, then reflect+swap and
+    * quadrant-offset accumulation) — integer-exact all the way.
+    */
+  def geoHilbert(bits: Int = 16, src: String = "customer"): String = {
+    val scale = (1L << bits).toDouble
+    val maxI = (1L << bits) - 1
+    def idx(v: String, lo: String, span: String) =
+      s"CAST(least(greatest(floor(($v - $lo) / $span * $scale), 0), $maxI) AS BIGINT)"
+    val steps = (0 until bits).map { k =>
+      val s = 1L << (bits - 1 - k)
+      val prev = if (k == 0) "it0" else s"j${k - 1}"
+      // reflection over the FULL grid (maxI - x) keeps x, y non-negative —
+      // same invariant as the kernel, required for // and % to mirror & bits
+      s"""s$k AS (SELECT c_custkey, ((x // $s) % 2) AS rx, ((y // $s) % 2) AS ry, x, y, d FROM $prev),
+         |j$k AS (SELECT c_custkey,
+         |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN $maxI - y ELSE y END ELSE x END AS x,
+         |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN $maxI - x ELSE x END ELSE y END AS y,
+         |  d + ${s * s} * xor(3 * rx, ry) AS d FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pts AS (SELECT c_custkey,
+       |    (c_custkey % 120) * 0.5 - 30 + 0.25 AS lon,
+       |    (c_custkey % 80) * 0.5 - 20 + 0.25 AS lat FROM $src),
+       |it0 AS (SELECT c_custkey,
+       |  ${idx("lon", "-180.0", "360.0")} AS x,
+       |  ${idx("lat", "-90.0", "180.0")} AS y,
+       |  CAST(0 AS BIGINT) AS d FROM pts),
+       |$steps
+       |SELECT c_custkey, d AS h FROM j${bits - 1}""".stripMargin
+  }
+
   def geoConvertUtm(zone: Int = 31): String = {
     val (bigA0, ecc0, k00, alpha) = graft.geom.TransverseMercator.oracleConstants
     // plain decimal literals parse as DECIMAL in DuckDB (and overflow in

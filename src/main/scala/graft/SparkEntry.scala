@@ -150,6 +150,26 @@ object SparkEntry {
         .withColumn("lat", expr("(c_custkey % 80) * 0.5 - 20 + 0.25"))
         .select(col("c_custkey"), st_zorder(col("lon"), col("lat"), 16).as("z"))),
 
+    "geo_hilbert" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .withColumn("lon", expr("(c_custkey % 120) * 0.5 - 30 + 0.25"))
+        .withColumn("lat", expr("(c_custkey % 80) * 0.5 - 20 + 0.25"))
+        .select(col("c_custkey"), st_hilbert(col("lon"), col("lat"), 16).as("h"))),
+
+    "hilbert_read" -> ((s, dir) => {
+      val pts = t(s, dir, "customer")
+        .withColumn("lon", expr("(c_custkey % 120) * 0.5 - 30 + 0.25"))
+        .withColumn("lat", expr("(c_custkey % 80) * 0.5 - 20 + 0.25"))
+        .select("c_custkey", "lon", "lat")
+      val out = s"/tmp/graft_hilb_${new java.io.File(dir).getName}"
+      GeoOps.writeZOrdered(pts, "lon", "lat", out, bits = 16, partitions = 8,
+        curve = "hilbert")
+      GeoOps.readZOrdered(s, out, "lon", "lat", -10.0, -10.0, 5.0, 5.0,
+          curve = "hilbert")
+        .select(col("c_custkey"),
+          round(col("lon"), 6).as("lon6"), round(col("lat"), 6).as("lat6"))
+    }),
+
     "zorder_read" -> ((s, dir) => {
       val pts = t(s, dir, "customer")
         .withColumn("lon", expr("(c_custkey % 120) * 0.5 - 30 + 0.25"))
@@ -1654,6 +1674,14 @@ object SparkEntry {
         |SELECT doc_id, term, tf, score FROM rk WHERE rn <= 5""".stripMargin,
     "geo_convert_utm" -> OracleSql.geoConvertUtm(zone = 31),
     "geo_zorder" -> OracleSql.geoZorder(),
+    "geo_hilbert" -> OracleSql.geoHilbert(),
+    "hilbert_read" ->
+      """WITH pts AS (SELECT c_custkey,
+        |    (c_custkey % 120) * 0.5 - 30 + 0.25 AS lon,
+        |    (c_custkey % 80) * 0.5 - 20 + 0.25 AS lat FROM customer)
+        |SELECT c_custkey, round(lon, 6) AS lon6, round(lat, 6) AS lat6
+        |FROM pts
+        |WHERE lon >= -10.0 AND lon <= 5.0 AND lat >= -10.0 AND lat <= 5.0""".stripMargin,
     "zorder_read" ->
       """WITH pts AS (SELECT c_custkey,
         |    (c_custkey % 120) * 0.5 - 30 + 0.25 AS lon,

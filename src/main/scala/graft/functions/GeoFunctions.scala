@@ -57,6 +57,9 @@ object GeoFunctions {
   /** Morton (Z-order) key of a lon/lat pair — see [[graft.geom.ZOrder]]. */
   def st_zorder(lon: Column, lat: Column, bits: Int = 16): Column =
     c(StZOrder(ed(lon), ed(lat), bits))
+  /** Hilbert key of a lon/lat pair — see [[graft.geom.Hilbert]]. */
+  def st_hilbert(lon: Column, lat: Column, bits: Int = 16): Column =
+    c(StHilbert(ed(lon), ed(lat), bits))
 
   // ---- CRS ----------------------------------------------------------------
   private def epsgOf(crs: String): Int = {
@@ -236,6 +239,22 @@ object GeoFunctions {
     r2("st_to_utm", (g, epsg) => GeoFunctions.utmExpr(g, epsg, invert = false))
     r2("st_from_utm", (g, epsg) => GeoFunctions.utmExpr(g, epsg, invert = true))
     r3("st_transform", GeoFunctions.transformFromLiterals)
+    r3("st_zorder", GeoFunctions.curveFromLiterals(StZOrder.apply))
+    r3("st_hilbert", GeoFunctions.curveFromLiterals(StHilbert.apply))
+  }
+
+  /** SQL builder for the curve keys: bits must be a literal (baked into
+    * codegen).
+    */
+  private[graft] def curveFromLiterals(make: (Expression, Expression, Int) => Expression)(
+      lon: Expression, lat: Expression, bits: Expression): Expression = {
+    require(bits.foldable, "curve key: bits must be a literal")
+    val b = bits.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"curve key: bad bits argument $other")
+    }
+    make(Cast(lon, DoubleType), Cast(lat, DoubleType), b)
   }
 
   /** SQL builder for st_transform: CRS codes must be literal ints or

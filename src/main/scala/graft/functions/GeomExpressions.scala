@@ -222,6 +222,22 @@ case class StZOrder(left: Expression, right: Expression, bits: Int)
     copy(left = l, right = r)
 }
 
+/** Hilbert curve key of a lon/lat pair — [[StZOrder]]'s better-locality
+  * sibling; same plan-time `bits`.
+  */
+case class StHilbert(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression with Serializable {
+  require(bits >= 1 && bits <= 31, s"hilbert bits $bits out of range 1-31")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(lon: Any, lat: Any): Any =
+    GeomKernel.hilbert(lon.asInstanceOf[Double], lat.asInstanceOf[Double], bits)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat) => s"$K.hilbert($lon, $lat, $bits)")
+  override def prettyName: String = "st_hilbert"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StHilbert =
+    copy(left = l, right = r)
+}
+
 case class StDistance(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
   override def dataType: DataType = DoubleType

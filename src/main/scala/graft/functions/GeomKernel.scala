@@ -114,6 +114,9 @@ object GeomKernel {
     */
   def zorder(lon: Double, lat: Double, bits: Int): Long = ZOrder.encode(lon, lat, bits)
 
+  /** Hilbert curve key — [[zorder]]'s better-locality sibling ([[Hilbert]]). */
+  def hilbert(lon: Double, lat: Double, bits: Int): Long = Hilbert.encode(lon, lat, bits)
+
   // ---- buffer -------------------------------------------------------------
 
   def buffer(b: Array[Byte], radius: Double, resolution: Int): Array[Byte] =

@@ -101,13 +101,33 @@ object GeoOps {
     * `partitions <= 0` keeps the session's shuffle parallelism.
     */
   def writeZOrdered(df: DataFrame, lonCol: String, latCol: String, path: String,
-      bits: Int = 16, partitions: Int = 0): Unit = {
-    val z = df.withColumn("__z", st_zorder(col(lonCol), col(latCol), bits))
+      bits: Int = 16, partitions: Int = 0, curve: String = "morton"): Unit = {
+    val key = curveKey(curve, col(lonCol), col(latCol), bits)
+    val z = df.withColumn("__z", key)
     val parted =
       if (partitions > 0) z.repartitionByRange(partitions, col("__z"))
       else z.repartitionByRange(col("__z"))
     parted.sortWithinPartitions("__z").write.mode("overwrite").parquet(path)
   }
+
+  private def curveKey(curve: String, lon: Column, lat: Column, bits: Int): Column =
+    curve match {
+      case "morton" => st_zorder(lon, lat, bits)
+      case "hilbert" => st_hilbert(lon, lat, bits)
+      case other => throw new IllegalArgumentException(
+        s"curve must be morton or hilbert, got $other")
+    }
+
+  private def curveCover(curve: String, minLon: Double, minLat: Double,
+      maxLon: Double, maxLat: Double, bits: Int, maxRanges: Int): Seq[(Long, Long)] =
+    curve match {
+      case "morton" =>
+        graft.geom.ZOrder.cover(minLon, minLat, maxLon, maxLat, bits, maxRanges = maxRanges)
+      case "hilbert" =>
+        graft.geom.Hilbert.cover(minLon, minLat, maxLon, maxLat, bits, maxRanges = maxRanges)
+      case other => throw new IllegalArgumentException(
+        s"curve must be morton or hilbert, got $other")
+    }
 
   /** Reads a [[writeZOrdered]] layout restricted to a bbox: the bbox becomes
     * at most `maxRanges` contiguous z intervals (quadtree cover, driver-side
@@ -118,9 +138,8 @@ object GeoOps {
   def readZOrdered(spark: org.apache.spark.sql.SparkSession, path: String,
       lonCol: String, latCol: String,
       minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
-      bits: Int = 16, maxRanges: Int = 32): DataFrame = {
-    val ranges = graft.geom.ZOrder.cover(minLon, minLat, maxLon, maxLat, bits,
-      maxRanges = maxRanges)
+      bits: Int = 16, maxRanges: Int = 32, curve: String = "morton"): DataFrame = {
+    val ranges = curveCover(curve, minLon, minLat, maxLon, maxLat, bits, maxRanges)
     val zPred = ranges.map { case (lo, hi) => col("__z").between(lo, hi) }
       .reduce(_ || _)
     spark.read.parquet(path)

@@ -122,6 +122,18 @@ class GeoFunctionsSpec extends AnyFunSuite with SparkSpec {
       .head().isNullAt(0))
   }
 
+  test("st_zorder registers for pure-SQL clients; bits must be a literal") {
+    GeoFunctions.registerAll(spark)
+    val z = spark.sql("SELECT st_zorder(180.0, 90.0, 16) AS z").head().getLong(0)
+    assert(z == (1L << 32) - 1)
+    assert(spark.sql("SELECT st_zorder(0.25, 0.25, 16) AS z").head().getLong(0) ==
+      graft.geom.ZOrder.encode(0.25, 0.25, 16))
+    val err = intercept[Exception] {
+      spark.sql("SELECT st_zorder(0.0, 0.0, CAST(id AS INT)) FROM range(1)").collect()
+    }
+    assert(err.getMessage.contains("literal") || err.getMessage.toLowerCase.contains("foldable"))
+  }
+
   test("st_intersection / st_difference / st_union column ops") {
     val a = st_geomfromtext(lit("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
     val b = st_geomfromtext(lit("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"))
