@@ -839,6 +839,16 @@ object SparkEntry {
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidf(t(s, dir, "documents"), topK = 5)),
 
+    // --- BM25 full-text top-k search (inverted-index term join) ------------
+    "text_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.where(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(split(trim(lower(col("text"))), " +"),
+            x => x =!= ""), 1, 4), " ").as("query"))
+      TextAnalysis.searchBM25(docs, qs, topK = 10)
+    }),
+
     // --- PII redaction (pre-training scrub; patterns mirrored in SQL) ------
     "text_pii" -> ((s, dir) => {
       val withPii = t(s, dir, "documents").withColumn("text",
@@ -1056,6 +1066,21 @@ object SparkEntry {
         .select(col("p_name"), col("p_name_right"),
           col("edit_dist").cast("long").as("edit_dist"),
           col("left_count"), col("right_count"))
+    }),
+
+    // --- exact set-similarity join: prefix filter + exact Jaccard verify ---
+    // the synthetic docs are heavily templated (~90k qualifying pairs at
+    // t=0.5 even at sf0.01), so the gate row compares the per-doc pair-set
+    // summary — integer-only columns, no float-sum order sensitivity, and
+    // (count, min partner, max overlap) still pins the pair set hard
+    "setsim_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Joins.setSimJoin(docs, docs, "doc_id", "text", "doc_id", "text", threshold = 0.5)
+        .where(col("doc_id") < col("doc_id_right"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_similar"),
+          min(col("doc_id_right")).as("min_partner"),
+          max(col("overlap")).cast("long").as("max_overlap"))
     }),
 
     // --- interval overlap join: bucketed range join, exactly-once pairs ----
@@ -1659,6 +1684,36 @@ object SparkEntry {
         |  ELSE 1.0 END AS gram_ratio
         |FROM documents""".stripMargin,
     "text_nbclassify" -> OracleSql.textNbClassify(),
+    "text_bm25" ->
+      """WITH q AS (SELECT doc_id AS query_id,
+        |    array_to_string(list_filter(string_split(lower(trim(text)), ' '),
+        |      s -> s <> '')[1:4], ' ') AS query
+        |  FROM documents WHERE doc_id % 100 = 7),
+        |w AS (SELECT doc_id AS doc,
+        |    unnest(list_filter(string_split(lower(trim(text)), ' '), s -> s <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc, term, count(*) AS tf FROM w GROUP BY 1, 2),
+        |dl AS (SELECT doc, term, tf, sum(tf) OVER (PARTITION BY doc) AS dl FROM tf),
+        |st AS (SELECT count(DISTINCT doc) AS n, sum(tf) AS tt FROM tf),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |qt AS (SELECT query_id,
+        |    unnest(list_distinct(list_filter(string_split(query, ' '), s -> s <> ''))) AS term
+        |  FROM q),
+        |sc AS (SELECT qt.query_id, dl.doc,
+        |    round(sum(
+        |      ln(CAST('1.0' AS DOUBLE)
+        |         + (CAST(st.n AS DOUBLE) - dfq.df + CAST('0.5' AS DOUBLE))
+        |           / (dfq.df + CAST('0.5' AS DOUBLE)))
+        |      * ((dl.tf * CAST('2.2' AS DOUBLE))
+        |         / (dl.tf + CAST('1.2' AS DOUBLE)
+        |             * (CAST('0.25' AS DOUBLE)
+        |                + (CAST('0.75' AS DOUBLE) * dl.dl)
+        |                  / (CAST(st.tt AS DOUBLE) / CAST(st.n AS DOUBLE)))))), 4) AS score
+        |  FROM qt JOIN dl ON qt.term = dl.term JOIN dfq ON dl.term = dfq.term CROSS JOIN st
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc) AS rn
+        |  FROM sc)
+        |SELECT query_id, doc AS doc_id, score FROM rk WHERE rn <= 10""".stripMargin,
     "text_tfidf" ->
       """WITH w AS (SELECT doc_id,
         |    unnest(list_filter(string_split(lower(trim(text)), ' '), s -> s <> '')) AS term
@@ -1741,6 +1796,23 @@ object SparkEntry {
         |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
         |       a.c AS left_count, b.c AS right_count
         |FROM v a JOIN v b ON levenshtein(a.p_name, b.p_name) <= 1""".stripMargin,
+    // independent all-pairs implementation (no prefix filter): two impls
+    // agreeing, the fuzzy_join oracle convention
+    "setsim_join" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(list_filter(string_split(lower(trim(text)), ' '),
+        |      s -> s <> '')) AS toks
+        |  FROM documents),
+        |dd AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+        |p AS (SELECT a.doc_id AS doc_id, b.doc_id AS doc_id_right,
+        |    len(list_intersect(a.toks, b.toks)) AS overlap
+        |  FROM dd a JOIN dd b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / (a.n + b.n - len(list_intersect(a.toks, b.toks)))
+        |    >= CAST('0.5' AS DOUBLE))
+        |SELECT doc_id, count(*) AS n_similar, min(doc_id_right) AS min_partner,
+        |  max(overlap) AS max_overlap
+        |FROM p GROUP BY doc_id""".stripMargin,
     "interval_join" ->
       """WITH f AS (SELECT l_suppkey AS k,
         |    l_orderkey * 10 + l_linenumber AS iid,

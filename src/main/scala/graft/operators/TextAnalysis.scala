@@ -445,4 +445,66 @@ object TextAnalysis {
       piiPatterns.foldLeft(col(textCol)) { case (c, (pat, repl)) =>
         regexp_replace(c, pat, repl)
       })
+
+  /** BM25 full-text top-k search: for every query row, the `topK`
+    * highest-scoring corpus documents under Okapi BM25 (Robertson et al.;
+    * the idf variant is Lucene's non-negative `ln(1 + (N-df+0.5)/(df+0.5))`).
+    * Tokens are the lowercased whitespace words of [[tfidf]]; duplicate
+    * terms within one query count once (short-query convention — the k3
+    * saturation term is ≈ qtf-independent there). Scores are rounded to 4
+    * decimals BEFORE the rank so ties resolve identically on any engine
+    * (tie-break: doc id asc). Output: (queryIdCol, idCol, score).
+    *
+    * Scale shape — the inverted-index join, not an index structure: the
+    * corpus collapses to (doc, term, tf) postings with one map-side-combined
+    * groupBy; per-doc length is a window over those postings partitioned by
+    * doc (no second corpus scan); (N, total-token) corpus stats are ONE
+    * 1-row aggregate broadcast everywhere; document frequencies shuffle on
+    * term. Query terms meet the postings in a term-keyed equi-join — the
+    * query side of a search workload is orders of magnitude smaller than
+    * the corpus, so AQE broadcasts it and the postings never reshuffle for
+    * the probe. Per-query accumulation shuffles only matched (query, doc)
+    * partial scores, and the top-k filter is a per-query window that
+    * WindowGroupLimit prunes to k rows per query BEFORE its shuffle. No
+    * driver action, no global sort, no all-pairs stage.
+    */
+  def searchBM25(
+      corpus: DataFrame,
+      queries: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "query",
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    def toks(c: Column) = filter(split(trim(lower(c)), " +"), x => x =!= "")
+    val postings = corpus.select(col(idCol).as("__doc"), explode(toks(col(textCol))).as("__term"))
+      .groupBy("__doc", "__term").agg(count(lit(1)).as("__tf"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("__doc")
+    val withDl = postings.withColumn("__dl", sum(col("__tf")).over(wDoc))
+    val stats = postings.agg(
+      countDistinct(col("__doc")).as("__n"), sum(col("__tf")).as("__tt"))
+    val dfreq = postings.groupBy("__term").agg(count(lit(1)).as("__df"))
+    val qterms = queries.select(col(queryIdCol).as("__qid"),
+      explode(array_distinct(toks(col(queryTextCol)))).as("__term"))
+    val matched = qterms
+      .join(withDl, "__term")
+      .join(dfreq, "__term")
+      .crossJoin(broadcast(stats))
+    val avgdl = col("__tt").cast("double") / col("__n").cast("double")
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val tfNorm = col("__tf") * lit(k1 + 1.0) /
+      (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / avgdl))
+    val scored = matched
+      .groupBy(col("__qid"), col("__doc"))
+      .agg(round(sum(idf * tfNorm), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qid").orderBy(col("score").desc, col("__doc"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= topK)
+      .select(col("__qid").as(queryIdCol), col("__doc").as(idCol), col("score"))
+  }
 }

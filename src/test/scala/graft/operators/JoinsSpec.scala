@@ -198,4 +198,78 @@ class JoinsSpec extends AnyFunSuite with SparkSpec {
     assert(Joins.intervalJoin(l, r, Seq("k"), "s", "e", "s", "e", 10.0)
       .select("id", "id_right").as[(Long, Long)].collect().toSet == Set((1L, 2L)))
   }
+
+  // ---- setSimJoin -------------------------------------------------------
+
+  /** Brute-force Jaccard oracle over word-token sets. */
+  private def jacBrute(rows: Seq[(Long, String)], t: Double): Set[(Long, Long, Int, Double)] = {
+    def toks(s: String) = s.trim.toLowerCase.split(" +").filter(_.nonEmpty).toSet
+    (for {
+      (i, a) <- rows
+      (j, b) <- rows
+      if i < j
+      ta = toks(a)
+      tb = toks(b)
+      if ta.nonEmpty && tb.nonEmpty
+      o = (ta & tb).size
+      jac = o.toDouble / (ta.size + tb.size - o)
+      if jac >= t
+    } yield (i, j, o, jac)).toSet
+  }
+
+  private val simRows = Seq(
+    (1L, "the quick brown fox jumps"),
+    (2L, "the quick brown fox leaps"), // J = 4/6 with 1
+    (3L, "quick brown fox"),           // J = 3/5 with 1 and 2
+    (4L, "entirely different words here"),
+    (5L, "the quick brown fox jumps"), // exact dup of 1 (J = 1)
+    (6L, "words entirely here different extra"), // J = 4/5 with 4
+    (7L, "   "),                        // empty token set: excluded
+    (8L, "fox"))                        // tiny set
+
+  test("setSimJoin matches the brute-force pair set at several thresholds") {
+    val df = simRows.toDF("id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val got = Joins.setSimJoin(df, df, "id", "text", "id", "text", t)
+        .where($"id" < $"id_right")
+        .select("id", "id_right", "overlap", "jaccard")
+        .as[(Long, Long, Int, Double)].collect()
+        .map { case (a, b, o, j) => (a, b, o, math.rint(j * 1e9) / 1e9) }.toSet
+      val want = jacBrute(simRows, t)
+        .map { case (a, b, o, j) => (a, b, o, math.rint(j * 1e9) / 1e9) }
+      assert(got == want, s"threshold $t")
+    }
+  }
+
+  test("setSimJoin: threshold boundary pair is included (J exactly t)") {
+    // J(1,2) = 2/4 = 0.5 exactly
+    val df = Seq((1L, "a b c"), (2L, "a b d")).toDF("id", "text")
+    val out = Joins.setSimJoin(df, df, "id", "text", "id", "text", 0.5)
+      .where($"id" < $"id_right").select("id", "id_right").as[(Long, Long)].collect()
+    assert(out.toSet == Set((1L, 2L)))
+  }
+
+  test("setSimJoin: duplicate words inside one doc count once (set semantics)") {
+    val df = Seq((1L, "a a a b"), (2L, "a b")).toDF("id", "text")
+    val out = Joins.setSimJoin(df, df, "id", "text", "id", "text", 1.0)
+      .where($"id" < $"id_right")
+      .select("left_size", "right_size", "jaccard").as[(Int, Int, Double)].collect()
+    assert(out.toSeq == Seq((2, 2, 1.0)))
+  }
+
+  test("setSimJoin: two distinct frames, asymmetric sizes, size-band prune") {
+    val l = Seq((1L, "x y z w")).toDF("lid", "ltext")
+    val r = Seq((10L, "x y z w v u t s q r"), (11L, "x y z")).toDF("rid", "rtext")
+    // J(1,10) = 4/10 = 0.4 < 0.6; J(1,11) = 3/4 = 0.75 >= 0.6
+    val out = Joins.setSimJoin(l, r, "lid", "ltext", "rid", "rtext", 0.6)
+      .select("lid", "rid").as[(Long, Long)].collect()
+    assert(out.toSet == Set((1L, 11L)))
+  }
+
+  test("setSimJoin plans hash joins only — no cartesian, no BNLJ") {
+    val df = simRows.toDF("id", "text")
+    val plan = Joins.setSimJoin(df, df, "id", "text", "id", "text", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

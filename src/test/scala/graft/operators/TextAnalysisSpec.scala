@@ -339,4 +339,44 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       TextAnalysis.nbClassify(df, col("y"), buckets = 100)
     }
   }
+
+  test("BM25: closed-form scores, ranking, topK bound, query-term dedup") {
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry cherry")).toDF("doc_id", "text")
+    val qs = Seq((10L, "apple cherry"), (11L, "apple apple")).toDF("query_id", "query")
+    val out = TextAnalysis.searchBM25(corpus, qs, topK = 10)
+      .select("query_id", "doc_id", "score").as[(Long, Long, Double)].collect()
+
+    // hand BM25 (k1=1.2, b=0.75): N=3, avgdl=3
+    def idf(df0: Int) = math.log(1.0 + (3.0 - df0 + 0.5) / (df0 + 0.5))
+    def tfn(tf: Int, dl: Int) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val q10 = out.filter(_._1 == 10L).map(r => r._2 -> r._3).toMap
+    assert(q10.keySet == Set(1L, 2L, 3L))
+    assert(math.abs(q10(1L) - r4(idf(1) * tfn(2, 3))) < 1e-9) // apple in d1
+    assert(math.abs(q10(2L) - r4(idf(2) * tfn(1, 2))) < 1e-9) // cherry in d2
+    assert(math.abs(q10(3L) - r4(idf(2) * tfn(4, 4))) < 1e-9) // cherry in d3
+    // rarer term + high tf outranks frequent term; longer tf run beats short
+    assert(q10(1L) > q10(3L) && q10(3L) > q10(2L))
+
+    // duplicate query terms count once: "apple apple" == the apple component
+    val q11 = out.filter(_._1 == 11L).map(r => r._2 -> r._3).toMap
+    assert(q11 == Map(1L -> r4(idf(1) * tfn(2, 3))))
+
+    // topK bound: k=1 returns exactly the best doc per query
+    val top1 = TextAnalysis.searchBM25(corpus, qs, topK = 1)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toMap
+    assert(top1 == Map(10L -> 1L, 11L -> 1L))
+  }
+
+  test("BM25: per-query window is pre-shuffle pruned (WindowGroupLimit)") {
+    val corpus = Seq((1L, "a b"), (2L, "b c"), (3L, "c a")).toDF("doc_id", "text")
+    val qs = Seq((1L, "a c")).toDF("query_id", "query")
+    val plan = TextAnalysis.searchBM25(corpus, qs, topK = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
