@@ -374,6 +374,23 @@ object OracleSql {
        |dropped AS (SELECT DISTINCT idb FROM vp WHERE cs >= $threshold)
        |SELECT e.vec_id, e.label FROM $vecsrc e ANTI JOIN dropped dr ON e.vec_id = dr.idb""".stripMargin
 
+  /** The dedup_semantic oracle (nlist = 1 exact mode): all-pairs cosine over
+    * the planted frame, greedy keep-smallest-id — a row is dropped iff some
+    * smaller-id row scores >= threshold against it. Independent of the
+    * Spark side's normalize-then-dot shape (cos computed directly), so the
+    * two implementations agree on the keep set, not on shared arithmetic.
+    */
+  def dedupSemantic(threshold: Double = 0.98): String =
+    s"""WITH emb2 AS (SELECT vec_id, label, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000 AS vec_id, label,
+       |    list_transform(embedding, x -> CAST(x * 0.5 AS REAL)) AS embedding
+       |  FROM embeddings WHERE vec_id < 25),
+       |vp AS (SELECT a.vec_id AS ida, b.vec_id AS idb, ${cos("a.embedding", "b.embedding")} AS cs
+       |  FROM emb2 a JOIN emb2 b ON a.vec_id < b.vec_id),
+       |dropped AS (SELECT DISTINCT idb FROM vp WHERE cs >= $threshold)
+       |SELECT e.vec_id, e.label FROM emb2 e ANTI JOIN dropped dr ON e.vec_id = dr.idb""".stripMargin
+
   /** (query_id, neighbor_id, cosine): LSH-bucketed top-k — candidates share a
     * (table, sketch) bucket, ranked by exact cosine (desc, id asc).
     */

@@ -1191,6 +1191,20 @@ object SparkEntry {
         .select("vec_id", "label")
     }),
 
+    // --- SemDeDup: kmeans cells + within-cell greedy cosine dedup ----------
+    // nlist = 1 is the exact-oracle mode (single cell ≡ all-pairs greedy);
+    // the nlist > 1 cell approximation is spec'd (soundness + planted
+    // recall) in DedupSpec
+    "dedup_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "label", "embedding")
+      val planted = emb.where(col("vec_id") < 25).select(
+        (col("vec_id") + 10000).as("vec_id"), col("label"),
+        transform(col("embedding"), x => (x * lit(0.5f)).cast("float")).as("embedding"))
+      Dedup.semanticDedup(emb.unionByName(planted), "embedding", "vec_id",
+          threshold = 0.98, nlist = 1)
+        .select("vec_id", "label")
+    }),
+
     // --- erde op/isochrone: contour polygons (rows-only; area spec'd) ------
     "isochrone_contours" -> ((s, dir) => {
       val srcs = t(s, dir, "region")
@@ -1876,6 +1890,7 @@ object SparkEntry {
     "dedup_verified" -> OracleSql.dedupVerified(),
     "dedup_incremental" -> OracleSql.dedupIncremental(),
     "dedup_embedding" -> OracleSql.dedupEmbedding(),
+    "dedup_semantic" -> OracleSql.dedupSemantic(),
     "sim_lsh" -> OracleSql.simLsh(),
     "sim_int8_lsh" -> OracleSql.simInt8Lsh(),
     "isochrone_contours" -> OracleSql.isochroneContours(),

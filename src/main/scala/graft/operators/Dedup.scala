@@ -433,4 +433,58 @@ object Dedup {
       (a, b) => Similarity.cosineSimSafe(a, b) >= threshold, maxBucket)
     df.join(drop.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023 — public paper): the
+    * corpus coarse-clusters through the IVF k-means quantizer
+    * ([[Similarity.fitAssign]] — bounded seeded-hash fit sample, one-scan
+    * codegen'd argmax-dot assignment), pairwise cosine runs only WITHIN a
+    * cell, and of any pair at or above `threshold` the SMALLER id survives
+    * (greedy keep-first — deterministic, the dedup family's representative
+    * policy). Returns the kept rows of `df`.
+    *
+    * Semantics vs [[embeddingNearDup]]: that one buckets by random
+    * hyperplane SKETCH (recall depends on sketch collisions even for very
+    * close pairs); this one buckets by LEARNED cluster structure — a
+    * duplicate pair's members land in the same cell whenever they share a
+    * nearest centroid (scaled copies always do: argmax of c·(s·v) is the
+    * argmax of c·v for s > 0). Cross-cell pairs are never compared — the
+    * deliberate SemDeDup approximation; `nlist = 1` degrades to the exact
+    * all-pairs greedy (the oracle mode).
+    *
+    * Scale shape: both sides of the pair loop are pre-normalized ONCE (the
+    * per-pair predicate is a single zip_with dot, not dot + two norms), the
+    * self-join shuffles on the cell id, and Σ|cell|² bounds the pair space
+    * — nlist is THE knob: size it so the expected cell holds ~10³-10⁴ rows
+    * at your corpus scale (the published recipe) and raise it as the corpus
+    * grows; fit cost stays bounded by `fitSampleBytes` regardless. The drop
+    * set is a distinct over bare ids (narrow), applied as one anti-join.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double = 0.95,
+      nlist: Int = 16,
+      seed: Long = 42L,
+      fitSampleBytes: Long = 64L << 20): DataFrame = {
+    require(nlist >= 1, "nlist must be >= 1")
+    val (assigned, _) =
+      Similarity.fitAssign(df, vecCol, idCol, nlist, seed, fitSampleBytes)
+    // pre-normalize once; zero-norm vectors stay unscaled (dot stays 0 with
+    // everything normalized, below any threshold in (0,1] — never similar)
+    val norm = sqrt(aggregate(col("__cv").cast("array<double>"), lit(0.0),
+      (acc, x) => acc + x * x))
+    val unit = assigned.select(col("neighbor_id"), col("__cell"),
+      when(norm > 0,
+        transform(col("__cv").cast("array<double>"), x => x / norm))
+        .otherwise(col("__cv").cast("array<double>")).as("__uv"))
+    val a = unit.select(col("neighbor_id").as("__aid"), col("__cell"), col("__uv").as("__av"))
+    val b = unit.select(col("neighbor_id").as("__bid"), col("__cell"), col("__uv").as("__bv"))
+    val dot = aggregate(zip_with(col("__av"), col("__bv"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val dropped = a.join(b, Seq("__cell"))
+      .where(col("__bid") < col("__aid") && dot >= threshold)
+      .select(col("__aid")).distinct()
+    df.join(dropped, col(idCol).cast("long") === col("__aid"), "left_anti")
+  }
 }

@@ -225,7 +225,7 @@ object Similarity {
     * the assigned corpus (`neighbor_id`, `__cv`, `__cell`) plus the centroid
     * table (`__cell`, `__centroid`) for query-side probing.
     */
-  private def fitAssign(
+  private[operators] def fitAssign(
       corpus: DataFrame,
       vecCol: String,
       idCol: String,

@@ -189,4 +189,57 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(dropped >= planted * 8 / 10, s"dropped $dropped of $planted planted dups")
     assert(dropped <= planted * 2) // and no mass false-positive collapse
   }
+
+  // ---- semanticDedup ----------------------------------------------------
+
+  /** Brute-force greedy keep-smallest-id oracle over exact cosine. */
+  private def semBrute(rows: Seq[(Long, Array[Float])], t: Double): Set[Long] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na * nb > 0) dot / (na * nb) else 0.0
+    }
+    rows.collect { case (id, v)
+      if !rows.exists { case (j, w) => j < id && cos(v, w) >= t } => id
+    }.toSet
+  }
+
+  private val semRows: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(7)
+    val base = Seq.tabulate(12)(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    // planted scaled copies of 0, 1, 2 — cosine ≈ 1 with the originals
+    val copies = (0 until 3).map(i =>
+      (100L + i, base(i)._2.map(x => x * 0.25f)))
+    base ++ copies
+  }
+
+  test("semanticDedup nlist=1 matches the exact greedy keep set") {
+    val df = semRows.toDF("vid", "vec")
+    for (t <- Seq(0.8, 0.95, 0.999)) {
+      val kept = Dedup.semanticDedup(df, "vec", "vid", threshold = t, nlist = 1)
+        .select("vid").as[Long].collect().toSet
+      assert(kept == semBrute(semRows, t), s"threshold $t")
+    }
+  }
+
+  test("semanticDedup nlist>1: sound (kept ⊇ exact) and scaled copies still drop") {
+    val df = semRows.toDF("vid", "vec")
+    val kept = Dedup.semanticDedup(df, "vec", "vid", threshold = 0.999, nlist = 4)
+      .select("vid").as[Long].collect().toSet
+    // cells only REMOVE comparisons: anything dropped has a genuine partner
+    assert(semBrute(semRows, 0.999).subsetOf(kept))
+    // a scaled copy shares its original's argmax-dot cell, so it still drops
+    assert(Set(100L, 101L, 102L).forall(id => !kept.contains(id)))
+    assert((0L until 12L).forall(kept.contains))
+  }
+
+  test("semanticDedup: zero vectors never count as similar") {
+    val z = Array.fill(8)(0f)
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val df = Seq((1L, z), (2L, z), (3L, v)).toDF("vid", "vec")
+    val kept = Dedup.semanticDedup(df, "vec", "vid", threshold = 0.9, nlist = 1)
+      .select("vid").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
 }
