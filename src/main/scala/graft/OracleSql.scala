@@ -893,6 +893,42 @@ object OracleSql {
   /** (doc_id, split): deterministic hash split — mirrors
     * [[graft.operators.Ops.splitByHash]]'s splitmix64 bucket arithmetic.
     */
+  /** The geo_dbscan oracle: all-pairs eps-neighborhood (independent of the
+    * Spark side's eps-grid candidate generation), density core test, and a
+    * RECURSIVE-CTE transitive closure over core-core edges standing in for
+    * the alternating-star connected components — component = min reachable
+    * core id, border = min component among core neighbors, noise = -1.
+    * Point coordinates derive from the mix64 mirror so both engines jitter
+    * customers identically.
+    */
+  def geoDbscan(eps: Double = 1.0, minPts: Int = 4): String = {
+    val e2 = eps * eps
+    s"""WITH RECURSIVE z AS (SELECT c_custkey,
+       |    ${ub2("xor(c_custkey, 1)")} AS z1,
+       |    ${ub2("xor(c_custkey, 2)")} AS z2
+       |  FROM customer),
+       |m AS (SELECT c_custkey, ${sb2(mix64("z1"))} AS h1, ${sb2(mix64("z2"))} AS h2 FROM z),
+       |p AS (SELECT c_custkey AS id,
+       |    CAST(((h1 % 600) + 600) % 600 AS DOUBLE) * CAST('0.1' AS DOUBLE) - 30 AS x,
+       |    CAST(((h2 % 400) + 400) % 400 AS DOUBLE) * CAST('0.1' AS DOUBLE) - 20 AS y
+       |  FROM m),
+       |e AS (SELECT a.id AS aid, b.id AS bid FROM p a JOIN p b
+       |  ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= CAST('$e2' AS DOUBLE)),
+       |cnt AS (SELECT aid, count(*) AS c FROM e GROUP BY aid),
+       |core AS (SELECT aid AS id FROM cnt WHERE c >= $minPts),
+       |ce AS (SELECT e.aid, e.bid FROM e
+       |  JOIN core ca ON e.aid = ca.id JOIN core cb ON e.bid = cb.id),
+       |reach(a, b) AS (SELECT aid, bid FROM ce
+       |  UNION SELECT r.a, c.bid FROM reach r JOIN ce c ON r.b = c.aid),
+       |comp AS (SELECT a AS id, min(b) AS cl FROM reach GROUP BY a),
+       |ba AS (SELECT e.aid AS id, min(comp.cl) AS bcl
+       |  FROM e JOIN core c ON e.bid = c.id JOIN comp ON comp.id = e.bid
+       |  GROUP BY e.aid)
+       |SELECT p.id AS c_custkey, (comp.id IS NOT NULL) AS is_core,
+       |  coalesce(comp.cl, ba.bcl, -1) AS cluster
+       |FROM p LEFT JOIN comp ON p.id = comp.id LEFT JOIN ba ON p.id = ba.id""".stripMargin
+  }
+
   def dataSplit(weights: Seq[(String, Double)], seed: Long = 42L,
       docsrc: String = "documents"): String = {
     val thresholds = weights.scanLeft(0L) { case (acc, (_, w)) => acc + math.round(w * 10000) }.tail

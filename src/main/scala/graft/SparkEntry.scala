@@ -156,6 +156,21 @@ object SparkEntry {
         .withColumn("lat", expr("(c_custkey % 80) * 0.5 - 20 + 0.25"))
         .select(col("c_custkey"), st_hilbert(col("lon"), col("lat"), 16).as("h"))),
 
+    // --- DBSCAN density clustering over mix64-jittered customer points -----
+    // the oracle recomputes the whole thing from an all-pairs neighborhood
+    // plus a recursive-CTE closure — independent of the eps-grid and the
+    // alternating-star components on this side
+    "geo_dbscan" -> ((s, dir) => {
+      import graft.functions.TextFunctions.mix64_hash
+      val pts = t(s, dir, "customer").select(col("c_custkey"),
+        (pmod(mix64_hash(col("c_custkey"), 1L), lit(600L)).cast("double")
+          * lit(0.1) - lit(30)).as("lon"),
+        (pmod(mix64_hash(col("c_custkey"), 2L), lit(400L)).cast("double")
+          * lit(0.1) - lit(20)).as("lat"))
+      Clustering.dbscan(pts, "c_custkey", "lon", "lat", eps = 1.0, minPts = 4)
+        .select(col("c_custkey"), col("is_core"), col("cluster"))
+    }),
+
     "hilbert_read" -> ((s, dir) => {
       val pts = t(s, dir, "customer")
         .withColumn("lon", expr("(c_custkey % 120) * 0.5 - 30 + 0.25"))
@@ -1744,6 +1759,7 @@ object SparkEntry {
     "geo_convert_utm" -> OracleSql.geoConvertUtm(zone = 31),
     "geo_zorder" -> OracleSql.geoZorder(),
     "geo_hilbert" -> OracleSql.geoHilbert(),
+    "geo_dbscan" -> OracleSql.geoDbscan(),
     "hilbert_read" ->
       """WITH pts AS (SELECT c_custkey,
         |    (c_custkey % 120) * 0.5 - 30 + 0.25 AS lon,

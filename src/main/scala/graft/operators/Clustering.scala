@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Density-based spatial clustering. DBSCAN (Ester/Kriegel/Sander/Xu 1996 —
+  * public literature; no reference counterpart) re-expressed as bounded
+  * equi-joins: the classic formulation is a sequential flood fill, which has
+  * no distributed analogue, but its FIXPOINT is pure relational algebra —
+  * eps-neighbor pairs, a density count, and connected components over
+  * core-core edges.
+  */
+object Clustering {
+
+  /** DBSCAN over planar point columns. `eps` is in coordinate units
+    * (project first for metric eps — e.g. [[GeoOps.toMercator]] /
+    * `st_to_utm`); a point is CORE when its closed eps-ball holds at least
+    * `minPts` points INCLUDING itself (the paper's |N_eps(p)| >= MinPts).
+    * Output adds two columns to `df`: `is_core`, and `cluster` — the
+    * smallest core id of the cluster, `-1` for noise (sentinel, not NULL,
+    * so downstream grouping and engine comparison never hit null-equality
+    * semantics). Border points (non-core within eps of >= 1 core) join the
+    * smallest cluster id among their core neighbors — the paper leaves
+    * border assignment order-dependent; the min rule is the deterministic
+    * refinement, same policy as the dedup family's representative picks.
+    *
+    * Scale shape: candidate pairs come from an eps-grid — each point keys
+    * its home cell (floor(x/eps), floor(y/eps)) on the build side and
+    * explodes its 3×3 neighbor cells on the probe side, so the equi-join on
+    * the cell id sees every pair within eps (cell width = eps bounds the
+    * reach) and nothing farther than one cell apart — no all-pairs stage,
+    * O(points × 9) replicated rows. Density counts are one map-side-
+    * combined groupBy over those pairs; core-core edges feed
+    * [[Graph.connectedComponents]] (alternating-star, node-keyed shuffles,
+    * O(log n) rounds); border assignment is one more aggregation over the
+    * SAME pair table. The inherent hazard is DBSCAN's own: a cell holding k
+    * points in one eps-ball contributes k² true pairs — that is the
+    * algorithm's answer (they really are neighbors), not a skew artifact;
+    * at 100 TB choose eps so the expected ball stays small, or pre-thin
+    * ultra-dense regions (the published parallel variants do exactly this).
+    */
+  def dbscan(
+      df: DataFrame,
+      idCol: String,
+      lonCol: String,
+      latCol: String,
+      eps: Double,
+      minPts: Int): DataFrame = {
+    require(eps > 0, "eps must be positive")
+    require(minPts >= 1, "minPts must be >= 1")
+    val pts = df.select(col(idCol).cast("long").as("__id"),
+        col(lonCol).cast("double").as("__x"), col(latCol).cast("double").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    def cellOf(c: Column): Column = floor(c / lit(eps)).cast("long")
+
+    val probe = pts
+      .withColumn("__dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("__dy", explode(sequence(lit(-1), lit(1))))
+      .select(col("__id").as("__aid"), col("__x").as("__ax"), col("__y").as("__ay"),
+        (cellOf(col("__x")) + col("__dx")).as("__cx"),
+        (cellOf(col("__y")) + col("__dy")).as("__cy"))
+    val home = pts.select(col("__id").as("__bid"), col("__x").as("__bx"),
+      col("__y").as("__by"), cellOf(col("__x")).as("__cx"), cellOf(col("__y")).as("__cy"))
+    val dist2 = (col("__ax") - col("__bx")) * (col("__ax") - col("__bx")) +
+      (col("__ay") - col("__by")) * (col("__ay") - col("__by"))
+    // ordered pairs including self — |N_eps| counts the point itself, and
+    // the self edge keeps singleton cores visible to the component pass
+    val pairs = probe.join(home, Seq("__cx", "__cy"))
+      .where(dist2 <= lit(eps * eps))
+      .select("__aid", "__bid")
+
+    val core = pairs.groupBy("__aid").agg(count(lit(1)).as("__ncnt"))
+      .where(col("__ncnt") >= minPts)
+      .select(col("__aid").as("__coreid"))
+    val coreEdges = pairs
+      .join(core.withColumnRenamed("__coreid", "__aid"), Seq("__aid"))
+      .join(core.withColumnRenamed("__coreid", "__bid"), Seq("__bid"))
+      .select(col("__aid").as("src"), col("__bid").as("dst"))
+    val comp = Graph.connectedComponents(coreEdges, "src", "dst")
+
+    // border: nearest-by-id core neighbor's component (min over components)
+    val borderAssign = pairs
+      .join(core.withColumnRenamed("__coreid", "__bid"), Seq("__bid"))
+      .join(comp.select(col("node").as("__bid"), col("component")), Seq("__bid"))
+      .groupBy("__aid").agg(min(col("component")).as("__bcl"))
+
+    df.join(comp.select(col("node").as("__jid"), col("component").as("__ccl")),
+        col(idCol).cast("long") === col("__jid"), "left")
+      .join(borderAssign.select(col("__aid").as("__jid2"), col("__bcl")),
+        col(idCol).cast("long") === col("__jid2"), "left")
+      .withColumn("is_core", col("__ccl").isNotNull)
+      .withColumn("cluster", coalesce(col("__ccl"), col("__bcl"), lit(-1L)))
+      .drop("__jid", "__ccl", "__jid2", "__bcl")
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class ClusteringSpec extends AnyFunSuite with SparkSpec {
+
+  import testImplicits._
+
+  /** Brute-force DBSCAN with the same deterministic conventions: closed
+    * eps-ball, self counts, component = min core id, border joins the min
+    * component among core neighbors, noise = -1.
+    */
+  private def brute(rows: Seq[(Long, Double, Double)], eps: Double, minPts: Int)
+      : Map[Long, (Boolean, Long)] = {
+    def d2(a: (Long, Double, Double), b: (Long, Double, Double)) =
+      (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+    val nbrs = rows.map(a => a._1 -> rows.filter(b => d2(a, b) <= eps * eps)).toMap
+    val core = rows.filter(a => nbrs(a._1).size >= minPts).map(_._1).toSet
+    val parent = scala.collection.mutable.Map(core.toSeq.map(k => k -> k): _*)
+    def find(a: Long): Long = { var x = a; while (parent(x) != x) x = parent(x); x }
+    for (a <- rows if core(a._1); b <- nbrs(a._1) if core(b._1)) {
+      val (ra, rb) = (find(a._1), find(b._1)); if (ra != rb) parent(ra) = rb
+    }
+    val comp = core.groupBy(find).flatMap { case (_, ms) => ms.map(_ -> ms.min) }
+    rows.map { a =>
+      if (core(a._1)) a._1 -> ((true, comp(a._1)))
+      else {
+        val cn = nbrs(a._1).map(_._1).filter(core)
+        a._1 -> ((false, if (cn.isEmpty) -1L else cn.map(comp).min))
+      }
+    }.toMap
+  }
+
+  private def run(rows: Seq[(Long, Double, Double)], eps: Double, minPts: Int)
+      : Map[Long, (Boolean, Long)] =
+    Clustering.dbscan(rows.toDF("id", "x", "y"), "id", "x", "y", eps, minPts)
+      .select("id", "is_core", "cluster").as[(Long, Boolean, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("dbscan: two clusters, a border point, and noise (closed form)") {
+    val rows = Seq(
+      (1L, 0.0, 0.0), (2L, 0.5, 0.0), (3L, 0.0, 0.5),   // cluster A cores
+      (4L, 1.3, 0.0),                                    // border of A (near 2)
+      (10L, 10.0, 10.0), (11L, 10.5, 10.0), (12L, 10.0, 10.5), // cluster B cores
+      (20L, 50.0, 50.0))                                 // noise
+    val out = run(rows, eps = 1.0, minPts = 3)
+    assert(out(1L) == ((true, 1L)) && out(2L) == ((true, 1L)) && out(3L) == ((true, 1L)))
+    assert(out(4L) == ((false, 1L)))  // within eps of core 2, not core itself
+    assert(out(10L) == ((true, 10L)) && out(11L) == ((true, 10L)) && out(12L) == ((true, 10L)))
+    assert(out(20L) == ((false, -1L)))
+  }
+
+  test("dbscan matches brute force on jittered random points") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(220)(i =>
+      (i.toLong, rnd.nextDouble() * 20, rnd.nextDouble() * 20))
+    for ((eps, mp) <- Seq((1.0, 3), (1.5, 4), (0.7, 2)))
+      assert(run(rows, eps, mp) == brute(rows, eps, mp), s"eps=$eps minPts=$mp")
+  }
+
+  test("dbscan: minPts=1 makes every point a singleton-or-better core") {
+    val rows = Seq((1L, 0.0, 0.0), (2L, 100.0, 100.0))
+    val out = run(rows, 1.0, 1)
+    assert(out == Map(1L -> ((true, 1L)), 2L -> ((true, 2L))))
+  }
+
+  test("dbscan: cross-cell pairs are found (points straddling a cell edge)") {
+    // 0.99 apart, cells differ at eps=1.0 — the 3x3 neighbor explode must pair them
+    val rows = Seq((1L, 0.995, 0.0), (2L, 1.985, 0.0), (3L, 0.005, 0.0))
+    val out = run(rows, 1.0, 2)
+    assert(out(1L)._1 && out(2L)._1 && out(3L)._1)
+    assert(out.values.map(_._2).toSet == Set(1L)) // one chain-connected cluster
+  }
+
+  test("dbscan: null coordinates land in noise, not exceptions") {
+    val df = Seq((1L, Some(0.0), Some(0.0)), (2L, Some(0.1), Some(0.0)),
+      (3L, None: Option[Double], Some(1.0))).toDF("id", "x", "y")
+    val out = Clustering.dbscan(df, "id", "x", "y", 1.0, 2)
+      .select("id", "is_core", "cluster").as[(Long, Boolean, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((true, 1L)) && out(2L) == ((true, 1L)))
+    assert(out(3L) == ((false, -1L)))
+  }
+
+  test("dbscan plans hash joins only — no cartesian, no BNLJ") {
+    val df = Seq((1L, 0.0, 0.0), (2L, 0.5, 0.0)).toDF("id", "x", "y")
+    val plan = Clustering.dbscan(df, "id", "x", "y", 1.0, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
