@@ -1057,6 +1057,38 @@ object OracleSql {
        |SELECT c_custkey, $zsum AS z FROM ij""".stripMargin
   }
 
+  /** The geo_geohash oracle: floor-scaled grid indexes, the MSB-first
+    * lon-leading bit interleave unrolled as a shift sum, and base32 chars
+    * picked by substr — integer-exact, same double arithmetic order as
+    * [[graft.geom.ZOrder.index]].
+    */
+  def geoGeohash(chars: Int = 7, src: String = "customer"): String = {
+    val nbits = 5 * chars
+    val lonBits = (nbits + 1) / 2
+    val latBits = nbits / 2
+    def idx(v: String, lo: String, span: String, bits: Int) = {
+      val scale = (1L << bits).toDouble
+      val maxI = (1L << bits) - 1
+      s"CAST(least(greatest(floor(($v - $lo) / $span * $scale), 0), $maxI) AS BIGINT)"
+    }
+    val accSum = (0 until nbits).map { i =>
+      if (i % 2 == 0) s"(((ix >> ${lonBits - 1 - i / 2}) & 1) << ${nbits - 1 - i})"
+      else s"(((iy >> ${latBits - 1 - i / 2}) & 1) << ${nbits - 1 - i})"
+    }.mkString(" + ")
+    val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val charConcat = (0 until chars).map { j =>
+      s"substr('$alpha', CAST(((acc >> ${5 * (chars - 1 - j)}) & 31) AS INT) + 1, 1)"
+    }.mkString(" || ")
+    s"""WITH pts AS (SELECT c_custkey,
+       |    (c_custkey % 120) * 0.5 - 30 + 0.25 AS lon,
+       |    (c_custkey % 80) * 0.5 - 20 + 0.25 AS lat FROM $src),
+       |ij AS (SELECT c_custkey,
+       |  ${idx("lon", "-180.0", "360.0", lonBits)} AS ix,
+       |  ${idx("lat", "-90.0", "180.0", latBits)} AS iy FROM pts),
+       |a AS (SELECT c_custkey, $accSum AS acc FROM ij)
+       |SELECT c_custkey, $charConcat AS gh FROM a""".stripMargin
+  }
+
   /** The geo_hilbert oracle: the iterative rot/flip Hilbert index unrolled
     * as one CTE pair per bit plane (rx/ry extraction, then reflect+swap and
     * quadrant-offset accumulation) — integer-exact all the way.

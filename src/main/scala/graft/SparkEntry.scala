@@ -156,6 +156,12 @@ object SparkEntry {
         .withColumn("lat", expr("(c_custkey % 80) * 0.5 - 20 + 0.25"))
         .select(col("c_custkey"), st_hilbert(col("lon"), col("lat"), 16).as("h"))),
 
+    "geo_geohash" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .withColumn("lon", expr("(c_custkey % 120) * 0.5 - 30 + 0.25"))
+        .withColumn("lat", expr("(c_custkey % 80) * 0.5 - 20 + 0.25"))
+        .select(col("c_custkey"), st_geohash(col("lon"), col("lat"), 7).as("gh"))),
+
     // --- DBSCAN density clustering over mix64-jittered customer points -----
     // the oracle recomputes the whole thing from an all-pairs neighborhood
     // plus a recursive-CTE closure — independent of the eps-grid and the
@@ -1760,6 +1766,7 @@ object SparkEntry {
     "geo_zorder" -> OracleSql.geoZorder(),
     "geo_hilbert" -> OracleSql.geoHilbert(),
     "geo_dbscan" -> OracleSql.geoDbscan(),
+    "geo_geohash" -> OracleSql.geoGeohash(),
     "hilbert_read" ->
       """WITH pts AS (SELECT c_custkey,
         |    (c_custkey % 120) * 0.5 - 30 + 0.25 AS lon,

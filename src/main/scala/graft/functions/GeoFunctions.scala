@@ -60,6 +60,11 @@ object GeoFunctions {
   /** Hilbert key of a lon/lat pair — see [[graft.geom.Hilbert]]. */
   def st_hilbert(lon: Column, lat: Column, bits: Int = 16): Column =
     c(StHilbert(ed(lon), ed(lat), bits))
+  /** Base32 geohash of a lon/lat pair (standard Niemeyer cells). */
+  def st_geohash(lon: Column, lat: Column, chars: Int = 9): Column =
+    c(StGeohash(ed(lon), ed(lat), chars))
+  /** Geohash cell-center point (WKB). */
+  def st_geohash_decode(h: Column): Column = c(StGeohashDecode(e(h)))
 
   // ---- CRS ----------------------------------------------------------------
   private def epsgOf(crs: String): Int = {
@@ -241,6 +246,8 @@ object GeoFunctions {
     r3("st_transform", GeoFunctions.transformFromLiterals)
     r3("st_zorder", GeoFunctions.curveFromLiterals(StZOrder.apply))
     r3("st_hilbert", GeoFunctions.curveFromLiterals(StHilbert.apply))
+    r3("st_geohash", GeoFunctions.curveFromLiterals(StGeohash.apply))
+    r1("st_geohash_decode", StGeohashDecode.apply)
   }
 
   /** SQL builder for the curve keys: bits must be a literal (baked into

@@ -238,6 +238,29 @@ case class StHilbert(left: Expression, right: Expression, bits: Int)
     copy(left = l, right = r)
 }
 
+/** Base32 geohash of a lon/lat pair; `chars` is a plan-time constant. */
+case class StGeohash(left: Expression, right: Expression, chars: Int)
+    extends BinaryExpression with Serializable {
+  require(chars >= 1 && chars <= 12, s"geohash chars $chars out of range 1-12")
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(lon: Any, lat: Any): Any =
+    GeomKernel.geohash(lon.asInstanceOf[Double], lat.asInstanceOf[Double], chars)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat) => s"$K.geohash($lon, $lat, $chars)")
+  override def prettyName: String = "st_geohash"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StGeohash =
+    copy(left = l, right = r)
+}
+
+/** Geohash cell-center decode → WKB point. */
+case class StGeohashDecode(child: Expression) extends GeomUnary {
+  override def method: String = "geohashDecode"
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(s: Any): Any =
+    GeomKernel.geohashDecode(s.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): StGeohashDecode = copy(child = c)
+}
+
 case class StDistance(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
   override def dataType: DataType = DoubleType

@@ -117,6 +117,66 @@ object GeomKernel {
   /** Hilbert curve key — [[zorder]]'s better-locality sibling ([[Hilbert]]). */
   def hilbert(lon: Double, lat: Double, bits: Int): Long = Hilbert.encode(lon, lat, bits)
 
+  private val geohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Standard geohash (Niemeyer 2008, public spec): 5·`chars` bits of
+    * MSB-first lon/lat bisection (longitude takes the first and every even
+    * bit), base32-encoded. The floor-scaled grid index IS the bisection
+    * path's binary expansion, so this reuses [[ZOrder.index]]; `chars` up
+    * to 12 (60 bits) — the spec's full precision.
+    */
+  def geohash(lon: Double, lat: Double, chars: Int): UTF8String = {
+    val nbits = 5 * chars
+    val lonBits = (nbits + 1) / 2
+    val latBits = nbits / 2
+    val ix = ZOrder.index(lon, -180.0, 360.0, lonBits)
+    val iy = ZOrder.index(lat, -90.0, 180.0, latBits)
+    var acc = 0L
+    var i = 0
+    while (i < nbits) {
+      val bit =
+        if ((i & 1) == 0) (ix >> (lonBits - 1 - i / 2)) & 1L
+        else (iy >> (latBits - 1 - i / 2)) & 1L
+      acc = (acc << 1) | bit
+      i += 1
+    }
+    val out = new Array[Byte](chars)
+    var c = 0
+    while (c < chars) {
+      out(c) = geohashAlphabet.charAt(((acc >> (5 * (chars - 1 - c))) & 31L).toInt).toByte
+      c += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Geohash cell-center decode → WKB point (the inverse boundary: a hash
+    * names a CELL; its center is the canonical representative).
+    */
+  def geohashDecode(s: UTF8String): Array[Byte] = {
+    val str = s.toString.toLowerCase
+    val chars = str.length
+    require(chars >= 1 && chars <= 12, s"geohash length $chars out of range 1-12")
+    val nbits = 5 * chars
+    val lonBits = (nbits + 1) / 2
+    val latBits = nbits / 2
+    var acc = 0L
+    for (ch <- str) {
+      val v = geohashAlphabet.indexOf(ch)
+      require(v >= 0, s"invalid geohash character '$ch'")
+      acc = (acc << 5) | v.toLong
+    }
+    var ix = 0L; var iy = 0L
+    var i = 0
+    while (i < nbits) {
+      val bit = (acc >> (nbits - 1 - i)) & 1L
+      if ((i & 1) == 0) ix = (ix << 1) | bit else iy = (iy << 1) | bit
+      i += 1
+    }
+    val lon = -180.0 + (ix.toDouble + 0.5) * 360.0 / (1L << lonBits).toDouble
+    val lat = -90.0 + (iy.toDouble + 0.5) * 180.0 / (1L << latBits).toDouble
+    WKB.write(Point(lon, lat))
+  }
+
   // ---- buffer -------------------------------------------------------------
 
   def buffer(b: Array[Byte], radius: Double, resolution: Int): Array[Byte] =

@@ -134,6 +134,33 @@ class GeoFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("literal") || err.getMessage.toLowerCase.contains("foldable"))
   }
 
+  test("st_geohash matches the published reference hashes") {
+    // the two canonical examples of the public geohash spec
+    val df = Seq((-5.603, 42.605), (10.40744, 57.64911)).toDF("lon", "lat")
+    val got5 = df.select(st_geohash(col("lon"), col("lat"), 5)).as[String].collect()
+    assert(got5(0) == "ezs42")
+    val got11 = df.select(st_geohash(col("lon"), col("lat"), 11)).as[String].collect()
+    assert(got11(1) == "u4pruydqqvj")
+    // prefix property: a longer hash refines, never relocates
+    assert(got11(0).startsWith(got5(0)) ||
+      df.select(st_geohash(col("lon"), col("lat"), 11)).as[String].collect()(0).take(5) == "ezs42")
+  }
+
+  test("st_geohash_decode returns the cell center; round-trip stays in cell") {
+    GeoFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT st_x(p) AS x, st_y(p) AS y FROM
+        |  (SELECT st_geohash_decode('ezs42') AS p)""".stripMargin).head()
+    // ezs42 cell: lon width 360/2^13, lat height 180/2^12
+    assert(math.abs(r.getDouble(0) - (-5.603)) < 360.0 / (1 << 13))
+    assert(math.abs(r.getDouble(1) - 42.605) < 180.0 / (1 << 12))
+    // SQL surface + clamped edge (180, 90) must not escape the last cell
+    val h = spark.sql("SELECT st_geohash(180.0, 90.0, 6) AS h").head().getString(0)
+    assert(h == "zzzzzz")
+    val h2 = spark.sql("SELECT st_geohash(-180.0, -90.0, 6) AS h").head().getString(0)
+    assert(h2 == "000000")
+  }
+
   test("st_intersection / st_difference / st_union column ops") {
     val a = st_geomfromtext(lit("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
     val b = st_geomfromtext(lit("POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))"))
