@@ -113,6 +113,60 @@ object EventStream {
       }: _*)
   }
 
+  /** Stream-stream interval overlap join: pairs rows of two streams sharing
+    * `on` keys whose closed intervals [ts, ts + durSec] overlap — the
+    * streaming face of [[graft.operators.Joins.intervalJoin]]. Spark's
+    * native stream-stream join supplies the state machinery; what it CANNOT
+    * infer is a bound on interval length, so `maxSpanSec` caps both
+    * duration columns (rows above the cap are dropped — at 100 TB feed
+    * those through the batch ladder instead) and turns the overlap into an
+    * event-time RANGE condition (|l.ts − r.ts| ≤ maxSpan) the engine uses
+    * to expire join state at `watermark + maxSpan`; the exact closed-
+    * interval predicate rides along as a residual filter in the same join
+    * condition. Applied to two batch frames the identical plan degrades to
+    * a plain join (watermarks are no-ops) — the parity-spec path.
+    *
+    * Both inputs need a `ts` TimestampType event-time column; durations are
+    * numeric seconds. Output carries left columns as-is and right columns
+    * with `suffix` on collisions, one row per qualifying pair per arrival
+    * (Spark emits a pair when both sides are present; late rows beyond the
+    * watermark drop, the standard streaming-join contract).
+    */
+  def intervalJoinStream(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftDurCol: String,
+      rightDurCol: String,
+      maxSpanSec: Long,
+      watermark: String = "1 hour",
+      suffix: String = "_right"): DataFrame = {
+    require(maxSpanSec >= 0, "maxSpanSec must be >= 0")
+    val l = left.where(col(leftDurCol) >= 0 && col(leftDurCol) <= maxSpanSec)
+      .withWatermark("ts", watermark).alias("__ij_l")
+    val r = right.where(col(rightDurCol) >= 0 && col(rightDurCol) <= maxSpanSec)
+      .withWatermark("ts", watermark).alias("__ij_r")
+    val keyCond = on.map(c => col(s"__ij_l.$c") === col(s"__ij_r.$c"))
+    // the state-bounding range condition, in the timestamp ± interval form
+    // the streaming analyzer recognizes
+    val range =
+      col("__ij_r.ts") >= col("__ij_l.ts") - expr(s"INTERVAL '$maxSpanSec' SECOND") &&
+        col("__ij_r.ts") <= col("__ij_l.ts") + expr(s"INTERVAL '$maxSpanSec' SECOND")
+    // exact closed-interval overlap on epoch micros (codegen'd residual)
+    val overlap =
+      unix_micros(col("__ij_l.ts")) <=
+        unix_micros(col("__ij_r.ts")) + (col(s"__ij_r.$rightDurCol").cast("long") * 1000000L) &&
+      unix_micros(col("__ij_r.ts")) <=
+        unix_micros(col("__ij_l.ts")) + (col(s"__ij_l.$leftDurCol").cast("long") * 1000000L)
+    val joined = l.join(r, (keyCond :+ range :+ overlap).reduce(_ && _))
+    val leftNames = left.columns.toSet
+    joined.select(
+      left.columns.toSeq.map(c => col(s"__ij_l.$c").as(c)) ++
+        right.columns.toSeq.map { c =>
+          col(s"__ij_r.$c").as(if (leftNames(c)) c + suffix else c)
+        }: _*)
+  }
+
   /** File-based streaming source over a parquet events directory. */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema

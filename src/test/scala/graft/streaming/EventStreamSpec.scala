@@ -375,4 +375,50 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
       .select("version").as[String].collect().toSeq
     assert(out == Seq("b")) // max over (__rt, version) — content tie-break
   }
+
+  test("intervalJoinStream: stream-stream pairs match the batch intervalJoin") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, tsH(10, 0), "k", 600L),    // [10:00, 10:10]
+      (2L, tsH(10, 5), "k", 600L),    // overlaps 1
+      (3L, tsH(10, 30), "k", 60L),    // disjoint from 1 and 2
+      (4L, tsH(10, 0), "j", 3600L),   // other key, [10:00, 11:00]
+      (5L, tsH(10, 59), "j", 60L),    // overlaps 4 at the closed edge
+      (6L, tsH(12, 0), "k", 100000L)) // above the span cap — dropped
+    def named(df: org.apache.spark.sql.DataFrame) = df.toDF("id", "ts", "key", "dur")
+
+    val memL = MemoryStream[(Long, Timestamp, String, Long)]
+    val memR = MemoryStream[(Long, Timestamp, String, Long)]
+    val q = intervalJoinStream(named(memL.toDF()), named(memR.toDF()),
+        Seq("key"), "dur", "dur", maxSpanSec = 3600, watermark = "10 minutes")
+      .select("id", "id_right")
+      .writeStream.format("memory").queryName("ij_stream").outputMode("append").start()
+    try {
+      memL.addData(rows: _*); memR.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("ij_stream").as[(Long, Long)].collect().toSet
+
+      val f = named(rows.toDF()).where(col("dur") <= 3600)
+        .select(col("id"), col("key"), col("ts").cast("long").as("s0"),
+          (col("ts").cast("long") + col("dur")).as("e0"))
+      val expect = graft.operators.Joins
+        .intervalJoin(f, f, Seq("key"), "s0", "e0", "s0", "e0", 900.0)
+        .select("id", "id_right").as[(Long, Long)].collect().toSet
+      assert(got == expect)
+      assert(got.contains((4L, 5L)) && got.contains((1L, 2L)))
+      assert(!got.exists(p => p._1 == 6L || p._2 == 6L)) // capped row dropped
+      assert(!got.contains((1L, 3L)))
+    } finally q.stop()
+  }
+
+  test("intervalJoinStream on batch frames equals the ladder batch operator") {
+    val l = Seq((1L, tsH(9, 0), "k", 7200L)).toDF("id", "ts", "key", "dur")
+    val r = Seq((2L, tsH(10, 30), "k", 60L), (3L, tsH(11, 30), "k", 60L))
+      .toDF("id", "ts", "key", "dur")
+    // left [9:00, 11:00]: overlaps 2 ([10:30,10:31]) but not 3 ([11:30,...])
+    val out = intervalJoinStream(l, r, Seq("key"), "dur", "dur",
+        maxSpanSec = 7200, watermark = "1 hour")
+      .select("id", "id_right").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
 }
