@@ -929,6 +929,34 @@ object OracleSql {
        |FROM p LEFT JOIN comp ON p.id = comp.id LEFT JOIN ba ON p.id = ba.id""".stripMargin
   }
 
+  /** The graph_pagerank oracle: the power method unrolled as one chained CTE
+    * per round (DuckDB recursive CTEs disallow the per-round aggregate, so
+    * the builder writes the rounds out literally) — same simplified
+    * no-dangling-redistribution variant, same arithmetic shapes as
+    * [[graft.operators.Graph.pagerank]].
+    */
+  def graphPagerank(iters: Int = 5, damping: Double = 0.85): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |    (CAST('${1.0 - damping}' AS DOUBLE) / nc.cnt)
+         |      + CAST('$damping' AS DOUBLE) * coalesce(m.acc, CAST('0.0' AS DOUBLE)) AS rank
+         |  FROM n CROSS JOIN nc LEFT JOIN
+         |    (SELECT c.v AS node, sum(r${i - 1}.rank * c.w) AS acc
+         |     FROM c JOIN r${i - 1} ON c.u = r${i - 1}.node GROUP BY c.v) m
+         |    ON n.node = m.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |deg AS (SELECT u, count(*) AS d FROM e0 GROUP BY u),
+       |c AS (SELECT e0.u, e0.v, CAST('1.0' AS DOUBLE) / deg.d AS w
+       |  FROM e0 JOIN deg ON e0.u = deg.u),
+       |n AS (SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+       |nc AS (SELECT count(*) AS cnt FROM n),
+       |r0 AS (SELECT node, CAST('1.0' AS DOUBLE) / nc.cnt AS rank FROM n CROSS JOIN nc),
+       |$rounds
+       |SELECT node, round(rank, 6) AS rank6 FROM r$iters""".stripMargin
+  }
+
   def dataSplit(weights: Seq[(String, Double)], seed: Long = 42L,
       docsrc: String = "documents"): String = {
     val thresholds = weights.scanLeft(0L) { case (acc, (_, w)) => acc + math.round(w * 10000) }.tail

@@ -1177,6 +1177,16 @@ object SparkEntry {
 
     // --- transitive near-dup clusters (connected components over verified
     // LSH pairs; cluster = component-min doc_id) -----------------------------
+    // --- PageRank: power method over the customer->supplier order graph ----
+    "graph_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+      Graph.pagerank(e, iters = 5)
+        .select(col("node"), round(col("rank"), 6).as("rank6"))
+    }),
+
     "dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(t(s, dir, "documents"), "text", "doc_id", threshold = 0.7)
         .select("doc_id", "cluster")),
@@ -1909,6 +1919,7 @@ object SparkEntry {
     "dedup_simhash" -> OracleSql.dedupSimhash(),
     "dedup_minhash" -> OracleSql.dedupMinhash(),
     "dedup_clusters" -> OracleSql.dedupClusters(),
+    "graph_pagerank" -> OracleSql.graphPagerank(),
     "dedup_skew" -> OracleSql.dedupSkew(),
     "dedup_verified" -> OracleSql.dedupVerified(),
     "dedup_incremental" -> OracleSql.dedupIncremental(),

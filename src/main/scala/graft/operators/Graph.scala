@@ -137,4 +137,73 @@ object Graph {
     nodes.join(e.select(col("a").as("node"), col("b").as("component")), Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
+
+  /** PageRank (Page/Brin 1998 — public literature): `iters` power-method
+    * rounds over a directed edge list, returning `(node, rank)` for every
+    * node appearing in `edges`. Parallel edges collapse to one (the
+    * unweighted web-graph convention); rank starts uniform at 1/N and each
+    * round computes `(1−d)/N + d·Σ_in rank(u)/outdeg(u)`. Dangling nodes
+    * (no out-edges) leak their mass — the simplified variant, exactly
+    * mirrorable in plain SQL; use it for RELATIVE quality weighting
+    * (corpus-curation ranking, where only the ordering matters), not for a
+    * probability distribution.
+    *
+    * Scale shape, same discipline as [[connectedComponents]]: the edge set,
+    * the out-degree-weighted contribution table, and the node set are each
+    * lazily localCheckpointed ONCE; every round is one term-keyed join plus
+    * one map-side-combined sum — node-keyed shuffles only, no driver-side
+    * graph, no all-pairs stage. Rounds chain through lazy checkpoints (plan
+    * stays O(1) per round) and materialize together in ONE job at the final
+    * count; every intermediate round's blocks are freed immediately after,
+    * so the returned frame keeps exactly one persisted RDD behind it.
+    */
+  def pagerank(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iters: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 200, "iters must be in [1, 200]")
+    require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+      .localCheckpoint(false)
+    val deg = e0.groupBy("u").agg(count(lit(1)).as("__deg"))
+    val contrib = e0.join(deg, "u")
+      .select(col("u"), col("v"), (lit(1.0) / col("__deg")).as("__w"))
+      .localCheckpoint(false)
+    val nodes = e0.select(col("u").as("node"))
+      .unionByName(e0.select(col("v").as("node")))
+      .distinct()
+      .localCheckpoint(false)
+    val n = nodes.count()
+    if (n == 0) return nodes.select(col("node"), lit(1.0).as("rank")).where(lit(false))
+
+    val base = (1.0 - damping) / n
+    var rank = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    val dead = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var i = 0
+    while (i < iters) {
+      val msgs = contrib.join(rank.select(col("node").as("u"), col("rank")), "u")
+        .groupBy(col("v"))
+        .agg(sum(col("rank") * col("__w")).as("__in"))
+      val next = nodes
+        .join(msgs.select(col("v").as("node"), col("__in")), Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+        .localCheckpoint(false)
+      dead += rank
+      rank = next
+      i += 1
+    }
+    // one job materializes the whole round cascade (each lazy checkpoint
+    // computes from the previous round's blocks in dependency order); then
+    // the dead rounds and the three input tables free their blocks — only
+    // the final round's RDD stays, backing the returned frame.
+    rank.count()
+    dead.foreach(unpersistCheckpoint)
+    Seq(e0, contrib, nodes).foreach(unpersistCheckpoint)
+    rank
+  }
 }

@@ -119,4 +119,60 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(heads.subsetOf(kept))
     cl.foreach { case (_, c) => assert(heads.contains(c)) }
   }
+
+  // ---- pagerank ---------------------------------------------------------
+
+  /** Driver-side power method, same simplified variant (uniform init, no
+    * dangling redistribution, parallel edges collapsed).
+    */
+  private def prBrute(edges: Seq[(Long, Long)], iters: Int, d: Double): Map[Long, Double] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct
+    val n = nodes.size
+    val out = e.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).view.mapValues(_.map { case (u, _) =>
+        rank(u) / out(u)
+      }.sum).toMap
+      rank = nodes.map(v => v -> ((1.0 - d) / n + d * in.getOrElse(v, 0.0))).toMap
+    }
+    rank
+  }
+
+  test("pagerank matches the driver-side power method on a small web") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L), (1L, 2L), // dup edge
+      (5L, 6L)) // 6 is dangling
+    val got = Graph.pagerank(edges.toDF("src", "dst"), iters = 7)
+      .select("node", "rank").as[(Long, Double)].collect().toMap
+    val want = prBrute(edges, 7, 0.85)
+    assert(got.keySet == want.keySet)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-12, s"node $k: ${got(k)} vs $v")
+    // the sink-heavy node outranks everything; the dangling leaf gets base-ish
+    assert(got(3L) > got(1L) && got(1L) > got(4L))
+  }
+
+  test("pagerank: output is partition-stable and bounded") {
+    val rnd = new scala.util.Random(5)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    val a = Graph.pagerank(edges.toDF("src", "dst"), iters = 5)
+      .select("node", "rank").as[(Long, Double)].collect().toMap
+    val b = Graph.pagerank(edges.toDF("src", "dst").repartition(7), iters = 5)
+      .select("node", "rank").as[(Long, Double)].collect().toMap
+    for ((k, v) <- a) assert(math.abs(b(k) - v) < 1e-12)
+    assert(a.values.sum <= 1.0 + 1e-9) // dangling mass only leaks, never grows
+    assert(a.values.forall(_ > 0))
+  }
+
+  test("pagerank frees every intermediate round's blocks") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = Graph.pagerank(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"), iters = 12)
+    out.count()
+    val leaked = sc.getPersistentRDDs.filterNot { case (k, _) => before(k) }
+    assert(leaked.size <= 1, s"${leaked.size} persistent RDDs left behind")
+  }
 }
