@@ -381,7 +381,7 @@ object OracleSql {
     * two implementations agree on the keep set, not on shared arithmetic.
     */
   def dedupSemantic(threshold: Double = 0.98): String =
-    s"""WITH emb2 AS (SELECT vec_id, label, embedding FROM embeddings
+    s"""WITH emb2 AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 1500
        |  UNION ALL
        |  SELECT vec_id + 10000 AS vec_id, label,
        |    list_transform(embedding, x -> CAST(x * 0.5 AS REAL)) AS embedding

@@ -1090,13 +1090,18 @@ object SparkEntry {
     }),
 
     // --- exact set-similarity join: prefix filter + exact Jaccard verify ---
-    // the synthetic docs are heavily templated (~90k qualifying pairs at
-    // t=0.5 even at sf0.01), so the gate row compares the per-doc pair-set
-    // summary — integer-only columns, no float-sum order sensitivity, and
-    // (count, min partner, max overlap) still pins the pair set hard
+    // asymmetric probe-vs-corpus shape (every 10th doc probes the full
+    // corpus): the synthetic docs draw from a tiny template vocabulary, so
+    // a full self-join at t=0.5 is the prefix filter's documented
+    // degenerate case (rarest token df ~ 0.77 N => candidates ~ all-pairs);
+    // the probe shape is both bounded and the realistic retrieval usage.
+    // Gate row = per-probe pair-set summary — integer-only columns, no
+    // float-sum order sensitivity, (count, min partner, max overlap) still
+    // pins the pair set hard
     "setsim_join" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      Joins.setSimJoin(docs, docs, "doc_id", "text", "doc_id", "text", threshold = 0.5)
+      val probes = docs.where(col("doc_id") % 20 === 3)
+      Joins.setSimJoin(probes, docs, "doc_id", "text", "doc_id", "text", threshold = 0.5)
         .where(col("doc_id") < col("doc_id_right"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_similar"),
@@ -1227,7 +1232,10 @@ object SparkEntry {
     // the nlist > 1 cell approximation is spec'd (soundness + planted
     // recall) in DedupSpec
     "dedup_semantic" -> ((s, dir) => {
+      // vec_id < 1500 covers the whole table at the sf0.01 gate and bounds
+      // the nlist=1 exact mode's inherent all-pairs cost at larger sf
       val emb = t(s, dir, "embeddings").select("vec_id", "label", "embedding")
+        .where(col("vec_id") < 1500)
       val planted = emb.where(col("vec_id") < 25).select(
         (col("vec_id") + 10000).as("vec_id"), col("label"),
         transform(col("embedding"), x => (x * lit(0.5f)).cast("float")).as("embedding"))
@@ -1853,7 +1861,7 @@ object SparkEntry {
         |dd AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
         |p AS (SELECT a.doc_id AS doc_id, b.doc_id AS doc_id_right,
         |    len(list_intersect(a.toks, b.toks)) AS overlap
-        |  FROM dd a JOIN dd b ON a.doc_id < b.doc_id
+        |  FROM dd a JOIN dd b ON a.doc_id % 20 = 3 AND a.doc_id < b.doc_id
         |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |      / (a.n + b.n - len(list_intersect(a.toks, b.toks)))
         |    >= CAST('0.5' AS DOUBLE))

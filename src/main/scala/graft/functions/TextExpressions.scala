@@ -93,6 +93,32 @@ case class VecProject(first: Expression, second: Expression, third: Expression)
     copy(f, s, t)
 }
 
+/** Codegen'd dot product over two double arrays ([[TextKernel.vecDot]]). */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernel.vecDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${TextExpressions.K}.vecDot($a, $b)")
+  override def prettyName: String = "vec_dot"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(l, r)
+}
+
+/** Codegen'd cosine over two double arrays ([[TextKernel.vecCosine]]). */
+case class VecCosine(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernel.vecCosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${TextExpressions.K}.vecCosine($a, $b)")
+  override def prettyName: String = "vec_cosine"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosine =
+    copy(l, r)
+}
+
 case class LangId(child: Expression) extends UnaryExpression with Serializable {
   override def dataType: DataType = StringType
   override protected def nullSafeEval(t: Any): Any = TextKernel.langId(t.asInstanceOf[UTF8String])
@@ -183,6 +209,10 @@ object TextFunctions {
     c(VecSimhash(e(vec), e(lit(nPlanes)), e(seed.cast("long"))))
   def vec_project(vec: Column, outDim: Int, seed: Long): Column =
     c(VecProject(e(vec), e(lit(outDim)), e(lit(seed))))
+  def vec_dot(a: Column, b: Column): Column =
+    c(VecDot(e(a.cast("array<double>")), e(b.cast("array<double>"))))
+  def vec_cosine(a: Column, b: Column): Column =
+    c(VecCosine(e(a.cast("array<double>")), e(b.cast("array<double>"))))
   def lang_id(text: Column): Column = c(LangId(e(text)))
   def doc_fingerprint(text: Column): Column = c(DocFingerprint(e(text)))
   def mix64_hash(v: Column, seed: Long): Column =

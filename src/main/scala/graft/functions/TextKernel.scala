@@ -226,6 +226,38 @@ object TextKernel {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Left-to-right dot product of two double arrays — the codegen'd twin of
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` (bit-identical fold order),
+    * for pair loops where the interpreted higher-order functions dominate
+    * (measured ~10× on a million-pair verify).
+    */
+  def vecDot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  /** Cosine of two double arrays, zero-norm → 0.0 — the codegen'd twin of
+    * [[graft.operators.Similarity.cosineSim]]'s three-fold shape: each
+    * accumulator runs left-to-right independently, so results are
+    * bit-identical to the HOF composition (the oracles' value-exact
+    * contract survives the swap).
+    */
+  def vecCosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom > 0) dot / denom else 0.0
+  }
+
   // ---- language id --------------------------------------------------------
 
   private val stopwords: Map[String, Set[String]] = Map(

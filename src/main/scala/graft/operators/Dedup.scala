@@ -466,8 +466,10 @@ object Dedup {
       threshold: Double = 0.95,
       nlist: Int = 16,
       seed: Long = 42L,
-      fitSampleBytes: Long = 64L << 20): DataFrame = {
+      fitSampleBytes: Long = 64L << 20,
+      parallelism: Int = 8): DataFrame = {
     require(nlist >= 1, "nlist must be >= 1")
+    require(parallelism >= 1, "parallelism must be >= 1")
     val (assigned, _) =
       Similarity.fitAssign(df, vecCol, idCol, nlist, seed, fitSampleBytes)
     // pre-normalize once; zero-norm vectors stay unscaled (dot stays 0 with
@@ -478,11 +480,19 @@ object Dedup {
       when(norm > 0,
         transform(col("__cv").cast("array<double>"), x => x / norm))
         .otherwise(col("__cv").cast("array<double>")).as("__uv"))
-    val a = unit.select(col("neighbor_id").as("__aid"), col("__cell"), col("__uv").as("__av"))
+    // the cell id alone has nlist distinct values — fewer than the task
+    // count when cells are few or one cell dominates, which serializes the
+    // pair loop onto one task (the nlist=1 exact mode is the worst case:
+    // ONE key). Salting the probe side on a hash of its id and replicating
+    // the build side `parallelism`-fold keeps the pair count identical but
+    // spreads every cell's pair space across that many tasks.
+    val a = unit.select(col("neighbor_id").as("__aid"), col("__cell"),
+      col("__uv").as("__av"),
+      pmod(xxhash64(col("neighbor_id")), lit(parallelism.toLong)).as("__salt"))
     val b = unit.select(col("neighbor_id").as("__bid"), col("__cell"), col("__uv").as("__bv"))
-    val dot = aggregate(zip_with(col("__av"), col("__bv"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-    val dropped = a.join(b, Seq("__cell"))
+      .withColumn("__salt", explode(sequence(lit(0L), lit(parallelism.toLong - 1))))
+    val dot = graft.functions.TextFunctions.vec_dot(col("__av"), col("__bv"))
+    val dropped = a.join(b, Seq("__cell", "__salt"))
       .where(col("__bid") < col("__aid") && dot >= threshold)
       .select(col("__aid")).distinct()
     df.join(dropped, col(idCol).cast("long") === col("__aid"), "left_anti")

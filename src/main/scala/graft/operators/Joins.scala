@@ -319,10 +319,18 @@ object Joins {
     def toksOf(c: Column): Column =
       array_distinct(filter(split(trim(lower(c)), " +"), x => x =!= ""))
 
-    val l0 = left.select(col(leftId).as("__lid"), toksOf(col(leftCol)).as("__toks"))
-      .where(size(col("__toks")) > 0)
-    val r0 = right.select(col(rightId).as("__rid"), toksOf(col(rightCol)).as("__toks"))
-      .where(size(col("__toks")) > 0)
+    // both sides normalize to the SAME generic column names before any
+    // heavy work, so a true self-join (same frame, same columns) yields
+    // byte-identical aggregate subplans — the shape Catalyst's exchange
+    // reuse can serve once instead of four times (two prefix explodes, two
+    // verify join-backs). Role renames happen AFTER the aggregates, above
+    // the would-be-shared exchanges; an asymmetric probe join keeps
+    // distinct plans and simply recomputes.
+    def prep(df: DataFrame, id: String, tc: String): DataFrame =
+      df.select(col(id).as("__id"), toksOf(col(tc)).as("__toks"))
+        .where(size(col("__toks")) > 0)
+    val l0 = prep(left, leftId, leftCol)
+    val r0 = prep(right, rightId, rightCol)
 
     // rare-first global order: df over BOTH inputs (self-joins double-count
     // every token — a uniform scale that cannot change the ordering)
@@ -330,34 +338,47 @@ object Joins {
       .unionAll(r0.select(explode(col("__toks")).as("__tok")))
       .groupBy("__tok").agg(count(lit(1)).as("__df"))
 
-    def sortedSide(side: DataFrame, id: String): DataFrame =
-      side.select(col(id), explode(col("__toks")).as("__tok"))
+    def sortedSide(side: DataFrame): DataFrame =
+      side.select(col("__id"), explode(col("__toks")).as("__tok"))
         .join(dfreq, "__tok")
-        .groupBy(col(id))
+        .groupBy(col("__id"))
         .agg(sort_array(collect_list(struct(col("__df"), col("__tok")))).as("__ord"))
-        .select(col(id), transform(col("__ord"), s => s("__tok")).as("__stoks"),
+        .select(col("__id"), transform(col("__ord"), s => s("__tok")).as("__stoks"),
           size(col("__ord")).as("__n"))
-    val ls = sortedSide(l0, "__lid")
-    val rs = sortedSide(r0, "__rid")
+    val ls = sortedSide(l0)
+    val rs = sortedSide(r0)
 
     def prefixLen(n: Column): Column =
       (n - ceil(lit(threshold) * n.cast("double") - lit(1e-9)).cast("int") + 1)
 
-    val lp = ls.select(col("__lid"), col("__n").as("__ln"),
-      explode(slice(col("__stoks"), lit(1), prefixLen(col("__n")))).as("__tok"))
-    val rp = rs.select(col("__rid"), col("__n").as("__rn"),
-      explode(slice(col("__stoks"), lit(1), prefixLen(col("__n")))).as("__tok"))
+    val lp = ls.select(col("__id").as("__lid"), col("__n").as("__ln"),
+      posexplode(slice(col("__stoks"), lit(1), prefixLen(col("__n")))))
+      .withColumnRenamed("pos", "__lpos").withColumnRenamed("col", "__tok")
+    val rp = rs.select(col("__id").as("__rid"), col("__n").as("__rn"),
+      posexplode(slice(col("__stoks"), lit(1), prefixLen(col("__n")))))
+      .withColumnRenamed("pos", "__rpos").withColumnRenamed("col", "__tok")
+    // PPJoin positional filter: a shared prefix token at (1-based) positions
+    // i, j caps the possible overlap at 1 + min(n_l − i, n_r − j); pairs
+    // that cannot reach the PAIR-level requirement α = ceil(t/(1+t)·(n_l +
+    // n_r)) die inside the codegen'd join condition, before the candidate
+    // distinct ever sees them. The fp nudge loosens α — safe direction.
+    val alphaPair = ceil(lit(threshold / (1.0 + threshold)) *
+      (lp("__ln") + rp("__rn")).cast("double") - lit(1e-9))
+    val posBound = (lit(1) + least(
+      lp("__ln") - (col("__lpos") + 1), rp("__rn") - (col("__rpos") + 1))
+      ).cast("double") >= alphaPair
     val cands = lp.join(rp,
         lp("__tok") === rp("__tok") &&
           rp("__rn").cast("double") + lit(1e-9) >= lit(threshold) * lp("__ln") &&
-          rp("__rn").cast("double") <= lp("__ln") / lit(threshold) + lit(1e-9))
+          rp("__rn").cast("double") <= lp("__ln") / lit(threshold) + lit(1e-9) &&
+          posBound)
       .select(col("__lid"), col("__rid")).distinct()
 
     val rOut = if (rightId == leftId) rightId + suffix else rightId
     cands
-      .join(ls.select(col("__lid"), col("__stoks").as("__ltoks"),
+      .join(ls.select(col("__id").as("__lid"), col("__stoks").as("__ltoks"),
         col("__n").as("left_size")), "__lid")
-      .join(rs.select(col("__rid"), col("__stoks").as("__rtoks"),
+      .join(rs.select(col("__id").as("__rid"), col("__stoks").as("__rtoks"),
         col("__n").as("right_size")), "__rid")
       .withColumn("overlap", size(array_intersect(col("__ltoks"), col("__rtoks"))))
       .withColumn("jaccard", col("overlap").cast("double") /

@@ -23,13 +23,11 @@ object Similarity {
     * would throw DIVIDE_BY_ZERO under Spark 4's default ANSI mode and kill
     * the whole top-k job on one all-zero embedding.
     */
-  def cosineSim(a: Column, b: Column): Column = {
-    val ad = a.cast("array<double>"); val bd = b.cast("array<double>")
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(bd, lit(0.0), (acc, x) => acc + x * x))
-    when(na * nb > 0, dot / (na * nb)).otherwise(lit(0.0))
-  }
+  def cosineSim(a: Column, b: Column): Column =
+    // codegen'd kernel, bit-identical to the three-HOF fold it replaced
+    // (left-to-right accumulators, zero-norm → 0.0): the interpreted
+    // higher-order functions dominated every million-pair verify loop
+    graft.functions.TextFunctions.vec_cosine(a, b)
 
   /** Null-safe cosine: NULL when either norm is zero (ANSI mode would raise
     * on the division; a NULL similarity fails every ≥-threshold filter, so

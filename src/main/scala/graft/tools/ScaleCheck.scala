@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, GeoOps, Joins, Kll, Ops, OsmFilter, SJoin, Similarity, Sketch}
+import graft.operators.{Clustering, Dedup, GeoOps, Graph, Joins, Kll, Ops, OsmFilter, SJoin, Similarity, Sketch}
 
 /** Scale validation for the join/dedup/similarity tier:
   * `runMain graft.tools.ScaleCheck [sfDir] [factor]`.
@@ -271,6 +271,56 @@ object ScaleCheck {
     pair("text_nbclassify")(
       graft.operators.TextAnalysis.nbClassify(docs, col("lang") === "en"),
       graft.operators.TextAnalysis.nbClassify(docsN, col("lang") === "en"))
+
+    // exact set-similarity self-join: copies are letter-permuted, so token
+    // vocabularies diverge and candidate volume stays per-copy-local
+    pair("setsim_join")(
+      Joins.setSimJoin(docs, docs, "doc_id", "text", "doc_id", "text", 0.5),
+      Joins.setSimJoin(docsN, docsN, "doc_id", "text", "doc_id", "text", 0.5))
+
+    // semantic dedup: nlist scales WITH the corpus (the documented knob) so
+    // the expected cell size — and with it the within-cell pair space —
+    // stays constant; fixed nlist at 10x data would square the pair count
+    // by construction, which is the operator's contract, not a scale bug
+    pair("dedup_semantic")(
+      Dedup.semanticDedup(emb, "embedding", "vec_id", nlist = 16),
+      Dedup.semanticDedup(embN, "embedding", "vec_id", nlist = 16 * factor))
+
+    // BM25: constant query set, growing corpus — the retrieval scale shape
+    def bm25Of(corpus: DataFrame) = {
+      val qs = docs.where(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("query_id"), substring(col("text"), 1, 40).as("query"))
+      graft.operators.TextAnalysis.searchBM25(corpus, qs, topK = 10)
+    }
+    pair("text_bm25")(bm25Of(docs), bm25Of(docsN))
+
+    // DBSCAN: copies shift to DISJOINT regions — corpus growth as more
+    // geography at constant density (10x density in ONE region would square
+    // the true neighbor-pair count: DBSCAN's own answer, not a skew bug)
+    def dbPts(i: Int) = {
+      import graft.functions.TextFunctions.mix64_hash
+      graft.readTable(spark, sfDir, "customer").select(
+        (col("c_custkey") + lit(i.toLong * 10000000L)).as("id"),
+        (pmod(mix64_hash(col("c_custkey"), 1L), lit(600L)).cast("double")
+          * lit(0.1) - lit(30) + lit(i * 61.0)).as("x"),
+        (pmod(mix64_hash(col("c_custkey"), 2L), lit(400L)).cast("double")
+          * lit(0.1) - lit(20)).as("y"))
+    }
+    pair("geo_dbscan")(
+      Clustering.dbscan(dbPts(0), "id", "x", "y", 1.0, 4),
+      Clustering.dbscan((0 until factor).map(dbPts).reduce(_ unionByName _),
+        "id", "x", "y", 1.0, 4))
+
+    // PageRank: fresh keys per copy — 10x disjoint subgraphs at constant
+    // degree, the honest web-growth shape
+    val prOrd = graft.readTable(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+    val prLi = graft.readTable(spark, sfDir, "lineitem").select("l_orderkey", "l_suppkey")
+    def prE(i: Int) = prLi.join(prOrd, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") + lit(i.toLong * 10000000L)).as("src"),
+        (col("l_suppkey") + lit(i.toLong * 10000000L) + 1000000L).as("dst"))
+    pair("graph_pagerank")(
+      Graph.pagerank(prE(0), iters = 5),
+      Graph.pagerank((0 until factor).map(prE).reduce(_ unionByName _), iters = 5))
 
     // Z-order pruning at factor×: the same bbox read against the curve-
     // clustered layout vs a round-robin (locality-destroyed) copy of the
