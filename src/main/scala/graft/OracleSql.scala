@@ -906,7 +906,7 @@ object OracleSql {
     s"""WITH RECURSIVE z AS (SELECT c_custkey,
        |    ${ub2("xor(c_custkey, 1)")} AS z1,
        |    ${ub2("xor(c_custkey, 2)")} AS z2
-       |  FROM customer),
+       |  FROM customer WHERE c_custkey < 3000),
        |m AS (SELECT c_custkey, ${sb2(mix64("z1"))} AS h1, ${sb2(mix64("z2"))} AS h2 FROM z),
        |p AS (SELECT c_custkey AS id,
        |    CAST(((h1 % 600) + 600) % 600 AS DOUBLE) * CAST('0.1' AS DOUBLE) - 30 AS x,
