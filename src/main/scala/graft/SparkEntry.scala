@@ -875,6 +875,21 @@ object SparkEntry {
       TextAnalysis.searchBM25(docs, qs, topK = 10)
     }),
 
+    // --- BM25 persisted index: build-once / search-many roundtrip ----------
+    // identical scoring over the parquet postings layout — the oracle is
+    // the same fit+score mirror as text_bm25; bucket partition pruning is
+    // plan-spec'd in TextAnalysisSpec
+    "text_bm25_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val qs = docs.where(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(split(trim(lower(col("text"))), " +"),
+            x => x =!= ""), 1, 4), " ").as("query"))
+      val out = s"/tmp/graft_bm25idx_${new java.io.File(dir).getName}"
+      TextAnalysis.buildBM25Index(docs, out)
+      TextAnalysis.searchBM25Index(s, out, qs, topK = 10)
+    }),
+
     // --- PII redaction (pre-training scrub; patterns mirrored in SQL) ------
     "text_pii" -> ((s, dir) => {
       val withPii = t(s, dir, "documents").withColumn("text",
@@ -1272,6 +1287,37 @@ object SparkEntry {
   )
 
   /** DuckDB-runnable SQL twin for each `queries` key (same column names). */
+  private val bm25OracleSql: String =
+      """WITH q AS (SELECT doc_id AS query_id,
+        |    array_to_string(list_filter(string_split(lower(trim(text)), ' '),
+        |      s -> s <> '')[1:4], ' ') AS query
+        |  FROM documents WHERE doc_id % 100 = 7),
+        |w AS (SELECT doc_id AS doc,
+        |    unnest(list_filter(string_split(lower(trim(text)), ' '), s -> s <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc, term, count(*) AS tf FROM w GROUP BY 1, 2),
+        |dl AS (SELECT doc, term, tf, sum(tf) OVER (PARTITION BY doc) AS dl FROM tf),
+        |st AS (SELECT count(DISTINCT doc) AS n, sum(tf) AS tt FROM tf),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |qt AS (SELECT query_id,
+        |    unnest(list_distinct(list_filter(string_split(query, ' '), s -> s <> ''))) AS term
+        |  FROM q),
+        |sc AS (SELECT qt.query_id, dl.doc,
+        |    round(sum(
+        |      ln(CAST('1.0' AS DOUBLE)
+        |         + (CAST(st.n AS DOUBLE) - dfq.df + CAST('0.5' AS DOUBLE))
+        |           / (dfq.df + CAST('0.5' AS DOUBLE)))
+        |      * ((dl.tf * CAST('2.2' AS DOUBLE))
+        |         / (dl.tf + CAST('1.2' AS DOUBLE)
+        |             * (CAST('0.25' AS DOUBLE)
+        |                + (CAST('0.75' AS DOUBLE) * dl.dl)
+        |                  / (CAST(st.tt AS DOUBLE) / CAST(st.n AS DOUBLE)))))), 4) AS score
+        |  FROM qt JOIN dl ON qt.term = dl.term JOIN dfq ON dl.term = dfq.term CROSS JOIN st
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc) AS rn
+        |  FROM sc)
+        |SELECT query_id, doc AS doc_id, score FROM rk WHERE rn <= 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "subset_cols" ->
       "SELECT c_custkey AS id, c_acctbal AS bal, c_mktsegment FROM customer",
@@ -1742,36 +1788,8 @@ object SparkEntry {
         |  ELSE 1.0 END AS gram_ratio
         |FROM documents""".stripMargin,
     "text_nbclassify" -> OracleSql.textNbClassify(),
-    "text_bm25" ->
-      """WITH q AS (SELECT doc_id AS query_id,
-        |    array_to_string(list_filter(string_split(lower(trim(text)), ' '),
-        |      s -> s <> '')[1:4], ' ') AS query
-        |  FROM documents WHERE doc_id % 100 = 7),
-        |w AS (SELECT doc_id AS doc,
-        |    unnest(list_filter(string_split(lower(trim(text)), ' '), s -> s <> '')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc, term, count(*) AS tf FROM w GROUP BY 1, 2),
-        |dl AS (SELECT doc, term, tf, sum(tf) OVER (PARTITION BY doc) AS dl FROM tf),
-        |st AS (SELECT count(DISTINCT doc) AS n, sum(tf) AS tt FROM tf),
-        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |qt AS (SELECT query_id,
-        |    unnest(list_distinct(list_filter(string_split(query, ' '), s -> s <> ''))) AS term
-        |  FROM q),
-        |sc AS (SELECT qt.query_id, dl.doc,
-        |    round(sum(
-        |      ln(CAST('1.0' AS DOUBLE)
-        |         + (CAST(st.n AS DOUBLE) - dfq.df + CAST('0.5' AS DOUBLE))
-        |           / (dfq.df + CAST('0.5' AS DOUBLE)))
-        |      * ((dl.tf * CAST('2.2' AS DOUBLE))
-        |         / (dl.tf + CAST('1.2' AS DOUBLE)
-        |             * (CAST('0.25' AS DOUBLE)
-        |                + (CAST('0.75' AS DOUBLE) * dl.dl)
-        |                  / (CAST(st.tt AS DOUBLE) / CAST(st.n AS DOUBLE)))))), 4) AS score
-        |  FROM qt JOIN dl ON qt.term = dl.term JOIN dfq ON dl.term = dfq.term CROSS JOIN st
-        |  GROUP BY 1, 2),
-        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc) AS rn
-        |  FROM sc)
-        |SELECT query_id, doc AS doc_id, score FROM rk WHERE rn <= 10""".stripMargin,
+    "text_bm25" -> bm25OracleSql,
+    "text_bm25_index" -> bm25OracleSql,
     "text_tfidf" ->
       """WITH w AS (SELECT doc_id,
         |    unnest(list_filter(string_split(lower(trim(text)), ' '), s -> s <> '')) AS term

@@ -478,7 +478,6 @@ object TextAnalysis {
       k1: Double = 1.2,
       b: Double = 0.75,
       topK: Int = 10): DataFrame = {
-    require(topK >= 1, "topK must be >= 1")
     def toks(c: Column) = filter(split(trim(lower(c)), " +"), x => x =!= "")
     val postings = corpus.select(col(idCol).as("__doc"), explode(toks(col(textCol))).as("__term"))
       .groupBy("__doc", "__term").agg(count(lit(1)).as("__tf"))
@@ -487,12 +486,104 @@ object TextAnalysis {
     val stats = postings.agg(
       countDistinct(col("__doc")).as("__n"), sum(col("__tf")).as("__tt"))
     val dfreq = postings.groupBy("__term").agg(count(lit(1)).as("__df"))
+    searchPostings(withDl.join(dfreq, "__term"), stats, queries,
+      queryIdCol, queryTextCol, idCol, k1, b, topK)
+  }
+
+  /** Number of term-hash buckets a persisted BM25 index is partitioned by. */
+  val bm25Buckets = 64
+
+  private def termBucket(term: Column): Column =
+    pmod(graft.functions.TextFunctions.string_hash64(term, 7L), lit(bm25Buckets.toLong))
+
+  /** Persists the BM25 index of `corpus` under `path`: `postings/` —
+    * (__term, __doc, __tf, __dl, __df) parquet PARTITIONED BY a 64-way
+    * term-hash bucket, and `stats/` — the 1-row (N, total tokens) table.
+    * The build pays the corpus scan and term aggregation ONCE; every
+    * subsequent query batch served by [[searchBM25Index]] reads only the
+    * partitions its query terms hash into (directory-level pruning via the
+    * pushed bucket filter) — build-once / search-many, the
+    * [[Similarity.ivfBuildIndex]] pattern for text.
+    */
+  def buildBM25Index(
+      corpus: DataFrame,
+      path: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    def toks(c: Column) = filter(split(trim(lower(c)), " +"), x => x =!= "")
+    val postings = corpus.select(col(idCol).as("__doc"), explode(toks(col(textCol))).as("__term"))
+      .groupBy("__doc", "__term").agg(count(lit(1)).as("__tf"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("__doc")
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("__term")
+    postings
+      .withColumn("__dl", sum(col("__tf")).over(wDoc))
+      .withColumn("__df", count(lit(1)).over(wTerm))
+      .withColumn("__bucket", termBucket(col("__term")))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(s"$path/postings")
+    postings.agg(countDistinct(col("__doc")).as("__n"), sum(col("__tf")).as("__tt"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Serves a query batch against a [[buildBM25Index]] layout. Query terms
+    * carry their bucket, and the postings join keys on (bucket, term), so
+    * partition pruning drops every untouched bucket directory at the scan —
+    * the corpus-side read is proportional to the query vocabulary, not the
+    * index.
+    */
+  def searchBM25Index(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "query",
+      idCol: String = "doc_id",
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    val postings = spark.read.parquet(s"$path/postings")
+    val stats = spark.read.parquet(s"$path/stats")
+    def toks(c: Column) = filter(split(trim(lower(c)), " +"), x => x =!= "")
+    val qterms = queries.select(col(queryIdCol).as("__qid"),
+        explode(array_distinct(toks(col(queryTextCol)))).as("__term"))
+      .withColumn("__bucket", termBucket(col("__term")))
+    val buckets = qterms.select("__bucket").distinct()
+      .collect().map(_.getLong(0)) // ≤ 64 values — a driver-side IN list
+    val pruned = postings.where(col("__bucket").isin(buckets: _*))
+    val matched = qterms.join(pruned, Seq("__bucket", "__term"))
+      .crossJoin(broadcast(stats))
+    scoreBM25(matched, queryIdCol, idCol, k1, b, topK)
+  }
+
+  private def searchPostings(
+      postingsWithDf: DataFrame,
+      stats: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      idCol: String,
+      k1: Double,
+      b: Double,
+      topK: Int): DataFrame = {
+    def toks(c: Column) = filter(split(trim(lower(c)), " +"), x => x =!= "")
     val qterms = queries.select(col(queryIdCol).as("__qid"),
       explode(array_distinct(toks(col(queryTextCol)))).as("__term"))
     val matched = qterms
-      .join(withDl, "__term")
-      .join(dfreq, "__term")
+      .join(postingsWithDf, "__term")
       .crossJoin(broadcast(stats))
+    scoreBM25(matched, queryIdCol, idCol, k1, b, topK)
+  }
+
+  /** Shared scoring tail: matched = (__qid, __doc, __tf, __dl, __df, __n,
+    * __tt) rows, one per (query term × posting) hit.
+    */
+  private def scoreBM25(
+      matched: DataFrame,
+      queryIdCol: String,
+      idCol: String,
+      k1: Double,
+      b: Double,
+      topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
     val avgdl = col("__tt").cast("double") / col("__n").cast("double")
     val idf = log(lit(1.0) +
       (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))

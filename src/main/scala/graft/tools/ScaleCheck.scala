@@ -272,11 +272,16 @@ object ScaleCheck {
       graft.operators.TextAnalysis.nbClassify(docs, col("lang") === "en"),
       graft.operators.TextAnalysis.nbClassify(docsN, col("lang") === "en"))
 
-    // exact set-similarity self-join: copies are letter-permuted, so token
-    // vocabularies diverge and candidate volume stays per-copy-local
+    // exact set-similarity, probe-vs-corpus shape (the registry query's):
+    // constant probe set, growing corpus — copies are letter-permuted so
+    // vocabularies diverge and candidate volume stays probe-local. (A full
+    // self-join on this template-vocabulary corpus is the prefix filter's
+    // documented degenerate case — candidates ≈ all-pairs — and would
+    // measure the corpus, not the operator.)
+    val ssProbes = docs.where(col("doc_id") % 20 === 3)
     pair("setsim_join")(
-      Joins.setSimJoin(docs, docs, "doc_id", "text", "doc_id", "text", 0.5),
-      Joins.setSimJoin(docsN, docsN, "doc_id", "text", "doc_id", "text", 0.5))
+      Joins.setSimJoin(ssProbes, docs, "doc_id", "text", "doc_id", "text", 0.5),
+      Joins.setSimJoin(ssProbes, docsN, "doc_id", "text", "doc_id", "text", 0.5))
 
     // semantic dedup: nlist scales WITH the corpus (the documented knob) so
     // the expected cell size — and with it the within-cell pair space —

@@ -372,6 +372,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(top1 == Map(10L -> 1L, 11L -> 1L))
   }
 
+  test("BM25 index: persisted search equals in-memory search; buckets prune") {
+    val corpus = (0 until 60).map(i =>
+      (i.toLong, s"word$i alpha beta common${i % 5} tail")).toDF("doc_id", "text")
+    val qs = Seq((1L, "alpha common2"), (2L, "word7 tail")).toDF("query_id", "query")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    TextAnalysis.buildBM25Index(corpus, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "score").as[(Long, Long, Double)].collect().toSet
+    val direct = rows(TextAnalysis.searchBM25(corpus, qs, topK = 5))
+    val viaIdx = rows(TextAnalysis.searchBM25Index(spark, dir, qs, topK = 5))
+    assert(viaIdx == direct && direct.nonEmpty)
+    // the postings scan must carry the bucket partition filter — directory-
+    // level pruning is the whole point of the layout
+    val plan = TextAnalysis.searchBM25Index(spark, dir, qs, topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__bucket"), plan)
+  }
+
   test("BM25: per-query window is pre-shuffle pruned (WindowGroupLimit)") {
     val corpus = Seq((1L, "a b"), (2L, "b c"), (3L, "c a")).toDF("doc_id", "text")
     val qs = Seq((1L, "a c")).toDF("query_id", "query")
