@@ -106,6 +106,20 @@ case class VecDot(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** Codegen'd argmax-dot over a flat centroid matrix ([[TextKernel.vecArgmaxDot]]). */
+case class VecArgmaxDot(left: Expression, right: Expression, dim: Int)
+    extends BinaryExpression with Serializable {
+  require(dim >= 1, s"dim must be positive, got $dim")
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(v: Any, c: Any): Any =
+    TextKernel.vecArgmaxDot(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], dim)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c) => s"${TextExpressions.K}.vecArgmaxDot($v, $c, $dim)")
+  override def prettyName: String = "vec_argmax_dot"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecArgmaxDot =
+    copy(l, r)
+}
+
 /** Codegen'd cosine over two double arrays ([[TextKernel.vecCosine]]). */
 case class VecCosine(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
@@ -211,6 +225,12 @@ object TextFunctions {
     c(VecProject(e(vec), e(lit(outDim)), e(lit(seed))))
   def vec_dot(a: Column, b: Column): Column =
     c(VecDot(e(a.cast("array<double>")), e(b.cast("array<double>"))))
+  /** Cell of `v` against a flat row-major centroid matrix literal. */
+  def vec_argmax_dot(v: Column, flatCents: Array[Double], dim: Int): Column =
+    c(VecArgmaxDot(e(v.cast("array<double>")),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(flatCents,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      dim))
   def vec_cosine(a: Column, b: Column): Column =
     c(VecCosine(e(a.cast("array<double>")), e(b.cast("array<double>"))))
   def lang_id(text: Column): Column = c(LangId(e(text)))

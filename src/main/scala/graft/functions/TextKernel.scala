@@ -258,6 +258,28 @@ object TextKernel {
     if (denom > 0) dot / denom else 0.0
   }
 
+  /** Argmax-dot cell assignment against a FLAT row-major centroid matrix
+    * (`cents` holds nlist·dim doubles): first index of the maximum dot —
+    * the codegen'd replacement for a per-row CreateArray of nlist·dim
+    * literal expressions, which both evaluates thousands of literals per
+    * row and trips codegen limits past a few dozen cells.
+    */
+  def vecArgmaxDot(v: ArrayData, cents: ArrayData, dim: Int): Int = {
+    val n = cents.numElements() / dim
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < n) {
+      val off = c * dim
+      var dot = 0.0
+      var d = 0
+      while (d < dim) { dot += v.getDouble(d) * cents.getDouble(off + d); d += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
+  }
+
   // ---- language id --------------------------------------------------------
 
   private val stopwords: Map[String, Set[String]] = Map(

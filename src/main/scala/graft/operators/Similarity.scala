@@ -171,22 +171,54 @@ object Similarity {
     // deterministic spread init: rows picked by a seeded hash of their index
     val picks = unit.indices.sortBy(i => graft.functions.TextKernel.mix64(seed ^ i)).take(nlist)
     var centroids = picks.map(unit).toArray
+    // Lloyd rounds parallelize over FIXED 2048-row chunks: each chunk
+    // accumulates its own partial sums sequentially, chunks combine in
+    // chunk-index order — bit-identical results under any thread schedule
+    // (fp addition order is pinned), ~cores× faster than the single-thread
+    // loop that dominated large-nlist fits (sample·nlist·dim·iters ops).
+    val chunk = 2048
+    val nChunks = (unit.length + chunk - 1) / chunk
     var it = 0
     while (it < iters) {
-      val sums = Array.fill(centroids.length)(new Array[Double](dim))
-      val counts = new Array[Long](centroids.length)
-      unit.foreach { v =>
-        var best = 0; var bestDot = Double.NegativeInfinity
+      val cents = centroids
+      val partialSums = new Array[Array[Array[Double]]](nChunks)
+      val partialCounts = new Array[Array[Long]](nChunks)
+      java.util.stream.IntStream.range(0, nChunks).parallel().forEach { ci =>
+        val lo = ci * chunk
+        val hi = math.min(unit.length, lo + chunk)
+        val sums = Array.fill(cents.length)(new Array[Double](dim))
+        val counts = new Array[Long](cents.length)
+        var r = lo
+        while (r < hi) {
+          val v = unit(r)
+          var best = 0; var bestDot = Double.NegativeInfinity
+          var c = 0
+          while (c < cents.length) {
+            var dot = 0.0; var d = 0
+            while (d < dim) { dot += v(d) * cents(c)(d); d += 1 }
+            if (dot > bestDot) { bestDot = dot; best = c }
+            c += 1
+          }
+          var d = 0
+          while (d < dim) { sums(best)(d) += v(d); d += 1 }
+          counts(best) += 1
+          r += 1
+        }
+        partialSums(ci) = sums
+        partialCounts(ci) = counts
+      }
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      var ci = 0
+      while (ci < nChunks) {
         var c = 0
-        while (c < centroids.length) {
-          var dot = 0.0; var d = 0
-          while (d < dim) { dot += v(d) * centroids(c)(d); d += 1 }
-          if (dot > bestDot) { bestDot = dot; best = c }
+        while (c < cents.length) {
+          var d = 0
+          while (d < dim) { sums(c)(d) += partialSums(ci)(c)(d); d += 1 }
+          counts(c) += partialCounts(ci)(c)
           c += 1
         }
-        var d = 0
-        while (d < dim) { sums(best)(d) += v(d); d += 1 }
-        counts(best) += 1
+        ci += 1
       }
       centroids = centroids.indices.map { c =>
         if (counts(c) == 0) centroids(c) else normalize(sums(c))
@@ -215,7 +247,12 @@ object Similarity {
   private[operators] def fitRowCap(dim: Int, capBytes: Long, nlist: Int,
       hardCap: Int = 100000): Int = {
     val byBytes = if (dim > 0) (capBytes / (4L * dim)).toInt else hardCap
-    math.max(nlist, math.min(hardCap, byBytes))
+    // ≤ 256 training points per centroid (the published IVF recipe's upper
+    // band): Lloyd cost is sample·nlist·dim·iters, so an nlist that scales
+    // with the corpus would otherwise drag the whole 100k-row cap through
+    // every round — the fit stays O(nlist²) instead of O(nlist·hardCap)
+    val byCells = math.min(hardCap.toLong, 256L * nlist).toInt
+    math.max(nlist, math.min(math.min(hardCap, byBytes), byCells))
   }
 
   /** Shared IVF front end: fit the coarse quantizer on a bounded,
@@ -253,13 +290,15 @@ object Similarity {
       .collect().map(_.getSeq[Float](0).toArray)
     val cents = fitCentroidsLocal(sample, nlist, iters = 8, seed = seed)
 
-    // literal centroid matrix; argmax dot over it is one codegen'd expression
-    val centLit = array(cents.map(c => array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
-    def dotWith(v: Column, c: Column): Column =
-      aggregate(zip_with(v.cast("array<double>"), c, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val scores = transform(centLit, c => dotWith(col("__cv"), c))
+    // flat row-major centroid literal + codegen'd argmax kernel: ONE
+    // constant object and one static call per row. The previous shape — a
+    // CreateArray of nlist·dim literal expressions walked by interpreted
+    // HOFs — evaluated every literal per row and broke down past a few
+    // dozen cells (10k+ expression nodes at nlist=160).
+    val flatCents: Array[Double] = cents.flatten
     val assigned = featured
-      .withColumn("__cell", (array_position(scores, array_max(scores)) - 1).cast("int"))
+      .withColumn("__cell",
+        graft.functions.TextFunctions.vec_argmax_dot(col("__cv"), flatCents, dim))
 
     val spark = corpus.sparkSession
     import spark.implicits._

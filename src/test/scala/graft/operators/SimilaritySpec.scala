@@ -127,10 +127,13 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
   }
 
   test("IVF fit sample is byte-capped, not just row-capped") {
-    // dim 2048 float32 = 8 KiB/row: a 64 MiB budget caps at 8192 rows, far
-    // below the 100k hard cap; small dims keep the hard cap; never < nlist
-    assert(Similarity.fitRowCap(2048, 64L << 20, nlist = 16) == 8192)
-    assert(Similarity.fitRowCap(8, 64L << 20, nlist = 16) == 100000)
+    // three caps compose: bytes (dim-2048 float32 = 8 KiB/row → 8192 under
+    // 64 MiB), the 256-points-per-centroid band (4096 at nlist=16 — keeps
+    // Lloyd O(nlist²) when nlist scales with the corpus), and never < nlist
+    assert(Similarity.fitRowCap(2048, 64L << 20, nlist = 16) == 4096)
+    assert(Similarity.fitRowCap(2048, 8L << 20, nlist = 16) == 1024) // bytes bind
+    assert(Similarity.fitRowCap(8, 64L << 20, nlist = 16) == 4096)
+    assert(Similarity.fitRowCap(8, 64L << 20, nlist = 1024) == 100000) // hard cap binds
     assert(Similarity.fitRowCap(1 << 24, 64L << 20, nlist = 16) == 16)
     // and the whole IVF path still works on dim-2048 vectors under a tiny
     // budget (fit falls back to nlist rows)
