@@ -145,6 +145,71 @@ object OracleSql {
        |  FROM graw),
        |gset AS (SELECT doc_id, list(DISTINCT g) AS grams FROM ghash GROUP BY doc_id)""".stripMargin
 
+  /** CTE `fps(doc_id, pos, h)`: TextKernel.winnow — robust winnowing
+    * fingerprints. Every char `k`-gram is hashed (signed), each length-`w`
+    * window of consecutive gram hashes selects its RIGHTMOST minimum, and
+    * the distinct selected (pos, hash) pairs survive. The rightmost-tie rule
+    * mirrors as: per window start q, min(h) then max(pos) among the minima.
+    * Texts shorter than k emit nothing; fewer than w grams = one window.
+    */
+  private def winnowCore(docsrc: String, k: Int, w: Int): String =
+    s"""d0w AS (SELECT doc_id, ${codesOf("text")} AS cs FROM $docsrc),
+       |posw AS (SELECT doc_id, cs, unnest(range(1, len(cs) - ${k - 2})) AS p
+       |  FROM d0w WHERE len(cs) >= $k),
+       |gw AS (SELECT doc_id, p - 1 AS pos, ${sb2(mix64(shinglePoly(k)))} AS h FROM posw),
+       |ppw AS (SELECT doc_id, count(*) AS np FROM gw GROUP BY doc_id),
+       |wj AS (SELECT g.doc_id, g.pos - j.j AS q, g.pos, g.h
+       |  FROM gw g, (SELECT unnest(range(0, $w)) AS j) j
+       |  WHERE g.pos - j.j >= 0),
+       |qm AS (SELECT wj.doc_id, wj.q, wj.pos, wj.h
+       |  FROM wj JOIN ppw ON wj.doc_id = ppw.doc_id
+       |  WHERE wj.q <= greatest(ppw.np - $w, 0)),
+       |m1 AS (SELECT doc_id, q, min(h) AS mh FROM qm GROUP BY doc_id, q),
+       |fpq AS (SELECT qm.doc_id, qm.q, m1.mh AS h, max(qm.pos) AS pos
+       |  FROM qm JOIN m1 ON qm.doc_id = m1.doc_id AND qm.q = m1.q AND qm.h = m1.mh
+       |  GROUP BY qm.doc_id, qm.q, m1.mh),
+       |fps AS (SELECT DISTINCT doc_id, pos, h FROM fpq)""".stripMargin
+
+  /** (doc_id, n_fps, n_shared, dup_frac, keep): TextAnalysis.substringDupStats
+    * — fraction of a document's winnowing fingerprints occurring in >=
+    * minDocs distinct documents.
+    */
+  def textSubstrdup(k: Int = 12, w: Int = 8, minDocs: Int = 2,
+      keepBelow: Double = 0.5, docsrc: String = "documents"): String =
+    s"""WITH ${winnowCore(docsrc, k, w)},
+       |byhash AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM fps GROUP BY h),
+       |perdoc AS (SELECT f.doc_id, count(*) AS n_fps,
+       |  sum(CASE WHEN b.ndocs >= $minDocs THEN 1 ELSE 0 END) AS n_shared
+       |  FROM fps f JOIN byhash b USING (h) GROUP BY f.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(p.n_fps, 0) AS BIGINT) AS n_fps,
+       |  CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+       |  round(CASE WHEN coalesce(p.n_fps, 0) > 0
+       |    THEN CAST(p.n_shared AS DOUBLE) / p.n_fps ELSE 0.0 END, 6) AS dup_frac,
+       |  (CASE WHEN coalesce(p.n_fps, 0) > 0
+       |    THEN CAST(p.n_shared AS DOUBLE) / p.n_fps ELSE 0.0 END) <= $keepBelow AS keep
+       |FROM $docsrc d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""".stripMargin
+
+  /** (doc_id, span_start, span_end, n_fps): TextAnalysis.repeatedSpans —
+    * gaps-and-islands merge (gap <= k) of cross-document-shared fingerprint
+    * positions; span_end exclusive.
+    */
+  def textSpans(k: Int = 12, w: Int = 8, minDocs: Int = 2,
+      docsrc: String = "documents"): String =
+    s"""WITH ${winnowCore(docsrc, k, w)},
+       |byhash AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM fps GROUP BY h),
+       |shared AS (SELECT f.doc_id, f.pos FROM fps f JOIN byhash b USING (h)
+       |  WHERE b.ndocs >= $minDocs),
+       |lagd AS (SELECT doc_id, pos,
+       |  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM shared),
+       |brk AS (SELECT doc_id, pos,
+       |  CASE WHEN prev IS NULL OR pos - prev > $k THEN 1 ELSE 0 END AS b FROM lagd),
+       |isl AS (SELECT doc_id, pos,
+       |  sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM brk)
+       |SELECT doc_id, min(pos) AS span_start, max(pos) + $k AS span_end,
+       |  count(*) AS n_fps
+       |FROM isl GROUP BY doc_id, g""".stripMargin
+
   /** CTE `sk(vec_id, t, sketch)`: TextKernel.vecSimhash sign sketch per
     * (vector, table) — Rademacher planes from mix64(table ^ (plane<<32) ^ dim).
     */

@@ -1090,6 +1090,16 @@ object SparkEntry {
       TextAnalysis.withDistinctGramRatio(t(s, dir, "documents"))
         .select(col("doc_id"), round(col("gram_ratio"), 6).as("gram_ratio"))),
 
+    // --- winnowing repeated-substring dedup: doc-level duplication stats ---
+    "text_substrdup" -> ((s, dir) =>
+      TextAnalysis.substringDupStats(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_fps"), col("n_shared"),
+          round(col("dup_frac"), 6).as("dup_frac"), col("keep"))),
+
+    // --- winnowing repeated-substring dedup: merged cross-doc spans --------
+    "text_spans" -> ((s, dir) =>
+      TextAnalysis.repeatedSpans(t(s, dir, "documents"))),
+
     // --- fuzzy (edit-distance) join: PassJoin segments + banded verify -----
     "fuzzy_join" -> ((s, dir) => {
       val p = t(s, dir, "part").select("p_partkey", "p_name")
@@ -1842,6 +1852,8 @@ object SparkEntry {
     "text_perplexity" -> OracleSql.textPerplexity(),
     "text_boilerplate" -> OracleSql.textBoilerplate(),
     "text_segdedup" -> OracleSql.textSegdedup(),
+    "text_substrdup" -> OracleSql.textSubstrdup(),
+    "text_spans" -> OracleSql.textSpans(),
     "data_stratified" -> OracleSql.dataSample(
       Seq("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), defaultFraction = 0.05),
     "data_topk_group" ->

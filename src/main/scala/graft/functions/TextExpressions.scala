@@ -93,6 +93,23 @@ case class VecProject(first: Expression, second: Expression, third: Expression)
     copy(f, s, t)
 }
 
+/** Codegen'd robust-winnowing fingerprints ([[TextKernel.winnow]]):
+  * array<struct<pos:int, hash:long>> of the selected k-gram minima.
+  */
+case class WinnowFps(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", IntegerType, nullable = false),
+      StructField("hash", LongType, nullable = false))), containsNull = false)
+  override protected def nullSafeEval(t: Any, k: Any, w: Any): Any =
+    TextKernel.winnow(t.asInstanceOf[UTF8String], k.asInstanceOf[Int], w.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, w) => s"${TextExpressions.K}.winnow($t, $k, $w)")
+  override def prettyName: String = "winnow_fps"
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): WinnowFps =
+    copy(f, s, t)
+}
+
 /** Codegen'd dot product over two double arrays ([[TextKernel.vecDot]]). */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
@@ -223,6 +240,11 @@ object TextFunctions {
     c(VecSimhash(e(vec), e(lit(nPlanes)), e(seed.cast("long"))))
   def vec_project(vec: Column, outDim: Int, seed: Long): Column =
     c(VecProject(e(vec), e(lit(outDim)), e(lit(seed))))
+  def winnow_fps(text: Column, k: Int, w: Int): Column = {
+    require(k >= 2, s"k-gram length must be >= 2, got $k")
+    require(w >= 1, s"winnow window must be >= 1, got $w")
+    c(WinnowFps(e(text), e(lit(k)), e(lit(w))))
+  }
   def vec_dot(a: Column, b: Column): Column =
     c(VecDot(e(a.cast("array<double>")), e(b.cast("array<double>"))))
   /** Cell of `v` against a flat row-major centroid matrix literal. */

@@ -348,6 +348,51 @@ object TextKernel {
     out
   }
 
+  /** Robust winnowing fingerprints (the MOSS local fingerprinting scheme,
+    * Schleimer/Wilkerson/Aiken SIGMOD'03): hash every char `k`-gram, slide a
+    * window of `w` consecutive gram hashes, select each window's RIGHTMOST
+    * minimal hash (signed compare — the SQL mirror minimizes the signed
+    * representation), and emit the distinct selected (pos, hash) pairs in
+    * position order as an array of structs.
+    *
+    * Guarantees: every run of `w` consecutive grams contributes at least one
+    * fingerprint (so detection is position-uniform), and any substring of
+    * length >= k + w - 1 shared by two documents shares at least one
+    * fingerprint — the local, deterministic alternative to sampling schemes
+    * that can miss matches. Texts shorter than `k` emit no fingerprints;
+    * texts with fewer than `w` grams are treated as a single window.
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    val p = s.length - k + 1
+    if (p <= 0) return new GenericArrayData(Array.empty[Any])
+    val h = new Array[Long](p)
+    var i = 0
+    while (i < p) { h(i) = hashRange(s, i, i + k); i += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val lastStart = math.max(p - w, 0)
+    var minPos = -1
+    var q = 0
+    while (q <= lastStart) {
+      val end = math.min(q + w, p)
+      if (minPos < q) {
+        // the previous minimum slid out: rescan for the rightmost minimum
+        minPos = q
+        var j = q + 1
+        while (j < end) { if (h(j) <= h(minPos)) minPos = j; j += 1 }
+      } else if (h(end - 1) <= h(minPos)) {
+        // new gram entered on the right; <= keeps the rightmost-tie rule
+        minPos = end - 1
+      }
+      if (out.isEmpty ||
+          out.last.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow].getInt(0) != minPos)
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](minPos, h(minPos)))
+      q += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Deflate compression ratio of the UTF-8 bytes (compressed / raw, level
     * 6, no dictionary): the classic redundancy signal for corpus quality
     * gates — highly repetitive or templated text compresses far below

@@ -346,6 +346,88 @@ object TextAnalysis {
         size(split(col(textCol), delimRe)).cast("long"))
   }
 
+  /** Shared winnowing front end: one fingerprint row per selected k-gram
+    * minimum — (idCol, __pos, __h), distinct per doc by construction.
+    */
+  private def winnowFps(df: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int): DataFrame =
+    df.select(col(idCol), explode(winnow_fps(col(textCol), k, w)).as("__fp"))
+      .select(col(idCol), col("__fp.pos").as("__pos"), col("__fp.hash").as("__h"))
+
+  /** Cross-document repeated-substring stats via robust winnowing
+    * fingerprints ([[graft.functions.TextKernel.winnow]]) — the
+    * scale-first expression of exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): instead
+    * of a distributed suffix array, each document contributes its winnowed
+    * k-gram minima (density ~2/(w+1) per char, guarantee: any shared
+    * substring of length >= k+w-1 shares a fingerprint), fingerprints
+    * meet in ONE hash-keyed shuffle, and a second id-keyed aggregation
+    * scores each document by the fraction of its fingerprints that occur
+    * in >= `minDocs` distinct documents. Appends `n_fps`, `n_shared`,
+    * `dup_frac`, and `keep` (dup_frac <= `keepBelow`).
+    *
+    * Scale shape: no all-pairs anywhere — a boilerplate fingerprint shared
+    * by a million docs is one aggregation group and a linear join-back
+    * fan-out; both shuffles key on high-cardinality columns (hash, id).
+    */
+  def substringDupStats(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 12,
+      w: Int = 8,
+      minDocs: Int = 2,
+      keepBelow: Double = 0.5): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2 (cross-document sharing)")
+    val fps = winnowFps(df, textCol, idCol, k, w)
+    val byHash = fps.groupBy("__h").agg(countDistinct(col(idCol)).as("__ndocs"))
+    val perDoc = fps.join(byHash, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when(col("__ndocs") >= minDocs, 1L).otherwise(0L)).as("n_shared"))
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn("n_fps", coalesce(col("n_fps"), lit(0L)))
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("dup_frac",
+        when(col("n_fps") > 0, col("n_shared").cast("double") / col("n_fps"))
+          .otherwise(lit(0.0)))
+      .withColumn("keep", col("dup_frac") <= keepBelow)
+  }
+
+  /** Merged repeated spans: for every document, the position intervals
+    * covered by winnowing fingerprints that occur in >= `minDocs` distinct
+    * documents, adjacent/overlapping fingerprints (gap <= k chars) merged
+    * gaps-and-islands style. Returns (idCol, span_start, span_end, n_fps)
+    * — span_end is exclusive (last shared k-gram start + k). This is the
+    * span-level view of [[substringDupStats]]: what you'd cut, not just
+    * whether to drop the document. The per-document window partitions on
+    * the id (a document's fingerprints always fit one task).
+    */
+  def repeatedSpans(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 12,
+      w: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2 (cross-document sharing)")
+    import org.apache.spark.sql.expressions.Window
+    val fps = winnowFps(df, textCol, idCol, k, w)
+    val byHash = fps.groupBy("__h").agg(countDistinct(col(idCol)).as("__ndocs"))
+    val shared = fps.join(byHash.where(col("__ndocs") >= minDocs), Seq("__h"))
+    val ws = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    shared
+      .withColumn("__prev", lag(col("__pos"), 1).over(ws))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("__pos") - col("__prev") > k, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__brk")).over(ws))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__pos")).cast("long").as("span_start"),
+        (max(col("__pos")) + lit(k)).cast("long").as("span_end"),
+        count(lit(1)).as("n_fps"))
+      .drop("__isl")
+  }
+
   /** Fits the char-bigram language model: add-one-smoothed conditional
     * log-probabilities ln((count(c1c2)+1)/(count(c1·)+38)) over a 38-symbol
     * ASCII-normalized alphabet, returned as a flat 38×38 array (unseen

@@ -158,6 +158,9 @@ object ScaleCheck {
     pair("text_tfidf")(
       graft.operators.TextAnalysis.tfidf(docs, topK = 5),
       graft.operators.TextAnalysis.tfidf(docsN, topK = 5))
+    pair("text_substrdup")(
+      graft.operators.TextAnalysis.substringDupStats(docs),
+      graft.operators.TextAnalysis.substringDupStats(docsN))
     pair("osm_crop")(
       OsmFilter.crop(osm1, cropWkt),
       OsmFilter.crop(osmN, cropWkt))
