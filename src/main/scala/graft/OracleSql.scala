@@ -881,6 +881,82 @@ object OracleSql {
        |    ORDER BY ho, doc_id) AS shard_pos
        |FROM m""".stripMargin
 
+  /** CTE `u(doc_id, url)`: the synthetic URL corpus both url queries build
+    * from documents (scheme/www case, explicit vs default ports, empty
+    * paths, tracking params, fragments — every normalization path hit).
+    * Mirrors the construction in SparkEntry's url_* queries literally.
+    */
+  private def urlCore(docsrc: String): String =
+    s"""uu AS (SELECT doc_id,
+       |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+       |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+       |  source || '.' ||
+       |  list_extract(['com', 'co.uk', 'org', 'de'], CAST(doc_id % 4 + 1 AS INT)) ||
+       |  (CASE WHEN doc_id % 5 = 0 THEN ':443' WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END) ||
+       |  (CASE WHEN doc_id % 7 = 0 THEN '' ELSE '/p/' || CAST(doc_id AS VARCHAR) END) ||
+       |  (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1' ELSE '?z=9&y=8&gclid=abc' END) ||
+       |  (CASE WHEN doc_id % 3 = 1 THEN '#sec' ELSE '' END) AS url
+       |  FROM $docsrc)""".stripMargin
+
+  /** CTE `dom(doc_id, url, url_norm, domain)`: Web.normalizeUrl +
+    * Web.withRegistrableDomain mirrored step for step.
+    */
+  private def urlNormCore(docsrc: String): String = {
+    val tracking = graft.operators.Web.trackingParams
+      .map(t => s"starts_with(x, '$t')").mkString(" OR ")
+    val suffix2 = graft.operators.Web.twoLevelSuffixes
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""${urlCore(docsrc)},
+       |up AS (SELECT doc_id, url,
+       |  lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme,
+       |  regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1) AS auth,
+       |  regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
+       |  regexp_extract(url, '\\?([^#]*)', 1) AS query
+       |  FROM uu),
+       |up2 AS (SELECT *, lower(regexp_extract(auth, '^([^:]*)', 1)) AS host,
+       |  regexp_extract(auth, ':([0-9]+)$$', 1) AS port FROM up),
+       |up3 AS (SELECT *,
+       |  CASE WHEN port = '' THEN ''
+       |    WHEN scheme = 'https' AND port = '443' THEN ''
+       |    WHEN scheme = 'http' AND port = '80' THEN ''
+       |    ELSE ':' || port END AS portn,
+       |  CASE WHEN path = '' THEN '/' ELSE path END AS pathn,
+       |  list_sort(list_filter(string_split(query, '&'),
+       |    x -> x <> '' AND NOT ($tracking))) AS kept
+       |  FROM up2),
+       |up4 AS (SELECT *, CASE WHEN len(kept) > 0
+       |    THEN '?' || array_to_string(kept, '&') ELSE '' END AS queryn FROM up3),
+       |un AS (SELECT doc_id, url, host,
+       |  scheme || '://' || host || portn || pathn || queryn AS url_norm,
+       |  string_split(host, '.') AS labels FROM up4),
+       |dom AS (SELECT doc_id, url, url_norm,
+       |  CASE WHEN len(labels) >= 3 AND list_contains($suffix2, labels[-2] || '.' || labels[-1])
+       |    THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+       |  WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+       |  ELSE host END AS domain
+       |  FROM un)""".stripMargin
+  }
+
+  /** (doc_id, url, url_norm, domain): Web.normalizeUrl + registrable domain
+    * over the synthetic URL corpus.
+    */
+  def urlNormalize(docsrc: String = "documents"): String =
+    s"""WITH ${urlNormCore(docsrc)}
+       |SELECT doc_id, url, url_norm, domain FROM dom""".stripMargin
+
+  /** (doc_id, domain, rank_in_domain): Web.perDomainCap — seeded-splitmix64
+    * row_number per domain, capped.
+    */
+  def urlDomainCap(cap: Int = 5, seed: Long = 42L,
+      docsrc: String = "documents"): String =
+    s"""WITH ${urlNormCore(docsrc)},
+       |h AS (SELECT doc_id, domain,
+       |  ${sb2(mix64(ub2(s"xor(doc_id, $seed)")))} AS hv FROM dom),
+       |r AS (SELECT doc_id, domain,
+       |  row_number() OVER (PARTITION BY domain ORDER BY hv, doc_id) AS rank_in_domain
+       |  FROM h)
+       |SELECT doc_id, domain, rank_in_domain FROM r WHERE rank_in_domain <= $cap""".stripMargin
+
   /** (q, quantile4): equal-width histogram quantiles — mirrors
     * [[graft.operators.Sketch.histQuantiles]] double-op for double-op (bin
     * width (hi−lo)/bins, floor-least binning, cumulative-count bin pick,

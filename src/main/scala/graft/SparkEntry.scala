@@ -53,6 +53,25 @@ object SparkEntry {
       st_envelope(st_makeline(st_point(lon0, lat0), st_point(lon0 + 4.0, lat0 + 6.0))))
   }
 
+  /** Synthetic URL corpus for the url_* queries (mirrors
+    * OracleSql.urlCore literally): scheme/www case, explicit vs default
+    * ports, empty paths, tracking params, fragments — every
+    * Web.normalizeUrl path exercised.
+    */
+  private def synthUrls(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.select(id, concat(
+      when(id % 2 === 0, lit("HTTPS")).otherwise(lit("http")), lit("://"),
+      when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit("."),
+      element_at(array(lit("com"), lit("co.uk"), lit("org"), lit("de")),
+        (id % 4 + 1).cast("int")),
+      when(id % 5 === 0, lit(":443")).when(id % 5 === 1, lit(":8080")).otherwise(lit("")),
+      when(id % 7 === 0, lit("")).otherwise(concat(lit("/p/"), id)),
+      when(id % 2 === 0, lit("?utm_source=feed&b=2&a=1")).otherwise(lit("?z=9&y=8&gclid=abc")),
+      when(id % 3 === 1, lit("#sec")).otherwise(lit(""))).as("url"))
+  }
+
   private val custZoneSql =
     """((c_custkey % 120) * 0.5 - 30 + 0.25) > ((n_nationkey % 12) * 5.0 - 30)
       | AND ((c_custkey % 120) * 0.5 - 30 + 0.25) < ((n_nationkey % 12) * 5.0 - 30 + 4.0)
@@ -1090,6 +1109,21 @@ object SparkEntry {
       TextAnalysis.withDistinctGramRatio(t(s, dir, "documents"))
         .select(col("doc_id"), round(col("gram_ratio"), 6).as("gram_ratio"))),
 
+    // --- URL normalization + registrable domain (synthetic URL corpus) -----
+    "url_normalize" -> ((s, dir) => {
+      val withUrl = synthUrls(t(s, dir, "documents"))
+      Web.withRegistrableDomain(Web.normalizeUrl(withUrl))
+        .select(col("doc_id"), col("url"), col("url_norm"), col("domain"))
+    }),
+
+    // --- per-domain cap: deterministic domain diversity balancing ----------
+    "url_domain_cap" -> ((s, dir) => {
+      val withUrl = synthUrls(t(s, dir, "documents"))
+      Web.perDomainCap(Web.withRegistrableDomain(withUrl), cap = 5)
+        .select(col("doc_id"), col("domain"),
+          col("rank_in_domain").cast("long").as("rank_in_domain"))
+    }),
+
     // --- winnowing repeated-substring dedup: doc-level duplication stats ---
     "text_substrdup" -> ((s, dir) =>
       TextAnalysis.substringDupStats(t(s, dir, "documents"))
@@ -1854,6 +1888,8 @@ object SparkEntry {
     "text_segdedup" -> OracleSql.textSegdedup(),
     "text_substrdup" -> OracleSql.textSubstrdup(),
     "text_spans" -> OracleSql.textSpans(),
+    "url_normalize" -> OracleSql.urlNormalize(),
+    "url_domain_cap" -> OracleSql.urlDomainCap(),
     "data_stratified" -> OracleSql.dataSample(
       Seq("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), defaultFraction = 0.05),
     "data_topk_group" ->
