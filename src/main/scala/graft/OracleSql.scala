@@ -881,6 +881,49 @@ object OracleSql {
        |    ORDER BY ho, doc_id) AS shard_pos
        |FROM m""".stripMargin
 
+  /** (doc_id, n_words, mean_word_len, ok_*, gopher_keep):
+    * TextAnalysis.gopherRules mirrored rule for rule.
+    */
+  def textGopher(minWords: Int = 50, maxWords: Int = 100000,
+      docsrc: String = "documents"): String = {
+    val stops = graft.operators.TextAnalysis.defaultStopwords
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    val bullets = Seq("•", "‣", "▪", "- ", "* ")
+      .map(b => s"starts_with(ltrim(l), '$b')").mkString(" OR ")
+    s"""WITH g0 AS (SELECT doc_id, text,
+       |  string_split_regex(trim(text), '\\s+') AS words,
+       |  string_split(text, chr(10)) AS lines
+       |  FROM $docsrc),
+       |g1 AS (SELECT doc_id, text, words, lines,
+       |  len(words) AS n_words, len(lines) AS n_lines,
+       |  CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(words) AS mean_wl,
+       |  (len(text) - len(replace(text, '#', '')))
+       |    + (len(text) - len(replace(text, '...', ''))) / 3
+       |    + (len(text) - len(replace(text, '…', ''))) AS symbols,
+       |  len(list_filter(lines, l -> $bullets)) AS bullet_lines,
+       |  len(list_filter(lines, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS ellipsis_lines,
+       |  len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+       |  len(list_filter(words, w -> list_contains($stops, lower(w)))) AS stop_hits
+       |  FROM g0),
+       |g2 AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  round(mean_wl, 6) AS mean_word_len,
+       |  n_words >= $minWords AND n_words <= $maxWords AS ok_word_count,
+       |  mean_wl >= 3.0 AND mean_wl <= 10.0 AS ok_mean_word_len,
+       |  CAST(symbols AS DOUBLE) / n_words < 0.1 AS ok_symbol_ratio,
+       |  CAST(bullet_lines AS DOUBLE) / n_lines <= 0.10 AS ok_bullet_lines,
+       |  CAST(ellipsis_lines AS DOUBLE) / n_lines < 0.30 AS ok_ellipsis_lines,
+       |  CAST(alpha_words AS DOUBLE) / n_words >= 0.80 AS ok_alpha_words,
+       |  stop_hits >= 2 AS ok_stopwords
+       |  FROM g1)
+       |SELECT doc_id, n_words, mean_word_len, ok_word_count, ok_mean_word_len,
+       |  ok_symbol_ratio, ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words,
+       |  ok_stopwords,
+       |  ok_word_count AND ok_mean_word_len AND ok_symbol_ratio AND
+       |  ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words AND
+       |  ok_stopwords AS gopher_keep
+       |FROM g2""".stripMargin
+  }
+
   /** CTE `u(doc_id, url)`: the synthetic URL corpus both url queries build
     * from documents (scheme/www case, explicit vs default ports, empty
     * paths, tracking params, fragments — every normalization path hit).

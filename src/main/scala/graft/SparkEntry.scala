@@ -1109,6 +1109,15 @@ object SparkEntry {
       TextAnalysis.withDistinctGramRatio(t(s, dir, "documents"))
         .select(col("doc_id"), round(col("gram_ratio"), 6).as("gram_ratio"))),
 
+    // --- Gopher quality-rule bundle (published thresholds, all flags) ------
+    "text_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"), minWords = 40)
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          col("ok_word_count"), col("ok_mean_word_len"), col("ok_symbol_ratio"),
+          col("ok_bullet_lines"), col("ok_ellipsis_lines"), col("ok_alpha_words"),
+          col("ok_stopwords"), col("gopher_keep"))),
+
     // --- URL normalization + registrable domain (synthetic URL corpus) -----
     "url_normalize" -> ((s, dir) => {
       val withUrl = synthUrls(t(s, dir, "documents"))
@@ -1890,6 +1899,7 @@ object SparkEntry {
     "text_spans" -> OracleSql.textSpans(),
     "url_normalize" -> OracleSql.urlNormalize(),
     "url_domain_cap" -> OracleSql.urlDomainCap(),
+    "text_gopher" -> OracleSql.textGopher(minWords = 40),
     "data_stratified" -> OracleSql.dataSample(
       Seq("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), defaultFraction = 0.05),
     "data_topk_group" ->

@@ -83,6 +83,62 @@ object TextAnalysis {
       .withColumn("quality_score", lit(0.4) * wlen + lit(0.3) * tlen + lit(0.3) * clean)
   }
 
+  /** The Gopher quality-rule bundle (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", App. A
+    * repetition/quality filters — the same family RefinedWeb/FineWeb carry
+    * forward): per-document boolean flags for each published rule plus the
+    * composite `gopher_keep` conjunction. All pure built-in column math
+    * (one pass, no shuffle, SQL-mirrorable):
+    *
+    *   - `ok_word_count`: `minWords` <= word count <= `maxWords`
+    *   - `ok_mean_word_len`: mean word length in [3, 10]
+    *   - `ok_symbol_ratio`: (# + ellipsis occurrences) / words < 0.1
+    *   - `ok_bullet_lines`: <= 10% of lines start with a bullet
+    *   - `ok_ellipsis_lines`: < 30% of lines end with an ellipsis
+    *   - `ok_alpha_words`: >= 80% of words contain a letter
+    *   - `ok_stopwords`: >= 2 occurrences of a common-stopword list
+    */
+  def gopherRules(
+      df: DataFrame,
+      textCol: String = "text",
+      minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val words = tokens(textCol)
+    val nWords = size(words)
+    val meanWl = length(regexp_replace(t, "\\s+", "")).cast("double") / nWords
+    val hashes = length(t) - length(replace(t, lit("#"), lit("")))
+    val ellipses = (length(t) - length(replace(t, lit("..."), lit("")))) / 3 +
+      (length(t) - length(replace(t, lit("…"), lit(""))))
+    val symRatio = (hashes + ellipses).cast("double") / nWords
+    val lines = split(t, "\n")
+    val nLines = size(lines)
+    val bulletStarts = Seq("•", "‣", "▪", "- ", "* ")
+    val bulletLines = size(filter(lines, l =>
+      bulletStarts.foldLeft(lit(false))((acc, b) => acc || ltrim(l).startsWith(b))))
+    val ellipsisLines = size(filter(lines, l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val stopHits = size(filter(words, w =>
+      array_contains(array(defaultStopwords.map(lit): _*), lower(w))))
+    df.withColumn("n_words", nWords.cast("long"))
+      .withColumn("mean_word_len", meanWl)
+      .withColumn("ok_word_count", nWords >= minWords && nWords <= maxWords)
+      .withColumn("ok_mean_word_len", meanWl >= 3.0 && meanWl <= 10.0)
+      .withColumn("ok_symbol_ratio", symRatio < 0.1)
+      .withColumn("ok_bullet_lines",
+        bulletLines.cast("double") / nLines <= 0.10)
+      .withColumn("ok_ellipsis_lines",
+        ellipsisLines.cast("double") / nLines < 0.30)
+      .withColumn("ok_alpha_words",
+        alphaWords.cast("double") / nWords >= 0.80)
+      .withColumn("ok_stopwords", stopHits >= 2)
+      .withColumn("gopher_keep",
+        col("ok_word_count") && col("ok_mean_word_len") && col("ok_symbol_ratio") &&
+          col("ok_bullet_lines") && col("ok_ellipsis_lines") &&
+          col("ok_alpha_words") && col("ok_stopwords"))
+  }
+
   /** Naive Bayes classifier over hashed token buckets — the fastText-style
     * learned gate (quality filtering, language filtering) with ZERO driver
     * state: training is one map-side-combined groupBy to at most 2·`buckets`

@@ -397,4 +397,33 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("gopherRules: each rule fires on its designed violation") {
+    val goodBody = ("the quick brown fox jumps over the lazy sleeping dog " * 5).trim
+    val rows = Seq(
+      (1L, goodBody),                                    // passes everything
+      (2L, "too short to pass"),                         // word count
+      (3L, Seq.fill(60)("a").mkString(" ")),             // mean word len < 3
+      (4L, goodBody + " " + Seq.fill(12)("####").mkString(" ")), // symbols
+      (5L, (1 to 10).map(i => s"• item $i of the list").mkString("\n") +
+        "\nthe only prose line in it"),                  // bullet lines
+      (6L, (1 to 10).map(i => s"line $i of the story trails off...").mkString("\n")), // ellipsis
+      (7L, (1 to 60).map(_ => "12345").mkString(" ") + " the and of to in is it"), // alpha words
+      (8L, Seq.fill(55)("zebra quantum").mkString(" ")))  // no stopwords
+    val out = TextAnalysis.gopherRules(rows.toDF("doc_id", "text"), minWords = 40)
+      .select("doc_id", "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words", "ok_stopwords",
+        "gopher_keep")
+      .collect().map(r => r.getLong(0) ->
+        (1 to 8).map(i => r.getBoolean(i))).toMap
+    assert(out(1L).forall(identity), s"clean doc rejected: ${out(1L)}")
+    assert(!out(2L)(0) && !out(2L)(7))  // word count fails -> keep fails
+    assert(!out(3L)(1))
+    assert(!out(4L)(2))
+    assert(!out(5L)(3))
+    assert(!out(6L)(4))
+    assert(!out(7L)(5))
+    assert(!out(8L)(6))
+    assert((2L to 8L).forall(i => !out(i)(7)))
+  }
 }
