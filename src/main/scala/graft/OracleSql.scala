@@ -805,6 +805,42 @@ object OracleSql {
        |GROUP BY pi.tok""".stripMargin
   }
 
+  /** Mirrors [[graft.operators.Sketch.cmsRegistersWindowed]] +
+    * cmsLookupWindowed over events.event_type in 1-hour event-time windows:
+    * the statsCms hash chain keyed additionally by date_trunc('hour', ts);
+    * absent counters read as 0 through the (window × probe × d) grid.
+    */
+  def statsCmsWindow(probes: Seq[String], depth: Int = 4, width: Int = 1024,
+      seed: Long = 42L): String = {
+    require((width & (width - 1)) == 0, "width must be a power of two")
+    val probeVals = probes.map(p => s"('$p')").mkString(", ")
+    s"""WITH evw AS (SELECT date_trunc('hour', ts) AS w, event_type AS tok FROM events),
+       |tb0 AS (SELECT w, tok, list_reduce(list_prepend(CAST($K31 AS HUGEINT),
+       |  ${codesOf("tok")}), (h, c) -> (31*h + c) % $H) AS poly FROM evw),
+       |tb1 AS (SELECT w, ${mix64("poly")} AS hr FROM tb0),
+       |tb2 AS (SELECT w, ${xor64("hr", seed.toString)} AS z0 FROM tb1),
+       |tb3 AS (SELECT w, ${mix64("z0")} AS base FROM tb2),
+       |td AS (SELECT w, base, d FROM tb3 CROSS JOIN (SELECT unnest(range(0, $depth)) AS d)),
+       |tz AS (SELECT w, d, ${xor64("base", s"($seed + d)")} AS z0 FROM td),
+       |regs AS (SELECT w, d, (${mix64("z0")}) % $width AS idx, count(*) AS c
+       |  FROM tz GROUP BY w, d, idx),
+       |wins AS (SELECT DISTINCT w FROM regs),
+       |pr AS (SELECT tok FROM (VALUES $probeVals) v(tok)),
+       |pb0 AS (SELECT tok, list_reduce(list_prepend(CAST($K31 AS HUGEINT),
+       |  ${codesOf("tok")}), (h, c) -> (31*h + c) % $H) AS poly FROM pr),
+       |pb1 AS (SELECT tok, ${mix64("poly")} AS hr FROM pb0),
+       |pb2 AS (SELECT tok, ${xor64("hr", seed.toString)} AS z0 FROM pb1),
+       |pb3 AS (SELECT tok, ${mix64("z0")} AS base FROM pb2),
+       |pd AS (SELECT tok, base, d FROM pb3 CROSS JOIN (SELECT unnest(range(0, $depth)) AS d)),
+       |pz AS (SELECT tok, d, ${xor64("base", s"($seed + d)")} AS z0 FROM pd),
+       |pi AS (SELECT tok, d, (${mix64("z0")}) % $width AS idx FROM pz)
+       |SELECT CAST(epoch(wins.w) AS BIGINT) AS hour_ts, pi.tok AS token,
+       |  min(coalesce(regs.c, 0)) AS approx_count
+       |FROM wins CROSS JOIN pi
+       |LEFT JOIN regs ON regs.w = wins.w AND regs.d = pi.d AND regs.idx = pi.idx
+       |GROUP BY wins.w, pi.tok""".stripMargin
+  }
+
   /** Mirrors the Bloom filter ([[graft.operators.Sketch.bloomBits]] /
     * bloomContains) bit-for-bit over the space-tokenized `documents` corpus:
     * same stringHash64 chain per token, same per-hash remix

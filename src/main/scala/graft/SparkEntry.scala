@@ -1084,6 +1084,17 @@ object SparkEntry {
         .select(col("tok").as("token"), col("approx_count"))
     }),
 
+    // --- per-window CMS (the cmsStream state shape, batch-gated) -----------
+    "stats_cms_window" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val regs = Sketch.cmsRegistersWindowed(e, "event_type", windowDur = "1 hour")
+      val probes = s.range(1).select(explode(array(
+        lit("click"), lit("view"), lit("purchase"), lit("qqnone"))).as("event_type"))
+      Sketch.cmsLookupWindowed(regs, probes, "event_type")
+        .select(unix_timestamp(col("window.start")).as("hour_ts"),
+          col("event_type").as("token"), col("approx_count"))
+    }),
+
     // --- Bloom filter membership (bit-exact mirror) ------------------------
     "stats_bloom" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
@@ -1911,6 +1922,8 @@ object SparkEntry {
     "stats_hll_group" -> OracleSql.statsHllGroup("events", "user_id",
       "event_type", "event_type"),
     "stats_cms" -> OracleSql.statsCms(Seq("table", "spark", "window", "zebra")),
+    "stats_cms_window" -> OracleSql.statsCmsWindow(
+      Seq("click", "view", "purchase", "qqnone")),
     "stats_bloom" -> OracleSql.statsBloom(
       Seq("table", "spark", "window", "zebra", "qqxyzzy")),
     // CMS only overestimates, so the exact-count filter makes the output

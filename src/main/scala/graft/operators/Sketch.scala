@@ -187,6 +187,45 @@ object Sketch {
   def cmsMerge(regs: DataFrame*): DataFrame =
     regs.reduce(_ unionByName _).groupBy("d", "idx").agg(sum("c").as("c"))
 
+  /** Per-event-time-window CMS registers: the [[cmsRegisters]] rows keyed by
+    * `window(tsCol, windowDur)` as well. Register counts are additive, so on
+    * a stream this is one stateful windowed aggregation whose partial
+    * registers merge across micro-batches natively (state is ≤ depth×width
+    * counters per open window, never the raw values) — the streaming face is
+    * [[graft.streaming.EventStream.cmsStream]]. Per-window estimates come
+    * from [[cmsLookupWindowed]].
+    */
+  def cmsRegistersWindowed(df: DataFrame, valueCol: String,
+      windowDur: String = "1 hour", depth: Int = 4, width: Int = 1024,
+      seed: Long = 42L, tsCol: String = "ts"): DataFrame = {
+    require(depth >= 1 && depth <= 16, "depth must be in [1, 16]")
+    require(width >= 2 && (width & (width - 1)) == 0, "width must be a power of two")
+    val h = hash64(df.schema(valueCol).dataType, col(valueCol), seed)
+    df.where(col(valueCol).isNotNull)
+      .select(window(col(tsCol), windowDur).as("window"), h.as("__h"),
+        explode(lit((0 until depth).toArray)).as("d"))
+      .groupBy(col("window"), col("d"), cmsIdx(col("__h"), col("d"), width, seed).as("idx"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point estimates of `probes` against per-window registers: one row per
+    * (window, probe) with the count-min upper-bound estimate.
+    */
+  def cmsLookupWindowed(regs: DataFrame, probes: DataFrame, valueCol: String,
+      depth: Int = 4, width: Int = 1024, seed: Long = 42L): DataFrame = {
+    val h = hash64(probes.schema(valueCol).dataType, col(valueCol), seed)
+    val pd = probes.where(col(valueCol).isNotNull)
+      .select(col(valueCol), h.as("__h"), explode(lit((0 until depth).toArray)).as("d"))
+      .select(col(valueCol), col("d"), cmsIdx(col("__h"), col("d"), width, seed).as("idx"))
+    // a probe row absent from a window's registers means that counter is 0 —
+    // build the (window × probe × d) grid first so the min can see the zero
+    regs.select(col("window")).distinct()
+      .crossJoin(broadcast(pd))
+      .join(regs, Seq("window", "d", "idx"), "left")
+      .groupBy(col("window"), col(valueCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as("approx_count"))
+  }
+
   /** Equal-width histogram bin counts of a numeric column over [min, max]:
     * at most `bins` rows `(__b, __c)` plus the (lo, hi, n) stats row folded
     * in — the mergeable intermediate behind [[histQuantiles]] (same-bounds

@@ -57,6 +57,20 @@ object EventStream {
       windowDur: String = "1 hour"): DataFrame =
     quantilesWindowed(stream.withWatermark("ts", watermark), qs, k, valueCol, windowDur)
 
+  /** Per-window count-min registers over a live stream — the token/URL
+    * frequency monitor: state per open window is ≤ depth×width additive
+    * counters (never the raw values), partial registers merge across
+    * micro-batches natively because counts are sums, and closed windows emit
+    * mergeable register rows that [[graft.operators.Sketch.cmsLookupWindowed]]
+    * (or `cmsMerge` across windows) consumes downstream. Batch twin:
+    * [[graft.operators.Sketch.cmsRegistersWindowed]] (parity-spec'd).
+    */
+  def cmsStream(stream: DataFrame, valueCol: String,
+      watermark: String = "2 hours", windowDur: String = "1 hour",
+      depth: Int = 4, width: Int = 1024, seed: Long = 42L): DataFrame =
+    graft.operators.Sketch.cmsRegistersWindowed(
+      stream.withWatermark("ts", watermark), valueCol, windowDur, depth, width, seed)
+
   /** Batch twin of [[quantilesStream]] (shared plan shape, parity-spec'd). */
   def quantilesWindowed(df: DataFrame, qs: Seq[Double], k: Int = 1024,
       valueCol: String = "value", windowDur: String = "1 hour"): DataFrame =

@@ -75,6 +75,50 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("cmsStream: per-window registers match the batch twin across micro-batches") {
+    val manyEvents = (0 until 80).map { i =>
+      val kind = Seq("click", "view", "scroll", "error")(i % 4)
+      Event(300 + i, tsH(10 + i % 2, (i * 7) % 60), i % 5, kind, i.toDouble)
+    }
+    val batch = graft.operators.Sketch
+      .cmsRegistersWindowed(manyEvents.toDF(), "event_type", depth = 4, width = 256)
+      .select(col("window.start"), col("d"), col("idx"), col("c"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = cmsStream(mem.toDF(), "event_type", watermark = "10 minutes",
+      depth = 4, width = 256)
+      .select(col("window.start"), col("d"), col("idx"), col("c"))
+      .writeStream.format("memory").queryName("cms_parity").outputMode("complete").start()
+    try {
+      // two micro-batches: additive register state must merge across them
+      mem.addData(manyEvents.take(35): _*)
+      q.processAllAvailable()
+      mem.addData(manyEvents.drop(35): _*)
+      q.processAllAvailable()
+      val got = spark.table("cms_parity").collect().map(_.toSeq).toSet
+      val expect = batch.collect().map(_.toSeq).toSet
+      assert(got == expect)
+    } finally q.stop()
+
+    // windowed lookup: count-min estimate is exact here (few distinct
+    // values, wide table) and never below the true count by construction
+    val probes = Seq("click", "view", "nosuch").toDF("event_type")
+    val regs = graft.operators.Sketch
+      .cmsRegistersWindowed(manyEvents.toDF(), "event_type", depth = 4, width = 256)
+    val est = graft.operators.Sketch
+      .cmsLookupWindowed(regs, probes, "event_type", depth = 4, width = 256)
+      .collect()
+      .map(r => (r.getAs[org.apache.spark.sql.Row]("window").getTimestamp(0),
+        r.getString(1)) -> r.getLong(2)).toMap
+    val exact = manyEvents.groupBy(e => (e.ts.getHours, e.event_type))
+      .map { case ((h, k), es) => (h, k) -> es.size.toLong }
+    for (((w, v), c) <- est if v != "nosuch")
+      assert(c >= exact.getOrElse((w.getHours, v), 0L),
+        s"CMS under true count for ($w, $v)")
+    assert(est.filter(_._1._2 == "nosuch").values.forall(_ == 0L))
+  }
+
   test("sessionizeBatch splits on gaps") {
     val df = Seq(
       Event(1, ts(0), 1, "a", 1.0),
