@@ -1155,6 +1155,45 @@ object OracleSql {
     * no-dangling-redistribution variant, same arithmetic shapes as
     * [[graft.operators.Graph.pagerank]].
     */
+  /** Shared DuckDB CTEs for the co-purchase part graph: `e0(a, b)` distinct
+    * undirected edges (a < b) between parts sharing an order (orderkey % 4
+    * subsample keeps the oracle's wedge volume bounded).
+    */
+  private def copurchaseCore: String =
+    s"""li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 4 = 0),
+       |e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM li x JOIN li y
+       |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey)""".stripMargin
+
+  /** (node, triangles): INDEPENDENT triangle count — plain id-ordered
+    * three-way join (x < y < z), vs the operator's degree-ordered
+    * node-iterator scheme; two different algorithms agreeing.
+    */
+  def graphTriangles(): String =
+    s"""WITH $copurchaseCore,
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e0 e1
+       |  JOIN e0 e2 ON e2.a = e1.b
+       |  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |tn AS (SELECT x AS node FROM tri
+       |  UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri)
+       |SELECT node, count(*) AS triangles FROM tn GROUP BY node""".stripMargin
+
+  /** (node, dist): INDEPENDENT min-hop BFS — recursive CTE walk bounded at
+    * `maxDepth`, min(dist) per node, vs the operator's frontier cascade.
+    */
+  def graphBfs(maxDepth: Int = 3, sourceMod: Int = 97): String =
+    s"""WITH RECURSIVE $copurchaseCore,
+       |adj AS (SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+       |src AS (SELECT DISTINCT l_partkey AS node FROM li WHERE l_partkey % $sourceMod = 0),
+       |walk(node, dist) AS (
+       |  SELECT node, 0 FROM src
+       |  UNION ALL
+       |  SELECT adj.v, walk.dist + 1 FROM walk JOIN adj ON adj.u = walk.node
+       |  WHERE walk.dist < $maxDepth)
+       |SELECT node, CAST(min(dist) AS INT) AS dist FROM walk GROUP BY node""".stripMargin
+
   def graphPagerank(iters: Int = 5, damping: Double = 0.85): String = {
     val rounds = (1 to iters).map { i =>
       s"""r$i AS (SELECT n.node,

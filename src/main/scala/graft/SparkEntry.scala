@@ -53,6 +53,19 @@ object SparkEntry {
       st_envelope(st_makeline(st_point(lon0, lat0), st_point(lon0 + 4.0, lat0 + 6.0))))
   }
 
+  /** Distinct undirected co-purchase edges between parts sharing an order
+    * (orderkey % 4 subsample bounds the wedge volume; mirrors
+    * OracleSql.copurchaseCore).
+    */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .where(col("l_orderkey") % 4 === 0).select("l_orderkey", "l_partkey")
+    li.as("x").join(li.as("y"),
+      col("x.l_orderkey") === col("y.l_orderkey") &&
+        col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+  }
+
   /** Synthetic URL corpus for the url_* queries (mirrors
     * OracleSql.urlCore literally): scheme/www case, explicit vs default
     * ports, empty paths, tracking params, fragments — every
@@ -1267,6 +1280,18 @@ object SparkEntry {
     // --- transitive near-dup clusters (connected components over verified
     // LSH pairs; cluster = component-min doc_id) -----------------------------
     // --- PageRank: power method over the customer->supplier order graph ----
+    // --- triangle counts on the co-purchase part graph ---------------------
+    "graph_triangles" -> ((s, dir) =>
+      Graph.triangleCounts(copurchaseEdges(s, dir))),
+
+    // --- bounded BFS hop distance from a part-id source set ----------------
+    "graph_bfs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 4 === 0).select("l_orderkey", "l_partkey")
+      val sources = li.where(col("l_partkey") % 97 === 0).select("l_partkey")
+      Graph.bfs(copurchaseEdges(s, dir), sources, "l_partkey", maxDepth = 3)
+    }),
+
     "graph_pagerank" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
       val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
@@ -2022,6 +2047,8 @@ object SparkEntry {
     "dedup_minhash" -> OracleSql.dedupMinhash(),
     "dedup_clusters" -> OracleSql.dedupClusters(),
     "graph_pagerank" -> OracleSql.graphPagerank(),
+    "graph_triangles" -> OracleSql.graphTriangles(),
+    "graph_bfs" -> OracleSql.graphBfs(),
     "dedup_skew" -> OracleSql.dedupSkew(),
     "dedup_verified" -> OracleSql.dedupVerified(),
     "dedup_incremental" -> OracleSql.dedupIncremental(),

@@ -157,6 +157,102 @@ object Graph {
     * count; every intermediate round's blocks are freed immediately after,
     * so the returned frame keeps exactly one persisted RDD behind it.
     */
+  /** Per-node triangle counts over an undirected edge list — the
+    * clustering-coefficient/community signal. Degree-ordered node-iterator
+    * scheme (the published distributed-triangle standard, e.g. Suri &
+    * Vassilvitskii 2011 "Counting Triangles and the Curse of the Last
+    * Reducer"): each undirected edge is oriented from its lower (degree, id)
+    * endpoint to the higher, wedges are generated only at each edge's
+    * low-degree side, and a wedge (u→v, u→w) closes iff the oriented edge
+    * v→w exists. Total wedge volume is O(m^{3/2}) regardless of skew — a
+    * hub's wedges are charged to its low-degree neighbors, so the "last
+    * reducer" hot key never forms. Returns `(node, triangles)` for nodes in
+    * at least one triangle.
+    */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = und.select(col("a").as("n")).unionByName(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient by (degree, id); carry the head's order key for wedge ordering
+    val oriented = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst"), col("db").as("dd")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("dd")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+      .localCheckpoint(false)
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+      col("e1.src") === col("e2.src") &&
+        (col("e1.dd") < col("e2.dd") ||
+          (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val tris = wedges.join(oriented.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"))
+    val out = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    val res = out.localCheckpoint(true) // materialize, then release inputs
+    Seq(und, oriented).foreach(unpersistCheckpoint)
+    res
+  }
+
+  /** Minimum hop distance from a source set by frontier-expanding BFS,
+    * bounded at `maxDepth` rounds: `(node, dist)` for every node reachable
+    * within `maxDepth` hops (sources at 0). Each round is one node-keyed
+    * join (frontier × edges) plus an anti-join against the settled set —
+    * the same lazy-checkpoint round cascade as [[pagerank]]: plans stay
+    * O(1) per round, the whole cascade materializes in ONE job, and every
+    * intermediate round's blocks are freed. Undirected by default
+    * (`undirected = false` follows edge direction).
+    */
+  def bfs(
+      edges: DataFrame,
+      sources: DataFrame,
+      sourceCol: String,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxDepth: Int = 3,
+      undirected: Boolean = true): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 64, "maxDepth must be in [1, 64]")
+    val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+    val adj = (if (undirected) fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
+      else fwd).distinct().localCheckpoint(false)
+    var dist = sources.select(col(sourceCol).as("node"), lit(0).as("dist"))
+      .distinct().localCheckpoint(false)
+    var frontier = dist
+    val dead = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var d = 1
+    while (d <= maxDepth) {
+      val next = frontier.join(adj, frontier("node") === adj("u"))
+        .select(col("v").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(d).as("dist"))
+        .localCheckpoint(false)
+      val merged = dist.unionByName(next).localCheckpoint(false)
+      dead += dist
+      dead += frontier
+      dist = merged
+      frontier = next
+      d += 1
+    }
+    // the eager checkpoint materializes the whole round cascade in one job;
+    // then every intermediate round and the adjacency free their blocks
+    val res = dist.localCheckpoint(true)
+    (dead :+ frontier :+ dist :+ adj).foreach(unpersistCheckpoint)
+    res
+  }
+
   def pagerank(
       edges: DataFrame,
       srcCol: String = "src",

@@ -175,4 +175,62 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     val leaked = sc.getPersistentRDDs.filterNot { case (k, _) => before(k) }
     assert(leaked.size <= 1, s"${leaked.size} persistent RDDs left behind")
   }
+
+  test("triangleCounts matches brute force on a random graph") {
+    val rnd = new scala.util.Random(31)
+    val n = 40
+    val edges = (for {
+      a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < 0.15
+    } yield (a, b)).toSeq
+    // brute force: every closed id-ordered triple
+    val eset = edges.toSet
+    def has(x: Long, y: Long) = eset((math.min(x, y), math.max(x, y)))
+    val expect = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (x <- 0L until n; y <- (x + 1) until n; z <- (y + 1) until n
+         if has(x, y) && has(x, z) && has(y, z)) {
+      expect(x) += 1; expect(y) += 1; expect(z) += 1
+    }
+    // feed some duplicate/reversed/self edges: the operator must normalize
+    val noisy = edges ++ edges.take(5).map(_.swap) ++ Seq((3L, 3L))
+    val got = Graph.triangleCounts(noisy.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect.toMap.filter(_._2 > 0))
+  }
+
+  test("bfs: hop distances on a known graph, bounded depth, direction modes") {
+    // path 1-2-3-4-5 plus an isolated edge 8-9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+    val sources = Seq(Tuple1(1L)).toDF("node")
+    val out = Graph.bfs(edges.toDF("src", "dst"), sources, "node", maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3)) // 5 beyond depth, 8/9 unreachable
+    // undirected: reverse edges walk too
+    val back = Graph.bfs(edges.toDF("src", "dst"), Seq(Tuple1(5L)).toDF("node"),
+      "node", maxDepth = 2).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(back == Map(5L -> 0, 4L -> 1, 3L -> 2))
+    // directed mode only follows src -> dst
+    val dir = Graph.bfs(edges.toDF("src", "dst"), Seq(Tuple1(5L)).toDF("node"),
+      "node", maxDepth = 2, undirected = false)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dir == Map(5L -> 0))
+    // diamond with a back edge, DIRECTED: min dist wins, source stays 0
+    val dia = Graph.bfs(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst"), Seq(Tuple1(1L)).toDF("node"), "node", maxDepth = 4,
+      undirected = false)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dia == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
+  test("triangleCounts and bfs release their checkpoints (<= 1 residual RDD)") {
+    val sc = spark.sparkContext
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val before = sc.getPersistentRDDs.keySet
+    Graph.triangleCounts(edges).count()
+    val leak1 = sc.getPersistentRDDs.filterNot { case (k, _) => before(k) }
+    assert(leak1.size <= 1, s"triangles left ${leak1.size}")
+    val before2 = sc.getPersistentRDDs.keySet
+    Graph.bfs(edges, Seq(Tuple1(1L)).toDF("node"), "node", maxDepth = 5).count()
+    val leak2 = sc.getPersistentRDDs.filterNot { case (k, _) => before2(k) }
+    assert(leak2.size <= 1, s"bfs left ${leak2.size}")
+  }
 }
