@@ -306,6 +306,33 @@ object OracleSql {
        |  round(CAST(3*SUM(v) AS DOUBLE) / (3.0 * (w*h)), 6) AS mean_intensity
        |FROM px GROUP BY doc_id, w, h""".stripMargin
 
+  /** (doc_id, ahash): Multimodal.aHash64 over the synthetic gradient PNGs,
+    * then Dedup.hammingDedup keeps survivors — the whole image-near-dup
+    * path recomputed from the gradient formula: pixel v = (x·31+y·17+id)
+    * % 256 (grayscale, channel sum 3v), block (y·8//h)·8 + x·8//w, bit =
+    * blockSum·nPx > totalSum·blockPx (integer-exact cross-multiply),
+    * all-pairs bit_count(xor) <= maxHamming drop (complete superset of the
+    * operator's pigeonhole chunk buckets for maxHamming <= 3).
+    */
+  def multimodalPhash(maxHamming: Int = 3, docsrc: String = "documents"): String =
+    s"""WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id // 7) % 24 AS h FROM $docsrc),
+       |s AS (SELECT i FROM generate_series(0, 31) AS t(i)),
+       |px AS (SELECT d.doc_id, d.w, d.h, gx.i AS x, gy.i AS y,
+       |  CAST(3 * ((gx.i*31 + gy.i*17 + d.doc_id) % 256) AS HUGEINT) AS sv
+       |  FROM d, s gx, s gy WHERE gx.i < d.w AND gy.i < d.h),
+       |blk AS (SELECT doc_id, (y*8)//h*8 + (x*8)//w AS b,
+       |  sum(sv) AS bs, count(*) AS bc FROM px GROUP BY doc_id, (y*8)//h*8 + (x*8)//w),
+       |tot AS (SELECT doc_id, sum(sv) AS ts, count(*) AS tc FROM px GROUP BY doc_id),
+       |bits AS (SELECT blk.doc_id, blk.b,
+       |  CASE WHEN blk.bs * tot.tc > tot.ts * blk.bc THEN 1 ELSE 0 END AS bit
+       |  FROM blk JOIN tot ON blk.doc_id = tot.doc_id),
+       |ah AS (SELECT bits.doc_id,
+       |  ${sb2("sum(CASE WHEN bit = 1 THEN pb ELSE 0 END)")} AS ahash
+       |  FROM bits JOIN ${pow2Values(64)} USING (b) GROUP BY bits.doc_id),
+       |dropped AS (SELECT DISTINCT b.doc_id FROM ah a JOIN ah b
+       |  ON a.doc_id < b.doc_id AND bit_count(xor(a.ahash, b.ahash)) <= $maxHamming)
+       |SELECT k.doc_id, k.ahash FROM ah k ANTI JOIN dropped dr ON k.doc_id = dr.doc_id""".stripMargin
+
   /** (doc_id, n_samples, duration_ms, rms, zero_crossings, mean_sample):
     * mirror of the REAL WAV PCM decode path — `Multimodal.withSyntheticWav`
     * writes PCM16 sample i = ((id·31 + i·7) mod 2003) − 1001 at 8 kHz,

@@ -762,6 +762,15 @@ object SparkEntry {
     }),
 
     // --- multimodal REAL pixel compute: synth PNG → ImageIO decode → stats -
+    // --- image perceptual-hash near-dup removal (real decode + aHash) ------
+    "multimodal_phash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val media = Multimodal.withSyntheticImage(docs, "doc_id")
+      val hashed = Multimodal.withImageAHash(media)
+      Dedup.hammingDedup(hashed, "ahash", "doc_id", maxHamming = 3)
+        .select(col("doc_id"), col("ahash"))
+    }),
+
     "multimodal_pixels" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"))
       val media = Multimodal.withSyntheticImage(docs, "doc_id")
@@ -2042,6 +2051,7 @@ object SparkEntry {
     "data_bottomk_strata" -> OracleSql.dataBottomK(k = 20, strata = Some("lang")),
     "multimodal_meta" -> OracleSql.multimodalMeta(),
     "multimodal_pixels" -> OracleSql.multimodalPixels(),
+    "multimodal_phash" -> OracleSql.multimodalPhash(),
     "multimodal_audio" -> OracleSql.multimodalAudio(),
     "dedup_simhash" -> OracleSql.dedupSimhash(),
     "dedup_minhash" -> OracleSql.dedupMinhash(),

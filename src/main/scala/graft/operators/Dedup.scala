@@ -237,6 +237,33 @@ object Dedup {
     df.join(drop.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Hamming-ball dedup over a PRECOMPUTED 64-bit sketch column — the
+    * [[simhash]] drop machinery for any externally-derived fingerprint
+    * (image aHash via [[Multimodal.withImageAHash]], audio fingerprints,
+    * vec-simhash): 4×16-bit chunk buckets (complete for `maxHamming` <= 3 by
+    * pigeonhole), exact-duplicate pre-collapse, bit_count verify. Rows with
+    * a null sketch never match anything and always survive.
+    */
+  def hammingDedup(
+      df: DataFrame,
+      hashCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 0): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "maxHamming must be in [0, 3]: 4 chunk buckets only guarantee candidate completeness up to 3 flipped bits")
+    val sketched = df.where(col(hashCol).isNotNull)
+      .select(col(idCol).as("__id"), col(hashCol).cast("long").as("__sketch"))
+    val bucketize = (reps: DataFrame) => reps
+      .withColumn("__chunk", explode(sequence(lit(0), lit(3))))
+      .withColumn("__bucket",
+        xxhash64(col("__chunk"), expr("shiftrightunsigned(__sketch, __chunk * 16)").bitwiseAND(lit(0xffffL))))
+      .drop("__chunk")
+    val drop = sketchDrop(sketched, bucketize,
+      (a, b) => bit_count(a.bitwiseXOR(b)) <= maxHamming, maxBucket)
+    df.join(drop.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Exact word n-gram Jaccard between two text columns (the verify pass run
     * after MinHash candidate generation, or standalone on candidate pairs).
     */

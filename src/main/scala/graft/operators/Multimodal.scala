@@ -434,6 +434,64 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit average-hash (aHash) of a decoded image — the classic
+    * perceptual fingerprint: pixels pool into an 8×8 block grid (block of
+    * (x, y) = (y·8/h)·8 + x·8/w, integer division), bit b is set iff block
+    * b's mean channel sum exceeds the global mean. The comparison is
+    * cross-multiplied in Long arithmetic (blockSum·nPx > totalSum·blockPx),
+    * so the hash is integer-exact and SQL-mirrorable — no float thresholds.
+    * Near-identical images land within a few bits (crop/noise/re-encode),
+    * which the hamming-ball dedup ([[Dedup.hammingDedup]]) then collapses.
+    */
+  def aHash64(img: BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val bs = new Array[Long](64)
+    val bc = new Array[Long](64)
+    var ts = 0L
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val s = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        val b = by * 8 + x * 8 / w
+        bs(b) += s; bc(b) += 1; ts += s
+        x += 1
+      }
+      y += 1
+    }
+    val tc = w.toLong * h
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (bc(b) > 0 && bs(b) * tc > ts * bc(b)) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Adds a 64-bit perceptual `ahash` ([[aHash64]]) from a REAL decode of
+    * `binCol`; null when no JVM reader decodes the payload. Feed to
+    * [[Dedup.hammingDedup]] for image near-dup removal.
+    */
+  def withImageAHash(df: DataFrame, binCol: String = "content",
+      out: String = "ahash"): DataFrame = {
+    val outSchema = df.schema.add(StructField(out, LongType, nullable = true))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val ah: Any = if (bytes == null) null else {
+          val img = decodeImage(bytes)
+          if (img == null) null else aHash64(img)
+        }
+        Row.fromSeq(r.toSeq :+ ah)
+      }
+    }(enc)
+  }
+
   /** Replaces `binCol` with a REAL resized payload (`ImageIO` decode →
     * bilinear resample → PNG re-encode) when the payload decodes; a
     * deterministic stub otherwise. Partition-preserving, no shuffle.

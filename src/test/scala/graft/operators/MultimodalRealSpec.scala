@@ -138,4 +138,54 @@ class MultimodalRealSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
     assert(feats(2L).toSeq == again(2L).toSeq)
   }
+
+  test("aHash64: shift-invariant on smooth images, sensitive to structure") {
+    def gradient(w: Int, h: Int, bias: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = math.min(255, math.max(0, x * 4 + bias))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val base = Multimodal.aHash64(gradient(64, 64, 0))
+    // a uniform +10 brightness shift (no clipping structure change) keeps
+    // every block's relation to the mean: identical hash
+    assert(Multimodal.aHash64(gradient(64, 64, 10)) == base)
+    // transposing the gradient flips the structure: many bits differ
+    val img2 = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val v = math.min(255, y * 4)
+      img2.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    assert(java.lang.Long.bitCount(Multimodal.aHash64(img2) ^ base) > 10)
+    // downscale of the same structure stays within a small hamming ball
+    val small = Multimodal.aHash64(gradient(32, 32, 0))
+    assert(java.lang.Long.bitCount(small ^ base) <= 8)
+  }
+
+  test("withImageAHash + hammingDedup collapse re-encoded duplicates") {
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      Multimodal.encodePng(img)
+    }
+    val a = png(40, 40, (x, y) => x * 3 + y)          // structure A
+    val a2 = png(40, 40, (x, y) => x * 3 + y + 6)     // same structure, brighter
+    val b = png(40, 40, (x, y) => 255 - (x * 3 + y))  // inverted structure
+    val rows = Seq((1L, a), (2L, a2), (3L, b), (4L, Array[Byte](1, 2, 3)))
+    val df = rows.toDF("doc_id", "content")
+    val hashed = Multimodal.withImageAHash(df)
+    val ahashes = hashed.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(ahashes(4L).isEmpty, "undecodable payload hashes to null")
+    assert(ahashes(1L) == ahashes(2L), "brightness shift preserved the hash")
+    assert(ahashes(1L) != ahashes(3L))
+    val kept = Dedup.hammingDedup(hashed, "ahash", "doc_id", maxHamming = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L), s"got $kept") // 2 collapses into 1; null survives
+  }
 }
