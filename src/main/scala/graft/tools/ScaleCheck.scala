@@ -168,6 +168,29 @@ object ScaleCheck {
       OsmFilter.assemble(osm1),
       OsmFilter.assemble(osmN))
 
+    // co-purchase part graph: copies shift BOTH keys, so the graph grows in
+    // nodes at constant per-node degree (the honest 100 TB shape — wedge
+    // volume and BFS frontiers must scale with edges, not explode)
+    val liG = graft.readTable(spark, sfDir, "lineitem")
+      .where(col("l_orderkey") % 4 === 0).select("l_orderkey", "l_partkey")
+    def liCopy(i: Int) = liG.select(
+      (col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
+      (col("l_partkey") + lit(i.toLong * 100000000L)).as("l_partkey"))
+    def edgesOf(f: DataFrame) = f.as("x").join(f.as("y"),
+      col("x.l_orderkey") === col("y.l_orderkey") &&
+        col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    val liG1 = liCopy(0).localCheckpoint(true)
+    val liGN = (0 until factor).map(liCopy).reduce(_ unionByName _).localCheckpoint(true)
+    pair("graph_triangles")(
+      Graph.triangleCounts(edgesOf(liG1)),
+      Graph.triangleCounts(edgesOf(liGN)))
+    pair("graph_bfs")(
+      Graph.bfs(edgesOf(liG1), liG1.where(col("l_partkey") % 97 === 0)
+        .select("l_partkey"), "l_partkey", maxDepth = 3),
+      Graph.bfs(edgesOf(liGN), liGN.where(col("l_partkey") % 97 === 0)
+        .select("l_partkey"), "l_partkey", maxDepth = 3))
+
     // join tier: copies get fresh keys (users/customers/suppliers), the
     // honest 100 TB shape — more data means more keys at constant per-key
     // density, so output and per-task state must stay O(copy count)

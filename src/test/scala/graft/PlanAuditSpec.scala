@@ -172,6 +172,26 @@ class PlanAuditSpec extends SparkSpec {
       s"cell join not an equi-join:\n$plan")
   }
 
+  test("winnow dedup is hash-keyed: no cartesian, partial agg before the shuffle") {
+    val plan = physical(q("text_substrdup"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"text_substrdup degenerated:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"fingerprint counting lost its partial step:\n$plan")
+  }
+
+  test("triangle wedges close through equi-joins, never a nested loop") {
+    val plan = physical(q("graph_triangles"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"graph_triangles degenerated:\n$plan")
+  }
+
+  test("per-domain cap plans as a WindowGroupLimit (pre-shuffle prune)") {
+    val plan = q("url_domain_cap").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=cap did not become a WindowGroupLimit:\n$plan")
+  }
+
   test("geometry expressions run inside whole-stage codegen") {
     val df = q("geo_area")
     df.collect() // force execution so the final adaptive plan exists
