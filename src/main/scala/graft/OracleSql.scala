@@ -944,6 +944,25 @@ object OracleSql {
        |    ORDER BY ho, doc_id) AS shard_pos
        |FROM m""".stripMargin
 
+  /** (doc_id, chunk_id, chunk_text, chunk_tokens):
+    * TextAnalysis.chunkDocuments — overlapping token windows.
+    */
+  def textChunks(chunkTokens: Int = 24, overlap: Int = 8,
+      docsrc: String = "documents"): String = {
+    val step = chunkTokens - overlap
+    s"""WITH tk AS (SELECT doc_id,
+       |  list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
+       |  FROM $docsrc),
+       |ch AS (SELECT doc_id, toks, unnest(range(0,
+       |  CASE WHEN len(toks) <= $chunkTokens THEN 1
+       |  ELSE 1 + CAST(ceil(CAST(len(toks) - $chunkTokens AS DOUBLE) / $step) AS INT)
+       |  END)) AS chunk_id FROM tk)
+       |SELECT doc_id, chunk_id,
+       |  array_to_string(toks[chunk_id*$step + 1 : chunk_id*$step + $chunkTokens], ' ') AS chunk_text,
+       |  least($chunkTokens, len(toks) - chunk_id*$step) AS chunk_tokens
+       |FROM ch""".stripMargin
+  }
+
   /** (doc_id, n_words, mean_word_len, ok_*, gopher_keep):
     * TextAnalysis.gopherRules mirrored rule for rule.
     */

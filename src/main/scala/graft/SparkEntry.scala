@@ -1142,6 +1142,32 @@ object SparkEntry {
       TextAnalysis.withDistinctGramRatio(t(s, dir, "documents"))
         .select(col("doc_id"), round(col("gram_ratio"), 6).as("gram_ratio"))),
 
+    // --- per-group z-score outliers on an integer-valued column ------------
+    "stats_outliers" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_partkey") % 50 === 0)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      Ops.flagOutliers(li, "l_quantity", Seq("l_partkey"), z = 1.5)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          round(col("zscore"), 6).as("zscore"), col("is_outlier"))
+    }),
+
+    // --- semi-structured JSON props extraction + rollup --------------------
+    "events_props" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+    }),
+
+    // --- overlapping token-window chunking (the RAG/embedding pre-step) ----
+    "text_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(t(s, dir, "documents"), chunkTokens = 24, overlap = 8)
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("chunk_text"), col("chunk_tokens").cast("long").as("chunk_tokens"))),
+
     // --- Gopher quality-rule bundle (published thresholds, all flags) ------
     "text_gopher" -> ((s, dir) =>
       TextAnalysis.gopherRules(t(s, dir, "documents"), minWords = 40)
@@ -1945,6 +1971,26 @@ object SparkEntry {
     "url_normalize" -> OracleSql.urlNormalize(),
     "url_domain_cap" -> OracleSql.urlDomainCap(),
     "text_gopher" -> OracleSql.textGopher(minWords = 40),
+    "text_chunks" -> OracleSql.textChunks(),
+    "stats_outliers" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey, CAST(l_quantity AS DOUBLE) AS q
+        |  FROM lineitem WHERE l_partkey % 50 = 0),
+        |st AS (SELECT l_partkey, count(q) AS n, sum(q) AS s, sum(q*q) AS s2
+        |  FROM li GROUP BY l_partkey),
+        |jz AS (SELECT li.l_orderkey, li.l_partkey, li.q,
+        |  CASE WHEN (st.s2 - st.s*st.s/st.n)/st.n > 0
+        |    THEN (li.q - st.s/st.n) / sqrt((st.s2 - st.s*st.s/st.n)/st.n)
+        |    ELSE 0.0 END AS z
+        |  FROM li JOIN st ON li.l_partkey = st.l_partkey)
+        |SELECT l_orderkey, l_partkey, q AS l_quantity,
+        |  round(z, 6) AS zscore, abs(z) > 1.5 AS is_outlier
+        |FROM jz""".stripMargin,
+    "events_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "data_stratified" -> OracleSql.dataSample(
       Seq("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), defaultFraction = 0.05),
     "data_topk_group" ->

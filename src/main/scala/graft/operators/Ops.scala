@@ -459,4 +459,36 @@ object Ops {
       .getOrElse(throw new IllegalArgumentException(
         "Could not find lon/lat columns. Possible combinations: lon/lat, lng/lat, long/lat, longitude/latitude, x/y, X/Y"))
   }
+
+  /** Per-group z-score outlier flagging — the data-quality gate for numeric
+    * pipeline columns (value spikes, sensor glitches, corrupt counts):
+    * appends `zscore` = (x − mean)/σ within each group (population σ from
+    * the sufficient statistics Σx, Σx², n) and `is_outlier` = |z| > `z`.
+    * Zero-variance groups z-score to 0 (never outliers).
+    *
+    * Scale shape: ONE map-side-combined aggregation collapses each group to
+    * its three sufficient statistics, and the join-back keys on the group —
+    * the stats table is group-count-sized, so AQE broadcasts it in the
+    * common case. The mean/variance derive from exact sums in a fixed
+    * expression tree `(Σx² − Σx·Σx/n)/n`, so on integer-valued columns the
+    * z-scores are bit-reproducible across engines and partitionings.
+    */
+  def flagOutliers(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      z: Double = 3.0): DataFrame = {
+    require(groupCols.nonEmpty, "flagOutliers needs at least one group column")
+    require(z > 0, "z threshold must be positive")
+    val v = col(valueCol).cast("double")
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(count(v).as("__n"), sum(v).as("__s"), sum(v * v).as("__s2"))
+    val mean = col("__s") / col("__n")
+    val variance = (col("__s2") - col("__s") * col("__s") / col("__n")) / col("__n")
+    df.join(stats, groupCols)
+      .withColumn("zscore",
+        when(variance > 0, (v - mean) / sqrt(variance)).otherwise(lit(0.0)))
+      .withColumn("is_outlier", abs(col("zscore")) > z)
+      .drop("__n", "__s", "__s2")
+  }
 }

@@ -402,6 +402,38 @@ object TextAnalysis {
         size(split(col(textCol), delimRe)).cast("long"))
   }
 
+  /** Overlapping token-window chunking — the doc → chunk explosion every
+    * embedding/RAG pipeline runs before vectorization: whitespace tokens in
+    * windows of `chunkTokens` advancing by `chunkTokens − overlap`, each
+    * chunk re-joined with single spaces. Returns one row per chunk:
+    * (original columns, `chunk_id` 0-based, `chunk_text`, `chunk_tokens`).
+    * The final window is the short remainder; documents whose token count
+    * is ≤ `chunkTokens` yield exactly one chunk (id 0). Pure built-ins —
+    * the explode is the only row-growth, there is no shuffle at all.
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      textCol: String = "text",
+      chunkTokens: Int = 64,
+      overlap: Int = 16): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be positive")
+    require(overlap >= 0 && overlap < chunkTokens, "overlap must be in [0, chunkTokens)")
+    val step = chunkTokens - overlap
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
+    val n = size(toks)
+    // number of windows: 1 + ceil(max(n - chunkTokens, 0) / step)
+    val nChunks = when(n <= chunkTokens, lit(1))
+      .otherwise(lit(1) + ceil((n - chunkTokens).cast("double") / step).cast("int"))
+    val ids = transform(sequence(lit(0), nChunks - 1), i => i)
+    df.withColumn("__toks", toks)
+      .withColumn("chunk_id", explode(ids))
+      .withColumn("chunk_text",
+        array_join(slice(col("__toks"), col("chunk_id") * step + 1, lit(chunkTokens)), " "))
+      .withColumn("chunk_tokens",
+        least(lit(chunkTokens), size(col("__toks")) - col("chunk_id") * step))
+      .drop("__toks")
+  }
+
   /** Shared winnowing front end: one fingerprint row per selected k-gram
     * minimum — (idCol, __pos, __h), distinct per doc by construction.
     */

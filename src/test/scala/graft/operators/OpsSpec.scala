@@ -338,4 +338,22 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     val plan = Ops.bottomKSample(df, "id", 10).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"global sample not heap-planned:\n$plan")
   }
+
+  test("flagOutliers: planted spike flagged, z matches closed form, flat group safe") {
+    // group a: nine 10s and one 100 — the spike dominates the variance;
+    // group b: constant (zero variance -> z 0, never outliers)
+    val rows = (1L to 9L).map(i => (i, "a", 10.0)) ++ Seq((10L, "a", 100.0)) ++
+      (11L to 14L).map(i => (i, "b", 7.0))
+    val df = rows.toDF("id", "g", "v")
+    val out = Ops.flagOutliers(df, "v", Seq("g"), z = 2.0).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("zscore"), r.getAs[Boolean]("is_outlier"))).toMap
+    val mean = (9 * 10.0 + 100.0) / 10
+    val variance = ((9 * 100.0 + 10000.0) - 10 * mean * mean) / 10
+    val zSpike = (100.0 - mean) / math.sqrt(variance)
+    assert(math.abs(out(10L)._1 - zSpike) < 1e-12)
+    assert(out(10L)._2, "spike not flagged")
+    (1L to 9L).foreach(i => assert(!out(i)._2, s"inlier $i flagged"))
+    (11L to 14L).foreach(i => assert(out(i)._1 == 0.0 && !out(i)._2))
+  }
 }

@@ -398,6 +398,31 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("chunkDocuments: windows, overlap, remainder, short docs") {
+    val words = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, words), (2L, "just five little words here"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(df, chunkTokens = 30, overlap = 10)
+      .select("doc_id", "chunk_id", "chunk_text", "chunk_tokens").collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    // doc 1: 100 tokens, step 20 → windows at 0,20,40,60,80 → ceil((100-30)/20)=4 → 5 chunks
+    val c1 = byDoc(1L).sortBy(_.getInt(1))
+    assert(c1.length == 5)
+    assert(c1.head.getString(2).startsWith("w1 w2 ") && c1.head.getInt(3) == 30)
+    // consecutive chunks overlap by 10 tokens
+    val first = c1(0).getString(2).split(" ")
+    val second = c1(1).getString(2).split(" ")
+    assert(first.takeRight(10).sameElements(second.take(10)))
+    // remainder window is short: tokens 81..100 = 20 tokens
+    assert(c1.last.getInt(3) == 20)
+    assert(c1.last.getString(2).split(" ").head == "w81")
+    // short doc: one chunk, intact
+    val c2 = byDoc(2L)
+    assert(c2.length == 1 && c2.head.getString(2) == "just five little words here")
+    // empty doc: one empty chunk, zero tokens
+    val c3 = byDoc(3L)
+    assert(c3.length == 1 && c3.head.getString(2) == "" && c3.head.getInt(3) == 0)
+  }
+
   test("gopherRules: each rule fires on its designed violation") {
     val goodBody = ("the quick brown fox jumps over the lazy sleeping dog " * 5).trim
     val rows = Seq(
