@@ -414,6 +414,19 @@ object SparkEntry {
           round(st_y(col("geometry")), 6).as("py"))
     }),
 
+    // --- JSONL driver end-to-end (LLM-corpus interchange; WKT geometry) ----
+    "jsonl_roundtrip" -> ((s, dir) => {
+      val pts = custPoints(s, dir).select(col("c_custkey"), col("c_acctbal"), col("geometry"))
+      val out = new java.io.File(s"/tmp/graft_jsonl_${new java.io.File(dir).getName}")
+      out.mkdirs()
+      graft.sources.GeoSources.writeAuto(pts, s"$out/customer.jsonl")
+      graft.sources.GeoSources.readAuto(s, s"$out/customer.jsonl")
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          round(col("c_acctbal").cast("double"), 2).as("acctbal2"),
+          round(st_x(col("geometry")), 6).as("px"),
+          round(st_y(col("geometry")), 6).as("py"))
+    }),
+
     // --- gpkg driver end-to-end: own SQLite writer + b-tree reader ---------
     "gpkg_roundtrip" -> ((s, dir) => {
       val pts = custPoints(s, dir).select(col("c_custkey"), col("c_acctbal"), col("geometry"))
@@ -1288,6 +1301,12 @@ object SparkEntry {
 
     // --- HyperLogLog distinct sketch (register-exact mirror) ---------------
     // --- per-group HLL: distinct users per event type at sketch cost -------
+    // --- per-window HLL distinct (the hllStream state shape, batch-gated) --
+    "stats_hll_window" -> ((s, dir) =>
+      Sketch.hllDistinctWindowed(t(s, dir, "events"), "user_id")
+        .select(unix_timestamp(col("window.start")).as("hour_ts"),
+          round(col("approx_distinct"), 3).as("approx_distinct"))),
+
     "stats_hll_group" -> ((s, dir) =>
       Sketch.hllDistinctByGroup(t(s, dir, "events"), "user_id", Seq("event_type"))
         .select(col("event_type"),
@@ -1580,6 +1599,11 @@ object SparkEntry {
         |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py
         |FROM customer""".stripMargin,
     "shp_roundtrip" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal2,
+        |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,
+        |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py
+        |FROM customer""".stripMargin,
+    "jsonl_roundtrip" ->
       """SELECT c_custkey, round(c_acctbal, 2) AS acctbal2,
         |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,
         |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py
@@ -2001,6 +2025,8 @@ object SparkEntry {
     "stats_hll" -> OracleSql.statsHll(),
     "stats_hll_group" -> OracleSql.statsHllGroup("events", "user_id",
       "event_type", "event_type"),
+    "stats_hll_window" -> OracleSql.statsHllGroup("events", "user_id",
+      "CAST(epoch(date_trunc('hour', ts)) AS BIGINT)", "hour_ts"),
     "stats_cms" -> OracleSql.statsCms(Seq("table", "spark", "window", "zebra")),
     "stats_cms_window" -> OracleSql.statsCmsWindow(
       Seq("click", "view", "purchase", "qqnone")),

@@ -132,6 +132,25 @@ object Sketch {
       .agg(registerAggs.head, registerAggs.tail: _*)
       .select(groupCols.map(col) :+ estimateCol(p).as("approx_distinct"): _*)
 
+  /** Per-event-time-window HLL registers `(window, bucket, m)` — register
+    * maxima are max-mergeable, so on a stream this is one stateful windowed
+    * aggregation with ≤ 2^p rows of state per open window (the streaming
+    * face is [[graft.streaming.EventStream.hllStream]]); batch estimates
+    * come from [[hllDistinctWindowed]].
+    */
+  def hllRegistersWindowed(df: DataFrame, valueCol: String,
+      windowDur: String = "1 hour", p: Int = 12, seed: Long = 42L,
+      tsCol: String = "ts"): DataFrame =
+    hllRegistersByGroup(df.withColumn("window", window(col(tsCol), windowDur)),
+      valueCol, Seq("window"), p, seed)
+
+  /** Per-window approximate distinct count `(window, approx_distinct)`. */
+  def hllDistinctWindowed(df: DataFrame, valueCol: String,
+      windowDur: String = "1 hour", p: Int = 12, seed: Long = 42L,
+      tsCol: String = "ts"): DataFrame =
+    hllDistinctByGroup(df.withColumn("window", window(col(tsCol), windowDur)),
+      valueCol, Seq("window"), p, seed)
+
   /** Standard HLL bias constant (m ≥ 128 branch; p ≥ 7 in practice). */
   def alpha(m: Int): Double =
     if (m <= 16) 0.673 else if (m <= 32) 0.697 else if (m <= 64) 0.709

@@ -28,8 +28,11 @@ object Web {
     "co.jp", "ne.jp", "or.jp",
     "com.br", "com.cn", "com.mx", "co.in", "co.za", "com.sg", "co.kr")
 
+  // crawl frontiers carry scheme-less entries ("example.com/x"): with no
+  // "://" the authority is everything up to the first /?#
   private def authority(url: Column): Column =
-    regexp_extract(url, "^[^:/?#]+://([^/?#]*)", 1)
+    when(url.contains("://"), regexp_extract(url, "^[^:/?#]+://([^/?#]*)", 1))
+      .otherwise(regexp_extract(url, "^([^/?#]*)", 1))
 
   /** URL normalization for exact URL-level dedup:
     * scheme/host lowercased, default ports stripped (http:80, https:443),
@@ -48,7 +51,9 @@ object Web {
       .when(scheme === "https" && port === "443", lit(""))
       .when(scheme === "http" && port === "80", lit(""))
       .otherwise(concat(lit(":"), port))
-    val path = regexp_extract(u, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val path = when(u.contains("://"),
+      regexp_extract(u, "^[^:/?#]+://[^/?#]*([^?#]*)", 1))
+      .otherwise(regexp_extract(u, "^[^/?#]*([^?#]*)", 1))
     val pathN = when(path === "", lit("/")).otherwise(path)
     val query = regexp_extract(u, "\\?([^#]*)", 1)
     val kept = array_sort(filter(split(query, "&"), p =>
@@ -57,7 +62,9 @@ object Web {
       }))
     val queryN = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
       .otherwise(lit(""))
-    df.withColumn(into, concat(scheme, lit("://"), host, portN, pathN, queryN))
+    // scheme-less inputs normalize scheme-less (no phantom "://")
+    val prefix = when(scheme === "", lit("")).otherwise(concat(scheme, lit("://")))
+    df.withColumn(into, concat(prefix, host, portN, pathN, queryN))
   }
 
   /** Registrable domain (eTLD+1) of the URL's host: longest matching

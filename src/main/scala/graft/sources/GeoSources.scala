@@ -204,6 +204,10 @@ object GeoSources {
       else if (p.endsWith(".csv")) GeoCSV.read(spark, path, filterWkt = filterWkt)
       else if (p.endsWith(".geojsonl") || p.endsWith(".geojsonseq") || p.endsWith(".ndjson"))
         GeoJSONSeq.read(spark, path, filterWkt = filterWkt)
+      else if (p.endsWith(".jsonl")) {
+        val j = Jsonl.read(spark, path)
+        if (j.columns.contains("geometry")) applyFilter(j, "geometry", filterWkt) else j
+      }
       else if (p.endsWith(".geojson") || p.endsWith(".json"))
         GeoJSON.read(spark, path, filterWkt = filterWkt)
       else if (p.endsWith(".parquet")) GeoParquet.read(spark, path, filterWkt = filterWkt)
@@ -241,6 +245,7 @@ object GeoSources {
     else if (p.endsWith(".csv")) GeoCSV.write(df, path)
     else if (p.endsWith(".geojsonl") || p.endsWith(".geojsonseq") || p.endsWith(".ndjson"))
       GeoJSONSeq.write(df, path)
+    else if (p.endsWith(".jsonl")) Jsonl.write(df, path)
     else if (p.endsWith(".geojson") || p.endsWith(".json")) GeoJSON.write(df, path)
     else if (p.endsWith(".parquet")) GeoParquet.write(df, path)
     else if (p.endsWith(".shp")) Shapefile.write(df, path.substring(0, path.length - 4))

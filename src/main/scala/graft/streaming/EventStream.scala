@@ -71,6 +71,20 @@ object EventStream {
     graft.operators.Sketch.cmsRegistersWindowed(
       stream.withWatermark("ts", watermark), valueCol, windowDur, depth, width, seed)
 
+  /** Per-window HLL registers over a live stream — the distinct-count
+    * monitor (unique users/URLs per window): ≤ 2^p max-mergeable register
+    * rows of state per open window, merged across micro-batches natively
+    * because register maxima are maxima. Estimate downstream with
+    * [[graft.operators.Sketch.hllDistinctByGroup]] over the emitted
+    * registers (or batch-twin [[graft.operators.Sketch.hllDistinctWindowed]],
+    * parity-spec'd).
+    */
+  def hllStream(stream: DataFrame, valueCol: String,
+      watermark: String = "2 hours", windowDur: String = "1 hour",
+      p: Int = 12, seed: Long = 42L): DataFrame =
+    graft.operators.Sketch.hllRegistersWindowed(
+      stream.withWatermark("ts", watermark), valueCol, windowDur, p, seed)
+
   /** Batch twin of [[quantilesStream]] (shared plan shape, parity-spec'd). */
   def quantilesWindowed(df: DataFrame, qs: Seq[Double], k: Int = 1024,
       valueCol: String = "value", windowDur: String = "1 hour"): DataFrame =

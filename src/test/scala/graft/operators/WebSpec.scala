@@ -43,6 +43,13 @@ class WebSpec extends AnyFunSuite with SparkSpec {
     assert(dom("http://localhost/") == "localhost")
   }
 
+  test("scheme-less crawl entries normalize and domain-extract") {
+    assert(norm("Example.COM:8080/Path?b=2&utm_source=x") == "example.com:8080/Path?b=2")
+    assert(norm("example.com") == "example.com/")
+    assert(dom("a.b.example.co.uk/deep/path") == "example.co.uk")
+    assert(dom("example.com?q=1") == "example.com")
+  }
+
   test("perDomainCap keeps at most cap rows per domain, deterministically") {
     val rows = (0L until 100L).map(i => (i, s"d${i % 4}.com"))
     val df = rows.toDF("doc_id", "domain")

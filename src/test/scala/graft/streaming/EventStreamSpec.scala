@@ -119,6 +119,42 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     assert(est.filter(_._1._2 == "nosuch").values.forall(_ == 0L))
   }
 
+  test("hllStream: per-window registers match the batch twin across micro-batches") {
+    val manyEvents = (0 until 120).map { i =>
+      Event(400 + i, tsH(10 + i % 3, (i * 11) % 60), (i * 7) % 40, "click", i.toDouble)
+    }
+    val batch = graft.operators.Sketch
+      .hllRegistersWindowed(manyEvents.toDF(), "user_id", p = 8)
+      .select(col("window.start"), col("bucket"), col("m"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = hllStream(mem.toDF(), "user_id", watermark = "10 minutes", p = 8)
+      .select(col("window.start"), col("bucket"), col("m"))
+      .writeStream.format("memory").queryName("hll_parity").outputMode("complete").start()
+    try {
+      mem.addData(manyEvents.take(50): _*)
+      q.processAllAvailable()
+      mem.addData(manyEvents.drop(50): _*)
+      q.processAllAvailable()
+      val got = spark.table("hll_parity").collect().map(_.toSeq).toSet
+      val expect = batch.collect().map(_.toSeq).toSet
+      assert(got == expect)
+    } finally q.stop()
+
+    // per-window estimate lands near the exact distinct count
+    val est = graft.operators.Sketch
+      .hllDistinctWindowed(manyEvents.toDF(), "user_id", p = 8)
+      .collect().map(r =>
+        r.getAs[org.apache.spark.sql.Row]("window").getTimestamp(0).getHours ->
+          r.getAs[Double]("approx_distinct")).toMap
+    val exact = manyEvents.groupBy(_.ts.getHours)
+      .map { case (h, es) => h -> es.map(_.user_id).distinct.size }
+    for ((h, n) <- exact)
+      assert(math.abs(est(h) - n) <= math.max(3.0, 0.15 * n),
+        s"window $h: est ${est(h)} vs exact $n")
+  }
+
   test("sessionizeBatch splits on gaps") {
     val df = Seq(
       Event(1, ts(0), 1, "a", 1.0),
