@@ -1155,6 +1155,23 @@ object SparkEntry {
       TextAnalysis.withDistinctGramRatio(t(s, dir, "documents"))
         .select(col("doc_id"), round(col("gram_ratio"), 6).as("gram_ratio"))),
 
+    // --- deterministic pivot rollup (explicit columns, zero-filled) --------
+    "events_pivot" -> ((s, dir) => {
+      val e = t(s, dir, "events").withColumn("bucket", pmod(col("user_id"), lit(10L)))
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val piv = Ops.pivotSum(e, Seq("bucket"), "event_type", types, "value")
+      piv.select(col("bucket") +: types.map(c => round(col(c), 4).as(c)): _*)
+    }),
+
+    // --- unicode cleanup (the pre-hash normalization pass) -----------------
+    "text_clean" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val dirty = concat(lit("\u201Cq\u201D  "), col("text"),
+        lit("\u0007\u200B \u00A0x\u2013y\n\n\n\nz\t\ttail  "))
+      TextAnalysis.cleanText(d.withColumn("dirty", dirty), "dirty")
+        .select(col("doc_id"), col("text_clean"))
+    }),
+
     // --- per-group z-score outliers on an integer-valued column ------------
     "stats_outliers" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -2009,6 +2026,27 @@ object SparkEntry {
         |SELECT l_orderkey, l_partkey, q AS l_quantity,
         |  round(z, 6) AS zscore, abs(z) > 1.5 AS is_outlier
         |FROM jz""".stripMargin,
+    "events_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0.0 END), 4) AS click,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END), 4) AS "view",
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4) AS purchase,
+        |  round(sum(CASE WHEN event_type = 'signup' THEN value ELSE 0.0 END), 4) AS signup,
+        |  round(sum(CASE WHEN event_type = 'error' THEN value ELSE 0.0 END), 4) AS "error"
+        |FROM events GROUP BY user_id % 10""".stripMargin,
+    "text_clean" ->
+      """WITH dd AS (SELECT doc_id,
+        |  chr(8220)||'q'||chr(8221)||'  '||text||chr(7)||chr(8203)||' '||chr(160)||
+        |  'x'||chr(8211)||'y'||chr(10)||chr(10)||chr(10)||chr(10)||'z'||chr(9)||chr(9)||'tail  ' AS dirty
+        |  FROM documents),
+        |f1 AS (SELECT doc_id, translate(dirty,
+        |  chr(8216)||chr(8217)||chr(8220)||chr(8221)||chr(8211)||chr(8212)||chr(160),
+        |  chr(39)||chr(39)||'""-- ') AS t FROM dd),
+        |f2 AS (SELECT doc_id, regexp_replace(t, '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g') AS t FROM f1),
+        |f3 AS (SELECT doc_id, regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS t FROM f2),
+        |f4 AS (SELECT doc_id, regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM f3),
+        |f5 AS (SELECT doc_id, regexp_replace(t, '\n{3,}', chr(10)||chr(10), 'g') AS t FROM f4)
+        |SELECT doc_id, trim(t) AS text_clean FROM f5""".stripMargin,
     "events_props" ->
       """SELECT event_type, count(*) AS n,
         |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,

@@ -460,6 +460,24 @@ object Ops {
         "Could not find lon/lat columns. Possible combinations: lon/lat, lng/lat, long/lat, longitude/latitude, x/y, X/Y"))
   }
 
+  /** Deterministic pivot: one column per EXPLICIT `pivotValues` entry (the
+    * two-pass value-discovery variant is non-deterministic in column order
+    * and costs an extra job — declare the columns, as production reports
+    * do), summing `valueCol`. Missing cells are 0, not null. One map-side-
+    * combined aggregation; the pivot is a projection, not a second shuffle.
+    */
+  def pivotSum(
+      df: DataFrame,
+      groupCols: Seq[String],
+      pivotCol: String,
+      pivotValues: Seq[String],
+      valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty && pivotValues.nonEmpty, "groupCols and pivotValues required")
+    val aggs = pivotValues.map(v =>
+      sum(when(col(pivotCol) === v, col(valueCol)).otherwise(lit(0.0))).as(v))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-group z-score outlier flagging — the data-quality gate for numeric
     * pipeline columns (value spikes, sensor glitches, corrupt counts):
     * appends `zscore` = (x − mean)/σ within each group (population σ from

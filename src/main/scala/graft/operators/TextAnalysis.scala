@@ -402,6 +402,26 @@ object TextAnalysis {
         size(split(col(textCol), delimRe)).cast("long"))
   }
 
+  /** Unicode text cleanup — the normalization pass every corpus runs BEFORE
+    * hashing/dedup (so cosmetic byte differences don't defeat exact-dup
+    * collapse): typographic quotes/dashes and NBSP fold to ASCII, zero-width
+    * characters vanish, control characters (except \n and \t) strip, runs of
+    * spaces/tabs collapse to one space, 3+ newlines collapse to a paragraph
+    * break, and the result is trimmed. Pure codegen'd string built-ins
+    * (translate + regexp chains), SQL-mirrorable value-for-value.
+    */
+  def cleanText(df: DataFrame, textCol: String = "text",
+      into: String = "text_clean"): DataFrame = {
+    // \u2018 \u2019 \u201C \u201D \u2013 \u2014 NBSP fold to ascii
+    val folded = translate(col(textCol),
+      "\u2018\u2019\u201C\u201D\u2013\u2014\u00A0", "''\"\"-- ")
+    val noZw = regexp_replace(folded, "[\\u200B\\u200C\\u200D\\uFEFF]", "")
+    val noCtl = regexp_replace(noZw, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val oneSpace = regexp_replace(noCtl, "[ \\t]+", " ")
+    val paras = regexp_replace(oneSpace, "\\n{3,}", "\n\n")
+    df.withColumn(into, trim(paras))
+  }
+
   /** Overlapping token-window chunking — the doc → chunk explosion every
     * embedding/RAG pipeline runs before vectorization: whitespace tokens in
     * windows of `chunkTokens` advancing by `chunkTokens − overlap`, each

@@ -339,6 +339,19 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"global sample not heap-planned:\n$plan")
   }
 
+  test("pivotSum: declared columns, zero-filled cells, one aggregation") {
+    val df = Seq(("a", "x", 1.0), ("a", "x", 2.0), ("a", "y", 5.0), ("b", "y", 7.0))
+      .toDF("g", "p", "v")
+    val out = Ops.pivotSum(df, Seq("g"), "p", Seq("x", "y", "z"), "v")
+    assert(out.columns.toSeq == Seq("g", "x", "y", "z"))
+    val rows = out.collect().map(r => r.getString(0) ->
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows("a") == ((3.0, 5.0, 0.0)))
+    assert(rows("b") == ((0.0, 7.0, 0.0))) // absent pivot values are 0, not null
+    val plan = out.queryExecution.sparkPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
   test("flagOutliers: planted spike flagged, z matches closed form, flat group safe") {
     // group a: nine 10s and one 100 — the spike dominates the variance;
     // group b: constant (zero variance -> z 0, never outliers)

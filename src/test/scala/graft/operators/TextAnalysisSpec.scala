@@ -398,6 +398,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("cleanText folds, strips, collapses, trims") {
+    val dirty = "“Hello” — it’s a​ test now   with\t\tspace\n\n\n\n\nnext  "
+    val out = TextAnalysis.cleanText(Seq((1L, dirty)).toDF("id", "text"))
+      .select("text_clean").head().getString(0)
+    assert(out == "\"Hello\" - it's a test now with space\n\nnext")
+    // idempotent: cleaning clean text is identity
+    val again = TextAnalysis.cleanText(Seq((1L, out)).toDF("id", "text"))
+      .select("text_clean").head().getString(0)
+    assert(again == out)
+    // exact-dup collapse works after cleanup where it fails before
+    val variants = Seq((1L, "same  text"), (2L, "same text"), (3L, "same text"))
+      .toDF("id", "text")
+    val cleaned = TextAnalysis.cleanText(variants)
+    assert(variants.select("text").distinct().count() == 3)
+    assert(cleaned.select("text_clean").distinct().count() == 1)
+  }
+
   test("chunkDocuments: windows, overlap, remainder, short docs") {
     val words = (1 to 100).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, words), (2L, "just five little words here"), (3L, "")).toDF("doc_id", "text")
