@@ -58,7 +58,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "st_to_utm" -> (a => GeoFunctions.utmExpr(a(0), a(1), invert = false)),
       "st_from_utm" -> (a => GeoFunctions.utmExpr(a(0), a(1), invert = true)),
       "st_transform" -> (a => GeoFunctions.transformFromLiterals(a(0), a(1), a(2))),
+      "st_zorder" -> (a => GeoFunctions.curveFromLiterals(StZOrder.apply)(a(0), a(1), a(2))),
+      "st_hilbert" -> (a => GeoFunctions.curveFromLiterals(StHilbert.apply)(a(0), a(1), a(2))),
+      "st_geohash" -> (a => GeoFunctions.curveFromLiterals(StGeohash.apply)(a(0), a(1), a(2))),
+      "st_geohash_decode" -> (a => StGeohashDecode(a.head)),
     )
     fns.foreach { case (name, b) => ext.injectFunction(fn(name, b)) }
+    // the text/vector sketch family shares its builder list with
+    // TextFunctions.registerAll — one source of truth for both paths
+    TextFunctions.sqlBuilders.foreach { case (name, b) =>
+      ext.injectFunction(fn(name, b))
+    }
   }
 }

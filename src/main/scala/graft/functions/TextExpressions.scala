@@ -266,4 +266,41 @@ object TextFunctions {
     c(PassjoinKeys(e(text), e(lit(d)), probe = false))
   def passjoin_probe(text: Column, d: Int): Column =
     c(PassjoinKeys(e(text), e(lit(d)), probe = true))
+
+  /** Pure-SQL registration of the text/vector sketch kernels — the twin of
+    * [[GeoFunctions.registerAll]] for this family; cluster installs get the
+    * same set through [[graft.GraftExtensions]]. Integer SQL literals cast
+    * up to the Long seeds, vectors cast to array<double>.
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    sqlBuilders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+  }
+
+  /** Shared (name, builder) list for [[registerAll]] and GraftExtensions. */
+  private[graft] val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    def asLong(x: Expression) = Cast(x, LongType)
+    def asInt(x: Expression) = Cast(x, IntegerType)
+    def asVec(x: Expression) = Cast(x, ArrayType(DoubleType))
+    Seq(
+      "minhash_sig" -> (a => MinhashSig(a(0), asInt(a(1)), asInt(a(2)))),
+      "simhash64" -> (a => Simhash64(a.head)),
+      "ngrams_hashed" -> (a => NgramsHashed(a(0), asInt(a(1)))),
+      "bigram_ids" -> (a => BigramIds(a.head)),
+      "doc_fingerprint" -> (a => DocFingerprint(a.head)),
+      "lang_id" -> (a => LangId(a.head)),
+      "compress_ratio" -> (a => CompressRatio(a.head)),
+      "mix64_hash" -> (a => Mix64Hash(asLong(a(0)), asLong(a(1)))),
+      "string_hash64" -> (a => StringHash64(a(0), asLong(a(1)))),
+      "vec_dot" -> (a => VecDot(asVec(a(0)), asVec(a(1)))),
+      "vec_cosine" -> (a => VecCosine(asVec(a(0)), asVec(a(1)))),
+      "vec_simhash" -> (a => VecSimhash(asVec(a(0)), asInt(a(1)), asLong(a(2)))),
+      "vec_project" -> (a => VecProject(asVec(a(0)), asInt(a(1)), asLong(a(2)))),
+      "winnow_fps" -> (a => WinnowFps(a(0), asInt(a(1)), asInt(a(2)))),
+      "passjoin_index" -> (a => PassjoinKeys(a(0), asInt(a(1)), probe = false)),
+      "passjoin_probe" -> (a => PassjoinKeys(a(0), asInt(a(1)), probe = true)))
+  }
 }
