@@ -246,6 +246,18 @@ object SparkEntry {
         .select("c_custkey", "n_nationkey")),
 
     // --- nearest-neighbor spatial join (GeoPandas sjoin_nearest shape) -----
+    // --- k-NN spatial join: 3 best suppliers per customer ------------------
+    "sjoin_knn" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier").withColumn("geometry",
+        st_point(expr("(s_suppkey % 37) * 1.3 - 24 + 0.11"),
+          expr("(s_suppkey % 23) * 1.7 - 19 + 0.07")))
+      SJoin.sknn(custPoints(s, dir), sup, "c_custkey", "s_suppkey",
+          k = 3, maxDistanceM = 300000.0)
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(col("knn_dist_m"), 3).as("knn_dist_m"),
+          col("knn_rank").cast("long").as("knn_rank"))
+    }),
+
     "sjoin_nearest" -> ((s, dir) => {
       val sup = t(s, dir, "supplier").withColumn("geometry",
         st_point(expr("(s_suppkey % 37) * 1.3 - 24 + 0.11"),
@@ -592,6 +604,15 @@ object SparkEntry {
           round(sum("value_sum"), 4).as("value_total"))),
 
     // --- as-of join: each purchase ↔ its latest at-or-before click --------
+    // --- SCD2 history compaction: event runs -> validity intervals ---------
+    "events_scd" -> ((s, dir) => {
+      val e = t(s, dir, "events").select("user_id", "event_type", "ts", "event_id")
+      Ops.compactHistory(e, Seq("user_id"), "ts", Seq("event_type"), tieCol = "event_id")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("vf_us"),
+          coalesce(unix_micros(col("valid_to")), lit(-1L)).as("vt_us"))
+    }),
+
     "events_asof" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val purchases = e.where(col("event_type") === "purchase")
@@ -1535,6 +1556,18 @@ object SparkEntry {
       s"""SELECT n_nationkey, count(*) AS n_pts, round(sum(c_acctbal), 2) AS bal_sum
          |FROM customer, nation WHERE $custZoneSql
          |GROUP BY n_nationkey""".stripMargin,
+    "sjoin_knn" ->
+      s"""WITH lp AS (SELECT c_custkey, (c_custkey % 120) * 0.5 - 30 + 0.25 AS x,
+         |    (c_custkey % 80) * 0.5 - 20 + 0.25 AS y FROM customer),
+         |rp AS (SELECT s_suppkey, (s_suppkey % 37) * 1.3 - 24 + 0.11 AS x,
+         |    (s_suppkey % 23) * 1.7 - 19 + 0.07 AS y FROM supplier),
+         |pairs AS (SELECT l.c_custkey, r.s_suppkey, ${havSql("l.x", "l.y", "r.x", "r.y")} AS d
+         |  FROM lp l, rp r),
+         |best AS (SELECT c_custkey, s_suppkey, d,
+         |  row_number() OVER (PARTITION BY c_custkey ORDER BY d, s_suppkey) AS rn
+         |  FROM pairs WHERE d <= 300000.0)
+         |SELECT c_custkey, s_suppkey, round(d, 3) AS knn_dist_m,
+         |  CAST(rn AS BIGINT) AS knn_rank FROM best WHERE rn <= 3""".stripMargin,
     "sjoin_nearest" ->
       s"""WITH lp AS (SELECT c_custkey, (c_custkey % 120) * 0.5 - 30 + 0.25 AS x,
          |    (c_custkey % 80) * 0.5 - 20 + 0.25 AS y FROM customer),
@@ -1704,6 +1737,21 @@ object SparkEntry {
         |SELECT user_id, count(DISTINCT sess) AS n_sessions,
         |  count(*) AS n_events_total, round(sum(value), 4) AS value_total
         |FROM s GROUP BY user_id""".stripMargin,
+    "events_scd" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |b AS (SELECT user_id, event_type, ts, event_id,
+        |  CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END AS brk FROM o),
+        |r AS (SELECT user_id, event_type, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rg FROM b),
+        |runs AS (SELECT user_id, event_type, rg, min(ts) AS valid_from
+        |  FROM r GROUP BY user_id, event_type, rg),
+        |fin AS (SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+        |  FROM runs)
+        |SELECT user_id, event_type, epoch_us(valid_from) AS vf_us,
+        |  coalesce(epoch_us(valid_to), -1) AS vt_us FROM fin""".stripMargin,
     "events_asof" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events
         |          WHERE event_type = 'purchase'),

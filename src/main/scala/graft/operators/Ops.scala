@@ -460,6 +460,41 @@ object Ops {
         "Could not find lon/lat columns. Possible combinations: lon/lat, lng/lat, long/lat, longitude/latitude, x/y, X/Y"))
   }
 
+  /** Event-history compaction into validity intervals (SCD2 shape): rows
+    * `(key…, value…, ts)` collapse to one row per RUN of consecutive equal
+    * values per key — `(key…, value…, valid_from, valid_to)`, `valid_to`
+    * exclusive (= the next run's `valid_from`; null while current). The
+    * change-data-capture → dimension-table step: a billion raw readings
+    * become one row per actual change.
+    *
+    * `tieCol` totalizes the order under equal timestamps. Gaps-and-islands
+    * over per-key windows: a key's history sorts inside one task (dimension
+    * keys are high-cardinality; a single key's history is the unit a task
+    * must hold anyway).
+    */
+  def compactHistory(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCols: Seq[String],
+      tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty, "keyCols and valueCols required")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol), col(tieCol))
+    val v = struct(valueCols.map(col): _*)
+    val marked = df
+      .withColumn("__prev", lag(v, 1).over(w))
+      .withColumn("__brk", when(col("__prev").isNull || col("__prev") =!= v, 1).otherwise(0))
+      .withColumn("__run", sum(col("__brk")).over(w))
+    val runs = marked
+      .groupBy((keyCols ++ valueCols).map(col) :+ col("__run"): _*)
+      .agg(min(col(tsCol)).as("valid_from"))
+    val w2 = Window.partitionBy(keyCols.map(col): _*).orderBy(col("valid_from"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .drop("__run")
+  }
+
   /** Deterministic pivot: one column per EXPLICIT `pivotValues` entry (the
     * two-pass value-discovery variant is non-deterministic in column order
     * and costs an extra job — declare the columns, as production reports

@@ -356,6 +356,70 @@ object SJoin {
     left.join(best.join(renamed, Seq(rId)), Seq(leftId), how)
   }
 
+  /** k-nearest-neighbors spatial join — [[snearest]] generalized from the
+    * single argmin to the `k` best right points per left row within
+    * `maxDistanceM` (haversine meters). Appends `knn_dist_m` and `knn_rank`
+    * (1-based; ties on distance break by right id, so the ranking is total
+    * and engine-reproducible).
+    *
+    * Scale shape: identical disc-cover grid to [[snearest]] — the left side
+    * explodes its radius cover, the right side sits in its home cell, so
+    * every candidate pair forms exactly once in a cell-keyed hash join; the
+    * `row_number <= k` filter plans as a WindowGroupLimit, pruning each
+    * task's candidates to k per left id BEFORE the rank exchange.
+    */
+  def sknn(
+      left: DataFrame,
+      right: DataFrame,
+      leftId: String,
+      rightId: String,
+      k: Int,
+      maxDistanceM: Double,
+      leftGeom: String = "geometry",
+      rightGeom: String = "geometry",
+      how: String = "inner",
+      cellDeg: Double = 0.0,
+      rightSuffix: String = "_right"): DataFrame = {
+    require(how == "inner" || how == "left", s"how must be inner|left, got '$how'")
+    require(k >= 1, "k must be positive")
+    require(maxDistanceM > 0, "maxDistanceM must be positive")
+    val dLat = maxDistanceM / 111000.0
+    val cd = if (cellDeg > 0) cellDeg else math.max(0.05, 2.0 * dLat)
+
+    val clash = left.columns.toSet ++ Set("knn_dist_m", "knn_rank")
+    val renamed = renameClashing(right, clash, rightSuffix)
+    val rGeom = if (clash(rightGeom)) rightGeom + rightSuffix else rightGeom
+    val rId = if (clash(rightId)) rightId + rightSuffix else rightId
+
+    val l0 = left.select(col(leftId),
+      st_x(col(leftGeom)).as("__lx"), st_y(col(leftGeom)).as("__ly"))
+    val dLon = least(lit(180.0), lit(maxDistanceM) /
+      (lit(111000.0) * cos(radians(least(lit(89.9), abs(col("__ly")) + lit(dLat))))))
+    val l = l0
+      .withColumn("__ix", explode(sequence(
+        floor((col("__lx") - dLon + lit(180.0)) / lit(cd)),
+        floor((col("__lx") + dLon + lit(180.0)) / lit(cd)))))
+      .withColumn("__iy", explode(sequence(
+        floor((col("__ly") - lit(dLat) + lit(90.0)) / lit(cd)),
+        floor((col("__ly") + lit(dLat) + lit(90.0)) / lit(cd)))))
+      .withColumn(CELL, shiftleft(col("__ix"), 32)
+        .bitwiseOR(col("__iy").bitwiseAND(lit(0xffffffffL))))
+    val r = renamed
+      .select(col(rId), st_x(col(rGeom)).as("__rx"), st_y(col(rGeom)).as("__ry"))
+      .withColumn(CELL, st_cellof(col("__rx"), col("__ry"), lit(cd)))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(leftId)).orderBy(col("__d"), col(rId))
+    val top = l.join(r, CELL)
+      .withColumn("__d", haversineM(col("__lx"), col("__ly"), col("__rx"), col("__ry")))
+      .where(col("__d") <= maxDistanceM)
+      .withColumn("knn_rank", row_number().over(w))
+      .where(col("knn_rank") <= k)
+      .select(col(leftId), col(rId), col("__d").as("knn_dist_m"), col("knn_rank"))
+
+    left.join(top.join(renamed, Seq(rId)), Seq(leftId), how)
+  }
+
   /** Transposes a predicate when the join sides swap (right joins). */
   private def flip(p: String): String = p match {
     case "within" => "contains"

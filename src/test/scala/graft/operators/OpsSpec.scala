@@ -339,6 +339,26 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"global sample not heap-planned:\n$plan")
   }
 
+  test("compactHistory collapses runs into validity intervals") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows = Seq(
+      (1L, "a", ts(0), 100L), (1L, "a", ts(1), 101L), (1L, "b", ts(2), 102L),
+      (1L, "a", ts(3), 103L), // a -> b -> a again: three runs, not two
+      (2L, "x", ts(0), 104L))
+    val df = rows.toDF("k", "v", "ts", "id")
+    val out = Ops.compactHistory(df, Seq("k"), "ts", Seq("v"), tieCol = "id")
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3))))
+    assert(out.toSeq == Seq(
+      (1L, "a", ts(0), Some(ts(2))),
+      (1L, "b", ts(2), Some(ts(3))),
+      (1L, "a", ts(3), None),
+      (2L, "x", ts(0), None)))
+    assert(t0 == ts(0))
+  }
+
   test("pivotSum: declared columns, zero-filled cells, one aggregation") {
     val df = Seq(("a", "x", 1.0), ("a", "x", 2.0), ("a", "y", 5.0), ("b", "y", 7.0))
       .toDF("g", "p", "v")

@@ -402,4 +402,33 @@ class SJoinSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("sknn: k best within radius, rank order, k=1 equals snearest") {
+    import graft.functions.GeoFunctions._
+    import testImplicits._
+    val left = Seq((1L, 0.0, 0.0), (2L, 10.0, 10.0)).toDF("lid", "x", "y")
+      .withColumn("geometry", st_point(col("x"), col("y"))).drop("x", "y")
+    // rights at increasing distance from (0,0); none near (10,10)
+    val right = Seq((10L, 0.1, 0.0), (20L, 0.2, 0.0), (30L, 0.3, 0.0), (40L, 5.0, 5.0))
+      .toDF("rid", "x", "y")
+      .withColumn("geometry", st_point(col("x"), col("y"))).drop("x", "y")
+    val out = SJoin.sknn(left, right, "lid", "rid", k = 2, maxDistanceM = 100000.0)
+      .select("lid", "rid", "knn_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set((1L, 10L, 1), (1L, 20L, 2))) // 30 cut by k, 40 by radius, lid 2 empty
+    // left join keeps the unmatched left row with null payload
+    val lj = SJoin.sknn(left, right, "lid", "rid", k = 2,
+      maxDistanceM = 100000.0, how = "left")
+    assert(lj.where(col("lid") === 2L).count() == 1)
+    // k = 1 reproduces snearest's pick
+    val k1 = SJoin.sknn(left, right, "lid", "rid", k = 1, maxDistanceM = 100000.0)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val near = SJoin.snearest(left, right, "lid", "rid", maxDistanceM = 100000.0)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k1 == near)
+    // and the rank filter plans as a WindowGroupLimit
+    val plan = SJoin.sknn(left, right, "lid", "rid", k = 2, maxDistanceM = 100000.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no pre-shuffle prune:\n$plan")
+  }
 }
