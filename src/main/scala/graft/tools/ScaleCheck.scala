@@ -45,6 +45,9 @@ object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
+    // optional substring filter: `ScaleCheck <sfDir> <factor> graph` times
+    // only the matching pairs (iteration stays cheap on a 32-pair harness)
+    val only = if (args.length > 2) Some(args(2)) else None
     val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -114,6 +117,7 @@ object ScaleCheck {
     val queries = emb.where(col("vec_id") < 8)
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     def pair(name: String)(at1: => DataFrame, atN: => DataFrame): Unit = {
+      if (only.exists(s => !name.contains(s))) return
       println(s"$name:")
       val a = timeIt("1x")(at1)
       val b = timeIt(s"${factor}x")(atN)
@@ -190,6 +194,15 @@ object ScaleCheck {
         .select("l_partkey"), "l_partkey", maxDepth = 3),
       Graph.bfs(edgesOf(liGN), liGN.where(col("l_partkey") % 97 === 0)
         .select("l_partkey"), "l_partkey", maxDepth = 3))
+    // planted hub: one part rides EVERY order, so its degree is the whole
+    // graph — naive wedge generation at the hub would form deg² candidate
+    // pairs (8.1B at 10×); the (degree, id) orientation charges every
+    // hub edge to its low-degree endpoint, so the ratio must stay bounded
+    def hubify(f: DataFrame) = f.unionByName(
+      f.select(col("l_orderkey"), lit(-1L).as("l_partkey")).distinct())
+    pair("graph_hub")(
+      Graph.triangleCounts(edgesOf(hubify(liG1))),
+      Graph.triangleCounts(edgesOf(hubify(liGN))))
 
     // join tier: copies get fresh keys (users/customers/suppliers), the
     // honest 100 TB shape — more data means more keys at constant per-key
