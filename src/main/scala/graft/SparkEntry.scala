@@ -1329,6 +1329,20 @@ object SparkEntry {
           round(sum(col("q_right")), 4).as("qty_overlap_sum"))
     }),
 
+    // --- bloom-pruned join: semi-join reduction ahead of the exchange ------
+    // exact-equivalence oracle: bloom has no false negatives and the exact
+    // join removes false positives, so the output must equal the plain
+    // inner join bit-for-bit — nothing of the sketch needs mirroring
+    "join_bloom" -> ((s, dir) => {
+      val dim = t(s, dir, "customer")
+        .where(col("c_nationkey") === 3 && col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name")
+      val facts = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      Joins.bloomPrunedJoin(facts, dim, "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+    }),
+
     // --- heavy hitters: CMS-prefiltered exact frequent tokens --------------
     "stats_heavy" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
@@ -2181,6 +2195,10 @@ object SparkEntry {
         |FROM f a JOIN f b
         |  ON a.k = b.k AND a.iid <> b.iid AND a.s0 <= b.e0 AND b.s0 <= a.e0
         |GROUP BY a.iid""".stripMargin,
+    "join_bloom" ->
+      """SELECT o.o_orderkey, c.c_name, o.o_totalprice
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_nationkey = 3 AND c.c_mktsegment = 'BUILDING'""".stripMargin,
     "data_shard" -> OracleSql.dataShard(shards = 8),
     "stats_quantile" -> OracleSql.statsQuantile("lineitem", "l_extendedprice",
       bins = 128, qs = Seq(0.25, 0.5, 0.9, 0.99)),

@@ -387,4 +387,71 @@ object Joins {
       .select(col("__lid").as(leftId), col("__rid").as(rOut),
         col("left_size"), col("right_size"), col("overlap"), col("jaccard"))
   }
+
+  /** Bloom-pruned inner equi-join (semi-join reduction): joins `big` to
+    * `small` on `bigKey = smallKey`, with the big side gated by a Bloom
+    * filter of the small side's keys BEFORE anything is shuffled. Bloom has
+    * no false negatives, so the gate never drops a matching row, and the
+    * exact join removes the false positives — the output is IDENTICAL to
+    * the plain inner join (the oracle checks exactly that).
+    *
+    * The 100 TB shape this exists for: a selective dimension (10M keys out
+    * of 10B fact rows) that is too large to broadcast as a hash relation,
+    * so Spark plans a shuffled join and exchanges the ENTIRE fact table.
+    * The dimension's Bloom bits are O(numBits) whatever its key count; the
+    * gate is a codegen'd per-row filter (numHashes splitmix probes into a
+    * dense word-array literal — no explode, no join, no extra column), so
+    * non-matching fact rows die in the scan stage and the exchange carries
+    * only survivors. Spark's own runtime bloom filter
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) covers the
+    * single-query case; this operator makes the reduction explicit and
+    * composable — build bits once with [[Sketch.bloomBits]]-equivalent
+    * hashing, gate many fact scans (the same bits prune every query
+    * against the same dimension).
+    *
+    * Sizing: false-positive rate ≈ (1 − e^(−kn/m))^k for n keys, m bits,
+    * k hashes — 1<<20 bits / 5 hashes holds ~100k keys under 1% fp. Bits
+    * embed in the plan as a word-array literal (numBits/64 longs, same
+    * bounded-collect policy as [[Sketch.heavyHitters]]' registers), capped
+    * at 8M bits / 1 MB; beyond that, gate with the relational
+    * [[Sketch.bloomBits]]/[[Sketch.bloomContains]] pair instead.
+    */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String, numBits: Int = 1 << 20,
+      numHashes: Int = 5, seed: Long = 42L): DataFrame = {
+    val gated = bloomGate(big, small, bigKey, smallKey, numBits, numHashes, seed)
+    gated.join(small, gated(bigKey) === small(smallKey), "inner")
+  }
+
+  /** The gate of [[bloomPrunedJoin]] alone: `big` filtered to rows whose
+    * `bigKey` the Bloom bits of `small[smallKey]` consider maybe-present
+    * (null keys drop — inner-join semantics). Use directly to prune SEVERAL
+    * fact scans against one dimension, or to stage the reduction ahead of a
+    * join this operator doesn't own (left joins, multi-key joins).
+    */
+  def bloomGate(big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String, numBits: Int = 1 << 20,
+      numHashes: Int = 5, seed: Long = 42L): DataFrame = {
+    require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
+      "numBits must be a power of two >= 64")
+    require(numBits <= (1 << 23),
+      "bits embed in the plan as a word-array literal; keep numBits <= 8M")
+    require(numHashes >= 1 && numHashes <= 16, "numHashes must be in [1, 16]")
+    val words = new Array[Long](numBits / 64)
+    // bounded collect: <= numBits distinct positions, sketch metadata
+    Sketch.bloomBits(small.select(smallKey), smallKey, numBits, numHashes, seed)
+      .collect().foreach { r =>
+        val b = r.getAs[Long]("bit")
+        words((b >> 6).toInt) |= (1L << (b & 63))
+      }
+    val arr = typedLit(words.toSeq)
+    val masks = typedLit((0 until 64).map(i => 1L << i))
+    val h = Sketch.hash64(big.schema(bigKey).dataType, col(bigKey), seed)
+    val member = (0 until numHashes).map { k =>
+      val bit = Sketch.bloomIdx(h, lit(k), numBits, seed).cast("int")
+      (element_at(arr, shiftright(bit, 6) + 1)
+        .bitwiseAND(element_at(masks, pmod(bit, lit(64)) + 1))) =!= lit(0L)
+    }.reduce(_ && _)
+    big.where(col(bigKey).isNotNull && member)
+  }
 }

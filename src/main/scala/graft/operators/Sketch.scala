@@ -34,7 +34,7 @@ object Sketch {
   /** Seed-mixed 64-bit row hash for a column, by type: longs/ints go through
     * splitmix64, strings through the polynomial fold — both mirrored in SQL.
     */
-  private def hash64(dt: DataType, c: Column, seed: Long): Column = dt match {
+  private[operators] def hash64(dt: DataType, c: Column, seed: Long): Column = dt match {
     case StringType => string_hash64(c, seed)
     case ByteType | ShortType | IntegerType | LongType => mix64_hash(c.cast("long"), seed)
     case other =>
@@ -303,7 +303,7 @@ object Sketch {
     * with a per-hash seed, remixed, masked to `numBits` (power of two — same
     * signed/unsigned agreement as [[cmsIdx]]).
     */
-  private def bloomIdx(h: Column, k: Column, numBits: Int, seed: Long): Column =
+  private[operators] def bloomIdx(h: Column, k: Column, numBits: Int, seed: Long): Column =
     pmod(mix64_hash(h.bitwiseXOR(lit(seed) + k), 0L), lit(numBits.toLong))
 
   /** Bloom filter bit set of one column (Bloom 1970, "Space/time trade-offs

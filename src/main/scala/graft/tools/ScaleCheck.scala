@@ -292,6 +292,22 @@ object ScaleCheck {
       ivLong(ivCopy(0), 1),
       ivLong((0 until factor).map(ivCopy).reduce(_ unionByName _), factor))
 
+    // bloom-pruned join: per-copy fresh keys, dim at constant per-copy
+    // selectivity (~0.5% of orderkeys), so survivors and output scale with
+    // the copies while the gate keeps the exchange at survivor volume —
+    // cost must track the (linear) scan, never the un-gated shuffle
+    def liFact(i: Int) = graft.readTable(spark, sfDir, "lineitem")
+      .select((col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
+        col("l_extendedprice"))
+    def liDim(i: Int) = liFact(i).where(col("l_orderkey") % 211 === 0)
+      .select(col("l_orderkey").as("k")).distinct()
+    def bloomOf(facts: DataFrame, dim: DataFrame) =
+      Joins.bloomPrunedJoin(facts, dim, "l_orderkey", "k")
+    pair("join_bloom")(
+      bloomOf(liFact(0), liDim(0)),
+      bloomOf((0 until factor).map(liFact).reduce(_ unionByName _),
+        (0 until factor).map(liDim).reduce(_ unionByName _)))
+
     pair("sim_project")(
       Similarity.projectedTopK(emb, queries, "embedding", "vec_id", k = 5),
       Similarity.projectedTopK(embN, queries, "embedding", "vec_id", k = 5))

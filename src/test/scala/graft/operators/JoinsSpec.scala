@@ -272,4 +272,48 @@ class JoinsSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  // ---- bloomPrunedJoin --------------------------------------------------
+
+  test("bloomPrunedJoin equals the plain inner join (long and string keys)") {
+    val big = (0L until 5000L).map(i => (i, s"row$i")).toDF("k", "payload")
+    val small = Seq((17L, "a"), (17L, "b"), (4242L, "c"), (9999999L, "absent"))
+      .toDF("sk", "tag")
+    val got = Joins.bloomPrunedJoin(big, small, "k", "sk", numBits = 1 << 12)
+      .select("k", "payload", "sk", "tag").collect().toSet
+    val want = big.join(small, $"k" === $"sk")
+      .select("k", "payload", "sk", "tag").collect().toSet
+    assert(got === want && got.size === 3)
+
+    val bigS = (0 until 2000).map(i => (s"key$i", i)).toDF("ks", "v")
+    val smallS = Seq(("key7", 1), ("key1999", 2), ("nope", 3)).toDF("sks", "w")
+    val gotS = Joins.bloomPrunedJoin(bigS, smallS, "ks", "sks", numBits = 1 << 12)
+      .select("ks", "v", "w").collect().toSet
+    assert(gotS === bigS.join(smallS, $"ks" === $"sks")
+      .select("ks", "v", "w").collect().toSet)
+  }
+
+  test("bloomGate prunes hard at a sane fp rate and never drops a match") {
+    val big = (0L until 20000L).toDF("k")
+    val small = (0L until 20000L by 1000L).toDF("sk") // 20 keys of 20000
+    val gated = Joins.bloomGate(big, small, "k", "sk", numBits = 1 << 14)
+    val kept = gated.count()
+    // no false negatives: every true match survives the gate
+    assert(gated.join(small, $"k" === $"sk").count() === 20L)
+    assert(kept >= 20L)
+    // 20 keys in 2^14 bits x 5 hashes => fp well under 1%; allow 2%
+    assert(kept <= 20L + (20000L * 2) / 100, s"gate kept $kept of 20000")
+    assert(Joins.bloomPrunedJoin(big, small, "k", "sk", numBits = 1 << 14)
+      .count() === 20L)
+  }
+
+  test("bloomPrunedJoin: null keys drop, empty small side yields empty") {
+    val big = Seq[(java.lang.Long, String)]((1L, "a"), (null, "n"), (2L, "b"))
+      .toDF("k", "p")
+    val small = Seq(1L).toDF("sk")
+    assert(Joins.bloomPrunedJoin(big, small, "k", "sk", numBits = 64)
+      .select("k", "p").as[(Long, String)].collect().toSet === Set((1L, "a")))
+    val none = small.where($"sk" < 0)
+    assert(Joins.bloomPrunedJoin(big, none, "k", "sk", numBits = 64).count() === 0L)
+  }
 }
