@@ -1274,6 +1274,32 @@ object OracleSql {
        |SELECT doc_id, CASE $cases ELSE '${weights.last._1}' END AS split FROM b""".stripMargin
   }
 
+  /** Leakage-safe split mirror: the [[dedupClusters]] recursive component
+    * labeling feeds the [[dataSplit]] hash chain on the CLUSTER id, so both
+    * engines must agree member-for-member on clusters AND label-for-label on
+    * the split of each cluster.
+    */
+  def dataSplitSafe(weights: Seq[(String, Double)], threshold: Double = 0.7,
+      seed: Long = 42L, docsrc: String = "documents"): String = {
+    val thresholds = weights.scanLeft(0L) { case (acc, (_, w)) => acc + math.round(w * 10000) }.tail
+    val cases = weights.map(_._1).zip(thresholds).init
+      .map { case (name, t) => s"WHEN bucket < $t THEN '$name'" }
+      .mkString(" ")
+    s"""WITH RECURSIVE ${minhashCore(docsrc)},
+       |vp AS (SELECT ida, idb FROM est WHERE CAST(eq AS DOUBLE)/128.0 >= $threshold),
+       |sym AS (SELECT ida AS u, idb AS v FROM vp UNION SELECT idb AS u, ida AS v FROM vp),
+       |lbl AS (
+       |  SELECT doc_id AS node, doc_id AS l FROM $docsrc
+       |  UNION
+       |  SELECT s.v AS node, lbl.l AS l FROM lbl JOIN sym s ON s.u = lbl.node WHERE lbl.l < s.v),
+       |cl AS (SELECT node AS doc_id, min(l) AS cluster FROM lbl GROUP BY node),
+       |z AS (SELECT doc_id, cluster, ${ub2(s"xor(cluster, $seed)")} AS z0 FROM cl),
+       |m AS (SELECT doc_id, cluster, ${sb2(mix64("z0"))} AS h FROM z),
+       |b AS (SELECT doc_id, cluster, ((h % 10000) + 10000) % 10000 AS bucket FROM m)
+       |SELECT doc_id, cluster, CASE $cases ELSE '${weights.last._1}' END AS split
+       |FROM b""".stripMargin
+  }
+
   /** (c_custkey, easting, northing): WGS84 UTM forward (Karney series),
     * mirrored with the kernel's own double-precision constants as literals.
     * sinh/cosh/atanh/asinh are emulated via exp/ln (DuckDB has no

@@ -981,6 +981,16 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")),
 
+    // --- leakage-safe split: membership decided per near-dup CLUSTER -------
+    // a near-dup pair straddling train/test is eval contamination; hashing
+    // the cluster id instead of the doc id makes that impossible by
+    // construction. Oracle recomputes clusters (recursive CTE) AND the
+    // split hash of each cluster — both must agree row-for-row.
+    "data_split_safe" -> ((s, dir) =>
+      Ops.splitByCluster(t(s, dir, "documents"), "text", "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), threshold = 0.7)
+        .select("doc_id", "cluster", "split")),
+
     // --- deterministic domain mixing (downsample to target proportions) ----
     "data_mix" -> ((s, dir) =>
       Ops.mixByHash(t(s, dir, "documents"), "source", "doc_id",
@@ -1990,6 +2000,8 @@ object SparkEntry {
         |      + 0.3 * greatest(0.0, 1.0 - 5.0 * (punct_ratio + digit_ratio))) * 10000.0 + 0.5) / 10000.0 AS quality_score
         |FROM f""".stripMargin,
     "data_split" -> OracleSql.dataSplit(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+    "data_split_safe" -> OracleSql.dataSplitSafe(
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), threshold = 0.7),
     "data_mix" -> OracleSql.dataMix(Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)),
     "text_decontam" -> OracleSql.decontaminate("doc_id % 50 = 0", n = 3, minHits = 5),
     "text_pack" ->

@@ -69,6 +69,33 @@ object Ops {
     df.withColumn(into, labeled)
   }
 
+  /** Leakage-safe train/val/test splitting: split membership is decided at
+    * near-duplicate CLUSTER granularity, not per row — every member of a
+    * [[Dedup.clusters]] cluster hashes the same cluster id through
+    * [[splitByHash]], so a document and its near-duplicates can never
+    * straddle train and test. Splitting doc-wise after deduping "enough" is
+    * the classic eval-contamination bug: any near-dup pair that survives the
+    * dedup threshold leaks train text into test verbatim-enough to inflate
+    * scores. Here the assignment itself is leakage-free by construction,
+    * whatever survives.
+    *
+    * Output: the input plus `cluster` (smallest member id) and `into`
+    * columns. Scale shape = [[Dedup.clusters]] (LSH banding + alternating-
+    * star connected components) plus one codegen'd hash label — the split
+    * adds NOTHING beyond the clustering it already composes with.
+    */
+  def splitByCluster(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      weights: Seq[(String, Double)],
+      threshold: Double = 0.8,
+      seed: Long = 42L,
+      into: String = "split"): DataFrame =
+    splitByHash(
+      Dedup.clusters(df, textCol, idCol, threshold = threshold),
+      "cluster", weights, seed, into)
+
   /** Deterministic domain mixing: downsamples each `labelCol` group so the
     * kept rows follow the `targets` proportions — the largest feasible
     * dataset with those proportions given the available counts (the scarcest

@@ -31,6 +31,33 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("splitByCluster: near-dup pairs can never straddle a split boundary") {
+    // 3 planted near-dup families (long shared text, one token changed) +
+    // singletons; enough distinct singleton ids that every split label
+    // appears somewhere
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val fams = for (f <- 0 until 3; m <- 0 until 4)
+      yield (f * 100L + m, base + s"family $f member tail token$m")
+    val singles = (1000L until 1200L).map(i => (i, s"unique standalone text $i " * 10 + i.toString))
+    val df = (fams ++ singles).toDF("doc_id", "text")
+    val out = Ops.splitByCluster(df, "text", "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), threshold = 0.6)
+    // every row labeled, all rows survive
+    assert(out.count() === df.count())
+    // each family resolves to ONE cluster and ONE split label
+    val famSides = out.where($"doc_id" < 1000L)
+      .groupBy(($"doc_id" / 100).cast("int").as("fam"))
+      .agg(countDistinct($"cluster").as("nc"), countDistinct($"split").as("ns"))
+      .as[(Int, Long, Long)].collect()
+    assert(famSides.length === 3 && famSides.forall { case (_, nc, ns) => nc == 1L && ns == 1L })
+    // determinism across partitionings
+    val again = Ops.splitByCluster(df.repartition(7), "text", "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), threshold = 0.6)
+      .select("doc_id", "cluster", "split").as[(Long, Long, String)].collect().toSet
+    assert(again === out.select("doc_id", "cluster", "split")
+      .as[(Long, Long, String)].collect().toSet)
+  }
+
   test("lookup: first match by orderBy, atomically — ties never stitch rows") {
     val left = Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "payload")
     val right = Seq(
