@@ -1105,6 +1105,33 @@ object OracleSql {
        |SELECT q, round(min_by(est, bn), 4) AS quantile4 FROM e GROUP BY q""".stripMargin
   }
 
+  /** Per-group quantile-gate mirror: [[statsQuantile]]'s bin arithmetic with
+    * the group key threaded through every CTE, then the row filter
+    * `v >= threshold` — literal op order so the interpolated threshold is
+    * bit-identical before the comparison.
+    */
+  def quantileGateGroup(src: String, idExpr: String, idAlias: String,
+      groupExpr: String, groupAlias: String, valExpr: String, valAlias: String,
+      q: Double, bins: Int): String = {
+    val qq = s"CAST('$q' AS DOUBLE)"
+    val bD = s"CAST('${bins.toDouble}' AS DOUBLE)"
+    s"""WITH data AS (SELECT $idExpr AS id, $groupExpr AS g, CAST($valExpr AS DOUBLE) AS v
+       |  FROM $src WHERE $valExpr IS NOT NULL),
+       |st AS (SELECT g, min(v) AS lo, max(v) AS hi, count(*) AS n FROM data GROUP BY g),
+       |b AS (SELECT d.g AS g, CAST(CASE WHEN hi = lo THEN CAST(0.0 AS DOUBLE)
+       |    ELSE least(floor((v - lo) / ((hi - lo) / $bD)), CAST(${bins - 1} AS DOUBLE))
+       |  END AS INT) AS bn FROM data d JOIN st ON d.g = st.g),
+       |c AS (SELECT g, bn, count(*) AS c FROM b GROUP BY g, bn),
+       |cm AS (SELECT g, bn, c,
+       |  sum(c) OVER (PARTITION BY g ORDER BY bn ROWS UNBOUNDED PRECEDING) AS cum FROM c),
+       |e AS (SELECT cm.g AS g, bn,
+       |  lo + ((hi - lo) / $bD) * (bn + ($qq * n - (cum - c)) / c) AS est
+       |  FROM cm JOIN st ON cm.g = st.g WHERE cum >= $qq * n),
+       |thr AS (SELECT g, min_by(est, bn) AS t FROM e GROUP BY g)
+       |SELECT d.id AS $idAlias, d.g AS $groupAlias, d.v AS $valAlias
+       |FROM data d JOIN thr ON d.g = thr.g WHERE d.v >= thr.t""".stripMargin
+  }
+
   /** The stats_kll oracle: the sketch's exact mode (k >= n, nothing ever
     * compacts) IS the discrete lower quantile, i.e. DuckDB's native
     * `quantile_disc` — two independent implementations agreeing, the same

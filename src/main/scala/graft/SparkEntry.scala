@@ -991,6 +991,17 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), threshold = 0.7)
         .select("doc_id", "cluster", "split")),
 
+    // --- per-group quantile gate: keep each lang's top 70% by doc length ---
+    // per-stratum threshold curation; thresholds from the group histogram
+    // sketch, corpus filtered by one codegen'd comparison — no per-group
+    // sort. Oracle mirrors the bin arithmetic literally, then the filter.
+    "data_quantile_gate" -> ((s, dir) =>
+      Ops.quantileGate(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            length(col("text")).cast("double").as("doclen")),
+          "doclen", Seq("lang"), q = 0.3, bins = 64)
+        .select("doc_id", "lang", "doclen")),
+
     // --- deterministic domain mixing (downsample to target proportions) ----
     "data_mix" -> ((s, dir) =>
       Ops.mixByHash(t(s, dir, "documents"), "source", "doc_id",
@@ -2002,6 +2013,9 @@ object SparkEntry {
     "data_split" -> OracleSql.dataSplit(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
     "data_split_safe" -> OracleSql.dataSplitSafe(
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), threshold = 0.7),
+    "data_quantile_gate" -> OracleSql.quantileGateGroup("documents",
+      "doc_id", "doc_id", "lang", "lang", "length(text)", "doclen",
+      q = 0.3, bins = 64),
     "data_mix" -> OracleSql.dataMix(Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)),
     "text_decontam" -> OracleSql.decontaminate("doc_id % 50 = 0", n = 3, minHits = 5),
     "text_pack" ->

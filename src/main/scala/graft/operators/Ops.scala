@@ -96,6 +96,34 @@ object Ops {
       Dedup.clusters(df, textCol, idCol, threshold = threshold),
       "cluster", weights, seed, into)
 
+  /** Per-group quantile gate: keeps rows whose `valueCol` is at or above
+    * their group's `q`-quantile — "keep the top (1−q) of every language by
+    * quality", the per-stratum form of threshold curation (one global
+    * threshold over-prunes strong groups and under-prunes weak ones).
+    *
+    * Thresholds come from [[Sketch.histQuantilesByGroup]]: two corpus
+    * passes into #groups × bins mergeable rows, a deterministic
+    * interpolated threshold per group (bit-reproducible, SQL-mirrorable —
+    * unlike `approx_percentile`), then ONE join-back and a codegen'd
+    * comparison. No per-group sort anywhere: the sort-rank formulation
+    * shuffles and orders the entire corpus, this shuffles the bin table.
+    * Rows with null values drop (no threshold can admit them); groups with
+    * all-null values vanish with their rows.
+    */
+  def quantileGate(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      q: Double,
+      bins: Int = 128): DataFrame = {
+    require(q > 0.0 && q < 1.0, "q must be in (0, 1)")
+    val thr = Sketch.histQuantilesByGroup(df, valueCol, groupCols, bins, Seq(q))
+      .select(groupCols.map(col) :+ col("quantile").as("__thr"): _*)
+    df.join(thr, groupCols)
+      .where(col(valueCol).cast("double") >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Deterministic domain mixing: downsamples each `labelCol` group so the
     * kept rows follow the `targets` proportions — the largest feasible
     * dataset with those proportions given the available counts (the scarcest

@@ -297,6 +297,45 @@ object Sketch {
       .groupBy("q").agg(min_by(col("__est"), col("__b")).as("quantile"))
   }
 
+  /** [[histQuantiles]] with the histogram built once PER GROUP: one row
+    * `(groupCols..., q, quantile)` per (group, requested quantile). Same two
+    * corpus passes — a per-group 3-value stats aggregate, then one
+    * map-side-combined bin count — and the per-group state stays ≤ `bins`
+    * rows, so total model size is #groups × bins whatever the corpus size.
+    * The cumulative window partitions by group OVER THE BIN TABLE (a model
+    * artifact), never the data. Groups whose values are all null get no row.
+    */
+  def histQuantilesByGroup(df: DataFrame, valueCol: String,
+      groupCols: Seq[String], bins: Int = 128,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(bins >= 1 && bins <= 65536, "bins must be in [1, 65536]")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0), "quantiles must be in [0, 1]")
+    val g = groupCols.map(col)
+    val data = df.where(col(valueCol).isNotNull)
+      .select(g :+ col(valueCol).cast("double").as("__v"): _*)
+    val stats = data.groupBy(g: _*).agg(min("__v").as("__lo"),
+      max("__v").as("__hi"), count(lit(1)).as("__n"))
+    val width = (col("__hi") - col("__lo")) / lit(bins.toDouble)
+    val bin = when(col("__hi") === col("__lo"), lit(0.0))
+      .otherwise(least(floor((col("__v") - col("__lo")) / width), lit(bins - 1.0)))
+      .cast("int")
+    val counts = data.join(stats, groupCols)
+      .groupBy(g :+ bin.as("__b"): _*).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy("__b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = counts.withColumn("__cum", sum("__c").over(w))
+    val qf = df.sparkSession.range(1).select(explode(array(qs.map(lit): _*)).as("q"))
+    val est = col("__lo") + width *
+      (col("__b") + (col("q") * col("__n") - (col("__cum") - col("__c"))) / col("__c"))
+    cum.crossJoin(broadcast(qf)).join(stats, groupCols)
+      .where(col("__cum") >= col("q") * col("__n"))
+      .select(g ++ Seq(col("q"), col("__b"), est.as("__est")): _*)
+      .groupBy(g :+ col("q"): _*).agg(min_by(col("__est"), col("__b")).as("quantile"))
+  }
+
   // ---- Bloom filter --------------------------------------------------------
 
   /** Per-row, per-hash bit position for the Bloom filter: the row hash xor'd

@@ -58,6 +58,27 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, String)].collect().toSet)
   }
 
+  test("quantileGate keeps each group's top fraction independently") {
+    // group A is uniformly "weak" (0..199), group B uniformly "strong"
+    // (1000..1199): a global threshold at q=0.3 would keep all of B and
+    // drop most of A; the per-group gate must keep ~70% of EACH
+    val df = ((0 until 200).map(i => ("a", i.toDouble)) ++
+      (0 until 200).map(i => ("b", 1000.0 + i))).toDF("g", "v")
+    val out = Ops.quantileGate(df, "v", Seq("g"), q = 0.3, bins = 64)
+    val kept = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(math.abs(kept("a") - 140L) <= 6, s"kept $kept")
+    assert(math.abs(kept("b") - 140L) <= 6, s"kept $kept")
+    // every survivor clears its own group's threshold, not the other's
+    val minA = out.where($"g" === "a").agg(min("v")).as[Double].head()
+    val minB = out.where($"g" === "b").agg(min("v")).as[Double].head()
+    assert(minA < 200 && minA > 30 && minB >= 1030)
+    // nulls drop
+    val withNull = df.unionByName(Seq(("a", null.asInstanceOf[java.lang.Double]))
+      .toDF("g", "v"))
+    assert(Ops.quantileGate(withNull, "v", Seq("g"), q = 0.3, bins = 64)
+      .where($"v".isNull).count() === 0L)
+  }
+
   test("lookup: first match by orderBy, atomically — ties never stitch rows") {
     val left = Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "payload")
     val right = Seq(

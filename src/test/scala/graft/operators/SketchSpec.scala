@@ -208,4 +208,23 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Long, Int)].collect().toSet
     assert(merged === whole)
   }
+
+  test("histQuantilesByGroup equals histQuantiles run per group") {
+    val df = ((0 until 500).map(i => ("a", i * 3.0)) ++
+      (0 until 80).map(i => ("b", 1000.0 - i)) ++
+      Seq(("c", 7.0), ("c", 7.0))).toDF("g", "v")
+    val qs = Seq(0.1, 0.5, 0.95)
+    val grouped = Sketch.histQuantilesByGroup(df, "v", Seq("g"), bins = 32, qs = qs)
+      .as[(String, Double, Double)].collect().toSet
+    val perGroup = Seq("a", "b", "c").flatMap { g =>
+      Sketch.histQuantiles(df.where($"g" === g), "v", bins = 32, qs = qs)
+        .as[(Double, Double)].collect().map { case (q, est) => (g, q, est) }
+    }.toSet
+    assert(grouped === perGroup)
+    // all-null group contributes no rows
+    val withNulls = df.unionByName(
+      Seq(("d", null.asInstanceOf[java.lang.Double])).toDF("g", "v"))
+    assert(Sketch.histQuantilesByGroup(withNulls, "v", Seq("g"), 32, qs)
+      .where($"g" === "d").count() === 0L)
+  }
 }
