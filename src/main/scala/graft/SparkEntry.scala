@@ -542,6 +542,28 @@ object SparkEntry {
         .select(round(st_aream(col("geometry")) / 1e6, 2).as("dissolved_km2"))
     }),
 
+    // --- st_subdivide: giant-polygon task-bound guard ----------------------
+    // a 97-vertex ring split until every part holds <= 16 vertices; the
+    // oracle pins area conservation against the regular-96-gon closed form
+    // ((n/2)·r²·sin(2π/n)) and the vertex bound as an invariant — the
+    // recursion itself has no SQL mirror, conservation + bound is the
+    // checkable contract
+    "geo_subdivide" -> ((s, dir) => {
+      val base = t(s, dir, "nation").select(col("n_nationkey"),
+        expr("(n_nationkey % 10) * 3.0 - 15 + 0.5").as("lonc"),
+        expr("(n_nationkey % 7) * 8.0 - 24 + 0.5").as("latc"),
+        expr("0.3 + (n_nationkey % 3) * 0.1").as("r"))
+      val poly = base.withColumn("geometry", st_polygon_from_coords(expr(
+        "flatten(transform(sequence(0, 96), i -> array(" +
+          "lonc + r * cos(2 * pi() * (i % 96) / 96), " +
+          "latc + r * sin(2 * pi() * (i % 96) / 96))))")))
+      poly.select(col("n_nationkey"),
+          explode(st_subdivide(col("geometry"), lit(16))).as("part"))
+        .groupBy("n_nationkey")
+        .agg(round(sum(st_area(col("part"))), 6).as("area6"),
+          (max(st_npoints(col("part"))) <= 16).as("all_bounded"))
+    }),
+
     // --- subset DSL: rename + drop + keep-rest form ------------------------
     "subset_star" -> ((s, dir) =>
       Subset(t(s, dir, "customer"), "c_name: name, -c_acctbal, *")),
@@ -1730,6 +1752,13 @@ object SparkEntry {
         |  AND ((c_custkey % 80) * 0.5 - 20 + 0.25) > ((s_suppkey % 25) * 1.6 - 20)
         |  AND ((c_custkey % 80) * 0.5 - 20 + 0.25) < ((s_suppkey % 25) * 1.6 - 20 + 2.5)
         |GROUP BY s_suppkey""".stripMargin,
+    "geo_subdivide" ->
+      """SELECT n_nationkey,
+        |  round(48 * CAST(0.3 + (n_nationkey % 3) * 0.1 AS DOUBLE)
+        |           * CAST(0.3 + (n_nationkey % 3) * 0.1 AS DOUBLE)
+        |           * sin(2 * pi() / 96), 6) AS area6,
+        |  TRUE AS all_bounded
+        |FROM nation""".stripMargin,
     "geo_dissolve_area" ->
       s"""WITH d AS (SELECT DISTINCT
          |  (s_suppkey % 10) * 12.0 - 54 AS lon, (s_suppkey % 7) * 9.0 - 27 AS lat FROM supplier),

@@ -162,6 +162,8 @@ object GeoFunctions {
 
   // ---- grid (spatial-join partitioning) -----------------------------------
   def st_cellcover(g: Column, cellDeg: Column): Column = c(StCellCover(e(g), ed(cellDeg)))
+  def st_subdivide(g: Column, maxVertices: Column): Column =
+    c(StSubdivide(e(g), Cast(e(maxVertices), IntegerType)))
   def st_cellof(lon: Column, lat: Column, cellDeg: Column): Column =
     c(StCellOf(ed(lon), ed(lat), ed(cellDeg)))
 
@@ -240,6 +242,7 @@ object GeoFunctions {
     r3("st_buffer", (g, r, n) => StBuffer(g, Cast(r, DoubleType), Cast(n, IntegerType)))
     r3("st_bufferm", (g, r, n) => StBufferM(g, Cast(r, DoubleType), Cast(n, IntegerType)))
     r2("st_cellcover", (g, cd) => StCellCover(g, Cast(cd, DoubleType)))
+    r2("st_subdivide", (g, mv) => StSubdivide(g, Cast(mv, IntegerType)))
     r3("st_cellof", (x, y, cd) => StCellOf(Cast(x, DoubleType), Cast(y, DoubleType), Cast(cd, DoubleType)))
     r2("st_to_utm", (g, epsg) => GeoFunctions.utmExpr(g, epsg, invert = false))
     r2("st_from_utm", (g, epsg) => GeoFunctions.utmExpr(g, epsg, invert = true))

@@ -487,6 +487,17 @@ case class StCellCover(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): StCellCover = copy(l, r)
 }
 
+case class StSubdivide(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override protected def nullSafeEval(b: Any, maxV: Any): Any =
+    GeomKernel.subdivide(b.asInstanceOf[Array[Byte]], maxV.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, maxV) => s"$K.subdivide($b, $maxV)")
+  override def prettyName: String = "st_subdivide"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StSubdivide = copy(l, r)
+}
+
 case class StCellOf(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with Serializable {
   override def dataType: DataType = LongType

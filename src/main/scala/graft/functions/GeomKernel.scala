@@ -436,4 +436,12 @@ object GeomKernel {
     }
     new GenericArrayData(out)
   }
+
+  /** WKB parts of [[graft.geom.Subdivide.subdivide]]: each part at most
+    * `maxVertices` vertices — explode ahead of spatial joins to bound
+    * per-candidate predicate cost by a constant.
+    */
+  def subdivide(b: Array[Byte], maxVertices: Int): ArrayData =
+    new GenericArrayData(
+      graft.geom.Subdivide.subdivide(WKB.read(b), maxVertices).map(WKB.write))
 }

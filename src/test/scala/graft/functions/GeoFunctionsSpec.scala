@@ -83,6 +83,20 @@ class GeoFunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(cells.contains(c))
   }
 
+  test("st_subdivide: Column DSL and SQL name agree, parts cover the area") {
+    val wkt = "POLYGON ((0 0, 1 0, 2 0, 3 0, 3 1, 3 2, 3 3, 2 3, 1 3, 0 3, 0 2, 0 1, 0 0))"
+    val parts = one[collection.Seq[Array[Byte]]](
+      st_subdivide(st_geomfromtext(lit(wkt)), lit(8)))
+    assert(parts.length > 1)
+    val areas = parts.map(b => graft.functions.GeomKernel.areaPlanar(b))
+    assert(math.abs(areas.sum - 9.0) < 1e-9)
+    GeoFunctions.registerAll(spark)
+    val viaSql = spark.sql(
+      s"SELECT size(st_subdivide(st_geomfromtext('$wkt'), 8)) AS n")
+      .head().getInt(0)
+    assert(viaSql == parts.length)
+  }
+
   test("polyline encode/decode round-trips at 1e-5 precision") {
     val wkt = "LINESTRING (-120.2 38.5, -120.95 40.7, -126.453 43.252)"
     val enc = one[String](st_polyline_encode(st_geomfromtext(lit(wkt))))
