@@ -159,6 +159,37 @@ object ScaleCheck {
         predicate = "contains", how = "inner"),
       SJoin.sagg(zones, ptsN, Seq(count(lit(1)).as("n_items"), sum("l_quantity").as("qty")),
         predicate = "contains", how = "inner"))
+    // planted monster polygon: one 2048-vertex ring covering the whole
+    // point domain. Un-subdivided, every probe pays the full ring per
+    // predicate call and the ring rides into every grid cell; subdivided
+    // at 32 vertices per part the per-candidate cost is constant and each
+    // part lands only in its own cells — the ratio must track the probe
+    // count, not the monster's vertex budget
+    val monsterWkt = "POLYGON ((" + (0 to 2048).map { i =>
+      val a = 2 * math.Pi * (i % 2048) / 2048
+      s"${35 * math.cos(a)} ${35 * math.sin(a)}"
+    }.mkString(", ") + "))"
+    val zonesM = zones.unionByName(spark.range(1)
+        .select(lit(99L).cast("int").as("n_nationkey"),
+          graft.functions.GeoFunctions.st_geomfromtext(lit(monsterWkt)).as("geometry")))
+      .select(col("n_nationkey"),
+        explode(graft.functions.GeoFunctions.st_subdivide(col("geometry"), lit(32))).as("geometry"))
+    pair("sjoin_monster")(
+      SJoin.sfilter(pts1, zonesM),
+      SJoin.sfilter(ptsN, zonesM))
+    if (only.forall("sjoin_monster".contains)) {
+      // the guard's constant-factor win, visible at 1×: same probes, same
+      // monster, with vs without subdivision (ratios alone can't show it —
+      // both shapes scale linearly, one just pays 2048 vertices per probe)
+      val zonesWhole = zones.unionByName(spark.range(1)
+        .select(lit(99L).cast("int").as("n_nationkey"),
+          graft.functions.GeoFunctions.st_geomfromtext(lit(monsterWkt)).as("geometry")))
+      println("sjoin_monster guard (1x, subdivided vs whole ring):")
+      val tSub = timeIt("subdivided")(SJoin.sfilter(pts1, zonesM))
+      val tWhole = timeIt("whole")(SJoin.sfilter(pts1, zonesWhole))
+      println(f"  subdivide win: ${tWhole / tSub}%.1fx")
+    }
+
     pair("text_tfidf")(
       graft.operators.TextAnalysis.tfidf(docs, topK = 5),
       graft.operators.TextAnalysis.tfidf(docsN, topK = 5))

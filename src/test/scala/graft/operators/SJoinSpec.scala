@@ -431,4 +431,35 @@ class SJoinSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"no pre-shuffle prune:\n$plan")
   }
+
+  test("subdivided build side is join-equivalent: sfilter directly, sjfull after pair dedup") {
+    // dense irregular polygon (a 64-gon with a concave bite) so subdivide
+    // actually splits; points probe interior, notch, boundary neighborhoods
+    val n = 64
+    val ringPts = (0 to n).map { i =>
+      val a = 2 * math.Pi * (i % n) / n
+      val r = if ((i % n) % 8 < 4) 2.0 else 1.1 // star-ish: concavities
+      s"${2.5 + r * math.cos(a)} ${2.5 + r * math.sin(a)}"
+    }.mkString(", ")
+    val star = Seq((7, s"POLYGON (($ringPts))")).toDF("zid", "wkt")
+      .select(col("zid"), st_geomfromtext(col("wkt")).as("geometry"))
+    val probes = (for { i <- 0 until 20; j <- 0 until 20 }
+      yield (i * 20 + j, 0.07 + i * 0.25, 0.11 + j * 0.25))
+      .toDF("pid", "lon", "lat")
+      .select(col("pid"), st_point(col("lon"), col("lat")).as("geometry"))
+
+    val whole = SJoin.sfilter(probes, star).select("pid").as[Int].collect().toSet
+    val parts = star.select(col("zid"),
+      explode(st_subdivide(col("geometry"), lit(16))).as("geometry"))
+    val sub = SJoin.sfilter(probes, parts).select("pid").as[Int].collect().toSet
+    assert(sub === whole && whole.nonEmpty && whole.size < 400)
+
+    val wholePairs = SJoin.sjfull(probes, star).select("pid", "zid")
+      .as[(Int, Int)].collect().toSet
+    // a probe on a shared cut line may hit two parts — pair-id distinct
+    // restores exact whole-polygon multiplicity
+    val subPairs = SJoin.sjfull(probes, parts).select("pid", "zid")
+      .distinct().as[(Int, Int)].collect().toSet
+    assert(subPairs === wholePairs)
+  }
 }
