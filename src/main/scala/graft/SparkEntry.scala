@@ -635,6 +635,15 @@ object SparkEntry {
           coalesce(unix_micros(col("valid_to")), lit(-1L)).as("vt_us"))
     }),
 
+    // --- windowFunnel: deepest view→click→purchase chain within 3 days -----
+    // maximal over anchors via chained forward strict as-ofs; the oracle is
+    // an INDEPENDENT min-ts chaining per anchor (LEFT JOIN + min) — two
+    // implementations of the same published semantics agreeing
+    "events_funnel" -> ((s, dir) =>
+      Ops.windowFunnel(t(s, dir, "events"), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), windowSeconds = 259200.0)
+        .select("user_id", "funnel_level", "n_complete")),
+
     "events_asof" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val purchases = e.where(col("event_type") === "purchase")
@@ -1816,6 +1825,26 @@ object SparkEntry {
         |  FROM runs)
         |SELECT user_id, event_type, epoch_us(valid_from) AS vf_us,
         |  coalesce(epoch_us(valid_to), -1) AS vt_us FROM fin""".stripMargin,
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS et, ts FROM events),
+        |a AS (SELECT u, ts AS t1, row_number() OVER (ORDER BY u, ts) AS rid
+        |  FROM e WHERE et = 'view'),
+        |c2 AS (SELECT a.u, a.t1, a.rid, min(e.ts) AS t2 FROM a
+        |  LEFT JOIN e ON e.u = a.u AND e.et = 'click' AND e.ts > a.t1
+        |  GROUP BY a.u, a.t1, a.rid),
+        |v2 AS (SELECT u, t1, rid, CASE WHEN epoch_us(t2) <= epoch_us(t1) + 259200000000
+        |  THEN t2 END AS t2 FROM c2),
+        |c3 AS (SELECT v.u, v.t1, v.rid, v.t2, min(e.ts) AS t3 FROM v2 v
+        |  LEFT JOIN e ON e.u = v.u AND e.et = 'purchase'
+        |    AND v.t2 IS NOT NULL AND e.ts > v.t2
+        |  GROUP BY v.u, v.t1, v.rid, v.t2),
+        |v3 AS (SELECT u, t1, rid, t2, CASE WHEN epoch_us(t3) <= epoch_us(t1) + 259200000000
+        |  THEN t3 END AS t3 FROM c3)
+        |SELECT u AS user_id,
+        |  max(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |      ELSE 1 END) AS funnel_level,
+        |  sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS n_complete
+        |FROM v3 GROUP BY u""".stripMargin,
     "events_asof" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events
         |          WHERE event_type = 'purchase'),

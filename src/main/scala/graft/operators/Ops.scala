@@ -550,6 +550,59 @@ object Ops {
       .drop("__run")
   }
 
+  /** Event-sequence funnel (the windowFunnel analytic, ClickHouse's public
+    * semantics re-derived): for each key, the deepest prefix of `steps`
+    * completed in order, with every step inside `windowSeconds` of the
+    * step-1 event that anchors the chain, and strictly increasing
+    * timestamps. Maximal over anchors: EVERY step-1 event starts a chain
+    * (a later anchor can out-reach the first when the early attempt
+    * stalls), each chain greedily takes the earliest eligible next event —
+    * for fixed anchor the earliest-next chain dominates any other choice,
+    * so per-anchor greedy IS the per-anchor maximum.
+    *
+    * Scale shape: one chain level = one forward strict [[asofJoin]] of the
+    * live anchors against that step's events — union-sort, O(A + E) state,
+    * no per-key quadratic anchor × event join anywhere — so the whole
+    * funnel is `steps.size − 1` linear passes. Window comparisons run in
+    * exact integer microseconds (`unix_micros`), never double seconds.
+    *
+    * Output: one row per key with a step-1 event — `funnel_level` (1-based
+    * deepest level over that key's anchors) and `n_complete` (how many
+    * anchors ran the full funnel). Keys without a step-1 event are absent:
+    * level 0 is "nothing to report".
+    */
+  def windowFunnel(
+      events: DataFrame,
+      keyCol: String,
+      typeCol: String,
+      timeCol: String,
+      steps: Seq[String],
+      windowSeconds: Double): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    require(windowSeconds > 0, "windowSeconds must be positive")
+    val winMicros = math.round(windowSeconds * 1e6)
+    val stepEv = steps.map(s => events.where(col(typeCol) === s)
+      .select(col(keyCol), col(timeCol)))
+    var alive = stepEv.head
+      .select(col(keyCol), col(timeCol).as("__t1"), col(timeCol).as("__prev"))
+    val finished = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (i <- 1 until steps.size) {
+      val nxt = asofJoin(alive, stepEv(i), Seq(keyCol), "__prev", timeCol,
+        rightCols = Seq(timeCol), direction = "forward",
+        allowExactMatches = false)
+      val ok = col(timeCol).isNotNull &&
+        unix_micros(col(timeCol)) <= unix_micros(col("__t1")) + lit(winMicros)
+      finished += nxt.where(!ok).select(col(keyCol), lit(i).as("__lvl"))
+      alive = nxt.where(ok)
+        .select(col(keyCol), col("__t1"), col(timeCol).as("__prev"))
+    }
+    finished += alive.select(col(keyCol), lit(steps.size).as("__lvl"))
+    finished.reduce(_ unionByName _)
+      .groupBy(col(keyCol))
+      .agg(max(col("__lvl")).as("funnel_level"),
+        sum(when(col("__lvl") === steps.size, 1L).otherwise(0L)).as("n_complete"))
+  }
+
   /** Deterministic pivot: one column per EXPLICIT `pivotValues` entry (the
     * two-pass value-discovery variant is non-deterministic in column order
     * and costs an extra job — declare the columns, as production reports

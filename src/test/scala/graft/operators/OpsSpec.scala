@@ -58,6 +58,42 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, String)].collect().toSet)
   }
 
+  test("windowFunnel: anchor maximality, window expiry, strict ordering") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val rows = Seq(
+      // u1: early A stalls (B only at 15 > 0+10); later A@12 completes
+      // A->B->C — maximal over anchors must report level 3
+      (1L, "A", ts(0)), (1L, "A", ts(12)), (1L, "B", ts(15)), (1L, "C", ts(16)),
+      // u2: A->B inside window, C outside (A@0, B@3, C@11 > 0+10) — level 2
+      (2L, "A", ts(0)), (2L, "B", ts(3)), (2L, "C", ts(11)),
+      // u3: B before A never counts; A alone — level 1
+      (3L, "B", ts(0)), (3L, "A", ts(5)),
+      // u4: same-timestamp B does NOT satisfy strict increase; later B does
+      (4L, "A", ts(0)), (4L, "B", ts(0)), (4L, "B", ts(2)), (4L, "C", ts(4)),
+      // u5: two complete chains -> n_complete 2
+      (5L, "A", ts(0)), (5L, "B", ts(1)), (5L, "C", ts(2)),
+      (5L, "A", ts(100)), (5L, "B", ts(101)), (5L, "C", ts(102)),
+      // u6: no A at all -> absent from output
+      (6L, "B", ts(0)), (6L, "C", ts(1)),
+      // u7: only a same-timestamp B exists — strict increase rejects it
+      (7L, "A", ts(5)), (7L, "B", ts(5)), (7L, "C", ts(6)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Ops.windowFunnel(rows, "user_id", "event_type", "ts",
+        Seq("A", "B", "C"), windowSeconds = 10.0)
+      .select("user_id", "funnel_level", "n_complete")
+      .as[(Long, Int, Long)].collect()
+      .map { case (u, l, n) => u -> ((l, n)) }.toMap
+    assert(got(1L) === ((3, 1)))
+    assert(got(2L) === ((2, 0)))
+    assert(got(3L) === ((1, 0)))
+    assert(got(4L) === ((3, 1)))
+    assert(got(5L) === ((3, 2)))
+    assert(!got.contains(6L))
+    assert(got(7L) === ((1, 0)))
+    assert(got.size === 6)
+  }
+
   test("quantileGate keeps each group's top fraction independently") {
     // group A is uniformly "weak" (0..199), group B uniformly "strong"
     // (1000..1199): a global threshold at q=0.3 would keep all of B and
