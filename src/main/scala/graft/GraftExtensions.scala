@@ -55,6 +55,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "st_bufferm" -> (a => StBufferM(a(0), a(1), a(2))),
       "st_cellcover" -> (a => StCellCover(a(0), a(1))),
       "st_subdivide" -> (a => StSubdivide(a(0), a(1))),
+      "st_snaptogrid" -> (a => StSnapToGrid(a(0), a(1))),
       "st_cellof" -> (a => StCellOf(a(0), a(1), a(2))),
       "st_to_utm" -> (a => GeoFunctions.utmExpr(a(0), a(1), invert = false)),
       "st_from_utm" -> (a => GeoFunctions.utmExpr(a(0), a(1), invert = true)),

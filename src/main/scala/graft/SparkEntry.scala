@@ -564,6 +564,15 @@ object SparkEntry {
           (max(st_npoints(col("part"))) <= 16).as("all_bounded"))
     }),
 
+    // --- st_snaptogrid: coordinate quantization (dedup / tile prep) --------
+    "geo_snap" -> ((s, dir) => {
+      val lon = expr("cast((c_custkey % 120) * 0.37 - 22.2 as double)")
+      val lat = expr("cast((c_custkey % 80) * 0.29 - 11.6 as double)")
+      t(s, dir, "customer").select(col("c_custkey"),
+        round(st_x(st_snaptogrid(st_point(lon, lat), lit(0.25))), 6).as("sx"),
+        round(st_y(st_snaptogrid(st_point(lon, lat), lit(0.25))), 6).as("sy"))
+    }),
+
     // --- subset DSL: rename + drop + keep-rest form ------------------------
     "subset_star" -> ((s, dir) =>
       Subset(t(s, dir, "customer"), "c_name: name, -c_acctbal, *")),
@@ -1761,6 +1770,11 @@ object SparkEntry {
         |  AND ((c_custkey % 80) * 0.5 - 20 + 0.25) > ((s_suppkey % 25) * 1.6 - 20)
         |  AND ((c_custkey % 80) * 0.5 - 20 + 0.25) < ((s_suppkey % 25) * 1.6 - 20 + 2.5)
         |GROUP BY s_suppkey""".stripMargin,
+    "geo_snap" ->
+      """SELECT c_custkey,
+        |  round(floor(CAST((c_custkey % 120) * 0.37 - 22.2 AS DOUBLE) / 0.25 + 0.5) * 0.25, 6) AS sx,
+        |  round(floor(CAST((c_custkey % 80) * 0.29 - 11.6 AS DOUBLE) / 0.25 + 0.5) * 0.25, 6) AS sy
+        |FROM customer""".stripMargin,
     "geo_subdivide" ->
       """SELECT n_nationkey,
         |  round(48 * CAST(0.3 + (n_nationkey % 3) * 0.1 AS DOUBLE)

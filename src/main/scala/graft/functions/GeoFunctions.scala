@@ -162,6 +162,7 @@ object GeoFunctions {
 
   // ---- grid (spatial-join partitioning) -----------------------------------
   def st_cellcover(g: Column, cellDeg: Column): Column = c(StCellCover(e(g), ed(cellDeg)))
+  def st_snaptogrid(g: Column, size: Column): Column = c(StSnapToGrid(e(g), ed(size)))
   def st_subdivide(g: Column, maxVertices: Column): Column =
     c(StSubdivide(e(g), Cast(e(maxVertices), IntegerType)))
   def st_cellof(lon: Column, lat: Column, cellDeg: Column): Column =
@@ -243,6 +244,7 @@ object GeoFunctions {
     r3("st_bufferm", (g, r, n) => StBufferM(g, Cast(r, DoubleType), Cast(n, IntegerType)))
     r2("st_cellcover", (g, cd) => StCellCover(g, Cast(cd, DoubleType)))
     r2("st_subdivide", (g, mv) => StSubdivide(g, Cast(mv, IntegerType)))
+    r2("st_snaptogrid", (g, sz) => StSnapToGrid(g, Cast(sz, DoubleType)))
     r3("st_cellof", (x, y, cd) => StCellOf(Cast(x, DoubleType), Cast(y, DoubleType), Cast(cd, DoubleType)))
     r2("st_to_utm", (g, epsg) => GeoFunctions.utmExpr(g, epsg, invert = false))
     r2("st_from_utm", (g, epsg) => GeoFunctions.utmExpr(g, epsg, invert = true))

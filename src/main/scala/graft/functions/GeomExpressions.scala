@@ -487,6 +487,17 @@ case class StCellCover(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): StCellCover = copy(l, r)
 }
 
+case class StSnapToGrid(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(b: Any, size: Any): Any =
+    GeomKernel.snapToGrid(b.asInstanceOf[Array[Byte]], size.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, size) => s"$K.snapToGrid($b, $size)")
+  override def prettyName: String = "st_snaptogrid"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StSnapToGrid = copy(l, r)
+}
+
 case class StSubdivide(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
   override def dataType: DataType = ArrayType(BinaryType, containsNull = false)

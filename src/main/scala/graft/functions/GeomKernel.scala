@@ -441,6 +441,13 @@ object GeomKernel {
     * `maxVertices` vertices — explode ahead of spatial joins to bound
     * per-candidate predicate cost by a constant.
     */
+  /** Grid-snapped geometry (PostGIS ST_SnapToGrid semantics): nearest grid
+    * intersection half-up, consecutive duplicates collapsed, degenerate
+    * parts dropped — the quantization step before WKB hash-dedup.
+    */
+  def snapToGrid(b: Array[Byte], size: Double): Array[Byte] =
+    WKB.write(Algos.snapToGrid(WKB.read(b), size))
+
   def subdivide(b: Array[Byte], maxVertices: Int): ArrayData =
     new GenericArrayData(
       graft.geom.Subdivide.subdivide(WKB.read(b), maxVertices).map(WKB.write))

@@ -488,4 +488,61 @@ object Algos {
     }
     best
   }
+
+  /** Snap every coordinate to the grid `origin + k·size` (nearest
+    * intersection, half-up — PostGIS ST_SnapToGrid semantics re-derived):
+    * the quantization step of geometry dedup and tile preparation.
+    * Consecutive duplicate points collapse; parts that degenerate drop (a
+    * ring below 3 distinct points, a line below 2), so a multi-geometry can
+    * come back with fewer parts and a fully-collapsed areal/line geometry
+    * becomes an empty multi of its kind. Snapped-identical inputs then
+    * compare byte-equal as WKB — exactly what hash-dedup needs.
+    */
+  def snapToGrid(g: Geom, size: Double, ox: Double = 0.0, oy: Double = 0.0): Geom = {
+    require(size > 0, "grid size must be positive")
+    @inline def sx(v: Double): Double = math.floor((v - ox) / size + 0.5) * size + ox
+    @inline def sy(v: Double): Double = math.floor((v - oy) / size + 0.5) * size + oy
+    def snapPath(cs: Array[Double], close: Boolean): Array[Double] = {
+      val out = new scala.collection.mutable.ArrayBuffer[Double](cs.length)
+      var i = 0
+      while (i + 1 < cs.length) {
+        val x = sx(cs(i)); val y = sy(cs(i + 1))
+        if (out.length < 2 || out(out.length - 2) != x || out(out.length - 1) != y) {
+          out += x; out += y
+        }
+        i += 2
+      }
+      if (close && out.length >= 2 &&
+          (out(0) == out(out.length - 2) && out(1) == out(out.length - 1)))
+        out.dropRightInPlace(2) // reclose below after dedup of the seam
+      if (close && out.length >= 2) { out += out(0); out += out(1) }
+      out.toArray
+    }
+    def ring(r: Array[Double]): Array[Double] = {
+      val s = snapPath(r, close = true)
+      // < 3 distinct points + close, or collapsed to a collinear sliver:
+      // zero-area rings are degenerate either way
+      if (s.length < 8 || signedRingArea(s) == 0.0) Array.emptyDoubleArray else s
+    }
+    g match {
+      case Point(x, y) => Point(sx(x), sy(y))
+      case MultiPoint(cs) => MultiPoint(snapPath(cs, close = false))
+      case LineString(cs) =>
+        val s = snapPath(cs, close = false)
+        LineString(if (s.length < 4) Array.emptyDoubleArray else s)
+      case MultiLineString(ps) =>
+        MultiLineString(ps.map(snapPath(_, close = false)).filter(_.length >= 4))
+      case Polygon(rs) =>
+        val shell = if (rs.isEmpty) Array.emptyDoubleArray else ring(rs.head)
+        if (shell.isEmpty) Polygon(Array.empty)
+        else Polygon(shell +: rs.tail.map(ring).filter(_.nonEmpty))
+      case MultiPolygon(ps) =>
+        MultiPolygon(ps.flatMap { rs =>
+          val shell = if (rs.isEmpty) Array.emptyDoubleArray else ring(rs.head)
+          if (shell.isEmpty) None
+          else Some(shell +: rs.tail.map(ring).filter(_.nonEmpty))
+        })
+      case GeomCollection(gs) => GeomCollection(gs.map(snapToGrid(_, size, ox, oy)))
+    }
+  }
 }
