@@ -431,7 +431,21 @@ object Joins {
     */
   def bloomGate(big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String, numBits: Int = 1 << 20,
-      numHashes: Int = 5, seed: Long = 42L): DataFrame = {
+      numHashes: Int = 5, seed: Long = 42L): DataFrame =
+    big.where(col(bigKey).isNotNull &&
+      bloomMember(small, smallKey, col(bigKey), big.schema(bigKey).dataType,
+        numBits, numHashes, seed))
+
+  /** The membership predicate of [[bloomGate]] as a free-standing Column:
+    * true iff the Bloom bits of `small[smallKey]` consider `keyExpr`
+    * maybe-present. Builds the word-array literal ONCE at call time (one
+    * bounded job over `small`), so the returned column is a pure codegen'd
+    * filter usable anywhere a Column is — batch scans, several frames, or a
+    * streaming query gated against a static seen-corpus.
+    */
+  def bloomMember(small: DataFrame, smallKey: String, keyExpr: Column,
+      keyType: org.apache.spark.sql.types.DataType, numBits: Int = 1 << 20,
+      numHashes: Int = 5, seed: Long = 42L): Column = {
     require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
       "numBits must be a power of two >= 64")
     require(numBits <= (1 << 23),
@@ -446,12 +460,11 @@ object Joins {
       }
     val arr = typedLit(words.toSeq)
     val masks = typedLit((0 until 64).map(i => 1L << i))
-    val h = Sketch.hash64(big.schema(bigKey).dataType, col(bigKey), seed)
-    val member = (0 until numHashes).map { k =>
+    val h = Sketch.hash64(keyType, keyExpr, seed)
+    (0 until numHashes).map { k =>
       val bit = Sketch.bloomIdx(h, lit(k), numBits, seed).cast("int")
       (element_at(arr, shiftright(bit, 6) + 1)
         .bitwiseAND(element_at(masks, pmod(bit, lit(64)) + 1))) =!= lit(0L)
     }.reduce(_ && _)
-    big.where(col(bigKey).isNotNull && member)
   }
 }

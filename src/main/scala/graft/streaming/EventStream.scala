@@ -201,6 +201,29 @@ object EventStream {
     spark.readStream.schema(schema).parquet(dir)
   }
 
+  /** Streaming seen-corpus gate: drops (default) or keeps stream rows whose
+    * `keyCol` the Bloom bits of the STATIC `seen[seenKey]` corpus consider
+    * maybe-present — incremental decontamination / URL-seen filtering
+    * without ever rescanning the corpus from the stream. The bits fold into
+    * the plan once at query definition ([[graft.operators.Joins.bloomMember]]),
+    * so the gate is a stateless codegen'd filter: no state store, no
+    * watermark requirement, composable before any stateful stage.
+    *
+    * Guarantee direction: nothing already seen ever passes a `drop = true`
+    * gate (Bloom has no false negatives); the price is a bounded false-
+    * positive fraction of genuinely-new rows dropped — the standard trade
+    * of seen-lists at corpus scale. Null keys cannot have been seen and
+    * always pass a drop-gate (and never pass a keep-gate).
+    */
+  def bloomGateStream(stream: DataFrame, seen: DataFrame,
+      keyCol: String, seenKey: String, drop: Boolean = true,
+      numBits: Int = 1 << 20, numHashes: Int = 5, seed: Long = 42L): DataFrame = {
+    val member = graft.operators.Joins.bloomMember(seen, seenKey, col(keyCol),
+      stream.schema(keyCol).dataType, numBits, numHashes, seed)
+    if (drop) stream.where(col(keyCol).isNull || !member)
+    else stream.where(col(keyCol).isNotNull && member)
+  }
+
   /** Streaming duplicate-drop bounded by the watermark (exactly-once event
     * ingestion when upstream retries): state holds only ids younger than the
     * watermark.

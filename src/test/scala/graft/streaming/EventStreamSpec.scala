@@ -501,4 +501,30 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
       .select("id", "id_right").as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 2L)))
   }
+
+  test("bloomGateStream: nothing seen ever passes; parity with the batch gate") {
+    implicit val sqlCtx = spark.sqlContext
+    val seen = (0L until 500L by 5L).toDF("url_id") // 100 seen keys
+    val mem = MemoryStream[Long]
+    val gated = bloomGateStream(mem.toDF().toDF("url_id"), seen,
+      "url_id", "url_id", drop = true, numBits = 1 << 14)
+    val q = gated.writeStream.format("memory").queryName("bloom_gate")
+      .outputMode("append").start()
+    try {
+      mem.addData(0L until 500L: _*)
+      q.processAllAvailable()
+      val out = spark.table("bloom_gate").as[Long].collect().toSet
+      // no false negatives: every seen key dropped
+      assert(out.intersect((0L until 500L by 5L).toSet).isEmpty)
+      // parity with the batch-side gate (same bits, same predicate)
+      val batchKept = {
+        val member = graft.operators.Joins.bloomMember(seen, "url_id",
+          col("url_id"), org.apache.spark.sql.types.LongType, numBits = 1 << 14)
+        (0L until 500L).toDF("url_id").where(!member).as[Long].collect().toSet
+      }
+      assert(out === batchKept)
+      // fp rate sane: at most a few percent of the 400 new keys lost
+      assert(out.size >= 380)
+    } finally q.stop()
+  }
 }
