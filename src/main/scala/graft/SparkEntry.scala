@@ -1042,6 +1042,14 @@ object SparkEntry {
           "doclen", Seq("lang"), q = 0.3, bins = 64)
         .select("doc_id", "lang", "doclen")),
 
+    // --- small-files compaction: content-identical size-targeted rewrite ---
+    "data_compact" -> ((s, dir) => {
+      val out = s"/tmp/graft_compact_${new java.io.File(dir).getName}"
+      graft.sources.Compact.compactFiles(s, s"$dir/lineitem.parquet", out,
+          targetFileBytes = 1L << 20, sortCols = Seq("l_orderkey", "l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
     // --- deterministic domain mixing (downsample to target proportions) ----
     "data_mix" -> ((s, dir) =>
       Ops.mixByHash(t(s, dir, "documents"), "source", "doc_id",
@@ -2085,6 +2093,8 @@ object SparkEntry {
     "data_split" -> OracleSql.dataSplit(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
     "data_split_safe" -> OracleSql.dataSplitSafe(
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), threshold = 0.7),
+    "data_compact" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
     "data_quantile_gate" -> OracleSql.quantileGateGroup("documents",
       "doc_id", "doc_id", "lang", "lang", "length(text)", "doclen",
       q = 0.3, bins = 64),
