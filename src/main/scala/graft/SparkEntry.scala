@@ -653,6 +653,14 @@ object SparkEntry {
           Seq("view", "click", "purchase"), windowSeconds = 259200.0)
         .select("user_id", "funnel_level", "n_complete")),
 
+    // --- cohort retention matrix: daily cohorts, 21 offsets ----------------
+    // (the events table spans one month — daily periods give a dense matrix)
+    "events_retention" -> ((s, dir) =>
+      Ops.retentionCohorts(t(s, dir, "events"), "user_id", "ts",
+          periodSeconds = 86400L, maxOffset = 21)
+        .select(col("cohort"), col("offset"), col("n_active"), col("n_cohort"),
+          round(col("retention"), 6).as("retention6"))),
+
     "events_asof" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val purchases = e.where(col("event_type") === "purchase")
@@ -1847,6 +1855,18 @@ object SparkEntry {
         |  FROM runs)
         |SELECT user_id, event_type, epoch_us(valid_from) AS vf_us,
         |  coalesce(epoch_us(valid_to), -1) AS vt_us FROM fin""".stripMargin,
+    "events_retention" ->
+      """WITH p AS (SELECT user_id AS u, epoch_us(ts) // 86400000000 AS per
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT u, min(per) AS cohort FROM p GROUP BY u),
+        |s AS (SELECT cohort, count(*) AS n_cohort FROM f GROUP BY cohort),
+        |a AS (SELECT DISTINCT p.u, f.cohort, p.per - f.cohort AS off
+        |  FROM p JOIN f ON p.u = f.u WHERE p.per - f.cohort <= 21),
+        |c AS (SELECT cohort, off AS "offset", count(*) AS n_active
+        |  FROM a GROUP BY cohort, off)
+        |SELECT c.cohort, c."offset", c.n_active, s.n_cohort,
+        |  round(CAST(c.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE), 6) AS retention6
+        |FROM c JOIN s ON c.cohort = s.cohort""".stripMargin,
     "events_funnel" ->
       """WITH e AS (SELECT user_id AS u, event_type AS et, ts FROM events),
         |a AS (SELECT u, ts AS t1, row_number() OVER (ORDER BY u, ts) AS rid

@@ -603,6 +603,42 @@ object Ops {
         sum(when(col("__lvl") === steps.size, 1L).otherwise(0L)).as("n_complete"))
   }
 
+  /** Cohort retention matrix — the other classic event analytic beside
+    * [[windowFunnel]]: users are cohorted by the period of their FIRST
+    * event (weekly by default), and each (cohort, offset) cell counts the
+    * cohort's distinct users active `offset` periods later, with
+    * `retention` = that count over the cohort size. Period indices are
+    * exact integer-µs floor divisions (`div`, never double division — a
+    * 2024-epoch µs count exceeds 2^53).
+    *
+    * Scale shape: one per-user min aggregate (first period), a user-keyed
+    * join-back, one distinct on (user, cohort, offset) — bounded by
+    * events — and a count aggregate; no window over the corpus, no
+    * self-join. Output rows ≤ cohorts × (maxOffset + 1): model-sized.
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      periodSeconds: Long = 604800L,
+      maxOffset: Int = 8): DataFrame = {
+    require(periodSeconds > 0 && maxOffset >= 0, "positive period, maxOffset >= 0")
+    val pUs = periodSeconds * 1000000L
+    val withP = events.where(col(keyCol).isNotNull && col(timeCol).isNotNull)
+      .select(col(keyCol).as("__u"),
+        expr(s"unix_micros(`$timeCol`) div ${pUs}L").as("__p"))
+    val firsts = withP.groupBy("__u").agg(min("__p").as("cohort"))
+    val sizes = firsts.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    withP.join(firsts, "__u")
+      .select(col("__u"), col("cohort"), (col("__p") - col("cohort")).as("offset"))
+      .where(col("offset") <= maxOffset)
+      .distinct()
+      .groupBy("cohort", "offset").agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort")
+      .withColumn("retention",
+        col("n_active").cast("double") / col("n_cohort").cast("double"))
+  }
+
   /** Deterministic pivot: one column per EXPLICIT `pivotValues` entry (the
     * two-pass value-discovery variant is non-deterministic in column order
     * and costs an extra job — declare the columns, as production reports

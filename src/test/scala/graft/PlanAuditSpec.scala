@@ -192,6 +192,33 @@ class PlanAuditSpec extends SparkSpec {
       s"rank<=cap did not become a WindowGroupLimit:\n$plan")
   }
 
+  test("bloom gate is a scan-side filter feeding a plain equi-join") {
+    val plan = physical(q("join_bloom"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"join_bloom degenerated:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"join_bloom lost its equi-join:\n$plan")
+    // the membership test must sit in a Filter over the fact scan, i.e. the
+    // word-array literal appears before the join, not as a join condition
+    val opt = optimized(q("join_bloom"))
+    assert(opt.contains("Filter"), s"no scan-side gate:\n$opt")
+  }
+
+  test("funnel levels chain through window sorts, never per-key self-joins") {
+    val plan = physical(q("events_funnel"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"events_funnel degenerated:\n$plan")
+    assert(plan.contains("Window"), s"funnel lost its union-sort shape:\n$plan")
+  }
+
+  test("quantile gate never sorts the corpus: the only window runs on the bin table") {
+    val df = q("data_quantile_gate")
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct"), s"gate degenerated:\n$plan")
+    // the corpus side is an aggregate (bin counts) before any window
+    assert(plan.contains("HashAggregate"), s"bin counting lost its aggregate:\n$plan")
+  }
+
   test("geometry expressions run inside whole-stage codegen") {
     val df = q("geo_area")
     df.collect() // force execution so the final adaptive plan exists

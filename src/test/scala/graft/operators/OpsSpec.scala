@@ -94,6 +94,28 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.size === 6)
   }
 
+  test("retentionCohorts: exact matrix on a hand-built cohort layout") {
+    import java.sql.Timestamp
+    val week = 604800L
+    def ts(w: Long, s: Long = 0L) = new Timestamp((w * week + s) * 1000L)
+    val rows = Seq(
+      (1L, ts(0)), (1L, ts(0, 3600)), (1L, ts(1)), (1L, ts(3)), // dup week 0 collapses
+      (2L, ts(0)),
+      (3L, ts(1)), (3L, ts(2)),
+      (4L, ts(0)), (4L, ts(12))) // offset 12 > maxOffset drops
+      .toDF("user_id", "ts")
+    val got = Ops.retentionCohorts(rows, "user_id", "ts", week, maxOffset = 8)
+      .select("cohort", "offset", "n_active", "n_cohort")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (0L, 0L, 3L, 3L), (0L, 1L, 1L, 3L), (0L, 3L, 1L, 3L),
+      (1L, 0L, 1L, 1L), (1L, 1L, 1L, 1L)))
+    val rates = Ops.retentionCohorts(rows, "user_id", "ts", week, maxOffset = 8)
+      .where($"cohort" === 0L && $"offset" === 1L)
+      .select("retention").as[Double].head()
+    assert(math.abs(rates - 1.0 / 3.0) < 1e-12)
+  }
+
   test("quantileGate keeps each group's top fraction independently") {
     // group A is uniformly "weak" (0..199), group B uniformly "strong"
     // (1000..1199): a global threshold at q=0.3 would keep all of B and
