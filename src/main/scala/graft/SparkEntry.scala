@@ -884,6 +884,14 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // --- similarity: matryoshka prefix candidates + full-dim rescore -------
+    "sim_matryoshka" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.matryoshkaTopK(emb, emb.where(col("vec_id") < 8),
+          "embedding", "vec_id", k = 5, dims = 16, rescore = 4)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // --- similarity: JL-projected narrow-vector retrieval (64 -> 16 dims) --
     "sim_project" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1412,7 +1420,7 @@ object SparkEntry {
     // inner join bit-for-bit — nothing of the sketch needs mirroring
     "join_bloom" -> ((s, dir) => {
       val dim = t(s, dir, "customer")
-        .where(col("c_nationkey") === 3 && col("c_mktsegment") === "BUILDING")
+        .where(col("c_nationkey") < 12 && col("c_mktsegment") === "BUILDING")
         .select("c_custkey", "c_name")
       val facts = t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -1996,6 +2004,30 @@ object SparkEntry {
         |  CASE WHEN p_partkey % 3 = 0 THEN CAST(round((p_partkey % 60) * 0.1 + 0.05, 5) AS DOUBLE)
         |       ELSE -999.0 END AS lon5
         |FROM part""".stripMargin,
+    // two-stage mirror: truncated-prefix cosine picks 4k survivors
+    // (deterministic (-cos, id) order), full-dim cosine ranks the final k —
+    // identical arithmetic in both engines, so the survivor SET matches
+    // bit-for-bit and the oracle pins the whole composition
+    "sim_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |s1 AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(q.qe[1:16], e.embedding[1:16]),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(q.qe[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(e.embedding[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos1
+        |  FROM embeddings e, q),
+        |surv AS (SELECT query_id, neighbor_id FROM s1
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos1 DESC, neighbor_id) <= 20),
+        |sc AS (SELECT s.query_id, s.neighbor_id,
+        |  list_sum(list_transform(list_zip(q.qe, e.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM surv s
+        |  JOIN embeddings e ON e.vec_id = s.neighbor_id
+        |  JOIN q ON q.query_id = s.query_id)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
     "sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
         |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -2326,7 +2358,7 @@ object SparkEntry {
     "join_bloom" ->
       """SELECT o.o_orderkey, c.c_name, o.o_totalprice
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |WHERE c.c_nationkey = 3 AND c.c_mktsegment = 'BUILDING'""".stripMargin,
+        |WHERE c.c_nationkey < 12 AND c.c_mktsegment = 'BUILDING'""".stripMargin,
     "data_shard" -> OracleSql.dataShard(shards = 8),
     "stats_quantile" -> OracleSql.statsQuantile("lineitem", "l_extendedprice",
       bins = 128, qs = Seq(0.25, 0.5, 0.9, 0.99)),

@@ -468,6 +468,38 @@ object Similarity {
     rescoreExact(corpus, queries, vecCol, idCol, survivors, k)
   }
 
+  /** Matryoshka truncated-prefix retrieval (MRL, Kusupati et al. 2022 —
+    * public literature): candidate generation scores cosine on only the
+    * FIRST `dims` components (matryoshka-trained embeddings front-load
+    * information, so the prefix is itself a usable embedding), then the
+    * top `rescore·k` survivors per query get an exact full-dimension
+    * rescore. In deployment the truncated prefix is a STORED narrow column
+    * (dims/D of the float bytes — the same memory lever as
+    * [[quantizeInt8]], composable with it); this operator slices inline so
+    * any corpus can run it, and the candidate stage still touches only the
+    * sliced values.
+    */
+  def matryoshkaTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      dims: Int,
+      rescore: Int = 4): DataFrame = {
+    require(dims >= 1, "dims must be >= 1")
+    require(k >= 1 && rescore >= 1, "k and rescore must be >= 1")
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      slice(col(vecCol).cast("array<double>"), 1, dims).as("__cv"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      slice(col(vecCol).cast("array<double>"), 1, dims).as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine", cosineSim(col("__qv"), col("__cv")))
+    val survivors = topkColumns(scored, math.max(k, rescore * k))
+      .select("query_id", "neighbor_id")
+    rescoreExact(corpus, queries, vecCol, idCol, survivors, k)
+  }
+
   /** Exact float rescore of a survivor list: the (query, neighbor) pairs are
     * model-sized — broadcast them onto the corpus so the wide float column
     * is read only where it matters, and rank by TRUE cosine.
