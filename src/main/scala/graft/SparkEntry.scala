@@ -653,6 +653,12 @@ object SparkEntry {
           Seq("view", "click", "purchase"), windowSeconds = 259200.0)
         .select("user_id", "funnel_level", "n_complete")),
 
+    // --- per-key rolling 1-hour window aggregate ---------------------------
+    "events_rolling" -> ((s, dir) =>
+      Ops.rollingAgg(t(s, dir, "events"), "user_id", "ts", "value", 3600L)
+        .select(col("event_id"), col("user_id"), col("rolling_n"),
+          round(col("rolling_sum"), 4).as("rolling_sum4"))),
+
     // --- cohort retention matrix: daily cohorts, 21 offsets ----------------
     // (the events table spans one month — daily periods give a dense matrix)
     "events_retention" -> ((s, dir) =>
@@ -1863,6 +1869,13 @@ object SparkEntry {
         |  FROM runs)
         |SELECT user_id, event_type, epoch_us(valid_from) AS vf_us,
         |  coalesce(epoch_us(valid_to), -1) AS vt_us FROM fin""".stripMargin,
+    "events_rolling" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS rolling_n,
+        |  round(sum(value) OVER w, 4) AS rolling_sum4
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "events_retention" ->
       """WITH p AS (SELECT user_id AS u, epoch_us(ts) // 86400000000 AS per
         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),

@@ -603,6 +603,31 @@ object Ops {
         sum(when(col("__lvl") === steps.size, 1L).otherwise(0L)).as("n_complete"))
   }
 
+  /** Per-key rolling time-window aggregate: for every event, the count /
+    * sum / mean of `valueCol` over that key's events in the trailing
+    * `windowSeconds` (inclusive both ends) — rate limiting, trailing
+    * spend, rolling feature columns. A RANGE window over exact integer
+    * microseconds: frame membership is a timestamp predicate, so ties and
+    * ordering inside the frame cannot change the result. One key-hash
+    * shuffle + per-key sort; frame state is the window's rows only.
+    */
+  def rollingAgg(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String,
+      windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, "windowSeconds must be positive")
+    val wUs = windowSeconds * 1000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(unix_micros(col(timeCol)))
+      .rangeBetween(-wUs, 0)
+    events
+      .withColumn("rolling_n", count(lit(1)).over(w))
+      .withColumn("rolling_sum", sum(col(valueCol)).over(w))
+      .withColumn("rolling_mean", col("rolling_sum") / col("rolling_n"))
+  }
+
   /** Cohort retention matrix — the other classic event analytic beside
     * [[windowFunnel]]: users are cohorted by the period of their FIRST
     * event (weekly by default), and each (cohort, offset) cell counts the
