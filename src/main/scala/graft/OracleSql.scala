@@ -1620,4 +1620,77 @@ object OracleSql {
        |SELECT r_regionkey, level_s, round(sum(a), 6) AS contour_area_deg2
        |FROM areas GROUP BY r_regionkey, level_s""".stripMargin
   }
+
+  /** Mirror of `GeoOps.hexbin` over the lonlat_points customer grid: the
+    * identical fractional-axial + cube-round arithmetic, with the Scala
+    * constants embedded as exact shortest-repr double literals (CAST from
+    * VARCHAR — plain decimal literals would type as DECIMAL) and rounding
+    * as floor(x + 0.5) on both engines.
+    */
+  def geoHexbin(size: Double): String = {
+    def d(v: Double) = s"CAST('$v' AS DOUBLE)"
+    val c1 = d(2.0 / 3.0); val c2 = d(-1.0 / 3.0); val c3 = d(math.sqrt(3.0) / 3.0)
+    val sz = d(size)
+    s"""WITH pts AS (SELECT c_custkey, c_acctbal,
+       |    CAST((c_custkey % 120) * 0.5 - 30 + 0.25 AS DOUBLE) AS x,
+       |    CAST((c_custkey % 80) * 0.5 - 20 + 0.25 AS DOUBLE) AS y
+       |  FROM customer),
+       |h AS (SELECT c_custkey, c_acctbal,
+       |    x * $c1 / $sz AS qf, (x * $c2 + y * $c3) / $sz AS rf FROM pts),
+       |cz AS (SELECT *, -qf - rf AS zf FROM h),
+       |r0 AS (SELECT *, floor(qf + 0.5) AS rq, floor(rf + 0.5) AS rr,
+       |    floor(zf + 0.5) AS rz FROM cz),
+       |dd AS (SELECT *, abs(rq - qf) AS dq, abs(rr - rf) AS dr, abs(rz - zf) AS dz
+       |  FROM r0),
+       |fin AS (SELECT c_custkey, c_acctbal,
+       |    CASE WHEN dq > dr AND dq > dz THEN -rr - rz ELSE rq END AS q,
+       |    CASE WHEN NOT (dq > dr AND dq > dz) AND dr > dz THEN -rq - rz ELSE rr END AS r
+       |  FROM dd)
+       |SELECT CAST(q AS BIGINT) AS hex_q, CAST(r AS BIGINT) AS hex_r,
+       |  count(*) AS n_points, round(avg(c_acctbal), 4) AS avg_bal4
+       |FROM fin GROUP BY q, r""".stripMargin
+  }
+
+  /** Mirror of `Profiling.profile`: one UNION ALL branch per column, each
+    * computing the same six metrics with literally the same arithmetic
+    * (TRY_CAST mean, value-order min/max rendered to VARCHAR afterwards).
+    */
+  def dataProfile(cols: Seq[String], src: String = "lineitem"): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+         |  coalesce(CAST(min($c) AS VARCHAR), '') AS min_s,
+         |  coalesce(CAST(max($c) AS VARCHAR), '') AS max_s,
+         |  coalesce(round(avg(TRY_CAST($c AS DOUBLE)), 6), -1.0) AS mean6
+         |FROM $src""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "")
+
+  /** Mirror of `Profiling.corrMatrix`: the identical sufficient-statistics
+    * expression tree `(nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²))`, pairs
+    * i < j in declaration order, zero-variance sentinel -1.
+    */
+  def statsCorr(cols: Seq[String], src: String = "lineitem"): String = {
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    val sums = pairs.zipWithIndex.flatMap { case ((a, b), ix) =>
+      val both = s"$a IS NOT NULL AND $b IS NOT NULL"
+      val x = s"CASE WHEN $both THEN CAST($a AS DOUBLE) END"
+      val y = s"CASE WHEN $both THEN CAST($b AS DOUBLE) END"
+      Seq(s"count($x) AS n_$ix",
+        s"sum($x) AS sx_$ix", s"sum($y) AS sy_$ix",
+        s"sum(($x) * ($y)) AS sxy_$ix",
+        s"sum(($x) * ($x)) AS sxx_$ix", s"sum(($y) * ($y)) AS syy_$ix")
+    }
+    val rows = pairs.zipWithIndex.map { case ((a, b), ix) =>
+      val num = s"n_$ix * sxy_$ix - sx_$ix * sy_$ix"
+      val dx = s"n_$ix * sxx_$ix - sx_$ix * sx_$ix"
+      val dy = s"n_$ix * syy_$ix - sy_$ix * sy_$ix"
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n_$ix AS n_both,
+         |  CASE WHEN $dx > 0 AND $dy > 0
+         |    THEN round(($num) / sqrt(($dx) * ($dy)), 4)
+         |    ELSE -1.0 END AS corr4 FROM s""".stripMargin
+    }
+    s"WITH s AS (SELECT ${sums.mkString(",\n  ")} FROM $src)\n" +
+      rows.mkString("\nUNION ALL\n")
+  }
 }

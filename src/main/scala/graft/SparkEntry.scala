@@ -1294,6 +1294,70 @@ object SparkEntry {
           round(col("zscore"), 6).as("zscore"), col("is_outlier"))
     }),
 
+    // --- time-series gap fill: hourly buckets, forward-filled --------------
+    "events_gapfill" -> ((s, dir) =>
+      Ops.gapFill(t(s, dir, "events"), "user_id", "ts", "value", 3600L, "event_id")
+        .select(col("user_id"), col("bucket"),
+          coalesce(round(col("filled"), 6), lit(-1.0)).as("filled6"), col("is_gap"))),
+
+    // --- CDC merge: latest-wins changelog applied onto a base snapshot -----
+    "data_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "customer").select("c_custkey", "c_acctbal", "c_mktsegment")
+      val ch = t(s, dir, "events")
+        .where(col("event_type").isin("purchase", "error"))
+        .select(col("user_id").as("c_custkey"), col("value").as("c_acctbal"),
+          concat(lit("seg_"), col("event_type")).as("c_mktsegment"),
+          when(col("event_type") === "error", lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          col("ts"), col("event_id"))
+      Ops.applyChangelog(base, ch, Seq("c_custkey"), "ts", "op", "event_id")
+        .select(col("c_custkey"),
+          coalesce(round(col("c_acctbal"), 6), lit(-1.0)).as("bal6"),
+          coalesce(col("c_mktsegment"), lit("")).as("seg"))
+    }),
+
+    // --- one-pass per-column profile (describe-at-scale) -------------------
+    "data_profile" -> ((s, dir) =>
+      Profiling.profile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"))),
+
+    // --- one-pass pairwise Pearson correlation matrix ----------------------
+    "stats_corr" -> ((s, dir) =>
+      Profiling.corrMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // --- exact corpus top-k word trigram census ----------------------------
+    "text_ngram_topk" -> ((s, dir) =>
+      TextAnalysis.ngramTopK(t(s, dir, "documents"), n = 3, k = 40)),
+
+    // --- hexagonal point binning over the synthetic customer grid ----------
+    "geo_hexbin" -> ((s, dir) => {
+      val pts = t(s, dir, "customer")
+        .withColumn("lon", expr("(c_custkey % 120) * 0.5 - 30 + 0.25"))
+        .withColumn("lat", expr("(c_custkey % 80) * 0.5 - 20 + 0.25"))
+      GeoOps.hexbin(pts, "lon", "lat", size = 2.5)
+        .groupBy("hex_q", "hex_r")
+        .agg(count(lit(1)).as("n_points"),
+          round(avg(col("c_acctbal")), 4).as("avg_bal4"))
+    }),
+
+    // --- asymmetric containment join (subset-document detection) -----------
+    // probe subset: the synthetic corpus shares a small vocabulary, so an
+    // unrestricted self-probe contains most short docs in most long ones —
+    // pair-level output stays bounded by probing one doc in twenty
+    "setsim_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val probes = docs.where(col("doc_id") % 20 === 3)
+      Joins.containmentJoin(probes, docs, "doc_id", "text", "doc_id", "text",
+          threshold = 0.8)
+        .where(col("doc_id") =!= col("doc_id_right"))
+        .select(col("doc_id"), col("doc_id_right"),
+          col("left_size").cast("long").as("left_size"),
+          col("right_size").cast("long").as("right_size"),
+          col("overlap").cast("long").as("overlap"),
+          round(col("containment"), 6).as("containment6"))
+    }),
+
     // --- semi-structured JSON props extraction + rollup --------------------
     "events_props" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -2261,6 +2325,63 @@ object SparkEntry {
         |SELECT l_orderkey, l_partkey, q AS l_quantity,
         |  round(z, 6) AS zscore, abs(z) > 1.5 AS is_outlier
         |FROM jz""".stripMargin,
+    "events_gapfill" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) // 3600000000 AS b, value AS v, ts, event_id
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |rn AS (SELECT u, b, v,
+        |  row_number() OVER (PARTITION BY u, b ORDER BY ts DESC, event_id DESC) AS rn FROM e),
+        |bv AS (SELECT u, b, v FROM rn WHERE rn = 1),
+        |r AS (SELECT u, min(b) AS b0, max(b) AS b1 FROM bv GROUP BY u),
+        |spine AS (SELECT u, unnest(generate_series(b0, b1)) AS b FROM r),
+        |j AS (SELECT s.u, s.b, bv.v FROM spine s
+        |  LEFT JOIN bv ON bv.u = s.u AND bv.b = s.b)
+        |SELECT u AS user_id, b AS bucket,
+        |  coalesce(round(last_value(v IGNORE NULLS) OVER (PARTITION BY u ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6), -1.0) AS filled6,
+        |  v IS NULL AS is_gap
+        |FROM j""".stripMargin,
+    "data_upsert" ->
+      """WITH ch AS (SELECT user_id AS k, value AS bal, 'seg_' || event_type AS seg,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op, ts, event_id
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |f AS (SELECT k, bal, seg, op,
+        |  row_number() OVER (PARTITION BY k ORDER BY ts DESC, event_id DESC) AS rn FROM ch),
+        |fr AS (SELECT k, bal, seg, op FROM f WHERE rn = 1),
+        |m AS (SELECT coalesce(c.c_custkey, fr.k) AS k,
+        |  CASE WHEN fr.k IS NOT NULL THEN fr.bal ELSE c.c_acctbal END AS bal,
+        |  CASE WHEN fr.k IS NOT NULL THEN fr.seg ELSE c.c_mktsegment END AS seg,
+        |  fr.op AS op
+        |  FROM customer c FULL OUTER JOIN fr ON c.c_custkey = fr.k)
+        |SELECT k AS c_custkey, round(coalesce(bal, -1), 6) AS bal6,
+        |  coalesce(seg, '') AS seg
+        |FROM m WHERE op IS NULL OR op <> 'delete'""".stripMargin,
+    "data_profile" -> OracleSql.dataProfile(
+      Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")),
+    "stats_corr" -> OracleSql.statsCorr(
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    "geo_hexbin" -> OracleSql.geoHexbin(size = 2.5),
+    "setsim_containment" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(list_filter(string_split(lower(trim(text)), ' '),
+        |      s -> s <> '')) AS toks
+        |  FROM documents),
+        |dd AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0)
+        |SELECT a.doc_id, b.doc_id AS doc_id_right,
+        |  a.n AS left_size, b.n AS right_size,
+        |  len(list_intersect(a.toks, b.toks)) AS overlap,
+        |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / CAST(a.n AS DOUBLE), 6) AS containment6
+        |FROM dd a JOIN dd b ON a.doc_id % 20 = 3 AND a.doc_id <> b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / CAST(a.n AS DOUBLE) >= CAST('0.8' AS DOUBLE)""".stripMargin,
+    "text_ngram_topk" ->
+      """WITH toks AS (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[\p{L}\p{Nd}]+') AS ws FROM documents),
+        |ix AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+        |  FROM toks WHERE len(ws) >= 3),
+        |g AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram FROM ix)
+        |SELECT gram, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+        |FROM g GROUP BY gram ORDER BY n_occ DESC, gram LIMIT 40""".stripMargin,
     "events_pivot" ->
       """SELECT user_id % 10 AS bucket,
         |  round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0.0 END), 4) AS click,

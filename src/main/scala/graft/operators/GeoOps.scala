@@ -148,4 +148,33 @@ object GeoOps {
         col(latCol) >= minLat && col(latCol) <= maxLat)
       .drop("__z")
   }
+
+  /** Flat-top hexagonal binning: appends axial cell coordinates
+    * (`hex_q`, `hex_r`) for each (lon, lat) at cell `size` (the hexagon's
+    * outer radius, in the input's units). The classic point-density /
+    * choropleth aggregation — hexagons tile without the rectangle's
+    * corner-distance bias. Pure codegen'd column arithmetic (fractional
+    * axial transform + cube rounding); rounding is `floor(x + 0.5)`, never
+    * a HALF_UP/HALF_EVEN library call, so any engine mirrors it literally.
+    * Cell ids are data-independent — binning is a projection (no shuffle),
+    * and the downstream per-cell aggregate is an ordinary map-side-combined
+    * groupBy on two small longs.
+    */
+  def hexbin(df: DataFrame, lonCol: String, latCol: String,
+      size: Double): DataFrame = {
+    require(size > 0, "hex size must be positive")
+    val x = col(lonCol).cast("double"); val y = col(latCol).cast("double")
+    val qf = x * lit(2.0 / 3.0) / size
+    val rf = (x * lit(-1.0 / 3.0) + y * lit(math.sqrt(3.0) / 3.0)) / size
+    val zf = -qf - rf
+    def rnd(c: Column): Column = floor(c + lit(0.5)) // -> long, ties toward +inf
+    val (rq, rr, rz) = (rnd(qf), rnd(rf), rnd(zf))
+    val (dq, dr, dz) = (abs(rq - qf), abs(rr - rf), abs(rz - zf))
+    // cube-round: re-derive the axis with the largest rounding error from
+    // the other two so q + r + z stays 0 (the hex-grid invariant)
+    val qOut = when(dq > dr && dq > dz, -rr - rz).otherwise(rq)
+    val rOut = when(!(dq > dr && dq > dz) && dr > dz, -rq - rz).otherwise(rr)
+    df.withColumn("hex_q", qOut.cast("long"))
+      .withColumn("hex_r", rOut.cast("long"))
+  }
 }

@@ -467,4 +467,83 @@ object Joins {
         .bitwiseAND(element_at(masks, pmod(bit, lit(64)) + 1))) =!= lit(0L)
     }.reduce(_ && _)
   }
+
+  /** Exact set-CONTAINMENT join — the asymmetric sibling of [[setSimJoin]]
+    * for subset-document detection (quotes, excerpts, page-in-site): emits
+    * (left, right) pairs where the right set covers at least `threshold` of
+    * the left's distinct tokens, C(l→r) = |l ∩ r| / |l| ≥ t. Jaccard misses
+    * exactly these pairs (a 30-token quote inside a 3000-token page has
+    * J ≈ 0.01) — containment is the published fix (asymmetric prefix
+    * filtering, Melnik/Garcia-Molina-style inverted probes).
+    *
+    * Candidate generation: the left set shares the prefix-filter argument
+    * with [[setSimJoin]] — overlap must reach α = ⌈t·|l|⌉, so l must share
+    * a token inside its rare-first prefix of length |l| − α + 1 (pigeonhole;
+    * the −1e-9 fp nudge only lengthens prefixes). The right side has NO
+    * such bound (α depends on the probe, not on |r| — a tiny quote pins
+    * almost nothing inside a huge page), so right tokens build a FULL
+    * inverted index: the inherent cost of containment, identical to the
+    * BM25 postings shape, one row per (token, right id). Rare-first
+    * ordering keeps every probe-side bucket small — frequent tokens never
+    * leave a left prefix. The size gate |r| ≥ α prunes inside the codegen'd
+    * join condition, candidates dedup on narrow id pairs, and the exact
+    * verify joins token arrays back BY ID.
+    */
+  def containmentJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftId: String,
+      leftCol: String,
+      rightId: String,
+      rightCol: String,
+      threshold: Double,
+      suffix: String = "_right"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+
+    def toksOf(c: Column): Column =
+      array_distinct(filter(split(trim(lower(c)), " +"), x => x =!= ""))
+    def prep(df: DataFrame, id: String, tc: String): DataFrame =
+      df.select(col(id).as("__id"), toksOf(col(tc)).as("__toks"))
+        .where(size(col("__toks")) > 0)
+    val l0 = prep(left, leftId, leftCol)
+    val r0 = prep(right, rightId, rightCol)
+
+    // rare-first order from BOTH sides' document frequencies, as in
+    // setSimJoin (a uniform self-join double-count cannot reorder)
+    val dfreq = l0.select(explode(col("__toks")).as("__tok"))
+      .unionAll(r0.select(explode(col("__toks")).as("__tok")))
+      .groupBy("__tok").agg(count(lit(1)).as("__df"))
+
+    val ls = l0.select(col("__id"), explode(col("__toks")).as("__tok"))
+      .join(dfreq, "__tok")
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__tok")))).as("__ord"))
+      .select(col("__id"), transform(col("__ord"), s => s("__tok")).as("__stoks"),
+        size(col("__ord")).as("__n"))
+    val rn = r0.select(col("__id").as("__rid"), size(col("__toks")).as("__rn"),
+      col("__toks"))
+
+    val alpha = ceil(lit(threshold) * col("__n").cast("double") - lit(1e-9))
+    val lp = ls.select(col("__id").as("__lid"), col("__n").as("__ln"),
+      explode(slice(col("__stoks"), lit(1),
+        (col("__n") - alpha.cast("int") + 1))).as("__tok"))
+    val rp = rn.select(col("__rid"), col("__rn"),
+      explode(col("__toks")).as("__tok"))
+    val cands = lp.join(rp,
+        lp("__tok") === rp("__tok") &&
+          rp("__rn").cast("double") + lit(1e-9) >= lit(threshold) * lp("__ln"))
+      .select(col("__lid"), col("__rid")).distinct()
+
+    val rOut = if (rightId == leftId) rightId + suffix else rightId
+    cands
+      .join(ls.select(col("__id").as("__lid"), col("__stoks").as("__ltoks"),
+        col("__n").as("left_size")), "__lid")
+      .join(rn.select(col("__rid"), col("__toks").as("__rtoks"),
+        col("__rn").as("right_size")), "__rid")
+      .withColumn("overlap", size(array_intersect(col("__ltoks"), col("__rtoks"))))
+      .withColumn("containment", col("overlap").cast("double") / col("left_size").cast("double"))
+      .where(col("containment") >= threshold)
+      .select(col("__lid").as(leftId), col("__rid").as(rOut),
+        col("left_size"), col("right_size"), col("overlap"), col("containment"))
+  }
 }

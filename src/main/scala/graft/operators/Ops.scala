@@ -713,4 +713,86 @@ object Ops {
       .withColumn("is_outlier", abs(col("zscore")) > z)
       .drop("__n", "__s", "__s2")
   }
+
+  /** Time-series resample + forward fill — the gap-filling step every
+    * monitoring/feature pipeline needs before rolling models: each key's
+    * events are bucketed to `stepSeconds`, the LAST value inside each
+    * bucket wins (ordered by time then `tieCol`, so ties are deterministic),
+    * the per-key [first, last] bucket range is densified, and empty buckets
+    * carry the previous bucket's value forward. `is_gap` marks carried rows.
+    *
+    * Scale shape: one (key, bucket) aggregation collapses the raw events —
+    * the only corpus-sized shuffle; the per-key range table is key-count-
+    * sized; `sequence` + explode densifies DISTRIBUTED (no driver
+    * generation), and the forward-fill window orders each key by bucket —
+    * bounded by span/step rows per key, the caller's densification budget
+    * (pick steps so span/step stays ~1e4, exactly as a time-series store
+    * would). Bucket indices are exact integer-µs floor divisions (`div`,
+    * never `/`: 2024-epoch µs exceeds 2^53).
+    */
+  def gapFill(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String,
+      stepSeconds: Long,
+      tieCol: String): DataFrame = {
+    require(stepSeconds > 0, "stepSeconds must be positive")
+    val sUs = stepSeconds * 1000000L
+    val bucketed = events
+      .where(col(keyCol).isNotNull && col(timeCol).isNotNull)
+      .select(col(keyCol).as("__k"),
+        expr(s"unix_micros(`$timeCol`) div ${sUs}L").as("bucket"),
+        col(valueCol).as("__v"), col(timeCol).as("__t"), col(tieCol).as("__tie"))
+      .groupBy("__k", "bucket")
+      .agg(max_by(col("__v"), struct(col("__t"), col("__tie"))).as("__bv"))
+    val ranges = bucketed.groupBy("__k")
+      .agg(min("bucket").as("__b0"), max("bucket").as("__b1"))
+    val spine = ranges.select(col("__k"),
+      explode(sequence(col("__b0"), col("__b1"))).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k").orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.join(bucketed, Seq("__k", "bucket"), "left")
+      .select(col("__k").as(keyCol), col("bucket"),
+        last(col("__bv"), ignoreNulls = true).over(w).as("filled"),
+        col("__bv").isNull.as("is_gap"))
+  }
+
+  /** Changelog application (Delta-style MERGE collapsed to latest-wins) —
+    * the CDC-ingest primitive: `changes` carries upserts and deletes keyed
+    * like `base`, ordered by `ordCol` (ties broken by `tieCol` so replays
+    * are deterministic); the newest change per key wins, a `delete` removes
+    * the key, an upsert replaces the payload, and untouched base rows pass
+    * through. Payload = `base`'s non-key columns, which `changes` must also
+    * carry.
+    *
+    * Scale shape: one (keys)-grouped aggregation collapses the changelog to
+    * its frontier (max_by over an atomic payload struct — single shuffle,
+    * map-side combined), then ONE key-equi full-outer join against base.
+    * No window over base, no sort. At 100 TB base stays bucketed by key and
+    * the frontier is typically days-sized — AQE broadcasts it.
+    */
+  def applyChangelog(
+      base: DataFrame,
+      changes: DataFrame,
+      keys: Seq[String],
+      ordCol: String,
+      opCol: String,
+      tieCol: String): DataFrame = {
+    require(keys.nonEmpty, "applyChangelog needs key columns")
+    val payload = base.columns.filterNot(keys.contains).toSeq
+    val frontier = changes
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(
+        struct((opCol +: payload).map(col): _*),
+        struct(col(ordCol), col(tieCol))).as("__c"))
+    val joined = base.join(frontier, keys, "full_outer")
+    val isDelete = col("__c").isNotNull && col("__c")(opCol) === "delete"
+    val takeChange = col("__c").isNotNull
+    joined
+      .where(!isDelete)
+      .select(keys.map(col) ++ payload.map(p =>
+        when(takeChange, col("__c")(p)).otherwise(col(p)).as(p)): _*)
+  }
 }

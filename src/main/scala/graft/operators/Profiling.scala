@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus profiling — the "describe at scale" pass a pipeline runs before
+  * trusting a new 100 TB drop: per-column completeness/cardinality/range
+  * stats and a pairwise correlation matrix, each in ONE scan.
+  */
+object Profiling {
+
+  /** Per-column profile in long format: one output row per requested column
+    * with row count, null count, exact distinct count, min/max (rendered as
+    * strings so heterogeneous column types share one schema) and the mean of
+    * the values that parse as numbers (`try_cast` — non-numeric columns get
+    * the -1 sentinel rather than a null double, which a NaN-blind tuple
+    * compare could never match).
+    *
+    * Scale shape: ONE aggregation over one scan. The multiple exact
+    * `count(distinct)`s plan as a single Expand + two-phase aggregate — one
+    * shuffle, rows multiplied by #columns, the classic exact-profile cost.
+    * At 100 TB swap `countDistinct` for `approx_count_distinct` (same plan
+    * minus Expand, HLL-mergeable); exact is kept here because the oracle
+    * compares values.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      val v = col(c)
+      Seq(
+        count(v).as(s"__n_$c"),
+        count(lit(1)).as(s"__rows_$c"),
+        countDistinct(v).as(s"__d_$c"),
+        min(v).cast("string").as(s"__min_$c"),
+        max(v).cast("string").as(s"__max_$c"),
+        avg(expr(s"try_cast(`$c` AS double)")).as(s"__mean_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"__rows_$c").as("n_rows"),
+        (col(s"__rows_$c") - col(s"__n_$c")).as("n_null"),
+        col(s"__d_$c").as("n_distinct"),
+        coalesce(col(s"__min_$c"), lit("")).as("min_s"),
+        coalesce(col(s"__max_$c"), lit("")).as("max_s"),
+        coalesce(round(col(s"__mean_$c"), 6), lit(-1.0)).as("mean6"))
+    }
+    wide.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
+  /** Pairwise Pearson correlation over `cols` in one pass: every pair's
+    * correlation derives from the five sufficient statistics (Σx, Σy, Σxy,
+    * Σx², Σy², n over rows where both sides are non-null) in a FIXED
+    * expression tree — `(nΣxy − ΣxΣy)/√((nΣx²−Σx²ᵗ)(nΣy²−Σy²ᵗ))` — so the
+    * oracle mirrors the arithmetic literally instead of trusting two
+    * engines' `corr()` update orders to agree. Zero-variance pairs yield
+    * the -1 sentinel (correlation undefined).
+    *
+    * Scale shape: ONE map-side-combined aggregation, k(k−1)/2 pairs × 6
+    * sums of doubles — a single reduce of a few hundred numbers regardless
+    * of corpus size. Output is pair-count-sized: a model table.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), ix) =>
+      val x = col(a).cast("double"); val y = col(b).cast("double")
+      val both = x.isNotNull && y.isNotNull
+      val xv = when(both, x).otherwise(lit(null)); val yv = when(both, y).otherwise(lit(null))
+      Seq(count(xv).as(s"__n_$ix"),
+        sum(xv).as(s"__sx_$ix"), sum(yv).as(s"__sy_$ix"),
+        sum(xv * yv).as(s"__sxy_$ix"),
+        sum(xv * xv).as(s"__sxx_$ix"), sum(yv * yv).as(s"__syy_$ix"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = pairs.zipWithIndex.map { case ((a, b), ix) =>
+      val n = col(s"__n_$ix"); val sx = col(s"__sx_$ix"); val sy = col(s"__sy_$ix")
+      val num = n * col(s"__sxy_$ix") - sx * sy
+      val dx = n * col(s"__sxx_$ix") - sx * sx
+      val dy = n * col(s"__syy_$ix") - sy * sy
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), n.as("n_both"),
+        when(dx > 0 && dy > 0, round(num / sqrt(dx * dy), 4))
+          .otherwise(lit(-1.0)).as("corr4"))
+    }
+    wide.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+}

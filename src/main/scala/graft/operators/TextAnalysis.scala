@@ -788,4 +788,39 @@ object TextAnalysis {
       .where(col("__rn") <= topK)
       .select(col("__qid").as(queryIdCol), col("__doc").as(idCol), col("score"))
   }
+
+  /** Corpus-wide EXACT top-k word n-grams — the vocabulary/boilerplate
+    * census next to [[graft.operators.Sketch]]'s approximate heavy hitters:
+    * words are the `[\p{L}\p{Nd}]+` runs of the lowercased text (the same
+    * extraction the fingerprint/decontam tier uses), each document
+    * contributes its n-word windows, and the result is the k most frequent
+    * grams by total occurrences with distinct-document counts, totally
+    * ordered (count desc, gram asc) so the cut is deterministic.
+    *
+    * Scale shape: the gram explode is map-side work; ONE (gram)-keyed
+    * aggregation carries both counts (occurrences + exact distinct docs
+    * plan as a single Expand aggregate), and the top-k is a
+    * TakeOrderedAndProject — per-partition k-heaps, never a global sort.
+    * At 100 TB the distinct-doc count is the expensive half (rows ×2 from
+    * Expand); drop it or swap to approx_count_distinct when only the
+    * occurrence census is needed.
+    */
+  def ngramTopK(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      k: Int = 50): DataFrame = {
+    require(n >= 1 && k >= 1, "n and k must be positive")
+    val ws = regexp_extract_all(lower(col(textCol)), lit("[\\p{L}\\p{Nd}]+"), lit(0))
+    df.select(col(idCol).as("__doc"), ws.as("__ws"))
+      .where(size(col("__ws")) >= n)
+      .select(col("__doc"), explode(expr(
+        s"transform(sequence(1, size(__ws) - ${n - 1}), i -> array_join(slice(__ws, i, $n), ' '))"))
+        .as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("__doc")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("gram").asc)
+      .limit(k)
+  }
 }

@@ -376,6 +376,58 @@ object ScaleCheck {
       Joins.setSimJoin(ssProbes, docs, "doc_id", "text", "doc_id", "text", 0.5),
       Joins.setSimJoin(ssProbes, docsN, "doc_id", "text", "doc_id", "text", 0.5))
 
+    // containment, same probe-vs-corpus shape: the right side's inverted
+    // index grows linearly (its inherent cost); probe prefixes are constant
+    pair("setsim_containment")(
+      Joins.containmentJoin(ssProbes, docs, "doc_id", "text", "doc_id", "text", 0.8),
+      Joins.containmentJoin(ssProbes, docsN, "doc_id", "text", "doc_id", "text", 0.8))
+
+    // time-series gap fill: fresh users per copy — the spine grows with
+    // keys at constant per-key span, never with the time domain
+    def gfOf(e: DataFrame) = Ops.gapFill(e, "user_id", "ts", "value", 3600L, "event_id")
+    pair("events_gapfill")(
+      gfOf(evCopy(0)),
+      gfOf((0 until factor).map(evCopy).reduce(_ unionByName _)))
+
+    // CDC merge: base and changelog both scale with copies (same fresh-key
+    // shift on both sides so change keys keep hitting base keys)
+    val cust = graft.readTable(spark, sfDir, "customer")
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+    def custCopy(i: Int) = cust.withColumn("c_custkey",
+      col("c_custkey") + lit(i.toLong * 1000000L))
+    def chOf(e: DataFrame) = e.where(col("event_type").isin("purchase", "error"))
+      .select(col("user_id").as("c_custkey"), col("value").as("c_acctbal"),
+        concat(lit("seg_"), col("event_type")).as("c_mktsegment"),
+        when(col("event_type") === "error", lit("delete"))
+          .otherwise(lit("upsert")).as("op"),
+        col("ts"), col("event_id"))
+    pair("data_upsert")(
+      Ops.applyChangelog(custCopy(0), chOf(evCopy(0)),
+        Seq("c_custkey"), "ts", "op", "event_id"),
+      Ops.applyChangelog((0 until factor).map(custCopy).reduce(_ unionByName _),
+        (0 until factor).map(i => chOf(evCopy(i))).reduce(_ unionByName _),
+        Seq("c_custkey"), "ts", "op", "event_id"))
+
+    // exact n-gram census: growing corpus, constant k — gram agg + heaps
+    pair("text_ngram_topk")(
+      graft.operators.TextAnalysis.ngramTopK(docs, n = 3, k = 40),
+      graft.operators.TextAnalysis.ngramTopK(docsN, n = 3, k = 40))
+
+    // scan-bound one-pass profilers
+    val liP = graft.readTable(spark, sfDir, "lineitem").select(
+      "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+      "l_discount", "l_tax")
+    val liPN = (0 until factor).map(i => liP.withColumn("l_orderkey",
+      col("l_orderkey") + lit(i.toLong * 100000000L))).reduce(_ unionByName _)
+    val profCols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+    pair("data_profile")(
+      graft.operators.Profiling.profile(liP, profCols),
+      graft.operators.Profiling.profile(liPN, profCols))
+    val corrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    pair("stats_corr")(
+      graft.operators.Profiling.corrMatrix(liP, corrCols),
+      graft.operators.Profiling.corrMatrix(liPN, corrCols))
+
     // semantic dedup: nlist scales WITH the corpus (the documented knob) so
     // the expected cell size — and with it the within-cell pair space —
     // stays constant; fixed nlist at 10x data would square the pair count

@@ -61,4 +61,35 @@ class GeoOpsSpec extends AnyFunSuite with SparkSpec {
     val one = 0.5 * 40 * 1000 * 1000 * math.sin(2 * math.Pi / 40) // resolution 10 → n=40
     assert(area > one && area < 2 * one) // overlapping: less than two disjoint discs
   }
+
+  test("hexbin assigns every point to its nearest hex center") {
+    val size = 2.0
+    // deterministic scatter, including points near cell boundaries
+    val pts = (0 until 400).map { i =>
+      (i.toLong, (i % 20) * 0.93 - 9.0, (i / 20) * 0.87 - 8.0)
+    }
+    val df = pts.toDF("id", "lon", "lat")
+    val out = GeoOps.hexbin(df, "lon", "lat", size)
+      .select($"id", $"lon", $"lat", $"hex_q", $"hex_r")
+      .as[(Long, Double, Double, Long, Long)].collect()
+    def center(q: Long, r: Long): (Double, Double) =
+      (size * 1.5 * q, size * math.sqrt(3.0) * (r + q / 2.0))
+    def dist(x: Double, y: Double, c: (Double, Double)): Double =
+      math.hypot(x - c._1, y - c._2)
+    out.foreach { case (id, x, y, q, r) =>
+      val own = dist(x, y, center(q, r))
+      // nearest among the assigned cell's neighborhood — cube rounding is
+      // exactly the nearest-center rule
+      for (dq <- -2L to 2L; dr <- -2L to 2L) {
+        val other = dist(x, y, center(q + dq, r + dr))
+        assert(own <= other + 1e-9,
+          s"point $id ($x,$y): cell ($q,$r) d=$own beaten by (${q + dq},${r + dr}) d=$other")
+      }
+      assert(own <= size + 1e-9, s"point $id farther than the circumradius")
+    }
+    // binning is a pure projection: no exchange in the plan
+    val plan = GeoOps.hexbin(df, "lon", "lat", size)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hexbin shuffled:\n$plan")
+  }
 }

@@ -316,4 +316,41 @@ class JoinsSpec extends AnyFunSuite with SparkSpec {
     val none = small.where($"sk" < 0)
     assert(Joins.bloomPrunedJoin(big, none, "k", "sk", numBits = 64).count() === 0L)
   }
+
+  test("containmentJoin matches the brute-force containment pair set") {
+    // quotes inside pages: tiny left sets fully covered by big right sets —
+    // the shape Jaccard misses (J << t while containment = 1)
+    val page = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "w3 w7 w11 w19"), // quote: fully inside the page
+      (2L, "w3 w7 zz yy"), // half inside: containment 0.5
+      (3L, page), // the page itself
+      (4L, "w1 w2 w3 w4 w5"), // 5-token quote, all inside
+      (5L, "aa bb cc")).toDF("id", "txt") // disjoint
+    val out = Joins.containmentJoin(docs, docs, "id", "txt", "id", "txt", 0.8)
+      .where($"id" =!= $"id_right")
+      .select($"id", $"id_right", $"containment")
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force over the same tokenization
+    def toks(s: String) = s.split(" +").toSet
+    val m = Map(1L -> "w3 w7 w11 w19", 2L -> "w3 w7 zz yy", 3L -> page,
+      4L -> "w1 w2 w3 w4 w5", 5L -> "aa bb cc")
+    val brute = (for {
+      (li, lt) <- m.toSeq; (ri, rt) <- m.toSeq if li != ri
+      ov = (toks(lt) intersect toks(rt)).size
+      c = ov.toDouble / toks(lt).size if c >= 0.8
+    } yield (li, ri, c)).toSet
+    assert(out == brute)
+    assert(out.contains((1L, 3L, 1.0)) && out.contains((4L, 3L, 1.0)))
+    assert(!out.exists(_._1 == 2L)) // 0.5 < t
+    assert(!out.exists(p => p._1 == 3L && p._2 != 3L)) // page not inside quotes
+  }
+
+  test("containmentJoin: asymmetric — containment is directional") {
+    val docs = Seq((1L, "a b"), (2L, "a b c d")).toDF("id", "txt")
+    val out = Joins.containmentJoin(docs, docs, "id", "txt", "id", "txt", 0.9)
+      .where($"id" =!= $"id_right")
+      .select($"id", $"id_right").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L))) // {a,b} ⊂ {a,b,c,d}, never the reverse
+  }
 }

@@ -495,4 +495,54 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     (1L to 9L).foreach(i => assert(!out(i)._2, s"inlier $i flagged"))
     (11L to 14L).foreach(i => assert(out(i)._1 == 0.0 && !out(i)._2))
   }
+
+  test("gapFill: dense spine, last-in-bucket wins, gaps carry forward") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // key A: buckets 0 and 2 present (bucket 2 has a within-bucket tie at
+    // 7800s broken by id), bucket 1 is a gap; key B: a single bucket
+    val rows = Seq(
+      ("A", ts(0), 1.0, 1L), ("A", ts(7500), 2.0, 2L),
+      ("A", ts(7800), 100.0, 5L), ("A", ts(7800), 3.0, 6L),
+      ("B", ts(5 * 3600 + 10), 7.0, 9L))
+    val df = rows.toDF("k", "ts", "v", "id")
+    val out = Ops.gapFill(df, "k", "ts", "v", 3600L, "id")
+      .orderBy("k", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      ("A", 0L, 1.0, false),
+      ("A", 1L, 1.0, true), // gap: previous bucket's value, flagged
+      ("A", 2L, 3.0, false), // ts tie at 7800s -> larger id wins, not 100.0
+      ("B", 5L, 7.0, false)))
+    // deterministic under repartitioning
+    val again = Ops.gapFill(df.repartition(7), "k", "ts", "v", 3600L, "id")
+      .orderBy("k", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("applyChangelog: latest-wins upserts, deletes, inserts, pass-through") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val base = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"), (4L, 40.0, "d"))
+      .toDF("k", "bal", "seg")
+    val changes = Seq(
+      (2L, 21.0, "b1", "upsert", ts(10), 1L),
+      (2L, 22.0, "b2", "upsert", ts(20), 2L), // latest wins
+      (2L, 99.0, "b9", "upsert", ts(20), 1L), // same ord, smaller tie loses
+      (3L, 0.0, "x", "delete", ts(5), 3L),
+      (5L, 50.0, "e", "upsert", ts(7), 4L), // insert: no base row
+      (6L, 0.0, "x", "delete", ts(8), 5L)) // delete of absent key: no-op
+      .toDF("k", "bal", "seg", "op", "ts", "id")
+    val out = Ops.applyChangelog(base, changes, Seq("k"), "ts", "op", "id")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, 10.0, "a"), (2L, 22.0, "b2"), (4L, 40.0, "d"), (5L, 50.0, "e")))
+    // replay determinism: applying the same changelog twice is idempotent
+    val twice = Ops.applyChangelog(
+      Ops.applyChangelog(base, changes, Seq("k"), "ts", "op", "id"),
+      changes, Seq("k"), "ts", "op", "id")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(out.toSeq == twice.toSeq)
+  }
 }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class ProfilingSpec extends AnyFunSuite with SparkSpec {
+
+  import testImplicits._
+
+  test("profile: per-column counts, value-order min/max, numeric-only mean") {
+    val df = Seq(
+      (Some(1L), Some("x")), (Some(2L), Some("y")),
+      (Some(2L), None), (None, None))
+      .toDF("a", "s")
+    val out = Profiling.profile(df, Seq("a", "s")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5), r.getDouble(6)))).toMap
+    assert(out("a") == ((4L, 1L, 2L, "1", "2", 1.666667)))
+    // string column: mean sentinel -1; min/max by VALUE order
+    assert(out("s") == ((4L, 2L, 2L, "x", "y", -1.0)))
+    // min/max must be value order, not lexicographic string order
+    val wide = Seq(9L, 10L).toDF("n")
+    val mm = Profiling.profile(wide, Seq("n")).collect()(0)
+    assert(mm.getString(4) == "9" && mm.getString(5) == "10")
+  }
+
+  test("profile: one scan, one aggregation (no per-column jobs)") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("a", "s")
+    val plan = Profiling.profile(df, Seq("a", "s")).queryExecution.executedPlan.toString
+    // the multi-distinct plans as Expand + aggregate — exactly one Expand,
+    // no join/union stitching per column
+    assert("Expand".r.findAllIn(plan).size == 1, s"expected one Expand:\n$plan")
+    assert(!plan.contains("Union"), s"per-column union in plan:\n$plan")
+  }
+
+  test("corrMatrix: exact pairs, sentinel on zero variance, null pairing") {
+    val df = Seq(
+      (1.0, 2.0, 5.0, Some(1.0)),
+      (2.0, 4.0, 5.0, Some(0.0)),
+      (3.0, 6.0, 5.0, None),
+      (4.0, 8.0, 5.0, Some(-2.0)))
+      .toDF("x", "y2", "const", "z")
+    val out = Profiling.corrMatrix(df, Seq("x", "y2", "const", "z")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(("x", "y2")) == ((4L, 1.0))) // y2 = 2x: perfect correlation
+    assert(out(("x", "const"))._2 == -1.0) // zero variance -> sentinel
+    assert(out(("y2", "const"))._2 == -1.0)
+    // z pairs only over its non-null rows (n_both = 3)
+    assert(out(("x", "z"))._1 == 3L)
+    // x = 1,2,4 vs z = 1,0,-2: exactly anticorrelated
+    assert(math.abs(out(("x", "z"))._2 - (-1.0)) < 1e-9)
+    assert(out.size == 6)
+  }
+}

@@ -468,4 +468,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(!out(8L)(6))
     assert((2L to 8L).forall(i => !out(i)(7)))
   }
+
+  test("ngramTopK: exact counts, distinct docs, deterministic cut, case fold") {
+    val docs = Seq(
+      (1L, "a b c a b c"), // grams: "a b c" x2, "b c a", "c a b"
+      (2L, "A-b,C"), // punctuation splits, case folds -> "a b c"
+      (3L, "x y"), // shorter than n: contributes nothing
+      (4L, "b c a tail")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramTopK(docs, n = 3, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a b c", 3L, 2L), ("b c a", 2L, 2L)))
+    // k larger than the vocabulary returns everything, fully ordered
+    val all = TextAnalysis.ngramTopK(docs, n = 3, k = 100).collect()
+      .map(r => r.getString(0))
+    assert(all.length == 4 && all.take(2).toSeq == Seq("a b c", "b c a"))
+    // top-k is a TakeOrdered, never a global sort
+    val plan = TextAnalysis.ngramTopK(docs, n = 3, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort in plan:\n$plan")
+  }
 }
