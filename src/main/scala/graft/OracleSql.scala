@@ -1665,6 +1665,17 @@ object OracleSql {
          |FROM $src""".stripMargin
     }.mkString("\n", "\nUNION ALL\n", "")
 
+  /** Mirror of `Profiling.entropy`: per column, value counts (null a value
+    * of its own via the VARCHAR cast) folded through the same fixed tree
+    * `ln(N) − (Σ c·ln c)/N`.
+    */
+  def statsEntropy(cols: Seq[String], src: String = "lineitem"): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS "column", sum(c) AS n_rows,
+         |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy6
+         |FROM (SELECT count(*) AS c FROM $src GROUP BY CAST($c AS VARCHAR))""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "")
+
   /** Mirror of `Profiling.corrMatrix`: the identical sufficient-statistics
     * expression tree `(nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²))`, pairs
     * i < j in declaration order, zero-variance sentinel -1.

@@ -1326,6 +1326,11 @@ object SparkEntry {
       Profiling.corrMatrix(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // --- per-column Shannon entropy (distribution-skew diagnostic) ---------
+    "stats_entropy" -> ((s, dir) =>
+      Profiling.entropy(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey"))),
+
     // --- exact corpus top-k word trigram census ----------------------------
     "text_ngram_topk" -> ((s, dir) =>
       TextAnalysis.ngramTopK(t(s, dir, "documents"), n = 3, k = 40)),
@@ -1339,6 +1344,25 @@ object SparkEntry {
         .groupBy("hex_q", "hex_r")
         .agg(count(lit(1)).as("n_points"),
           round(avg(col("c_acctbal")), 4).as("avg_bal4"))
+    }),
+
+    // --- hybrid retrieval: BM25 × cosine reciprocal-rank fusion ------------
+    "sim_hybrid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qs = docs.where(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(split(trim(lower(col("text"))), " +"),
+            x => x =!= ""), 1, 4), " ").as("query"))
+      val lex = TextAnalysis.searchBM25(docs, qs, topK = 10)
+      val sem = Similarity.bruteForceTopK(emb,
+          emb.where(col("vec_id") % 100 === 7), "embedding", "vec_id", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("cosine"))
+      Retrieval.rrfFuse(lex, sem, "query_id", "doc_id", "score", "cosine", k = 10)
+        .select(col("query_id"), col("doc_id"),
+          col("rank_a").cast("long").as("rank_a"),
+          col("rank_b").cast("long").as("rank_b"),
+          round(col("rrf"), 6).as("rrf6"))
     }),
 
     // --- asymmetric containment join (subset-document detection) -----------
@@ -1637,8 +1661,11 @@ object SparkEntry {
   )
 
   /** DuckDB-runnable SQL twin for each `queries` key (same column names). */
-  private val bm25OracleSql: String =
-      """WITH q AS (SELECT doc_id AS query_id,
+  // the BM25 fit+score CTE chain (WITH body, through ranked `rk`) — shared
+  // by the text_bm25 / text_bm25_index oracles and the sim_hybrid fusion
+  // oracle so a scoring change can never fork the mirrors
+  private val bm25ScoreCtes: String =
+      """q AS (SELECT doc_id AS query_id,
         |    array_to_string(list_filter(string_split(lower(trim(text)), ' '),
         |      s -> s <> '')[1:4], ' ') AS query
         |  FROM documents WHERE doc_id % 100 = 7),
@@ -1665,8 +1692,41 @@ object SparkEntry {
         |  FROM qt JOIN dl ON qt.term = dl.term JOIN dfq ON dl.term = dfq.term CROSS JOIN st
         |  GROUP BY 1, 2),
         |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc) AS rn
-        |  FROM sc)
-        |SELECT query_id, doc AS doc_id, score FROM rk WHERE rn <= 10""".stripMargin
+        |  FROM sc)""".stripMargin
+
+  private val bm25OracleSql: String =
+    s"WITH $bm25ScoreCtes\nSELECT query_id, doc AS doc_id, score FROM rk WHERE rn <= 10"
+
+  // RRF hybrid: the two retriever mirrors ranked independently, fused as
+  // 1/(60 + rank) with absent-list contributions of 0 — the identical
+  // arithmetic of Retrieval.rrfFuse
+  private val simHybridOracleSql: String =
+    s"""WITH $bm25ScoreCtes,
+       |lex AS (SELECT query_id, doc, rn FROM rk WHERE rn <= 10),
+       |qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id % 100 = 7),
+       |scv AS (SELECT qv.query_id, e.vec_id AS doc,
+       |  list_sum(list_transform(list_zip(qv.qe, e.embedding),
+       |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform(qv.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |   * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+       |  FROM embeddings e, qv),
+       |sem AS (SELECT query_id, doc, rn FROM (
+       |    SELECT query_id, doc,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc) AS rn
+       |    FROM scv) WHERE rn <= 10),
+       |f AS (SELECT coalesce(l.query_id, s.query_id) AS query_id,
+       |    coalesce(l.doc, s.doc) AS doc, l.rn AS ra, s.rn AS rb
+       |  FROM lex l FULL OUTER JOIN sem s
+       |    ON l.query_id = s.query_id AND l.doc = s.doc),
+       |r AS (SELECT query_id, doc,
+       |    coalesce(ra, 0) AS rank_a, coalesce(rb, 0) AS rank_b,
+       |    coalesce(CAST(1 AS DOUBLE) / (60 + ra), CAST(0 AS DOUBLE))
+       |      + coalesce(CAST(1 AS DOUBLE) / (60 + rb), CAST(0 AS DOUBLE)) AS rrf
+       |  FROM f)
+       |SELECT query_id, doc AS doc_id, rank_a, rank_b, round(rrf, 6) AS rrf6
+       |FROM r
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc) <= 10""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "subset_cols" ->
@@ -2359,7 +2419,10 @@ object SparkEntry {
       Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")),
     "stats_corr" -> OracleSql.statsCorr(
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    "stats_entropy" -> OracleSql.statsEntropy(
+      Seq("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey")),
     "geo_hexbin" -> OracleSql.geoHexbin(size = 2.5),
+    "sim_hybrid" -> simHybridOracleSql,
     "setsim_containment" ->
       """WITH d AS (SELECT doc_id,
         |    list_distinct(list_filter(string_split(lower(trim(text)), ' '),

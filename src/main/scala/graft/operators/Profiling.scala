@@ -86,4 +86,31 @@ object Profiling {
     }
     wide.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
+
+  /** Per-column Shannon entropy (nats) over the value distribution — the
+    * skew/diversity diagnostic next to [[profile]]'s cardinality: near-0
+    * entropy flags a degenerate column (one dominant value — a broken
+    * extractor, a constant partition key), entropy ≈ ln(distinct) flags a
+    * near-uniform one. Nulls count as a value of their own (a 99%-null
+    * column IS degenerate). `H = ln(N) − (Σ c·ln c)/N` over value counts c
+    * — one aggregate in that FIXED tree, so engines mirror it literally
+    * without agreeing on per-value p·ln p summation order beyond the
+    * commutative sum of c·ln c.
+    *
+    * Scale shape: one (column, value) count per column — the same
+    * corpus-sized shuffle a distinct count pays — then a value-count-sized
+    * reduce. Columns stack through ONE union of per-column aggregates over
+    * a shared scan (cheap relative to the counts); output is k rows.
+    */
+  def entropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "entropy needs at least one column")
+    cols.map { c =>
+      df.groupBy(col(c).cast("string").as("__v"))
+        .agg(count(lit(1)).as("__c"))
+        .agg(sum("__c").as("__n"), sum(col("__c") * log(col("__c"))).as("__s"))
+        .select(lit(c).as("column"),
+          col("__n").as("n_rows"),
+          round(log(col("__n")) - col("__s") / col("__n"), 6).as("entropy6"))
+    }.reduce(_ unionByName _)
+  }
 }

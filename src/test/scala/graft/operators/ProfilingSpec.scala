@@ -53,4 +53,22 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(out(("x", "z"))._2 - (-1.0)) < 1e-9)
     assert(out.size == 6)
   }
+
+  test("entropy: closed-form values, nulls are a value, constant is zero") {
+    val df = Seq(
+      (Some("a"), 1L), (Some("a"), 1L), (Some("b"), 1L), (Some("b"), 1L),
+      (None, 1L), (None, 1L), (None, 1L), (None, 1L))
+      .toDF("s", "k")
+    val out = Profiling.entropy(df, Seq("s", "k")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // s: counts (2, 2, 4)/8 -> H = ln8 - (2ln2 + 2ln2 + 4ln4)/8
+    val hS = math.log(8) - (2 * math.log(2) * 2 + 4 * math.log(4)) / 8.0
+    assert(out("s")._1 == 8L)
+    assert(math.abs(out("s")._2 - hS) < 1e-6)
+    assert(out("k") == ((8L, 0.0))) // constant column: zero entropy
+    // uniform column: H = ln(n)
+    val u = (1 to 32).map(_.toLong).toDF("v")
+    val hU = Profiling.entropy(u, Seq("v")).collect()(0).getDouble(2)
+    assert(math.abs(hU - math.log(32)) < 1e-6)
+  }
 }
