@@ -1665,6 +1665,49 @@ object OracleSql {
          |FROM $src""".stripMargin
     }.mkString("\n", "\nUNION ALL\n", "")
 
+  /** Mirror of `TextAnalysis.bpeTrain` + `bpeApply`: BPE training unrolled
+    * as `m` chained CTE stages — each counts adjacent symbol pairs over the
+    * current vocabulary (weighted by word frequency), picks the best under
+    * the TOTAL (count desc, pair asc) order and rewrites the vocabulary via
+    * the same U+0001-wrapped literal replace the Spark side uses — then the
+    * learned merges fold over every document's words in rank order and the
+    * per-document subword counts come out of the separator arithmetic.
+    * A stage with no pairs left is a no-op (LEFT JOIN, CASE), mirroring the
+    * Spark loop's early break.
+    */
+  def textBpe(m: Int = 16, docsrc: String = "documents"): String = {
+    val wrap = "regexp_replace(w, '(.)', chr(1) || '\\1' || chr(1), 'g')"
+    def stage(i: Int): String = {
+      val prev = s"v${i - 1}"
+      s"""sy${i - 1} AS (SELECT list_filter(string_split(s, chr(1)), x -> x <> '') AS sym, c FROM $prev),
+         |p$i AS (SELECT sym, c, unnest(range(1, len(sym))) AS j FROM sy${i - 1} WHERE len(sym) >= 2),
+         |pc$i AS (SELECT sym[j] || chr(2) || sym[j+1] AS pr, sum(c) AS n FROM p$i GROUP BY 1),
+         |b$i AS MATERIALIZED (SELECT pr FROM pc$i ORDER BY n DESC, pr LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT CASE WHEN b.pr IS NULL THEN v.s ELSE replace(v.s,
+         |    chr(1) || split_part(b.pr, chr(2), 1) || chr(1) || chr(1) || split_part(b.pr, chr(2), 2) || chr(1),
+         |    chr(1) || split_part(b.pr, chr(2), 1) || split_part(b.pr, chr(2), 2) || chr(1)) END AS s, v.c
+         |  FROM $prev v LEFT JOIN b$i b ON TRUE)""".stripMargin
+    }
+    val stages = (1 to m).map(stage).mkString(",\n")
+    val mergeRows = (1 to m).map(i => s"SELECT $i AS rk, pr FROM b$i").mkString(" UNION ALL ")
+    val fold =
+      s"""list_reduce(list_prepend($wrap, ms),
+         |      (acc, mg) -> replace(acc,
+         |        chr(1) || split_part(mg, chr(2), 1) || chr(1) || chr(1) || split_part(mg, chr(2), 2) || chr(1),
+         |        chr(1) || split_part(mg, chr(2), 1) || split_part(mg, chr(2), 2) || chr(1)))""".stripMargin
+    s"""WITH wr AS MATERIALIZED (SELECT doc_id, list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS ws
+       |  FROM $docsrc),
+       |wall AS (SELECT unnest(ws) AS w FROM wr),
+       |v0 AS MATERIALIZED (SELECT $wrap AS s, count(*) AS c FROM (SELECT w FROM wall) GROUP BY w),
+       |$stages,
+       |merges AS (SELECT list(pr ORDER BY rk) AS ms FROM ($mergeRows)),
+       |app AS (SELECT doc_id, ws, ms FROM wr CROSS JOIN merges)
+       |SELECT doc_id, len(ws) AS n_words,
+       |  CAST(coalesce(list_sum(list_transform(ws, w -> (
+       |    length($fold) - length(replace($fold, chr(1), ''))) // 2)), 0) AS BIGINT) AS bpe_tokens
+       |FROM app""".stripMargin
+  }
+
   /** Mirror of `Profiling.entropy`: per column, value counts (null a value
     * of its own via the VARCHAR cast) folded through the same fixed tree
     * `ln(N) − (Σ c·ln c)/N`.

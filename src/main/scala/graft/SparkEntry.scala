@@ -1346,6 +1346,15 @@ object SparkEntry {
           round(avg(col("c_acctbal")), 4).as("avg_bal4"))
     }),
 
+    // --- BPE subword tokenizer: corpus-trained merges, per-doc counts ------
+    "text_bpe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrain(docs, "text", numMerges = 16)
+      TextAnalysis.bpeApply(docs, "text", merges)
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          col("bpe_tokens").cast("long").as("bpe_tokens"))
+    }),
+
     // --- hybrid retrieval: BM25 × cosine reciprocal-rank fusion ------------
     "sim_hybrid" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2423,6 +2432,7 @@ object SparkEntry {
       Seq("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey")),
     "geo_hexbin" -> OracleSql.geoHexbin(size = 2.5),
     "sim_hybrid" -> simHybridOracleSql,
+    "text_bpe" -> OracleSql.textBpe(m = 16),
     "setsim_containment" ->
       """WITH d AS (SELECT doc_id,
         |    list_distinct(list_filter(string_split(lower(trim(text)), ' '),

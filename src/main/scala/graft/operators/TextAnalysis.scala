@@ -789,6 +789,98 @@ object TextAnalysis {
       .select(col("__qid").as(queryIdCol), col("__doc").as(idCol), col("score"))
   }
 
+  // BPE symbol encoding: each symbol travels as U+0001<sym>U+0001, a word
+  // as the concatenation — so the pair (a, b) is the literal substring
+  // "U+0001 a U+0001 U+0001 b U+0001" and merging it is a plain (regex-free)
+  // left-to-right replace, identical in any engine. U+0001/U+0002 never
+  // occur in text the whitespace tokenizer emits (control bytes).
+  private val S = "\u0001"
+  private val P = "\u0002"
+  private def sepWrap(word: Column): Column =
+    regexp_replace(word, "(.)", S + "$1" + S)
+  private def mergePat(a: String, b: String): (String, String) =
+    (S + a + S + S + b + S, S + a + b + S)
+
+  /** Byte-pair-encoding training (Sennrich et al. 2016, the subword
+    * tokenizer of every modern LM pipeline): learns `numMerges` merge rules
+    * from the corpus's word-frequency table. Each round counts adjacent
+    * symbol pairs over the CURRENT vocabulary (weighted by word frequency),
+    * picks the globally best pair under the TOTAL (count desc, pair asc)
+    * order — deterministic on any engine — and rewrites the vocabulary with
+    * that merge. Merges apply within words only (no cross-word tokens).
+    *
+    * Scale shape: the corpus is touched ONCE (the word-frequency
+    * aggregation); every round then runs over the vocabulary table —
+    * distinct words, orders of magnitude smaller — as one pair-count
+    * aggregation plus a 1-row bounded collect (same driver-state policy as
+    * the IVF fit). Vocabulary lineage chains through lazy localCheckpoints
+    * (the PageRank pattern), so round r's plan is O(1), not O(r). Rounds
+    * are sequential by nature — BPE's published definition — so wall-clock
+    * is numMerges × a small-table round trip; cap numMerges accordingly.
+    */
+  def bpeTrain(df: DataFrame, textCol: String = "text",
+      numMerges: Int = 16): Seq[(String, String)] = {
+    require(numMerges >= 1, "numMerges must be positive")
+    var vocab = df
+      .select(explode(filter(split(trim(lower(col(textCol))), " +"),
+        x => x =!= "")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      .select(sepWrap(col("__w")).as("__s"), col("__c"))
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val syms = filter(split(col("__s"), S), x => x =!= "")
+      val best = vocab
+        .select(col("__c"), syms.as("__sy"))
+        .where(size(col("__sy")) >= 2)
+        .select(col("__c"), explode(expr(
+          s"transform(sequence(1, size(__sy) - 1), " +
+            s"j -> concat(element_at(__sy, j), '$P', element_at(__sy, j + 1)))"))
+          .as("__p"))
+        .groupBy("__p").agg(sum("__c").as("__n"))
+        .orderBy(col("__n").desc, col("__p").asc)
+        .limit(1).collect() // bounded: one row
+      if (best.isEmpty) exhausted = true
+      else {
+        val Array(a, b) = best(0).getString(0).split(P, 2)
+        val (pat, rep) = mergePat(a, b)
+        merges += ((a, b))
+        vocab = vocab
+          .withColumn("__s", replace(col("__s"), lit(pat), lit(rep)))
+          .localCheckpoint(false)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Applies trained BPE merges and reports per-document token counts:
+    * `n_words` (whitespace words) and `bpe_tokens` (subword symbols after
+    * all merges). Merges apply in RANK ORDER, each exhaustively left to
+    * right — equivalent to the classic best-rank-first greedy loop, because
+    * a merge's output symbol can only ever participate in LATER-ranked
+    * rules (a rule over a symbol cannot be learned before the symbol
+    * exists). The whole chain is codegen'd column arithmetic: per word, a
+    * char wrap + `numMerges` literal replaces + a separator count — no
+    * UDF, no shuffle, nothing but the scan.
+    */
+  def bpeApply(df: DataFrame, textCol: String = "text",
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = filter(split(trim(lower(col(textCol))), " +"), x => x =!= "")
+    val tokCount = (w: Column) => {
+      val folded = merges.foldLeft(sepWrap(w)) { case (c, (a, b)) =>
+        val (pat, rep) = mergePat(a, b)
+        replace(c, lit(pat), lit(rep))
+      }
+      // #separators / 2 = #symbols (each symbol wrapped in two )
+      (length(folded) - length(replace(folded, lit(S), lit("")))) / 2
+    }
+    df.withColumn("n_words", size(words))
+      .withColumn("bpe_tokens",
+        coalesce(aggregate(transform(words, tokCount), lit(0),
+          (acc, x) => acc + x.cast("int")), lit(0)))
+  }
+
   /** Corpus-wide EXACT top-k word n-grams — the vocabulary/boilerplate
     * census next to [[graft.operators.Sketch]]'s approximate heavy hitters:
     * words are the `[\p{L}\p{Nd}]+` runs of the lowercased text (the same

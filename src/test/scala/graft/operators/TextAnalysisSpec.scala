@@ -469,6 +469,72 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert((2L to 8L).forall(i => !out(i)(7)))
   }
 
+  test("bpeTrain/bpeApply match a hand-rolled reference BPE") {
+    // the Sennrich et al. worked example shape: low/lower/newest/widest
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower newest newest"),
+      (3L, "newest newest newest newest widest widest widest"),
+      (4L, "")).toDF("doc_id", "text")
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+
+    // reference implementation: symbol lists, overlap-counted pairs, best
+    // by (count desc, pair asc), left-to-right non-overlapping merge
+    def mergeOnce(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    def refTrain(words: Seq[String], m: Int): Seq[(String, String)] = {
+      var vocab: Map[List[String], Long] = words.groupBy(identity)
+        .map { case (w, ws) => w.map(_.toString).toList -> ws.size.toLong }
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (merges.size < m) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, c) <- vocab; Seq(a, b) <- syms.sliding(2) if syms.length >= 2)
+          counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+        if (counts.isEmpty) return merges.toSeq
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a + "\u0002" + b) }._1
+        merges += best
+        vocab = vocab.groupBy { case (syms, _) => mergeOnce(syms, best._1, best._2) }
+          .map { case (k, vs) => k -> vs.values.sum }
+      }
+      merges.toSeq
+    }
+    def refApply(word: String, merges: Seq[(String, String)]): Int =
+      merges.foldLeft(word.map(_.toString).toList) {
+        case (syms, (a, b)) => mergeOnce(syms, a, b)
+      }.length
+
+    val expect = refTrain(corpus, 8)
+    val got = TextAnalysis.bpeTrain(docs, "text", numMerges = 8)
+    assert(got == expect, s"merge sequence diverged:\n got=$got\n ref=$expect")
+    // the worked example's famous first merges
+    assert(got.take(2) == Seq(("e", "s"), ("es", "t")))
+
+    val counts = TextAnalysis.bpeApply(docs, "text", got)
+      .select($"doc_id", $"n_words", $"bpe_tokens")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def refDoc(s: String) = {
+      val ws = s.trim.toLowerCase.split(" +").filter(_.nonEmpty)
+      (ws.length, ws.map(refApply(_, got)).sum)
+    }
+    assert(counts(1L) == refDoc("low low low low low"))
+    assert(counts(2L) == refDoc("lower lower newest newest"))
+    assert(counts(3L) == refDoc("newest newest newest newest widest widest widest"))
+    assert(counts(4L) == ((0, 0))) // empty doc: zero words, zero tokens
+    // merge exhaustion: more requested merges than pairs exist stops early
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val tm = TextAnalysis.bpeTrain(tiny, "text", numMerges = 10)
+    assert(tm == Seq(("a", "b"))) // one merge possible, then single symbols
+  }
+
   test("ngramTopK: exact counts, distinct docs, deterministic cut, case fold") {
     val docs = Seq(
       (1L, "a b c a b c"), // grams: "a b c" x2, "b c a", "c a b"
