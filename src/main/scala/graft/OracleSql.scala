@@ -403,15 +403,36 @@ object OracleSql {
     * doc_id of the component. The `l < v` prune is safe: a node's own id is
     * already seeded by the base case, so only smaller labels can win min().
     */
-  def dedupClusters(docsrc: String = "documents", threshold: Double = 0.7): String =
-    s"""WITH RECURSIVE ${minhashCore(docsrc)},
+  /** CTE chain `... cl(doc_id, cluster)`: MinHash-estimate pairs at
+    * `threshold` closed into min-label connected components — shared by
+    * [[dedupClusters]] and [[dedupKeepBest]].
+    */
+  private def clustersChain(docsrc: String, threshold: Double): String =
+    s"""${minhashCore(docsrc)},
        |vp AS (SELECT ida, idb FROM est WHERE CAST(eq AS DOUBLE)/128.0 >= $threshold),
        |sym AS (SELECT ida AS u, idb AS v FROM vp UNION SELECT idb AS u, ida AS v FROM vp),
        |lbl AS (
        |  SELECT doc_id AS node, doc_id AS l FROM $docsrc
        |  UNION
-       |  SELECT s.v AS node, lbl.l AS l FROM lbl JOIN sym s ON s.u = lbl.node WHERE lbl.l < s.v)
-       |SELECT node AS doc_id, min(l) AS cluster FROM lbl GROUP BY node""".stripMargin
+       |  SELECT s.v AS node, lbl.l AS l FROM lbl JOIN sym s ON s.u = lbl.node WHERE lbl.l < s.v),
+       |cl AS (SELECT node AS doc_id, min(l) AS cluster FROM lbl GROUP BY node)""".stripMargin
+
+  def dedupClusters(docsrc: String = "documents", threshold: Double = 0.7): String =
+    s"""WITH RECURSIVE ${clustersChain(docsrc, threshold)}
+       |SELECT doc_id, cluster FROM cl""".stripMargin
+
+  /** Mirror of `Dedup.keepBest`: the cluster chain + per-cluster argmax on
+    * (quality desc, id asc) with quality = text length.
+    */
+  def dedupKeepBest(docsrc: String = "documents", threshold: Double = 0.7): String =
+    s"""WITH RECURSIVE ${clustersChain(docsrc, threshold)},
+       |jq AS (SELECT cl.doc_id, cl.cluster, length(d.text) AS ql
+       |  FROM cl JOIN $docsrc d ON cl.doc_id = d.doc_id),
+       |rk AS (SELECT doc_id, cluster,
+       |  count(*) OVER (PARTITION BY cluster) AS n_members,
+       |  row_number() OVER (PARTITION BY cluster ORDER BY ql DESC, doc_id) AS rn
+       |  FROM jq)
+       |SELECT doc_id, cluster, n_members FROM rk WHERE rn = 1""".stripMargin
 
   /** Kept (doc_id, lang) after MinHash candidates (est ≥ `candThreshold`) +
     * exact word-3-gram Jaccard ≥ `jacThreshold` verification.

@@ -439,6 +439,18 @@ object SparkEntry {
           round(st_y(col("geometry")), 6).as("py"))
     }),
 
+    // --- ORC through the auto-dispatch: Spark-native columnar sibling ------
+    "orc_roundtrip" -> ((s, dir) => {
+      val pts = custPoints(s, dir).select(col("c_custkey"), col("c_acctbal"), col("geometry"))
+      val out = new java.io.File(s"/tmp/graft_orc_${new java.io.File(dir).getName}")
+      out.mkdirs()
+      graft.sources.GeoSources.writeAuto(pts, s"$out/customer.orc")
+      graft.sources.GeoSources.readAuto(s, s"$out/customer.orc")
+        .select(col("c_custkey"), col("c_acctbal"),
+          round(st_x(col("geometry")), 6).as("px"),
+          round(st_y(col("geometry")), 6).as("py"))
+    }),
+
     // --- gpkg driver end-to-end: own SQLite writer + b-tree reader ---------
     "gpkg_roundtrip" -> ((s, dir) => {
       val pts = custPoints(s, dir).select(col("c_custkey"), col("c_acctbal"), col("geometry"))
@@ -1294,6 +1306,12 @@ object SparkEntry {
           round(col("zscore"), 6).as("zscore"), col("is_outlier"))
     }),
 
+    // --- per-user event-type Markov transition matrix ----------------------
+    "events_transitions" -> ((s, dir) =>
+      Ops.transitionMatrix(t(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+        .select(col("from_state"), col("to_state"), col("n_transitions"),
+          round(col("p"), 6).as("p6"))),
+
     // --- time-series gap fill: hourly buckets, forward-filled --------------
     "events_gapfill" -> ((s, dir) =>
       Ops.gapFill(t(s, dir, "events"), "user_id", "ts", "value", 3600L, "event_id")
@@ -1599,6 +1617,13 @@ object SparkEntry {
       Dedup.clusters(t(s, dir, "documents"), "text", "doc_id", threshold = 0.7)
         .select("doc_id", "cluster")),
 
+    // --- quality-aware representative: keep the longest family member ------
+    "dedup_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.keepBest(docs, "text", "doc_id", length(col("text")), threshold = 0.7)
+        .select(col("doc_id"), col("cluster"), col("n_members"))
+    }),
+
     // --- near-dedup under degenerate skew: 5k byte-identical copies --------
     // the crawl-corpus failure mode (boilerplate flood lands in ONE LSH
     // bucket); Dedup's exact-collapse keeps the candidate join linear — this
@@ -1897,6 +1922,11 @@ object SparkEntry {
         |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py
         |FROM customer""".stripMargin,
     "auto_roundtrip" ->
+      """SELECT c_custkey, c_acctbal,
+        |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,
+        |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py
+        |FROM customer""".stripMargin,
+    "orc_roundtrip" ->
       """SELECT c_custkey, c_acctbal,
         |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,
         |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py
@@ -2394,6 +2424,16 @@ object SparkEntry {
         |SELECT l_orderkey, l_partkey, q AS l_quantity,
         |  round(z, 6) AS zscore, abs(z) > 1.5 AS is_outlier
         |FROM jz""".stripMargin,
+    "events_transitions" ->
+      """WITH p AS (SELECT event_type AS from_state,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+        |  FROM events WHERE user_id IS NOT NULL),
+        |c AS (SELECT from_state, to_state, count(*) AS n_transitions
+        |  FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        |tt AS (SELECT from_state, sum(n_transitions) AS rt FROM c GROUP BY 1)
+        |SELECT c.from_state, c.to_state, c.n_transitions,
+        |  round(CAST(c.n_transitions AS DOUBLE) / CAST(tt.rt AS DOUBLE), 6) AS p6
+        |FROM c JOIN tt ON c.from_state = tt.from_state""".stripMargin,
     "events_gapfill" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) // 3600000000 AS b, value AS v, ts, event_id
         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
@@ -2599,6 +2639,7 @@ object SparkEntry {
     "dedup_simhash" -> OracleSql.dedupSimhash(),
     "dedup_minhash" -> OracleSql.dedupMinhash(),
     "dedup_clusters" -> OracleSql.dedupClusters(),
+    "dedup_best" -> OracleSql.dedupKeepBest(),
     "graph_pagerank" -> OracleSql.graphPagerank(),
     "graph_triangles" -> OracleSql.graphTriangles(),
     "graph_bfs" -> OracleSql.graphBfs(),

@@ -436,6 +436,42 @@ object Dedup {
       .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
   }
 
+  /** Quality-aware dedup: [[clusters]] + keep ONE representative per
+    * near-dup cluster — the member with the highest `quality` (a Column
+    * over the input's fields: a length, a learned gate score, a Gopher
+    * flag count), ties to the smallest id. Plain min-id dedup keeps an
+    * arbitrary family member; curation wants the BEST one (the longest /
+    * cleanest version of the boilerplate family), which is exactly what a
+    * training-data pipeline deletes everything else for.
+    *
+    * Scale shape: clustering's cost (banded LSH + alternating-star CC)
+    * dominates; the representative pick is ONE cluster-keyed max_by over an
+    * atomic (quality, −id) struct — no window over the corpus — and a
+    * narrow id join back to the full rows. Numeric ids required (the −id
+    * tie flip).
+    */
+  def keepBest(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      quality: Column,
+      numHashes: Int = 128,
+      numBands: Int = 16,
+      shingle: Int = 5,
+      threshold: Double = 0.8,
+      maxBucket: Int = 0): DataFrame = {
+    val cl = clusters(df, textCol, idCol, numHashes, numBands, shingle,
+      threshold, maxBucket)
+    val best = cl
+      .withColumn("__q", quality)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col(idCol),
+          struct(col("__q"), lit(-1L) * col(idCol))).as(idCol))
+    best.join(df, Seq(idCol))
+      .select(df.columns.map(col) :+ col("cluster") :+ col("n_members"): _*)
+  }
+
   /** Embedding near-dedup: `tables` independent random-hyperplane sketch
     * tables (a pair is a candidate when all `planes` sign bits agree in any
     * table), exact cosine verify within buckets, drop larger ids at cosine ≥

@@ -714,6 +714,39 @@ object Ops {
       .drop("__n", "__s", "__s2")
   }
 
+  /** First-order Markov transition matrix over per-key event sequences —
+    * the journey/funnel-adjacent analytic (what follows what, and how
+    * often): consecutive events per key (ordered by time, ties by `tieCol`
+    * so sequences are deterministic) become (from, to) pairs, counted and
+    * row-normalized into transition probabilities.
+    *
+    * Scale shape: ONE key-hash shuffle for the per-key sort window (the
+    * same frame sessionize uses), then two model-sized aggregations —
+    * states² rows at most. No self-join; the sequence pairing is a `lead`.
+    */
+  def transitionMatrix(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      stateCol: String,
+      tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(timeCol), col(tieCol))
+    val pairs = events
+      .where(col(keyCol).isNotNull)
+      .select(col(stateCol).as("from_state"),
+        lead(col(stateCol), 1).over(w).as("to_state"))
+      .where(col("to_state").isNotNull)
+    val counts = pairs.groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = counts.groupBy("from_state")
+      .agg(sum("n_transitions").as("__row_total"))
+    counts.join(totals, "from_state")
+      .withColumn("p",
+        col("n_transitions").cast("double") / col("__row_total").cast("double"))
+      .drop("__row_total")
+  }
+
   /** Time-series resample + forward fill — the gap-filling step every
     * monitoring/feature pipeline needs before rolling models: each key's
     * events are bucketed to `stepSeconds`, the LAST value inside each

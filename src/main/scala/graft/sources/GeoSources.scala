@@ -211,6 +211,12 @@ object GeoSources {
       else if (p.endsWith(".geojson") || p.endsWith(".json"))
         GeoJSON.read(spark, path, filterWkt = filterWkt)
       else if (p.endsWith(".parquet")) GeoParquet.read(spark, path, filterWkt = filterWkt)
+      // ORC rides Spark's native reader — same WKB binary geometry contract
+      // as parquet (splittable, predicate pushdown, column pruning)
+      else if (p.endsWith(".orc")) {
+        val o = spark.read.orc(path)
+        if (o.columns.contains("geometry")) applyFilter(o, "geometry", filterWkt) else o
+      }
       else if (p.endsWith(".shp")) Shapefile.readSplit(spark, path)
       else if (p.endsWith(".gpkg")) Gpkg.read(spark, path, layer = layer)
       else if (p.endsWith(".fgb")) Fgb.read(spark, path, filterWkt = filterWkt)
@@ -248,6 +254,7 @@ object GeoSources {
     else if (p.endsWith(".jsonl")) Jsonl.write(df, path)
     else if (p.endsWith(".geojson") || p.endsWith(".json")) GeoJSON.write(df, path)
     else if (p.endsWith(".parquet")) GeoParquet.write(df, path)
+    else if (p.endsWith(".orc")) df.write.mode("overwrite").orc(path)
     else if (p.endsWith(".shp")) Shapefile.write(df, path.substring(0, path.length - 4))
     else if (p.endsWith(".fgb")) Fgb.write(df, path)
     else if (p.endsWith(".gpkg")) Gpkg.write(df, path, layerName = layer.getOrElse("layer"))

@@ -219,6 +219,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), s"bin counting lost its aggregate:\n$plan")
   }
 
+  test("analytics tier: equi-joins only, and the n-gram cut is a heap") {
+    Seq("setsim_containment", "events_gapfill", "data_upsert",
+      "dedup_best", "events_transitions").foreach { name =>
+      val plan = physical(q(name))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name degenerated to a nested loop:\n$plan")
+    }
+    // corpus-wide top-k must be per-partition heaps, never a global sort
+    val ng = physical(q("text_ngram_topk"))
+    assert(ng.contains("TakeOrderedAndProject"), s"text_ngram_topk sorts:\n$ng")
+  }
+
   test("geometry expressions run inside whole-stage codegen") {
     val df = q("geo_area")
     df.collect() // force execution so the final adaptive plan exists

@@ -242,4 +242,28 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .select("vid").as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 3L))
   }
+
+  test("keepBest: highest-quality family member survives, not the min id") {
+    // non-repeating base: distinct-shingle mass dominates the tails, so the
+    // family stays above threshold even with one member's longer tail
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ") + " "
+    val docs = Seq(
+      (10L, base + "family one"), // near-dup family: 10, 11, 12
+      (11L, base + "family one plus a much longer distinctive tail of words"),
+      (12L, base + "family one b"),
+      (50L, "a completely unrelated singleton document about catalyst rules"))
+      .toDF("doc_id", "text")
+    val out = Dedup.keepBest(docs, "text", "doc_id",
+        org.apache.spark.sql.functions.length($"text"), threshold = 0.7)
+      .select("doc_id", "n_members").as[(Long, Long)].collect().toMap
+    // the LONGEST member (11) wins, even though min-id dedup would keep 10
+    assert(out.keySet == Set(11L, 50L), s"kept ${out.keySet}")
+    assert(out(11L) == 3L && out(50L) == 1L)
+    // equal quality ties to the smallest id
+    val tied = Seq((7L, base), (3L, base), (9L, base)).toDF("doc_id", "text")
+    val t = Dedup.keepBest(tied, "text", "doc_id",
+        org.apache.spark.sql.functions.length($"text"), threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(t == Seq(3L))
+  }
 }

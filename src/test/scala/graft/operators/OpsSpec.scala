@@ -496,6 +496,26 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     (11L to 14L).foreach(i => assert(out(i)._1 == 0.0 && !out(i)._2))
   }
 
+  test("transitionMatrix: pair counts, row-normalized, tie-ordered") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val rows = Seq(
+      ("A", ts(1), "a", 1L), ("A", ts(2), "b", 2L),
+      ("A", ts(3), "a", 3L), ("A", ts(4), "c", 4L),
+      ("B", ts(1), "a", 5L), ("B", ts(2), "b", 6L))
+    val out = Ops.transitionMatrix(rows.toDF("k", "ts", "s", "id"), "k", "ts", "s", "id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("a", "b")) == ((2L, 2.0 / 3)))
+    assert(out(("a", "c")) == ((1L, 1.0 / 3)))
+    assert(out(("b", "a")) == ((1L, 1.0)))
+    assert(out.size == 3)
+    // simultaneous events order by the tie column, not partition luck
+    val tied = Seq(("A", ts(1), "x", 2L), ("A", ts(1), "y", 1L), ("A", ts(2), "z", 3L))
+    val t2 = Ops.transitionMatrix(tied.toDF("k", "ts", "s", "id"), "k", "ts", "s", "id")
+      .select("from_state", "to_state").as[(String, String)].collect().toSet
+    assert(t2 == Set(("y", "x"), ("x", "z"))) // id 1 (y) precedes id 2 (x)
+  }
+
   test("gapFill: dense spine, last-in-bucket wins, gaps carry forward") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     // key A: buckets 0 and 2 present (bucket 2 has a within-bucket tie at
