@@ -268,6 +268,18 @@ object SparkEntry {
           round(col("nearest_dist_m"), 3).as("nearest_dist_m"))
     }),
 
+    // --- all neighbors within a radius (ST_DWithin pair join) --------------
+    "sjoin_dwithin" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier").withColumn("geometry",
+        st_point(expr("(s_suppkey % 37) * 1.3 - 24 + 0.11"),
+          expr("(s_suppkey % 23) * 1.7 - 19 + 0.07")))
+      SJoin.sdwithin(custPoints(s, dir), sup, "c_custkey", "s_suppkey",
+          maxDistanceM = 300000.0)
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_within"),
+          round(min(col("dist_m")), 3).as("min_dist_m"))
+    }),
+
     // --- erde op/sjoin sagg ------------------------------------------------
     "sjoin_agg" -> ((s, dir) =>
       SJoin.sagg(nationZones(s, dir), custPoints(s, dir),
@@ -1306,6 +1318,15 @@ object SparkEntry {
           round(col("zscore"), 6).as("zscore"), col("is_outlier"))
     }),
 
+    // --- market-basket co-occurrence lift over order line items ------------
+    "basket_lift" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), (col("l_partkey") % 100).as("item"))
+      Ops.basketLift(li, "l_orderkey", "item", minCount = 3L)
+        .select(col("item_a"), col("item_b"), col("n_both"),
+          round(col("lift"), 6).as("lift6"))
+    }),
+
     // --- per-user event-type Markov transition matrix ----------------------
     "events_transitions" -> ((s, dir) =>
       Ops.transitionMatrix(t(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
@@ -1842,6 +1863,15 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY c_custkey ORDER BY d, s_suppkey) AS rn
          |  FROM pairs WHERE d <= 300000.0)
          |SELECT c_custkey, s_suppkey, round(d, 3) AS nearest_dist_m FROM best WHERE rn = 1""".stripMargin,
+    "sjoin_dwithin" ->
+      s"""WITH lp AS (SELECT c_custkey, (c_custkey % 120) * 0.5 - 30 + 0.25 AS x,
+         |    (c_custkey % 80) * 0.5 - 20 + 0.25 AS y FROM customer),
+         |rp AS (SELECT s_suppkey, (s_suppkey % 37) * 1.3 - 24 + 0.11 AS x,
+         |    (s_suppkey % 23) * 1.7 - 19 + 0.07 AS y FROM supplier),
+         |pairs AS (SELECT l.c_custkey, r.s_suppkey, ${havSql("l.x", "l.y", "r.x", "r.y")} AS d
+         |  FROM lp l, rp r)
+         |SELECT c_custkey, count(*) AS n_within, round(min(d), 3) AS min_dist_m
+         |FROM pairs WHERE d <= 300000.0 GROUP BY c_custkey""".stripMargin,
     "sjoin_lookup" ->
       s"""SELECT c.c_custkey, arg_min(n.n_name, n.n_nationkey) AS n_name
          |FROM customer c LEFT JOIN nation n ON ($custZoneSql)
@@ -2424,6 +2454,22 @@ object SparkEntry {
         |SELECT l_orderkey, l_partkey, q AS l_quantity,
         |  round(z, 6) AS zscore, abs(z) > 1.5 AS is_outlier
         |FROM jz""".stripMargin,
+    "basket_lift" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 100 AS i
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |sz AS (SELECT b, count(*) AS n FROM it GROUP BY b),
+        |ok AS (SELECT it.b, it.i FROM it JOIN sz ON it.b = sz.b
+        |  WHERE sz.n <= 1000 AND sz.n >= 2),
+        |nb AS (SELECT count(DISTINCT b) AS nb FROM ok),
+        |m AS (SELECT i, count(*) AS m FROM ok GROUP BY i),
+        |p AS (SELECT x.i AS item_a, y.i AS item_b, count(*) AS n_both
+        |  FROM ok x JOIN ok y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT p.item_a, p.item_b, p.n_both,
+        |  round(nb.nb * CAST(p.n_both AS DOUBLE)
+        |    / (CAST(ma.m AS DOUBLE) * CAST(mb.m AS DOUBLE)), 6) AS lift6
+        |FROM p JOIN m ma ON p.item_a = ma.i JOIN m mb ON p.item_b = mb.i
+        |CROSS JOIN nb""".stripMargin,
     "events_transitions" ->
       """WITH p AS (SELECT event_type AS from_state,
         |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state

@@ -714,6 +714,52 @@ object Ops {
       .drop("__n", "__s", "__s2")
   }
 
+  /** Market-basket co-occurrence with lift — the item2item recommender /
+    * association-rule primitive: for items grouped into baskets (order,
+    * session, document), every unordered within-basket pair is counted and
+    * scored with `lift = N·c(a,b) / (c(a)·c(b))` (> 1 ⇒ the pair co-occurs
+    * more than independence predicts). Items dedup within a basket first
+    * (multiplicity is not affinity), pairs orient `item_a < item_b` so each
+    * counts once, and `minCount` prunes the noise tail.
+    *
+    * Scale shape: the pair space is Σ n_b·(n_b−1)/2 over basket sizes — a
+    * per-basket self-join that never leaves the basket key's hash bucket.
+    * That quadratic is the operator's definition; the guard that matters at
+    * 100 TB is `maxBasket`, which drops degenerate mega-baskets (a crawler
+    * session with 10⁵ items would alone contribute 5·10⁹ pairs) BEFORE the
+    * pair join, map-side. Item marginals are one extra aggregation; the
+    * lift join keys on single items.
+    */
+  def basketLift(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minCount: Long = 1L,
+      maxBasket: Int = 1000): DataFrame = {
+    require(maxBasket >= 2, "maxBasket must be at least 2")
+    val items = df
+      .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val sized = items.join(
+      items.groupBy("__b").agg(count(lit(1)).as("__n"))
+        .where(col("__n") <= maxBasket && col("__n") >= 2),
+      "__b")
+    val nBaskets = sized.select(col("__b")).distinct().count()
+    val marg = sized.groupBy("__i").agg(count(lit(1)).as("__m"))
+    val pairs = sized.as("x").join(sized.as("y"),
+        col("x.__b") === col("y.__b") && col("x.__i") < col("y.__i"))
+      .groupBy(col("x.__i").as("item_a"), col("y.__i").as("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .where(col("n_both") >= minCount)
+    pairs
+      .join(marg.select(col("__i").as("item_a"), col("__m").as("n_a")), "item_a")
+      .join(marg.select(col("__i").as("item_b"), col("__m").as("n_b")), "item_b")
+      .withColumn("lift",
+        lit(nBaskets) * col("n_both").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+  }
+
   /** First-order Markov transition matrix over per-key event sequences —
     * the journey/funnel-adjacent analytic (what follows what, and how
     * often): consecutive events per key (ordered by time, ties by `tieCol`

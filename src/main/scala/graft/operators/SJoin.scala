@@ -356,6 +356,61 @@ object SJoin {
     left.join(best.join(renamed, Seq(rId)), Seq(leftId), how)
   }
 
+  /** Within-distance spatial join for POINT layers (PostGIS `ST_DWithin`
+    * shape): ALL (left, right) pairs at haversine distance ≤ `maxDistanceM`
+    * metres, with `dist_m` attached — [[snearest]] without the argmin, for
+    * when the analysis needs every neighbor (exposure scoring, density
+    * features, conflation candidates), not just the closest.
+    *
+    * Scale shape: identical disc-cover grid — left explodes its search-disc
+    * cells, right sits in its single home cell, candidates form exactly
+    * once in a cell-keyed hash join and die on a codegen'd double compare.
+    * Output is the true pair set; its size is the data's neighbor count,
+    * not an operator artifact (pick the radius accordingly).
+    */
+  def sdwithin(
+      left: DataFrame,
+      right: DataFrame,
+      leftId: String,
+      rightId: String,
+      maxDistanceM: Double,
+      leftGeom: String = "geometry",
+      rightGeom: String = "geometry",
+      cellDeg: Double = 0.0,
+      rightSuffix: String = "_right"): DataFrame = {
+    require(maxDistanceM > 0, "maxDistanceM must be positive")
+    val dLat = maxDistanceM / 111000.0
+    val cd = if (cellDeg > 0) cellDeg else math.max(0.05, 2.0 * dLat)
+
+    val clash = left.columns.toSet ++ Set("dist_m")
+    val renamed = renameClashing(right, clash, rightSuffix)
+    val rGeom = if (clash(rightGeom)) rightGeom + rightSuffix else rightGeom
+    val rId = if (clash(rightId)) rightId + rightSuffix else rightId
+
+    val l0 = left.select(col(leftId),
+      st_x(col(leftGeom)).as("__lx"), st_y(col(leftGeom)).as("__ly"))
+    val dLon = least(lit(180.0), lit(maxDistanceM) /
+      (lit(111000.0) * cos(radians(least(lit(89.9), abs(col("__ly")) + lit(dLat))))))
+    val l = l0
+      .withColumn("__ix", explode(sequence(
+        floor((col("__lx") - dLon + lit(180.0)) / lit(cd)),
+        floor((col("__lx") + dLon + lit(180.0)) / lit(cd)))))
+      .withColumn("__iy", explode(sequence(
+        floor((col("__ly") - lit(dLat) + lit(90.0)) / lit(cd)),
+        floor((col("__ly") + lit(dLat) + lit(90.0)) / lit(cd)))))
+      .withColumn(CELL, shiftleft(col("__ix"), 32)
+        .bitwiseOR(col("__iy").bitwiseAND(lit(0xffffffffL))))
+    val r = renamed
+      .select(col(rId), st_x(col(rGeom)).as("__rx"), st_y(col(rGeom)).as("__ry"))
+      .withColumn(CELL, st_cellof(col("__rx"), col("__ry"), lit(cd)))
+
+    val pairs = l.join(r, CELL)
+      .withColumn("dist_m", haversineM(col("__lx"), col("__ly"), col("__rx"), col("__ry")))
+      .where(col("dist_m") <= maxDistanceM)
+      .select(col(leftId), col(rId), col("dist_m"))
+    pairs.join(left, Seq(leftId)).join(renamed, Seq(rId))
+  }
+
   /** k-nearest-neighbors spatial join — [[snearest]] generalized from the
     * single argmin to the `k` best right points per left row within
     * `maxDistanceM` (haversine meters). Appends `knn_dist_m` and `knn_rank`

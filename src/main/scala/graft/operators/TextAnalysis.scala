@@ -821,6 +821,17 @@ object TextAnalysis {
   def bpeTrain(df: DataFrame, textCol: String = "text",
       numMerges: Int = 16): Seq[(String, String)] = {
     require(numMerges >= 1, "numMerges must be positive")
+    // round r's collect materializes the CURRENT vocabulary checkpoint
+    // (reading round r−1's blocks while it does), so r−1 frees right AFTER
+    // the collect — never before, a truncated-lineage checkpoint cannot
+    // recompute — and the tail frames free on return: training leaves no
+    // persistent RDDs behind (the pagerank release pattern)
+    def release(f: DataFrame): Unit = f.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+    var prev: Option[DataFrame] = None
     var vocab = df
       .select(explode(filter(split(trim(lower(col(textCol))), " +"),
         x => x =!= "")).as("__w"))
@@ -840,17 +851,25 @@ object TextAnalysis {
           .as("__p"))
         .groupBy("__p").agg(sum("__c").as("__n"))
         .orderBy(col("__n").desc, col("__p").asc)
-        .limit(1).collect() // bounded: one row
+        .limit(1).collect() // bounded: one row; materializes `vocab`
+      prev.foreach(release); prev = None
       if (best.isEmpty) exhausted = true
       else {
         val Array(a, b) = best(0).getString(0).split(P, 2)
         val (pat, rep) = mergePat(a, b)
         merges += ((a, b))
-        vocab = vocab
+        val next = vocab
           .withColumn("__s", replace(col("__s"), lit(pat), lit(rep)))
           .localCheckpoint(false)
+        prev = Some(vocab)
+        vocab = next
       }
     }
+    // the tail pair: `prev` is materialized, `vocab` never will be (its
+    // round never ran) — unpersisting an unmaterialized lazy checkpoint is
+    // a no-op, so both free safely
+    prev.foreach(release)
+    release(vocab)
     merges.toSeq
   }
 

@@ -493,6 +493,59 @@ object EventStream {
     * the next event arrives after the gap, or when the watermark passes the
     * session end + gap.
     */
+  /** One changelog record: an upsert or delete for `key`, ordered by
+    * (ts, tie) — the streaming face of [[graft.operators.Ops.applyChangelog]].
+    */
+  final case class Change(key: Long, ts: Timestamp, tie: Long, op: String,
+      value: Double, tag: String)
+
+  /** The maintained snapshot row for one key: latest change applied;
+    * `deleted` rows are tombstones (kept so a late out-of-order upsert with
+    * an OLDER ordinal cannot resurrect a newer delete).
+    */
+  final case class SnapshotRow(key: Long, ts: Timestamp, tie: Long,
+      deleted: Boolean, value: Double, tag: String)
+
+  /** Streaming latest-wins upsert: maintains the per-key current-state
+    * snapshot of a CDC changelog with `mapGroupsWithState` — each
+    * micro-batch advances every touched key to its (ts, tie)-maximal change
+    * and emits the new state (Update mode downstream; a memory/foreachBatch
+    * sink holds the materialized table). Late or replayed changes are
+    * harmless: anything older than the stored frontier is ignored, so the
+    * stream is idempotent under at-least-once delivery, exactly like the
+    * batch operator's replay-idempotence.
+    *
+    * Scale shape: state is ONE narrow row per live key — the inherent cost
+    * of materializing a snapshot, the same O(keys) any keyed state store
+    * pays — with no growth in the number of changes; tombstones hold the
+    * delete frontier. No watermark requirement: ordering is by the payload
+    * ordinal, not arrival time.
+    */
+  def upsertStream(changes: Dataset[Change]): Dataset[SnapshotRow] = {
+    import changes.sparkSession.implicits._
+    def micros(t: Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    def ord(ts: Timestamp, tie: Long): (Long, Long) = (micros(ts), tie)
+
+    def update(key: Long, rows: Iterator[Change],
+        state: GroupState[SnapshotRow]): SnapshotRow = {
+      val best0 = state.getOption
+      val newest = rows.maxBy(c => ord(c.ts, c.tie))(
+        Ordering.Tuple2(Ordering.Long, Ordering.Long))
+      val next = best0 match {
+        case Some(s) if Ordering.Tuple2(Ordering.Long, Ordering.Long)
+            .gteq(ord(s.ts, s.tie), ord(newest.ts, newest.tie)) => s
+        case _ => SnapshotRow(key, newest.ts, newest.tie,
+          newest.op == "delete", newest.value, newest.tag)
+      }
+      state.update(next)
+      next
+    }
+
+    changes.groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
   def sessionizeStream(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L

@@ -496,6 +496,32 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     (11L to 14L).foreach(i => assert(out(i)._1 == 0.0 && !out(i)._2))
   }
 
+  test("basketLift: closed-form lift, dedup within basket, mega-basket guard") {
+    // baskets: {x,y} ×3, {x,z}, {y,z}, singleton {x}, and one mega-basket
+    val rows = Seq(
+      (1L, "x"), (1L, "y"), (1L, "x"), // within-basket repeat dedups
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "y"),
+      (4L, "x"), (4L, "z"),
+      (5L, "y"), (5L, "z"),
+      (6L, "x")) ++ // singleton: no pairs, excluded from N
+      (0 until 30).map(i => (99L, s"m$i")) // mega-basket beyond maxBasket
+    val df = rows.toDF("b", "i")
+    val out = Ops.basketLift(df, "b", "i", minCount = 1L, maxBasket = 10)
+      .select("item_a", "item_b", "n_both", "lift")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // eligible baskets: 1..5 (N=5); c(x)=4, c(y)=4, c(z)=2
+    assert(out(("x", "y")) == ((3L, 5.0 * 3 / (4 * 4))))
+    assert(out(("x", "z")) == ((1L, 5.0 * 1 / (4 * 2))))
+    assert(out(("y", "z")) == ((1L, 5.0 * 1 / (4 * 2))))
+    assert(out.size == 3, s"mega-basket pairs leaked: ${out.keySet}")
+    // minCount prunes the tail
+    val pruned = Ops.basketLift(df, "b", "i", minCount = 2L, maxBasket = 10)
+      .select("item_a", "item_b").as[(String, String)].collect().toSet
+    assert(pruned == Set(("x", "y")))
+  }
+
   test("transitionMatrix: pair counts, row-normalized, tie-ordered") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val rows = Seq(

@@ -432,6 +432,38 @@ class SJoinSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"no pre-shuffle prune:\n$plan")
   }
 
+  test("sdwithin: full pair set matches brute-force haversine, no cartesian") {
+    import graft.functions.GeoFunctions._
+    import testImplicits._
+    def hav(x1: Double, y1: Double, x2: Double, y2: Double): Double = {
+      val R = 6371008.8
+      val (p1, p2) = (math.toRadians(y1), math.toRadians(y2))
+      val (dp, dl) = (math.toRadians(y2 - y1), math.toRadians(x2 - x1))
+      val a = math.sin(dp / 2) * math.sin(dp / 2) +
+        math.cos(p1) * math.cos(p2) * math.sin(dl / 2) * math.sin(dl / 2)
+      2 * R * math.asin(math.sqrt(a))
+    }
+    val lpts = (0 until 40).map(i => (i.toLong, (i % 8) * 0.7 - 2.0, (i / 8) * 0.9 - 1.5))
+    val rpts = (0 until 30).map(i => (100L + i, (i % 6) * 0.8 - 1.7, (i / 6) * 0.6 - 1.2))
+    val l = lpts.toDF("lid", "x", "y")
+      .withColumn("geometry", st_point(col("x"), col("y"))).drop("x", "y")
+    val r = rpts.toDF("rid", "x", "y")
+      .withColumn("geometry", st_point(col("x"), col("y"))).drop("x", "y")
+    val maxD = 120000.0
+    val got = SJoin.sdwithin(l, r, "lid", "rid", maxDistanceM = maxD)
+      .select("lid", "rid").as[(Long, Long)].collect()
+    val brute = (for {
+      (li, lx, ly) <- lpts; (ri, rx, ry) <- rpts
+      if hav(lx, ly, rx, ry) <= maxD
+    } yield (li, ri)).toSet
+    assert(got.toSet == brute)
+    assert(got.length == brute.size, "pair emitted more than once")
+    val plan = SJoin.sdwithin(l, r, "lid", "rid", maxDistanceM = maxD)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"sdwithin degenerated:\n$plan")
+  }
+
   test("subdivided build side is join-equivalent: sfilter directly, sjfull after pair dedup") {
     // dense irregular polygon (a 64-gon with a concave bite) so subdivide
     // actually splits; points probe interior, notch, boundary neighborhoods

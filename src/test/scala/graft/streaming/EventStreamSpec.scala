@@ -527,4 +527,47 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
       assert(out.size >= 380)
     } finally q.stop()
   }
+
+  test("upsertStream: latest-wins snapshot, tombstones, late-change immunity") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Change]
+    val q = upsertStream(mem.toDS())
+      .writeStream.format("memory").queryName("upsert_snap").outputMode("update").start()
+    try {
+      mem.addData(
+        Change(1L, ts(10), 1L, "upsert", 10.0, "a"),
+        Change(2L, ts(5), 2L, "upsert", 20.0, "b"),
+        Change(3L, ts(7), 3L, "upsert", 30.0, "c"))
+      q.processAllAvailable()
+      mem.addData(
+        Change(1L, ts(8), 4L, "upsert", 99.0, "stale"), // OLDER than the frontier
+        Change(2L, ts(9), 5L, "delete", 0.0, "x"),
+        Change(3L, ts(12), 6L, "upsert", 31.0, "c2"),
+        Change(4L, ts(11), 7L, "upsert", 40.0, "d"))
+      q.processAllAvailable()
+      val rows = spark.table("upsert_snap")
+        .as[SnapshotRow].collect()
+      // final state per key = the (ts, tie)-maximal emitted state
+      val fin = rows.groupBy(_.key).map { case (k, rs) =>
+        k -> rs.maxBy(r => (r.ts.getTime, r.tie))
+      }
+      assert(fin(1L).value == 10.0 && fin(1L).tag == "a" && !fin(1L).deleted,
+        "late stale change must not clobber the frontier")
+      assert(fin(2L).deleted, "delete must tombstone")
+      assert(fin(3L).value == 31.0 && fin(3L).tag == "c2")
+      assert(fin(4L).value == 40.0)
+      // batch parity: applyChangelog on an empty base over the SAME changes
+      val allCh = Seq(
+        (1L, ts(10), 1L, "upsert", 10.0, "a"), (2L, ts(5), 2L, "upsert", 20.0, "b"),
+        (3L, ts(7), 3L, "upsert", 30.0, "c"), (1L, ts(8), 4L, "upsert", 99.0, "stale"),
+        (2L, ts(9), 5L, "delete", 0.0, "x"), (3L, ts(12), 6L, "upsert", 31.0, "c2"),
+        (4L, ts(11), 7L, "upsert", 40.0, "d"))
+        .toDF("key", "ts", "tie", "op", "value", "tag")
+      val base = Seq.empty[(Long, Double, String)].toDF("key", "value", "tag")
+      val batch = graft.operators.Ops.applyChangelog(base, allCh, Seq("key"), "ts", "op", "tie")
+        .as[(Long, Double, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val live = fin.filterNot(_._2.deleted).map { case (k, r) => k -> ((r.value, r.tag)) }
+      assert(live == batch, s"stream snapshot diverged from batch: $live vs $batch")
+    } finally q.stop()
+  }
 }
