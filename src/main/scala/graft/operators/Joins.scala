@@ -11,6 +11,40 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Persists a frame that the set-similarity joins reference two or three
+    * times (prefix/index explode + exact-verify join-back) and releases it
+    * DETERMINISTICALLY: a QueryExecutionListener unpersists on the first
+    * completed action whose plan contains the frame — the [[SJoin]]
+    * stableTagged release policy. Without this, every reference recomputes
+    * the full aggregation subtree under it (document frequencies, per-row
+    * sorted token arrays), scanning the corpus ~4× per use; MEMORY_AND_DISK
+    * spills rather than evicts at 100 TB, and the blocks never outlive the
+    * first action.
+    */
+  private def cachedUntilAction(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val session = df.sparkSession
+    val target = df.queryExecution.analyzed
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    lazy val listener: org.apache.spark.sql.util.QueryExecutionListener =
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        private def maybeRelease(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+          if (qe.analyzed.find(_.sameResult(target)).isDefined &&
+              done.compareAndSet(false, true)) {
+            df.unpersist(blocking = false)
+            session.listenerManager.unregister(listener)
+          }
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          maybeRelease(qe)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+          maybeRelease(qe)
+      }
+    session.listenerManager.register(listener)
+    df
+  }
+
   /** Edit-distance threshold join: all (left, right) pairs with
     * `levenshtein(left[leftCol], right[rightCol]) <= maxDist`, each pair
     * emitted once with an `edit_dist` column.
@@ -333,10 +367,14 @@ object Joins {
     val r0 = prep(right, rightId, rightCol)
 
     // rare-first global order: df over BOTH inputs (self-joins double-count
-    // every token — a uniform scale that cannot change the ordering)
-    val dfreq = l0.select(explode(col("__toks")).as("__tok"))
-      .unionAll(r0.select(explode(col("__toks")).as("__tok")))
-      .groupBy("__tok").agg(count(lit(1)).as("__df"))
+    // every token — a uniform scale that cannot change the ordering).
+    // dfreq feeds both sorted sides and each sorted side feeds two
+    // consumers (prefix explode + verify join-back) — persisted, listener-
+    // released, or every consumer recomputes the subtree from the scan
+    val dfreq = cachedUntilAction(
+      l0.select(explode(col("__toks")).as("__tok"))
+        .unionAll(r0.select(explode(col("__toks")).as("__tok")))
+        .groupBy("__tok").agg(count(lit(1)).as("__df")))
 
     def sortedSide(side: DataFrame): DataFrame =
       side.select(col("__id"), explode(col("__toks")).as("__tok"))
@@ -345,8 +383,8 @@ object Joins {
         .agg(sort_array(collect_list(struct(col("__df"), col("__tok")))).as("__ord"))
         .select(col("__id"), transform(col("__ord"), s => s("__tok")).as("__stoks"),
           size(col("__ord")).as("__n"))
-    val ls = sortedSide(l0)
-    val rs = sortedSide(r0)
+    val ls = cachedUntilAction(sortedSide(l0))
+    val rs = cachedUntilAction(sortedSide(r0))
 
     def prefixLen(n: Column): Column =
       (n - ceil(lit(threshold) * n.cast("double") - lit(1e-9)).cast("int") + 1)
@@ -514,14 +552,19 @@ object Joins {
       .unionAll(r0.select(explode(col("__toks")).as("__tok")))
       .groupBy("__tok").agg(count(lit(1)).as("__df"))
 
-    val ls = l0.select(col("__id"), explode(col("__toks")).as("__tok"))
-      .join(dfreq, "__tok")
-      .groupBy(col("__id"))
-      .agg(sort_array(collect_list(struct(col("__df"), col("__tok")))).as("__ord"))
-      .select(col("__id"), transform(col("__ord"), s => s("__tok")).as("__stoks"),
-        size(col("__ord")).as("__n"))
-    val rn = r0.select(col("__id").as("__rid"), size(col("__toks")).as("__rn"),
-      col("__toks"))
+    // probe prefixes + verify both read the sorted probe side; the right
+    // side's token frame feeds the inverted index AND the verify join-back
+    // — persisted, listener-released (see cachedUntilAction)
+    val ls = cachedUntilAction(
+      l0.select(col("__id"), explode(col("__toks")).as("__tok"))
+        .join(dfreq, "__tok")
+        .groupBy(col("__id"))
+        .agg(sort_array(collect_list(struct(col("__df"), col("__tok")))).as("__ord"))
+        .select(col("__id"), transform(col("__ord"), s => s("__tok")).as("__stoks"),
+          size(col("__ord")).as("__n")))
+    val rn = cachedUntilAction(
+      r0.select(col("__id").as("__rid"), size(col("__toks")).as("__rn"),
+        col("__toks")))
 
     val alpha = ceil(lit(threshold) * col("__n").cast("double") - lit(1e-9))
     val lp = ls.select(col("__id").as("__lid"), col("__n").as("__ln"),
