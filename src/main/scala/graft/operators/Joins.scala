@@ -11,39 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
-  /** Persists a frame that the set-similarity joins reference two or three
-    * times (prefix/index explode + exact-verify join-back) and releases it
-    * DETERMINISTICALLY: a QueryExecutionListener unpersists on the first
-    * completed action whose plan contains the frame — the [[SJoin]]
-    * stableTagged release policy. Without this, every reference recomputes
-    * the full aggregation subtree under it (document frequencies, per-row
-    * sorted token arrays), scanning the corpus ~4× per use; MEMORY_AND_DISK
-    * spills rather than evicts at 100 TB, and the blocks never outlive the
-    * first action.
-    */
-  private def cachedUntilAction(df: DataFrame): DataFrame = {
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val session = df.sparkSession
-    val target = df.queryExecution.analyzed
-    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-    lazy val listener: org.apache.spark.sql.util.QueryExecutionListener =
-      new org.apache.spark.sql.util.QueryExecutionListener {
-        private def maybeRelease(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-          if (qe.analyzed.find(_.sameResult(target)).isDefined &&
-              done.compareAndSet(false, true)) {
-            df.unpersist(blocking = false)
-            session.listenerManager.unregister(listener)
-          }
-        override def onSuccess(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-          maybeRelease(qe)
-        override def onFailure(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
-          maybeRelease(qe)
-      }
-    session.listenerManager.register(listener)
-    df
-  }
+  // set-similarity frames are referenced two or three times (prefix/index
+  // explode + exact-verify join-back): without the persist every reference
+  // recomputes the aggregation subtree from the scan (~4 corpus scans per
+  // use). Deterministic release policy documented on [[Caches]].
+  private def cachedUntilAction(df: DataFrame): DataFrame =
+    Caches.cachedUntilAction(df)
 
   /** Edit-distance threshold join: all (left, right) pairs with
     * `levenshtein(left[leftCol], right[rightCol]) <= maxDist`, each pair

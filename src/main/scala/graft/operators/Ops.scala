@@ -741,11 +741,16 @@ object Ops {
       .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .distinct()
+    // sized feeds FOUR consumers (N, marginals, both pair-join sides) —
+    // persisted, and the release listener registers only AFTER the internal
+    // N count so that bounded action doesn't free it early (see Caches)
     val sized = items.join(
       items.groupBy("__b").agg(count(lit(1)).as("__n"))
         .where(col("__n") <= maxBasket && col("__n") >= 2),
       "__b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBaskets = sized.select(col("__b")).distinct().count()
+    Caches.releaseAfterAction(sized)
     val marg = sized.groupBy("__i").agg(count(lit(1)).as("__m"))
     val pairs = sized.as("x").join(sized.as("y"),
         col("x.__b") === col("y.__b") && col("x.__i") < col("y.__i"))
