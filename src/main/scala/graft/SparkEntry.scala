@@ -1318,6 +1318,14 @@ object SparkEntry {
           round(col("zscore"), 6).as("zscore"), col("is_outlier"))
     }),
 
+    // --- linear multi-touch attribution over the events stream -------------
+    "events_attribution" -> ((s, dir) =>
+      Ops.attributionLinear(t(s, dir, "events"), "user_id", "ts", "event_type",
+          convType = "purchase", touchTypes = Seq("click", "view"),
+          valueCol = "value", windowSeconds = 259200L, idCol = "event_id")
+        .select(col("touch_id"), col("n_convs"),
+          round(col("credit"), 6).as("credit6"))),
+
     // --- market-basket co-occurrence lift over order line items ------------
     "basket_lift" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -1364,6 +1372,17 @@ object SparkEntry {
     "stats_corr" -> ((s, dir) =>
       Profiling.corrMatrix(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // --- k-anonymity audit over quasi-identifiers --------------------------
+    "data_kanon" -> ((s, dir) =>
+      Profiling.kAnonymityViolations(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10L)),
+
+    // --- Gini concentration of documents per source (mix balance) ----------
+    "stats_gini" -> ((s, dir) =>
+      Profiling.giniConcentration(t(s, dir, "documents"), "source")
+        .select(col("n_groups"), col("n_rows"),
+          round(col("gini"), 6).as("gini6"))),
 
     // --- per-column Shannon entropy (distribution-skew diagnostic) ---------
     "stats_entropy" -> ((s, dir) =>
@@ -2454,6 +2473,17 @@ object SparkEntry {
         |SELECT l_orderkey, l_partkey, q AS l_quantity,
         |  round(z, 6) AS zscore, abs(z) > 1.5 AS is_outlier
         |FROM jz""".stripMargin,
+    "events_attribution" ->
+      """WITH c AS (SELECT event_id AS cid, user_id AS u, epoch_us(ts) AS ct, value AS v
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |t AS (SELECT event_id AS tid, user_id AS u, epoch_us(ts) AS tt
+        |  FROM events WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL),
+        |p AS (SELECT c.cid, c.v, t.tid FROM c JOIN t ON c.u = t.u
+        |  AND t.tt >= c.ct - 259200000000 AND t.tt <= c.ct),
+        |w AS (SELECT cid, v, tid, count(*) OVER (PARTITION BY cid) AS n FROM p)
+        |SELECT tid AS touch_id, count(*) AS n_convs,
+        |  round(sum(v / n), 6) AS credit6
+        |FROM w GROUP BY tid""".stripMargin,
     "basket_lift" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 100 AS i
         |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
@@ -2516,6 +2546,18 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "stats_entropy" -> OracleSql.statsEntropy(
       Seq("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey")),
+    "data_kanon" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+        |FROM customer GROUP BY 1, 2 HAVING count(*) < 10""".stripMargin,
+    "stats_gini" ->
+      """WITH c AS (SELECT source AS g, count(*) AS c FROM documents
+        |  WHERE source IS NOT NULL GROUP BY 1),
+        |r AS (SELECT g, c, row_number() OVER (ORDER BY c, g) AS r FROM c)
+        |SELECT count(*) AS n_groups, sum(c) AS n_rows,
+        |  round(CAST(2 AS DOUBLE) * CAST(sum(r * c) AS DOUBLE)
+        |      / (CAST(count(*) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
+        |    - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS gini6
+        |FROM r""".stripMargin,
     "geo_hexbin" -> OracleSql.geoHexbin(size = 2.5),
     "sim_hybrid" -> simHybridOracleSql,
     "text_bpe" -> OracleSql.textBpe(m = 16),

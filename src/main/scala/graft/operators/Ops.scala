@@ -714,6 +714,50 @@ object Ops {
       .drop("__n", "__s", "__s2")
   }
 
+  /** Linear multi-touch attribution — the conversion-credit analytic beside
+    * [[windowFunnel]]: each conversion's value splits EQUALLY across every
+    * touch event of the same key inside the `windowSeconds` lookback
+    * (touch.ts ∈ [conv.ts − W, conv.ts], closed ends); per touch, the
+    * credited value sums over the conversions it assisted. (Last-touch
+    * attribution is [[asofJoin]] with the conversion as the left side —
+    * this operator covers the multi-touch family the as-of cannot.)
+    *
+    * Scale shape: ONE key-equi hash join with the time window as a
+    * codegen'd residual — pair volume is each key's true touch×conversion
+    * density inside the window, the analytic's own answer. The
+    * per-conversion touch count is a window over the PAIRS (bounded by that
+    * same density), and the final rollup keys on touch id. Hot-key caveat
+    * as [[asofJoin]]: one pathological key serializes its own pairs, split
+    * upstream if a key can hold millions of events. Exact integer-µs
+    * window arithmetic (`unix_micros`, never double timestamps).
+    */
+  def attributionLinear(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      typeCol: String,
+      convType: String,
+      touchTypes: Seq[String],
+      valueCol: String,
+      windowSeconds: Long,
+      idCol: String): DataFrame = {
+    require(touchTypes.nonEmpty && windowSeconds > 0, "touch types and positive window required")
+    val wUs = windowSeconds * 1000000L
+    val convs = events.where(col(typeCol) === convType && col(keyCol).isNotNull)
+      .select(col(idCol).as("__cid"), col(keyCol).as("__k"),
+        unix_micros(col(timeCol)).as("__ct"), col(valueCol).as("__v"))
+    val touches = events.where(col(typeCol).isin(touchTypes: _*) && col(keyCol).isNotNull)
+      .select(col(idCol).as("touch_id"), col(keyCol).as("__k"),
+        unix_micros(col(timeCol)).as("__tt"))
+    val pairs = convs.join(touches, Seq("__k"))
+      .where(col("__tt") >= col("__ct") - wUs && col("__tt") <= col("__ct"))
+    val perConv = org.apache.spark.sql.expressions.Window.partitionBy("__cid")
+    pairs.withColumn("__n", count(lit(1)).over(perConv))
+      .groupBy("touch_id")
+      .agg(count(lit(1)).as("n_convs"),
+        sum(col("__v") / col("__n")).as("credit"))
+  }
+
   /** Market-basket co-occurrence with lift — the item2item recommender /
     * association-rule primitive: for items grouped into baskets (order,
     * session, document), every unordered within-basket pair is counted and

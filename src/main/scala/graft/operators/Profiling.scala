@@ -87,6 +87,52 @@ object Profiling {
     wide.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
 
+  /** k-anonymity audit over quasi-identifier columns — the privacy gate
+    * that runs next to PII redaction before a corpus ships: every
+    * equivalence class (distinct quasi-identifier combination) smaller than
+    * `k` re-identifies its members. Returns one row per violating class
+    * with its size, plus the caller-facing summary columns repeated on each
+    * row (violating classes, exposed rows) so the gate is a one-scan
+    * decision. Nulls are a quasi-identifier value of their own.
+    *
+    * Scale shape: ONE map-side-combined groupBy on the quasi-identifier
+    * tuple; the violation table is at most (k−1)·classes rows — the
+    * suppression worklist a pipeline then anti-joins against the corpus.
+    */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2, "need quasi-identifier columns and k >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .where(col("class_size") < k)
+  }
+
+  /** Gini concentration coefficient over group sizes — the domain-balance
+    * diagnostic for corpus mixing (0 = every domain contributes equally,
+    * →1 = one domain is the corpus): computed from the group-count table
+    * with the rank formula `G = (2·Σ(rank·c) / (n·Σc)) − (n+1)/n` over
+    * counts ranked ascending (ties by group id, so the rank — and G — is
+    * engine-reproducible).
+    *
+    * Scale shape: the corpus collapses to one count per group (map-side
+    * combined); the rank window runs over the GROUP table only — model-
+    * sized, the same policy as histQuantiles' bin window. Output: one row.
+    */
+  def giniConcentration(df: DataFrame, groupCol: String): DataFrame = {
+    val counts = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__c"), col("__g")) // group-table-only window (see above)
+    counts.withColumn("__r", row_number().over(w))
+      .agg(count(lit(1)).as("n_groups"), sum("__c").as("n_rows"),
+        sum(col("__r") * col("__c")).as("__rc"))
+      .select(col("n_groups"), col("n_rows"),
+        (lit(2.0) * col("__rc").cast("double") /
+          (col("n_groups").cast("double") * col("n_rows").cast("double")) -
+          (col("n_groups") + 1).cast("double") / col("n_groups").cast("double"))
+          .as("gini"))
+  }
+
   /** Per-column Shannon entropy (nats) over the value distribution — the
     * skew/diversity diagnostic next to [[profile]]'s cardinality: near-0
     * entropy flags a degenerate column (one dominant value — a broken

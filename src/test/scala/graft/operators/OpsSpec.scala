@@ -496,6 +496,32 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     (11L to 14L).foreach(i => assert(out(i)._1 == 0.0 && !out(i)._2))
   }
 
+  test("attributionLinear: equal split inside the window, exclusions exact") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val W = 100L
+    val rows = Seq(
+      // conversion at t=200 (value 12): touches at 150, 120 inside; 90 outside
+      (1L, ts(150), "A", "click", 0.0), (2L, ts(120), "A", "view", 0.0),
+      (3L, ts(90), "A", "click", 0.0), (4L, ts(200), "A", "purchase", 12.0),
+      // conversion at t=300 (value 6): touch 1 (t=150) now outside, 250 inside
+      (5L, ts(250), "A", "click", 0.0), (6L, ts(300), "A", "purchase", 6.0),
+      // touch exactly AT the conversion instant counts (closed end)
+      (7L, ts(400), "B", "click", 0.0), (8L, ts(400), "B", "purchase", 10.0),
+      // conversion with no touches: contributes nothing
+      (9L, ts(500), "C", "purchase", 99.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Ops.attributionLinear(df, "user_id", "ts", "event_type",
+        "purchase", Seq("click", "view"), "value", W, "event_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((1L, 6.0))) // conv 4 splits 12 across touches 1, 2
+    assert(out(2L) == ((1L, 6.0)))
+    assert(out(5L) == ((1L, 6.0))) // conv 6: only touch 5 inside its window
+    assert(out(7L) == ((1L, 10.0))) // same-instant touch gets full credit
+    assert(!out.contains(3L), "outside-window touch credited")
+    assert(out.values.map(_._2).sum == 28.0) // conv 9 (touchless) drops its 99
+  }
+
   test("basketLift: closed-form lift, dedup within basket, mega-basket guard") {
     // baskets: {x,y} ×3, {x,z}, {y,z}, singleton {x}, and one mega-basket
     val rows = Seq(

@@ -54,6 +54,33 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     assert(out.size == 6)
   }
 
+  test("kAnonymityViolations: only classes under k, sizes exact") {
+    val df = Seq(
+      ("NY", "A"), ("NY", "A"), ("NY", "A"), // class of 3: safe at k=3
+      ("SF", "B"), ("SF", "B"), // class of 2: violates
+      ("LA", "C")) // class of 1: violates
+      .toDF("city", "seg")
+    val out = Profiling.kAnonymityViolations(df, Seq("city", "seg"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("SF", "B") -> 2L, ("LA", "C") -> 1L))
+  }
+
+  test("giniConcentration: closed-form extremes and a hand case") {
+    // perfectly equal groups -> G = 0
+    val eq = (1 to 40).map(i => s"g${i % 4}").toDF("g")
+    val g0 = Profiling.giniConcentration(eq, "g").collect()(0)
+    assert(g0.getLong(0) == 4L && g0.getLong(1) == 40L)
+    assert(math.abs(g0.getDouble(2)) < 1e-12)
+    // counts 1,2,3,4: G = 2*(1*1+2*2+3*3+4*4)/(4*10) - 5/4 = 60/40 - 1.25 = 0.25
+    val hand = (Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(4)("d")).toDF("g")
+    val gh = Profiling.giniConcentration(hand, "g").collect()(0).getDouble(2)
+    assert(math.abs(gh - 0.25) < 1e-12)
+    // one dominant group drives G toward 1
+    val skew = (Seq.fill(97)("big") ++ Seq("x", "y", "z")).toDF("g")
+    assert(Profiling.giniConcentration(skew, "g").collect()(0).getDouble(2) > 0.7)
+  }
+
   test("entropy: closed-form values, nulls are a value, constant is zero") {
     val df = Seq(
       (Some("a"), 1L), (Some("a"), 1L), (Some("b"), 1L), (Some("b"), 1L),
