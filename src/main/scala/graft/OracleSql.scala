@@ -1686,6 +1686,32 @@ object OracleSql {
          |FROM $src""".stripMargin
     }.mkString("\n", "\nUNION ALL\n", "")
 
+  /** Mirror of `Similarity.farthestPointSample`: the greedy maximin rounds
+    * unrolled as MATERIALIZED single-row CTEs — each round cross-joins the
+    * corpus with every previous center, takes `least(1 − cos…)` and cuts on
+    * the same 9-decimal-rounded (distance desc, id) order as the Spark
+    * side.
+    */
+  def simFps(k: Int, vecsrc: String = "embeddings"): String = {
+    val b0 = s"""b0 AS MATERIALIZED (SELECT vec_id, embedding, CAST(-1 AS DOUBLE) AS dmin
+                |  FROM $vecsrc ORDER BY vec_id LIMIT 1)""".stripMargin
+    val stages = (1 until k).map { i =>
+      val terms = (0 until i).map(j =>
+        s"(CAST(1 AS DOUBLE) - ${cos("e.embedding", s"b$j.embedding")})")
+      val ld = if (terms.size == 1) terms.head else s"least(${terms.mkString(", ")})"
+      val joins = (0 until i).map(j => s"CROSS JOIN b$j").mkString(" ")
+      val excl = (0 until i).map(j => s"e.vec_id <> b$j.vec_id").mkString(" AND ")
+      s"""b$i AS MATERIALIZED (SELECT e.vec_id, e.embedding, $ld AS dmin
+         |  FROM $vecsrc e $joins
+         |  WHERE $excl
+         |  ORDER BY round($ld, 9) DESC, e.vec_id LIMIT 1)""".stripMargin
+    }
+    val union = (0 until k).map(i =>
+      s"SELECT $i AS round, vec_id, round(dmin, 6) AS dist6 FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${(b0 +: stages).mkString(",\n")}\n$union"
+  }
+
   /** Mirror of `TextAnalysis.bpeTrain` + `bpeApply`: BPE training unrolled
     * as `m` chained CTE stages — each counts adjacent symbol pairs over the
     * current vocabulary (weighted by word frequency), picks the best under

@@ -1404,6 +1404,12 @@ object SparkEntry {
           round(avg(col("c_acctbal")), 4).as("avg_bal4"))
     }),
 
+    // --- farthest-point (k-center) diversity sample over embeddings --------
+    "sim_fps" -> ((s, dir) =>
+      Similarity.farthestPointSample(t(s, dir, "embeddings"), "embedding", "vec_id", k = 6)
+        .select(col("round"), col("vec_id"),
+          round(col("maximin_dist"), 6).as("dist6"))),
+
     // --- BPE subword tokenizer: corpus-trained merges, per-doc counts ------
     "text_bpe" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2561,6 +2567,7 @@ object SparkEntry {
     "geo_hexbin" -> OracleSql.geoHexbin(size = 2.5),
     "sim_hybrid" -> simHybridOracleSql,
     "text_bpe" -> OracleSql.textBpe(m = 16),
+    "sim_fps" -> OracleSql.simFps(k = 6),
     "setsim_containment" ->
       """WITH d AS (SELECT doc_id,
         |    list_distinct(list_filter(string_split(lower(trim(text)), ' '),

@@ -582,4 +582,62 @@ object Similarity {
     val scored = cands.withColumn("cosine", cosineSim(col("__qv"), col("__cv")))
     topkColumns(scored, k)
   }
+
+  /** Greedy farthest-point (k-center) sampling — diversity/coreset
+    * selection for training-data curation (Sener & Savarese 2018's core-set
+    * shape): start from the smallest id, then `k−1` rounds each select the
+    * vector MAXIMIZING its cosine distance to the nearest already-selected
+    * center (maximin; the greedy 2-approximation of k-center). Ties break
+    * by smaller id, so the selected set is engine-reproducible. Returns
+    * (round, vec_id, maximin_dist) with a −1 sentinel on the seed row.
+    *
+    * Scale shape: one corpus scan per round — the greedy's published
+    * sequential nature — with the ≤ k selected centers travelling as plan
+    * literals (k·dim doubles, the IVF-centroid bounded-driver-state
+    * policy) into a codegen'd `least(1 − cos…)` projection and a
+    * TakeOrderedAndProject(1) per round; no shuffle, no pair join. Persist
+    * the input upstream when k is large or the scan is expensive.
+    */
+  def farthestPointSample(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 256, "k must be in [1, 256]")
+    val base = corpus
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .where(col("__v").isNotNull)
+    val seed = base.orderBy(col("__id")).limit(1).collect() // bounded: one row
+    val session = corpus.sparkSession
+    import session.implicits._
+    if (seed.isEmpty) return Seq.empty[(Long, Long, Double)]
+      .toDF("round", "vec_id", "maximin_dist")
+    var centers = List(seed(0).getSeq[Double](1))
+    var chosen = List(seed(0).getLong(0))
+    val out = scala.collection.mutable.ArrayBuffer(
+      (0L, seed(0).getLong(0), -1.0))
+    var r = 1
+    while (r < k) {
+      val dists = centers.map(cv =>
+        lit(1.0) - cosineSim(col("__v"), typedLit(cv)))
+      val minDist = if (dists.size == 1) dists.head else least(dists: _*)
+      // the argmax orders on the 9-decimal-rounded distance (then id):
+      // both engines compute the same doubles on every oracled query, but a
+      // 1-ulp near-tie divergence in an UNROUNDED argmax would silently
+      // fork the whole remaining selection — the pre-round pins the cut.
+      // Already-selected rows are excluded (a selected duplicate at
+      // distance 0 would otherwise win every remaining tie-by-id round).
+      val best = base
+        .where(!col("__id").isin(chosen: _*))
+        .select(col("__id"), col("__v"), minDist.as("__d"))
+        .orderBy(round(col("__d"), 9).desc, col("__id").asc)
+        .limit(1).collect() // bounded: one row per round
+      if (best.isEmpty) return out.toSeq.toDF("round", "vec_id", "maximin_dist")
+      out += ((r.toLong, best(0).getLong(0), best(0).getDouble(2)))
+      centers = best(0).getSeq[Double](1) :: centers
+      chosen = best(0).getLong(0) :: chosen
+      r += 1
+    }
+    out.toSeq.toDF("round", "vec_id", "maximin_dist")
+  }
 }

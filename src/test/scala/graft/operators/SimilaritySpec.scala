@@ -299,4 +299,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.7, s"recall $recall too low")
   }
+
+  test("farthestPointSample: greedy maximin selection, ties by id, monotone") {
+    // unit vectors at known angles: greedy from the seed (min id, 0°) must
+    // take 180° first (cosine distance 2), then 90°, never the 5° near-dup
+    def v(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val df = Seq(
+      (1L, v(0)), (2L, v(5)), (3L, v(180)), (4L, v(90)), (5L, v(0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.farthestPointSample(df, "embedding", "vec_id", k = 3)
+      .select("round", "vec_id", "maximin_dist")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(1L, 3L, 4L))
+    assert(out(0)._3 == -1.0) // seed sentinel
+    assert(math.abs(out(1)._3 - 2.0) < 1e-9) // antipode: 1 - (-1)
+    assert(math.abs(out(2)._3 - 1.0) < 1e-9) // 90°: min dist to {0°,180°} = 1
+    // maximin distances never increase (greedy k-center invariant)
+    val k5 = Similarity.farthestPointSample(df, "embedding", "vec_id", k = 5)
+      .select("round", "maximin_dist").as[(Long, Double)].collect()
+      .sortBy(_._1).map(_._2).drop(1)
+    assert(k5.zip(k5.tail).forall { case (a, b) => b <= a + 1e-12 }, k5.toSeq)
+    // duplicate of the seed (id 5) is selected LAST (distance 0, tie by id)
+    assert(Similarity.farthestPointSample(df, "embedding", "vec_id", k = 5)
+      .where($"vec_id" === 5L).select("round").as[Long].head() == 4L)
+  }
 }
