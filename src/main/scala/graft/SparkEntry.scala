@@ -1318,6 +1318,16 @@ object SparkEntry {
           round(col("zscore"), 6).as("zscore"), col("is_outlier"))
     }),
 
+    // --- one-pass per-user feature rollup ----------------------------------
+    "events_features" -> ((s, dir) =>
+      Ops.keyFeatures(t(s, dir, "events"), "user_id", "ts", "event_type", "value",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .select(col("user_id"), col("n_click"), col("n_view"), col("n_purchase"),
+          col("n_signup"), col("n_error"), col("n_events"),
+          round(col("value_sum"), 4).as("value_sum4"),
+          round(col("value_mean"), 6).as("value_mean6"),
+          col("first_us"), col("last_us"), col("tenure_us"))),
+
     // --- linear multi-touch attribution over the events stream -------------
     "events_attribution" -> ((s, dir) =>
       Ops.attributionLinear(t(s, dir, "events"), "user_id", "ts", "event_type",
@@ -2479,6 +2489,19 @@ object SparkEntry {
         |SELECT l_orderkey, l_partkey, q AS l_quantity,
         |  round(z, 6) AS zscore, abs(z) > 1.5 AS is_outlier
         |FROM jz""".stripMargin,
+    "events_features" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+        |  count(*) AS n_events,
+        |  round(sum(value), 4) AS value_sum4,
+        |  round(avg(value), 6) AS value_mean6,
+        |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
+        |  max(epoch_us(ts)) - min(epoch_us(ts)) AS tenure_us
+        |FROM events WHERE user_id IS NOT NULL GROUP BY user_id""".stripMargin,
     "events_attribution" ->
       """WITH c AS (SELECT event_id AS cid, user_id AS u, epoch_us(ts) AS ct, value AS v
         |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),

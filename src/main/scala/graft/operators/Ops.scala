@@ -714,6 +714,35 @@ object Ops {
       .drop("__n", "__s", "__s2")
   }
 
+  /** Per-key feature rollup — the one-pass feature-engineering aggregate a
+    * model pipeline runs before training (activity counts per type,
+    * value moments, recency/tenure in exact integer µs): everything derives
+    * from ONE map-side-combined groupBy on the key; conditional counts are
+    * projections inside the same aggregate, never separate scans or pivot
+    * passes. Output is key-cardinality-sized.
+    */
+  def keyFeatures(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      typeCol: String,
+      valueCol: String,
+      types: Seq[String]): DataFrame = {
+    require(types.nonEmpty, "declare the event types to count (no discovery pass)")
+    val typeCounts = types.map(t =>
+      sum(when(col(typeCol) === t, 1L).otherwise(0L)).as(s"n_$t"))
+    events.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(typeCounts.head,
+        typeCounts.tail ++ Seq(
+          count(lit(1)).as("n_events"),
+          sum(col(valueCol)).as("value_sum"),
+          avg(col(valueCol)).as("value_mean"),
+          min(unix_micros(col(timeCol))).as("first_us"),
+          max(unix_micros(col(timeCol))).as("last_us")): _*)
+      .withColumn("tenure_us", col("last_us") - col("first_us"))
+  }
+
   /** Linear multi-touch attribution — the conversion-credit analytic beside
     * [[windowFunnel]]: each conversion's value splits EQUALLY across every
     * touch event of the same key inside the `windowSeconds` lookback

@@ -408,6 +408,29 @@ object ScaleCheck {
         (0 until factor).map(i => chOf(evCopy(i))).reduce(_ unionByName _),
         Seq("c_custkey"), "ts", "op", "event_id"))
 
+    // linear attribution: fresh users per copy, constant per-user density
+    def attrOf(e: DataFrame) = Ops.attributionLinear(e, "user_id", "ts",
+      "event_type", "purchase", Seq("click", "view"), "value", 259200L, "event_id")
+    pair("events_attribution")(
+      attrOf(evCopy(0)),
+      attrOf((0 until factor).map(evCopy).reduce(_ unionByName _)))
+
+    // basket lift: copies shift baskets AND the item space, so pair volume
+    // grows with baskets at constant per-basket size
+    def basketOf(i: Int) = graft.readTable(spark, sfDir, "lineitem")
+      .select((col("l_orderkey") + lit(i.toLong * 100000000L)).as("b"),
+        (col("l_partkey") % 100 + lit(i.toLong * 1000L)).as("it"))
+    def liftOf(f: DataFrame) = Ops.basketLift(f, "b", "it", minCount = 3L)
+    pair("basket_lift")(
+      liftOf(basketOf(0)),
+      liftOf((0 until factor).map(basketOf).reduce(_ unionByName _)))
+
+    // farthest-point sampling: fixed k rounds over a growing corpus — cost
+    // must track the scan, rounds stay constant
+    pair("sim_fps")(
+      Similarity.farthestPointSample(emb, "embedding", "vec_id", k = 6),
+      Similarity.farthestPointSample(embN, "embedding", "vec_id", k = 6))
+
     // exact n-gram census: growing corpus, constant k — gram agg + heaps
     pair("text_ngram_topk")(
       graft.operators.TextAnalysis.ngramTopK(docs, n = 3, k = 40),

@@ -496,6 +496,26 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     (11L to 14L).foreach(i => assert(out(i)._1 == 0.0 && !out(i)._2))
   }
 
+  test("keyFeatures: one-pass rollup matches hand-computed features") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val df = Seq(
+      (1L, ts(100), "click", 2.0), (1L, ts(300), "view", 4.0),
+      (1L, ts(200), "click", 6.0), (2L, ts(50), "buy", 10.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = Ops.keyFeatures(df, "user_id", "ts", "event_type", "value",
+        Seq("click", "view", "buy"))
+      .select("user_id", "n_click", "n_view", "n_buy", "n_events",
+        "value_sum", "first_us", "last_us", "tenure_us")
+      .as[(Long, Long, Long, Long, Long, Double, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 1L, 0L, 3L, 12.0, 100000000L, 300000000L, 200000000L)))
+    assert(out(2L) == ((2L, 0L, 0L, 1L, 1L, 10.0, 50000000L, 50000000L, 0L)))
+    // one aggregation: a partial + final pair, no extra exchange per feature
+    val plan = Ops.keyFeatures(df, "user_id", "ts", "event_type", "value", Seq("click"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, s"feature rollup re-shuffled:\n$plan")
+  }
+
   test("attributionLinear: equal split inside the window, exclusions exact") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val W = 100L
