@@ -1399,6 +1399,13 @@ object SparkEntry {
       Profiling.entropy(t(s, dir, "lineitem"),
         Seq("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey"))),
 
+    // --- cross-source vocabulary overlap (mix-composition diagnostic) ------
+    "text_vocab_overlap" -> ((s, dir) =>
+      TextAnalysis.vocabularyOverlap(t(s, dir, "documents"), "source")
+        .select(col("group_a"), col("group_b"),
+          col("n_a"), col("n_b"), col("n_shared"),
+          round(col("jaccard"), 6).as("jaccard6"))),
+
     // --- exact corpus top-k word trigram census ----------------------------
     "text_ngram_topk" -> ((s, dir) =>
       TextAnalysis.ngramTopK(t(s, dir, "documents"), n = 3, k = 40)),
@@ -2605,6 +2612,17 @@ object SparkEntry {
         |FROM dd a JOIN dd b ON a.doc_id % 20 = 3 AND a.doc_id <> b.doc_id
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |    / CAST(a.n AS DOUBLE) >= CAST('0.8' AS DOUBLE)""".stripMargin,
+    "text_vocab_overlap" ->
+      """WITH w AS (SELECT DISTINCT source AS g,
+        |    unnest(regexp_extract_all(lower(text), '[\p{L}\p{Nd}]+')) AS w
+        |  FROM documents WHERE source IS NOT NULL),
+        |s AS (SELECT g, count(*) AS n FROM w GROUP BY g),
+        |p AS (SELECT a.g AS group_a, b.g AS group_b, count(*) AS n_shared
+        |  FROM w a JOIN w b ON a.w = b.w AND a.g < b.g GROUP BY 1, 2)
+        |SELECT p.group_a, p.group_b, sa.n AS n_a, sb.n AS n_b, p.n_shared,
+        |  round(CAST(p.n_shared AS DOUBLE)
+        |    / CAST(sa.n + sb.n - p.n_shared AS DOUBLE), 6) AS jaccard6
+        |FROM p JOIN s sa ON p.group_a = sa.g JOIN s sb ON p.group_b = sb.g""".stripMargin,
     "text_ngram_topk" ->
       """WITH toks AS (SELECT doc_id,
         |  regexp_extract_all(lower(text), '[\p{L}\p{Nd}]+') AS ws FROM documents),

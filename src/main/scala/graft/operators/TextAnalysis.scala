@@ -900,6 +900,39 @@ object TextAnalysis {
           (acc, x) => acc + x.cast("int")), lit(0)))
   }
 
+  /** Cross-group vocabulary overlap — the corpus-composition diagnostic for
+    * mixing decisions (how much does one source's vocabulary duplicate
+    * another's?): per group, the distinct `[\p{L}\p{Nd}]+` word set; per
+    * unordered group pair (a < b, sharing ≥ 1 word), shared-word count and
+    * vocabulary Jaccard. Complements [[graft.operators.Ops.snapshotDiff]]
+    * (row identity) with distributional identity.
+    *
+    * Scale shape: the corpus collapses to distinct (group, word) — one
+    * map-side-combined distinct, the inverted-vocabulary shuffle — and the
+    * pair join keys on the word with per-word buckets bounded by the GROUP
+    * count (each word appears once per group after the distinct), so
+    * candidates are ≤ groups²/2 per word, never corpus-quadratic. Output is
+    * group-pair-sized: a model table.
+    */
+  def vocabularyOverlap(df: DataFrame, groupCol: String,
+      textCol: String = "text"): DataFrame = {
+    val words = df.where(col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit("[\\p{L}\\p{Nd}]+"), lit(0))).as("__w"))
+      .distinct()
+    val sizes = words.groupBy("__g").agg(count(lit(1)).as("__n"))
+    val shared = words.as("a").join(words.as("b"),
+        col("a.__w") === col("b.__w") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("group_a"), col("b.__g").as("group_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("__g").as("group_a"), col("__n").as("n_a")), "group_a")
+      .join(sizes.select(col("__g").as("group_b"), col("__n").as("n_b")), "group_b")
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+  }
+
   /** Corpus-wide EXACT top-k word n-grams — the vocabulary/boilerplate
     * census next to [[graft.operators.Sketch]]'s approximate heavy hitters:
     * words are the `[\p{L}\p{Nd}]+` runs of the lowercased text (the same

@@ -469,6 +469,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert((2L to 8L).forall(i => !out(i)(7)))
   }
 
+  test("vocabularyOverlap: exact shared counts and jaccard per group pair") {
+    val df = Seq(
+      ("s1", "alpha beta gamma"), ("s1", "beta delta"), // s1: {alpha,beta,gamma,delta}
+      ("s2", "beta gamma zeta"), // s2: {beta,gamma,zeta}
+      ("s3", "omega only")) // s3: disjoint from both
+      .toDF("source", "text")
+    val out = TextAnalysis.vocabularyOverlap(df, "source")
+      .select("group_a", "group_b", "n_a", "n_b", "n_shared", "jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // s1 ∩ s2 = {beta, gamma}: J = 2 / (4 + 3 - 2)
+    assert(out(("s1", "s2")) == ((4L, 3L, 2L, 2.0 / 5)))
+    assert(out.size == 1) // disjoint pairs emit nothing (inner join)
+  }
+
   test("bpeTrain/bpeApply match a hand-rolled reference BPE") {
     // the Sennrich et al. worked example shape: low/lower/newest/widest
     val docs = Seq(
