@@ -545,6 +545,18 @@ object SparkEntry {
         round(st_area(st_intersection(col("geometry"), window)), 6).as("ix_area"))
     }),
 
+    // --- areal interpolation: nation-zone values onto supplier rects -------
+    "sjoin_areal" -> ((s, dir) => {
+      val lon0 = expr("(s_suppkey % 40) * 1.5 - 30")
+      val lat0 = expr("(s_suppkey % 25) * 1.6 - 20")
+      val targets = t(s, dir, "supplier").withColumn("geometry",
+        st_envelope(st_makeline(st_point(lon0, lat0), st_point(lon0 + 2.0, lat0 + 2.5))))
+      val src = nationZones(s, dir)
+        .withColumn("pop", ((col("n_nationkey") + 1) * 100).cast("double"))
+      GeoOps.arealInterpolate(targets, src, "s_suppkey", "pop")
+        .select(col("s_suppkey"), round(col("interpolated"), 6).as("pop_est6"))
+    }),
+
     // --- heavy sjoin: every customer point × overlapping supplier rects ----
     "sjoin_heavy" -> ((s, dir) => {
       val lon0 = expr("(s_suppkey % 40) * 1.5 - 30")
@@ -2027,6 +2039,22 @@ object SparkEntry {
         |  * greatest(0, least(((n_nationkey % 5) * 8.0 - 20) + 6.0, 10) - greatest((n_nationkey % 5) * 8.0 - 20, -10)),
         |  6) AS ix_area
         |FROM nation""".stripMargin,
+    "sjoin_areal" ->
+      """WITH z AS (SELECT n_nationkey,
+        |    (n_nationkey % 12) * 5.0 - 30 AS sx0, (n_nationkey % 5) * 8.0 - 20 AS sy0,
+        |    CAST((n_nationkey + 1) * 100 AS DOUBLE) AS pop FROM nation),
+        |t AS (SELECT s_suppkey,
+        |    (s_suppkey % 40) * 1.5 - 30 AS tx0, (s_suppkey % 25) * 1.6 - 20 AS ty0
+        |  FROM supplier)
+        |SELECT s_suppkey, round(sum(pop *
+        |    (greatest(0, least(CAST(sx0 + 4 AS DOUBLE), CAST(tx0 + 2.0 AS DOUBLE))
+        |        - greatest(CAST(sx0 AS DOUBLE), CAST(tx0 AS DOUBLE)))
+        |     * greatest(0, least(CAST(sy0 + 6 AS DOUBLE), CAST(ty0 + 2.5 AS DOUBLE))
+        |        - greatest(CAST(sy0 AS DOUBLE), CAST(ty0 AS DOUBLE))))
+        |    / CAST(24 AS DOUBLE)), 6) AS pop_est6
+        |FROM z JOIN t ON sx0 <= tx0 + 2.0 AND tx0 <= sx0 + 4
+        |  AND sy0 <= ty0 + 2.5 AND ty0 <= sy0 + 6
+        |GROUP BY s_suppkey""".stripMargin,
     "sjoin_heavy" ->
       """SELECT s_suppkey, count(*) AS n_pts, round(sum(c_acctbal), 2) AS bal_sum
         |FROM supplier, customer

@@ -149,6 +149,34 @@ object GeoOps {
       .drop("__z")
   }
 
+  /** Areal interpolation — the polygon-to-polygon value transfer of
+    * dasymetric GIS (census tracts → service zones): each target zone
+    * receives Σ over intersecting source zones of
+    * `value · area(source ∩ target) / area(source)` — the area-weighted
+    * share under the uniform-density assumption. Boundary-touching pairs
+    * contribute zero area and therefore zero value (kept, not special-
+    * cased, so the pair predicate stays the plain `intersects`).
+    *
+    * Scale shape: candidate pairs come from [[SJoin.sjfull]]'s grid join
+    * (cell-keyed equi-join, no cartesian); the clip + two areas are
+    * codegen'd kernel calls per surviving pair, and the rollup is one
+    * map-side-combined sum keyed on the target id.
+    */
+  def arealInterpolate(
+      target: DataFrame,
+      source: DataFrame,
+      targetId: String,
+      valueCol: String,
+      into: String = "interpolated"): DataFrame = {
+    import graft.functions.GeoFunctions._
+    val pairs = SJoin.sjfull(target, source, predicate = "intersects", how = "inner")
+    val srcGeom = if (target.columns.contains("geometry")) "geometry_right" else "geometry"
+    val w = st_area(st_intersection(col("geometry"), col(srcGeom))) /
+      st_area(col(srcGeom))
+    pairs.groupBy(col(targetId))
+      .agg(sum(col(valueCol).cast("double") * w).as(into))
+  }
+
   /** Flat-top hexagonal binning: appends axial cell coordinates
     * (`hex_q`, `hex_r`) for each (lon, lat) at cell `size` (the hexagon's
     * outer radius, in the input's units). The classic point-density /

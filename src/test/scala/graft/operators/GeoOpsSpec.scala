@@ -62,6 +62,23 @@ class GeoOpsSpec extends AnyFunSuite with SparkSpec {
     assert(area > one && area < 2 * one) // overlapping: less than two disjoint discs
   }
 
+  test("arealInterpolate: area-weighted value transfer, closed form") {
+    val targets = Seq((1, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+      (2, "POLYGON ((50 50, 51 50, 51 51, 50 51, 50 50))")) // overlaps nothing
+      .toDF("tid", "wkt")
+      .withColumn("geometry", st_geomfromtext(col("wkt"))).drop("wkt")
+    val sources = Seq(
+      ("a", "POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))", 10.0), // half inside: 10/2
+      ("b", "POLYGON ((0.5 0, 1.5 0, 1.5 1, 0.5 1, 0.5 0))", 4.0), // half: 2
+      ("c", "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))", 99.0)) // disjoint
+      .toDF("sid", "wkt", "pop")
+      .withColumn("geometry", st_geomfromtext(col("wkt"))).drop("wkt")
+    val out = GeoOps.arealInterpolate(targets, sources, "tid", "pop")
+      .as[(Int, Double)].collect().toMap
+    assert(math.abs(out(1) - 7.0) < 1e-9) // 10·(1/2) + 4·(0.5/1)
+    assert(!out.contains(2)) // no intersecting source: inner semantics
+  }
+
   test("hexbin assigns every point to its nearest hex center") {
     val size = 2.0
     // deterministic scatter, including points near cell boundaries
