@@ -1395,6 +1395,16 @@ object SparkEntry {
       Profiling.corrMatrix(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // --- PSI drift: first half-month vs second half of the events stream ---
+    "data_drift" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val boundary = expr("unix_micros(ts) < unix_micros(timestamp'2024-01-16 00:00:00')")
+      Profiling.psi(e.where(boundary), e.where(!boundary), "value",
+          bins = 10, lo = 0.0, hi = 500.0)
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          round(col("contrib"), 6).as("contrib6"), round(col("psi"), 6).as("psi6"))
+    }),
+
     // --- k-anonymity audit over quasi-identifiers --------------------------
     "data_kanon" -> ((s, dir) =>
       Profiling.kAnonymityViolations(t(s, dir, "customer"),
@@ -2610,6 +2620,26 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "stats_entropy" -> OracleSql.statsEntropy(
       Seq("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey")),
+    "data_drift" ->
+      """WITH b AS (SELECT unnest(range(0, 10)) AS bin),
+        |r AS (SELECT least(greatest(CAST(floor((value - 0) / CAST(50 AS DOUBLE)) AS BIGINT), 0), 9) AS bin,
+        |    count(*) AS n FROM events
+        |  WHERE value IS NOT NULL AND epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-16 00:00:00')
+        |  GROUP BY 1),
+        |c AS (SELECT least(greatest(CAST(floor((value - 0) / CAST(50 AS DOUBLE)) AS BIGINT), 0), 9) AS bin,
+        |    count(*) AS n FROM events
+        |  WHERE value IS NOT NULL AND NOT (epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-16 00:00:00'))
+        |  GROUP BY 1),
+        |j AS (SELECT b.bin, coalesce(r.n, 0) AS n_ref, coalesce(c.n, 0) AS n_cur
+        |  FROM b LEFT JOIN r ON b.bin = r.bin LEFT JOIN c ON b.bin = c.bin),
+        |s AS (SELECT bin, n_ref, n_cur,
+        |    greatest(CAST(n_ref AS DOUBLE) / sum(n_ref) OVER (), CAST('1e-6' AS DOUBLE)) AS p,
+        |    greatest(CAST(n_cur AS DOUBLE) / sum(n_cur) OVER (), CAST('1e-6' AS DOUBLE)) AS q
+        |  FROM j),
+        |k AS (SELECT bin, n_ref, n_cur, (p - q) * ln(p / q) AS contrib FROM s)
+        |SELECT bin, n_ref, n_cur, round(contrib, 6) AS contrib6,
+        |  round(sum(contrib) OVER (), 6) AS psi6
+        |FROM k""".stripMargin,
     "data_kanon" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS class_size
         |FROM customer GROUP BY 1, 2 HAVING count(*) < 10""".stripMargin,

@@ -87,6 +87,47 @@ object Profiling {
     wide.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
 
+  /** Population stability index — the drift monitor between a reference and
+    * a current sample of the same metric (training-serving skew, week-over-
+    * week corpus drift): values bin into `bins` fixed-width buckets over
+    * [lo, hi) (out-of-range values clamp into the edge bins, so the index
+    * is total), shares get the standard 1e-6 floor (an empty bin must not
+    * blow up the log), and each bin contributes `(p−q)·ln(p/q)`; `psi` is
+    * the summed index repeated on every row (< 0.1 stable, > 0.25 shifted,
+    * by the usual reading). Every bin appears even when empty — the output
+    * is a `bins`-row model table.
+    *
+    * Scale shape: TWO map-side-combined bin counts (one scan each side);
+    * everything after runs on the ≤ bins-row table (the histQuantiles
+    * model-table window policy).
+    */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+      bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins >= 2 && hi > lo, "need >= 2 bins and hi > lo")
+    val width = (hi - lo) / bins
+    def binned(df: DataFrame, n: String) = df
+      .where(col(valueCol).isNotNull)
+      .select(least(greatest(floor((col(valueCol).cast("double") - lo) / width), lit(0L)),
+        lit(bins - 1L)).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(n))
+    val spine = ref.sparkSession.range(bins).select(col("id").cast("int").as("bin"))
+    val joined = spine
+      .join(binned(ref, "n_ref"), Seq("bin"), "left")
+      .join(binned(cur, "n_cur"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    // bins-row model table: the unpartitioned windows never see the corpus
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val p = greatest(col("n_ref").cast("double") / sum("n_ref").over(all), lit(1e-6))
+    val q = greatest(col("n_cur").cast("double") / sum("n_cur").over(all), lit(1e-6))
+    joined
+      .withColumn("contrib", (p - q) * log(p / q))
+      .withColumn("psi", sum(col("contrib")).over(all))
+  }
+
   /** k-anonymity audit over quasi-identifier columns — the privacy gate
     * that runs next to PII redaction before a corpus ships: every
     * equivalence class (distinct quasi-identifier combination) smaller than

@@ -54,6 +54,25 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     assert(out.size == 6)
   }
 
+  test("psi: zero on identical samples, positive under shift, bins total") {
+    val ref = (1 to 1000).map(i => (i % 100).toDouble).toDF("v")
+    val same = Profiling.psi(ref, ref, "v", bins = 10, lo = 0.0, hi = 100.0)
+      .select("psi").as[Double].head()
+    assert(math.abs(same) < 1e-12)
+    // shift the mass up by 30: a real drift must register
+    val cur = (1 to 1000).map(i => (i % 100 + 30).toDouble).toDF("v")
+    val rows = Profiling.psi(ref, cur, "v", bins = 10, lo = 0.0, hi = 100.0)
+      .select("bin", "n_ref", "n_cur", "psi")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rows.length == 10) // every bin present, even empty ones
+    assert(rows.head._4 > 0.25, s"psi ${rows.head._4} too low for a 30% shift")
+    // out-of-range values clamp into the edge bin (the index stays total)
+    assert(rows.map(_._3).sum == 1000L)
+    // ref bins 0-2 are empty on the cur side and vice versa: epsilon path
+    val curByBin = rows.map(r => r._1 -> r._3).toMap
+    assert(curByBin(0) == 0L && curByBin(9) > 0L)
+  }
+
   test("kAnonymityViolations: only classes under k, sizes exact") {
     val df = Seq(
       ("NY", "A"), ("NY", "A"), ("NY", "A"), // class of 3: safe at k=3
