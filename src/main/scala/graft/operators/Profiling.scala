@@ -128,6 +128,35 @@ object Profiling {
       .withColumn("psi", sum(col("contrib")).over(all))
   }
 
+  /** [[psi]] finalize over PRE-BINNED counts keyed by an arbitrary grouping
+    * column (a streaming window, a day partition): every (key, bin) cell is
+    * densified from the key spine so empty bins participate, shares take
+    * the same 1e-6 floor, and each key gets its summed index. All windows
+    * run per-key over ≤ bins rows — model-sized.
+    */
+  def psiFromCounts(cur: DataFrame, keyCol: String, ref: DataFrame,
+      bins: Int): DataFrame = {
+    val spine = cur.select(col(keyCol)).distinct()
+      .crossJoin(cur.sparkSession.range(bins).select(col("id").cast("int").as("bin")))
+    val perKey = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+    val joined = spine
+      .join(cur.select(col(keyCol), col("bin"), col("n").as("n_cur")),
+        Seq(keyCol, "bin"), "left")
+      .join(ref.select(col("bin"), col("n").as("n_ref")), Seq("bin"), "left")
+      // the ref total rides a broadcast 1-row frame so bins ABSENT from the
+      // reference still see the right denominator
+      .crossJoin(broadcast(ref.agg(sum(col("n")).as("__rt"))))
+      .select(col(keyCol), col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        col("__rt"))
+    val p = greatest(col("n_ref").cast("double") / col("__rt"), lit(1e-6))
+    val q = greatest(col("n_cur").cast("double") / sum("n_cur").over(perKey), lit(1e-6))
+    joined
+      .withColumn("contrib", (p - q) * log(p / q))
+      .withColumn("psi", sum(col("contrib")).over(perKey))
+  }
+
   /** k-anonymity audit over quasi-identifier columns — the privacy gate
     * that runs next to PII redaction before a corpus ships: every
     * equivalence class (distinct quasi-identifier combination) smaller than

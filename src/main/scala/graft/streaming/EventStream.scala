@@ -493,6 +493,30 @@ object EventStream {
     * the next event arrives after the gap, or when the watermark passes the
     * session end + gap.
     */
+  /** Streaming drift-monitor front half: per-(event-time window, bin)
+    * value counts with the same clamped fixed-width binning as
+    * [[graft.operators.Profiling.psi]] — a watermark-bounded stateful
+    * windowed aggregation whose partials merge across micro-batches
+    * natively. The PSI finalize against a reference runs batch-side over
+    * the closed windows ([[graft.operators.Profiling.psiFromCounts]] keyed
+    * on the window) — the `cmsStream` batch-gated pattern: chaining a
+    * second stateful aggregation onto a streaming one is not expressible
+    * in Append mode, and the finalize is model-sized anyway.
+    */
+  def psiStream(stream: DataFrame, valueCol: String, bins: Int,
+      lo: Double, hi: Double, windowDur: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    require(bins >= 2 && hi > lo, "need >= 2 bins and hi > lo")
+    val width = (hi - lo) / bins
+    stream.withWatermark("ts", watermark)
+      .where(col(valueCol).isNotNull)
+      .withColumn("bin",
+        least(greatest(floor((col(valueCol).cast("double") - lo) / width), lit(0L)),
+          lit(bins - 1L)).cast("int"))
+      .groupBy(window(col("ts"), windowDur), col("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** One changelog record: an upsert or delete for `key`, ordered by
     * (ts, tie) — the streaming face of [[graft.operators.Ops.applyChangelog]].
     */

@@ -528,6 +528,43 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("psiStream + psiFromCounts: per-window drift matches the batch index") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val stream = mem.toDF().toDF("ts", "value")
+    val q = EventStream.psiStream(stream, "value", bins = 4, lo = 0.0, hi = 40.0,
+        windowDur = "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName("psi_bins").outputMode("append").start()
+    try {
+      // window 10:00: values spread 5,15,25,35; window 11:00: all in bin 0
+      mem.addData((tsH(10, 1), 5.0), (tsH(10, 2), 15.0), (tsH(10, 3), 25.0))
+      q.processAllAvailable()
+      mem.addData((tsH(10, 4), 35.0), (tsH(11, 1), 1.0), (tsH(11, 2), 2.0))
+      q.processAllAvailable()
+      mem.addData((tsH(23, 0), 0.0)) // advance the watermark, close both
+      q.processAllAvailable()
+      val counts = spark.table("psi_bins")
+        .select(col("window.start").cast("string").as("w"), col("bin"), col("n"))
+        .where(col("w").contains("1" + "0:00") || col("w").contains("11:00"))
+      // uniform reference: every bin weight 10
+      val ref = Seq((0, 10L), (1, 10L), (2, 10L), (3, 10L)).toDF("bin", "n")
+      val out = graft.operators.Profiling.psiFromCounts(counts, "w", ref, bins = 4)
+        .select("w", "psi").as[(String, Double)].collect().toMap
+      val w10 = out.keys.find(_.contains("10:00:00")).get
+      val w11 = out.keys.find(_.contains("11:00:00")).get
+      // batch twin on the same raw values against the same reference shares
+      def batchPsi(vals: Seq[Double]): Double = {
+        val cur = vals.toDF("v")
+        val refRaw = (0 until 4).flatMap(b => Seq.fill(10)(b * 10.0 + 1)).toDF("v")
+        graft.operators.Profiling.psi(refRaw, cur, "v", 4, 0.0, 40.0)
+          .select("psi").as[Double].head()
+      }
+      assert(math.abs(out(w10) - batchPsi(Seq(5, 15, 25, 35))) < 1e-9)
+      assert(math.abs(out(w11) - batchPsi(Seq(1, 2))) < 1e-9)
+      assert(out(w11) > out(w10)) // all-in-one-bin drifts harder than uniform
+    } finally q.stop()
+  }
+
   test("upsertStream: latest-wins snapshot, tombstones, late-change immunity") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Change]
