@@ -221,7 +221,9 @@ class PlanAuditSpec extends SparkSpec {
 
   test("analytics tier: equi-joins only, and the n-gram cut is a heap") {
     Seq("setsim_containment", "events_gapfill", "data_upsert",
-      "dedup_best", "events_transitions").foreach { name =>
+      "dedup_best", "events_transitions", "events_attribution",
+      "text_vocab_overlap", "sjoin_areal", "basket_lift",
+      "sjoin_dwithin").foreach { name =>
       val plan = physical(q(name))
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
