@@ -1363,6 +1363,12 @@ object SparkEntry {
         .select(col("from_state"), col("to_state"), col("n_transitions"),
           round(col("p"), 6).as("p6"))),
 
+    // --- lag-24 autocorrelation on the gap-filled hourly series ------------
+    "events_autocorr" -> ((s, dir) =>
+      Ops.autocorrelation(t(s, dir, "events"), "user_id", "ts", "value",
+          stepSeconds = 3600L, lagBuckets = 24, tieCol = "event_id")
+        .select(col("user_id"), col("n_pairs"), round(col("acf"), 4).as("acf4"))),
+
     // --- time-series gap fill: hourly buckets, forward-filled --------------
     "events_gapfill" -> ((s, dir) =>
       Ops.gapFill(t(s, dir, "events"), "user_id", "ts", "value", 3600L, "event_id")
@@ -2584,6 +2590,31 @@ object SparkEntry {
         |SELECT c.from_state, c.to_state, c.n_transitions,
         |  round(CAST(c.n_transitions AS DOUBLE) / CAST(tt.rt AS DOUBLE), 6) AS p6
         |FROM c JOIN tt ON c.from_state = tt.from_state""".stripMargin,
+    "events_autocorr" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) // 3600000000 AS b, value AS v, ts, event_id
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |rn AS (SELECT u, b, v,
+        |  row_number() OVER (PARTITION BY u, b ORDER BY ts DESC, event_id DESC) AS rn FROM e),
+        |bv AS (SELECT u, b, v FROM rn WHERE rn = 1),
+        |r AS (SELECT u, min(b) AS b0, max(b) AS b1 FROM bv GROUP BY u),
+        |spine AS (SELECT u, unnest(generate_series(b0, b1)) AS b FROM r),
+        |j AS (SELECT s.u, s.b, bv.v FROM spine s
+        |  LEFT JOIN bv ON bv.u = s.u AND bv.b = s.b),
+        |f AS (SELECT u, b,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY u ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x
+        |  FROM j),
+        |lagged AS (SELECT u, x, lag(x, 24) OVER (PARTITION BY u ORDER BY b) AS y FROM f),
+        |p AS (SELECT u, x, y FROM lagged WHERE y IS NOT NULL),
+        |st AS (SELECT u, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM p GROUP BY u HAVING count(*) >= 2)
+        |SELECT u AS user_id, n AS n_pairs,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN round((n * sxy - sx * sy)
+        |      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+        |    ELSE -1.0 END AS acf4
+        |FROM st""".stripMargin,
     "events_gapfill" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) // 3600000000 AS b, value AS v, ts, event_id
         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),

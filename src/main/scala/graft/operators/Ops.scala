@@ -714,6 +714,48 @@ object Ops {
       .drop("__n", "__s", "__s2")
   }
 
+  /** Per-key lag-k autocorrelation over the [[gapFill]]ed series — the
+    * seasonality/persistence diagnostic (lag 24 on hourly buckets reads
+    * daily rhythm): Pearson correlation of the forward-filled series
+    * against itself `lagBuckets` back, from the same FIXED
+    * sufficient-statistics tree as `Profiling.corrMatrix` (so the oracle
+    * mirrors arithmetic, not a library `corr`). Zero-variance series yield
+    * the −1 sentinel; keys with fewer than 2 overlapping pairs drop.
+    *
+    * Scale shape: gapFill's cost dominates (one (key, bucket) agg + the
+    * spine); the lag is a window over the per-key DENSE series (span/step
+    * rows — the same bounded budget gapFill documents), and the ACF itself
+    * is one key-grouped aggregation of six sums.
+    */
+  def autocorrelation(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String,
+      stepSeconds: Long,
+      lagBuckets: Int,
+      tieCol: String): DataFrame = {
+    require(lagBuckets >= 1, "lagBuckets must be positive")
+    val filled = gapFill(events, keyCol, timeCol, valueCol, stepSeconds, tieCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val x = col("filled"); val y = lag(col("filled"), lagBuckets).over(w)
+    val pairs = filled.withColumn("__y", y).where(col("__y").isNotNull)
+    val n = col("__n"); val sx = col("__sx"); val sy = col("__sy")
+    val num = n * col("__sxy") - sx * sy
+    val dx = n * col("__sxx") - sx * sx
+    val dy = n * col("__syy") - sy * sy
+    pairs.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(x).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(x * col("__y")).as("__sxy"),
+        sum(x * x).as("__sxx"), sum(col("__y") * col("__y")).as("__syy"))
+      .where(n >= 2)
+      .select(col(keyCol), n.as("n_pairs"),
+        when(dx > 0 && dy > 0, num / sqrt(dx * dy))
+          .otherwise(lit(-1.0)).as("acf"))
+  }
+
   /** Per-key feature rollup — the one-pass feature-engineering aggregate a
     * model pipeline runs before training (activity counts per type,
     * value moments, recency/tenure in exact integer µs): everything derives

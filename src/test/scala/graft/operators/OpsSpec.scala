@@ -496,6 +496,25 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     (11L to 14L).foreach(i => assert(out(i)._1 == 0.0 && !out(i)._2))
   }
 
+  test("autocorrelation: alternating series hits ±1, constant hits sentinel") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // key A: hourly alternating 1,3,1,3,... over 12 buckets; key B constant
+    val rows = (0 until 12).map(i =>
+      ("A", ts(i * 3600L + 5), if (i % 2 == 0) 1.0 else 3.0, i.toLong)) ++
+      (0 until 6).map(i => ("B", ts(i * 3600L + 5), 7.0, 100L + i))
+    val df = rows.toDF("k", "ts", "v", "id")
+    def acf(lagN: Int) = Ops.autocorrelation(df, "k", "ts", "v", 3600L, lagN, "id")
+      .select("k", "n_pairs", "acf").as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val l2 = acf(2)
+    assert(l2("A")._1 == 10L && math.abs(l2("A")._2 - 1.0) < 1e-9) // period 2
+    assert(l2("B")._2 == -1.0) // zero variance: sentinel
+    val l1 = acf(1)
+    assert(math.abs(l1("A")._2 - (-1.0)) < 1e-9) // perfect anti-phase
+    // lag beyond the series length: no pairs, key drops
+    assert(!acf(20).contains("A") || acf(20)("A")._1 >= 2L)
+  }
+
   test("keyFeatures: one-pass rollup matches hand-computed features") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val df = Seq(
