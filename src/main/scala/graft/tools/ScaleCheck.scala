@@ -389,6 +389,13 @@ object ScaleCheck {
       gfOf(evCopy(0)),
       gfOf((0 until factor).map(evCopy).reduce(_ unionByName _)))
 
+    // lag-24 ACF rides the same spine: per-key windows over bounded series
+    def acfOf(e: DataFrame) =
+      Ops.autocorrelation(e, "user_id", "ts", "value", 3600L, 24, "event_id")
+    pair("events_autocorr")(
+      acfOf(evCopy(0)),
+      acfOf((0 until factor).map(evCopy).reduce(_ unionByName _)))
+
     // CDC merge: base and changelog both scale with copies (same fresh-key
     // shift on both sides so change keys keep hitting base keys)
     val cust = graft.readTable(spark, sfDir, "customer")
