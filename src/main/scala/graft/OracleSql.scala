@@ -1761,7 +1761,7 @@ object OracleSql {
     */
   def statsEntropy(cols: Seq[String], src: String = "lineitem"): String =
     cols.map { c =>
-      s"""SELECT '$c' AS "column", sum(c) AS n_rows,
+      s"""SELECT '$c' AS "column", CAST(sum(c) AS BIGINT) AS n_rows,
          |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy6
          |FROM (SELECT count(*) AS c FROM $src GROUP BY CAST($c AS VARCHAR))""".stripMargin
     }.mkString("\n", "\nUNION ALL\n", "")

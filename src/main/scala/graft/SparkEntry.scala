@@ -2185,7 +2185,7 @@ object SparkEntry {
         |SELECT u AS user_id,
         |  max(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
         |      ELSE 1 END) AS funnel_level,
-        |  sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS n_complete
+        |  CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_complete
         |FROM v3 GROUP BY u""".stripMargin,
     "events_asof" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events
@@ -2542,11 +2542,11 @@ object SparkEntry {
         |FROM jz""".stripMargin,
     "events_features" ->
       """SELECT user_id,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
         |  count(*) AS n_events,
         |  round(sum(value), 4) AS value_sum4,
         |  round(avg(value), 6) AS value_mean6,
@@ -2678,7 +2678,7 @@ object SparkEntry {
       """WITH c AS (SELECT source AS g, count(*) AS c FROM documents
         |  WHERE source IS NOT NULL GROUP BY 1),
         |r AS (SELECT g, c, row_number() OVER (ORDER BY c, g) AS r FROM c)
-        |SELECT count(*) AS n_groups, sum(c) AS n_rows,
+        |SELECT count(*) AS n_groups, CAST(sum(c) AS BIGINT) AS n_rows,
         |  round(CAST(2 AS DOUBLE) * CAST(sum(r * c) AS DOUBLE)
         |      / (CAST(count(*) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
         |    - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS gini6
@@ -2743,7 +2743,7 @@ object SparkEntry {
         |SELECT doc_id, trim(t) AS text_clean FROM f5""".stripMargin,
     "events_props" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
         |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
