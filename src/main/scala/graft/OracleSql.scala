@@ -1050,8 +1050,21 @@ object OracleSql {
   private def urlNormCore(docsrc: String): String = {
     val tracking = graft.operators.Web.trackingParams
       .map(t => s"starts_with(x, '$t')").mkString(" OR ")
-    val suffix2 = graft.operators.Web.twoLevelSuffixes
-      .map(s => s"'$s'").mkString("[", ", ", "]")
+    // the PSL prevailing-rule chain, generated from the SAME branch list
+    // the Spark expression folds over (Web.pslBranches) so the mirror
+    // cannot drift: exceptions first, then rules longest-first, default 1
+    val slBranches = graft.operators.Web.pslBranches.map {
+      case (ruleStrs, cmpK, sufLen) =>
+        val minN = math.max(cmpK, sufLen)
+        val tailK = s"array_to_string(labels[-$cmpK:], '.')"
+        val cmp =
+          if (ruleStrs.size == 1) s"$tailK = '${ruleStrs.head}'"
+          else s"list_contains(${ruleStrs.map(s => s"'$s'").mkString("[", ", ", "]")}, $tailK)"
+        s"WHEN len(labels) >= $minN AND $cmp THEN $sufLen"
+    }.mkString("\n    ")
+    val domArms = graft.operators.Web.pslBranches.map(_._3).distinct.sorted
+      .map(sl => s"WHEN sl = $sl THEN array_to_string(labels[-${sl + 1}:], '.')")
+      .mkString("\n    ")
     s"""${urlCore(docsrc)},
        |up AS (SELECT doc_id, url,
        |  lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme,
@@ -1075,12 +1088,14 @@ object OracleSql {
        |un AS (SELECT doc_id, url, host,
        |  scheme || '://' || host || portn || pathn || queryn AS url_norm,
        |  string_split(host, '.') AS labels FROM up4),
+       |uns AS (SELECT *, CASE
+       |    $slBranches
+       |    ELSE 1 END AS sl FROM un),
        |dom AS (SELECT doc_id, url, url_norm,
-       |  CASE WHEN len(labels) >= 3 AND list_contains($suffix2, labels[-2] || '.' || labels[-1])
-       |    THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
-       |  WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
-       |  ELSE host END AS domain
-       |  FROM un)""".stripMargin
+       |  CASE WHEN len(labels) <= sl THEN host
+       |    $domArms
+       |  END AS domain
+       |  FROM uns)""".stripMargin
   }
 
   /** (doc_id, url, url_norm, domain): Web.normalizeUrl + registrable domain

@@ -10,8 +10,23 @@ import org.apache.spark.sql.DataFrame
   * whose analyzed plan contains the frame — so a long-lived session never
   * accumulates operator caches, and `NoLeakedPersistenceSpec` stays green
   * over the whole registry.
+  *
+  * CONTRACT: the caller must eventually EXECUTE an action over a plan that
+  * embeds the cached frame — explain-only consumers (plan audits, an
+  * abandoned builder chain) never trigger the listener, and a plan
+  * containing a nondeterministic expression can never `sameResult`-match.
+  * Such paths must call [[releaseAll]] when done (the Profile tool runs a
+  * real count, so the registry's own inspection path is covered); every
+  * registration is also tracked here so the valve can sweep stragglers.
   */
 private[graft] object Caches {
+
+  /** Live (frame, listener) registrations not yet released — the safety
+    * valve's worklist. Guarded by its own monitor; entries leave on normal
+    * listener release too, so the map stays empty in the steady state.
+    */
+  private val live = new java.util.IdentityHashMap[
+    DataFrame, org.apache.spark.sql.util.QueryExecutionListener]()
 
   /** Registers the release listener. Call AFTER any operator-internal
     * action over `df` (a bounded count/collect), or that internal action
@@ -28,6 +43,7 @@ private[graft] object Caches {
               done.compareAndSet(false, true)) {
             df.unpersist(blocking = false)
             session.listenerManager.unregister(listener)
+            live.synchronized { live.remove(df) }
           }
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
@@ -37,12 +53,31 @@ private[graft] object Caches {
           maybeRelease(qe)
       }
     session.listenerManager.register(listener)
+    live.synchronized { live.put(df, listener) }
   }
 
-  /** Persist + release on the first consuming action. */
+  /** Persist + release on the first consuming action (see the class-level
+    * contract: the consuming action must actually run).
+    */
   def cachedUntilAction(df: DataFrame): DataFrame = {
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     releaseAfterAction(df)
     df
+  }
+
+  /** Safety valve for explain-only / abandoned consumers: unpersists every
+    * still-registered frame and unregisters its listener. Idempotent; safe
+    * to call from a session-teardown hook or after a pure plan audit.
+    */
+  def releaseAll(): Unit = {
+    val entries = live.synchronized {
+      val copy = new java.util.IdentityHashMap(live)
+      live.clear()
+      copy
+    }
+    entries.forEach { (df, listener) =>
+      df.unpersist(blocking = false)
+      df.sparkSession.listenerManager.unregister(listener)
+    }
   }
 }

@@ -48,6 +48,17 @@ object Clustering {
       minPts: Int): DataFrame = {
     require(eps > 0, "eps must be positive")
     require(minPts >= 1, "minPts must be >= 1")
+    // id contract: the cluster label IS min(id), so ids must be integral —
+    // a silent cast("long") of a string id degrades non-numeric values to
+    // null and the row would vanish from the pair table. Fail loudly
+    // instead; callers with string keys hash first (e.g. xxhash64).
+    df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"dbscan idCol '$idCol' must be an integral type (got $other); " +
+          "hash string ids to a long first, e.g. xxhash64(col)")
+    }
     val pts = df.select(col(idCol).cast("long").as("__id"),
         col(lonCol).cast("double").as("__x"), col(latCol).cast("double").as("__y"))
       .where(col("__x").isNotNull && col("__y").isNotNull)

@@ -155,7 +155,10 @@ object GeoOps {
     * `value · area(source ∩ target) / area(source)` — the area-weighted
     * share under the uniform-density assumption. Boundary-touching pairs
     * contribute zero area and therefore zero value (kept, not special-
-    * cased, so the pair predicate stays the plain `intersects`).
+    * cased, so the pair predicate stays the plain `intersects`). Zero-area
+    * sources (a point/line feature in the source layer, a degenerate
+    * polygon) contribute zero rather than a NaN weight that would poison
+    * the whole target zone's sum.
     *
     * Scale shape: candidate pairs come from [[SJoin.sjfull]]'s grid join
     * (cell-keyed equi-join, no cartesian); the clip + two areas are
@@ -170,9 +173,14 @@ object GeoOps {
       into: String = "interpolated"): DataFrame = {
     import graft.functions.GeoFunctions._
     val pairs = SJoin.sjfull(target, source, predicate = "intersects", how = "inner")
-    val srcGeom = if (target.columns.contains("geometry")) "geometry_right" else "geometry"
-    val w = st_area(st_intersection(col("geometry"), col(srcGeom))) /
-      st_area(col(srcGeom))
+    // the source geometry column as it survived sjfull's clash rename:
+    // read it off the JOINED schema, not a re-guess of the rename rule
+    val srcGeom =
+      if (pairs.columns.contains("geometry_right")) "geometry_right" else "geometry"
+    val srcArea = st_area(col(srcGeom))
+    val w = when(srcArea > lit(0.0),
+      st_area(st_intersection(col("geometry"), col(srcGeom))) / srcArea)
+      .otherwise(lit(0.0))
     pairs.groupBy(col(targetId))
       .agg(sum(col(valueCol).cast("double") * w).as(into))
   }

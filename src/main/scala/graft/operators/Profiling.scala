@@ -19,18 +19,19 @@ object Profiling {
     * Scale shape: ONE aggregation over one scan. The multiple exact
     * `count(distinct)`s plan as a single Expand + two-phase aggregate — one
     * shuffle, rows multiplied by #columns, the classic exact-profile cost.
-    * At 100 TB swap `countDistinct` for `approx_count_distinct` (same plan
-    * minus Expand, HLL-mergeable); exact is kept here because the oracle
-    * compares values.
+    * At 100 TB pass `approx = true`: `approx_count_distinct` (HLL++, ~2%
+    * default error) replaces the exact distinct, the Expand disappears, and
+    * the whole profile collapses to one map-side-combined reduce of sketch
+    * registers. Exact is the default because the oracle compares values.
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { c =>
       val v = col(c)
       Seq(
         count(v).as(s"__n_$c"),
         count(lit(1)).as(s"__rows_$c"),
-        countDistinct(v).as(s"__d_$c"),
+        (if (approx) approx_count_distinct(v) else countDistinct(v)).as(s"__d_$c"),
         min(v).cast("string").as(s"__min_$c"),
         max(v).cast("string").as(s"__max_$c"),
         avg(expr(s"try_cast(`$c` AS double)")).as(s"__mean_$c"))
@@ -213,20 +214,24 @@ object Profiling {
     * without agreeing on per-value p·ln p summation order beyond the
     * commutative sum of c·ln c.
     *
-    * Scale shape: one (column, value) count per column — the same
-    * corpus-sized shuffle a distinct count pays — then a value-count-sized
-    * reduce. Columns stack through ONE union of per-column aggregates over
-    * a shared scan (cheap relative to the counts); output is k rows.
+    * Scale shape: ONE scan — each row explodes to k (column, value) pairs
+    * (the generator runs inside the scan stage, so no extra exchange before
+    * the count), one map-side-combined groupBy on (column, value) — the
+    * same k·N-row shuffle volume k separate distinct counts would pay, but
+    * the corpus is READ once instead of k times — then a value-count-sized
+    * reduce per column. Output is k rows.
     */
   def entropy(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "entropy needs at least one column")
-    cols.map { c =>
-      df.groupBy(col(c).cast("string").as("__v"))
-        .agg(count(lit(1)).as("__c"))
-        .agg(sum("__c").as("__n"), sum(col("__c") * log(col("__c"))).as("__s"))
-        .select(lit(c).as("column"),
-          col("__n").as("n_rows"),
-          round(log(col("__n")) - col("__s") / col("__n"), 6).as("entropy6"))
-    }.reduce(_ unionByName _)
+    val pairs = df.select(explode(array(cols.map { c =>
+      struct(lit(c).as("column"), col(c).cast("string").as("__v"))
+    }: _*)).as("p")).select("p.*")
+    pairs.groupBy(col("column"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("column"))
+      .agg(sum("__c").as("__n"), sum(col("__c") * log(col("__c"))).as("__s"))
+      .select(col("column"),
+        col("__n").as("n_rows"),
+        round(log(col("__n")) - col("__s") / col("__n"), 6).as("entropy6"))
   }
 }

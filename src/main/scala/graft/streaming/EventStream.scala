@@ -505,15 +505,15 @@ object EventStream {
     */
   def psiStream(stream: DataFrame, valueCol: String, bins: Int,
       lo: Double, hi: Double, windowDur: String = "1 hour",
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours", timeCol: String = "ts"): DataFrame = {
     require(bins >= 2 && hi > lo, "need >= 2 bins and hi > lo")
     val width = (hi - lo) / bins
-    stream.withWatermark("ts", watermark)
+    stream.withWatermark(timeCol, watermark)
       .where(col(valueCol).isNotNull)
       .withColumn("bin",
         least(greatest(floor((col(valueCol).cast("double") - lo) / width), lit(0L)),
           lit(bins - 1L)).cast("int"))
-      .groupBy(window(col("ts"), windowDur), col("bin"))
+      .groupBy(window(col(timeCol), windowDur), col("bin"))
       .agg(count(lit(1)).as("n"))
   }
 

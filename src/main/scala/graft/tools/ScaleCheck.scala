@@ -502,6 +502,17 @@ object ScaleCheck {
       Graph.pagerank(prE(0), iters = 5),
       Graph.pagerank((0 until factor).map(prE).reduce(_ unionByName _), iters = 5))
 
+    // planted hub: every source ALSO links one global hub node, so a single
+    // dst key receives a contribution from every src in the graph each
+    // round. The per-round rank sum is map-side combined, so the hot key
+    // must cost a merge of per-task partials — never a one-task reduction
+    // of the whole edge list — and the ratio must stay near the no-hub pair
+    def prHub(f: DataFrame) = f.unionByName(
+      f.select(col("src"), lit(-1L).as("dst")).distinct())
+    pair("pagerank_hub")(
+      Graph.pagerank(prHub(prE(0)), iters = 5),
+      Graph.pagerank(prHub((0 until factor).map(prE).reduce(_ unionByName _)), iters = 5))
+
     // Z-order pruning at factor×: the same bbox read against the curve-
     // clustered layout vs a round-robin (locality-destroyed) copy of the
     // same rows — the delta is the I/O the row-group stats let us skip

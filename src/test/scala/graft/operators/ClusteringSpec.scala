@@ -85,6 +85,19 @@ class ClusteringSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L) == ((false, -1L)))
   }
 
+  test("dbscan: string ids fail loudly; hashed string ids work") {
+    val df = Seq(("a", 0.0, 0.0), ("b", 0.1, 0.0)).toDF("id", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Clustering.dbscan(df, "id", "x", "y", 1.0, 2)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    // the documented escape hatch: hash the string key to a long first
+    val hashed = df.withColumn("hid", xxhash64(col("id")))
+    val out = Clustering.dbscan(hashed, "hid", "x", "y", 1.0, 2)
+      .select("cluster").as[Long].collect()
+    assert(out.length == 2 && out.distinct.length == 1 && out.head != -1L)
+  }
+
   test("dbscan plans hash joins only — no cartesian, no BNLJ") {
     val df = Seq((1L, 0.0, 0.0), (2L, 0.5, 0.0)).toDF("id", "x", "y")
     val plan = Clustering.dbscan(df, "id", "x", "y", 1.0, 2)

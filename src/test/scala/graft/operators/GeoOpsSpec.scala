@@ -79,6 +79,22 @@ class GeoOpsSpec extends AnyFunSuite with SparkSpec {
     assert(!out.contains(2)) // no intersecting source: inner semantics
   }
 
+  test("arealInterpolate: zero-area source contributes zero, not NaN") {
+    val targets = Seq((1, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+      .toDF("tid", "wkt")
+      .withColumn("geometry", st_geomfromtext(col("wkt"))).drop("wkt")
+    val sources = Seq(
+      ("a", "POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))", 10.0), // half inside: 5
+      // degenerate (zero-area) polygon crossing the target: must add 0,
+      // not a NaN that poisons the whole zone's sum
+      ("z", "POLYGON ((0 0, 1 1, 0 0, 0 0))", 77.0))
+      .toDF("sid", "wkt", "pop")
+      .withColumn("geometry", st_geomfromtext(col("wkt"))).drop("wkt")
+    val out = GeoOps.arealInterpolate(targets, sources, "tid", "pop")
+      .as[(Int, Double)].collect().toMap
+    assert(math.abs(out(1) - 5.0) < 1e-9, s"got ${out(1)}")
+  }
+
   test("hexbin assigns every point to its nearest hex center") {
     val size = 2.0
     // deterministic scatter, including points near cell boundaries

@@ -34,6 +34,29 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Union"), s"per-column union in plan:\n$plan")
   }
 
+  test("profile approx: no Expand, estimate inside the HLL band") {
+    val df = (1 to 5000).map(i => (i.toLong % 1000, s"s${i % 10}")).toDF("a", "s")
+    val plan = Profiling.profile(df, Seq("a", "s"), approx = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx profile still plans Expand:\n$plan")
+    val out = Profiling.profile(df, Seq("a", "s"), approx = true).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // approx_count_distinct default rsd = 5%: 1000 and 10 distincts
+    assert(math.abs(out("a") - 1000L) <= 100, s"a distinct est ${out("a")}")
+    assert(out("s") == 10L, s"s distinct est ${out("s")}") // tiny set: exact
+  }
+
+  test("entropy: one scan of the source (explode, not per-column unions)") {
+    val df = Seq((1L, "x", 2.0, "p"), (2L, "y", 3.0, "q")).toDF("a", "s", "d", "t")
+    val qe = Profiling.entropy(df, Seq("a", "s", "d", "t")).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Union"), s"per-column union in entropy plan:\n$plan")
+    // exactly one source scan feeding one generator
+    assert("Scan|LocalTableScan".r.findAllIn(plan).size == 1,
+      s"expected one scan:\n$plan")
+    assert(plan.contains("Generate"), s"expected explode generator:\n$plan")
+  }
+
   test("corrMatrix: exact pairs, sentinel on zero variance, null pairing") {
     val df = Seq(
       (1.0, 2.0, 5.0, Some(1.0)),

@@ -43,6 +43,26 @@ class WebSpec extends AnyFunSuite with SparkSpec {
     assert(dom("http://localhost/") == "localhost")
   }
 
+  test("registrable domain: PSL wildcard and exception rules (published vectors)") {
+    // publicsuffix.org's own checkPublicSuffix vectors for the *.ck/!www.ck
+    // and *.kawasaki.jp/!city.kawasaki.jp rule families; where the PSL
+    // answers null (host IS a public suffix) this operator passes the host
+    // through unchanged (documented contract)
+    assert(dom("http://b.test.ck/") == "b.test.ck") // *.ck: suffix is test.ck
+    assert(dom("http://a.b.test.ck/") == "b.test.ck")
+    assert(dom("http://www.ck/") == "www.ck") // !www.ck: suffix is just ck
+    assert(dom("http://www.www.ck/") == "www.ck")
+    assert(dom("http://test.ck/") == "test.ck") // bare wildcard suffix: passthrough
+    assert(dom("http://foo.bd/") == "foo.bd") // *.bd, bare suffix
+    assert(dom("http://x.foo.bd/") == "x.foo.bd")
+    assert(dom("http://b.test.kawasaki.jp/") == "b.test.kawasaki.jp") // *.kawasaki.jp
+    assert(dom("http://city.kawasaki.jp/") == "city.kawasaki.jp") // exception
+    assert(dom("http://www.city.kawasaki.jp/") == "city.kawasaki.jp")
+    // exception/wildcard rules must not disturb the ordinary families
+    assert(dom("http://www.site.co.jp/") == "site.co.jp")
+    assert(dom("http://www.example.com/") == "example.com")
+  }
+
   test("scheme-less crawl entries normalize and domain-extract") {
     assert(norm("Example.COM:8080/Path?b=2&utm_source=x") == "example.com:8080/Path?b=2")
     assert(norm("example.com") == "example.com/")

@@ -565,6 +565,27 @@ class EventStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("psiStream: custom time column name (timeCol is not hardwired to ts)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val stream = mem.toDF().toDF("event_time", "value")
+    val q = EventStream.psiStream(stream, "value", bins = 4, lo = 0.0, hi = 40.0,
+        windowDur = "1 hour", watermark = "2 hours", timeCol = "event_time")
+      .writeStream.format("memory").queryName("psi_bins_tc").outputMode("append").start()
+    try {
+      mem.addData((tsH(10, 1), 5.0), (tsH(10, 2), 15.0))
+      q.processAllAvailable()
+      mem.addData((tsH(23, 0), 0.0)) // watermark past, closes the 10:00 window
+      q.processAllAvailable()
+      val rows = spark.table("psi_bins_tc")
+        .select(col("window.start").cast("string").as("w"), col("bin"), col("n"))
+        .where(col("w").contains("10:00:00"))
+        .as[(String, Int, Long)].collect()
+      // values 5 and 15 land in bins 0 and 1 of the closed 10:00 window
+      assert(rows.map(r => r._2 -> r._3).toMap == Map(0 -> 1L, 1 -> 1L))
+    } finally q.stop()
+  }
+
   test("upsertStream: latest-wins snapshot, tombstones, late-change immunity") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Change]
