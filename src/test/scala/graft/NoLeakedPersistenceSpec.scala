@@ -41,4 +41,20 @@ class NoLeakedPersistenceSpec extends AnyFunSuite with SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("Caches.releaseAll frees a cache whose consuming action never ran") {
+    import testImplicits._
+    import org.apache.spark.storage.StorageLevel
+    val df = graft.operators.Caches.cachedUntilAction(
+      Seq(1L, 2L, 3L).toDF("v").groupBy("v").count())
+    // explain-only consumer: the plan is inspected but no Dataset action
+    // ever runs, so the QueryExecutionListener never fires — exactly the
+    // leak scenario the safety valve exists for
+    df.queryExecution.executedPlan.toString
+    assert(df.storageLevel != StorageLevel.NONE,
+      "expected the cachedUntilAction persist to be registered")
+    graft.operators.Caches.releaseAll()
+    assert(df.storageLevel == StorageLevel.NONE,
+      "releaseAll left the explain-only frame persisted")
+  }
 }
