@@ -463,6 +463,18 @@ object SparkEntry {
           round(st_y(col("geometry")), 6).as("py"))
     }),
 
+    // --- avro driver end-to-end: own container writer + splittable reader --
+    "avro_roundtrip" -> ((s, dir) => {
+      val pts = custPoints(s, dir).select(col("c_custkey"), col("c_acctbal"), col("geometry"))
+      val out = new java.io.File(s"/tmp/graft_avro_${new java.io.File(dir).getName}")
+      out.mkdirs()
+      graft.sources.GeoSources.writeAuto(pts, s"$out/customer.avro")
+      graft.sources.GeoSources.readAuto(s, s"$out/customer.avro")
+        .select(col("c_custkey"), col("c_acctbal"),
+          round(st_x(col("geometry")), 6).as("px"),
+          round(st_y(col("geometry")), 6).as("py"))
+    }),
+
     // --- gpkg driver end-to-end: own SQLite writer + b-tree reader ---------
     "gpkg_roundtrip" -> ((s, dir) => {
       val pts = custPoints(s, dir).select(col("c_custkey"), col("c_acctbal"), col("geometry"))
@@ -2027,6 +2039,11 @@ object SparkEntry {
         |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py
         |FROM customer""".stripMargin,
     "orc_roundtrip" ->
+      """SELECT c_custkey, c_acctbal,
+        |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,
+        |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py
+        |FROM customer""".stripMargin,
+    "avro_roundtrip" ->
       """SELECT c_custkey, c_acctbal,
         |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,
         |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py

@@ -217,6 +217,12 @@ object GeoSources {
         val o = spark.read.orc(path)
         if (o.columns.contains("geometry")) applyFilter(o, "geometry", filterWkt) else o
       }
+      // avro container files: own splittable driver (no spark-avro module
+      // in the bundled jars) — WKB binary geometry as avro bytes
+      else if (p.endsWith(".avro")) {
+        val a = Avro.read(spark, path)
+        if (a.columns.contains("geometry")) applyFilter(a, "geometry", filterWkt) else a
+      }
       else if (p.endsWith(".shp")) Shapefile.readSplit(spark, path)
       else if (p.endsWith(".gpkg")) Gpkg.read(spark, path, layer = layer)
       else if (p.endsWith(".fgb")) Fgb.read(spark, path, filterWkt = filterWkt)
@@ -255,6 +261,7 @@ object GeoSources {
     else if (p.endsWith(".geojson") || p.endsWith(".json")) GeoJSON.write(df, path)
     else if (p.endsWith(".parquet")) GeoParquet.write(df, path)
     else if (p.endsWith(".orc")) df.write.mode("overwrite").orc(path)
+    else if (p.endsWith(".avro")) Avro.write(df, path)
     else if (p.endsWith(".shp")) Shapefile.write(df, path.substring(0, path.length - 4))
     else if (p.endsWith(".fgb")) Fgb.write(df, path)
     else if (p.endsWith(".gpkg")) Gpkg.write(df, path, layerName = layer.getOrElse("layer"))
