@@ -1774,6 +1774,54 @@ object OracleSql {
     * of its own via the VARCHAR cast) folded through the same fixed tree
     * `ln(N) − (Σ c·ln c)/N`.
     */
+  /** Unrolled-rounds mirror of [[graft.operators.Clustering.kmeans]] (the
+    * textBpe chained-CTE pattern): init = the k vectors ordered by the
+    * mix64 hash mirror, each round assigns via the 9-decimal pre-rounded
+    * surrogate `‖c‖² − 2·v·c` with ties to the lowest j (row_number pick —
+    * DuckDB has no composite arg_min), recomputes 6-rounded per-position
+    * means, and keeps the previous centroid for emptied clusters. Every
+    * stage is MATERIALIZED — the chain references each c_{r−1} twice and
+    * would otherwise inline exponentially. `list_inner_product` is a
+    * sequential left-to-right double fold, the same op order as the
+    * codegen'd `vec_dot` kernel.
+    */
+  def simKmeans(k: Int, iters: Int, seed: Long, dim: Int,
+      src: String = "embeddings", idCol: String = "vec_id",
+      vecCol: String = "embedding"): String = {
+    val hv = sb2(mix64(ub2(s"xor($idCol, $seed)")))
+    def asn(prev: String): String =
+      s"""SELECT $idCol, v, j,
+         |    list_inner_product(c, c) - 2*list_inner_product(v, c) AS s FROM (
+         |    SELECT e.$idCol, e.v, c.j, c.c,
+         |      row_number() OVER (PARTITION BY e.$idCol
+         |        ORDER BY round(list_inner_product(c.c, c.c) - 2*list_inner_product(e.v, c.c), 9), c.j) AS rn
+         |    FROM emb e CROSS JOIN $prev c) WHERE rn = 1""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""a$r AS MATERIALIZED (${asn(s"c${r - 1}")}),
+         |m$r AS MATERIALIZED (
+         |  SELECT j, p, round(avg(x), 6) AS m FROM (
+         |    SELECT a.j AS j, t.p AS p, a.v[t.p + 1] AS x
+         |    FROM a$r a CROSS JOIN range($dim) t(p)) GROUP BY j, p),
+         |c$r AS MATERIALIZED (
+         |  SELECT sp.j, coalesce(mm.c, pv.c) AS c
+         |  FROM range($k) sp(j)
+         |  LEFT JOIN (SELECT j, list(m ORDER BY p) AS c FROM m$r GROUP BY j) mm ON sp.j = mm.j
+         |  JOIN c${r - 1} pv ON sp.j = pv.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS v FROM $src WHERE $vecCol IS NOT NULL),
+       |ini AS MATERIALIZED (
+       |  SELECT rn - 1 AS j, v FROM (
+       |    SELECT row_number() OVER (ORDER BY $hv, $idCol) AS rn, v FROM emb)
+       |  WHERE rn <= $k),
+       |c0 AS MATERIALIZED (SELECT j, v AS c FROM ini),
+       |$rounds,
+       |fin AS (${asn(s"c$iters")})
+       |SELECT $idCol, CAST(j AS INT) AS cluster,
+       |  round(list_inner_product(v, v) + s, 6) AS dist2_6
+       |FROM fin""".stripMargin
+  }
+
   def statsEntropy(cols: Seq[String], src: String = "lineitem"): String =
     cols.map { c =>
       s"""SELECT '$c' AS "column", CAST(sum(c) AS BIGINT) AS n_rows,

@@ -214,6 +214,11 @@ object SparkEntry {
         .select(col("c_custkey"), col("is_core"), col("cluster"))
     }),
 
+    // --- distributed Lloyd k-means over the embedding corpus ---------------
+    "sim_kmeans" -> ((s, dir) =>
+      Clustering.kmeans(t(s, dir, "embeddings"), "embedding", "vec_id",
+        k = 8, iters = 3)),
+
     "hilbert_read" -> ((s, dir) => {
       val pts = t(s, dir, "customer")
         .withColumn("lon", expr("(c_custkey % 120) * 0.5 - 30 + 0.25"))
@@ -2503,6 +2508,7 @@ object SparkEntry {
     "geo_zorder" -> OracleSql.geoZorder(),
     "geo_hilbert" -> OracleSql.geoHilbert(),
     "geo_dbscan" -> OracleSql.geoDbscan(),
+    "sim_kmeans" -> OracleSql.simKmeans(k = 8, iters = 3, seed = 42L, dim = 64),
     "geo_geohash" -> OracleSql.geoGeohash(),
     "hilbert_read" ->
       """WITH pts AS (SELECT c_custkey,

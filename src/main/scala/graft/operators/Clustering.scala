@@ -103,4 +103,86 @@ object Clustering {
       .withColumn("cluster", coalesce(col("__ccl"), col("__bcl"), lit(-1L)))
       .drop("__jid", "__ccl", "__jid2", "__bcl")
   }
+
+  /** Distributed Lloyd k-means (Euclidean) over an embedding column — the
+    * corpus-partitioning step of curation pipelines (cluster-balanced
+    * mixing, per-cluster quality gates, SemDeDup-style cells with an
+    * explicit model). Fully deterministic so a SQL engine can mirror it
+    * round for round:
+    *
+    *  - init: the k vectors whose ids sort first by (mix64(id ^ seed), id)
+    *    — a seeded hash shuffle, not `rand()`;
+    *  - assignment: argmin over centroids of the 9-decimal PRE-ROUNDED
+    *    distance surrogate `‖c‖² − 2·v·c` (‖v‖² is constant per point and
+    *    cannot change the argmin), ties to the lowest centroid index — the
+    *    [[Similarity.farthestPointSample]] pre-rounded-cut policy: a 1-ulp
+    *    cross-engine divergence in an unrounded argmin would fork every
+    *    subsequent round;
+    *  - update: component-wise mean ROUNDED to 6 decimals (pins float
+    *    summation-order drift before it can compound across rounds); a
+    *    cluster that loses all points keeps its previous centroid.
+    *
+    * Returns (id, cluster, dist2_6) — final assignment under the
+    * `iters`-times-updated centroids with the 6-rounded squared distance.
+    *
+    * Scale shape: per round, ONE codegen'd k·dim scan (the `vec_dot`
+    * kernel against model-sized centroid literals — no join, no shuffle on
+    * the corpus) plus one map-side-combined (cluster, position) mean; the
+    * k-row centroid fetch per round is a bounded model collect (the IVF
+    * fit / FPS-round policy). Rounds chain O(iters) jobs like pagerank.
+    */
+  def kmeans(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      iters: Int,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1 && k <= 64, "k must be in [1, 64] (centroids ride the plan as literals)")
+    require(iters >= 1 && iters <= 16, "iters must be in [1, 16]")
+    import graft.functions.TextFunctions.{mix64_hash, vec_dot}
+    val base = df
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .where(col("__v").isNotNull)
+
+    // winner struct per row: least() on (rounded surrogate, index) — the
+    // unrounded surrogate rides along for the exact distance output
+    def assign(cents: Array[Array[Double]]): DataFrame = {
+      val entries = cents.zipWithIndex.map { case (c, j) =>
+        val c2 = { var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s }
+        val surr = lit(c2) - lit(2.0) * vec_dot(col("__v"), typedLit(c.toSeq))
+        struct(round(surr, 9).as("d"), lit(j).as("j"), surr.as("s"))
+      }
+      val best = if (entries.length == 1) entries.head else least(entries.toIndexedSeq: _*)
+      base.withColumn("__w", best)
+        .select(col("__id"), col("__v"),
+          col("__w.j").as("cluster"),
+          round(vec_dot(col("__v"), col("__v")) + col("__w.s"), 6).as("dist2_6"))
+    }
+
+    var cents: Array[Array[Double]] = base
+      .orderBy(mix64_hash(col("__id"), seed), col("__id"))
+      .limit(k).collect().map(_.getSeq[Double](1).toArray) // bounded: k rows
+    require(cents.nonEmpty, "kmeans needs a non-empty input")
+    val dim = cents.head.length
+
+    var r = 0
+    while (r < iters) {
+      // the 6-rounding happens INSIDE the plan (Spark round = DuckDB round,
+      // half-away-from-zero on doubles — the established mirror convention)
+      val means = assign(cents)
+        .select(col("cluster"), posexplode(col("__v")).as(Seq("__p", "__x")))
+        .groupBy("cluster", "__p").agg(round(avg("__x"), 6).as("__m"))
+        .collect() // bounded: k·dim model rows
+        .groupBy(_.getInt(0))
+        .map { case (j, rows) =>
+          val c = new Array[Double](dim)
+          rows.foreach(row => c(row.getInt(1)) = row.getDouble(2))
+          j -> c
+        }
+      cents = cents.zipWithIndex.map { case (prev, j) => means.getOrElse(j, prev) }
+      r += 1
+    }
+    assign(cents).drop("__v").withColumnRenamed("__id", idCol)
+  }
 }

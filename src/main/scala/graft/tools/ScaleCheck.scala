@@ -466,6 +466,12 @@ object ScaleCheck {
       Dedup.semanticDedup(emb, "embedding", "vec_id", nlist = 16),
       Dedup.semanticDedup(embN, "embedding", "vec_id", nlist = 16 * factor))
 
+    // k-means: fixed k and rounds over a growing corpus — per-round cost is
+    // one codegen'd k·dim scan + a (cluster, position) mean, both linear
+    pair("sim_kmeans")(
+      Clustering.kmeans(emb, "embedding", "vec_id", k = 16, iters = 3),
+      Clustering.kmeans(embN, "embedding", "vec_id", k = 16, iters = 3))
+
     // BM25: constant query set, growing corpus — the retrieval scale shape
     def bm25Of(corpus: DataFrame) = {
       val qs = docs.where(col("doc_id") % 100 === 7)

@@ -104,4 +104,41 @@ class ClusteringSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("kmeans: two separated blobs resolve to two pure clusters") {
+    val pts = (0 until 40).map { i =>
+      val blob = i % 2
+      val base = if (blob == 0) 0.0 else 100.0
+      (i.toLong, Seq(base + (i % 7) * 0.1, base - (i % 5) * 0.1))
+    }
+    val df = pts.toDF("id", "vec")
+    val out = Clustering.kmeans(df, "vec", "id", k = 2, iters = 3)
+      .select("id", "cluster").as[(Long, Int)].collect().toMap
+    val byBlob = pts.map(_._1).groupBy(id => id % 2).map { case (b, ids) =>
+      b -> ids.map(out).toSet
+    }
+    assert(byBlob(0L).size == 1 && byBlob(1L).size == 1, s"mixed clusters: $byBlob")
+    assert(byBlob(0L) != byBlob(1L))
+    // distances to the blob mean are tiny relative to the blob separation
+    val d2 = Clustering.kmeans(df, "vec", "id", k = 2, iters = 3)
+      .agg(max("dist2_6")).head().getDouble(0)
+    assert(d2 < 1.0, s"max within-cluster dist2 $d2")
+  }
+
+  test("kmeans: deterministic across partitioning; empty clusters keep centroids") {
+    val pts = (0 until 60).map(i => (i.toLong, Seq((i % 9) * 1.0, (i % 4) * 1.0)))
+    val a = Clustering.kmeans(pts.toDF("id", "vec"), "vec", "id", k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    val b = Clustering.kmeans(pts.toDF("id", "vec").repartition(7), "vec", "id",
+        k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    // k larger than the number of DISTINCT points: some cluster never wins
+    // a point; its centroid must survive the update untouched (no NPE, no
+    // shrunken k) and the populated clusters still partition the data
+    val tiny = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(0.0, 0.0)), (3L, Seq(9.0, 9.0)))
+    val out = Clustering.kmeans(tiny.toDF("id", "vec"), "vec", "id", k = 3, iters = 2)
+      .select("id", "cluster").as[(Long, Int)].collect().toMap
+    assert(out(1L) == out(2L) && out(1L) != out(3L))
+  }
 }
