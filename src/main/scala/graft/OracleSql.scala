@@ -647,6 +647,27 @@ object OracleSql {
        |WHERE b.bucket < thr.thr""".stripMargin
   }
 
+  /** Mirror of [[graft.operators.Ops.temperatureMix]]: same α-share →
+    * binding-scale → floor-threshold arithmetic (DuckDB `power` vs Scala
+    * `math.pow` agree to the ulp on these magnitudes; the floor sits 1e4
+    * away from any boundary), same splitmix64 bucket membership as
+    * [[dataMix]]. The α literal is CAST from a string — a bare decimal
+    * would type DECIMAL and change the arithmetic.
+    */
+  def dataMixTemp(alpha: Double, seed: Long = 42L,
+      docsrc: String = "documents", labelCol: String = "source"): String =
+    s"""WITH cnt AS (SELECT $labelCol AS lbl, count(*) AS c FROM $docsrc
+       |  WHERE $labelCol IS NOT NULL GROUP BY $labelCol),
+       |w AS (SELECT lbl, c, power(CAST(c AS DOUBLE), CAST('$alpha' AS DOUBLE)) AS w FROM cnt),
+       |tmin AS (SELECT min(c / w) AS tscale FROM w),
+       |thr AS (SELECT lbl, CAST(floor(w * (SELECT tscale FROM tmin) / c * 10000) AS BIGINT) AS thr
+       |  FROM w),
+       |z AS (SELECT doc_id, $labelCol AS lbl, ${ub2(s"xor(doc_id, $seed)")} AS z0 FROM $docsrc),
+       |m AS (SELECT doc_id, lbl, ${sb2(mix64("z0"))} AS h FROM z),
+       |b AS (SELECT doc_id, lbl, ((h % 10000) + 10000) % 10000 AS bucket FROM m)
+       |SELECT b.doc_id, b.lbl AS $labelCol FROM b JOIN thr USING (lbl)
+       |WHERE b.bucket < thr.thr""".stripMargin
+
   /** (doc_id, ppl4): the char-bigram LM perplexity of
     * [[graft.operators.TextAnalysis.withPerplexity]] with the model fit on
     * the same table — same ASCII normalization (every codepoint outside

@@ -1131,6 +1131,11 @@ object SparkEntry {
           Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select("doc_id", "source")),
 
+    // --- temperature-flattened mixing (count^alpha shares) -----------------
+    "data_mix_temp" -> ((s, dir) =>
+      Ops.temperatureMix(t(s, dir, "documents"), "source", "doc_id", alpha = 0.5)
+        .select("doc_id", "source")),
+
     // --- benchmark decontamination (n-gram overlap vs an eval set) ---------
     "text_decontam" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2465,6 +2470,7 @@ object SparkEntry {
       "doc_id", "doc_id", "lang", "lang", "length(text)", "doclen",
       q = 0.3, bins = 64),
     "data_mix" -> OracleSql.dataMix(Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)),
+    "data_mix_temp" -> OracleSql.dataMixTemp(alpha = 0.5),
     "text_decontam" -> OracleSql.decontaminate("doc_id % 50 = 0", n = 3, minHits = 5),
     "text_pack" ->
       """WITH tok AS (SELECT doc_id, doc_id % 8 AS shard,

@@ -163,6 +163,47 @@ object Ops {
     df.where(bucket < thr)
   }
 
+  /** Temperature-flattened label mixing — the multilingual-sampling staple
+    * (mC4/T5-style α-scaling): the target share of label `l` is
+    * `count_l^alpha`, so `alpha` in (0, 1] flattens the head — low-resource
+    * labels keep a larger fraction of their rows, `alpha = 1` reduces to
+    * pass-through. The realized sample scales to the binding label (every
+    * keep-rate ≤ 1; the smallest label survives whole, a label `c` times
+    * larger keeps `(c_min/c)^(1−alpha)` of itself). Membership is
+    * [[mixByHash]]'s splitmix64 bucket filter (resolution 1/10000) — stable
+    * across runs, partitionings, and engines — with the per-label threshold
+    * riding a model-sized map literal (no when-chain, no join).
+    *
+    * Scale shape: ONE map-side-combined count pass whose collected result
+    * is bounded by `maxLabels` (loud failure beyond), then a pure codegen'd
+    * filter — no shuffle on the corpus.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      labelCol: String,
+      idCol: String,
+      alpha: Double,
+      seed: Long = 42L,
+      maxLabels: Int = 10000): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val counts = df.where(col(labelCol).isNotNull)
+      .groupBy(labelCol).count()
+      .limit(maxLabels + 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)) // bounded: maxLabels
+    require(counts.length <= maxLabels,
+      s"temperatureMix saw more than $maxLabels labels; raise maxLabels or pre-bucket")
+    require(counts.nonEmpty, "no non-null labels")
+    val weighted = counts.map { case (l, c) => (l, c, math.pow(c.toDouble, alpha)) }
+    val scale = weighted.map { case (_, c, w) => c / w }.min
+    val thresholds = weighted.map { case (l, c, w) =>
+      l -> math.floor(w * scale / c * 10000).toLong
+    }.toMap
+    import graft.functions.TextFunctions.mix64_hash
+    val bucket = pmod(mix64_hash(col(idCol), seed), lit(10000L))
+    val thr = coalesce(element_at(typedLit(thresholds), col(labelCol)), lit(-1L))
+    df.where(bucket < thr)
+  }
+
   /** Deterministic stratified sampling: keeps each `labelCol` group at its
     * `fractions` rate (resolution 1/10000) by splitmix64 bucket thresholds —
     * same membership machinery as [[splitByHash]], so samples are stable

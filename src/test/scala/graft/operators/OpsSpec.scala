@@ -184,6 +184,35 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.where(col("label") === "a").count() == counts("a"))
   }
 
+  test("temperatureMix: alpha flattens the head, smallest label kept whole") {
+    // counts: a=6400, b=400 → alpha=0.5 shares 80:20; scale binds at b
+    // (400/20=20), so b keeps all 400 and a keeps 80·20/6400 = 1/4 of itself
+    val df = spark.range(0, 6800).toDF("id")
+      .withColumn("label", when(col("id") < 6400, "a").otherwise("b"))
+    val out = Ops.temperatureMix(df, "label", "id", alpha = 0.5)
+    val counts = out.groupBy("label").count().as[(String, Long)].collect().toMap
+    assert(counts("b") == 400L, s"smallest label must survive whole: $counts")
+    assert(math.abs(counts("a") - 1600.0) / 1600.0 < 0.1, s"a kept ${counts("a")}, want ~1600")
+    // alpha = 1 is pass-through: shares equal the counts, every rate is 1
+    assert(Ops.temperatureMix(df, "label", "id", alpha = 1.0).count() == 6800L)
+    // deterministic across partitioning
+    val again = Ops.temperatureMix(df.repartition(5), "label", "id", alpha = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+    // lower temperature (smaller alpha) downsamples the head harder
+    val flat = Ops.temperatureMix(df, "label", "id", alpha = 0.25)
+      .groupBy("label").count().as[(String, Long)].collect().toMap
+    assert(flat("a") < counts("a") && flat("b") == 400L)
+    // null labels drop; maxLabels guard fails loudly
+    assert(Ops.temperatureMix(df.withColumn("label",
+      when(col("id") === 0, lit(null)).otherwise(col("label"))),
+      "label", "id", alpha = 0.5).where(col("label").isNull).count() == 0)
+    intercept[IllegalArgumentException] {
+      Ops.temperatureMix(df.withColumn("label", col("id").cast("string")),
+        "label", "id", alpha = 0.5, maxLabels = 10)
+    }
+  }
+
   test("mixByHash data pass is a pure filter — no data shuffle") {
     val df = spark.range(0, 100).toDF("id").withColumn("label", lit("a"))
     val out = Ops.mixByHash(df, "label", "id", Seq("a" -> 1.0))
