@@ -138,27 +138,31 @@ object Clustering {
       k: Int,
       iters: Int,
       seed: Long = 42L): DataFrame = {
-    require(k >= 1 && k <= 64, "k must be in [1, 64] (centroids ride the plan as literals)")
-    require(iters >= 1 && iters <= 16, "iters must be in [1, 16]")
-    import graft.functions.TextFunctions.{mix64_hash, vec_dot}
+    val cents = kmeansCentroids(df, vecCol, idCol, k, iters, seed)
     val base = df
       .select(col(idCol).cast("long").as("__id"), col(vecCol).cast("array<double>").as("__v"))
       .where(col("__v").isNotNull)
+    assignClusters(base, "__v", cents).drop("__v").withColumnRenamed("__id", idCol)
+  }
 
-    // winner struct per row: least() on (rounded surrogate, index) — the
-    // unrounded surrogate rides along for the exact distance output
-    def assign(cents: Array[Array[Double]]): DataFrame = {
-      val entries = cents.zipWithIndex.map { case (c, j) =>
-        val c2 = { var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s }
-        val surr = lit(c2) - lit(2.0) * vec_dot(col("__v"), typedLit(c.toSeq))
-        struct(round(surr, 9).as("d"), lit(j).as("j"), surr.as("s"))
-      }
-      val best = if (entries.length == 1) entries.head else least(entries.toIndexedSeq: _*)
-      base.withColumn("__w", best)
-        .select(col("__id"), col("__v"),
-          col("__w.j").as("cluster"),
-          round(vec_dot(col("__v"), col("__v")) + col("__w.s"), 6).as("dist2_6"))
-    }
+  /** The trained model behind [[kmeans]]: runs the same deterministic Lloyd
+    * loop and returns the final centroids (k × dim doubles) for reuse —
+    * score a later drop, or a STREAM, with [[assignClusters]] without
+    * refitting.
+    */
+  def kmeansCentroids(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      iters: Int,
+      seed: Long = 42L): Array[Array[Double]] = {
+    require(k >= 1 && k <= 64, "k must be in [1, 64] (centroids ride the plan as literals)")
+    require(iters >= 1 && iters <= 16, "iters must be in [1, 16]")
+    import graft.functions.TextFunctions.mix64_hash
+    val base = df
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .where(col("__v").isNotNull)
 
     var cents: Array[Array[Double]] = base
       .orderBy(mix64_hash(col("__id"), seed), col("__id"))
@@ -170,7 +174,7 @@ object Clustering {
     while (r < iters) {
       // the 6-rounding happens INSIDE the plan (Spark round = DuckDB round,
       // half-away-from-zero on doubles — the established mirror convention)
-      val means = assign(cents)
+      val means = assignClusters(base, "__v", cents)
         .select(col("cluster"), posexplode(col("__v")).as(Seq("__p", "__x")))
         .groupBy("cluster", "__p").agg(round(avg("__x"), 6).as("__m"))
         .collect() // bounded: k·dim model rows
@@ -183,6 +187,35 @@ object Clustering {
       cents = cents.zipWithIndex.map { case (prev, j) => means.getOrElse(j, prev) }
       r += 1
     }
-    assign(cents).drop("__v").withColumnRenamed("__id", idCol)
+    cents
+  }
+
+  /** Appends `cluster` (nearest-centroid index, the [[kmeans]] pre-rounded
+    * argmin) and `dist2_6` (6-rounded squared distance) for a FITTED
+    * centroid model. A pure codegen'd projection — no shuffle, no state —
+    * so it works unchanged on a STREAMING frame (score an embedding stream
+    * against a batch-fitted model: the stream-static pattern with the model
+    * as plan literals instead of a join).
+    */
+  def assignClusters(
+      df: DataFrame,
+      vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty && centroids.length <= 64,
+      "centroids must hold 1..64 vectors (they ride the plan as literals)")
+    import graft.functions.TextFunctions.vec_dot
+    val v = col(vecCol).cast("array<double>")
+    // winner struct per row: least() on (rounded surrogate, index) — the
+    // unrounded surrogate rides along for the exact distance output
+    val entries = centroids.zipWithIndex.map { case (c, j) =>
+      val c2 = { var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s }
+      val surr = lit(c2) - lit(2.0) * vec_dot(v, typedLit(c.toSeq))
+      struct(round(surr, 9).as("d"), lit(j).as("j"), surr.as("s"))
+    }
+    val best = if (entries.length == 1) entries.head else least(entries.toIndexedSeq: _*)
+    df.withColumn("__w", best)
+      .withColumn("cluster", col("__w.j"))
+      .withColumn("dist2_6", round(vec_dot(v, v) + col("__w.s"), 6))
+      .drop("__w")
   }
 }

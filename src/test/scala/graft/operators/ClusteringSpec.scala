@@ -125,6 +125,30 @@ class ClusteringSpec extends AnyFunSuite with SparkSpec {
     assert(d2 < 1.0, s"max within-cluster dist2 $d2")
   }
 
+  test("kmeans model scores a STREAM: assignClusters parity with batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val pts = (0 until 30).map { i =>
+      val base = if (i % 2 == 0) 0.0 else 50.0
+      (i.toLong, Seq(base + (i % 3) * 0.1, base + (i % 5) * 0.1))
+    }
+    val df = pts.toDF("id", "vec")
+    val cents = Clustering.kmeansCentroids(df, "vec", "id", k = 2, iters = 2)
+    val batch = Clustering.kmeans(df, "vec", "id", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = Clustering.assignClusters(mem.toDF().toDF("id", "vec"), "vec", cents)
+      .select("id", "cluster", "dist2_6")
+      .writeStream.format("memory").queryName("km_stream").outputMode("append").start()
+    try {
+      mem.addData(pts: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("km_stream")
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("kmeans: deterministic across partitioning; empty clusters keep centroids") {
     val pts = (0 until 60).map(i => (i.toLong, Seq((i % 9) * 1.0, (i % 4) * 1.0)))
     val a = Clustering.kmeans(pts.toDF("id", "vec"), "vec", "id", k = 4, iters = 2)
