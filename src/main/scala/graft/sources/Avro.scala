@@ -132,7 +132,9 @@ object Avro {
         case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
         case TimestampType =>
           val ts = v.asInstanceOf[java.sql.Timestamp]
-          ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+          // floorDiv, not /: getTime truncates toward zero, which shifts
+          // every pre-epoch timestamp +1 s once the nanos are added back
+          Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
         case ArrayType(et, _) =>
           v.asInstanceOf[scala.collection.Seq[Any]]
             .map(toAvro(_, et, s.getElementType)).asJava

@@ -548,7 +548,7 @@ object EventStream {
   def upsertStream(changes: Dataset[Change]): Dataset[SnapshotRow] = {
     import changes.sparkSession.implicits._
     def micros(t: Timestamp): Long =
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     def ord(ts: Timestamp, tie: Long): (Long, Long) = (micros(ts), tie)
 
     def update(key: Long, rows: Iterator[Change],
@@ -576,7 +576,7 @@ object EventStream {
     // exact microseconds (getTime truncates sub-ms; the batch face compares
     // unix_micros — both faces must agree at sub-second gap boundaries)
     def micros(t: java.sql.Timestamp): Long =
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
     def update(userId: Long, rows: Iterator[Event],
         state: GroupState[Session]): Iterator[Session] = {
