@@ -125,6 +125,14 @@ class ClusteringSpec extends AnyFunSuite with SparkSpec {
     assert(d2 < 1.0, s"max within-cluster dist2 $d2")
   }
 
+  test("assignClusters is a pure projection — no exchange, no join") {
+    val df = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 1.0))).toDF("id", "vec")
+    val plan = Clustering.assignClusters(df, "vec", Array(Array(0.0, 0.0), Array(2.0, 2.0)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignClusters shuffled:\n$plan")
+    assert(!plan.contains("Join"), s"assignClusters joined:\n$plan")
+  }
+
   test("kmeans model scores a STREAM: assignClusters parity with batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

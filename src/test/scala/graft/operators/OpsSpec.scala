@@ -213,6 +213,14 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("temperatureMix data pass is a pure filter — no data shuffle") {
+    val df = spark.range(0, 100).toDF("id").withColumn("label", lit("a"))
+    val plan = Ops.temperatureMix(df, "label", "id", alpha = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"temperatureMix shuffled the data pass:\n$plan")
+    assert(!plan.contains("Join"), s"temperatureMix joined the data pass:\n$plan")
+  }
+
   test("mixByHash data pass is a pure filter — no data shuffle") {
     val df = spark.range(0, 100).toDF("id").withColumn("label", lit("a"))
     val out = Ops.mixByHash(df, "label", "id", Seq("a" -> 1.0))
