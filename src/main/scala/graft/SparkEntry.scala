@@ -1397,6 +1397,12 @@ object SparkEntry {
         .select(col("user_id"), col("bucket"),
           coalesce(round(col("filled"), 6), lit(-1.0)).as("filled6"), col("is_gap"))),
 
+    // --- linear-interpolation gap fill (two-point resampling) --------------
+    "events_gapfill_interp" -> ((s, dir) =>
+      Ops.gapFillInterp(t(s, dir, "events"), "user_id", "ts", "value", 3600L, "event_id")
+        .select(col("user_id"), col("bucket"),
+          coalesce(col("interp6"), lit(-1.0)).as("interp6"), col("is_gap"))),
+
     // --- CDC merge: latest-wins changelog applied onto a base snapshot -----
     "data_upsert" -> ((s, dir) => {
       val base = t(s, dir, "customer").select("c_custkey", "c_acctbal", "c_mktsegment")
@@ -2659,6 +2665,33 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6), -1.0) AS filled6,
         |  v IS NULL AS is_gap
         |FROM j""".stripMargin,
+    "events_gapfill_interp" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) // 3600000000 AS b, value AS v, ts, event_id
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |rn AS (SELECT u, b, v,
+        |  row_number() OVER (PARTITION BY u, b ORDER BY ts DESC, event_id DESC) AS rn FROM e),
+        |bv AS (SELECT u, b, v FROM rn WHERE rn = 1),
+        |r AS (SELECT u, min(b) AS b0, max(b) AS b1 FROM bv GROUP BY u),
+        |spine AS (SELECT u, unnest(generate_series(b0, b1)) AS b FROM r),
+        |j AS (SELECT s.u, s.b, bv.v FROM spine s
+        |  LEFT JOIN bv ON bv.u = s.u AND bv.b = s.b),
+        |w AS (SELECT u, b, v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY u ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER (PARTITION BY u ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        |  first_value(v IGNORE NULLS) OVER (PARTITION BY u ORDER BY b
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER (PARTITION BY u ORDER BY b
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        |  FROM j)
+        |SELECT u AS user_id, b AS bucket,
+        |  coalesce(round((CASE WHEN v IS NOT NULL THEN v
+        |    ELSE pv + (nv - pv) * (CAST(b - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)) END)
+        |    + CAST('1e-9' AS DOUBLE), 6),
+        |    -1.0) AS interp6,
+        |  v IS NULL AS is_gap
+        |FROM w""".stripMargin,
     "data_upsert" ->
       """WITH ch AS (SELECT user_id AS k, value AS bal, 'seg_' || event_type AS seg,
         |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op, ts, event_id

@@ -977,6 +977,28 @@ object Ops {
       valueCol: String,
       stepSeconds: Long,
       tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__k").orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    gapSpine(events, keyCol, timeCol, valueCol, stepSeconds, tieCol)
+      .select(col("__k").as(keyCol), col("bucket"),
+        last(col("__bv"), ignoreNulls = true).over(w).as("filled"),
+        col("__bv").isNull.as("is_gap"))
+  }
+
+  /** Shared front half of the gap fillers: per-(key, step-bucket) latest
+    * value (atomic max_by pick), densified over each key's [min, max]
+    * bucket span (distributed `sequence` explode — the spine grows with
+    * keys at constant per-key span, never with the time domain), left-joined
+    * so gap buckets carry null.
+    */
+  private def gapSpine(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String,
+      stepSeconds: Long,
+      tieCol: String): DataFrame = {
     require(stepSeconds > 0, "stepSeconds must be positive")
     val sUs = stepSeconds * 1000000L
     val bucketed = events
@@ -990,12 +1012,52 @@ object Ops {
       .agg(min("bucket").as("__b0"), max("bucket").as("__b1"))
     val spine = ranges.select(col("__k"),
       explode(sequence(col("__b0"), col("__b1"))).as("bucket"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__k").orderBy("bucket")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     spine.join(bucketed, Seq("__k", "bucket"), "left")
+  }
+
+  /** [[gapFill]]'s linear-interpolation companion — the sensor/metric
+    * resampling fill (a counter sampled irregularly, a gauge with dropped
+    * scrapes): each gap bucket takes the two-point interpolation between
+    * its nearest OBSERVED neighbors,
+    * `prev + (next − prev) · (b − b_prev)/(b_next − b_prev)`, rounded to 6.
+    * Every interior gap has both neighbors by construction (the spine spans
+    * each key's [min, max] observed buckets; the endpoints are observed),
+    * so the output carries no nulls. Observed buckets pass their own value
+    * through (rounded the same way).
+    *
+    * Scale shape: identical to [[gapFill]] — one map-side-combined bucket
+    * collapse, a per-key spine explode, then two per-key ordered windows
+    * (previous / next observed); window width is the key's series, never
+    * the corpus.
+    */
+  def gapFillInterp(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String,
+      stepSeconds: Long,
+      tieCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wPrev = W.partitionBy("__k").orderBy("bucket")
+      .rowsBetween(W.unboundedPreceding, 0)
+    val wNext = W.partitionBy("__k").orderBy("bucket")
+      .rowsBetween(0, W.unboundedFollowing)
+    val obsB = when(col("__bv").isNotNull, col("bucket"))
+    val prevV = last(col("__bv"), ignoreNulls = true).over(wPrev)
+    val prevB = last(obsB, ignoreNulls = true).over(wPrev)
+    val nextV = first(col("__bv"), ignoreNulls = true).over(wNext)
+    val nextB = first(obsB, ignoreNulls = true).over(wNext)
+    val ratio = (col("bucket") - prevB).cast("double") / (nextB - prevB).cast("double")
+    // +1e-9 before the 6-round: quantized inputs × dyadic gap fractions
+    // land EXACTLY on the .5e-6 decimal tie (e.g. 23.2403125), where
+    // Spark's shortest-string HALF_UP and DuckDB's scaled-multiply round
+    // can disagree on the same double. The bias (≫ ulp, ≪ resolution)
+    // moves every structural tie decisively up on BOTH sides.
+    val interp = when(col("__bv").isNotNull, col("__bv"))
+      .otherwise(prevV + (nextV - prevV) * ratio)
+    gapSpine(events, keyCol, timeCol, valueCol, stepSeconds, tieCol)
       .select(col("__k").as(keyCol), col("bucket"),
-        last(col("__bv"), ignoreNulls = true).over(w).as("filled"),
+        round(interp + lit(1e-9), 6).as("interp6"),
         col("__bv").isNull.as("is_gap"))
   }
 

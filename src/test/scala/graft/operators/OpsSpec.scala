@@ -668,6 +668,37 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("gapFillInterp: two-point interpolation, observed pass-through, no nulls") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // key A: observed at buckets 0 (v=0) and 4 (v=8) → gaps 1,2,3 get 2,4,6;
+    // key B observed at 5 and 6 (adjacent, no gap); key C a single bucket
+    val rows = Seq(
+      ("A", ts(10), 0.0, 1L), ("A", ts(4 * 3600 + 10), 8.0, 2L),
+      ("B", ts(5 * 3600), 5.0, 3L), ("B", ts(6 * 3600), 6.0, 4L),
+      ("C", ts(9 * 3600), 9.5, 5L))
+    val df = rows.toDF("k", "ts", "v", "id")
+    val out = Ops.gapFillInterp(df, "k", "ts", "v", 3600L, "id")
+      .orderBy("k", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      ("A", 0L, 0.0, false),
+      ("A", 1L, 2.0, true), ("A", 2L, 4.0, true), ("A", 3L, 6.0, true),
+      ("A", 4L, 8.0, false),
+      ("B", 5L, 5.0, false), ("B", 6L, 6.0, false),
+      ("C", 9L, 9.5, false)))
+    // interpolation respects uneven neighbor values (non-integer slope)
+    val uneven = Seq(("D", ts(0), 1.0, 1L), ("D", ts(3 * 3600), 2.0, 2L))
+      .toDF("k", "ts", "v", "id")
+    val d = Ops.gapFillInterp(uneven, "k", "ts", "v", 3600L, "id")
+      .orderBy("bucket").select("interp6").as[Double].collect()
+    assert(d.toSeq == Seq(1.0, 1.333333, 1.666667, 2.0))
+    // deterministic under repartitioning
+    val again = Ops.gapFillInterp(df.repartition(7), "k", "ts", "v", 3600L, "id")
+      .orderBy("k", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("applyChangelog: latest-wins upserts, deletes, inserts, pass-through") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val base = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"), (4L, 40.0, "d"))
