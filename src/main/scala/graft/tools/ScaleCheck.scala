@@ -389,6 +389,12 @@ object ScaleCheck {
       gfOf(evCopy(0)),
       gfOf((0 until factor).map(evCopy).reduce(_ unionByName _)))
 
+    // interpolation rides the same spine with two per-key ordered windows
+    def gfiOf(e: DataFrame) = Ops.gapFillInterp(e, "user_id", "ts", "value", 3600L, "event_id")
+    pair("events_gapfill_interp")(
+      gfiOf(evCopy(0)),
+      gfiOf((0 until factor).map(evCopy).reduce(_ unionByName _)))
+
     // lag-24 ACF rides the same spine: per-key windows over bounded series
     def acfOf(e: DataFrame) =
       Ops.autocorrelation(e, "user_id", "ts", "value", 3600L, 24, "event_id")
