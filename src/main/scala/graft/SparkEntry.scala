@@ -1015,6 +1015,25 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // --- similarity: PERSISTED composed retriever — the deployed path:
+    // ivfBuildIndex stores (q8, q8_scale) next to the floats, the parquet
+    // roundtrips, and int8IvfSearchIndex serves int8 candidates + float
+    // rescore without refit. nprobe = nlist makes it deterministically the
+    // int8-prefilter algorithm, so the sim_int8_ivf mirror gates it exactly
+    "sim_int8_ivf_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (assigned, centroids) =
+        Similarity.ivfBuildIndex(emb, "embedding", "vec_id", nlist = 8)
+      val out = s"/tmp/graft_i8ivfidx_${new java.io.File(dir).getName}"
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$out/assigned")
+      centroids.write.mode("overwrite").parquet(s"$out/centroids")
+      Similarity.int8IvfSearchIndex(
+          s.read.parquet(s"$out/assigned"), s.read.parquet(s"$out/centroids"),
+          emb.where(col("vec_id") < 8), "embedding", "vec_id",
+          k = 5, nprobe = 8, rescore = 4)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // --- similarity: composed retriever — LSH buckets × int8 × rescore -----
     // fully deterministic end-to-end (bucket collisions, int8 prefilter and
     // float rescore all mirrored exactly), unlike IVF no fit action needed
@@ -1881,6 +1900,45 @@ object SparkEntry {
        |FROM r
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc) <= 10""".stripMargin
 
+  /** int8-prefilter-then-float-rescore mirror at nprobe = nlist: normalize →
+    * symmetric int8 quantize (sim_int8's exact arithmetic) → top rescore·k =
+    * 20 candidates per query by the rescaled integer dot → true float cosine
+    * (sim_topk's mirror) ranks the survivors for top-5. Shared verbatim by
+    * `sim_int8_ivf` (inline per-query path) and `sim_int8_ivf_index` (the
+    * persisted parquet layout) — the two MUST be value-identical.
+    */
+  private val int8IvfOracle: String =
+    """WITH nz AS (SELECT vec_id,
+      |    CASE WHEN n > 0
+      |      THEN list_transform(e, x -> CAST(x AS DOUBLE) / n)
+      |      ELSE list_transform(e, x -> CAST(x AS DOUBLE)) END AS en
+      |  FROM (SELECT vec_id, embedding AS e,
+      |      sqrt(list_sum(list_transform(embedding,
+      |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+      |    FROM embeddings)),
+      |qz AS (SELECT vec_id,
+      |    CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS s,
+      |    list_transform(en, x -> CAST(round(x
+      |      / (CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END)) AS BIGINT)) AS q
+      |  FROM (SELECT vec_id, en,
+      |      list_max(list_transform(en, x -> abs(x))) AS m FROM nz)),
+      |qs AS (SELECT vec_id AS query_id, s AS qscale, q AS qq FROM qz WHERE vec_id < 8),
+      |sc AS (SELECT qs.query_id, c.vec_id AS neighbor_id,
+      |    list_dot_product(qs.qq, c.q) * qs.qscale * c.s AS score
+      |  FROM qz c, qs),
+      |cand AS (SELECT query_id, neighbor_id FROM sc
+      |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= 20),
+      |re AS (SELECT cand.query_id, cand.neighbor_id,
+      |  list_sum(list_transform(list_zip(q.embedding, e.embedding),
+      |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      |  FROM cand
+      |  JOIN embeddings e ON e.vec_id = cand.neighbor_id
+      |  JOIN embeddings q ON q.vec_id = cand.query_id)
+      |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM re
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "subset_cols" ->
       "SELECT c_custkey AS id, c_acctbal AS bal, c_mktsegment FROM customer",
@@ -2414,37 +2472,11 @@ object SparkEntry {
     // composed retriever at nprobe = nlist: int8 prefilter (sim_int8's exact
     // quantization mirror) keeps the top rescore·k = 20 per query, then the
     // true float cosine (sim_topk's mirror) ranks the survivors for top-5
-    "sim_int8_ivf" ->
-      """WITH nz AS (SELECT vec_id,
-        |    CASE WHEN n > 0
-        |      THEN list_transform(e, x -> CAST(x AS DOUBLE) / n)
-        |      ELSE list_transform(e, x -> CAST(x AS DOUBLE)) END AS en
-        |  FROM (SELECT vec_id, embedding AS e,
-        |      sqrt(list_sum(list_transform(embedding,
-        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
-        |    FROM embeddings)),
-        |qz AS (SELECT vec_id,
-        |    CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS s,
-        |    list_transform(en, x -> CAST(round(x
-        |      / (CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END)) AS BIGINT)) AS q
-        |  FROM (SELECT vec_id, en,
-        |      list_max(list_transform(en, x -> abs(x))) AS m FROM nz)),
-        |qs AS (SELECT vec_id AS query_id, s AS qscale, q AS qq FROM qz WHERE vec_id < 8),
-        |sc AS (SELECT qs.query_id, c.vec_id AS neighbor_id,
-        |    list_dot_product(qs.qq, c.q) * qs.qscale * c.s AS score
-        |  FROM qz c, qs),
-        |cand AS (SELECT query_id, neighbor_id FROM sc
-        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= 20),
-        |re AS (SELECT cand.query_id, cand.neighbor_id,
-        |  list_sum(list_transform(list_zip(q.embedding, e.embedding),
-        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
-        |  / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |   * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
-        |  FROM cand
-        |  JOIN embeddings e ON e.vec_id = cand.neighbor_id
-        |  JOIN embeddings q ON q.vec_id = cand.query_id)
-        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM re
-        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
+    "sim_int8_ivf" -> int8IvfOracle,
+    // the persisted-index variant runs the SAME algorithm from the parquet
+    // layout (stored q8/q8_scale, no refit) — one mirror gates both, so the
+    // roundtrip must not change a single candidate or cosine
+    "sim_int8_ivf_index" -> int8IvfOracle,
     "text_quality" ->
       """WITH f AS (SELECT doc_id,
         |  CAST(length(text) AS DOUBLE) AS n_chars,

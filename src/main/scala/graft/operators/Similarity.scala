@@ -369,13 +369,19 @@ object Similarity {
   }
 
   /** Builds a PERSISTABLE IVF index: `(assigned, centroids)` as two plain
-    * DataFrames — `assigned(neighbor_id, vec, cell)` is the cell-annotated
-    * corpus, `centroids(cell, centroid)` the coarse quantizer. Write both as
-    * parquet (partition `assigned` by `cell` for probe-side pruning), then
-    * serve any number of query batches with [[ivfSearchIndex]] without
+    * DataFrames — `assigned(neighbor_id, vec, q8, q8_scale, cell)` is the
+    * cell-annotated corpus (float vector PLUS its normalize-then-quantize
+    * int8 form, so the deployed retriever's candidate stage never touches
+    * the float column), `centroids(cell, centroid)` the coarse quantizer.
+    * Write both as parquet (partition `assigned` by `cell` for probe-side
+    * pruning), then serve any number of query batches with
+    * [[ivfSearchIndex]] (float scoring) or [[int8IvfSearchIndex]]
+    * (int8 candidates × float rescore — the production path) without
     * re-fitting or re-assigning — the build-once/search-many split that
     * turns ANN at 100 TB from a per-query-batch corpus job into index-table
-    * algebra. Fit/assignment are identical to [[ivfTopK]]'s front end.
+    * algebra. Fit/assignment are identical to [[ivfTopK]]'s front end;
+    * quantization is identical to [[int8IvfTopK]]'s inline prep, so the
+    * persisted search reproduces the per-query path value-for-value.
     */
   def ivfBuildIndex(
       corpus: DataFrame,
@@ -385,7 +391,10 @@ object Similarity {
       seed: Long = 42L,
       fitSampleBytes: Long = 64L << 20): (DataFrame, DataFrame) = {
     val (assigned, centroids) = fitAssign(corpus, vecCol, idCol, nlist, seed, fitSampleBytes)
-    (assigned.select(col("neighbor_id"), col("__cv").as("vec"), col("__cell").as("cell")),
+    val withQ = int8Prep(assigned, "__cv", "neighbor_id", "neighbor_id",
+      keep = Seq("__cell", "__cv"))
+    (withQ.select(col("neighbor_id"), col("__cv").as("vec"),
+        col("q8"), col("q8_scale"), col("__cell").as("cell")),
       centroids.select(col("__cell").as("cell"), col("__centroid").as("centroid")))
   }
 
@@ -411,6 +420,53 @@ object Similarity {
     val scored = a.join(probes, Seq("__cell"))
       .withColumn("cosine", cosineSim(col("__qv"), col("__cv")))
     topkColumns(scored, k)
+  }
+
+  /** Serves a query batch from a persisted [[ivfBuildIndex]] layout with the
+    * composed production retriever: IVF cell pruning × int8 candidate
+    * scoring × exact float rescore — [[int8IvfTopK]]'s algorithm without the
+    * fit/quantize passes, because the index already stores `(q8, q8_scale)`.
+    *
+    * Scan shape against the persisted parquet: the candidate stage reads
+    * ONLY `(neighbor_id, cell, q8, q8_scale)` — the float `vec` column is
+    * pruned out of the scan (4× narrower than float32); the rescore stage
+    * reads `(neighbor_id, vec)` for just the survivor rows (a broadcast
+    * semi-pattern join, so only survivor row-groups pay the wide read).
+    * With a `cell`-partitioned layout the broadcast probe join prunes
+    * unprobed cell partitions at the scan. `nprobe = nlist` makes the
+    * candidate stage deterministically the int8 prefilter (the
+    * [[int8IvfTopK]] oracle mirror); `nprobe < nlist` is the production ANN
+    * configuration.
+    */
+  def int8IvfSearchIndex(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nprobe: Int = 4,
+      rescore: Int = 4): DataFrame = {
+    val narrow = assigned.select(col("neighbor_id"), col("cell").as("__cell"),
+      col("q8").as("__cq"), col("q8_scale").as("__cs"))
+    val c = centroids.select(col("cell").as("__cell"), col("centroid").as("__centroid"))
+    val qq = int8Prep(queries, vecCol, idCol, "query_id")
+      .select(col("query_id"), col("q8").as("__qq"), col("q8_scale").as("__qs"))
+    val probes = probeCells(queries, c, vecCol, idCol, nprobe)
+      .select("query_id", "__cell")
+      .join(broadcast(qq), Seq("query_id"))
+    val candScored = narrow.join(broadcast(probes), Seq("__cell"))
+      .withColumn("cosine", int8Dot(col("__qq"), col("__qs"), col("__cq"), col("__cs")))
+    val survivors = topkColumns(candScored, math.max(k, rescore * k))
+      .select("query_id", "neighbor_id")
+    // exact rescore against the index's own float column — only survivor
+    // rows (model-sized broadcast) touch the wide vec read
+    val qFloat = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
+    val rescored = assigned.select(col("neighbor_id"), col("vec").as("__cv"))
+      .join(broadcast(survivors), Seq("neighbor_id"))
+      .join(broadcast(qFloat), Seq("query_id"))
+      .withColumn("cosine", cosineSim(col("__qv"), col("__cv")))
+    topkColumns(rescored, k)
   }
 
   /** The composed 100 TB retrieval path: IVF cell pruning × int8 candidate

@@ -172,6 +172,18 @@ class PlanAuditSpec extends SparkSpec {
       s"cell join not an equi-join:\n$plan")
   }
 
+  test("persisted int8 index: hash joins only, candidate scan prunes the float column") {
+    val df = q("sim_int8_ivf_index")
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct"), s"sim_int8_ivf_index cartesian:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"cell join not an equi-join:\n$plan")
+    val readSchemas = "ReadSchema: [^\\n]+".r
+      .findAllIn(df.queryExecution.executedPlan.toString).toSeq
+    assert(readSchemas.exists(s => s.contains("q8") && !s.contains("vec")),
+      s"candidate scan reads the float vec column:\n${readSchemas.mkString("\n")}")
+  }
+
   test("winnow dedup is hash-keyed: no cartesian, partial agg before the shuffle") {
     val plan = physical(q("text_substrdup"))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

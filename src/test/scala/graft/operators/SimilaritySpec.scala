@@ -300,6 +300,49 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.7, s"recall $recall too low")
   }
 
+  test("persisted int8 IVF index: parquet roundtrip reproduces int8IvfTopK exactly") {
+    // build once, persist, search — must be value-identical to the inline
+    // per-query path at the same (nlist, nprobe, rescore): the stored
+    // (q8, q8_scale) come from the same normalize-then-quantize arithmetic
+    // and parquet roundtrips tinyints/doubles exactly
+    val queries = corpus.where(col("vec_id") < 8)
+    val (assigned, centroids) =
+      Similarity.ivfBuildIndex(corpus, "embedding", "vec_id", nlist = 6)
+    val dir = java.nio.file.Files.createTempDirectory("i8ivfidx").toString
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    val got = Similarity.int8IvfSearchIndex(
+      spark.read.parquet(s"$dir/assigned"), spark.read.parquet(s"$dir/centroids"),
+      queries, "embedding", "vec_id", k = 5, nprobe = 6, rescore = 2)
+    val inline = Similarity.int8IvfTopK(corpus, queries, "embedding", "vec_id",
+      k = 5, nlist = 6, nprobe = 6, rescore = 2)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    val gotSet = got.select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotSet == inline)
+    // scan-shape claim: the candidate stage reads ONLY the int8 columns —
+    // the float `vec` column is pruned out of that parquet scan (it appears
+    // only in the survivor-rescore scan)
+    val readSchemas = "ReadSchema: [^\\n]+".r
+      .findAllIn(got.queryExecution.executedPlan.toString).toSeq
+    assert(readSchemas.exists(s => s.contains("q8") && !s.contains("vec")),
+      s"candidate scan not pruned to int8 columns:\n${readSchemas.mkString("\n")}")
+  }
+
+  test("persisted int8 IVF index: partial probe keeps recall on clustered data") {
+    val queries = corpus.where(col("vec_id") < 8)
+    val (assigned, centroids) =
+      Similarity.ivfBuildIndex(corpus, "embedding", "vec_id", nlist = 6)
+    val approx = Similarity.int8IvfSearchIndex(assigned, centroids, queries,
+        "embedding", "vec_id", k = 5, nprobe = 3, rescore = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall too low")
+  }
+
   test("farthestPointSample: greedy maximin selection, ties by id, monotone") {
     // unit vectors at known angles: greedy from the seed (min id, 0°) must
     // take 180° first (cosine distance 2), then 90°, never the 5° near-dup
