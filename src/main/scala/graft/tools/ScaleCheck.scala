@@ -525,6 +525,18 @@ object ScaleCheck {
       Graph.pagerank(prHub(prE(0)), iters = 5),
       Graph.pagerank(prHub((0 until factor).map(prE).reduce(_ unionByName _)), iters = 5))
 
+    // splittable avro IO: ONE container file at 1× and factor× — read cost
+    // must track bytes through parallel byte-range tasks (sync-marker
+    // splits), never serialize on the single file
+    val atmp = java.nio.file.Files.createTempDirectory("graft_ascale").toString
+    if (only.forall("avro_read".contains)) {
+      graft.sources.Avro.write(docs.repartition(1), s"$atmp/one", codec = "null")
+      graft.sources.Avro.write(docsN.repartition(1), s"$atmp/oneN", codec = "null")
+    }
+    pair("avro_read")(
+      graft.sources.Avro.read(spark, s"$atmp/one", splitBytes = 8L * 1024 * 1024),
+      graft.sources.Avro.read(spark, s"$atmp/oneN", splitBytes = 8L * 1024 * 1024))
+
     // Z-order pruning at factor×: the same bbox read against the curve-
     // clustered layout vs a round-robin (locality-destroyed) copy of the
     // same rows — the delta is the I/O the row-group stats let us skip

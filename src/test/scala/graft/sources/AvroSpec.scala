@@ -109,6 +109,137 @@ class AvroSpec extends AnyFunSuite with SparkSpec {
     assert(back.count() == 0)
   }
 
+  test("column projection reads only the requested fields, writer order, exact values") {
+    val df = spark.range(1000).select(col("id"),
+      concat(lit("s"), col("id")).as("s"),
+      (col("id") * 2).as("twice"),
+      lit("padpadpadpadpadpadpadpadpadpad").as("pad"))
+    val dir = tmp("proj")
+    Avro.write(df.repartition(1), s"$dir/t.avro", codec = "null")
+    // request out of writer order — output follows WRITER order (deterministic)
+    val back = Avro.read(spark, s"$dir/t.avro", splitBytes = 4096,
+      columns = Seq("twice", "id"))
+    assert(back.columns.toSeq == Seq("id", "twice"))
+    assert(back.count() == 1000)
+    assert(back.where(col("twice") =!= col("id") * 2).count() == 0)
+    // unknown column fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Avro.read(spark, s"$dir/t.avro", columns = Seq("nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("projection skips decoding entirely: exotic unprojected column never touched") {
+    // hand-write a container whose second field is a multi-branch union —
+    // a type the Spark mapping rejects. A projected read that excludes it
+    // must work (proof the field is resolver-skipped, not decoded+dropped);
+    // the full read must fail loudly.
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = SchemaBuilder.record("r").fields()
+      .requiredLong("id")
+      .name("weird").`type`(Schema.createUnion(java.util.List.of(
+        Schema.create(Schema.Type.INT), Schema.create(Schema.Type.STRING)))).noDefault()
+      .endRecord()
+    val dir = tmp("skipdecode")
+    val f = new java.io.File(dir, "t.avro")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    (0 until 10).foreach { i =>
+      val rec = new GenericData.Record(schema)
+      rec.put("id", i.toLong)
+      rec.put("weird", if (i % 2 == 0) Int.box(i) else s"str$i")
+      w.append(rec)
+    }
+    w.close()
+    val back = Avro.read(spark, f.toString, columns = Seq("id"))
+    assert(back.columns.toSeq == Seq("id"))
+    assert(back.agg(sum("id")).head().getLong(0) == 45L)
+    intercept[IllegalArgumentException] { Avro.read(spark, f.toString).collect() }
+  }
+
+  test("timestamp-millis and date logical types decode with correct semantics") {
+    // written by another system at millisecond resolution — our writer emits
+    // micros, so hand-write the container
+    import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val tsMillis = LogicalTypes.timestampMillis().addToSchema(Schema.create(Schema.Type.LONG))
+    val dateT = LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    val schema = SchemaBuilder.record("r").fields()
+      .requiredLong("id")
+      .name("ts").`type`(tsMillis).noDefault()
+      .name("d").`type`(dateT).noDefault()
+      .endRecord()
+    val dir = tmp("millis")
+    val f = new java.io.File(dir, "t.avro")
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    Seq((1L, 1709296496123L, 19783), (2L, -5000L, -3)).foreach { case (id, ms, days) =>
+      val rec = new GenericData.Record(schema)
+      rec.put("id", id); rec.put("ts", ms); rec.put("d", days)
+      w.append(rec)
+    }
+    w.close()
+    val back = Avro.read(spark, f.toString)
+    assert(back.schema("ts").dataType == TimestampType)
+    assert(back.schema("d").dataType == DateType)
+    val m = back.collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getTimestamp(1).getTime == 1709296496123L)
+    assert(m(2L).getTimestamp(1).getTime == -5000L) // pre-epoch millis exact
+    assert(m(1L).getDate(2).toLocalDate == java.time.LocalDate.ofEpochDay(19783))
+    assert(m(2L).getDate(2).toLocalDate == java.time.LocalDate.ofEpochDay(-3))
+  }
+
+  test("date and decimal columns roundtrip through our own writer") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("d", DateType, nullable = true),
+      StructField("amt", DecimalType(12, 2), nullable = true)))
+    val rows = Seq(
+      Row(1L, java.sql.Date.valueOf("2024-02-29"), new java.math.BigDecimal("12345.67")),
+      Row(2L, java.sql.Date.valueOf("1969-12-31"), new java.math.BigDecimal("-0.01")),
+      Row(3L, null, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = tmp("datedec")
+    Avro.write(df, s"$dir/t.avro")
+    val back = Avro.read(spark, s"$dir/t.avro")
+    assert(back.schema("d").dataType == DateType)
+    assert(back.schema("amt").dataType == DecimalType(12, 2))
+    val m = back.collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getDate(1).toLocalDate.toString == "2024-02-29")
+    assert(m(2L).getDate(1).toLocalDate.toString == "1969-12-31") // pre-epoch
+    assert(m(1L).getDecimal(2).compareTo(new java.math.BigDecimal("12345.67")) == 0)
+    assert(m(2L).getDecimal(2).compareTo(new java.math.BigDecimal("-0.01")) == 0)
+    assert(m(3L).isNullAt(1) && m(3L).isNullAt(2))
+  }
+
+  test("decimal precision beyond Spark's 38 is rejected loudly, not passed as bytes") {
+    import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+    val dec40 = LogicalTypes.decimal(40, 4).addToSchema(Schema.create(Schema.Type.BYTES))
+    val schema = SchemaBuilder.record("r").fields()
+      .requiredLong("id").name("x").`type`(dec40).noDefault().endRecord()
+    val e = intercept[IllegalArgumentException] { Avro.structOf(schema) }
+    assert(e.getMessage.contains("precision"))
+  }
+
+  test("split read streams: file handle closes even when a limit drops the iterator") {
+    val df = spark.range(50000).select(col("id"),
+      lit("padpadpadpadpadpadpadpadpadpadpadpad").as("pad"))
+    val dir = tmp("stream")
+    Avro.write(df.repartition(1), s"$dir/t.avro", codec = "null")
+    val file = new java.io.File(s"$dir/t.avro").listFiles()
+      .filter(_.getName.endsWith(".avro")).head.getCanonicalPath
+    // limit(3) abandons the split iterators mid-range; the task-completion
+    // hook must still close every handle (local[*] shares our /proc/self/fd)
+    assert(Avro.read(spark, s"$dir/t.avro", splitBytes = 64 * 1024).limit(3).collect().length == 3)
+    val leaked = new java.io.File("/proc/self/fd").listFiles().toSeq.flatMap { fd =>
+      try Some(java.nio.file.Files.readSymbolicLink(fd.toPath).toString) catch { case _: Throwable => None }
+    }.count(_ == file)
+    assert(leaked == 0, s"$leaked leaked handles on $file")
+  }
+
   test("auto dispatch: .avro path routes through readAuto/writeAuto with WKB geometry") {
     import graft.functions.GeoFunctions._
     val pts = Seq((1L, 2.5, 3.5), (2L, -10.0, 45.0)).toDF("id", "lon", "lat")
