@@ -109,40 +109,81 @@ object Fgb {
     }
   }
 
-  private def parseProps(bb: ByteBuffer, at: Int, len: Int, cols: Seq[ColSpec]): Array[Any] = {
-    val out = new Array[Any](cols.length)
+  /** Decodes one feature's property stream. `keep(idx)` is the OUTPUT slot
+    * for file column `idx`, or −1 to skip: the stream is self-describing
+    * (tagged, length-prefixed), so skipped values advance the cursor without
+    * allocating strings/blobs — the projection lever for wide tables.
+    */
+  private def parseProps(bb: ByteBuffer, at: Int, len: Int, cols: Seq[ColSpec],
+      keep: Array[Int], nOut: Int): Array[Any] = {
+    val out = new Array[Any](nOut)
     var p = at
     val end = at + len
     while (p < end) {
       val idx = bb.getShort(p) & 0xffff
       p += 2
       val ct = cols(idx).ct
+      val o = keep(idx)
       ct match {
-        case Ct.Bool => out(idx) = bb.get(p) != 0; p += 1
-        case Ct.Byte => out(idx) = bb.get(p).toLong; p += 1
-        case Ct.UByte => out(idx) = (bb.get(p) & 0xff).toLong; p += 1
-        case Ct.Short => out(idx) = bb.getShort(p).toLong; p += 2
-        case Ct.UShort => out(idx) = (bb.getShort(p) & 0xffff).toLong; p += 2
-        case Ct.Int => out(idx) = bb.getInt(p).toLong; p += 4
-        case Ct.UInt => out(idx) = (bb.getInt(p) & 0xffffffffL); p += 4
-        case Ct.Long | Ct.ULong => out(idx) = bb.getLong(p); p += 8
-        case Ct.Float => out(idx) = bb.getFloat(p).toDouble; p += 4
-        case Ct.Double => out(idx) = bb.getDouble(p); p += 8
+        case Ct.Bool => if (o >= 0) out(o) = bb.get(p) != 0; p += 1
+        case Ct.Byte => if (o >= 0) out(o) = bb.get(p).toLong; p += 1
+        case Ct.UByte => if (o >= 0) out(o) = (bb.get(p) & 0xff).toLong; p += 1
+        case Ct.Short => if (o >= 0) out(o) = bb.getShort(p).toLong; p += 2
+        case Ct.UShort => if (o >= 0) out(o) = (bb.getShort(p) & 0xffff).toLong; p += 2
+        case Ct.Int => if (o >= 0) out(o) = bb.getInt(p).toLong; p += 4
+        case Ct.UInt => if (o >= 0) out(o) = (bb.getInt(p) & 0xffffffffL); p += 4
+        case Ct.Long | Ct.ULong => if (o >= 0) out(o) = bb.getLong(p); p += 8
+        case Ct.Float => if (o >= 0) out(o) = bb.getFloat(p).toDouble; p += 4
+        case Ct.Double => if (o >= 0) out(o) = bb.getDouble(p); p += 8
         case Ct.String | Ct.Json | Ct.DateTime =>
           val n = bb.getInt(p); p += 4
-          val b = new Array[Byte](n)
-          var i = 0
-          while (i < n) { b(i) = bb.get(p + i); i += 1 }
-          out(idx) = new String(b, "UTF-8"); p += n
+          if (o >= 0) {
+            val b = new Array[Byte](n)
+            var i = 0
+            while (i < n) { b(i) = bb.get(p + i); i += 1 }
+            out(o) = new String(b, "UTF-8")
+          }
+          p += n
         case _ =>
           val n = bb.getInt(p); p += 4
-          val b = new Array[Byte](n)
-          var i = 0
-          while (i < n) { b(i) = bb.get(p + i); i += 1 }
-          out(idx) = b; p += n
+          if (o >= 0) {
+            val b = new Array[Byte](n)
+            var i = 0
+            while (i < n) { b(i) = bb.get(p + i); i += 1 }
+            out(o) = b
+          }
+          p += n
       }
     }
     out
+  }
+
+  /** Projection plumbing shared by [[read]]/[[readSplit]]: the projected
+    * Spark schema (file column order, geometry last when kept), the
+    * file-column → output-slot map for [[parseProps]], and whether the
+    * geometry needs decoding at all (skipping it skips the whole
+    * flatbuffer-walk + WKB encode per feature).
+    */
+  private def projection(cols: Seq[ColSpec], columns: Seq[String])
+      : (StructType, Array[Int], Int, Boolean) = {
+    val all = cols.map(_.name) :+ "geometry"
+    if (columns.isEmpty) {
+      val schema = StructType(
+        cols.map(c => StructField(c.name, sparkType(c.ct))) :+ StructField("geometry", BinaryType))
+      (schema, cols.indices.toArray, cols.length, true)
+    } else {
+      val want = columns.toSet
+      val missing = want -- all.toSet
+      require(missing.isEmpty, s"columns not in fgb schema: ${missing.toSeq.sorted.mkString(", ")}")
+      val keptProps = cols.zipWithIndex.filter { case (c, _) => want(c.name) }
+      val keep = Array.fill(cols.length)(-1)
+      keptProps.zipWithIndex.foreach { case ((_, fileIdx), outIdx) => keep(fileIdx) = outIdx }
+      val withGeom = want("geometry")
+      val schema = StructType(
+        keptProps.map { case (c, _) => StructField(c.name, sparkType(c.ct)) } ++
+          (if (withGeom) Seq(StructField("geometry", BinaryType)) else Nil))
+      (schema, keep, keptProps.size, withGeom)
+    }
   }
 
   /** Layer name and schema of an fgb file (geometry travels as WKB binary). */
@@ -157,14 +198,22 @@ object Fgb {
 
   /** Reads every `.fgb` under `path` — one task per file, header parsed once
     * on the driver for the schema, features decoded executor-side.
+    * `columns` (optional) projects the decode: unrequested properties are
+    * cursor-skipped in the tagged property stream (no allocation) and an
+    * unrequested geometry skips the flatbuffer walk + WKB encode entirely.
     */
-  def read(spark: SparkSession, path: String, filterWkt: Option[String] = None): DataFrame = {
+  def read(spark: SparkSession, path: String, filterWkt: Option[String] = None,
+      columns: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
+    require(filterWkt.isEmpty || columns.isEmpty || columns.contains("geometry"),
+      "filterWkt needs the geometry column — add it to columns")
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.fgb").load(path)
       .select("content").as[Array[Byte]]
     val head = files.head()
-    val (_, schema) = schemaOf(head)
+    val bbHead = Flatbuf.le(head)
+    val (_, _, headCols, _, _) = parseHeader(bbHead)
+    val (schema, keep, nOut, withGeom) = projection(headCols, columns)
     val enc = RowEncoder.encoderFor(schema)
     val parsed = files.mapPartitions { it =>
       it.flatMap { bytes =>
@@ -176,12 +225,16 @@ object Fgb {
         while (p + 4 <= bytes.length) {
           val featSize = bb.getInt(p)
           val feat = new Flatbuf.FbTable(bb, p + 4 + bb.getInt(p + 4))
-          val geom = feat.table(0).map(g => WKB.write(geomOf(g, geomType))).orNull
           val props = feat.byteVectorPos(1) match {
-            case Some((at, len)) => parseProps(bb, at, len, cols)
-            case None => new Array[Any](cols.length)
+            case Some((at, len)) => parseProps(bb, at, len, cols, keep, nOut)
+            case None => new Array[Any](nOut)
           }
-          rows += Row.fromSeq(props.toIndexedSeq :+ geom)
+          val row =
+            if (withGeom) {
+              val geom = feat.table(0).map(g => WKB.write(geomOf(g, geomType))).orNull
+              Row.fromSeq(props.toIndexedSeq :+ geom)
+            } else Row.fromSeq(props.toIndexedSeq)
+          rows += row
           p += 4 + featSize
         }
         rows.iterator
@@ -243,15 +296,16 @@ object Fgb {
     * must be executor-visible (local/NFS; HDFS would swap in ranged
     * FileSystem reads at this seam).
     */
-  def readSplit(spark: SparkSession, path: String, featuresPerSplit: Int = 4096): DataFrame = {
+  def readSplit(spark: SparkSession, path: String, featuresPerSplit: Int = 4096,
+      columns: Seq[String] = Nil): DataFrame = {
     import scala.jdk.CollectionConverters._
     val files = java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
       .filter(_.toString.endsWith(".fgb")).map(_.toString).toSeq.sorted
     require(files.nonEmpty, s"no .fgb files under $path")
     val headBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(files.head))
-    val (_, schema) = schemaOf(headBytes)
     val bbHead = Flatbuf.le(headBytes)
     val (_, geomType, cols, _, _) = parseHeader(bbHead)
+    val (schema, keep, nOut, withGeom) = projection(cols, columns)
     val ranges = files.flatMap { f =>
       val raf = new java.io.RandomAccessFile(f, "r")
       try featureRanges(raf, featuresPerSplit).map { case (off, len) => (f, off, len) }
@@ -271,12 +325,14 @@ object Fgb {
           while (p + 4 <= buf.length) {
             val featSize = bb.getInt(p)
             val feat = new Flatbuf.FbTable(bb, p + 4 + bb.getInt(p + 4))
-            val geom = feat.table(0).map(g => WKB.write(geomOf(g, geomType))).orNull
             val props = feat.byteVectorPos(1) match {
-              case Some((at, l)) => parseProps(bb, at, l, cols)
-              case None => new Array[Any](cols.length)
+              case Some((at, l)) => parseProps(bb, at, l, cols, keep, nOut)
+              case None => new Array[Any](nOut)
             }
-            rows += Row.fromSeq(props.toIndexedSeq :+ geom)
+            rows += (if (withGeom) {
+              val geom = feat.table(0).map(g => WKB.write(geomOf(g, geomType))).orNull
+              Row.fromSeq(props.toIndexedSeq :+ geom)
+            } else Row.fromSeq(props.toIndexedSeq))
             p += 4 + featSize
           }
           rows.iterator

@@ -73,8 +73,12 @@ object Gpkg {
       }
     }
 
-    /** Decoded record values (sqlite serial types). */
-    private def record(p: Array[Byte]): Seq[Any] = {
+    /** Decoded record values (sqlite serial types). `keep(i)` false skips
+      * column i's payload without materializing it (serial types carry
+      * their lengths, so skipping is cursor arithmetic — no string/blob
+      * allocation); a null `keep` decodes everything.
+      */
+    private def record(p: Array[Byte], keep: Array[Boolean]): Seq[Any] = {
       val pb = ByteBuffer.wrap(p).order(ByteOrder.BIG_ENDIAN)
       def v(pos: Int): (Long, Int) = {
         var value = 0L
@@ -97,7 +101,8 @@ object Gpkg {
         pos += n
       }
       var dpos = hdrLen.toInt
-      types.map { t =>
+      types.zipWithIndex.map { case (t, ci) =>
+        val wanted = keep == null || ci >= keep.length || keep(ci)
         def int(nb: Int): Long = {
           var x = 0L
           var i = 0
@@ -119,13 +124,16 @@ object Gpkg {
           case 9 => 1L
           case n if n >= 13 && n % 2 == 1 =>
             val len = ((n - 13) / 2).toInt
-            val s = new String(p, dpos, len, StandardCharsets.UTF_8)
+            val s = if (wanted) new String(p, dpos, len, StandardCharsets.UTF_8) else null
             dpos += len
             s
           case n if n >= 12 =>
             val len = ((n - 12) / 2).toInt
-            val b = new Array[Byte](len)
-            System.arraycopy(p, dpos, b, 0, len)
+            val b = if (wanted) {
+              val out = new Array[Byte](len)
+              System.arraycopy(p, dpos, out, 0, len)
+              out
+            } else null
             dpos += len
             b
           case other => throw new IllegalArgumentException(s"serial type $other")
@@ -133,8 +141,10 @@ object Gpkg {
       }.toSeq
     }
 
-    /** Scans a table b-tree rooted at `page` (1-based). */
-    def table(page: Int): Seq[(Long, Seq[Any])] = {
+    /** Scans a table b-tree rooted at `page` (1-based). `keep` projects the
+      * record decode (see [[record]]); null decodes every column.
+      */
+    def table(page: Int, keep: Array[Boolean] = null): Seq[(Long, Seq[Any])] = {
       val out = ArrayBuffer[(Long, Seq[Any])]()
       def walk(pg: Int): Unit = {
         val base = (pg - 1) * pageSize
@@ -150,7 +160,7 @@ object Gpkg {
               val (plen, n1) = varint(cell)
               val (rowid, n2) = varint(cell + n1)
               val (p, _) = payload(cell + n1 + n2, plen.toInt)
-              out += ((rowid, record(p)))
+              out += ((rowid, record(p, keep)))
               c += 1
             }
           case 5 => // table interior
@@ -257,9 +267,14 @@ object Gpkg {
   }
 
   /** First feature layer of the file (or `layer`): columns as declared
-    * (geometry column → WKB binary named as in the file).
+    * (geometry column → WKB binary named as in the file). `columns`
+    * (optional) projects the read to a subset in file order — unrequested
+    * values are cursor-skipped inside the sqlite record decode (no
+    * string/blob allocation) and an unrequested geometry skips the
+    * gpkg→WKB normalize entirely.
     */
-  def read(spark: SparkSession, path: String, layer: Option[String] = None): DataFrame = {
+  def read(spark: SparkSession, path: String, layer: Option[String] = None,
+      columns: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.gpkg").load(path)
@@ -271,7 +286,21 @@ object Gpkg {
     val (layerName, geomCol, masterRow) = resolveLayer(db, path, layer)
     val cols = parseColumns(masterRow._5)
 
-    val schema = StructType(cols.map { case (n, decl) =>
+    val missing = columns.toSet -- cols.map(_._1).toSet
+    require(missing.isEmpty, s"columns not in layer $layerName: ${missing.toSeq.sorted.mkString(", ")}")
+    val selected: Array[Int] =
+      if (columns.isEmpty) cols.indices.toArray
+      else cols.zipWithIndex.collect { case ((n, _), i) if columns.contains(n) => i }.toArray
+    val keep: Array[Boolean] =
+      if (columns.isEmpty) null
+      else {
+        val k = Array.fill(cols.length)(false)
+        selected.foreach(k(_) = true)
+        k
+      }
+
+    val schema = StructType(selected.toIndexedSeq.map { i =>
+      val (n, decl) = cols(i)
       StructField(n, if (n == geomCol) BinaryType else sparkType(decl))
     })
     val enc = RowEncoder.encoderFor(schema)
@@ -284,8 +313,9 @@ object Gpkg {
       it.flatMap { fileBytes =>
         val fdb = new Sqlite(fileBytes)
         val root = fdb.master.find(m => m._1 == "table" && m._2 == layerName).get._4
-        fdb.table(root).map { case (rowid, vals) =>
-          val out = colDecls.zipWithIndex.map { case ((name, decl), i) =>
+        fdb.table(root, keep).map { case (rowid, vals) =>
+          val out = selected.map { i =>
+            val (name, decl) = colDecls(i)
             val v = if (i < vals.length) vals(i) else null
             if (name == geomCol) {
               v match {

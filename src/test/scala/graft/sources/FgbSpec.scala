@@ -36,6 +36,41 @@ class FgbSpec extends AnyFunSuite with SparkSpec {
     assert(WKB.read(rows(2L).getAs[Array[Byte]]("geometry")) == Point(20.0, -2.0))
   }
 
+  test("column projection: subset in file order, geometry skippable, splits agree") {
+    val dir = tmpDir("proj")
+    val df = Seq(
+      (1L, "alpha", 2.5, Option("x")),
+      (2L, "beta", -0.25, None),
+      (3L, "gamma", 1e9, Option("z")))
+      .toDF("id", "name", "score", "opt")
+      .withColumn("geometry", st_point(col("id") * 10.0, col("id") * -1.0))
+    Fgb.write(df, s"$dir/pts.fgb")
+    // props only — the geometry decode (flatbuffer walk + WKB encode) skipped
+    val noGeom = Fgb.read(spark, dir, columns = Seq("score", "id"))
+    assert(noGeom.schema.fieldNames.toSeq == Seq("id", "score")) // file order
+    assert(noGeom.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+      Map(1L -> 2.5, 2L -> -0.25, 3L -> 1e9))
+    // geometry + one prop; absent optional props stay out entirely
+    val withGeom = Fgb.read(spark, dir, columns = Seq("geometry", "opt"))
+    assert(withGeom.schema.fieldNames.toSeq == Seq("opt", "geometry"))
+    val m = withGeom.collect().map(r =>
+      WKB.read(r.getAs[Array[Byte]]("geometry")).asInstanceOf[Point].x -> r).toMap
+    assert(m(10.0).getString(0) == "x" && m(20.0).isNullAt(0))
+    // the splittable reader takes the same projection
+    val split = Fgb.readSplit(spark, dir, featuresPerSplit = 2, columns = Seq("id", "name"))
+    assert(split.schema.fieldNames.toSeq == Seq("id", "name"))
+    assert(split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+    // unknown column fails loudly; filterWkt without geometry refused
+    assert(intercept[IllegalArgumentException] {
+      Fgb.read(spark, dir, columns = Seq("nope"))
+    }.getMessage.contains("nope"))
+    intercept[IllegalArgumentException] {
+      Fgb.read(spark, dir, filterWkt = Some("POLYGON ((0 0, 1 0, 1 1, 0 0))"),
+        columns = Seq("id"))
+    }
+  }
+
   test("fgb round-trip: every geometry type") {
     val wkts = Seq(
       "POINT (3 4)",

@@ -111,6 +111,35 @@ class GpkgSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_.getDouble(5)).toSeq == Seq(3.0, 47.25, -89.9))
   }
 
+  test("column projection: subset in file order, rowid alias kept, geometry skippable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gpkg-proj").toString
+    val df = Seq(
+      (1L, "alpha", 1.5, (2.0, 3.0)),
+      (2L, "beta", -0.25, (-10.5, 47.25)))
+      .toDF("k", "name", "score", "pt")
+      .select(col("k"), col("name"), col("score"),
+        st_point(col("pt._1"), col("pt._2")).as("geometry"))
+    Gpkg.write(df, s"$dir/t.gpkg", layerName = "towns")
+    // no geometry: the gpkg->WKB normalize never runs; order is file order
+    val slim = Gpkg.read(spark, s"$dir/t.gpkg", columns = Seq("score", "k"))
+    assert(slim.columns.toSeq == Seq("k", "score"))
+    assert(slim.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+      Map(1L -> 1.5, 2L -> -0.25))
+    // the INTEGER PRIMARY KEY rowid alias still resolves when projected
+    val fidOnly = Gpkg.read(spark, s"$dir/t.gpkg", columns = Seq("fid", "name"))
+    assert(fidOnly.columns.toSeq == Seq("fid", "name"))
+    assert(fidOnly.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "alpha", 2L -> "beta"))
+    // geometry alone works too
+    val geomOnly = Gpkg.read(spark, s"$dir/t.gpkg", columns = Seq("geometry"))
+    assert(geomOnly.columns.toSeq == Seq("geometry"))
+    assert(geomOnly.select(st_x(col("geometry"))).collect().map(_.getDouble(0)).toSet ==
+      Set(2.0, -10.5))
+    assert(intercept[IllegalArgumentException] {
+      Gpkg.read(spark, s"$dir/t.gpkg", columns = Seq("nope"))
+    }.getMessage.contains("nope"))
+  }
+
   test("write scales: 5000 rows force interior pages; big blobs overflow") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gpkg-w2").toString
     val big = (1 to 5000).map(i => (i.toLong, "x" * (i % 70), (i * 0.001, -i * 0.002)))
