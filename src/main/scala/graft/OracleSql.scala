@@ -625,8 +625,9 @@ object OracleSql {
 
   /** (doc_id, source): deterministic domain mixing — mirrors
     * [[graft.operators.Ops.mixByHash]] exactly: per-label counts, largest
-    * feasible scale T = min(c/w), threshold floor(w*T/c*10000) in the same
-    * double-arithmetic order, splitmix64 bucket membership. Target weights
+    * feasible scale T = min(c/w), threshold floor(w*T/c*10000 + 1e-6) in the
+    * same double-arithmetic order (the bias pins the binding label's
+    * boundary-exact cut), splitmix64 bucket membership. Target weights
     * are emitted as CAST('…' AS DOUBLE) literals (plain decimal literals
     * type as DECIMAL in DuckDB and would change the arithmetic).
     */
@@ -638,7 +639,8 @@ object OracleSql {
        |cnt AS (SELECT $labelCol AS lbl, count(*) AS c FROM $docsrc GROUP BY $labelCol),
        |tj AS (SELECT t.lbl, t.w, c.c FROM tgt t JOIN cnt c USING (lbl)),
        |tmin AS (SELECT min(c / w) AS tscale FROM tj),
-       |thr AS (SELECT lbl, CAST(floor(w * (SELECT tscale FROM tmin) / c * 10000) AS BIGINT) AS thr
+       |thr AS (SELECT lbl, CAST(floor(w * (SELECT tscale FROM tmin) / c * 10000
+       |    + CAST('1e-06' AS DOUBLE)) AS BIGINT) AS thr
        |  FROM tj),
        |z AS (SELECT doc_id, $labelCol AS lbl, ${ub2(s"xor(doc_id, $seed)")} AS z0 FROM $docsrc),
        |m AS (SELECT doc_id, lbl, ${sb2(mix64("z0"))} AS h FROM z),
@@ -648,9 +650,10 @@ object OracleSql {
   }
 
   /** Mirror of [[graft.operators.Ops.temperatureMix]]: same α-share →
-    * binding-scale → floor-threshold arithmetic (DuckDB `power` vs Scala
-    * `math.pow` agree to the ulp on these magnitudes; the floor sits 1e4
-    * away from any boundary), same splitmix64 bucket membership as
+    * binding-scale → floor-threshold arithmetic with the +1e-6 floor bias
+    * (the binding label's cut is boundary-exact: a 1-ulp `power` vs
+    * `math.pow` divergence would flip an unbiased floor on one engine
+    * only), same splitmix64 bucket membership as
     * [[dataMix]]. The α literal is CAST from a string — a bare decimal
     * would type DECIMAL and change the arithmetic.
     */
@@ -660,7 +663,8 @@ object OracleSql {
        |  WHERE $labelCol IS NOT NULL GROUP BY $labelCol),
        |w AS (SELECT lbl, c, power(CAST(c AS DOUBLE), CAST('$alpha' AS DOUBLE)) AS w FROM cnt),
        |tmin AS (SELECT min(c / w) AS tscale FROM w),
-       |thr AS (SELECT lbl, CAST(floor(w * (SELECT tscale FROM tmin) / c * 10000) AS BIGINT) AS thr
+       |thr AS (SELECT lbl, CAST(floor(w * (SELECT tscale FROM tmin) / c * 10000
+       |    + CAST('1e-06' AS DOUBLE)) AS BIGINT) AS thr
        |  FROM w),
        |z AS (SELECT doc_id, $labelCol AS lbl, ${ub2(s"xor(doc_id, $seed)")} AS z0 FROM $docsrc),
        |m AS (SELECT doc_id, lbl, ${sb2(mix64("z0"))} AS h FROM z),

@@ -12,6 +12,21 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** id contract shared by the clustering operators: labels/init orderings
+    * derive from a `cast(idCol, long)`, so ids must be integral — a silent
+    * cast of a string id degrades non-numeric values to null (rows vanish
+    * from pair tables, init ordering hashes null). Fail loudly instead;
+    * callers with string keys hash first (e.g. xxhash64).
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit =
+    df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"$op idCol '$idCol' must be an integral type (got $other); " +
+          "hash string ids to a long first, e.g. xxhash64(col)")
+    }
+
   /** DBSCAN over planar point columns. `eps` is in coordinate units
     * (project first for metric eps — e.g. [[GeoOps.toMercator]] /
     * `st_to_utm`); a point is CORE when its closed eps-ball holds at least
@@ -52,13 +67,7 @@ object Clustering {
     // a silent cast("long") of a string id degrades non-numeric values to
     // null and the row would vanish from the pair table. Fail loudly
     // instead; callers with string keys hash first (e.g. xxhash64).
-    df.schema(idCol).dataType match {
-      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
-           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"dbscan idCol '$idCol' must be an integral type (got $other); " +
-          "hash string ids to a long first, e.g. xxhash64(col)")
-    }
+    requireIntegralId(df, idCol, "dbscan")
     val pts = df.select(col(idCol).cast("long").as("__id"),
         col(lonCol).cast("double").as("__x"), col(latCol).cast("double").as("__y"))
       .where(col("__x").isNotNull && col("__y").isNotNull)
@@ -159,6 +168,9 @@ object Clustering {
       seed: Long = 42L): Array[Array[Double]] = {
     require(k >= 1 && k <= 64, "k must be in [1, 64] (centroids ride the plan as literals)")
     require(iters >= 1 && iters <= 16, "iters must be in [1, 16]")
+    // same hazard dbscan rejects: a string id would null out under the long
+    // cast and silently change the seeded init ordering
+    requireIntegralId(df, idCol, "kmeans")
     import graft.functions.TextFunctions.mix64_hash
     val base = df
       .select(col(idCol).cast("long").as("__id"), col(vecCol).cast("array<double>").as("__v"))

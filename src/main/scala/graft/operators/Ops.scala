@@ -150,10 +150,13 @@ object Ops {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val present = targets.filter { case (l, _) => counts.getOrElse(l, 0L) > 0L }
     require(present.nonEmpty, "no target label present in the data")
-    // largest total consistent with the proportions; per-label keep-rates ≤ 1
+    // largest total consistent with the proportions; per-label keep-rates ≤ 1.
+    // The +1e-6 floor bias pins boundary-exact cuts (the binding label's
+    // keep-rate is 1 only up to fp; an unbiased floor could read 9999 on one
+    // engine and 10000 on the other) — same policy as the interp gap filler.
     val scale = present.map { case (l, w) => counts(l) / w }.min
     val thresholds = present.map { case (l, w) =>
-      l -> math.floor(w * scale / counts(l) * 10000).toLong
+      l -> math.floor(w * scale / counts(l) * 10000 + 1e-6).toLong
     }
     import graft.functions.TextFunctions.mix64_hash
     val bucket = pmod(mix64_hash(col(idCol), seed), lit(10000L))
@@ -195,8 +198,11 @@ object Ops {
     require(counts.nonEmpty, "no non-null labels")
     val weighted = counts.map { case (l, c) => (l, c, math.pow(c.toDouble, alpha)) }
     val scale = weighted.map { case (_, c, w) => c / w }.min
+    // +1e-6 floor bias: the binding label sits exactly on the 10000 cut and
+    // a 1-ulp math.pow vs power() divergence would otherwise flip its floor
+    // on one engine only (see mixByHash)
     val thresholds = weighted.map { case (l, c, w) =>
-      l -> math.floor(w * scale / c * 10000).toLong
+      l -> math.floor(w * scale / c * 10000 + 1e-6).toLong
     }.toMap
     import graft.functions.TextFunctions.mix64_hash
     val bucket = pmod(mix64_hash(col(idCol), seed), lit(10000L))

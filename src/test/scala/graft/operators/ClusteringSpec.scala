@@ -98,6 +98,16 @@ class ClusteringSpec extends AnyFunSuite with SparkSpec {
     assert(out.length == 2 && out.distinct.length == 1 && out.head != -1L)
   }
 
+  test("kmeans: string ids fail loudly too (init ordering would hash nulls)") {
+    val df = Seq(("a", Seq(0.0, 0.0)), ("b", Seq(1.0, 1.0))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Clustering.kmeans(df, "v", "id", k = 2, iters = 1)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    val hashed = df.withColumn("hid", xxhash64(col("id")))
+    assert(Clustering.kmeans(hashed, "v", "hid", k = 2, iters = 1).count() == 2)
+  }
+
   test("dbscan plans hash joins only — no cartesian, no BNLJ") {
     val df = Seq((1L, 0.0, 0.0), (2L, 0.5, 0.0)).toDF("id", "x", "y")
     val plan = Clustering.dbscan(df, "id", "x", "y", 1.0, 2)
