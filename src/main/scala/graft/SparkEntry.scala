@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GeoFunctions._
 import graft.operators._
+import graft.sources.ManifestTable
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §7 (plan).
   *
@@ -17,6 +18,23 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     readTable(s, dir, name)
+
+  /** Deterministic per-SF scratch dir, wiped before use — manifest-table
+    * queries must start from version 0 on every Verify/Bench run (the log
+    * is append-only by design, so a reused root would keep growing).
+    */
+  private def freshRoot(tag: String, dir: String): String = {
+    val p = java.nio.file.Paths.get(s"/tmp/graft_${tag}_${new java.io.File(dir).getName}")
+    def wipe(q: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(q)) {
+        val s = java.nio.file.Files.list(q)
+        try s.iterator().forEachRemaining(wipe) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(q)
+    }
+    wipe(p)
+    p.toString
+  }
 
   /** Synthetic OSM elements table from `part`: nodes (id ≡ 0 mod 3) with
     * lon/lat grids, ways (≡ 1) referencing their flanking node ids, relations
@@ -1142,6 +1160,125 @@ object SparkEntry {
       graft.sources.Compact.compactFiles(s, s"$dir/lineitem.parquet", out,
           targetFileBytes = 1L << 20, sortCols = Seq("l_orderkey", "l_linenumber"))
         .select("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
+    // --- transactional manifest table: ACID append + snapshot read ---------
+    // two appends publish atomic versioned manifests; the snapshot read is
+    // driven entirely by the manifest log (files stay invisible until their
+    // manifest lands), so the oracle is the plain union of both subsets
+    "data_manifest_roundtrip" -> ((s, dir) => {
+      val root = freshRoot("manifest_rt", dir)
+      val orders = t(s, dir, "orders")
+      ManifestTable.append(orders.where(col("o_orderkey") % 4 === 0), root)
+      ManifestTable.append(orders.where(col("o_orderkey") % 4 === 1), root)
+      ManifestTable.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("o_orderkey").cast("long").as("sum_key"))
+    }),
+
+    // --- manifest time travel: any version stays readable ------------------
+    // v3 is an overwrite; reading asOf 1/2/3 replays the log to each snapshot
+    "data_manifest_timetravel" -> ((s, dir) => {
+      val root = freshRoot("manifest_tt", dir)
+      val orders = t(s, dir, "orders")
+      ManifestTable.append(orders.where(col("o_orderkey") % 4 === 0), root)
+      ManifestTable.append(orders.where(col("o_orderkey") % 4 === 1), root)
+      ManifestTable.overwrite(orders.where(col("o_orderkey") % 4 === 2), root)
+      (1L to 3L).map { v =>
+        ManifestTable.read(s, root, asOf = Some(v))
+          .agg(count(lit(1)).as("cnt"), sum("o_orderkey").cast("long").as("sum_key"))
+          .select(lit(v).as("version"), col("cnt"), col("sum_key"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // --- manifest incremental read: only the rows versions (1, 3] added ----
+    "data_manifest_incremental" -> ((s, dir) => {
+      val root = freshRoot("manifest_inc", dir)
+      val orders = t(s, dir, "orders")
+      ManifestTable.append(orders.where(col("o_orderkey") % 4 === 0), root)
+      ManifestTable.append(orders.where(col("o_orderkey") % 4 === 1), root)
+      ManifestTable.append(orders.where(col("o_orderkey") % 4 === 2), root)
+      ManifestTable.readSince(s, root, sinceExclusive = 1L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("o_orderkey").cast("long").as("sum_key"))
+    }),
+
+    // --- manifest stats-pruned scan ----------------------------------------
+    // three key-ranged commits; the Between scan consults per-file min/max
+    // from the manifests and skips the non-overlapping commits before Spark
+    // plans the read (file-level, above parquet's row-group pruning). The
+    // same predicate is re-applied to rows, so results match the plain SQL.
+    "data_manifest_prune" -> ((s, dir) => {
+      val root = freshRoot("manifest_pr", dir)
+      val orders = t(s, dir, "orders")
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0) // bounded: 1 row
+      val third = mx / 3
+      ManifestTable.append(orders.where(col("o_orderkey") <= third), root)
+      ManifestTable.append(
+        orders.where(col("o_orderkey") > third && col("o_orderkey") <= 2 * third), root)
+      ManifestTable.append(orders.where(col("o_orderkey") > 2 * third), root)
+      ManifestTable.scan(spark = s, root = root,
+          pred = ManifestTable.Between("o_orderkey", third + 1, 2 * third))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("o_orderkey").cast("long").as("sum_key"))
+    }),
+
+    // --- manifest compaction: sorted rewrite preserves contents, sharpens ---
+    // five interleaving appends (every file spans the key range), then a
+    // sort-clustered compact publishes a `replace`; the scan afterwards both
+    // proves logical equality and exercises pruning over the new layout
+    "data_manifest_compact" -> ((s, dir) => {
+      val root = freshRoot("manifest_cp", dir)
+      val orders = t(s, dir, "orders")
+      (0 until 5).foreach(i =>
+        ManifestTable.append(orders.where(col("o_orderkey") % 5 === i), root))
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0) // bounded: 1 row
+      ManifestTable.compact(s, root, targetBytes = 1L << 20,
+        sortBy = Seq("o_orderkey"))
+      ManifestTable.scan(spark = s, root = root,
+          pred = ManifestTable.Between("o_orderkey", mx / 4, mx / 2))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("o_orderkey").cast("long").as("sum_key"))
+    }),
+
+    // --- manifest copy-on-write delete --------------------------------------
+    // three key-ranged commits; the Between delete rewrites ONLY the middle
+    // commit's files (stats prove the others can't match) and the table reads
+    // back as SQL DELETE WHERE
+    "data_manifest_delete" -> ((s, dir) => {
+      val root = freshRoot("manifest_del", dir)
+      val orders = t(s, dir, "orders")
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0) // bounded: 1 row
+      val third = mx / 3
+      ManifestTable.append(orders.where(col("o_orderkey") <= third), root)
+      ManifestTable.append(
+        orders.where(col("o_orderkey") > third && col("o_orderkey") <= 2 * third), root)
+      ManifestTable.append(orders.where(col("o_orderkey") > 2 * third), root)
+      ManifestTable.deleteWhere(s, root,
+        ManifestTable.Between("o_orderkey", third + 1, 2 * third))
+      ManifestTable.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("o_orderkey").cast("long").as("sum_key"))
+    }),
+
+    // --- manifest keyed upsert (MERGE) --------------------------------------
+    // target = residues 0,1; source = residues 1,2 with doubled price: the
+    // merge replaces every residue-1 row and inserts residue 2, so the table
+    // reads back as (residue 0 original) ∪ (residues 1,2 doubled). Price is
+    // compared as per-row-rounded integer cents — exact on both engines.
+    "data_manifest_merge" -> ((s, dir) => {
+      val root = freshRoot("manifest_mg", dir)
+      val orders = t(s, dir, "orders")
+      ManifestTable.append(orders.where(col("o_orderkey") % 4 === 0), root)
+      ManifestTable.append(orders.where(col("o_orderkey") % 4 === 1), root)
+      val source = orders.where(col("o_orderkey") % 4 === 1 || col("o_orderkey") % 4 === 2)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      ManifestTable.merge(s, root, source, Seq("o_orderkey"))
+      ManifestTable.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum("o_orderkey").cast("long").as("sum_key"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("long").as("cents"))
     }),
 
     // --- deterministic domain mixing (downsample to target proportions) ----
@@ -2504,6 +2641,56 @@ object SparkEntry {
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), threshold = 0.7),
     "data_compact" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    "data_manifest_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders WHERE o_orderkey % 4 <= 1 GROUP BY 1""".stripMargin,
+    "data_manifest_timetravel" ->
+      """SELECT CAST(1 AS BIGINT) AS version, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders WHERE o_orderkey % 4 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 4 <= 1
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), count(*), CAST(sum(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 4 = 2""".stripMargin,
+    "data_manifest_incremental" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders WHERE o_orderkey % 4 IN (1, 2) GROUP BY 1""".stripMargin,
+    "data_manifest_prune" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS third FROM orders)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders, b
+        |WHERE o_orderkey > b.third AND o_orderkey <= 2 * b.third
+        |GROUP BY 1""".stripMargin,
+    "data_manifest_compact" ->
+      """WITH b AS (SELECT max(o_orderkey) AS mx FROM orders)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders, b
+        |WHERE o_orderkey >= b.mx // 4 AND o_orderkey <= b.mx // 2
+        |GROUP BY 1""".stripMargin,
+    "data_manifest_delete" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS third FROM orders)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders, b
+        |WHERE NOT (o_orderkey > b.third AND o_orderkey <= 2 * b.third)
+        |GROUP BY 1""".stripMargin,
+    "data_manifest_merge" ->
+      """WITH m AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+        |  FROM orders WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice * 2
+        |  FROM orders WHERE o_orderkey % 4 IN (1, 2))
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM m GROUP BY 1""".stripMargin,
     "data_quantile_gate" -> OracleSql.quantileGateGroup("documents",
       "doc_id", "doc_id", "lang", "lang", "length(text)", "doclen",
       q = 0.3, bins = 64),

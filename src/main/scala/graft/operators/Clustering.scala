@@ -158,6 +158,17 @@ object Clustering {
     * loop and returns the final centroids (k × dim doubles) for reuse —
     * score a later drop, or a STREAM, with [[assignClusters]] without
     * refitting.
+    *
+    * Contract split vs [[Similarity]]'s coarse-quantizer fit
+    * (`fitCentroidsLocal`): this one is the DISTRIBUTED exact Lloyd — every
+    * corpus row votes in every round, arithmetic is value-pinned (rounded
+    * argmin/means) so results are reproducible engine-for-engine; the
+    * Similarity fit trades that for speed on a byte-capped sample, which is
+    * all a cell quantizer needs. They compose: pass this function's output
+    * as the `centroids`/`quantizer` argument of `Similarity.ivfTopK` /
+    * `int8IvfTopK` / `ivfBuildIndex` to run IVF retrieval over an exactly
+    * fitted model (centroids are L2-normalized there — the cell assignment
+    * is cosine).
     */
   def kmeansCentroids(
       df: DataFrame,

@@ -259,36 +259,71 @@ object Similarity {
     * corpus-spanning sample and assign every corpus row its cell. Returns
     * the assigned corpus (`neighbor_id`, `__cv`, `__cell`) plus the centroid
     * table (`__cell`, `__centroid`) for query-side probing.
+    *
+    * The TWO Lloyd fits in this codebase meet here: the default is the
+    * byte-capped sampled LOCAL fit below (speed — one corpus pass for the
+    * sample, in-memory rounds, the right trade for a coarse quantizer whose
+    * cells only need to be roughly balanced); passing `centroids` plugs in
+    * an external model such as [[Clustering.kmeansCentroids]]'s DISTRIBUTED
+    * exact Lloyd (determinism under a full-corpus contract — k codegen'd
+    * scans, value-pinned rounding, the oracle-mirrorable path). Supplied
+    * centroids are L2-normalized on entry; `nlist` is ignored in favor of
+    * `centroids.length`.
     */
+  /** L2-normalizes one vector (the cosine-quantizer contract: argmax dot
+    * against unit centroids ≡ argmax cosine). Zero vectors stay zero.
+    */
+  private def l2normalize(v: Array[Double]): Array[Double] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    val inv = if (n <= 0) 0.0 else 1.0 / math.sqrt(n)
+    v.map(_ * inv)
+  }
+
   private[operators] def fitAssign(
       corpus: DataFrame,
       vecCol: String,
       idCol: String,
       nlist: Int,
       seed: Long,
-      fitSampleBytes: Long): (DataFrame, DataFrame) = {
+      fitSampleBytes: Long,
+      centroids: Option[Array[Array[Double]]] = None): (DataFrame, DataFrame) = {
     // null embeddings can't be assigned or fit — drop them up front (the
     // sample collect and the dim probe would otherwise NPE on one null row)
     val featured = corpus
       .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("__cv"))
       .where(col("__cv").isNotNull)
-    val dim = featured.select(size(col("__cv"))).head(1) match {
-      case Array(r) => r.getInt(0)
-      case _ => 0
+    val cents = centroids match {
+      case Some(cs) =>
+        // caller-supplied quantizer — the [[Clustering.kmeansCentroids]]
+        // seam: a distributed exact Lloyd fit (or any external model)
+        // replaces the sampled local fit. Normalized here so the codegen'd
+        // argmax-dot cell assignment keeps its cosine semantics regardless
+        // of the supplier's norm convention (Euclidean Lloyd means are not
+        // unit vectors).
+        require(cs.nonEmpty, "explicit centroids must be non-empty")
+        require(cs.map(_.length).distinct.length == 1,
+          "explicit centroids must share one dimensionality")
+        cs.map(l2normalize)
+      case None =>
+        val dim = featured.select(size(col("__cv"))).head(1) match {
+          case Array(r) => r.getInt(0)
+          case _ => 0
+        }
+        // corpus-spanning fit sample: the smallest-cap rows by a seeded content
+        // hash, i.e. a deterministic uniform draw across every partition — a
+        // bare limit() would read the first file(s) of the scan, fitting the
+        // centroids to whichever shard sorts first (one crawl domain, one day).
+        // orderBy+limit lowers to TakeOrderedAndProject: per-partition top-cap
+        // heaps + one driver merge, still a single corpus pass, no full sort.
+        val sample = featured
+          .select(col("__cv").cast("array<float>").as("__cv"),
+            xxhash64(lit(seed), col("__cv")).as("__h"))
+          .orderBy("__h")
+          .limit(fitRowCap(dim, fitSampleBytes, nlist))
+          .collect().map(_.getSeq[Float](0).toArray)
+        fitCentroidsLocal(sample, nlist, iters = 8, seed = seed)
     }
-    // corpus-spanning fit sample: the smallest-cap rows by a seeded content
-    // hash, i.e. a deterministic uniform draw across every partition — a
-    // bare limit() would read the first file(s) of the scan, fitting the
-    // centroids to whichever shard sorts first (one crawl domain, one day).
-    // orderBy+limit lowers to TakeOrderedAndProject: per-partition top-cap
-    // heaps + one driver merge, still a single corpus pass, no full sort.
-    val sample = featured
-      .select(col("__cv").cast("array<float>").as("__cv"),
-        xxhash64(lit(seed), col("__cv")).as("__h"))
-      .orderBy("__h")
-      .limit(fitRowCap(dim, fitSampleBytes, nlist))
-      .collect().map(_.getSeq[Float](0).toArray)
-    val cents = fitCentroidsLocal(sample, nlist, iters = 8, seed = seed)
 
     // flat row-major centroid literal + codegen'd argmax kernel: ONE
     // constant object and one static call per row. The previous shape — a
@@ -298,14 +333,15 @@ object Similarity {
     val flatCents: Array[Double] = cents.flatten
     val assigned = featured
       .withColumn("__cell",
-        graft.functions.TextFunctions.vec_argmax_dot(col("__cv"), flatCents, dim))
+        graft.functions.TextFunctions.vec_argmax_dot(col("__cv"), flatCents,
+          cents.head.length))
 
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = cents.zipWithIndex
+    val centroidTable = cents.zipWithIndex
       .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
       .toDF("__cell", "__centroid")
-    (assigned, centroids)
+    (assigned, centroidTable)
   }
 
   /** Query-side probe set: each query's `nprobe` nearest centroids by
@@ -334,9 +370,11 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4,
       seed: Long = 42L,
-      fitSampleBytes: Long = 64L << 20): DataFrame = {
-    val (assigned, centroids) = fitAssign(corpus, vecCol, idCol, nlist, seed, fitSampleBytes)
-    val probes = probeCells(queries, centroids, vecCol, idCol, nprobe)
+      fitSampleBytes: Long = 64L << 20,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val (assigned, centroidTable) =
+      fitAssign(corpus, vecCol, idCol, nlist, seed, fitSampleBytes, centroids)
+    val probes = probeCells(queries, centroidTable, vecCol, idCol, nprobe)
     val scored = assigned.join(probes, Seq("__cell"))
       .withColumn("cosine", cosineSim(col("__qv"), col("__cv")))
     topkColumns(scored, k)
@@ -389,8 +427,10 @@ object Similarity {
       idCol: String,
       nlist: Int = 16,
       seed: Long = 42L,
-      fitSampleBytes: Long = 64L << 20): (DataFrame, DataFrame) = {
-    val (assigned, centroids) = fitAssign(corpus, vecCol, idCol, nlist, seed, fitSampleBytes)
+      fitSampleBytes: Long = 64L << 20,
+      quantizer: Option[Array[Array[Double]]] = None): (DataFrame, DataFrame) = {
+    val (assigned, centroids) =
+      fitAssign(corpus, vecCol, idCol, nlist, seed, fitSampleBytes, quantizer)
     val withQ = int8Prep(assigned, "__cv", "neighbor_id", "neighbor_id",
       keep = Seq("__cell", "__cv"))
     (withQ.select(col("neighbor_id"), col("__cv").as("vec"),
@@ -505,8 +545,10 @@ object Similarity {
       nprobe: Int = 4,
       rescore: Int = 4,
       seed: Long = 42L,
-      fitSampleBytes: Long = 64L << 20): DataFrame = {
-    val (assigned, centroids) = fitAssign(corpus, vecCol, idCol, nlist, seed, fitSampleBytes)
+      fitSampleBytes: Long = 64L << 20,
+      quantizer: Option[Array[Array[Double]]] = None): DataFrame = {
+    val (assigned, centroids) =
+      fitAssign(corpus, vecCol, idCol, nlist, seed, fitSampleBytes, quantizer)
     // narrow candidate-stage projection: quantize, then DROP the float column
     val narrow = int8Prep(assigned, "__cv", "neighbor_id", "neighbor_id", keep = Seq("__cell"))
       .select(col("neighbor_id"), col("__cell"),

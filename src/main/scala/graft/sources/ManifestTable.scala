@@ -1,0 +1,714 @@
+package graft.sources
+
+import java.nio.file.{Files, Path => JPath, Paths, FileAlreadyExistsException, StandardOpenOption}
+import java.util.UUID
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, sum, when}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.geom.GeoJson
+import graft.geom.GeoJson.{J, JArr, JNum, JObj, JStr}
+
+/** Transactional manifest table — the ACID storage idiom a long-lived
+  * 100 TB dataset needs on top of plain parquet directories (the
+  * Delta/Iceberg shape, dependency-free). A table is a directory:
+  *
+  * {{{
+  *   root/
+  *     _graft_manifest/v00000001.json   // snapshot log, append-only
+  *     data/<commit-uuid>/part-*.parquet
+  * }}}
+  *
+  * Data files are INVISIBLE until a manifest references them, so a crashed
+  * writer can never corrupt readers — its half-written commit directory is
+  * simply never published (and [[vacuum]] reclaims it). A manifest is
+  * published by writing a temp file, fsyncing, then HARD-LINKING it to
+  * `v{N}.json`: link creation is atomic and fails if the name exists, which
+  * gives optimistic concurrency — two racing committers both durably write,
+  * one wins version N, the loser re-reads and retries as N+1 (on an object
+  * store, swap the link for the store's put-if-absent / rename-no-overwrite
+  * primitive — the ONLY filesystem primitive this protocol needs).
+  *
+  * Each manifest records the commit's files with row counts, byte sizes and
+  * per-column min/max/null-count taken from the PARQUET FOOTERS (a
+  * metadata-only distributed job — no data pass), which powers [[scan]]'s
+  * file skipping: a predicate on a clustered column prunes whole files
+  * before Spark even plans the scan, the level ABOVE row-group pruning.
+  * Snapshots compose by replaying the log from the most recent `overwrite`;
+  * [[read]] time-travels to any retained version and [[readSince]] serves
+  * the files added by a version range (the incremental-consumer contract).
+  * `batchId` de-duplicates streaming `foreachBatch` replays for an
+  * exactly-once [[streamingAppend]] sink.
+  *
+  * Layout rewrites complete the lakehouse verb set: [[compact]] bin-packs
+  * micro-commits (and, with `sortBy`, CLUSTERS the table so stats pruning
+  * bites), [[deleteWhere]] is a stats-pruned copy-on-write delete, and
+  * [[merge]] a keyed upsert that rewrites only the files whose key ranges
+  * overlap the source. All three publish FULL-SET manifests under the same
+  * optimistic-concurrency protocol; `replace` (compaction) is invisible to
+  * [[readSince]] consumers because it adds no logical rows.
+  */
+object ManifestTable {
+
+  private val ManifestDir = "_graft_manifest"
+  private val VersionRe = raw"v(\d{8})\.json".r
+
+  // ---------------------------------------------------------------- model
+
+  /** Per-column file statistics. `kind` is "long" (all parquet integer
+    * physical types incl. date days and timestamp micros), "double", or
+    * "string"; `min`/`max` are exact decimal/raw strings of that kind.
+    * Absent stats (binary, nested, or a row group that didn't record them)
+    * simply omit the column — pruning stays conservative.
+    */
+  final case class ColStats(kind: String, min: String, max: String, nulls: Long)
+
+  final case class FileEntry(path: String, rows: Long, bytes: Long,
+      stats: Map[String, ColStats])
+
+  final case class Manifest(version: Long, action: String, schemaJson: String,
+      files: Seq[FileEntry], batchId: Option[Long], tsMs: Long) {
+    def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  }
+
+  /** Conservative stats predicates for [[scan]]'s file skipping. A file is
+    * read unless its stats PROVE no row can match; the same predicate is
+    * also applied as a real `where` on the rows, so pruning can only save
+    * work, never change results.
+    */
+  sealed trait Pred {
+    private[sources] def toColumn: Column
+  }
+  final case class Ge(c: String, v: Any) extends Pred {
+    private[sources] def toColumn: Column = col(c) >= lit(v)
+  }
+  final case class Le(c: String, v: Any) extends Pred {
+    private[sources] def toColumn: Column = col(c) <= lit(v)
+  }
+  final case class Eq(c: String, v: Any) extends Pred {
+    private[sources] def toColumn: Column = col(c) === lit(v)
+  }
+  final case class Between(c: String, lo: Any, hi: Any) extends Pred {
+    private[sources] def toColumn: Column = col(c) >= lit(lo) && col(c) <= lit(hi)
+  }
+  final case class And(ps: Seq[Pred]) extends Pred {
+    private[sources] def toColumn: Column = ps.map(_.toColumn).reduce(_ && _)
+  }
+  final case class Or(ps: Seq[Pred]) extends Pred {
+    private[sources] def toColumn: Column = ps.map(_.toColumn).reduce(_ || _)
+  }
+
+  // -------------------------------------------------------------- commits
+
+  /** Appends `df` as a new version; returns the committed version. */
+  def append(df: DataFrame, root: String): Long =
+    commit(df, root, overwrite = false, batchId = None)
+
+  /** Replaces the table contents as a new version (old versions stay
+    * readable via time travel until [[vacuum]]); returns the version.
+    */
+  def overwrite(df: DataFrame, root: String): Long =
+    commit(df, root, overwrite = true, batchId = None)
+
+  /** The `foreachBatch` sink: append with the micro-batch id recorded, so a
+    * replayed batch (restart between sink and checkpoint commit) is
+    * detected and skipped — exactly-once table contents over Spark's
+    * at-least-once replay.
+    *
+    * {{{ ds.writeStream.foreachBatch(ManifestTable.streamingAppend(root) _) }}}
+    */
+  def streamingAppend(root: String)(batch: DataFrame, batchId: Long): Unit =
+    commit(batch, root, overwrite = false, batchId = Some(batchId))
+
+  /** Core commit: stage data invisibly, collect footer stats, publish the
+    * next manifest atomically (retrying the version race). Append requires
+    * the schema to match the table's current schema (names, types, order —
+    * nullability is excluded: parquet reads surface everything nullable);
+    * overwrite may change it.
+    */
+  def commit(df: DataFrame, root: String, overwrite: Boolean,
+      batchId: Option[Long]): Long = {
+    val spark = df.sparkSession
+    val rootP = Paths.get(root)
+    Files.createDirectories(rootP.resolve(ManifestDir))
+
+    // idempotency fast path BEFORE doing any write work
+    batchId.foreach { bid =>
+      history(root).find(_.batchId.contains(bid)).foreach { m => return m.version }
+    }
+
+    val commitId = UUID.randomUUID().toString
+    val dataRel = s"data/$commitId"
+    val dataDir = rootP.resolve(dataRel)
+    df.write.parquet(dataDir.toString)
+    val entries = footerStats(spark, rootP, dataRel)
+    val schemaJson = df.schema.json
+
+    var attempt = 0
+    while (attempt < 64) {
+      val hist = history(root)
+      batchId.foreach { bid =>
+        hist.find(_.batchId.contains(bid)).foreach { m =>
+          // a racing replica already committed this batch — discard our stage
+          deleteRecursively(dataDir)
+          return m.version
+        }
+      }
+      if (!overwrite) hist.lastOption.foreach { latest =>
+        requireSameSchema(latest.schema, df.schema, root)
+      }
+      val next = hist.lastOption.map(_.version + 1).getOrElse(1L)
+      val m = Manifest(next, if (overwrite) "overwrite" else "append",
+        schemaJson, entries, batchId, System.currentTimeMillis())
+      if (publish(rootP, m)) return next
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"manifest commit at $root lost the version race 64 times — giving up")
+  }
+
+  // ----------------------------------------------------- layout rewrites
+
+  /** Bin-packs the current snapshot's small files into ~`targetBytes` files
+    * (the OPTIMIZE idiom: a long-lived table accretes thousands of
+    * micro-commits whose per-file task overhead eventually dominates reads).
+    * With `sortBy`, EVERY file is rewritten range-partitioned and sorted on
+    * those columns, so each output file owns a tight disjoint min/max slice
+    * and [[scan]]'s stats pruning gets dramatically sharper — clustering is
+    * the multiplier that turns footer stats into real file skipping.
+    *
+    * Publishes a `replace` manifest: full carried+rewritten file set, zero
+    * logical change. Readers are never disturbed (old versions still
+    * time-travel until [[vacuum]]), and [[readSince]] consumers skip it
+    * transparently. Concurrent appends are re-carried on publish retry;
+    * a concurrent overwrite/replace aborts (the basis snapshot is stale).
+    * Returns the new version, or the current one when there is nothing to do.
+    */
+  def compact(spark: SparkSession, root: String,
+      targetBytes: Long = 128L << 20, sortBy: Seq[String] = Nil): Long = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hist = history(root)
+    require(hist.nonEmpty, s"$root is not a manifest table (no ${ManifestDir})")
+    val basis = hist.last.version
+    val snap = snapshot(hist, basis)
+    val schema = snap.last.schema
+    val files = snap.flatMap(_.files)
+    val (rewrite, _) =
+      if (sortBy.nonEmpty) (files, Nil)
+      else files.partition(_.bytes < targetBytes)
+    if (rewrite.length <= 1 && sortBy.isEmpty) return basis
+    if (rewrite.isEmpty) return basis
+    sortBy.foreach { c =>
+      require(schema.fieldNames.contains(c), s"sortBy column $c not in table schema")
+    }
+
+    val rootP = Paths.get(root)
+    val nOut = math.max(1L, (rewrite.map(_.bytes).sum + targetBytes - 1) / targetBytes).toInt
+    val df = framed(spark, root, schema, rewrite)
+    // bin-packing merges partitions without a shuffle; clustering pays one
+    // range shuffle to buy disjoint per-file stats ranges
+    val out =
+      if (sortBy.isEmpty) df.coalesce(nOut)
+      else df.repartitionByRange(nOut, sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
+    val (staged, dataDir) = stage(spark, rootP, out)
+    rewriteCommit(rootP, basis, "replace", rewrite.map(_.path).toSet, staged,
+      schema.json, dataDir, allowConcurrentAppends = true)
+  }
+
+  /** Copy-on-write delete: files whose stats PROVE no row matches are
+    * carried untouched (on a clustered table most of them — this is where
+    * [[compact]]'s sortBy pays again); the rest are rewritten without the
+    * matching rows. Rows where the predicate is NULL are kept, matching SQL
+    * `DELETE WHERE`. Publishes a full-set `overwrite` manifest (logical
+    * contents changed — incremental readers must re-sync, exactly as for
+    * [[overwrite]]). Returns (new version, rows deleted); a provably
+    * no-match predicate is a no-op returning (current version, 0).
+    */
+  def deleteWhere(spark: SparkSession, root: String, pred: Pred): (Long, Long) =
+    deleteWhereAtBasis(spark, root, pred, basisOverride = -1L)
+
+  /** Test seam: runs the delete as if the snapshot at `basisOverride` were
+    * current (−1 = latest), exercising the conflict-abort path without a
+    * true thread race.
+    */
+  private[sources] def deleteWhereAtBasis(spark: SparkSession, root: String,
+      pred: Pred, basisOverride: Long): (Long, Long) = {
+    val hist = history(root)
+    require(hist.nonEmpty, s"$root is not a manifest table (no ${ManifestDir})")
+    val basis = if (basisOverride >= 0) basisOverride else hist.last.version
+    val snap = snapshot(hist, basis)
+    val schema = snap.last.schema
+    val files = snap.flatMap(_.files)
+    val candidates = files.filter(f => mayMatch(f.stats, pred))
+    if (candidates.isEmpty) return (basis, 0L)
+
+    val rootP = Paths.get(root)
+    val kept = framed(spark, root, schema, candidates)
+      .where(!coalesce(pred.toColumn, lit(false)))
+    val (staged, dataDir) = stage(spark, rootP, kept)
+    val deleted = candidates.map(_.rows).sum - staged.map(_.rows).sum
+    val v = rewriteCommit(rootP, basis, "overwrite", candidates.map(_.path).toSet,
+      staged, schema.json, dataDir, allowConcurrentAppends = false)
+    (v, deleted)
+  }
+
+  /** Keyed upsert (MERGE): every table row whose key appears in `source` is
+    * replaced by the source row; source rows with unseen keys are inserted.
+    * Only files whose key-column stats overlap the source's key range are
+    * rewritten — a time-keyed upsert into a time-clustered table touches
+    * just the recent files, which is what makes MERGE viable at 100 TB.
+    * Source schema must match the table's; null source keys fail loudly
+    * (they could never match and would silently become orphan inserts).
+    * Publishes a full-set `overwrite` manifest; concurrent commits abort
+    * (a racing append could carry keys this merge should have replaced).
+    * Returns the new version.
+    */
+  def merge(spark: SparkSession, root: String, source: DataFrame,
+      keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val hist = history(root)
+    require(hist.nonEmpty, s"$root is not a manifest table (no ${ManifestDir})")
+    val basis = hist.last.version
+    val snap = snapshot(hist, basis)
+    val schema = snap.last.schema
+    requireSameSchema(schema, source.schema, root)
+    keys.foreach { k =>
+      require(schema.fieldNames.contains(k), s"merge key $k not in table schema")
+    }
+
+    // one bounded pass over the source: per-key min/max for file pruning
+    // plus the null-key guard
+    val aggs = keys.flatMap(k => Seq(min(col(k)), max(col(k)))) :+
+      sum(keys.map(c => when(col(c).isNull, 1L).otherwise(0L)).reduce(_ + _))
+    val b = source.agg(aggs.head, aggs.tail: _*).head()
+    if (b.isNullAt(0) && b.isNullAt(1) && (b.isNullAt(2 * keys.length) ||
+        b.getLong(2 * keys.length) == 0L)) return basis // empty source: no-op
+    require(!b.isNullAt(2 * keys.length) && b.getLong(2 * keys.length) == 0L,
+      s"merge source has null values in key columns ${keys.mkString(",")}")
+    val overlap = And(keys.zipWithIndex.map { case (k, i) =>
+      Between(k, b.get(2 * i), b.get(2 * i + 1)): Pred
+    })
+
+    val files = snap.flatMap(_.files)
+    val candidates = files.filter(f => mayMatch(f.stats, overlap))
+    val rootP = Paths.get(root)
+    val kept = framed(spark, root, schema, candidates)
+      .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    // project the source into the table's column order so the union and the
+    // parquet footprint stay schema-identical
+    val out = kept.unionByName(source.select(schema.fieldNames.map(col).toSeq: _*))
+    val (staged, dataDir) = stage(spark, rootP, out)
+    rewriteCommit(rootP, basis, "overwrite", candidates.map(_.path).toSet,
+      staged, schema.json, dataDir, allowConcurrentAppends = false)
+  }
+
+  /** Stages `df` invisibly under `data/<uuid>/` and returns its footer-stats
+    * entries (empty part files dropped) plus the staged directory.
+    */
+  private def stage(spark: SparkSession, rootP: JPath,
+      df: DataFrame): (Seq[FileEntry], JPath) = {
+    val commitId = UUID.randomUUID().toString
+    val dataRel = s"data/$commitId"
+    val dataDir = rootP.resolve(dataRel)
+    df.write.parquet(dataDir.toString)
+    (footerStats(spark, rootP, dataRel).filter(_.rows > 0), dataDir)
+  }
+
+  /** Publishes a FULL-SET manifest (`action` = "replace" or "overwrite"):
+    * the basis snapshot's files minus `removed` plus `staged`. Optimistic
+    * concurrency mirror of [[commit]]'s retry loop, with rewrite-specific
+    * conflict detection: manifests landed after `basis` are re-carried when
+    * they are plain appends and `allowConcurrentAppends` (compaction — the
+    * new files simply weren't candidates), and abort the rewrite otherwise
+    * (the basis this rewrite was computed from no longer describes the
+    * table). On abort the staged directory is deleted.
+    */
+  private def rewriteCommit(rootP: JPath, basis: Long, action: String,
+      removed: Set[String], staged: Seq[FileEntry], schemaJson: String,
+      dataDir: JPath, allowConcurrentAppends: Boolean): Long = {
+    var attempt = 0
+    while (attempt < 64) {
+      val hist = history(rootP.toString)
+      val late = hist.filter(_.version > basis)
+      late.find(m => m.action != "append" || !allowConcurrentAppends).foreach { m =>
+        deleteRecursively(dataDir)
+        throw new IllegalStateException(
+          s"concurrent ${m.action} v${m.version} landed after basis v$basis — " +
+            s"$action aborted; retry against the current snapshot")
+      }
+      val current = snapshotFiles(hist, hist.last.version)
+      val carried = current.filterNot(f => removed(f.path))
+      val m = Manifest(hist.last.version + 1, action, schemaJson,
+        carried ++ staged, None, System.currentTimeMillis())
+      if (publish(rootP, m)) return m.version
+      attempt += 1
+    }
+    deleteRecursively(dataDir)
+    throw new IllegalStateException(
+      s"manifest $action at $rootP lost the version race 64 times — giving up")
+  }
+
+  private def requireSameSchema(cur: StructType, incoming: StructType,
+      root: String): Unit = {
+    def sig(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    require(sig(cur) == sig(incoming),
+      s"append schema mismatch at $root:\n  table:    ${cur.toDDL}\n" +
+        s"  incoming: ${incoming.toDDL}\nuse overwrite() to change the schema")
+  }
+
+  /** Durably writes the manifest and atomically claims its version name.
+    * Hard-link creation is the atomic fail-if-exists primitive on a POSIX
+    * filesystem; losing the race returns false so the committer can retry
+    * under the next version.
+    */
+  private def publish(rootP: JPath, m: Manifest): Boolean = {
+    val dir = rootP.resolve(ManifestDir)
+    val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
+    val bytes = GeoJson.writeJson(toJson(m)).getBytes("UTF-8")
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) }
+    finally ch.close()
+    val target = dir.resolve(f"v${m.version}%08d.json")
+    try { Files.createLink(target, tmp); Files.delete(tmp); true }
+    catch { case _: FileAlreadyExistsException => Files.delete(tmp); false }
+  }
+
+  // ---------------------------------------------------------------- reads
+
+  /** All manifests, version-ascending. Empty if `root` has none. */
+  def history(root: String): Seq[Manifest] = {
+    val dir = Paths.get(root).resolve(ManifestDir)
+    if (!Files.isDirectory(dir)) return Nil
+    val versions = Files.list(dir).iterator().asScala.flatMap { p =>
+      p.getFileName.toString match {
+        case VersionRe(n) => Some((n.toLong, p))
+        case _ => None
+      }
+    }.toSeq.sortBy(_._1)
+    versions.map { case (_, p) =>
+      fromJson(new String(Files.readAllBytes(p), "UTF-8"))
+    }
+  }
+
+  def latestVersion(root: String): Option[Long] = history(root).lastOption.map(_.version)
+
+  /** The file set visible at `version`: replay the log back to the most
+    * recent FULL-SET manifest at or before it — an `overwrite` (new logical
+    * contents) or a `replace` (same logical contents, rewritten physical
+    * layout: [[compact]], [[deleteWhere]]'s and [[merge]]'s carried+rewritten
+    * sets are published whole, so replay never reaches behind them).
+    */
+  private def snapshot(hist: Seq[Manifest], version: Long): Seq[Manifest] = {
+    val upTo = hist.filter(_.version <= version)
+    require(upTo.nonEmpty, s"version $version predates the table")
+    val start = upTo.lastIndexWhere(m =>
+      m.action == "overwrite" || m.action == "replace") match {
+      case -1 => 0
+      case i => i
+    }
+    upTo.drop(start)
+  }
+
+  private def snapshotFiles(hist: Seq[Manifest], version: Long): Seq[FileEntry] =
+    snapshot(hist, version).flatMap(_.files)
+
+  /** Reads the table at `asOf` (default: latest). The stored schema is
+    * applied explicitly, so the read never pays schema-merge inference over
+    * a large file census.
+    */
+  def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
+    val hist = history(root)
+    require(hist.nonEmpty, s"$root is not a manifest table (no ${ManifestDir})")
+    val v = asOf.getOrElse(hist.last.version)
+    val snap = snapshot(hist, v)
+    framed(spark, root, snap.last.schema, snap.flatMap(_.files))
+  }
+
+  /** The rows ADDED by versions in `(sinceExclusive, toInclusive]` — the
+    * incremental-consumer read (process only what's new since the last run).
+    * An overwrite inside the range makes "added rows" ill-defined, so it
+    * fails loudly; re-sync with a full [[read]] instead. A `replace`
+    * ([[compact]]) adds NO logical rows — it is skipped transparently, so
+    * incremental consumers keep flowing across compactions.
+    */
+  def readSince(spark: SparkSession, root: String, sinceExclusive: Long,
+      toInclusive: Option[Long] = None): DataFrame = {
+    val hist = history(root)
+    require(hist.nonEmpty, s"$root is not a manifest table (no ${ManifestDir})")
+    val to = toInclusive.getOrElse(hist.last.version)
+    val range = hist.filter(m => m.version > sinceExclusive && m.version <= to)
+    require(range.nonEmpty, s"no versions in ($sinceExclusive, $to] at $root")
+    range.find(_.action == "overwrite").foreach { m =>
+      throw new IllegalStateException(
+        s"version ${m.version} is an overwrite — incremental reads across an " +
+          s"overwrite are ill-defined; re-sync from a full read(asOf = $to)")
+    }
+    val adds = range.filter(_.action == "append")
+    framed(spark, root, range.last.schema, adds.flatMap(_.files))
+  }
+
+  /** Stats-pruned read: files whose min/max prove the predicate can't match
+    * are skipped entirely (no task, no footer parse, no scan); the predicate
+    * is then ALSO applied to the surviving rows, so results are identical to
+    * `read(...).where(pred)` — only cheaper.
+    */
+  def scan(spark: SparkSession, root: String, pred: Pred,
+      asOf: Option[Long] = None): DataFrame = {
+    val hist = history(root)
+    require(hist.nonEmpty, s"$root is not a manifest table (no ${ManifestDir})")
+    val v = asOf.getOrElse(hist.last.version)
+    val snap = snapshot(hist, v)
+    val keep = snap.flatMap(_.files).filter(f => mayMatch(f.stats, pred))
+    framed(spark, root, snap.last.schema, keep).where(pred.toColumn)
+  }
+
+  private def framed(spark: SparkSession, root: String, schema: StructType,
+      files: Seq[FileEntry]): DataFrame = {
+    if (files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      val paths = files.map(f => Paths.get(root).resolve(f.path).toString)
+      spark.read.schema(schema).parquet(paths: _*)
+    }
+  }
+
+  // ------------------------------------------------------------- pruning
+
+  /** Conservative may-match: false ONLY when stats prove emptiness. */
+  private[sources] def mayMatch(stats: Map[String, ColStats], pred: Pred): Boolean =
+    pred match {
+      case And(ps) => ps.forall(mayMatch(stats, _))
+      case Or(ps) => ps.exists(mayMatch(stats, _))
+      case Ge(c, v) => boundsOf(stats, c, v).forall { case (_, max, x) => cmp(max, x) >= 0 }
+      case Le(c, v) => boundsOf(stats, c, v).forall { case (min, _, x) => cmp(min, x) <= 0 }
+      case Eq(c, v) => boundsOf(stats, c, v).forall { case (min, max, x) =>
+        cmp(min, x) <= 0 && cmp(max, x) >= 0 }
+      case Between(c, lo, hi) =>
+        boundsOf(stats, c, lo).forall { case (_, max, x) => cmp(max, x) >= 0 } &&
+          boundsOf(stats, c, hi).forall { case (min, _, x) => cmp(min, x) <= 0 }
+    }
+
+  /** (min, max, predicate value) as comparable pairs, or None when the
+    * column has no stats / the value isn't comparable to the stats kind —
+    * in which case the caller must keep the file.
+    */
+  private def boundsOf(stats: Map[String, ColStats], c: String,
+      v: Any): Option[(Any, Any, Any)] =
+    stats.get(c).flatMap { s =>
+      s.kind match {
+        case "string" => v match {
+          case str: String => Some((s.min, s.max, str))
+          case _ => None
+        }
+        case "long" | "double" =>
+          numeric(v).map(x => (BigDecimal(s.min), BigDecimal(s.max), x))
+        case _ => None
+      }
+    }
+
+  private def numeric(v: Any): Option[BigDecimal] = v match {
+    case i: Int => Some(BigDecimal(i))
+    case l: Long => Some(BigDecimal(l))
+    case s: Short => Some(BigDecimal(s.toInt))
+    case b: Byte => Some(BigDecimal(b.toInt))
+    case f: Float => Some(BigDecimal(f.toDouble))
+    case d: Double => Some(BigDecimal(d))
+    case d: java.math.BigDecimal => Some(BigDecimal(d))
+    case d: BigDecimal => Some(d)
+    // date stats are epoch days, timestamp stats are epoch micros — the
+    // parquet physical values Spark writes for DateType / TimestampType
+    case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay))
+    case t: java.time.Instant =>
+      Some(BigDecimal(t.getEpochSecond) * 1000000 + t.getNano / 1000)
+    case t: java.sql.Timestamp =>
+      Some(BigDecimal(t.toInstant.getEpochSecond) * 1000000 + t.toInstant.getNano / 1000)
+    case d: java.sql.Date => Some(BigDecimal(d.toLocalDate.toEpochDay))
+    case _ => None
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: BigDecimal, y: BigDecimal) => x.compare(y)
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => 0
+  }
+
+  // -------------------------------------------------------- footer stats
+
+  /** Footer-only stats for every parquet file under `dataRel`, as a
+    * distributed metadata job — one task per file batch, no row decode.
+    * Columns keep stats when every row group recorded them and the physical
+    * type maps to long/double/string; everything else is omitted
+    * (conservative for pruning).
+    */
+  private def footerStats(spark: SparkSession, rootP: JPath,
+      dataRel: String): Seq[FileEntry] = {
+    val dir = rootP.resolve(dataRel)
+    val files = Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(_.toAbsolutePath.toString).toSeq.sorted
+    if (files.isEmpty) return Nil
+    val rootStr = rootP.toAbsolutePath.toString
+    val parts = math.min(files.size, 32)
+    spark.sparkContext.parallelize(files, parts).map { abs =>
+      statsOfFile(abs, rootStr)
+    }.collect().toSeq.sortBy(_.path)
+  }
+
+  private def statsOfFile(abs: String, rootStr: String): FileEntry = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(abs), new Configuration()))
+    val (rows, stats) =
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val acc = mutable.LinkedHashMap[String, ColStats]()
+        val dead = mutable.Set[String]()
+        for (b <- blocks; cc <- b.getColumns.asScala) {
+          val name = cc.getPath.toDotString
+          if (!name.contains('.') && !dead(name)) {
+            val st = cc.getStatistics
+            // integer stats are usable only when the logical annotation says
+            // the physical value IS the logical value: decimal stores the
+            // UNSCALED integer (comparing it against a user's BigDecimal
+            // could FALSELY prune), and timestamp-millis would be 1000× off
+            // against the micros convention [[numeric]] converts Instants to.
+            // Dates (epoch days) and int widths compare raw, which matches.
+            val intAnnOk = cc.getPrimitiveType.getLogicalTypeAnnotation match {
+              case null => true
+              case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => true
+              case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+              case _ => false
+            }
+            val kindVal: Option[(String, String, String)] =
+              if (st == null || st.isEmpty || !st.hasNonNullValue) None
+              else (st.genericGetMin, st.genericGetMax) match {
+                case (mn: java.lang.Integer, mx: java.lang.Integer) if intAnnOk =>
+                  Some(("long", mn.toString, mx.toString))
+                case (mn: java.lang.Long, mx: java.lang.Long) if intAnnOk =>
+                  Some(("long", mn.toString, mx.toString))
+                case (mn: java.lang.Float, mx: java.lang.Float) =>
+                  Some(("double", mn.toDouble.toString, mx.toDouble.toString))
+                case (mn: java.lang.Double, mx: java.lang.Double) =>
+                  Some(("double", mn.toString, mx.toString))
+                case (mn: org.apache.parquet.io.api.Binary,
+                      mx: org.apache.parquet.io.api.Binary)
+                    if cc.getPrimitiveType.getLogicalTypeAnnotation ==
+                      LogicalTypeAnnotation.stringType() =>
+                  Some(("string", mn.toStringUsingUTF8, mx.toStringUsingUTF8))
+                case _ => None
+              }
+            kindVal match {
+              case None =>
+                // one statless/unsupported row group poisons the column:
+                // a partial min/max would prune files that DO hold matches
+                dead += name; acc.remove(name)
+              case Some((kind, mn, mx)) =>
+                val nulls = math.max(0L, if (st == null) 0L else st.getNumNulls)
+                acc.get(name) match {
+                  case None => acc(name) = ColStats(kind, mn, mx, nulls)
+                  case Some(prev) =>
+                    val lo = if (statLt(kind, mn, prev.min)) mn else prev.min
+                    val hi = if (statLt(kind, prev.max, mx)) mx else prev.max
+                    acc(name) = ColStats(kind, lo, hi, prev.nulls + nulls)
+                }
+            }
+          }
+        }
+        (rows, acc.toMap)
+      } finally reader.close()
+    val rel = abs.stripPrefix(rootStr).stripPrefix("/")
+    FileEntry(rel, rows, Files.size(Paths.get(abs)), stats)
+  }
+
+  private def statLt(kind: String, a: String, b: String): Boolean =
+    if (kind == "string") a.compareTo(b) < 0 else BigDecimal(a) < BigDecimal(b)
+
+  // --------------------------------------------------------------- vacuum
+
+  /** Deletes data-commit directories referenced by NONE of the last
+    * `keepVersions` snapshots — including orphans from crashed writers that
+    * never published. `minAgeMs` protects in-flight commits (a staged
+    * directory whose manifest hasn't won its version yet looks orphaned):
+    * production callers keep the default-ish hours, tests pass 0. Manifests
+    * themselves are kept (tiny, and history() stays replayable). Returns
+    * the deleted directories.
+    */
+  def vacuum(root: String, keepVersions: Int = 2,
+      minAgeMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    val rootP = Paths.get(root)
+    val hist = history(root)
+    require(hist.nonEmpty, s"$root is not a manifest table (no ${ManifestDir})")
+    val latest = hist.last.version
+    val retained = (math.max(1L, latest - keepVersions + 1) to latest)
+    val referenced: Set[String] = retained.flatMap(v => snapshotFiles(hist, v))
+      .map(f => f.path.split('/').take(2).mkString("/")).toSet
+    val dataDir = rootP.resolve("data")
+    if (!Files.isDirectory(dataDir)) return Nil
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val deleted = Files.list(dataDir).iterator().asScala.toSeq.flatMap { d =>
+      val rel = s"data/${d.getFileName}"
+      val old = Files.getLastModifiedTime(d).toMillis <= cutoff
+      if (!referenced(rel) && old) { deleteRecursively(d); Some(rel) } else None
+    }
+    deleted.sorted
+  }
+
+  private def deleteRecursively(p: JPath): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
+  // ----------------------------------------------------------------- json
+
+  private def toJson(m: Manifest): J = {
+    val fields = mutable.LinkedHashMap[String, J](
+      "version" -> JNum(m.version.toDouble, m.version.toString),
+      "action" -> JStr(m.action),
+      "schema" -> JStr(m.schemaJson),
+      "tsMs" -> JNum(m.tsMs.toDouble, m.tsMs.toString))
+    m.batchId.foreach(b => fields("batchId") = JNum(b.toDouble, b.toString))
+    fields("files") = JArr(mutable.ArrayBuffer(m.files.map { f =>
+      JObj(mutable.LinkedHashMap[String, J](
+        "path" -> JStr(f.path),
+        "rows" -> JNum(f.rows.toDouble, f.rows.toString),
+        "bytes" -> JNum(f.bytes.toDouble, f.bytes.toString),
+        "stats" -> JObj(mutable.LinkedHashMap(f.stats.toSeq.sortBy(_._1).map {
+          case (c, s) => c -> (JObj(mutable.LinkedHashMap[String, J](
+            "k" -> JStr(s.kind), "min" -> JStr(s.min), "max" -> JStr(s.max),
+            "nulls" -> JNum(s.nulls.toDouble, s.nulls.toString))): J)
+        }: _*))))
+    }: _*))
+    JObj(fields)
+  }
+
+  private def fromJson(text: String): Manifest = {
+    val o = new GeoJson.Parser(text).parse().asInstanceOf[JObj].fields
+    def num(j: J): Long = j.asInstanceOf[JNum].raw.toLong
+    def str(j: J): String = j.asInstanceOf[JStr].s
+    val files = o("files").asInstanceOf[JArr].items.toSeq.map { fj =>
+      val f = fj.asInstanceOf[JObj].fields
+      val stats = f("stats").asInstanceOf[JObj].fields.toSeq.map { case (c, sj) =>
+        val s = sj.asInstanceOf[JObj].fields
+        c -> ColStats(str(s("k")), str(s("min")), str(s("max")), num(s("nulls")))
+      }.toMap
+      FileEntry(str(f("path")), num(f("rows")), num(f("bytes")), stats)
+    }
+    Manifest(num(o("version")), str(o("action")), str(o("schema")), files,
+      o.get("batchId").map(num), num(o("tsMs")))
+  }
+}

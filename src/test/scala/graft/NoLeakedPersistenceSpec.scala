@@ -57,4 +57,31 @@ class NoLeakedPersistenceSpec extends AnyFunSuite with SparkSpec {
     assert(df.storageLevel == StorageLevel.NONE,
       "releaseAll left the explain-only frame persisted")
   }
+
+  test("releaseAll after a mixed session (one consumed, one abandoned) leaves zero persisted RDDs") {
+    import testImplicits._
+    import org.apache.spark.storage.StorageLevel
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val consumed = graft.operators.Caches.cachedUntilAction(
+      Seq(10L, 20L).toDF("v").groupBy("v").count())
+    val abandoned = graft.operators.Caches.cachedUntilAction(
+      Seq(30L, 40L).toDF("v").groupBy("v").count())
+    // the consumed frame's action fires its listener release...
+    assert(consumed.count() == 2)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (consumed.storageLevel != StorageLevel.NONE && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(consumed.storageLevel == StorageLevel.NONE,
+      "listener release never fired for the consumed frame")
+    // ...the abandoned one is only ever explained; the teardown valve
+    // must sweep it so the session ends with zero persisted blocks
+    abandoned.queryExecution.executedPlan.toString
+    graft.operators.Caches.releaseAll()
+    assert(abandoned.storageLevel == StorageLevel.NONE)
+    def residual = sc.getPersistentRDDs.keySet.diff(before)
+    while (residual.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(residual.isEmpty,
+      s"session teardown left persisted RDDs: ${residual.mkString(",")}")
+  }
 }

@@ -89,6 +89,52 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.7, s"ivf recall $recall too low")
   }
 
+  test("explicit quantizer: kmeansCentroids drives IVF; full probe stays exact") {
+    val queries = corpus.where(col("vec_id") < 5)
+    // the distributed exact Lloyd fit plugged into the IVF front end — the
+    // shared centroid seam (kmeansCentroids output is Euclidean-normed;
+    // fitAssign L2-normalizes it for the cosine cell assignment)
+    val model = Clustering.kmeansCentroids(corpus, "embedding", "vec_id", k = 3, iters = 4)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+    // nprobe = nlist probes every cell: exact regardless of the quantizer
+    val ivf = Similarity.ivfTopK(corpus, queries, "embedding", "vec_id", k = 5,
+      nlist = 3, nprobe = 3, centroids = Some(model))
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+    assert(ivf == exact)
+    // and the int8 index build/search path accepts the same model
+    val (assigned, cents) = Similarity.ivfBuildIndex(corpus, "embedding", "vec_id",
+      quantizer = Some(model))
+    assert(cents.count() == 3)
+    val served = Similarity.int8IvfSearchIndex(assigned, cents, queries,
+      "embedding", "vec_id", k = 5, nprobe = 3, rescore = 8)
+    assert(served.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
+  }
+
+  test("explicit quantizer: basis-vector centroids give componentwise-argmax cells") {
+    // unit basis centroids make the expected cell assignment transparent:
+    // cell = argmax over components (cosine vs e_j = v_j / ‖v‖)
+    val df = Seq(
+      (1L, Array(5f, 1f, 0f)), (2L, Array(0f, 7f, 2f)), (3L, Array(1f, 1f, 9f)))
+      .toDF("vec_id", "embedding")
+    // deliberately unnormalized input centroids: the seam must normalize
+    val basis = Array(Array(2.0, 0.0, 0.0), Array(0.0, 3.0, 0.0), Array(0.0, 0.0, 0.5))
+    val (assigned, _) = Similarity.ivfBuildIndex(df, "embedding", "vec_id",
+      quantizer = Some(basis))
+    val cells = assigned.select("neighbor_id", "cell").as[(Long, Int)].collect().toMap
+    assert(cells == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    // malformed quantizers fail loudly
+    intercept[IllegalArgumentException] {
+      Similarity.ivfBuildIndex(df, "embedding", "vec_id", quantizer = Some(Array.empty))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfBuildIndex(df, "embedding", "vec_id",
+        quantizer = Some(Array(Array(1.0, 0.0), Array(1.0, 0.0, 0.0))))
+    }
+  }
+
   test("lshTopK recall vs brute force is high on clustered data") {
     val queries = corpus.where(col("vec_id") < 8)
     val exact = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)

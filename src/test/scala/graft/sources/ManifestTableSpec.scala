@@ -1,0 +1,325 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.sources.ManifestTable.{And, Between, Eq, Ge, Le, Or}
+
+class ManifestTableSpec extends AnyFunSuite with SparkSpec {
+  import testImplicits._
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_manifest_$name").toString
+    new java.io.File(d).deleteOnExit()
+    d
+  }
+
+  private def idTable(ids: Range, tag: String) =
+    ids.map(i => (i.toLong, tag, i * 1.5)).toDF("id", "tag", "score").repartition(2)
+
+  test("append / read roundtrip; versions and actions recorded") {
+    val root = tmp("rt")
+    val v1 = ManifestTable.append(idTable(0 until 50, "a"), root)
+    val v2 = ManifestTable.append(idTable(50 until 80, "b"), root)
+    assert((v1, v2) == (1L, 2L))
+    val back = ManifestTable.read(spark, root)
+    assert(back.count() == 80)
+    assert(back.agg(sum("id")).head().getLong(0) == (0 until 80).sum)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "tag", "score"))
+    val hist = ManifestTable.history(root)
+    assert(hist.map(_.action) == Seq("append", "append"))
+    assert(hist.flatMap(_.files).forall(f => f.rows > 0 && f.bytes > 0))
+  }
+
+  test("time travel reads any version; overwrite resets the snapshot") {
+    val root = tmp("tt")
+    ManifestTable.append(idTable(0 until 10, "a"), root)
+    ManifestTable.append(idTable(10 until 30, "a"), root)
+    ManifestTable.overwrite(idTable(100 until 105, "z"), root)
+    assert(ManifestTable.read(spark, root, asOf = Some(1L)).count() == 10)
+    assert(ManifestTable.read(spark, root, asOf = Some(2L)).count() == 30)
+    assert(ManifestTable.read(spark, root).count() == 5)
+    assert(ManifestTable.read(spark, root).agg(min("id")).head().getLong(0) == 100L)
+    assert(ManifestTable.latestVersion(root).contains(3L))
+  }
+
+  test("readSince serves exactly the appended range; refuses overwrites") {
+    val root = tmp("inc")
+    ManifestTable.append(idTable(0 until 10, "a"), root)
+    ManifestTable.append(idTable(10 until 25, "b"), root)
+    ManifestTable.append(idTable(25 until 27, "c"), root)
+    val inc = ManifestTable.readSince(spark, root, sinceExclusive = 1L)
+    assert(inc.count() == 17)
+    assert(inc.agg(min("id"), max("id")).head() ==
+      org.apache.spark.sql.Row(10L, 26L))
+    val only2 = ManifestTable.readSince(spark, root, 1L, toInclusive = Some(2L))
+    assert(only2.count() == 15)
+    ManifestTable.overwrite(idTable(0 until 3, "z"), root)
+    intercept[IllegalStateException] {
+      ManifestTable.readSince(spark, root, 2L).count()
+    }
+  }
+
+  test("append schema mismatch fails loudly; overwrite may change schema") {
+    val root = tmp("schema")
+    ManifestTable.append(idTable(0 until 5, "a"), root)
+    val widened = Seq((1L, "x", 1.0, true)).toDF("id", "tag", "score", "ok")
+    val err = intercept[IllegalArgumentException] {
+      ManifestTable.append(widened, root)
+    }
+    assert(err.getMessage.contains("schema mismatch"))
+    ManifestTable.overwrite(widened, root)
+    assert(ManifestTable.read(spark, root).schema.fieldNames.toSeq ==
+      Seq("id", "tag", "score", "ok"))
+  }
+
+  test("stats-based file skipping prunes commits outside the predicate") {
+    val root = tmp("prune")
+    ManifestTable.append(idTable(0 until 100, "alpha"), root)
+    ManifestTable.append(idTable(1000 until 1100, "mid"), root)
+    ManifestTable.append(idTable(5000 until 5100, "zeta"), root)
+    val all = ManifestTable.read(spark, root)
+    assert(all.inputFiles.length >= 6) // 3 commits × ≥2 part files
+
+    val hit = ManifestTable.scan(spark, root, Between("id", 1000L, 1099L))
+    assert(hit.count() == 100)
+    // only the middle commit's files were even planned
+    assert(hit.inputFiles.forall(_.contains(
+      ManifestTable.history(root)(1).files.head.path.split('/')(1))))
+    assert(hit.inputFiles.length < all.inputFiles.length)
+
+    // string stats prune too
+    val z = ManifestTable.scan(spark, root, Ge("tag", "zeta"))
+    assert(z.count() == 100)
+    assert(z.inputFiles.length < all.inputFiles.length)
+
+    // compound predicates: results always equal read().where(same)
+    val pred = Or(Seq(And(Seq(Ge("id", 5050L), Le("score", 7600.0))), Eq("id", 42L)))
+    val viaScan = ManifestTable.scan(spark, root, pred)
+      .select("id").as[Long].collect().sorted
+    val viaRead = all.where(col("id") >= 5050 && col("score") <= 7600 || col("id") === 42)
+      .select("id").as[Long].collect().sorted
+    assert(viaScan.sameElements(viaRead))
+  }
+
+  test("pruning is conservative for columns without usable stats") {
+    val root = tmp("cons")
+    val df = Seq((1L, Array(1.0, 2.0)), (2L, Array(3.0, 4.0))).toDF("id", "vec")
+    ManifestTable.append(df, root)
+    // vec (array) carries no stats: predicate on id still works, vec preds
+    // can't be expressed in the ADT anyway; absent-stats column ⇒ keep file
+    val out = ManifestTable.scan(spark, root, Ge("id", 2L))
+    assert(out.count() == 1)
+    // a predicate naming a column with no stats keeps every file
+    val dec = Seq((1L, BigDecimal("12.34")), (2L, BigDecimal("0.50")))
+      .toDF("id", "price")
+    val root2 = tmp("cons2")
+    ManifestTable.append(dec, root2)
+    // decimal stats are unscaled ints in parquet — must NOT be used to prune
+    val cheap = ManifestTable.scan(spark, root2, Le("price", BigDecimal("1.00")))
+    assert(cheap.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("racing committers: every version lands exactly once") {
+    val root = tmp("race")
+    val threads = 4
+    val perThread = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val versions = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val futures = (0 until threads).map { t =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          (0 until perThread).foreach { i =>
+            val base = (t * perThread + i) * 10
+            versions.add(ManifestTable.append(idTable(base until base + 10, s"t$t"), root))
+          }
+      })
+    }
+    futures.foreach(_.get())
+    pool.shutdown()
+    import scala.jdk.CollectionConverters._
+    assert(versions.asScala.toSeq.sorted == (1L to (threads * perThread)).toSeq)
+    assert(ManifestTable.read(spark, root).count() == threads * perThread * 10)
+  }
+
+  test("batchId makes replayed commits idempotent; streaming sink is exactly-once") {
+    val root = tmp("batch")
+    val v1 = ManifestTable.commit(idTable(0 until 10, "a"), root,
+      overwrite = false, batchId = Some(7L))
+    val v2 = ManifestTable.commit(idTable(0 until 10, "a"), root,
+      overwrite = false, batchId = Some(7L)) // replay
+    assert(v1 == v2)
+    assert(ManifestTable.read(spark, root).count() == 10)
+
+    // a real micro-batch stream through the foreachBatch sink
+    val root2 = tmp("stream")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double)]
+    val q = mem.toDF().toDF("id", "tag", "score").writeStream
+      .foreachBatch(ManifestTable.streamingAppend(root2) _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    mem.addData((1L, "s", 0.5), (2L, "s", 1.5))
+    val started = q.start()
+    started.awaitTermination(60000)
+    assert(ManifestTable.read(spark, root2).count() == 2)
+    assert(ManifestTable.history(root2).head.batchId.isDefined)
+  }
+
+  test("vacuum drops unreferenced commits and crashed-writer orphans, keeps retained") {
+    val root = tmp("vac")
+    ManifestTable.append(idTable(0 until 10, "a"), root)
+    ManifestTable.overwrite(idTable(10 until 20, "b"), root)
+    ManifestTable.append(idTable(20 until 30, "b"), root)
+    // simulate a crashed writer: staged data, no manifest published
+    val orphan = Paths.get(root, "data", "orphan-commit")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+
+    val deleted = ManifestTable.vacuum(root, keepVersions = 2, minAgeMs = 0L)
+    // v1's commit (pre-overwrite) and the orphan go; v2+v3 data stays
+    assert(deleted.exists(_.contains("orphan-commit")))
+    assert(deleted.length == 2)
+    assert(ManifestTable.read(spark, root).count() == 20)
+    assert(ManifestTable.read(spark, root, asOf = Some(2L)).count() == 10)
+    // the pre-overwrite snapshot's files are gone — history remains readable
+    assert(ManifestTable.history(root).length == 3)
+  }
+
+  test("compact bin-packs small commits; contents and history unchanged") {
+    val root = tmp("cp")
+    (0 until 5).foreach(i => ManifestTable.append(idTable(i * 10 until i * 10 + 10, "a"), root))
+    val before = ManifestTable.read(spark, root)
+    val nBefore = before.inputFiles.length
+    val sumBefore = before.agg(sum("id")).head().getLong(0)
+    val v = ManifestTable.compact(spark, root, targetBytes = 512L << 20)
+    assert(v == 6L)
+    val after = ManifestTable.read(spark, root)
+    assert(after.inputFiles.length < nBefore)
+    assert(after.count() == 50 && after.agg(sum("id")).head().getLong(0) == sumBefore)
+    // time travel still reaches the pre-compaction layout
+    assert(ManifestTable.read(spark, root, asOf = Some(3L)).count() == 30)
+    assert(ManifestTable.history(root).last.action == "replace")
+    // an already-compacted table is a no-op (version unchanged)
+    assert(ManifestTable.compact(spark, root, targetBytes = 512L << 20) == 6L)
+  }
+
+  test("sorted compaction clusters files so scan pruning sharpens") {
+    val root = tmp("cps")
+    // interleaved appends: every commit spans the whole id range, so BEFORE
+    // clustering every file may match any id predicate
+    (0 until 4).foreach { i =>
+      ManifestTable.append(
+        (i until 400 by 4).map(j => (j.toLong, s"t$i", j * 1.5))
+          .toDF("id", "tag", "score").repartition(2), root)
+    }
+    val wide = ManifestTable.scan(spark, root, ManifestTable.Between("id", 100L, 120L))
+    assert(wide.inputFiles.length == ManifestTable.read(spark, root).inputFiles.length)
+    ManifestTable.compact(spark, root, targetBytes = 2L << 10, sortBy = Seq("id"))
+    val narrow = ManifestTable.scan(spark, root, ManifestTable.Between("id", 100L, 120L))
+    assert(narrow.count() == 21)
+    assert(narrow.inputFiles.length < ManifestTable.read(spark, root).inputFiles.length)
+    assert(ManifestTable.read(spark, root).count() == 400)
+  }
+
+  test("readSince skips a replace but still refuses an overwrite") {
+    val root = tmp("cpinc")
+    ManifestTable.append(idTable(0 until 10, "a"), root)   // v1
+    ManifestTable.append(idTable(10 until 20, "b"), root)  // v2
+    ManifestTable.compact(spark, root)                     // v3 replace
+    ManifestTable.append(idTable(20 until 25, "c"), root)  // v4
+    // consumer checkpointed at v1: sees v2's and v4's rows, not the rewrite
+    val inc = ManifestTable.readSince(spark, root, sinceExclusive = 1L)
+    assert(inc.select("id").as[Long].collect().sorted.toSeq == (10L until 25L))
+    // a range holding only the replace yields zero rows, schema intact
+    val onlyReplace = ManifestTable.readSince(spark, root, 2L, toInclusive = Some(3L))
+    assert(onlyReplace.count() == 0 &&
+      onlyReplace.schema.fieldNames.toSeq == Seq("id", "tag", "score"))
+  }
+
+  test("deleteWhere rewrites only stats-matching files and reports the count") {
+    val root = tmp("del")
+    ManifestTable.append(idTable(0 until 100, "lo"), root)
+    ManifestTable.append(idTable(1000 until 1100, "mid"), root)
+    ManifestTable.append(idTable(5000 until 5100, "hi"), root)
+    val loFiles = ManifestTable.history(root).head.files.map(_.path).toSet
+    val (v, deleted) = ManifestTable.deleteWhere(spark, root,
+      ManifestTable.Between("id", 1010L, 1019L))
+    assert(v == 4L && deleted == 10L)
+    val back = ManifestTable.read(spark, root)
+    assert(back.count() == 290)
+    assert(back.where(col("id").between(1010, 1019)).count() == 0)
+    // untouched commits were carried file-for-file, not rewritten
+    val nowFiles = ManifestTable.history(root).last.files.map(_.path).toSet
+    assert(loFiles.subsetOf(nowFiles))
+    // provably-no-match predicate is a version-preserving no-op
+    assert(ManifestTable.deleteWhere(spark, root,
+      ManifestTable.Between("id", 90000L, 90010L)) == ((4L, 0L)))
+    // NULL predicate rows are kept (SQL DELETE WHERE semantics)
+    val root2 = tmp("deln")
+    ManifestTable.append(Seq((1L, "a"), (2L, null), (3L, "b"))
+      .toDF("id", "tag"), root2)
+    val (_, d2) = ManifestTable.deleteWhere(spark, root2, ManifestTable.Ge("tag", "b"))
+    assert(d2 == 1L)
+    assert(ManifestTable.read(spark, root2).select("id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L))
+  }
+
+  test("merge upserts by key, prunes non-overlapping files, guards schema and null keys") {
+    val root = tmp("mrg")
+    ManifestTable.append(idTable(0 until 100, "old"), root)
+    ManifestTable.append(idTable(5000 until 5100, "far"), root)
+    val farFiles = ManifestTable.history(root).last.files.map(_.path).toSet
+    // updates ids 90..99, inserts 100..109 — key range far from the second commit
+    val src = (90 until 110).map(i => (i.toLong, "new", -1.0)).toDF("id", "tag", "score")
+    val v = ManifestTable.merge(spark, root, src, Seq("id"))
+    assert(v == 3L)
+    val back = ManifestTable.read(spark, root)
+    assert(back.count() == 210)
+    assert(back.where(col("tag") === "new").count() == 20)
+    assert(back.where(col("id") === 95L).select("tag").head().getString(0) == "new")
+    assert(back.where(col("id") === 50L).select("tag").head().getString(0) == "old")
+    // the far commit was carried untouched
+    assert(farFiles.subsetOf(ManifestTable.history(root).last.files.map(_.path).toSet))
+    // schema and null-key guards
+    intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, root, Seq((1L, "x")).toDF("id", "tag"), Seq("id"))
+    }
+    val nullKey = Seq((null.asInstanceOf[java.lang.Long], "x", 0.0))
+      .toDF("id", "tag", "score")
+    intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, root, nullKey, Seq("id"))
+    }
+    // empty source is a no-op
+    assert(ManifestTable.merge(spark, root,
+      idTable(0 until 0, "z"), Seq("id")) == 3L)
+  }
+
+  test("rewrites detect conflicts: concurrent overwrite aborts a delete") {
+    val root = tmp("conflict")
+    ManifestTable.append(idTable(0 until 50, "a"), root)
+    // a committer lands an overwrite between the rewrite's basis and publish:
+    // simulate by publishing the overwrite first, then replaying a rewrite
+    // whose basis predates it via the private entry point
+    val basis = ManifestTable.latestVersion(root).get
+    ManifestTable.overwrite(idTable(100 until 120, "z"), root)
+    intercept[IllegalStateException] {
+      ManifestTable.deleteWhereAtBasis(spark, root, ManifestTable.Ge("id", 0L), basis)
+    }
+    // table unharmed
+    assert(ManifestTable.read(spark, root).count() == 20)
+  }
+
+  test("empty commits and empty tables read back with schema intact") {
+    val root = tmp("empty")
+    val empty = idTable(0 until 0, "a")
+    ManifestTable.append(empty, root)
+    val back = ManifestTable.read(spark, root)
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "tag", "score"))
+    ManifestTable.append(idTable(0 until 3, "a"), root)
+    assert(ManifestTable.read(spark, root).count() == 3)
+  }
+}
