@@ -498,6 +498,20 @@ object SparkEntry {
           round(st_y(col("geometry")), 6).as("py"))
     }),
 
+    // --- arrow IPC driver end-to-end: footer-indexed splittable reads ------
+    // the embeddings table exercises the LIST column path (the format's
+    // differentiator); element probes compare exactly — no float summation
+    "arrow_roundtrip" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val out = new java.io.File(s"/tmp/graft_arrow_${new java.io.File(dir).getName}")
+      out.mkdirs()
+      graft.sources.GeoSources.writeAuto(emb, s"$out/embeddings.arrow")
+      graft.sources.GeoSources.readAuto(s, s"$out/embeddings.arrow")
+        .select(col("vec_id"), col("label"), size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("c_first"),
+          round(element_at(col("embedding"), -1).cast("double"), 6).as("c_last"))
+    }),
+
     // --- gpkg driver end-to-end: own SQLite writer + b-tree reader ---------
     "gpkg_roundtrip" -> ((s, dir) => {
       val pts = custPoints(s, dir).select(col("c_custkey"), col("c_acctbal"), col("geometry"))
@@ -2259,6 +2273,11 @@ object SparkEntry {
         |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,
         |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py
         |FROM customer""".stripMargin,
+    "arrow_roundtrip" ->
+      """SELECT vec_id, label, len(embedding) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS c_first,
+        |  round(CAST(embedding[-1] AS DOUBLE), 6) AS c_last
+        |FROM embeddings""".stripMargin,
     "gpkg_roundtrip" ->
       """SELECT c_custkey, c_acctbal,
         |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,

@@ -223,6 +223,12 @@ object GeoSources {
         val a = Avro.read(spark, path)
         if (a.columns.contains("geometry")) applyFilter(a, "geometry", filterWkt) else a
       }
+      // arrow IPC files: own footer-indexed splittable driver (no arrow
+      // DataSource in the bundled jars) — WKB binary geometry convention
+      else if (p.endsWith(".arrow")) {
+        val a = ArrowIpc.read(spark, path)
+        if (a.columns.contains("geometry")) applyFilter(a, "geometry", filterWkt) else a
+      }
       else if (p.endsWith(".shp")) Shapefile.readSplit(spark, path)
       else if (p.endsWith(".gpkg")) Gpkg.read(spark, path, layer = layer)
       else if (p.endsWith(".fgb")) Fgb.read(spark, path, filterWkt = filterWkt)
@@ -262,6 +268,7 @@ object GeoSources {
     else if (p.endsWith(".parquet")) GeoParquet.write(df, path)
     else if (p.endsWith(".orc")) df.write.mode("overwrite").orc(path)
     else if (p.endsWith(".avro")) Avro.write(df, path)
+    else if (p.endsWith(".arrow")) ArrowIpc.write(df, path)
     else if (p.endsWith(".shp")) Shapefile.write(df, path.substring(0, path.length - 4))
     else if (p.endsWith(".fgb")) Fgb.write(df, path)
     else if (p.endsWith(".gpkg")) Gpkg.write(df, path, layerName = layer.getOrElse("layer"))

@@ -1,0 +1,171 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class ArrowIpcSpec extends AnyFunSuite with SparkSpec {
+  import testImplicits._
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_arrow_$name").toString
+    new java.io.File(d).deleteOnExit()
+    d
+  }
+
+  private val flatSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("i8", ByteType, nullable = true),
+    StructField("i16", ShortType, nullable = true),
+    StructField("i32", IntegerType, nullable = true),
+    StructField("f32", FloatType, nullable = true),
+    StructField("f64", DoubleType, nullable = true),
+    StructField("flag", BooleanType, nullable = true),
+    StructField("s", StringType, nullable = true),
+    StructField("bin", BinaryType, nullable = true),
+    StructField("day", DateType, nullable = true),
+    StructField("ts", TimestampType, nullable = true),
+    StructField("dec", DecimalType(12, 3), nullable = true)))
+
+  private def flatRows = {
+    val ts = Timestamp.valueOf("2024-03-01 12:34:56.123456")
+    val preEpoch = Timestamp.valueOf("1969-12-31 23:59:58.5")
+    Seq(
+      Row(1L, 5.toByte, 300.toShort, 70000, 1.5f, 2.25, true, "héllo",
+        Array[Byte](1, 2, -3), java.sql.Date.valueOf("2024-02-29"), ts,
+        new java.math.BigDecimal("12345.678")),
+      Row(2L, null, null, null, null, null, null, null, null, null, null, null),
+      Row(3L, (-5).toByte, (-300).toShort, -70000, -1.5f, -2.25, false, "",
+        Array[Byte](), java.sql.Date.valueOf("1969-07-20"), preEpoch,
+        new java.math.BigDecimal("-0.001")))
+  }
+
+  for (codec <- Seq("null", "lz4", "zstd"))
+    test(s"roundtrip [$codec]: every flat type incl. pre-epoch, nulls, empties") {
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(flatRows, 2), flatSchema)
+      val dir = tmp(s"flat_$codec")
+      ArrowIpc.write(df, s"$dir/t.arrow", codec = codec)
+      val back = ArrowIpc.read(spark, s"$dir/t.arrow")
+      assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        flatSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+      val m = back.collect().map(r => r.getLong(0) -> r).toMap
+      assert(m.size == 3)
+      val r1 = m(1L)
+      assert(r1.getByte(1) == 5 && r1.getShort(2) == 300 && r1.getInt(3) == 70000)
+      assert(r1.getFloat(4) == 1.5f && r1.getDouble(5) == 2.25 && r1.getBoolean(6))
+      assert(r1.getString(7) == "héllo")
+      assert(r1.getAs[Array[Byte]](8).toSeq == Seq[Byte](1, 2, -3))
+      assert(r1.getDate(9) == java.sql.Date.valueOf("2024-02-29"))
+      assert(r1.getTimestamp(10) == Timestamp.valueOf("2024-03-01 12:34:56.123456"))
+      assert(r1.getDecimal(11) == new java.math.BigDecimal("12345.678"))
+      (1 to 11).foreach(i => assert(m(2L).isNullAt(i), s"field $i should be null"))
+      val r3 = m(3L)
+      assert(r3.getString(7) == "" && r3.getAs[Array[Byte]](8).isEmpty)
+      // pre-epoch values survive exactly (the floorDiv contract)
+      assert(r3.getTimestamp(10) == Timestamp.valueOf("1969-12-31 23:59:58.5"))
+      assert(r3.getDate(9) == java.sql.Date.valueOf("1969-07-20"))
+      assert(r3.getDecimal(11) == new java.math.BigDecimal("-0.001"))
+    }
+
+  test("roundtrip: list columns — embeddings, null elements, nested lists, null rows") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("emb", ArrayType(FloatType, containsNull = false), nullable = true),
+      StructField("toks", ArrayType(LongType, containsNull = true), nullable = true),
+      StructField("tags", ArrayType(StringType, containsNull = true), nullable = true),
+      StructField("nest", ArrayType(ArrayType(IntegerType, containsNull = false),
+        containsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(1L, Seq(0.5f, -1.25f), Seq(10L, null, 30L), Seq("a", null, "c"),
+        Seq(Seq(1, 2), null, Seq(3))),
+      Row(2L, Seq.empty[Float], Seq.empty[Long], Seq.empty[String], Seq.empty[Seq[Int]]),
+      Row(3L, null, null, null, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val dir = tmp("lists")
+    ArrowIpc.write(df, s"$dir/t.arrow")
+    val back = ArrowIpc.read(spark, s"$dir/t.arrow")
+    assert(back.schema("emb").dataType == ArrayType(FloatType, containsNull = false))
+    val m = back.collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getSeq[Float](1) == Seq(0.5f, -1.25f))
+    assert(m(1L).getSeq[Any](2) == Seq(10L, null, 30L))
+    assert(m(1L).getSeq[Any](3) == Seq("a", null, "c"))
+    assert(m(1L).getSeq[Any](4) == Seq(Seq(1, 2), null, Seq(3)))
+    assert(m(2L).getSeq[Float](1).isEmpty && m(2L).getSeq[Any](4).isEmpty)
+    (1 to 4).foreach(i => assert(m(3L).isNullAt(i)))
+  }
+
+  test("splittable read: footer batches fan one file out without dup/loss") {
+    val df = spark.range(20000).select(col("id"),
+      concat(lit("row-"), col("id")).as("s"))
+    val dir = tmp("split")
+    ArrowIpc.write(df.repartition(1), s"$dir/t.arrow", codec = "lz4", batchRows = 1000)
+    val files = new java.io.File(s"$dir/t.arrow").listFiles()
+      .filter(_.getName.endsWith(".arrow"))
+    assert(files.length == 1, "expected a single IPC file")
+    val back = ArrowIpc.read(spark, s"$dir/t.arrow", splitBytes = 64L * 1024)
+    assert(back.rdd.getNumPartitions > 1, "small splitBytes should fan out")
+    assert(back.count() == 20000)
+    assert(back.agg(sum("id")).head().getLong(0) == (0L until 20000L).sum)
+    assert(back.select("s").distinct().count() == 20000)
+  }
+
+  test("column projection reads a field subset in writer order") {
+    val df = spark.range(100).select(col("id"), lit("x").as("a"), (col("id") * 2).as("b"))
+    val dir = tmp("proj")
+    ArrowIpc.write(df, s"$dir/t.arrow")
+    val back = ArrowIpc.read(spark, s"$dir/t.arrow", columns = Seq("b", "id"))
+    assert(back.columns.toSeq == Seq("id", "b")) // writer order, not request order
+    assert(back.agg(sum("b")).head().getLong(0) == (0L until 100L).map(_ * 2).sum)
+    intercept[IllegalArgumentException] {
+      ArrowIpc.read(spark, s"$dir/t.arrow", columns = Seq("nope"))
+    }
+  }
+
+  test("sharded write: one file per partition, read back as one frame") {
+    val df = spark.range(5000).select(col("id"), (col("id") % 7).as("g")).repartition(4)
+    val dir = tmp("shard")
+    ArrowIpc.write(df, s"$dir/t.arrow")
+    val files = new java.io.File(s"$dir/t.arrow").listFiles()
+      .filter(_.getName.endsWith(".arrow"))
+    assert(files.length == 4)
+    val back = ArrowIpc.read(spark, s"$dir/t.arrow")
+    assert(back.count() == 5000)
+    assert(back.agg(sum("id")).head().getLong(0) == (0L until 5000L).sum)
+  }
+
+  test("empty frame writes a schema-only file that reads back empty") {
+    val df = spark.range(0).select(col("id"), lit("s").as("s"))
+    val dir = tmp("empty")
+    ArrowIpc.write(df, s"$dir/t.arrow")
+    val back = ArrowIpc.read(spark, s"$dir/t.arrow")
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "s"))
+    assert(ArrowIpc.schemaOf(s"$dir/t.arrow").fieldNames.toSeq == Seq("id", "s"))
+  }
+
+  test("struct and map columns are rejected loudly, not byte-passed") {
+    val st = spark.range(3).select(col("id"), struct(col("id").as("a")).as("sub"))
+    intercept[IllegalArgumentException] { ArrowIpc.write(st, tmp("rej") + "/t.arrow") }
+    val mp = spark.range(3).select(col("id"),
+      map(lit("k"), col("id")).as("kv"))
+    intercept[IllegalArgumentException] { ArrowIpc.write(mp, tmp("rej2") + "/t.arrow") }
+  }
+
+  test("geometry WKB convention rides as binary through auto dispatch") {
+    val pts = Seq((1L, 2.0, 3.0), (2L, -4.5, 0.25)).toDF("id", "x", "y")
+      .select(col("id"), graft.functions.GeoFunctions.st_aswkb(
+        graft.functions.GeoFunctions.st_point(col("x"), col("y"))).as("geometry"))
+    val dir = tmp("geo")
+    GeoSources.writeAuto(pts, s"$dir/pts.arrow")
+    val back = GeoSources.readAuto(spark, s"$dir/pts.arrow")
+    val xs = back.select(col("id"),
+      graft.functions.GeoFunctions.st_x(col("geometry")).as("px")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(xs == Map(1L -> 2.0, 2L -> -4.5))
+  }
+}
