@@ -537,6 +537,52 @@ object ScaleCheck {
       graft.sources.Avro.read(spark, s"$atmp/one", splitBytes = 8L * 1024 * 1024),
       graft.sources.Avro.read(spark, s"$atmp/oneN", splitBytes = 8L * 1024 * 1024))
 
+    // splittable arrow IPC IO: ONE footer-indexed file at 1× and factor× —
+    // split planning is metadata-only, read cost must track bytes through
+    // batch-offset tasks
+    if (only.forall("arrow_read".contains)) {
+      graft.sources.ArrowIpc.write(docs.repartition(1), s"$atmp/arrow1",
+        codec = "null", batchRows = 4096)
+      graft.sources.ArrowIpc.write(docsN.repartition(1), s"$atmp/arrowN",
+        codec = "null", batchRows = 4096)
+    }
+    pair("arrow_read")(
+      graft.sources.ArrowIpc.read(spark, s"$atmp/arrow1", splitBytes = 8L * 1024 * 1024),
+      graft.sources.ArrowIpc.read(spark, s"$atmp/arrowN", splitBytes = 8L * 1024 * 1024))
+
+    // manifest lakehouse tier: per-copy commits are key-disjoint, so the
+    // footer-stats census lets a constant-window scan and a narrow merge
+    // touch ONE commit's files no matter how many copies the table holds —
+    // these ratios must hover near 1, not near factor (the whole point of
+    // file-level pruning at 100 TB: query cost tracks the QUERY, not the
+    // table)
+    val mtmp = java.nio.file.Files.createTempDirectory("graft_mscale").toString
+    val ordM = graft.readTable(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    def ordCopy(i: Int) = ordM.select(
+      (col("o_orderkey") + lit(i.toLong * 100000000L)).as("o_orderkey"),
+      col("o_custkey"), col("o_totalprice"))
+    val manifestTier = only.forall(s =>
+      "manifest_scan".contains(s) || "manifest_merge".contains(s))
+    if (manifestTier) {
+      graft.sources.ManifestTable.append(ordCopy(0), s"$mtmp/t1")
+      (0 until factor).foreach(i =>
+        graft.sources.ManifestTable.append(ordCopy(i), s"$mtmp/tN"))
+    }
+    val window = graft.sources.ManifestTable.Between("o_orderkey", 1L, 100000L)
+    pair("manifest_scan")(
+      graft.sources.ManifestTable.scan(spark, s"$mtmp/t1", window),
+      graft.sources.ManifestTable.scan(spark, s"$mtmp/tN", window))
+    // upsert keys land inside copy 0's range only: the merge must rewrite
+    // that commit's files and CARRY the other factor−1 commits untouched
+    val mergeSrc = ordCopy(0).where(col("o_orderkey") % 50 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    pair("manifest_merge")(
+      { graft.sources.ManifestTable.merge(spark, s"$mtmp/t1", mergeSrc,
+          Seq("o_orderkey")); spark.range(1).toDF("done") },
+      { graft.sources.ManifestTable.merge(spark, s"$mtmp/tN", mergeSrc,
+          Seq("o_orderkey")); spark.range(1).toDF("done") })
+
     // Z-order pruning at factor×: the same bbox read against the curve-
     // clustered layout vs a round-robin (locality-destroyed) copy of the
     // same rows — the delta is the I/O the row-group stats let us skip
