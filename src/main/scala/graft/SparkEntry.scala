@@ -1295,6 +1295,31 @@ object SparkEntry {
           sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("long").as("cents"))
     }),
 
+    // --- manifest append feed as a structured stream (tailStream) ----------
+    // three appends with an interposed compaction; the drained stream must
+    // equal the appends exactly — the replace rewrite contributes nothing
+    // (same invisibility contract as readSince), and the feed's hard links
+    // make Spark's own checkpointed FileStreamSource the change feed
+    "data_manifest_stream" -> ((s, dir) => {
+      val root = freshRoot("manifest_feed", dir)
+      val orders = t(s, dir, "orders")
+      ManifestTable.append(orders.where(col("o_orderkey") % 4 === 0), root)
+      ManifestTable.append(orders.where(col("o_orderkey") % 4 === 1), root)
+      ManifestTable.compact(s, root, targetBytes = 256L << 20)
+      ManifestTable.append(orders.where(col("o_orderkey") % 4 === 2), root)
+      val sink = "graft_manifest_feed_sink"
+      if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+      val q = ManifestTable.tailStream(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("o_orderkey").cast("long").as("sum_key"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+    }),
+
     // --- deterministic domain mixing (downsample to target proportions) ----
     "data_mix" -> ((s, dir) =>
       Ops.mixByHash(t(s, dir, "documents"), "source", "doc_id",
@@ -2710,6 +2735,10 @@ object SparkEntry {
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
         |  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM m GROUP BY 1""".stripMargin,
+    "data_manifest_stream" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders WHERE o_orderkey % 4 <= 2 GROUP BY 1""".stripMargin,
     "data_quantile_gate" -> OracleSql.quantileGateGroup("documents",
       "doc_id", "doc_id", "lang", "lang", "length(text)", "doclen",
       q = 0.3, bins = 64),

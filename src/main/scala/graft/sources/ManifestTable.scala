@@ -26,6 +26,7 @@ import graft.geom.GeoJson.{J, JArr, JNum, JObj, JStr}
   *   root/
   *     _graft_manifest/v00000001.json   // snapshot log, append-only
   *     data/<commit-uuid>/part-*.parquet
+  *     _graft_feed/v00000001_00000.parquet  // append feed: hard links, see tailStream
   * }}}
   *
   * Data files are INVISIBLE until a manifest references them, so a crashed
@@ -61,6 +62,9 @@ object ManifestTable {
 
   private val ManifestDir = "_graft_manifest"
   private val VersionRe = raw"v(\d{8})\.json".r
+  private val FeedDir = "_graft_feed"
+
+  private def feedName(version: Long, i: Int) = f"v$version%08d_$i%05d.parquet"
 
   // ---------------------------------------------------------------- model
 
@@ -169,7 +173,10 @@ object ManifestTable {
       val next = hist.lastOption.map(_.version + 1).getOrElse(1L)
       val m = Manifest(next, if (overwrite) "overwrite" else "append",
         schemaJson, entries, batchId, System.currentTimeMillis())
-      if (publish(rootP, m)) return next
+      if (publish(rootP, m)) {
+        if (!overwrite) publishFeed(rootP, Seq(m))
+        return next
+      }
       attempt += 1
     }
     throw new IllegalStateException(
@@ -458,6 +465,55 @@ object ManifestTable {
     framed(spark, root, range.last.schema, adds.flatMap(_.files))
   }
 
+  /** The table's append feed as a STRUCTURED STREAM — the "table as a
+    * stream" half of the lakehouse contract ([[streamingAppend]] is the
+    * other). Every `append` commit hard-links its data files into
+    * `_graft_feed/` under a version-prefixed name at publish time (links
+    * appear atomically and cost no bytes), so Spark's own parquet
+    * FileStreamSource over that directory IS the table's change feed:
+    * checkpointed exactly-once progress, distributed reads,
+    * `maxFilesPerTrigger` rate limiting — all from the built-in source,
+    * no custom decode path. Setup re-reconciles the feed against the
+    * manifest log first, so a committer that crashed between manifest
+    * publish and link creation (or a table older than its first tail)
+    * leaves no gaps.
+    *
+    * Semantics match [[readSince]]'s incremental contract: `append`s flow,
+    * `replace` (compaction — no logical change) is invisible, and
+    * `overwrite`/`deleteWhere`/`merge` rewrites do NOT flow — a stream is
+    * an append feed, not a CDC diff; consumers needing rewrite visibility
+    * re-sync from a full `read()`. The stream's schema is pinned at start.
+    * [[vacuum]] unlinks feed entries only when it reclaims their commit
+    * (post-overwrite retention), and a hard link keeps the bytes alive for
+    * a lagging consumer even then.
+    */
+  def tailStream(spark: SparkSession, root: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val rootP = Paths.get(root)
+    val hist = history(root)
+    require(hist.nonEmpty, s"$root is not a manifest table (no ${ManifestDir})")
+    publishFeed(rootP, hist)
+    val reader = spark.readStream.schema(hist.last.schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    reader.parquet(rootP.resolve(FeedDir).toString)
+  }
+
+  /** Idempotently hard-links every `append` manifest's files into the feed
+    * directory (already-linked and already-vacuumed files are skipped).
+    */
+  private def publishFeed(rootP: JPath, ms: Seq[Manifest]): Unit = {
+    val dir = rootP.resolve(FeedDir)
+    Files.createDirectories(dir)
+    for (m <- ms if m.action == "append"; (f, i) <- m.files.zipWithIndex) {
+      val src = rootP.resolve(f.path)
+      val target = dir.resolve(feedName(m.version, i))
+      if (Files.exists(src) && !Files.exists(target)) {
+        try Files.createLink(target, src)
+        catch { case _: FileAlreadyExistsException => () }
+      }
+    }
+  }
+
   /** Stats-pruned read: files whose min/max prove the predicate can't match
     * are skipped entirely (no task, no footer parse, no scan); the predicate
     * is then ALSO applied to the surviving rows, so results are identical to
@@ -663,6 +719,16 @@ object ManifestTable {
       val rel = s"data/${d.getFileName}"
       val old = Files.getLastModifiedTime(d).toMillis <= cutoff
       if (!referenced(rel) && old) { deleteRecursively(d); Some(rel) } else None
+    }
+    // unlink the reclaimed commits' feed entries too (the hard links would
+    // otherwise keep the reclaimed bytes alive indefinitely); feed names
+    // encode the manifest version, so map deleted dirs back through the log
+    val feedDir = rootP.resolve(FeedDir)
+    if (deleted.nonEmpty && Files.isDirectory(feedDir)) {
+      val gone = deleted.toSet
+      for (m <- hist if m.action == "append"; (f, i) <- m.files.zipWithIndex)
+        if (gone(f.path.split('/').take(2).mkString("/")))
+          Files.deleteIfExists(feedDir.resolve(feedName(m.version, i)))
     }
     deleted.sorted
   }

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -320,6 +322,93 @@ class ManifestTableSpec extends AnyFunSuite with SparkSpec {
     assert(back.count() == 0)
     assert(back.schema.fieldNames.toSeq == Seq("id", "tag", "score"))
     ManifestTable.append(idTable(0 until 3, "a"), root)
+    assert(ManifestTable.read(spark, root).count() == 3)
+  }
+
+  test("tailStream drains appends, resumes from its checkpoint, skips a replace") {
+    val root = tmp("tail")
+    ManifestTable.append(idTable(0 until 40, "a"), root)
+    ManifestTable.append(idTable(40 until 60, "b"), root)
+    // compaction rewrites both commits into one file; the feed must NOT
+    // serve the rewritten copy (no logical change — readSince's contract)
+    ManifestTable.compact(spark, root, targetBytes = 256L << 20)
+    val ckpt = tmp("tail_ckpt")
+    def drain(): Seq[Long] = {
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      def collect(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        b.select("id").collect().foreach(r => acc.add(r.getLong(0)))
+      val q = ManifestTable.tailStream(spark, root)
+        .writeStream
+        .foreachBatch(collect _)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      acc.asScala.toSeq
+    }
+    val first = drain()
+    assert(first.size == 60)
+    assert(first.sum == (0 until 60).map(_.toLong).sum)
+    ManifestTable.append(idTable(60 until 75, "c"), root)
+    // same checkpoint: the restarted stream serves ONLY the new append
+    val second = drain()
+    assert(second.size == 15)
+    assert(second.min == 60L)
+  }
+
+  test("medallion chain: tailStream source into streamingAppend sink, exactly-once") {
+    val bronze = tmp("bronze")
+    val silver = tmp("silver")
+    val ckpt = tmp("med_ckpt")
+    ManifestTable.append(idTable(0 until 30, "a"), bronze)
+    def run(): Unit = {
+      val q = ManifestTable.tailStream(spark, bronze)
+        .writeStream
+        .foreachBatch(ManifestTable.streamingAppend(silver) _)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    assert(ManifestTable.read(spark, silver).count() == 30)
+    run() // nothing new: a replayed drain must not duplicate silver rows
+    assert(ManifestTable.read(spark, silver).count() == 30)
+    ManifestTable.append(idTable(30 until 45, "b"), bronze)
+    run()
+    val back = ManifestTable.read(spark, silver)
+    assert(back.count() == 45)
+    assert(back.agg(sum("id")).head().getLong(0) == (0 until 45).map(_.toLong).sum)
+  }
+
+  test("maxFilesPerTrigger rate-limits the feed into multiple micro-batches") {
+    val root = tmp("rate")
+    ManifestTable.append(idTable(0 until 10, "a"), root)  // repartition(2): 2 files
+    ManifestTable.append(idTable(10 until 20, "b"), root)
+    val q = ManifestTable.tailStream(spark, root, maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("rate_t")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("rate_t").count() == 20)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
+  }
+
+  test("vacuum unlinks reclaimed commits' feed entries; retained links survive") {
+    val root = tmp("feedvac")
+    ManifestTable.append(idTable(0 until 10, "a"), root)
+    ManifestTable.append(idTable(10 until 20, "b"), root)
+    val feed = Paths.get(root).resolve("_graft_feed")
+    def feedCount: Int = {
+      val s = Files.list(feed)
+      try s.iterator().asScala.size finally s.close()
+    }
+    val linked = feedCount
+    assert(linked >= 2) // both appends published at commit time
+    ManifestTable.overwrite(idTable(100 until 103, "z"), root)
+    ManifestTable.vacuum(root, keepVersions = 1, minAgeMs = 0L)
+    assert(feedCount == 0) // both appends reclaimed with their commits
+    // the overwrite's own files are NOT feed entries (appends only)
     assert(ManifestTable.read(spark, root).count() == 3)
   }
 }
