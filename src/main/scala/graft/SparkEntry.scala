@@ -1295,6 +1295,46 @@ object SparkEntry {
           sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("long").as("cents"))
     }),
 
+    // --- manifest z-order compaction (two-column clustering) ---------------
+    // four interleaved appends, z-order rewrite on (custkey, orderkey), then
+    // a stats-pruned scan on custkey — results must equal plain SQL exactly
+    "data_manifest_zorder" -> ((s, dir) => {
+      val root = freshRoot("manifest_zo", dir)
+      val orders = t(s, dir, "orders")
+      (0 until 4).foreach(i =>
+        ManifestTable.append(orders.where(col("o_orderkey") % 4 === i)
+          .select("o_orderkey", "o_custkey", "o_orderstatus"), root))
+      val mx = orders.agg(max("o_custkey")).head().getLong(0) // bounded: 1 row
+      ManifestTable.compact(s, root, targetBytes = 64L << 10,
+        zorderBy = Seq("o_custkey", "o_orderkey"))
+      ManifestTable.scan(s, root,
+          ManifestTable.Between("o_custkey", mx / 4, mx / 2))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("o_orderkey").cast("long").as("sum_key"))
+    }),
+
+    // --- manifest schema evolution (mergeSchema append) --------------------
+    // v1 appends two columns, v2 adds o_totalprice; v1's files read back
+    // null there and the aggregate must equal plain SQL with the price
+    // contributed by odd keys only
+    "data_manifest_evolve" -> ((s, dir) => {
+      val root = freshRoot("manifest_ev", dir)
+      val orders = t(s, dir, "orders")
+      ManifestTable.append(
+        orders.where(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_orderstatus"), root)
+      ManifestTable.append(
+        orders.where(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        root, mergeSchema = true)
+      ManifestTable.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum("o_orderkey").cast("long").as("sum_key"),
+          sum(coalesce(round(col("o_totalprice") * 100, 0).cast("long"), lit(0L)))
+            .cast("long").as("cents"))
+    }),
+
     // --- manifest append feed as a structured stream (tailStream) ----------
     // three appends with an interposed compaction; the drained stream must
     // equal the appends exactly — the replace rewrite contributes nothing
@@ -2739,6 +2779,20 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders WHERE o_orderkey % 4 <= 2 GROUP BY 1""".stripMargin,
+    "data_manifest_zorder" ->
+      """WITH b AS (SELECT max(o_custkey) AS mx FROM orders)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders, b
+        |WHERE o_custkey >= b.mx // 4 AND o_custkey <= b.mx // 2
+        |GROUP BY 1""".stripMargin,
+    "data_manifest_evolve" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 1
+        |    THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+        |    AS BIGINT) AS cents
+        |FROM orders GROUP BY 1""".stripMargin,
     "data_quantile_gate" -> OracleSql.quantileGateGroup("documents",
       "doc_id", "doc_id", "lang", "lang", "length(text)", "doclen",
       q = 0.3, bins = 64),

@@ -113,9 +113,17 @@ object ManifestTable {
 
   // -------------------------------------------------------------- commits
 
-  /** Appends `df` as a new version; returns the committed version. */
-  def append(df: DataFrame, root: String): Long =
-    commit(df, root, overwrite = false, batchId = None)
+  /** Appends `df` as a new version; returns the committed version.
+    *
+    * With `mergeSchema` the append may EVOLVE the table: columns new to the
+    * table are added at the end (earlier files read back null there — the
+    * parquet reader fills missing columns), and columns missing from `df`
+    * null-fill forward. Shared columns must keep their exact types — a type
+    * CHANGE is never silent, evolution only widens the column set. Without
+    * it the schema contract stays strict (names, types, order).
+    */
+  def append(df: DataFrame, root: String, mergeSchema: Boolean = false): Long =
+    commit(df, root, overwrite = false, batchId = None, mergeSchema = mergeSchema)
 
   /** Replaces the table contents as a new version (old versions stay
     * readable via time travel until [[vacuum]]); returns the version.
@@ -140,7 +148,7 @@ object ManifestTable {
     * overwrite may change it.
     */
   def commit(df: DataFrame, root: String, overwrite: Boolean,
-      batchId: Option[Long]): Long = {
+      batchId: Option[Long], mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val rootP = Paths.get(root)
     Files.createDirectories(rootP.resolve(ManifestDir))
@@ -167,12 +175,16 @@ object ManifestTable {
           return m.version
         }
       }
-      if (!overwrite) hist.lastOption.foreach { latest =>
-        requireSameSchema(latest.schema, df.schema, root)
+      val effectiveSchemaJson = hist.lastOption match {
+        case Some(latest) if !overwrite && mergeSchema =>
+          mergedSchema(latest.schema, df.schema, root).json
+        case Some(latest) if !overwrite =>
+          requireSameSchema(latest.schema, df.schema, root); schemaJson
+        case _ => schemaJson
       }
       val next = hist.lastOption.map(_.version + 1).getOrElse(1L)
       val m = Manifest(next, if (overwrite) "overwrite" else "append",
-        schemaJson, entries, batchId, System.currentTimeMillis())
+        effectiveSchemaJson, entries, batchId, System.currentTimeMillis())
       if (publish(rootP, m)) {
         if (!overwrite) publishFeed(rootP, Seq(m))
         return next
@@ -192,6 +204,10 @@ object ManifestTable {
     * those columns, so each output file owns a tight disjoint min/max slice
     * and [[scan]]'s stats pruning gets dramatically sharper — clustering is
     * the multiplier that turns footer stats into real file skipping.
+    * `zorderBy` is the two-column variant: files own contiguous Morton
+    * blocks of the interleaved 26-bit column ranks, so footer min/max stay
+    * tight on BOTH columns and a predicate on EITHER prunes files —
+    * lexicographic sortBy can only ever prune on its leading column.
     *
     * Publishes a `replace` manifest: full carried+rewritten file set, zero
     * logical change. Readers are never disturbed (old versions still
@@ -201,8 +217,16 @@ object ManifestTable {
     * Returns the new version, or the current one when there is nothing to do.
     */
   def compact(spark: SparkSession, root: String,
-      targetBytes: Long = 128L << 20, sortBy: Seq[String] = Nil): Long = {
+      targetBytes: Long = 128L << 20, sortBy: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil): Long = {
     require(targetBytes > 0, "targetBytes must be positive")
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "sortBy and zorderBy are alternative clusterings — pass one")
+    require(zorderBy.isEmpty || zorderBy.length == 2,
+      "zorderBy interleaves exactly two numeric columns; for one column " +
+        "use sortBy (strictly better), for more re-cluster on the two " +
+        "most-filtered ones")
+    val clustered = sortBy.nonEmpty || zorderBy.nonEmpty
     val hist = history(root)
     require(hist.nonEmpty, s"$root is not a manifest table (no ${ManifestDir})")
     val basis = hist.last.version
@@ -210,12 +234,12 @@ object ManifestTable {
     val schema = snap.last.schema
     val files = snap.flatMap(_.files)
     val (rewrite, _) =
-      if (sortBy.nonEmpty) (files, Nil)
+      if (clustered) (files, Nil)
       else files.partition(_.bytes < targetBytes)
-    if (rewrite.length <= 1 && sortBy.isEmpty) return basis
+    if (rewrite.length <= 1 && !clustered) return basis
     if (rewrite.isEmpty) return basis
-    sortBy.foreach { c =>
-      require(schema.fieldNames.contains(c), s"sortBy column $c not in table schema")
+    (sortBy ++ zorderBy).foreach { c =>
+      require(schema.fieldNames.contains(c), s"clustering column $c not in table schema")
     }
 
     val rootP = Paths.get(root)
@@ -224,12 +248,59 @@ object ManifestTable {
     // bin-packing merges partitions without a shuffle; clustering pays one
     // range shuffle to buy disjoint per-file stats ranges
     val out =
-      if (sortBy.isEmpty) df.coalesce(nOut)
-      else df.repartitionByRange(nOut, sortBy.map(col): _*)
-        .sortWithinPartitions(sortBy.map(col): _*)
+      if (zorderBy.nonEmpty) {
+        // Z-ORDER clustering: normalize both columns to 26-bit ranks over
+        // their snapshot min/max (one bounded 1-row agg), interleave the
+        // bits, range-partition + sort on the z-key. Each output file then
+        // owns a contiguous Morton block, so its footer min/max are tight
+        // on BOTH columns and scan() prunes on either — the multi-column
+        // counterpart of sortBy's single-column slices.
+        val Seq(a, b) = zorderBy
+        val r = df.agg(min(col(a)).cast("double"), max(col(a)).cast("double"),
+          min(col(b)).cast("double"), max(col(b)).cast("double")).head()
+        require(!r.anyNull, s"zorderBy columns $a/$b must be non-null numerics")
+        val zk = zkey(col(a), r.getDouble(0), r.getDouble(1),
+          col(b), r.getDouble(2), r.getDouble(3))
+        df.withColumn("__graft_zk", zk)
+          .repartitionByRange(nOut, col("__graft_zk"))
+          .sortWithinPartitions(col("__graft_zk"))
+          .drop("__graft_zk")
+      } else if (sortBy.nonEmpty)
+        df.repartitionByRange(nOut, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      else df.coalesce(nOut)
     val (staged, dataDir) = stage(spark, rootP, out)
     rewriteCommit(rootP, basis, "replace", rewrite.map(_.path).toSet, staged,
       schema.json, dataDir, allowConcurrentAppends = true)
+  }
+
+  /** 52-bit Morton key of two columns normalized to 26-bit ranks — pure
+    * Column bit-arithmetic (shift/mask spreads), so the whole key stays
+    * inside WholeStageCodegen; no kernel call, no UDF.
+    */
+  private def zkey(a: Column, aLo: Double, aHi: Double,
+      b: Column, bLo: Double, bHi: Double): Column = {
+    val maxIdx = (1L << 26) - 1
+    def rank(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else org.apache.spark.sql.functions.least(
+        org.apache.spark.sql.functions.greatest(
+          org.apache.spark.sql.functions.floor(
+            (c.cast("double") - lit(lo)) / lit(hi - lo) * lit(maxIdx.toDouble)),
+          lit(0L)),
+        lit(maxIdx))
+    def spread(c: Column): Column = {
+      import org.apache.spark.sql.functions.shiftleft
+      var x = c
+      x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x3333333333333333L))
+      x = x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
+      x
+    }
+    spread(rank(a, aLo, aHi)).bitwiseOR(
+      org.apache.spark.sql.functions.shiftleft(spread(rank(b, bLo, bHi)), 1))
   }
 
   /** Copy-on-write delete: files whose stats PROVE no row matches are
@@ -370,7 +441,28 @@ object ManifestTable {
     def sig(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
     require(sig(cur) == sig(incoming),
       s"append schema mismatch at $root:\n  table:    ${cur.toDDL}\n" +
-        s"  incoming: ${incoming.toDDL}\nuse overwrite() to change the schema")
+        s"  incoming: ${incoming.toDDL}\nuse overwrite() to change the " +
+        "schema, or append(mergeSchema = true) to add columns")
+  }
+
+  /** Widened schema for a `mergeSchema` append: the table's columns in
+    * their existing order, then `incoming`'s NEW columns in its order.
+    * Shared columns must keep their exact type — silent type changes are
+    * how lakehouse tables rot, so a conflict fails loudly.
+    */
+  private def mergedSchema(cur: StructType, incoming: StructType,
+      root: String): StructType = {
+    val curTypes = cur.fields.map(f => f.name -> f.dataType).toMap
+    incoming.fields.foreach { f =>
+      curTypes.get(f.name).foreach { t =>
+        require(t == f.dataType,
+          s"schema evolution cannot CHANGE a column's type at $root: " +
+            s"${f.name} is ${t.sql}, incoming ${f.dataType.sql} — " +
+            "use overwrite() for a type change")
+      }
+    }
+    val newFields = incoming.fields.filterNot(f => curTypes.contains(f.name))
+    StructType(cur.fields ++ newFields)
   }
 
   /** Durably writes the manifest and atomically claims its version name.

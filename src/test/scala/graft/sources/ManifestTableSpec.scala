@@ -226,6 +226,46 @@ class ManifestTableSpec extends AnyFunSuite with SparkSpec {
     assert(ManifestTable.read(spark, root).count() == 400)
   }
 
+  test("z-order compaction prunes on BOTH columns; sortBy only on its leading one") {
+    // two independent uniform keys: x = j, y = a bit-reversal-ish scramble
+    // so (x, y) fills the plane rather than the diagonal
+    def rows(i: Int) = (i until 1024 by 4).map { j =>
+      (j.toLong, ((j * 389) % 1024).toLong, s"t$i")
+    }
+    def build(): String = {
+      val root = tmp("cpz")
+      (0 until 4).foreach(i => ManifestTable.append(
+        rows(i).toDF("x", "y", "tag").repartition(2), root))
+      root
+    }
+    def prunedCounts(root: String): (Int, Int, Long, Long) = {
+      val total = ManifestTable.read(spark, root).inputFiles.length
+      val px = ManifestTable.scan(spark, root, Between("x", 100L, 160L))
+      val py = ManifestTable.scan(spark, root, Between("y", 100L, 160L))
+      (total - px.inputFiles.length, total - py.inputFiles.length,
+        px.count(), py.count())
+    }
+    val zroot = build()
+    ManifestTable.compact(spark, zroot, targetBytes = 2L << 10,
+      zorderBy = Seq("x", "y"))
+    val (zx, zy, cx, cy) = prunedCounts(zroot)
+    val sroot = build()
+    ManifestTable.compact(spark, sroot, targetBytes = 2L << 10,
+      sortBy = Seq("x", "y"))
+    val (sx, sy, cx2, cy2) = prunedCounts(sroot)
+    assert((cx, cy) == (cx2, cy2))     // identical logical results
+    assert(cx == 61 && cy == 61)       // 61 x-values in [100,160]; y is a bijection
+    assert(zx > 0 && zy > 0)           // z-order prunes on BOTH dimensions
+    assert(sx > 0 && sy == 0)          // lexicographic prunes only on x
+    // the guards: one column → use sortBy; both clusterings → reject
+    intercept[IllegalArgumentException] {
+      ManifestTable.compact(spark, zroot, zorderBy = Seq("x"))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.compact(spark, zroot, sortBy = Seq("x"), zorderBy = Seq("x", "y"))
+    }
+  }
+
   test("readSince skips a replace but still refuses an overwrite") {
     val root = tmp("cpinc")
     ManifestTable.append(idTable(0 until 10, "a"), root)   // v1
@@ -323,6 +363,33 @@ class ManifestTableSpec extends AnyFunSuite with SparkSpec {
     assert(back.schema.fieldNames.toSeq == Seq("id", "tag", "score"))
     ManifestTable.append(idTable(0 until 3, "a"), root)
     assert(ManifestTable.read(spark, root).count() == 3)
+  }
+
+  test("mergeSchema append widens the column set; strict append still rejects") {
+    val root = tmp("evolve")
+    ManifestTable.append(idTable(0 until 10, "a").select("id", "tag"), root)
+    // strict append with an extra column fails loudly
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(idTable(10 until 20, "b"), root)
+    }
+    // evolution adds score at the end; earlier files read back null there
+    ManifestTable.append(idTable(10 until 20, "b"), root, mergeSchema = true)
+    val back = ManifestTable.read(spark, root)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "tag", "score"))
+    assert(back.count() == 20)
+    assert(back.where(col("score").isNull).count() == 10)
+    assert(back.where(col("score").isNotNull).agg(sum("id")).head().getLong(0) ==
+      (10 until 20).map(_.toLong).sum)
+    // a column missing from the incoming frame null-fills forward
+    ManifestTable.append(idTable(20 until 25, "c").select("id", "tag"), root,
+      mergeSchema = true)
+    assert(ManifestTable.read(spark, root).where(col("score").isNull).count() == 15)
+    // a type CHANGE is never silent, even under mergeSchema
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(
+        idTable(0 until 1, "x").withColumn("score", lit("oops")), root,
+        mergeSchema = true)
+    }
   }
 
   test("tailStream drains appends, resumes from its checkpoint, skips a replace") {
