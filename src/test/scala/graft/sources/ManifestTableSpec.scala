@@ -461,6 +461,64 @@ class ManifestTableSpec extends AnyFunSuite with SparkSpec {
     assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
   }
 
+  test("model-based op fuzz: every version time-travels to its model") {
+    val root = tmp("fuzz")
+    val rnd = new scala.util.Random(42)
+    var model = Map.empty[Long, (String, Double)]
+    var nextId = 0L
+    val snapshots = scala.collection.mutable.ArrayBuffer.empty[(Long, Map[Long, (String, Double)])]
+    def df(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("id", "tag", "score").repartition(2)
+    def fresh(n: Int, tag: String) = {
+      val s = (nextId until nextId + n).map(i => (i, tag, i * 0.5))
+      nextId += n; s
+    }
+    (0 until 12).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 | 1 =>
+          val rows = fresh(5 + rnd.nextInt(20), s"a$step")
+          model ++= rows.map(r => r._1 -> (r._2, r._3))
+          snapshots += ((ManifestTable.append(df(rows), root), model))
+        case 2 if model.nonEmpty => // upsert: a third updated + three new rows
+          val ks = model.keys.toSeq.sorted
+          val rows = ks.take(1 + ks.size / 3).map(k => (k, s"u$step", k * 2.0)) ++
+            fresh(3, s"n$step")
+          model ++= rows.map(r => r._1 -> (r._2, r._3))
+          snapshots += ((ManifestTable.merge(spark, root, df(rows), Seq("id")), model))
+        case 3 if model.nonEmpty => // delete a random id range (may be a no-op)
+          val ks = model.keys.toSeq.sorted
+          val lo = ks(rnd.nextInt(ks.size)); val hi = lo + rnd.nextInt(12)
+          model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+          snapshots += ((ManifestTable.deleteWhere(spark, root, Between("id", lo, hi))._1, model))
+        case 4 if model.nonEmpty => // layout rewrite: never a logical change
+          val v = rnd.nextInt(3) match {
+            case 0 => ManifestTable.compact(spark, root, targetBytes = 4L << 10)
+            case 1 => ManifestTable.compact(spark, root, targetBytes = 4L << 10,
+              sortBy = Seq("id"))
+            case _ => ManifestTable.compact(spark, root, targetBytes = 4L << 10,
+              zorderBy = Seq("id", "score"))
+          }
+          snapshots += ((v, model))
+        case _ => () // op drawn before the first append: skip
+      }
+    }
+    def asMap(frame: org.apache.spark.sql.DataFrame) =
+      frame.collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(asMap(ManifestTable.read(spark, root)) == model)
+    // a stats-pruned scan agrees with the model on a mid-range window
+    val ks = model.keys.toSeq.sorted
+    val (lo, hi) = (ks(ks.size / 4), ks(ks.size / 2))
+    assert(asMap(ManifestTable.scan(spark, root, Between("id", lo, hi))) ==
+      model.filter { case (k, _) => k >= lo && k <= hi })
+    // every version the ops landed as time-travels to the model of its day
+    // (a no-op delete re-records the current version: keep the LAST model)
+    snapshots.groupBy(_._1).view.mapValues(_.last._2).toSeq.sortBy(_._1).foreach {
+      case (v, m) =>
+        assert(asMap(ManifestTable.read(spark, root, asOf = Some(v))) == m,
+          s"version $v diverged from its model")
+    }
+  }
+
   test("vacuum unlinks reclaimed commits' feed entries; retained links survive") {
     val root = tmp("feedvac")
     ManifestTable.append(idTable(0 until 10, "a"), root)
