@@ -512,6 +512,18 @@ object SparkEntry {
           round(element_at(col("embedding"), -1).cast("double"), 6).as("c_last"))
     }),
 
+    // --- arrow STREAMING-format twin (.arrows: footerless, per-file tasks) -
+    "arrows_roundtrip" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val out = new java.io.File(s"/tmp/graft_arrows_${new java.io.File(dir).getName}")
+      out.mkdirs()
+      graft.sources.GeoSources.writeAuto(emb, s"$out/embeddings.arrows")
+      graft.sources.GeoSources.readAuto(s, s"$out/embeddings.arrows")
+        .select(col("vec_id"), col("label"), size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("c_first"),
+          round(element_at(col("embedding"), -1).cast("double"), 6).as("c_last"))
+    }),
+
     // --- gpkg driver end-to-end: own SQLite writer + b-tree reader ---------
     "gpkg_roundtrip" -> ((s, dir) => {
       val pts = custPoints(s, dir).select(col("c_custkey"), col("c_acctbal"), col("geometry"))
@@ -1293,6 +1305,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           sum("o_orderkey").cast("long").as("sum_key"),
           sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("long").as("cents"))
+    }),
+
+    // --- manifest RESTORE (metadata-only rollback of a bad overwrite) ------
+    "data_manifest_restore" -> ((s, dir) => {
+      val root = freshRoot("manifest_rs", dir)
+      val orders = t(s, dir, "orders")
+      ManifestTable.append(orders.where(col("o_orderkey") % 4 === 0), root)
+      ManifestTable.append(orders.where(col("o_orderkey") % 4 === 1), root)
+      ManifestTable.overwrite(orders.where(col("o_orderkey") % 4 === 2), root)
+      ManifestTable.restore(root, 2L) // roll the bad overwrite back
+      ManifestTable.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("o_orderkey").cast("long").as("sum_key"))
     }),
 
     // --- manifest z-order compaction (two-column clustering) ---------------
@@ -2343,6 +2368,11 @@ object SparkEntry {
         |  round(CAST(embedding[1] AS DOUBLE), 6) AS c_first,
         |  round(CAST(embedding[-1] AS DOUBLE), 6) AS c_last
         |FROM embeddings""".stripMargin,
+    "arrows_roundtrip" ->
+      """SELECT vec_id, label, len(embedding) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS c_first,
+        |  round(CAST(embedding[-1] AS DOUBLE), 6) AS c_last
+        |FROM embeddings""".stripMargin,
     "gpkg_roundtrip" ->
       """SELECT c_custkey, c_acctbal,
         |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,
@@ -2779,6 +2809,10 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders WHERE o_orderkey % 4 <= 2 GROUP BY 1""".stripMargin,
+    "data_manifest_restore" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders WHERE o_orderkey % 4 <= 1 GROUP BY 1""".stripMargin,
     "data_manifest_zorder" ->
       """WITH b AS (SELECT max(o_custkey) AS mx FROM orders)
         |SELECT o_orderstatus, count(*) AS cnt,

@@ -11,7 +11,7 @@ import org.apache.arrow.vector._
 import org.apache.arrow.vector.complex.ListVector
 import org.apache.arrow.vector.complex.writer.BaseWriter.ListWriter
 import org.apache.arrow.vector.compression.{CompressionUtil, NoCompressionCodec}
-import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, ArrowStreamReader, ArrowStreamWriter}
 import org.apache.arrow.vector.ipc.message.IpcOption
 import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
@@ -382,12 +382,27 @@ object ArrowIpc {
     * still writes one schema-only file.
     */
   def write(df: DataFrame, dir: String, codec: String = "lz4",
-      batchRows: Int = 1 << 14): Unit = {
+      batchRows: Int = 1 << 14): Unit =
+    writeFmt(df, dir, codec, batchRows, stream = false)
+
+  /** The STREAMING IPC format (`.arrows`): the same record batches with no
+    * footer — the framing pyarrow's `open_stream`, Flight, and socket/pipe
+    * producers speak. Without a footer there is no random access, so the
+    * read unit is one FILE per task (the sharded write keeps parallelism);
+    * use the `.arrow` FILE format when one big drop must fan out by splits.
+    */
+  def writeArrows(df: DataFrame, dir: String, codec: String = "lz4",
+      batchRows: Int = 1 << 14): Unit =
+    writeFmt(df, dir, codec, batchRows, stream = true)
+
+  private def writeFmt(df: DataFrame, dir: String, codec: String,
+      batchRows: Int, stream: Boolean): Unit = {
     val schema = df.schema
     schema.fields.foreach(f => arrowField(f.name, f.dataType, f.nullable)) // fail fast
     val schemaJson = arrowSchema(schema).toJson
     Files.createDirectories(Paths.get(dir))
     val codecName = codec
+    val suffix = if (stream) "arrows" else "arrow"
     def writeOne(file: java.io.File, rows: Iterator[Row]): Long = {
       val aschema = ASchema.fromJSON(schemaJson)
       val alloc = new RootAllocator()
@@ -401,7 +416,9 @@ object ArrowIpc {
         case "zstd" => (CommonsCompressionFactory.INSTANCE, CompressionUtil.CodecType.ZSTD)
         case other => throw new IllegalArgumentException(s"unknown arrow codec '$other'")
       }
-      val writer = new ArrowFileWriter(root, null, ch, null, IpcOption.DEFAULT, factory, ctype)
+      val writer =
+        if (stream) new ArrowStreamWriter(root, null, ch, IpcOption.DEFAULT, factory, ctype)
+        else new ArrowFileWriter(root, null, ch, null, IpcOption.DEFAULT, factory, ctype)
       var total = 0L
       try {
         writer.start()
@@ -433,10 +450,85 @@ object ArrowIpc {
     val counts = df.rdd.mapPartitionsWithIndex { (i, it) =>
       if (it.isEmpty) Iterator.empty
       else {
-        val name = f"part-$i%05d.arrow"
+        val name = f"part-$i%05d.$suffix"
         Iterator.single(name -> writeOne(new java.io.File(dir, name), it))
       }
     }.collect()
-    if (counts.isEmpty) writeOne(new java.io.File(dir, "part-00000.arrow"), Iterator.empty)
+    if (counts.isEmpty) writeOne(new java.io.File(dir, f"part-00000.$suffix"), Iterator.empty)
+  }
+
+  // ---- streaming-format read -----------------------------------------------
+
+  private def listArrows(path: String): Seq[String] = {
+    val p = Paths.get(path)
+    val files =
+      if (Files.isDirectory(p))
+        Files.walk(p).iterator().asScala
+          .filter(f => f.toString.endsWith(".arrows") && Files.isRegularFile(f))
+          .map(_.toString).toSeq.sorted
+      else Seq(path)
+    require(files.nonEmpty, s"no .arrows files under $path")
+    files
+  }
+
+  /** Spark schema of the streaming-format file(s): the schema message leads
+    * the stream, so this reads a few hundred bytes of the first file.
+    */
+  def schemaOfArrows(path: String): StructType = {
+    val ch = FileChannel.open(Paths.get(listArrows(path).head), StandardOpenOption.READ)
+    val alloc = new RootAllocator()
+    val r = new ArrowStreamReader(ch, alloc, CommonsCompressionFactory.INSTANCE)
+    try structOf(r.getVectorSchemaRoot.getSchema)
+    finally { r.close(); alloc.close() }
+  }
+
+  /** Reads streaming-format Arrow (`.arrows`). No footer → no byte-range
+    * splits: one task per file, batches streamed one at a time (a task
+    * holds one batch of rows, not one file). `columns` projects in writer
+    * order, as in [[read]].
+    */
+  def readArrows(spark: SparkSession, path: String,
+      columns: Seq[String] = Nil): DataFrame = {
+    val files = listArrows(path)
+    val schemaFull = schemaOfArrows(files.head)
+    val schema =
+      if (columns.isEmpty) schemaFull
+      else {
+        val have = schemaFull.fieldNames.toSet
+        val missing = columns.filterNot(have)
+        require(missing.isEmpty, s"columns not in arrow schema: ${missing.sorted.mkString(", ")}")
+        StructType(schemaFull.fields.filter(f => columns.contains(f.name)))
+      }
+    val fields = schema.fields.map(f => (f.name, f.dataType))
+    val rdd = spark.sparkContext.parallelize(files, files.size).flatMap { f =>
+      val ch = FileChannel.open(Paths.get(f), StandardOpenOption.READ)
+      val alloc = new RootAllocator()
+      val reader = new ArrowStreamReader(ch, alloc, CommonsCompressionFactory.INSTANCE)
+      var closed = false
+      def closeNow(): Unit = if (!closed) { closed = true; reader.close(); alloc.close() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeNow()))
+      new Iterator[Row] {
+        private var buf: Iterator[Row] = Iterator.empty
+        private var done = false
+        private def advance(): Unit =
+          while (!buf.hasNext && !done) {
+            val loaded =
+              try reader.loadNextBatch()
+              catch { case e: Throwable => closeNow(); throw e }
+            if (loaded) {
+              val root = reader.getVectorSchemaRoot
+              val ex = fields.map { case (n, dt) => extractor(root.getVector(n), dt) }
+              // materialized before the next loadNextBatch reuses buffers
+              buf = (0 until root.getRowCount).map { i =>
+                Row.fromSeq(ex.toIndexedSeq.map(_(i)))
+              }.iterator
+            } else { done = true; closeNow() }
+          }
+        def hasNext: Boolean = { advance(); buf.hasNext }
+        def next(): Row = { advance(); buf.next() }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
   }
 }

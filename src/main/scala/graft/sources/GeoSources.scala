@@ -224,7 +224,12 @@ object GeoSources {
         if (a.columns.contains("geometry")) applyFilter(a, "geometry", filterWkt) else a
       }
       // arrow IPC files: own footer-indexed splittable driver (no arrow
-      // DataSource in the bundled jars) — WKB binary geometry convention
+      // DataSource in the bundled jars) — WKB binary geometry convention;
+      // .arrows is the footerless STREAMING framing (one task per file)
+      else if (p.endsWith(".arrows")) {
+        val a = ArrowIpc.readArrows(spark, path)
+        if (a.columns.contains("geometry")) applyFilter(a, "geometry", filterWkt) else a
+      }
       else if (p.endsWith(".arrow")) {
         val a = ArrowIpc.read(spark, path)
         if (a.columns.contains("geometry")) applyFilter(a, "geometry", filterWkt) else a
@@ -268,6 +273,7 @@ object GeoSources {
     else if (p.endsWith(".parquet")) GeoParquet.write(df, path)
     else if (p.endsWith(".orc")) df.write.mode("overwrite").orc(path)
     else if (p.endsWith(".avro")) Avro.write(df, path)
+    else if (p.endsWith(".arrows")) ArrowIpc.writeArrows(df, path)
     else if (p.endsWith(".arrow")) ArrowIpc.write(df, path)
     else if (p.endsWith(".shp")) Shapefile.write(df, path.substring(0, path.length - 4))
     else if (p.endsWith(".fgb")) Fgb.write(df, path)

@@ -137,9 +137,21 @@ object ManifestTable {
     * at-least-once replay.
     *
     * {{{ ds.writeStream.foreachBatch(ManifestTable.streamingAppend(root) _) }}}
+    *
+    * `autoCompactEvery = N` runs a bin-packing [[compact]] whenever the
+    * landed version is a multiple of N — a streaming sink otherwise accretes
+    * one micro-commit per trigger until read-side task overhead dominates
+    * (the auto-OPTIMIZE idiom). The compaction publishes a `replace`, so
+    * [[readSince]]/[[tailStream]] consumers are undisturbed; losing a
+    * publish race just defers packing to the next cycle.
     */
-  def streamingAppend(root: String)(batch: DataFrame, batchId: Long): Unit =
-    commit(batch, root, overwrite = false, batchId = Some(batchId))
+  def streamingAppend(root: String, autoCompactEvery: Int = 0,
+      targetBytes: Long = 128L << 20)(batch: DataFrame, batchId: Long): Unit = {
+    val v = commit(batch, root, overwrite = false, batchId = Some(batchId))
+    if (autoCompactEvery > 0 && v % autoCompactEvery == 0)
+      try compact(batch.sparkSession, root, targetBytes)
+      catch { case _: IllegalStateException => () } // raced a rewrite: next cycle
+  }
 
   /** Core commit: stage data invisibly, collect footer stats, publish the
     * next manifest atomically (retrying the version race). Append requires
@@ -532,6 +544,38 @@ object ManifestTable {
     val v = asOf.getOrElse(hist.last.version)
     val snap = snapshot(hist, v)
     framed(spark, root, snap.last.schema, snap.flatMap(_.files))
+  }
+
+  /** RESTORE: makes `version`'s snapshot the table's current contents by
+    * publishing a new `overwrite` manifest that CARRIES that snapshot's
+    * file set — zero data movement, pure metadata (the Delta RESTORE verb).
+    * History stays append-only: the bad versions remain time-travelable
+    * until [[vacuum]], and incremental readers fail loudly at the restore
+    * point exactly as at any overwrite (contents changed non-additively).
+    * Requires the restored files to still exist (not vacuumed); returns the
+    * new version. Restoring the current version is a no-op.
+    */
+  def restore(root: String, version: Long): Long = {
+    val rootP = Paths.get(root)
+    val hist = history(root)
+    require(hist.nonEmpty, s"$root is not a manifest table (no ${ManifestDir})")
+    if (version == hist.last.version) return version
+    val snap = snapshot(hist, version)
+    val files = snap.flatMap(_.files)
+    files.find(f => !Files.exists(rootP.resolve(f.path))).foreach { f =>
+      throw new IllegalStateException(
+        s"cannot restore to v$version: ${f.path} was vacuumed")
+    }
+    var attempt = 0
+    while (attempt < 64) {
+      val cur = history(root)
+      val m = Manifest(cur.last.version + 1, "overwrite", snap.last.schemaJson,
+        files, None, System.currentTimeMillis())
+      if (publish(rootP, m)) return m.version
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"restore at $root lost the version race 64 times — giving up")
   }
 
   /** The rows ADDED by versions in `(sinceExclusive, toInclusive]` — the

@@ -168,4 +168,54 @@ class ArrowIpcSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(xs == Map(1L -> 2.0, 2L -> -4.5))
   }
+
+  for (codec <- Seq("null", "lz4", "zstd"))
+    test(s"streaming format [$codec]: flat-lattice roundtrip, schema intact") {
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(flatRows, 2), flatSchema)
+      val dir = tmp(s"arrows_$codec")
+      ArrowIpc.writeArrows(df, s"$dir/t.arrows", codec = codec)
+      val back = ArrowIpc.readArrows(spark, s"$dir/t.arrows")
+      assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        flatSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+      val m = back.collect().map(r => r.getLong(0) -> r).toMap
+      assert(m.size == 3)
+      assert(m(1L).getDecimal(11) == new java.math.BigDecimal("12345.678"))
+      assert(m(2L).toSeq.drop(1).forall(_ == null))
+      assert(m(3L).getTimestamp(10) == Timestamp.valueOf("1969-12-31 23:59:58.5"))
+    }
+
+  test("streaming format: multi-batch files stream without dup/loss; lists survive") {
+    val df = spark.range(20000).select(col("id"),
+      org.apache.spark.sql.functions.array(col("id"), col("id") * 2).as("xs"))
+    val dir = tmp("arrows_multi")
+    ArrowIpc.writeArrows(df.repartition(3), s"$dir/t.arrows", batchRows = 1000)
+    val files = new java.io.File(s"$dir/t.arrows").listFiles()
+      .filter(_.getName.endsWith(".arrows"))
+    assert(files.length == 3, "one .arrows file per partition")
+    val back = ArrowIpc.readArrows(spark, s"$dir/t.arrows")
+    assert(back.rdd.getNumPartitions == 3) // a file is the task unit (no footer)
+    assert(back.count() == 20000)
+    assert(back.agg(sum("id")).head().getLong(0) == (0L until 20000L).sum)
+    assert(back.select(org.apache.spark.sql.functions.element_at(col("xs"), 2).as("x2"))
+      .agg(sum("x2")).head().getLong(0) == (0L until 20000L).map(_ * 2).sum)
+  }
+
+  test("streaming format: projection, empty frame, and auto dispatch") {
+    val df = spark.range(100).select(col("id"), lit("x").as("a"), (col("id") * 2).as("b"))
+    val dir = tmp("arrows_proj")
+    ArrowIpc.writeArrows(df, s"$dir/t.arrows")
+    val back = ArrowIpc.readArrows(spark, s"$dir/t.arrows", columns = Seq("b", "id"))
+    assert(back.columns.toSeq == Seq("id", "b")) // writer order
+    assert(back.agg(sum("b")).head().getLong(0) == (0L until 100L).map(_ * 2).sum)
+    intercept[IllegalArgumentException] {
+      ArrowIpc.readArrows(spark, s"$dir/t.arrows", columns = Seq("nope"))
+    }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], StructType(Seq(StructField("z", LongType))))
+    ArrowIpc.writeArrows(empty, s"$dir/e.arrows")
+    val eb = ArrowIpc.readArrows(spark, s"$dir/e.arrows")
+    assert(eb.count() == 0 && eb.schema.fieldNames.toSeq == Seq("z"))
+    GeoSources.writeAuto(df, s"$dir/auto.arrows")
+    assert(GeoSources.readAuto(spark, s"$dir/auto.arrows").count() == 100)
+  }
 }

@@ -461,6 +461,42 @@ class ManifestTableSpec extends AnyFunSuite with SparkSpec {
     assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
   }
 
+  test("restore republishes an old snapshot without data movement") {
+    val root = tmp("restore")
+    ManifestTable.append(idTable(0 until 10, "a"), root)        // v1
+    ManifestTable.append(idTable(10 until 30, "b"), root)       // v2
+    ManifestTable.overwrite(idTable(100 until 105, "z"), root)  // v3: the bad write
+    assert(ManifestTable.restore(root, 2L) == 4L)
+    assert(ManifestTable.read(spark, root).count() == 30)
+    val hist = ManifestTable.history(root)
+    assert(hist.last.action == "overwrite")
+    // pure metadata: the restore manifest CARRIES v1+v2's physical files
+    assert(hist.last.files.map(_.path).toSet ==
+      (hist(0).files ++ hist(1).files).map(_.path).toSet)
+    // the bad version still time-travels; restoring the head is a no-op
+    assert(ManifestTable.read(spark, root, asOf = Some(3L)).count() == 5)
+    assert(ManifestTable.restore(root, 4L) == 4L)
+    // a vacuumed target fails loudly instead of serving a hole
+    ManifestTable.overwrite(idTable(0 until 2, "w"), root)      // v5
+    ManifestTable.vacuum(root, keepVersions = 1, minAgeMs = 0L)
+    intercept[IllegalStateException] { ManifestTable.restore(root, 2L) }
+  }
+
+  test("streamingAppend auto-compaction bounds the file census") {
+    val root = tmp("autocompact")
+    val sink = ManifestTable.streamingAppend(root, autoCompactEvery = 4,
+      targetBytes = 8L << 20) _
+    (0 until 8).foreach(i => sink(idTable(i * 10 until i * 10 + 10, s"b$i"), i.toLong))
+    val hist = ManifestTable.history(root)
+    assert(hist.count(_.action == "replace") == 2) // after v4 and v8
+    val back = ManifestTable.read(spark, root)
+    assert(back.count() == 80)
+    assert(back.inputFiles.length < 8) // 8 commits x 2 partitions, bin-packed
+    // replayed batch after a compaction is still deduped
+    sink(idTable(0 until 10, "b0"), 0L)
+    assert(ManifestTable.read(spark, root).count() == 80)
+  }
+
   test("model-based op fuzz: every version time-travels to its model") {
     val root = tmp("fuzz")
     val rnd = new scala.util.Random(42)
