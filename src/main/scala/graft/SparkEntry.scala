@@ -1338,6 +1338,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum("o_orderkey").cast("long").as("sum_key"))
     }),
 
+    // --- manifest hilbert compaction (the no-seam curve twin of zorder) ----
+    "data_manifest_hilbert" -> ((s, dir) => {
+      val root = freshRoot("manifest_hb", dir)
+      val orders = t(s, dir, "orders")
+      (0 until 4).foreach(i =>
+        ManifestTable.append(orders.where(col("o_orderkey") % 4 === i)
+          .select("o_orderkey", "o_custkey", "o_orderstatus"), root))
+      val mx = orders.agg(max("o_custkey")).head().getLong(0) // bounded: 1 row
+      ManifestTable.compact(s, root, targetBytes = 64L << 10,
+        hilbertBy = Seq("o_custkey", "o_orderkey"))
+      ManifestTable.scan(s, root,
+          ManifestTable.Between("o_custkey", mx / 4, mx / 2))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("o_orderkey").cast("long").as("sum_key"))
+    }),
+
     // --- manifest schema evolution (mergeSchema append) --------------------
     // v1 appends two columns, v2 adds o_totalprice; v1's files read back
     // null there and the aggregate must equal plain SQL with the price
@@ -2809,6 +2825,13 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders WHERE o_orderkey % 4 <= 2 GROUP BY 1""".stripMargin,
+    "data_manifest_hilbert" ->
+      """WITH b AS (SELECT max(o_custkey) AS mx FROM orders)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders, b
+        |WHERE o_custkey >= b.mx // 4 AND o_custkey <= b.mx // 2
+        |GROUP BY 1""".stripMargin,
     "data_manifest_restore" ->
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key

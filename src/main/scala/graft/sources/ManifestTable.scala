@@ -220,6 +220,9 @@ object ManifestTable {
     * blocks of the interleaved 26-bit column ranks, so footer min/max stay
     * tight on BOTH columns and a predicate on EITHER prunes files —
     * lexicographic sortBy can only ever prune on its leading column.
+    * `hilbertBy` is the same idea on the Hilbert curve (no quad-seam jumps:
+    * consecutive key ranges are edge-adjacent cells, so per-file bounding
+    * rectangles come out tighter than Morton's).
     *
     * Publishes a `replace` manifest: full carried+rewritten file set, zero
     * logical change. Readers are never disturbed (old versions still
@@ -230,15 +233,16 @@ object ManifestTable {
     */
   def compact(spark: SparkSession, root: String,
       targetBytes: Long = 128L << 20, sortBy: Seq[String] = Nil,
-      zorderBy: Seq[String] = Nil): Long = {
+      zorderBy: Seq[String] = Nil, hilbertBy: Seq[String] = Nil): Long = {
     require(targetBytes > 0, "targetBytes must be positive")
-    require(sortBy.isEmpty || zorderBy.isEmpty,
-      "sortBy and zorderBy are alternative clusterings — pass one")
-    require(zorderBy.isEmpty || zorderBy.length == 2,
-      "zorderBy interleaves exactly two numeric columns; for one column " +
-        "use sortBy (strictly better), for more re-cluster on the two " +
-        "most-filtered ones")
-    val clustered = sortBy.nonEmpty || zorderBy.nonEmpty
+    require(Seq(sortBy, zorderBy, hilbertBy).count(_.nonEmpty) <= 1,
+      "sortBy, zorderBy and hilbertBy are alternative clusterings — pass one")
+    require((zorderBy.isEmpty || zorderBy.length == 2) &&
+      (hilbertBy.isEmpty || hilbertBy.length == 2),
+      "zorderBy/hilbertBy interleave exactly two numeric columns; for one " +
+        "column use sortBy (strictly better), for more re-cluster on the " +
+        "two most-filtered ones")
+    val clustered = sortBy.nonEmpty || zorderBy.nonEmpty || hilbertBy.nonEmpty
     val hist = history(root)
     require(hist.nonEmpty, s"$root is not a manifest table (no ${ManifestDir})")
     val basis = hist.last.version
@@ -250,7 +254,7 @@ object ManifestTable {
       else files.partition(_.bytes < targetBytes)
     if (rewrite.length <= 1 && !clustered) return basis
     if (rewrite.isEmpty) return basis
-    (sortBy ++ zorderBy).foreach { c =>
+    (sortBy ++ zorderBy ++ hilbertBy).foreach { c =>
       require(schema.fieldNames.contains(c), s"clustering column $c not in table schema")
     }
 
@@ -277,6 +281,26 @@ object ManifestTable {
           .repartitionByRange(nOut, col("__graft_zk"))
           .sortWithinPartitions(col("__graft_zk"))
           .drop("__graft_zk")
+      } else if (hilbertBy.nonEmpty) {
+        // HILBERT clustering: the Morton idea with the curve that never
+        // jumps — consecutive key ranges are always edge-adjacent cells, so
+        // per-file min/max rectangles come out tighter than z-order's at the
+        // quad seams. Columns are normalized into the codegen'd st_hilbert
+        // kernel's lon/lat domain; same one bounded 1-row agg.
+        val Seq(a, b) = hilbertBy
+        val r = df.agg(min(col(a)).cast("double"), max(col(a)).cast("double"),
+          min(col(b)).cast("double"), max(col(b)).cast("double")).head()
+        require(!r.anyNull, s"hilbertBy columns $a/$b must be non-null numerics")
+        def norm(c: Column, lo: Double, hi: Double, outLo: Double, outSpan: Double) =
+          if (hi <= lo) lit(outLo)
+          else (c.cast("double") - lit(lo)) / lit(hi - lo) * lit(outSpan) + lit(outLo)
+        val hk = graft.functions.GeoFunctions.st_hilbert(
+          norm(col(a), r.getDouble(0), r.getDouble(1), -180.0, 360.0),
+          norm(col(b), r.getDouble(2), r.getDouble(3), -90.0, 180.0), bits = 26)
+        df.withColumn("__graft_hk", hk)
+          .repartitionByRange(nOut, col("__graft_hk"))
+          .sortWithinPartitions(col("__graft_hk"))
+          .drop("__graft_hk")
       } else if (sortBy.nonEmpty)
         df.repartitionByRange(nOut, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)

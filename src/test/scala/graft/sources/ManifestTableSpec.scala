@@ -249,20 +249,29 @@ class ManifestTableSpec extends AnyFunSuite with SparkSpec {
     ManifestTable.compact(spark, zroot, targetBytes = 2L << 10,
       zorderBy = Seq("x", "y"))
     val (zx, zy, cx, cy) = prunedCounts(zroot)
+    val hroot = build()
+    ManifestTable.compact(spark, hroot, targetBytes = 2L << 10,
+      hilbertBy = Seq("x", "y"))
+    val (hx, hy, cx3, cy3) = prunedCounts(hroot)
     val sroot = build()
     ManifestTable.compact(spark, sroot, targetBytes = 2L << 10,
       sortBy = Seq("x", "y"))
     val (sx, sy, cx2, cy2) = prunedCounts(sroot)
-    assert((cx, cy) == (cx2, cy2))     // identical logical results
+    assert((cx, cy) == (cx2, cy2) && (cx, cy) == (cx3, cy3)) // identical results
     assert(cx == 61 && cy == 61)       // 61 x-values in [100,160]; y is a bijection
     assert(zx > 0 && zy > 0)           // z-order prunes on BOTH dimensions
+    assert(hx > 0 && hy > 0)           // hilbert too
     assert(sx > 0 && sy == 0)          // lexicographic prunes only on x
-    // the guards: one column → use sortBy; both clusterings → reject
+    // the guards: one column → use sortBy; two clusterings at once → reject
     intercept[IllegalArgumentException] {
       ManifestTable.compact(spark, zroot, zorderBy = Seq("x"))
     }
     intercept[IllegalArgumentException] {
       ManifestTable.compact(spark, zroot, sortBy = Seq("x"), zorderBy = Seq("x", "y"))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.compact(spark, zroot, zorderBy = Seq("x", "y"),
+        hilbertBy = Seq("x", "y"))
     }
   }
 
