@@ -1307,6 +1307,16 @@ object SparkEntry {
           sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("long").as("cents"))
     }),
 
+    // --- manifest DESCRIBE HISTORY (metadata-only commit stats) ------------
+    "data_manifest_describe" -> ((s, dir) => {
+      val root = freshRoot("manifest_ds", dir)
+      val orders = t(s, dir, "orders")
+      ManifestTable.append(orders.where(col("o_orderkey") % 4 === 0), root)
+      ManifestTable.append(orders.where(col("o_orderkey") % 4 === 1), root)
+      ManifestTable.describe(s, root)
+        .select(col("version"), col("action"), col("rows").as("n_rows"))
+    }),
+
     // --- manifest RESTORE (metadata-only rollback of a bad overwrite) ------
     "data_manifest_restore" -> ((s, dir) => {
       val root = freshRoot("manifest_rs", dir)
@@ -2825,6 +2835,12 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders WHERE o_orderkey % 4 <= 2 GROUP BY 1""".stripMargin,
+    "data_manifest_describe" ->
+      """SELECT CAST(1 AS BIGINT) AS version, 'append' AS action,
+        |  count(*) AS n_rows FROM orders WHERE o_orderkey % 4 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'append', count(*)
+        |FROM orders WHERE o_orderkey % 4 = 1""".stripMargin,
     "data_manifest_hilbert" ->
       """WITH b AS (SELECT max(o_custkey) AS mx FROM orders)
         |SELECT o_orderstatus, count(*) AS cnt,

@@ -538,6 +538,22 @@ object ManifestTable {
 
   def latestVersion(root: String): Option[Long] = history(root).lastOption.map(_.version)
 
+  /** DESCRIBE HISTORY: one row per commit with its manifest-level stats —
+    * metadata-only (no data pass, no file open). `rows`/`bytes`/`n_files`
+    * describe the files the manifest LISTS: what the commit ADDED for an
+    * append, the full carried+rewritten set for overwrite/replace.
+    */
+  def describe(spark: SparkSession, root: String): DataFrame = {
+    val hist = history(root)
+    require(hist.nonEmpty, s"$root is not a manifest table (no ${ManifestDir})")
+    import spark.implicits._
+    hist.map { m =>
+      (m.version, m.action, m.files.length.toLong,
+        m.files.map(_.rows).sum, m.files.map(_.bytes).sum,
+        m.batchId, m.tsMs)
+    }.toDF("version", "action", "n_files", "rows", "bytes", "batch_id", "ts_ms")
+  }
+
   /** The file set visible at `version`: replay the log back to the most
     * recent FULL-SET manifest at or before it — an `overwrite` (new logical
     * contents) or a `replace` (same logical contents, rewritten physical

@@ -470,6 +470,20 @@ class ManifestTableSpec extends AnyFunSuite with SparkSpec {
     assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
   }
 
+  test("describe is a metadata-only commit ledger") {
+    val root = tmp("describe")
+    ManifestTable.append(idTable(0 until 10, "a"), root)
+    ManifestTable.append(idTable(10 until 30, "b"), root)
+    ManifestTable.compact(spark, root, targetBytes = 64L << 20)
+    ManifestTable.overwrite(idTable(0 until 5, "z"), root)
+    val d = ManifestTable.describe(spark, root)
+      .select("version", "action", "rows").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // appends report what they ADDED; rewrites the full set they list
+    assert(d == Seq((1L, "append", 10L), (2L, "append", 20L),
+      (3L, "replace", 30L), (4L, "overwrite", 5L)))
+  }
+
   test("restore republishes an old snapshot without data movement") {
     val root = tmp("restore")
     ManifestTable.append(idTable(0 until 10, "a"), root)        // v1
