@@ -1,18 +1,21 @@
 package graft.sources
 
-import java.nio.file.{Files, Path => JPath, Paths, FileAlreadyExistsException, StandardOpenOption}
+import java.nio.file.{Files, Path => JPath, Paths, FileAlreadyExistsException, StandardCopyOption, StandardOpenOption}
 import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
 
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.LogicalTypeAnnotation
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, max, min, sum, when}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, count, countDistinct, lit, max, min, sum, when}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.geom.GeoJson
@@ -25,6 +28,8 @@ import graft.geom.GeoJson.{J, JArr, JNum, JObj, JStr}
   * {{{
   *   root/
   *     _graft_manifest/v00000001.json   // snapshot log, append-only
+  *     _graft_manifest/_last_checkpoint // pointer to the newest checkpoint
+  *     _graft_manifest/ckpt/v00000020/  // periodic snapshot: state.json + parquet census
   *     data/<commit-uuid>/part-*.parquet
   *     _graft_feed/v00000001_00000.parquet  // append feed: hard links, see tailStream
   * }}}
@@ -44,17 +49,33 @@ import graft.geom.GeoJson.{J, JArr, JNum, JObj, JStr}
   * metadata-only distributed job — no data pass), which powers [[scan]]'s
   * file skipping: a predicate on a clustered column prunes whole files
   * before Spark even plans the scan, the level ABOVE row-group pruning.
+  *
+  * The metadata layer is built to survive a long LIFE, not just a big
+  * table: every [[CheckpointEvery]]-th commit also writes a CHECKPOINT — a
+  * full snapshot of the visible file census (as PARQUET, read back by Spark:
+  * columnar, splittable, never one giant driver-parsed JSON document — the
+  * Iceberg manifest-list idea) plus the schema and the per-writer streaming
+  * transaction marks (the Delta `_last_checkpoint` idea). Hot operations
+  * (commit, read, scan, rewrite) replay the log FROM the checkpoint, so
+  * their manifest-parse cost is bounded by the checkpoint interval plus
+  * contention, not by table age — without it a one-trigger-per-minute
+  * streaming sink makes every commit O(versions) and life-to-date cost
+  * O(V²). Raw manifests are never deleted, so time travel replays exactly
+  * as before (and parses BACKWARDS only to the nearest full-set manifest).
+  *
   * Snapshots compose by replaying the log from the most recent `overwrite`;
   * [[read]] time-travels to any retained version and [[readSince]] serves
   * the files added by a version range (the incremental-consumer contract).
-  * `batchId` de-duplicates streaming `foreachBatch` replays for an
-  * exactly-once [[streamingAppend]] sink.
+  * `(writerId, batchId)` de-duplicates streaming `foreachBatch` replays for
+  * an exactly-once [[streamingAppend]] sink — scoped per writer, so two
+  * queries feeding one table cannot suppress each other's batches.
   *
   * Layout rewrites complete the lakehouse verb set: [[compact]] bin-packs
   * micro-commits (and, with `sortBy`, CLUSTERS the table so stats pruning
   * bites), [[deleteWhere]] is a stats-pruned copy-on-write delete, and
-  * [[merge]] a keyed upsert that rewrites only the files whose key ranges
-  * overlap the source. All three publish FULL-SET manifests under the same
+  * [[merge]] a keyed MERGE with update / delete / insert-only clause
+  * combinations that rewrites only the files whose key ranges overlap the
+  * source. Rewrites publish FULL-SET manifests under the same
   * optimistic-concurrency protocol; `replace` (compaction) is invisible to
   * [[readSince]] consumers because it adds no logical rows.
   */
@@ -63,6 +84,27 @@ object ManifestTable {
   private val ManifestDir = "_graft_manifest"
   private val VersionRe = raw"v(\d{8})\.json".r
   private val FeedDir = "_graft_feed"
+  private val CkptSubdir = "ckpt"
+  private val LastCkptName = "_last_checkpoint"
+
+  /** Commit versions divisible by this auto-write a checkpoint. 20 bounds a
+    * hot op's manifest parses to <20 + contention while keeping checkpoint
+    * writes rare (one parquet job per 20 commits).
+    */
+  private[sources] val CheckpointEvery = 20L
+
+  // observability seam for the bounded-metadata-reads specs: every raw
+  // v*.json parse increments this (checkpoint loads do NOT — that's the
+  // point of them)
+  private val manifestParses = new AtomicLong()
+  private[sources] def manifestParseCount: Long = manifestParses.get()
+
+  // test seam: forces publishFeed down the no-hardlink (copy) fallback path
+  @volatile private[sources] var disableFeedLinks = false
+
+  // checkpoints are immutable once written: cache the loaded state per
+  // (root, version) so repeated ops on one table don't re-read the census
+  private val ckptCache = new ConcurrentHashMap[(String, Long), TableState]()
 
   private def feedName(version: Long, i: Int) = f"v$version%08d_$i%05d.parquet"
 
@@ -71,8 +113,8 @@ object ManifestTable {
   /** Per-column file statistics. `kind` is "long" (all parquet integer
     * physical types incl. date days and timestamp micros), "double", or
     * "string"; `min`/`max` are exact decimal/raw strings of that kind.
-    * Absent stats (binary, nested, or a row group that didn't record them)
-    * simply omit the column — pruning stays conservative.
+    * Absent stats (binary, nested, non-finite floats, or a row group that
+    * didn't record them) simply omit the column — pruning stays conservative.
     */
   final case class ColStats(kind: String, min: String, max: String, nulls: Long)
 
@@ -80,7 +122,19 @@ object ManifestTable {
       stats: Map[String, ColStats])
 
   final case class Manifest(version: Long, action: String, schemaJson: String,
-      files: Seq[FileEntry], batchId: Option[Long], tsMs: Long) {
+      files: Seq[FileEntry], batchId: Option[Long], writerId: Option[String],
+      tsMs: Long) {
+    def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  }
+
+  /** Driver-side view of the table at a version: the full visible file set,
+    * the last manifest's schema, and the per-writer streaming high-water
+    * marks (`writer → (batchId, version committed at)`). Built from the
+    * newest checkpoint plus a bounded log tail — never a full-log replay on
+    * hot paths.
+    */
+  private[sources] final case class TableState(version: Long, schemaJson: String,
+      files: Seq[FileEntry], txns: Map[String, (Long, Long)]) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
@@ -111,6 +165,16 @@ object ManifestTable {
     private[sources] def toColumn: Column = ps.map(_.toColumn).reduce(_ || _)
   }
 
+  /** WHEN MATCHED clause of [[merge]]: replace the row with the source's
+    * ([[MatchedUpdate]], the upsert default), drop it ([[MatchedDelete]]),
+    * or leave it untouched ([[MatchedIgnore]] — with inserts on, that is the
+    * insert-if-new merge, which never rewrites a single existing file).
+    */
+  sealed trait MatchedAction
+  case object MatchedUpdate extends MatchedAction
+  case object MatchedDelete extends MatchedAction
+  case object MatchedIgnore extends MatchedAction
+
   // -------------------------------------------------------------- commits
 
   /** Appends `df` as a new version; returns the committed version.
@@ -138,6 +202,13 @@ object ManifestTable {
     *
     * {{{ ds.writeStream.foreachBatch(ManifestTable.streamingAppend(root) _) }}}
     *
+    * `writerId` scopes the idempotency mark: two DIFFERENT streaming queries
+    * writing to one table must pass distinct ids (the Delta txnAppId idea),
+    * or each other's batch N would be suppressed — batchIds restart at 0 per
+    * query. Within one writer, batchIds are monotonic (Spark's micro-batch
+    * contract), so any batch at or below the writer's recorded high-water
+    * mark is a replay and is skipped.
+    *
     * `autoCompactEvery = N` runs a bin-packing [[compact]] whenever the
     * landed version is a multiple of N — a streaming sink otherwise accretes
     * one micro-commit per trigger until read-side task overhead dominates
@@ -146,8 +217,10 @@ object ManifestTable {
     * publish race just defers packing to the next cycle.
     */
   def streamingAppend(root: String, autoCompactEvery: Int = 0,
-      targetBytes: Long = 128L << 20)(batch: DataFrame, batchId: Long): Unit = {
-    val v = commit(batch, root, overwrite = false, batchId = Some(batchId))
+      targetBytes: Long = 128L << 20, writerId: String = "")(
+      batch: DataFrame, batchId: Long): Unit = {
+    val v = commit(batch, root, overwrite = false, batchId = Some(batchId),
+      writerId = writerId)
     if (autoCompactEvery > 0 && v % autoCompactEvery == 0)
       try compact(batch.sparkSession, root, targetBytes)
       catch { case _: IllegalStateException => () } // raced a rewrite: next cycle
@@ -160,15 +233,23 @@ object ManifestTable {
     * overwrite may change it.
     */
   def commit(df: DataFrame, root: String, overwrite: Boolean,
-      batchId: Option[Long], mergeSchema: Boolean = false): Long = {
+      batchId: Option[Long], mergeSchema: Boolean = false,
+      writerId: String = ""): Long = {
     val spark = df.sparkSession
     val rootP = Paths.get(root)
     Files.createDirectories(rootP.resolve(ManifestDir))
 
-    // idempotency fast path BEFORE doing any write work
-    batchId.foreach { bid =>
-      history(root).find(_.batchId.contains(bid)).foreach { m => return m.version }
+    // (writer, batchId) replay detection: batchIds are monotonic per writer,
+    // so anything at or below the recorded high-water mark already committed
+    def replayed(st: TableState): Option[Long] = batchId.flatMap { bid =>
+      st.txns.get(writerId).collect {
+        case (maxBid, v) if bid == maxBid => v
+        case (maxBid, _) if bid < maxBid => st.version
+      }
     }
+    // idempotency fast path BEFORE doing any write work
+    if (batchId.isDefined)
+      loadState(spark, root).flatMap(replayed).foreach(v => return v)
 
     val commitId = UUID.randomUUID().toString
     val dataRel = s"data/$commitId"
@@ -179,26 +260,27 @@ object ManifestTable {
 
     var attempt = 0
     while (attempt < 64) {
-      val hist = history(root)
-      batchId.foreach { bid =>
-        hist.find(_.batchId.contains(bid)).foreach { m =>
-          // a racing replica already committed this batch — discard our stage
-          deleteRecursively(dataDir)
-          return m.version
-        }
+      val st = loadState(spark, root)
+      st.flatMap(replayed).foreach { v =>
+        // a racing replica already committed this batch — discard our stage
+        deleteRecursively(dataDir)
+        return v
       }
-      val effectiveSchemaJson = hist.lastOption match {
+      val effectiveSchemaJson = st match {
         case Some(latest) if !overwrite && mergeSchema =>
           mergedSchema(latest.schema, df.schema, root).json
         case Some(latest) if !overwrite =>
           requireSameSchema(latest.schema, df.schema, root); schemaJson
         case _ => schemaJson
       }
-      val next = hist.lastOption.map(_.version + 1).getOrElse(1L)
+      val next = st.map(_.version + 1).getOrElse(1L)
       val m = Manifest(next, if (overwrite) "overwrite" else "append",
-        effectiveSchemaJson, entries, batchId, System.currentTimeMillis())
+        effectiveSchemaJson, entries, batchId,
+        if (batchId.isDefined && writerId.nonEmpty) Some(writerId) else None,
+        System.currentTimeMillis())
       if (publish(rootP, m)) {
         if (!overwrite) publishFeed(rootP, Seq(m))
+        maybeCheckpoint(spark, rootP, applyManifest(st, m))
         return next
       }
       attempt += 1
@@ -243,12 +325,11 @@ object ManifestTable {
         "column use sortBy (strictly better), for more re-cluster on the " +
         "two most-filtered ones")
     val clustered = sortBy.nonEmpty || zorderBy.nonEmpty || hilbertBy.nonEmpty
-    val hist = history(root)
-    require(hist.nonEmpty, s"$root is not a manifest table (no ${ManifestDir})")
-    val basis = hist.last.version
-    val snap = snapshot(hist, basis)
-    val schema = snap.last.schema
-    val files = snap.flatMap(_.files)
+    val st = loadState(spark, root).getOrElse(throw new IllegalArgumentException(
+      s"$root is not a manifest table (no ${ManifestDir})"))
+    val basis = st.version
+    val schema = st.schema
+    val files = st.files
     val (rewrite, _) =
       if (clustered) (files, Nil)
       else files.partition(_.bytes < targetBytes)
@@ -306,8 +387,8 @@ object ManifestTable {
           .sortWithinPartitions(sortBy.map(col): _*)
       else df.coalesce(nOut)
     val (staged, dataDir) = stage(spark, rootP, out)
-    rewriteCommit(rootP, basis, "replace", rewrite.map(_.path).toSet, staged,
-      schema.json, dataDir, allowConcurrentAppends = true)
+    rewriteCommit(spark, rootP, basis, "replace", rewrite.map(_.path).toSet,
+      staged, schema.json, dataDir, allowConcurrentAppends = true)
   }
 
   /** 52-bit Morton key of two columns normalized to 26-bit ranks — pure
@@ -357,12 +438,13 @@ object ManifestTable {
     */
   private[sources] def deleteWhereAtBasis(spark: SparkSession, root: String,
       pred: Pred, basisOverride: Long): (Long, Long) = {
-    val hist = history(root)
-    require(hist.nonEmpty, s"$root is not a manifest table (no ${ManifestDir})")
-    val basis = if (basisOverride >= 0) basisOverride else hist.last.version
-    val snap = snapshot(hist, basis)
-    val schema = snap.last.schema
-    val files = snap.flatMap(_.files)
+    val st = loadState(spark, root).getOrElse(throw new IllegalArgumentException(
+      s"$root is not a manifest table (no ${ManifestDir})"))
+    val (basis, schema, files) =
+      if (basisOverride >= 0) {
+        val snap = snapshotManifests(Paths.get(root), basisOverride)
+        (basisOverride, snap.last.schema, snap.flatMap(_.files))
+      } else (st.version, st.schema, st.files)
     val candidates = files.filter(f => mayMatch(f.stats, pred))
     if (candidates.isEmpty) return (basis, 0L)
 
@@ -371,59 +453,97 @@ object ManifestTable {
       .where(!coalesce(pred.toColumn, lit(false)))
     val (staged, dataDir) = stage(spark, rootP, kept)
     val deleted = candidates.map(_.rows).sum - staged.map(_.rows).sum
-    val v = rewriteCommit(rootP, basis, "overwrite", candidates.map(_.path).toSet,
-      staged, schema.json, dataDir, allowConcurrentAppends = false)
+    val v = rewriteCommit(spark, rootP, basis, "overwrite",
+      candidates.map(_.path).toSet, staged, schema.json, dataDir,
+      allowConcurrentAppends = false)
     (v, deleted)
   }
 
-  /** Keyed upsert (MERGE): every table row whose key appears in `source` is
-    * replaced by the source row; source rows with unseen keys are inserted.
+  /** Keyed MERGE. `whenMatched` picks the matched clause —
+    * [[MatchedUpdate]] (default: every table row whose key appears in
+    * `source` is replaced by the source row), [[MatchedDelete]] (matched
+    * rows are dropped), or [[MatchedIgnore]] (matched rows stay as they
+    * are). `insertUnmatched` controls the WHEN NOT MATCHED clause: source
+    * rows with unseen keys are inserted (default) or dropped. The default
+    * pair is the classic upsert; `MatchedIgnore + insert` is insert-if-new
+    * (it rewrites NO existing file — the landed manifest is a plain append,
+    * so [[readSince]]/[[tailStream]] consumers keep flowing); `MatchedDelete
+    * + no insert` is DELETE-by-key.
+    *
     * Only files whose key-column stats overlap the source's key range are
-    * rewritten — a time-keyed upsert into a time-clustered table touches
+    * touched — a time-keyed upsert into a time-clustered table rewrites
     * just the recent files, which is what makes MERGE viable at 100 TB.
     * Source schema must match the table's; null source keys fail loudly
-    * (they could never match and would silently become orphan inserts).
-    * Publishes a full-set `overwrite` manifest; concurrent commits abort
-    * (a racing append could carry keys this merge should have replaced).
-    * Returns the new version.
+    * (they could never match and would silently become orphan inserts),
+    * and duplicate source keys fail loudly (they would silently write
+    * duplicate-key rows — SQL MERGE errors on multiple source matches).
+    * Rewriting variants publish a full-set `overwrite` manifest; concurrent
+    * commits abort (a racing append could carry keys this merge should have
+    * replaced). Returns the new version.
     */
   def merge(spark: SparkSession, root: String, source: DataFrame,
-      keys: Seq[String]): Long = {
+      keys: Seq[String], whenMatched: MatchedAction = MatchedUpdate,
+      insertUnmatched: Boolean = true): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
-    val hist = history(root)
-    require(hist.nonEmpty, s"$root is not a manifest table (no ${ManifestDir})")
-    val basis = hist.last.version
-    val snap = snapshot(hist, basis)
-    val schema = snap.last.schema
+    require(whenMatched != MatchedIgnore || insertUnmatched,
+      "merge with whenMatched = MatchedIgnore and insertUnmatched = false " +
+        "is a no-op by construction")
+    val st = loadState(spark, root).getOrElse(throw new IllegalArgumentException(
+      s"$root is not a manifest table (no ${ManifestDir})"))
+    val basis = st.version
+    val schema = st.schema
     requireSameSchema(schema, source.schema, root)
     keys.foreach { k =>
       require(schema.fieldNames.contains(k), s"merge key $k not in table schema")
     }
 
-    // one bounded pass over the source: per-key min/max for file pruning
-    // plus the null-key guard
-    val aggs = keys.flatMap(k => Seq(min(col(k)), max(col(k)))) :+
-      sum(keys.map(c => when(col(c).isNull, 1L).otherwise(0L)).reduce(_ + _))
+    // one bounded pass over the source: per-key min/max for file pruning,
+    // the null-key guard, and the duplicate-key guard
+    val n = keys.length
+    val aggs = keys.flatMap(k => Seq(min(col(k)), max(col(k)))) ++ Seq(
+      sum(keys.map(c => when(col(c).isNull, 1L).otherwise(0L)).reduce(_ + _)),
+      count(lit(1)),
+      countDistinct(col(keys.head), keys.tail.map(col): _*))
     val b = source.agg(aggs.head, aggs.tail: _*).head()
-    if (b.isNullAt(0) && b.isNullAt(1) && (b.isNullAt(2 * keys.length) ||
-        b.getLong(2 * keys.length) == 0L)) return basis // empty source: no-op
-    require(!b.isNullAt(2 * keys.length) && b.getLong(2 * keys.length) == 0L,
+    val total = b.getLong(2 * n + 1)
+    if (total == 0L) return basis // empty source: no-op
+    require(!b.isNullAt(2 * n) && b.getLong(2 * n) == 0L,
       s"merge source has null values in key columns ${keys.mkString(",")}")
+    val distinct = b.getLong(2 * n + 2)
+    require(distinct == total,
+      s"merge source has duplicate keys on (${keys.mkString(",")}): " +
+        s"$total rows, $distinct distinct — a MERGE row must match at most " +
+        "one source row; de-duplicate the source first")
     val overlap = And(keys.zipWithIndex.map { case (k, i) =>
       Between(k, b.get(2 * i), b.get(2 * i + 1)): Pred
     })
 
-    val files = snap.flatMap(_.files)
-    val candidates = files.filter(f => mayMatch(f.stats, overlap))
+    val candidates = st.files.filter(f => mayMatch(f.stats, overlap))
     val rootP = Paths.get(root)
-    val kept = framed(spark, root, schema, candidates)
-      .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    // project the source into the table's column order so the union and the
+    val candDf = framed(spark, root, schema, candidates)
+    val candKeys = candDf.select(keys.map(col): _*)
+    val srcKeys = source.select(keys.map(col): _*)
+    // project the source into the table's column order so unions and the
     // parquet footprint stay schema-identical
-    val out = kept.unionByName(source.select(schema.fieldNames.map(col).toSeq: _*))
+    def ordered(df: DataFrame) = df.select(schema.fieldNames.map(col).toSeq: _*)
+    val (out, removed, action) = whenMatched match {
+      case MatchedUpdate =>
+        val kept = candDf.join(srcKeys, keys, "left_anti")
+        val ins = if (insertUnmatched) source
+                  else source.join(candKeys, keys, "left_semi")
+        (kept.unionByName(ordered(ins)), candidates.map(_.path).toSet, "overwrite")
+      case MatchedDelete =>
+        val kept = candDf.join(srcKeys, keys, "left_anti")
+        val ins = if (insertUnmatched) ordered(source.join(candKeys, keys, "left_anti"))
+                  else framed(spark, root, schema, Nil)
+        (kept.unionByName(ins), candidates.map(_.path).toSet, "overwrite")
+      case MatchedIgnore =>
+        // insert-only: existing files are untouched — publish a plain append
+        (ordered(source.join(candKeys, keys, "left_anti")), Set.empty[String], "append")
+    }
     val (staged, dataDir) = stage(spark, rootP, out)
-    rewriteCommit(rootP, basis, "overwrite", candidates.map(_.path).toSet,
-      staged, schema.json, dataDir, allowConcurrentAppends = false)
+    rewriteCommit(spark, rootP, basis, action, removed, staged, schema.json,
+      dataDir, allowConcurrentAppends = false)
   }
 
   /** Stages `df` invisibly under `data/<uuid>/` and returns its footer-stats
@@ -438,33 +558,46 @@ object ManifestTable {
     (footerStats(spark, rootP, dataRel).filter(_.rows > 0), dataDir)
   }
 
-  /** Publishes a FULL-SET manifest (`action` = "replace" or "overwrite"):
-    * the basis snapshot's files minus `removed` plus `staged`. Optimistic
-    * concurrency mirror of [[commit]]'s retry loop, with rewrite-specific
-    * conflict detection: manifests landed after `basis` are re-carried when
-    * they are plain appends and `allowConcurrentAppends` (compaction — the
-    * new files simply weren't candidates), and abort the rewrite otherwise
+  /** Publishes a rewrite manifest with optimistic concurrency, mirroring
+    * [[commit]]'s retry loop. For `action` "replace"/"overwrite" the
+    * manifest is FULL-SET (the basis snapshot's files minus `removed` plus
+    * `staged`); for "append" (insert-only merge) it lists only `staged`.
+    * Conflict detection parses ONLY the manifests landed after `basis`
+    * (bounded by contention, not table age): they are re-carried when they
+    * are plain appends and `allowConcurrentAppends` (compaction — the new
+    * files simply weren't candidates), and abort the rewrite otherwise
     * (the basis this rewrite was computed from no longer describes the
     * table). On abort the staged directory is deleted.
     */
-  private def rewriteCommit(rootP: JPath, basis: Long, action: String,
-      removed: Set[String], staged: Seq[FileEntry], schemaJson: String,
-      dataDir: JPath, allowConcurrentAppends: Boolean): Long = {
+  private def rewriteCommit(spark: SparkSession, rootP: JPath, basis: Long,
+      action: String, removed: Set[String], staged: Seq[FileEntry],
+      schemaJson: String, dataDir: JPath,
+      allowConcurrentAppends: Boolean): Long = {
     var attempt = 0
     while (attempt < 64) {
-      val hist = history(rootP.toString)
-      val late = hist.filter(_.version > basis)
+      val (st, tail) = loadStateAnd(spark, rootP.toString).getOrElse(
+        throw new IllegalStateException(s"$rootP is not a manifest table"))
+      // the conflict window (basis, latest]: mostly inside the already-parsed
+      // tail; anything older (a checkpoint landed mid-rewrite) is fetched
+      val tailFrom = tail.headOption.map(_.version).getOrElse(st.version + 1)
+      val missing = ((basis + 1) until tailFrom).map(v => parseManifest(rootP, v))
+      val late = missing ++ tail.filter(_.version > basis)
       late.find(m => m.action != "append" || !allowConcurrentAppends).foreach { m =>
         deleteRecursively(dataDir)
         throw new IllegalStateException(
           s"concurrent ${m.action} v${m.version} landed after basis v$basis — " +
             s"$action aborted; retry against the current snapshot")
       }
-      val current = snapshotFiles(hist, hist.last.version)
-      val carried = current.filterNot(f => removed(f.path))
-      val m = Manifest(hist.last.version + 1, action, schemaJson,
-        carried ++ staged, None, System.currentTimeMillis())
-      if (publish(rootP, m)) return m.version
+      val files =
+        if (action == "append") staged
+        else st.files.filterNot(f => removed(f.path)) ++ staged
+      val m = Manifest(st.version + 1, action, schemaJson, files, None, None,
+        System.currentTimeMillis())
+      if (publish(rootP, m)) {
+        if (m.action == "append") publishFeed(rootP, Seq(m))
+        maybeCheckpoint(spark, rootP, applyManifest(Some(st), m))
+        return m.version
+      }
       attempt += 1
     }
     deleteRecursively(dataDir)
@@ -509,34 +642,55 @@ object ManifestTable {
   private def publish(rootP: JPath, m: Manifest): Boolean = {
     val dir = rootP.resolve(ManifestDir)
     val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
-    val bytes = GeoJson.writeJson(toJson(m)).getBytes("UTF-8")
-    val ch = java.nio.channels.FileChannel.open(tmp,
-      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-    try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) }
-    finally ch.close()
+    writeDurable(tmp, GeoJson.writeJson(toJson(m)).getBytes("UTF-8"))
     val target = dir.resolve(f"v${m.version}%08d.json")
     try { Files.createLink(target, tmp); Files.delete(tmp); true }
     catch { case _: FileAlreadyExistsException => Files.delete(tmp); false }
   }
 
-  // ---------------------------------------------------------------- reads
-
-  /** All manifests, version-ascending. Empty if `root` has none. */
-  def history(root: String): Seq[Manifest] = {
-    val dir = Paths.get(root).resolve(ManifestDir)
-    if (!Files.isDirectory(dir)) return Nil
-    val versions = Files.list(dir).iterator().asScala.flatMap { p =>
-      p.getFileName.toString match {
-        case VersionRe(n) => Some((n.toLong, p))
-        case _ => None
-      }
-    }.toSeq.sortBy(_._1)
-    versions.map { case (_, p) =>
-      fromJson(new String(Files.readAllBytes(p), "UTF-8"))
-    }
+  private def writeDurable(p: JPath, bytes: Array[Byte]): Unit = {
+    val ch = java.nio.channels.FileChannel.open(p,
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) }
+    finally ch.close()
   }
 
-  def latestVersion(root: String): Option[Long] = history(root).lastOption.map(_.version)
+  // ---------------------------------------------------------------- reads
+
+  /** Manifest versions present in the log, ascending — a directory listing,
+    * no JSON parse.
+    */
+  private def listVersions(rootP: JPath): Seq[Long] = {
+    val dir = rootP.resolve(ManifestDir)
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try s.iterator().asScala.flatMap { p =>
+      p.getFileName.toString match {
+        case VersionRe(n) => Some(n.toLong)
+        case _ => None
+      }
+    }.toSeq.sorted
+    finally s.close()
+  }
+
+  private def parseManifest(rootP: JPath, version: Long): Manifest = {
+    manifestParses.incrementAndGet()
+    val p = rootP.resolve(ManifestDir).resolve(f"v$version%08d.json")
+    fromJson(new String(Files.readAllBytes(p), "UTF-8"))
+  }
+
+  /** All manifests, version-ascending. Empty if `root` has none. This IS a
+    * full-log parse — it backs the metadata verbs that are ABOUT history
+    * ([[describe]], [[restore]], [[vacuum]]); hot per-commit/read paths go
+    * through the checkpointed [[loadState]] instead.
+    */
+  def history(root: String): Seq[Manifest] = {
+    val rootP = Paths.get(root)
+    listVersions(rootP).map(v => parseManifest(rootP, v))
+  }
+
+  def latestVersion(root: String): Option[Long] =
+    listVersions(Paths.get(root)).lastOption
 
   /** DESCRIBE HISTORY: one row per commit with its manifest-level stats —
     * metadata-only (no data pass, no file open). `rows`/`bytes`/`n_files`
@@ -574,17 +728,43 @@ object ManifestTable {
   private def snapshotFiles(hist: Seq[Manifest], version: Long): Seq[FileEntry] =
     snapshot(hist, version).flatMap(_.files)
 
+  /** [[snapshot]] without a pre-parsed history: manifests are parsed
+    * BACKWARDS from `version` and parsing stops at the first full-set one,
+    * so time travel costs O(snapshot length), never O(log length).
+    */
+  private def snapshotManifests(rootP: JPath, version: Long): Seq[Manifest] = {
+    val vs = listVersions(rootP)
+    require(vs.nonEmpty, s"$rootP is not a manifest table (no ${ManifestDir})")
+    val upTo = vs.filter(_ <= version)
+    require(upTo.nonEmpty, s"version $version predates the table")
+    val acc = mutable.ArrayBuffer[Manifest]()
+    var i = upTo.length - 1
+    var open = true
+    while (i >= 0 && open) {
+      val m = parseManifest(rootP, upTo(i))
+      acc += m
+      if (m.action == "overwrite" || m.action == "replace") open = false
+      i -= 1
+    }
+    acc.reverse.toSeq
+  }
+
   /** Reads the table at `asOf` (default: latest). The stored schema is
     * applied explicitly, so the read never pays schema-merge inference over
-    * a large file census.
+    * a large file census. The latest-version path composes the newest
+    * checkpoint with a bounded log tail; time travel replays backwards to
+    * the nearest full-set manifest.
     */
-  def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
-    val hist = history(root)
-    require(hist.nonEmpty, s"$root is not a manifest table (no ${ManifestDir})")
-    val v = asOf.getOrElse(hist.last.version)
-    val snap = snapshot(hist, v)
-    framed(spark, root, snap.last.schema, snap.flatMap(_.files))
-  }
+  def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame =
+    asOf match {
+      case Some(v) =>
+        val snap = snapshotManifests(Paths.get(root), v)
+        framed(spark, root, snap.last.schema, snap.flatMap(_.files))
+      case None =>
+        val st = loadState(spark, root).getOrElse(throw new IllegalArgumentException(
+          s"$root is not a manifest table (no ${ManifestDir})"))
+        framed(spark, root, st.schema, st.files)
+    }
 
   /** RESTORE: makes `version`'s snapshot the table's current contents by
     * publishing a new `overwrite` manifest that CARRIES that snapshot's
@@ -592,15 +772,20 @@ object ManifestTable {
     * History stays append-only: the bad versions remain time-travelable
     * until [[vacuum]], and incremental readers fail loudly at the restore
     * point exactly as at any overwrite (contents changed non-additively).
-    * Requires the restored files to still exist (not vacuumed); returns the
-    * new version. Restoring the current version is a no-op.
+    * Requires `version` to exist (a typo'd future version fails loudly
+    * instead of silently republishing the head) and the restored files to
+    * still exist (not vacuumed); returns the new version. Restoring the
+    * current version is a no-op.
     */
   def restore(root: String, version: Long): Long = {
     val rootP = Paths.get(root)
-    val hist = history(root)
-    require(hist.nonEmpty, s"$root is not a manifest table (no ${ManifestDir})")
-    if (version == hist.last.version) return version
-    val snap = snapshot(hist, version)
+    val vs = listVersions(rootP)
+    require(vs.nonEmpty, s"$root is not a manifest table (no ${ManifestDir})")
+    require(vs.contains(version),
+      s"cannot restore $root to v$version: the log holds versions " +
+        s"${vs.head}..${vs.last}")
+    if (version == vs.last) return version
+    val snap = snapshotManifests(rootP, version)
     val files = snap.flatMap(_.files)
     files.find(f => !Files.exists(rootP.resolve(f.path))).foreach { f =>
       throw new IllegalStateException(
@@ -608,9 +793,9 @@ object ManifestTable {
     }
     var attempt = 0
     while (attempt < 64) {
-      val cur = history(root)
-      val m = Manifest(cur.last.version + 1, "overwrite", snap.last.schemaJson,
-        files, None, System.currentTimeMillis())
+      val cur = listVersions(rootP).last
+      val m = Manifest(cur + 1, "overwrite", snap.last.schemaJson,
+        files, None, None, System.currentTimeMillis())
       if (publish(rootP, m)) return m.version
       attempt += 1
     }
@@ -620,18 +805,22 @@ object ManifestTable {
 
   /** The rows ADDED by versions in `(sinceExclusive, toInclusive]` — the
     * incremental-consumer read (process only what's new since the last run).
-    * An overwrite inside the range makes "added rows" ill-defined, so it
-    * fails loudly; re-sync with a full [[read]] instead. A `replace`
-    * ([[compact]]) adds NO logical rows — it is skipped transparently, so
-    * incremental consumers keep flowing across compactions.
+    * Parses ONLY the manifests in the range (cost tracks the range, not the
+    * table's age). An overwrite inside the range makes "added rows"
+    * ill-defined, so it fails loudly; re-sync with a full [[read]] instead.
+    * A `replace` ([[compact]]) adds NO logical rows — it is skipped
+    * transparently, so incremental consumers keep flowing across
+    * compactions.
     */
   def readSince(spark: SparkSession, root: String, sinceExclusive: Long,
       toInclusive: Option[Long] = None): DataFrame = {
-    val hist = history(root)
-    require(hist.nonEmpty, s"$root is not a manifest table (no ${ManifestDir})")
-    val to = toInclusive.getOrElse(hist.last.version)
-    val range = hist.filter(m => m.version > sinceExclusive && m.version <= to)
-    require(range.nonEmpty, s"no versions in ($sinceExclusive, $to] at $root")
+    val rootP = Paths.get(root)
+    val vs = listVersions(rootP)
+    require(vs.nonEmpty, s"$root is not a manifest table (no ${ManifestDir})")
+    val to = toInclusive.getOrElse(vs.last)
+    val rangeVs = vs.filter(v => v > sinceExclusive && v <= to)
+    require(rangeVs.nonEmpty, s"no versions in ($sinceExclusive, $to] at $root")
+    val range = rangeVs.map(v => parseManifest(rootP, v))
     range.find(_.action == "overwrite").foreach { m =>
       throw new IllegalStateException(
         s"version ${m.version} is an overwrite — incremental reads across an " +
@@ -652,7 +841,9 @@ object ManifestTable {
     * no custom decode path. Setup re-reconciles the feed against the
     * manifest log first, so a committer that crashed between manifest
     * publish and link creation (or a table older than its first tail)
-    * leaves no gaps.
+    * leaves no gaps. On filesystems without hard links (object-store
+    * mounts), publication falls back to copy-then-atomic-rename — same
+    * atomic-appearance contract, paid in bytes.
     *
     * Semantics match [[readSince]]'s incremental contract: `append`s flow,
     * `replace` (compaction — no logical change) is invisible, and
@@ -676,6 +867,9 @@ object ManifestTable {
 
   /** Idempotently hard-links every `append` manifest's files into the feed
     * directory (already-linked and already-vacuumed files are skipped).
+    * When the filesystem refuses links (object-store mounts, cross-device
+    * feeds), falls back to copying through a temp name and atomically
+    * renaming into place — the stream never observes a partial file.
     */
   private def publishFeed(rootP: JPath, ms: Seq[Manifest]): Unit = {
     val dir = rootP.resolve(FeedDir)
@@ -684,8 +878,20 @@ object ManifestTable {
       val src = rootP.resolve(f.path)
       val target = dir.resolve(feedName(m.version, i))
       if (Files.exists(src) && !Files.exists(target)) {
-        try Files.createLink(target, src)
-        catch { case _: FileAlreadyExistsException => () }
+        try {
+          if (disableFeedLinks) throw new UnsupportedOperationException(
+            "feed hard links disabled (test seam)")
+          Files.createLink(target, src)
+        } catch {
+          case _: FileAlreadyExistsException => ()
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
+            Files.copy(src, tmp)
+            try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: java.nio.file.FileSystemException =>
+              Files.deleteIfExists(tmp) // a racing publisher beat us to it
+            }
+        }
       }
     }
   }
@@ -697,12 +903,17 @@ object ManifestTable {
     */
   def scan(spark: SparkSession, root: String, pred: Pred,
       asOf: Option[Long] = None): DataFrame = {
-    val hist = history(root)
-    require(hist.nonEmpty, s"$root is not a manifest table (no ${ManifestDir})")
-    val v = asOf.getOrElse(hist.last.version)
-    val snap = snapshot(hist, v)
-    val keep = snap.flatMap(_.files).filter(f => mayMatch(f.stats, pred))
-    framed(spark, root, snap.last.schema, keep).where(pred.toColumn)
+    val (schema, files) = asOf match {
+      case Some(v) =>
+        val snap = snapshotManifests(Paths.get(root), v)
+        (snap.last.schema, snap.flatMap(_.files))
+      case None =>
+        val st = loadState(spark, root).getOrElse(throw new IllegalArgumentException(
+          s"$root is not a manifest table (no ${ManifestDir})"))
+        (st.schema, st.files)
+    }
+    val keep = files.filter(f => mayMatch(f.stats, pred))
+    framed(spark, root, schema, keep).where(pred.toColumn)
   }
 
   private def framed(spark: SparkSession, root: String, schema: StructType,
@@ -713,6 +924,150 @@ object ManifestTable {
       val paths = files.map(f => Paths.get(root).resolve(f.path).toString)
       spark.read.schema(schema).parquet(paths: _*)
     }
+  }
+
+  // -------------------------------------------------------- checkpointing
+
+  /** Folds one manifest into the running state: appends extend the census,
+    * full-set manifests replace it; a recorded batchId advances its writer's
+    * high-water mark.
+    */
+  private def applyManifest(st: Option[TableState], m: Manifest): TableState = {
+    val files =
+      if (m.action == "append") st.map(_.files).getOrElse(Nil) ++ m.files
+      else m.files
+    val txns = m.batchId match {
+      case Some(bid) =>
+        st.map(_.txns).getOrElse(Map.empty) +
+          (m.writerId.getOrElse("") -> (bid, m.version))
+      case None => st.map(_.txns).getOrElse(Map.empty)
+    }
+    TableState(m.version, m.schemaJson, files, txns)
+  }
+
+  private def loadState(spark: SparkSession, root: String): Option[TableState] =
+    loadStateAnd(spark, root).map(_._1)
+
+  /** Current state plus the raw tail manifests it was folded from (the
+    * rewrite-conflict window reuses them instead of re-parsing).
+    */
+  private def loadStateAnd(spark: SparkSession,
+      root: String): Option[(TableState, Seq[Manifest])] = {
+    val rootP = Paths.get(root)
+    val vs = listVersions(rootP)
+    if (vs.isEmpty) return None
+    val base = readLastCheckpoint(rootP)
+      .filter(_ <= vs.last)
+      .flatMap(v => loadCheckpoint(spark, rootP, v))
+    val after = base.map(_.version).getOrElse(0L)
+    val tail = vs.filter(_ > after).map(v => parseManifest(rootP, v))
+    var st = base
+    tail.foreach(m => st = Some(applyManifest(st, m)))
+    st.map((_, tail))
+  }
+
+  private def ckptDir(rootP: JPath, v: Long): JPath =
+    rootP.resolve(ManifestDir).resolve(CkptSubdir).resolve(f"v$v%08d")
+
+  private def readLastCheckpoint(rootP: JPath): Option[Long] = {
+    val p = rootP.resolve(ManifestDir).resolve(LastCkptName)
+    if (!Files.exists(p)) None
+    else scala.util.Try(new String(Files.readAllBytes(p), "UTF-8").trim.toLong).toOption
+  }
+
+  private val fileEntryEncoder = Encoders.product[FileEntry]
+
+  /** Loads the checkpoint at `v`, or None when it is absent or torn (its
+    * `state.json` marker is written LAST — a crash mid-checkpoint leaves no
+    * marker and readers fall back to full replay). The census is PARQUET,
+    * read back by Spark: columnar, batched, splittable — scan planning on a
+    * million-file table never funnels through one giant JSON document.
+    */
+  private def loadCheckpoint(spark: SparkSession, rootP: JPath,
+      v: Long): Option[TableState] = {
+    val key = (rootP.toAbsolutePath.toString, v)
+    Option(ckptCache.get(key)).orElse {
+      val dir = ckptDir(rootP, v)
+      val stateP = dir.resolve("state.json")
+      if (!Files.exists(stateP)) None
+      else scala.util.Try {
+        val o = new GeoJson.Parser(new String(Files.readAllBytes(stateP), "UTF-8"))
+          .parse().asInstanceOf[JObj].fields
+        val txns = o("txns").asInstanceOf[JObj].fields.toSeq.map { case (w, tj) =>
+          val t = tj.asInstanceOf[JObj].fields
+          w -> ((jnum(t("batchId")), jnum(t("version"))))
+        }.toMap
+        val files = spark.read.schema(fileEntryEncoder.schema)
+          .parquet(dir.resolve("census").toString)
+          .as(fileEntryEncoder).collect().toSeq.sortBy(_.path)
+        TableState(jnum(o("version")), jstr(o("schema")), files, txns)
+      }.toOption.map { st =>
+        if (ckptCache.size > 16) ckptCache.clear()
+        ckptCache.put(key, st)
+        st
+      }
+    }
+  }
+
+  /** Writes the checkpoint for `st` (census parquet first, the `state.json`
+    * completeness marker second, the `_last_checkpoint` pointer swapped in
+    * atomically last) and reclaims checkpoints older than the previous one.
+    * Concurrency-safe by construction: only the publisher of version N ever
+    * checkpoints N, and the pointer rename is atomic.
+    */
+  private def writeCheckpoint(spark: SparkSession, rootP: JPath,
+      st: TableState): Unit = {
+    val dir = ckptDir(rootP, st.version)
+    val stateP = dir.resolve("state.json")
+    if (Files.exists(stateP)) return
+    Files.createDirectories(dir)
+    val parts = math.max(1, (st.files.size / 100000) + 1)
+    spark.createDataset(st.files)(fileEntryEncoder).repartition(parts)
+      .write.mode("overwrite").parquet(dir.resolve("census").toString)
+    val txnsJ = JObj(mutable.LinkedHashMap(st.txns.toSeq.sortBy(_._1).map {
+      case (w, (bid, v)) => w -> (JObj(mutable.LinkedHashMap[String, J](
+        "batchId" -> JNum(bid.toDouble, bid.toString),
+        "version" -> JNum(v.toDouble, v.toString))): J)
+    }: _*))
+    val stateJ = JObj(mutable.LinkedHashMap[String, J](
+      "version" -> JNum(st.version.toDouble, st.version.toString),
+      "schema" -> JStr(st.schemaJson),
+      "txns" -> txnsJ))
+    writeDurable(stateP, GeoJson.writeJson(stateJ).getBytes("UTF-8"))
+    val mdir = rootP.resolve(ManifestDir)
+    val tmp = mdir.resolve(s".ckpt-tmp-${UUID.randomUUID()}")
+    Files.write(tmp, st.version.toString.getBytes("UTF-8"))
+    Files.move(tmp, mdir.resolve(LastCkptName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // retain this checkpoint and the previous one (a reader holding the old
+    // pointer mid-load must still find its files); reclaim anything older
+    val ckRoot = mdir.resolve(CkptSubdir)
+    if (Files.isDirectory(ckRoot)) {
+      val s = Files.list(ckRoot)
+      val versions =
+        try s.iterator().asScala.flatMap { p =>
+          scala.util.Try(p.getFileName.toString.stripPrefix("v").toLong).toOption
+        }.toSeq.sorted
+        finally s.close()
+      versions.dropRight(2).foreach(v => deleteRecursively(ckptDir(rootP, v)))
+    }
+  }
+
+  private def maybeCheckpoint(spark: SparkSession, rootP: JPath,
+      st: TableState): Unit =
+    if (st.version % CheckpointEvery == 0)
+      try writeCheckpoint(spark, rootP, st)
+      catch { case NonFatal(_) => () } // best-effort: the commit is durable
+
+  /** Forces a checkpoint of the current state (the automatic cadence is one
+    * per [[CheckpointEvery]] commits); returns the checkpointed version.
+    * Idempotent at a given version.
+    */
+  def checkpoint(spark: SparkSession, root: String): Long = {
+    val st = loadState(spark, root).getOrElse(throw new IllegalArgumentException(
+      s"$root is not a manifest table (no ${ManifestDir})"))
+    writeCheckpoint(spark, Paths.get(root), st)
+    st.version
   }
 
   // ------------------------------------------------------------- pruning
@@ -732,8 +1087,9 @@ object ManifestTable {
     }
 
   /** (min, max, predicate value) as comparable pairs, or None when the
-    * column has no stats / the value isn't comparable to the stats kind —
-    * in which case the caller must keep the file.
+    * column has no stats / the value isn't comparable to the stats kind /
+    * a legacy manifest recorded unusable numerics (e.g. "Infinity") — in
+    * which case the caller must keep the file.
     */
   private def boundsOf(stats: Map[String, ColStats], c: String,
       v: Any): Option[(Any, Any, Any)] =
@@ -744,10 +1100,14 @@ object ManifestTable {
           case _ => None
         }
         case "long" | "double" =>
-          numeric(v).map(x => (BigDecimal(s.min), BigDecimal(s.max), x))
+          for { x <- numeric(v); mn <- decOpt(s.min); mx <- decOpt(s.max) }
+            yield (mn, mx, x)
         case _ => None
       }
     }
+
+  private def decOpt(s: String): Option[BigDecimal] =
+    scala.util.Try(BigDecimal(s)).toOption
 
   private def numeric(v: Any): Option[BigDecimal] = v match {
     case i: Int => Some(BigDecimal(i))
@@ -769,9 +1129,28 @@ object ManifestTable {
     case _ => None
   }
 
+  /** Strings compare as UNSIGNED UTF-8 BYTES — the order parquet min/max
+    * stats are computed in and the order Spark compares rows in. Java's
+    * String.compareTo (UTF-16 code units) diverges for supplementary
+    * characters (a surrogate pair's 0xD800.. units sort BELOW 0xE000..FFFF
+    * while their UTF-8 bytes sort above), and pruning in the wrong order
+    * silently drops matching files.
+    */
+  private[sources] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: BigDecimal, y: BigDecimal) => x.compare(y)
-    case (x: String, y: String) => x.compareTo(y)
+    case (x: String, y: String) => utf8Cmp(x, y)
     case _ => 0
   }
 
@@ -824,6 +1203,10 @@ object ManifestTable {
                 t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
               case _ => false
             }
+            // non-finite float stats (±Infinity, NaN) are unusable: they
+            // don't survive the decimal round-trip and BigDecimal would
+            // throw on every later scan — drop the column, keep the file
+            def finite(d: Double): Boolean = !d.isNaN && !d.isInfinite
             val kindVal: Option[(String, String, String)] =
               if (st == null || st.isEmpty || !st.hasNonNullValue) None
               else (st.genericGetMin, st.genericGetMax) match {
@@ -831,9 +1214,11 @@ object ManifestTable {
                   Some(("long", mn.toString, mx.toString))
                 case (mn: java.lang.Long, mx: java.lang.Long) if intAnnOk =>
                   Some(("long", mn.toString, mx.toString))
-                case (mn: java.lang.Float, mx: java.lang.Float) =>
+                case (mn: java.lang.Float, mx: java.lang.Float)
+                    if finite(mn.toDouble) && finite(mx.toDouble) =>
                   Some(("double", mn.toDouble.toString, mx.toDouble.toString))
-                case (mn: java.lang.Double, mx: java.lang.Double) =>
+                case (mn: java.lang.Double, mx: java.lang.Double)
+                    if finite(mn) && finite(mx) =>
                   Some(("double", mn.toString, mx.toString))
                 case (mn: org.apache.parquet.io.api.Binary,
                       mx: org.apache.parquet.io.api.Binary)
@@ -866,7 +1251,7 @@ object ManifestTable {
   }
 
   private def statLt(kind: String, a: String, b: String): Boolean =
-    if (kind == "string") a.compareTo(b) < 0 else BigDecimal(a) < BigDecimal(b)
+    if (kind == "string") utf8Cmp(a, b) < 0 else BigDecimal(a) < BigDecimal(b)
 
   // --------------------------------------------------------------- vacuum
 
@@ -924,6 +1309,7 @@ object ManifestTable {
       "schema" -> JStr(m.schemaJson),
       "tsMs" -> JNum(m.tsMs.toDouble, m.tsMs.toString))
     m.batchId.foreach(b => fields("batchId") = JNum(b.toDouble, b.toString))
+    m.writerId.foreach(w => fields("writer") = JStr(w))
     fields("files") = JArr(mutable.ArrayBuffer(m.files.map { f =>
       JObj(mutable.LinkedHashMap[String, J](
         "path" -> JStr(f.path),
@@ -938,19 +1324,20 @@ object ManifestTable {
     JObj(fields)
   }
 
+  private def jnum(j: J): Long = j.asInstanceOf[JNum].raw.toLong
+  private def jstr(j: J): String = j.asInstanceOf[JStr].s
+
   private def fromJson(text: String): Manifest = {
     val o = new GeoJson.Parser(text).parse().asInstanceOf[JObj].fields
-    def num(j: J): Long = j.asInstanceOf[JNum].raw.toLong
-    def str(j: J): String = j.asInstanceOf[JStr].s
     val files = o("files").asInstanceOf[JArr].items.toSeq.map { fj =>
       val f = fj.asInstanceOf[JObj].fields
       val stats = f("stats").asInstanceOf[JObj].fields.toSeq.map { case (c, sj) =>
         val s = sj.asInstanceOf[JObj].fields
-        c -> ColStats(str(s("k")), str(s("min")), str(s("max")), num(s("nulls")))
+        c -> ColStats(jstr(s("k")), jstr(s("min")), jstr(s("max")), jnum(s("nulls")))
       }.toMap
-      FileEntry(str(f("path")), num(f("rows")), num(f("bytes")), stats)
+      FileEntry(jstr(f("path")), jnum(f("rows")), jnum(f("bytes")), stats)
     }
-    Manifest(num(o("version")), str(o("action")), str(o("schema")), files,
-      o.get("batchId").map(num), num(o("tsMs")))
+    Manifest(jnum(o("version")), jstr(o("action")), jstr(o("schema")), files,
+      o.get("batchId").map(jnum), o.get("writer").map(jstr), jnum(o("tsMs")))
   }
 }

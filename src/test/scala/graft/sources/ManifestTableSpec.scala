@@ -578,6 +578,196 @@ class ManifestTableSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("string stats prune in unsigned UTF-8 byte order (supplementary chars)") {
+    // parquet footers order binary stats by unsigned UTF-8 bytes; Java's
+    // String.compareTo (UTF-16 units) sorts a surrogate pair BELOW
+    // U+E000..FFFF, so a UTF-16 comparison would falsely prune this file
+    val root = tmp("utf8")
+    ManifestTable.append(Seq((1L, "alpha"), (2L, "😀")) // 😀 U+1F600
+      .toDF("id", "tag"), root)
+    val out = ManifestTable.scan(spark, root, Ge("tag", "�"))
+    assert(out.select("id").as[Long].collect().toSeq == Seq(2L))
+    // the primitive itself: UTF-8 bytes of U+1F600 (f0 90..) sort above
+    // U+FFFD (ef bf bd); UTF-16 units sort the other way
+    assert(ManifestTable.utf8Cmp("😀", "�") > 0)
+    assert("😀".compareTo("�") < 0)
+  }
+
+  test("non-finite double stats are dropped, not poisonous") {
+    val root = tmp("inf")
+    // append must not throw while merging footer stats, and later scans on
+    // the column must keep the file (stats absent ⇒ conservative)
+    ManifestTable.append(
+      Seq((1L, Double.PositiveInfinity), (2L, 1.5), (3L, Double.NaN))
+        .toDF("id", "x").repartition(1), root)
+    val stats = ManifestTable.history(root).head.files.head.stats
+    assert(!stats.contains("x") && stats.contains("id"))
+    val out = ManifestTable.scan(spark, root, Le("x", 2.0))
+    assert(out.select("id").as[Long].collect().toSeq == Seq(2L))
+    // deleteWhere over the statless column also survives (Spark orders NaN
+    // above every double, so both the Infinity and the NaN row match)
+    val (_, d) = ManifestTable.deleteWhere(spark, root, Ge("x", 100.0))
+    assert(d == 2L)
+    assert(ManifestTable.read(spark, root).select("id").as[Long]
+      .collect().toSeq == Seq(2L))
+  }
+
+  test("merge rejects duplicate source keys loudly") {
+    val root = tmp("mdup")
+    ManifestTable.append(idTable(0 until 10, "a"), root)
+    val dup = Seq((1L, "x", 0.0), (1L, "y", 1.0), (2L, "z", 2.0))
+      .toDF("id", "tag", "score")
+    val err = intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, root, dup, Seq("id"))
+    }
+    assert(err.getMessage.contains("duplicate keys"))
+    assert(ManifestTable.read(spark, root).count() == 10) // table unharmed
+  }
+
+  test("merge clauses: delete-matched, insert-only, update-without-insert") {
+    import graft.sources.ManifestTable.{MatchedDelete, MatchedIgnore, MatchedUpdate}
+    val root = tmp("mcl")
+    ManifestTable.append(idTable(0 until 100, "old"), root)
+    // WHEN MATCHED DELETE, no inserts: a keyed delete
+    ManifestTable.merge(spark, root, idTable(10 until 20, "x"), Seq("id"),
+      whenMatched = MatchedDelete, insertUnmatched = false)
+    val afterDel = ManifestTable.read(spark, root)
+    assert(afterDel.count() == 90)
+    assert(afterDel.where(col("id").between(10, 19)).count() == 0)
+    assert(ManifestTable.history(root).last.action == "overwrite")
+    // WHEN MATCHED IGNORE + insert: insert-if-new — existing rows keep their
+    // values, existing files are untouched, and the landed manifest is a
+    // plain APPEND (readSince keeps flowing)
+    val before = ManifestTable.history(root).last.files.map(_.path).toSet
+    val v = ManifestTable.merge(spark, root,
+      idTable(95 until 105, "new"), Seq("id"), whenMatched = MatchedIgnore)
+    val last = ManifestTable.history(root).last
+    assert(last.action == "append")
+    // existing files untouched: the append manifest lists ONLY the staged
+    // inserts, and every pre-merge file is still on disk
+    assert(last.files.map(_.path).toSet.intersect(before).isEmpty)
+    assert(before.forall(p => Files.exists(Paths.get(root).resolve(p))))
+    val afterIns = ManifestTable.read(spark, root)
+    assert(afterIns.count() == 95)
+    assert(afterIns.where(col("id") === 96L).select("tag").head().getString(0) == "old")
+    assert(afterIns.where(col("id") === 101L).select("tag").head().getString(0) == "new")
+    // readSince flows across the insert-only merge
+    val inc = ManifestTable.readSince(spark, root, sinceExclusive = v - 1)
+    assert(inc.select("id").as[Long].collect().sorted.toSeq == (100L until 105L))
+    // WHEN MATCHED UPDATE, no inserts: update-existing-only
+    ManifestTable.merge(spark, root, idTable(98 until 110, "upd"), Seq("id"),
+      whenMatched = MatchedUpdate, insertUnmatched = false)
+    val afterUpd = ManifestTable.read(spark, root)
+    assert(afterUpd.count() == 95) // nothing inserted
+    assert(afterUpd.where(col("tag") === "upd").select("id").as[Long]
+      .collect().sorted.toSeq == (98L until 105L))
+    // the no-op combination is rejected
+    intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, root, idTable(0 until 1, "z"), Seq("id"),
+        whenMatched = MatchedIgnore, insertUnmatched = false)
+    }
+  }
+
+  test("streaming idempotency is scoped per writer (two queries share a table)") {
+    val root = tmp("writers")
+    // two streaming queries both start at batchId 0 — neither suppresses
+    // the other
+    val va = ManifestTable.commit(idTable(0 until 5, "qa"), root,
+      overwrite = false, batchId = Some(0L), writerId = "qa")
+    val vb = ManifestTable.commit(idTable(5 until 9, "qb"), root,
+      overwrite = false, batchId = Some(0L), writerId = "qb")
+    assert(va != vb)
+    assert(ManifestTable.read(spark, root).count() == 9)
+    // within one writer, replays of the latest AND of older batches skip
+    ManifestTable.commit(idTable(9 until 12, "qa"), root,
+      overwrite = false, batchId = Some(1L), writerId = "qa")
+    assert(ManifestTable.commit(idTable(0 until 5, "qa"), root,
+      overwrite = false, batchId = Some(0L), writerId = "qa") > 0) // old replay
+    assert(ManifestTable.commit(idTable(9 until 12, "qa"), root,
+      overwrite = false, batchId = Some(1L), writerId = "qa") > 0) // last replay
+    assert(ManifestTable.read(spark, root).count() == 12)
+  }
+
+  test("restore to a version the log does not hold fails loudly") {
+    val root = tmp("rsbad")
+    ManifestTable.append(idTable(0 until 5, "a"), root)
+    val err = intercept[IllegalArgumentException] {
+      ManifestTable.restore(root, 99L)
+    }
+    assert(err.getMessage.contains("v99"))
+    assert(ManifestTable.latestVersion(root).contains(1L))
+  }
+
+  test("checkpointing bounds manifest reads per op across 200 micro-commits") {
+    val root = tmp("ckpt")
+    def parsesDuring[T](f: => T): (T, Long) = {
+      val before = ManifestTable.manifestParseCount
+      val r = f
+      (r, ManifestTable.manifestParseCount - before)
+    }
+    val two = (i: Int) => Seq((i.toLong, s"t$i", i * 0.5), (i + 10000L, s"u$i", 0.0))
+      .toDF("id", "tag", "score").repartition(1)
+    (1 to 200).foreach(i => ManifestTable.append(two(i), root))
+    // checkpoints landed on the CheckpointEvery cadence; only the last two
+    // checkpoint directories are retained, and the pointer names the newest
+    val mdir = Paths.get(root, "_graft_manifest")
+    assert(new String(Files.readAllBytes(mdir.resolve("_last_checkpoint")),
+      "UTF-8").trim.toLong == 200L)
+    val ckpts = Files.list(mdir.resolve("ckpt")).iterator().asScala.toSeq
+    assert(ckpts.length == 2)
+    assert(Files.list(mdir.resolve("ckpt").resolve("v00000200").resolve("census"))
+      .iterator().asScala.exists(_.toString.endsWith(".parquet")))
+    // hot ops replay FROM the checkpoint: their raw-manifest parses are
+    // bounded by the interval + contention, never by the 200-commit age
+    val (_, pAppend) = parsesDuring(ManifestTable.append(two(201), root))
+    assert(pAppend <= 2 * ManifestTable.CheckpointEvery,
+      s"append parsed $pAppend manifests — checkpoint not consulted?")
+    val (cnt, pRead) = parsesDuring(ManifestTable.read(spark, root).count())
+    assert(cnt == 402L)
+    assert(pRead <= ManifestTable.CheckpointEvery)
+    val (hit, pScan) = parsesDuring(
+      ManifestTable.scan(spark, root, Eq("id", 42L)).count())
+    assert(hit == 1L)
+    assert(pScan <= ManifestTable.CheckpointEvery)
+    // correctness across the checkpoint seam: contents and time travel
+    val back = ManifestTable.read(spark, root)
+    assert(back.agg(sum("id")).head().getLong(0) ==
+      (1L to 201L).sum + 201L * 10000L + (1L to 201L).sum)
+    assert(ManifestTable.read(spark, root, asOf = Some(37L)).count() == 74)
+    // an explicit checkpoint verb is idempotent and moves the pointer
+    assert(ManifestTable.checkpoint(spark, root) == 201L)
+    assert(new String(Files.readAllBytes(mdir.resolve("_last_checkpoint")),
+      "UTF-8").trim.toLong == 201L)
+    val (cnt2, pRead2) = parsesDuring(ManifestTable.read(spark, root).count())
+    assert(cnt2 == 402L && pRead2 == 0L)
+    // streaming txn marks survive the checkpoint round-trip: a replayed
+    // batch from 100 commits ago is still deduped
+    val root2 = tmp("ckpt_txn")
+    (0 until 45).foreach(i => ManifestTable.commit(two(i), root2,
+      overwrite = false, batchId = Some(i.toLong), writerId = "w"))
+    assert(ManifestTable.commit(two(3), root2, overwrite = false,
+      batchId = Some(3L), writerId = "w") > 0)
+    assert(ManifestTable.read(spark, root2).count() == 90)
+  }
+
+  test("feed publication falls back to copy when hard links are unavailable") {
+    val root = tmp("feedcopy")
+    ManifestTable.disableFeedLinks = true
+    try {
+      ManifestTable.append(idTable(0 until 12, "a"), root)
+      ManifestTable.append(idTable(12 until 20, "b"), root)
+      val feed = Paths.get(root).resolve("_graft_feed")
+      val entries = Files.list(feed).iterator().asScala.toSeq
+      assert(entries.nonEmpty && entries.forall(!_.getFileName.toString.startsWith(".tmp")))
+      val q = ManifestTable.tailStream(spark, root)
+        .writeStream.format("memory").queryName("feed_copy_t")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(spark.table("feed_copy_t").count() == 20)
+    } finally ManifestTable.disableFeedLinks = false
+  }
+
   test("vacuum unlinks reclaimed commits' feed entries; retained links survive") {
     val root = tmp("feedvac")
     ManifestTable.append(idTable(0 until 10, "a"), root)
