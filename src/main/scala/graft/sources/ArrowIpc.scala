@@ -8,6 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.arrow.compression.CommonsCompressionFactory
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex
 import org.apache.arrow.vector.complex.ListVector
 import org.apache.arrow.vector.complex.writer.BaseWriter.ListWriter
 import org.apache.arrow.vector.compression.{CompressionUtil, NoCompressionCodec}
@@ -39,10 +40,12 @@ import org.apache.spark.sql.types._
   * files stay batch-splittable — unlike whole-file gzip.
   *
   * Column scope: every flat Spark type (bool / int8-64 / float32-64 / utf8 /
-  * binary / date / timestamp-any-unit / decimal ≤ 38 digits) plus arbitrarily
-  * nested LIST columns (embedding vectors, token-id arrays). Struct and map
-  * columns are rejected LOUDLY both ways — no silent byte-passthrough.
-  * Geometry follows the house convention: WKB travels as a `binary` column.
+  * binary / date / timestamp-any-unit / decimal ≤ 38 digits), arbitrarily
+  * nested LIST columns (embedding vectors, token-id arrays), and STRUCT
+  * columns (nullable, nested structs included — the typed-metadata shape
+  * interchange dumps carry). Map columns and structs INSIDE lists are
+  * rejected LOUDLY both ways — no silent byte-passthrough. Geometry follows
+  * the house convention: WKB travels as a `binary` column.
   */
 object ArrowIpc {
 
@@ -80,9 +83,12 @@ object ArrowIpc {
     case _: ArrowType.List | _: ArrowType.LargeList =>
       val e = f.getChildren.get(0)
       ArrayType(sparkType(e), e.isNullable)
+    case _: ArrowType.Struct =>
+      StructType(f.getChildren.asScala.map(c =>
+        StructField(c.getName, sparkType(c), c.isNullable)).toArray)
     case other =>
       throw new IllegalArgumentException(
-        s"unsupported arrow type $other in column ${f.getName} (struct/map not mapped)")
+        s"unsupported arrow type $other in column ${f.getName} (map not mapped)")
   }
 
   private[sources] def structOf(s: ASchema): StructType =
@@ -111,11 +117,18 @@ object ArrowIpc {
           s"decimal precision ${d.precision} exceeds arrow mapping in $name")
         flat(ArrowType.Decimal.createDecimal(d.precision, d.scale, 128))
       case ArrayType(et, en) =>
+        require(!et.isInstanceOf[StructType],
+          s"list-of-struct column $name not mapped for arrow writes " +
+            "(flatten the struct or lift it to a top-level column)")
         new Field(name, new FieldType(nullable, ArrowType.List.INSTANCE, null),
           java.util.List.of(arrowField("item", et, en)))
+      case st: StructType =>
+        new Field(name, new FieldType(nullable, ArrowType.Struct.INSTANCE, null),
+          st.fields.map(sf => arrowField(sf.name, sf.dataType, sf.nullable))
+            .toList.asJava)
       case other =>
         throw new IllegalArgumentException(
-          s"unsupported Spark type $other for arrow column $name (struct/map not mapped)")
+          s"unsupported Spark type $other for arrow column $name (map not mapped)")
     }
   }
 
@@ -190,6 +203,11 @@ object ArrowIpc {
           val end = b.getElementEndIndex(i)
           (start until end).map(elem).toSeq
         }
+      case (b: complex.NonNullableStructVector, st: StructType) =>
+        // covers the nullable StructVector too (its subclass); the outer
+        // null wrapper consults the struct's own validity
+        val kids = st.fields.map(f => extractor(b.getChild(f.name), f.dataType))
+        i => Row.fromSeq(kids.toIndexedSeq.map(_(i)))
       case (other, d) =>
         throw new IllegalArgumentException(
           s"no extractor for arrow vector ${other.getClass.getSimpleName} as Spark $d")
@@ -197,37 +215,62 @@ object ArrowIpc {
     i => if (v.isNull(i)) null else nonNull(i)
   }
 
-  /** Footer-indexed parallel read: the driver reads each file's footer
-    * (metadata-only) and greedily packs record batches into ~`splitBytes`
-    * groups; each task seeks straight to its batches. `columns` projects at
-    * the BATCH LOAD level — unprojected columns' buffers are still indexed
-    * by the footer but their values never decode into rows.
+  /** Per-batch body lengths from one file's footer — metadata-only, no
+    * batch decode. Runs on the driver for few-file layouts and as a Spark
+    * task per file batch for many-file ones.
+    */
+  private def footerBatchLens(f: String): Seq[Long] = {
+    val ch = FileChannel.open(Paths.get(f), StandardOpenOption.READ)
+    val alloc = new RootAllocator()
+    val r = new ArrowFileReader(ch, alloc)
+    try r.getRecordBlocks.asScala.map(_.getBodyLength).toSeq
+    finally { r.close(); alloc.close() }
+  }
+
+  /** Above this many files the footer census fans out as a distributed
+    * metadata job (one serial driver open per file would dominate planning
+    * on a 100k-small-files drop); below it the driver loop is cheaper than
+    * a job launch.
+    */
+  private[sources] val DistributedCensusThreshold = 64
+
+  // observability seam: driver-side footer opens during read planning (the
+  // many-files spec asserts the census did NOT run as a driver loop)
+  private[sources] val driverFooterOpens = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Footer-indexed parallel read: each file's footer is read
+    * (metadata-only — on the driver for a handful of files, as a distributed
+    * job over the file list beyond [[DistributedCensusThreshold]], the same
+    * shape as ManifestTable.footerStats) and record batches greedily pack
+    * into ~`splitBytes` groups; each task seeks straight to its batches.
+    * `columns` projects at the BATCH LOAD level — unprojected columns'
+    * buffers are still indexed by the footer but their values never decode
+    * into rows.
     */
   def read(spark: SparkSession, path: String,
       splitBytes: Long = 32L * 1024 * 1024,
       columns: Seq[String] = Nil): DataFrame = {
     val files = listArrow(path)
-    // driver-side footer census: schema (first file) + per-batch body sizes
-    var schemaFull: StructType = null
+    driverFooterOpens.incrementAndGet()
+    val schemaFull: StructType = schemaOf(files.head)
+    val census: Seq[(String, Seq[Long])] =
+      if (files.size <= DistributedCensusThreshold)
+        files.map { f => driverFooterOpens.incrementAndGet(); (f, footerBatchLens(f)) }
+      else
+        spark.sparkContext.parallelize(files, math.min(files.size, 32))
+          .map(f => (f, footerBatchLens(f))).collect().sortBy(_._1).toSeq
     val splits = scala.collection.mutable.ArrayBuffer[(String, Seq[Int])]()
-    files.foreach { f =>
-      val ch = FileChannel.open(Paths.get(f), StandardOpenOption.READ)
-      val alloc = new RootAllocator()
-      val r = new ArrowFileReader(ch, alloc)
-      try {
-        if (schemaFull == null) schemaFull = structOf(r.getVectorSchemaRoot.getSchema)
-        val blocks = r.getRecordBlocks.asScala
-        var group = scala.collection.mutable.ArrayBuffer[Int]()
-        var bytes = 0L
-        blocks.zipWithIndex.foreach { case (b, i) =>
-          if (group.nonEmpty && bytes + b.getBodyLength > splitBytes) {
-            splits += ((f, group.toSeq)); group = scala.collection.mutable.ArrayBuffer[Int]()
-            bytes = 0L
-          }
-          group += i; bytes += b.getBodyLength
+    census.foreach { case (f, lens) =>
+      var group = scala.collection.mutable.ArrayBuffer[Int]()
+      var bytes = 0L
+      lens.zipWithIndex.foreach { case (len, i) =>
+        if (group.nonEmpty && bytes + len > splitBytes) {
+          splits += ((f, group.toSeq)); group = scala.collection.mutable.ArrayBuffer[Int]()
+          bytes = 0L
         }
-        if (group.nonEmpty) splits += ((f, group.toSeq))
-      } finally { r.close(); alloc.close() }
+        group += i; bytes += len
+      }
+      if (group.nonEmpty) splits += ((f, group.toSeq))
     }
     val schema =
       if (columns.isEmpty) schemaFull
@@ -300,6 +343,23 @@ object ArrowIpc {
           if (x == null) w.writeNull()
           else writeList(w, et, x.asInstanceOf[scala.collection.Seq[Any]])
         }
+      case (b: complex.NonNullableStructVector, st: StructType) =>
+        // children are written directly (they realloc via their own setSafe
+        // paths); the struct's validity bit is set per row — setIndexDefined
+        // reallocs the validity buffer itself, and setValueCount at batch
+        // close fills child holes left by null struct rows
+        val kids = st.fields.map(f => setter(b.getChild(f.name), f.dataType))
+        (i, x) =>
+          if (x == null) b match {
+            case sv: complex.StructVector => sv.setNull(i)
+            case _ => throw new IllegalArgumentException(
+              s"null struct value in a non-nullable arrow struct column at row $i")
+          } else {
+            b match { case sv: complex.StructVector => sv.setIndexDefined(i); case _ => () }
+            val r = x.asInstanceOf[Row]
+            var k = 0
+            while (k < kids.length) { kids(k)(i, r.get(k)); k += 1 }
+          }
       case (other, d) =>
         throw new IllegalArgumentException(
           s"no setter for arrow vector ${other.getClass.getSimpleName} as Spark $d")

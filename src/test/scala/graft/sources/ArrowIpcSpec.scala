@@ -148,12 +148,90 @@ class ArrowIpcSpec extends AnyFunSuite with SparkSpec {
     assert(ArrowIpc.schemaOf(s"$dir/t.arrow").fieldNames.toSeq == Seq("id", "s"))
   }
 
-  test("struct and map columns are rejected loudly, not byte-passed") {
-    val st = spark.range(3).select(col("id"), struct(col("id").as("a")).as("sub"))
-    intercept[IllegalArgumentException] { ArrowIpc.write(st, tmp("rej") + "/t.arrow") }
+  test("map and list-of-struct columns are rejected loudly, not byte-passed") {
     val mp = spark.range(3).select(col("id"),
       map(lit("k"), col("id")).as("kv"))
     intercept[IllegalArgumentException] { ArrowIpc.write(mp, tmp("rej2") + "/t.arrow") }
+    val los = spark.range(3).select(col("id"),
+      array(struct(col("id").as("a"))).as("subs"))
+    intercept[IllegalArgumentException] { ArrowIpc.write(los, tmp("rej3") + "/t.arrow") }
+  }
+
+  private val structSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("w", IntegerType, nullable = true),
+      StructField("label", StringType, nullable = true),
+      StructField("inner", StructType(Seq(
+        StructField("d", DoubleType, nullable = true))), nullable = true),
+      StructField("xs", ArrayType(LongType, containsNull = true), nullable = true))),
+      nullable = true)))
+
+  private def structRows = Seq(
+    Row(1L, Row(640, "cat", Row(0.5), Seq(7L, null, 9L))),
+    Row(2L, null),                              // null struct row
+    Row(3L, Row(null, null, null, null)),       // struct of nulls
+    Row(4L, Row(-1, "", Row(-2.25), Seq.empty[Long])))
+
+  for (codec <- Seq("null", "lz4", "zstd"))
+    test(s"struct roundtrip [$codec]: nested structs, inner lists, null rows") {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(structRows, 2), structSchema)
+      val dir = tmp(s"struct_$codec")
+      ArrowIpc.write(df, s"$dir/t.arrow", codec = codec)
+      val back = ArrowIpc.read(spark, s"$dir/t.arrow")
+      assert(back.schema("meta").dataType == structSchema("meta").dataType)
+      val m = back.collect().map(r => r.getLong(0) -> r).toMap
+      assert(m.size == 4)
+      val r1 = m(1L).getStruct(1)
+      assert(r1.getInt(0) == 640 && r1.getString(1) == "cat")
+      assert(r1.getStruct(2).getDouble(0) == 0.5)
+      assert(r1.getSeq[Any](3) == Seq(7L, null, 9L))
+      assert(m(2L).isNullAt(1))
+      val r3 = m(3L).getStruct(1)
+      assert((0 to 3).forall(r3.isNullAt))
+      val r4 = m(4L).getStruct(1)
+      assert(r4.getInt(0) == -1 && r4.getString(1) == "" &&
+        r4.getStruct(2).getDouble(0) == -2.25 && r4.getSeq[Any](3).isEmpty)
+      // field access pushes through Spark's own struct ops after the read
+      assert(back.select(col("meta.w")).agg(sum("w")).head().getLong(0) == 639L)
+    }
+
+  test("struct columns survive the streaming format and projection") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(structRows, 1), structSchema)
+    val dir = tmp("struct_arrows")
+    ArrowIpc.writeArrows(df, s"$dir/t.arrows")
+    val back = ArrowIpc.readArrows(spark, s"$dir/t.arrows")
+    assert(back.where(col("meta").isNull).count() == 1)
+    assert(back.where(col("meta.label") === "cat").count() == 1)
+    // top-level projection can DROP the struct column entirely
+    val slim = ArrowIpc.read(spark, {
+      ArrowIpc.write(df, s"$dir/t.arrow"); s"$dir/t.arrow"
+    }, columns = Seq("id"))
+    assert(slim.columns.toSeq == Seq("id") && slim.count() == 4)
+  }
+
+  test("many-file footer census fans out as a job, not a driver loop") {
+    val n = ArrowIpc.DistributedCensusThreshold + 16
+    val df = spark.range(n * 10L).select(col("id"), (col("id") % 9).as("g"))
+    val dir = tmp("census")
+    ArrowIpc.write(df.repartition(n), s"$dir/t.arrow")
+    val files = new java.io.File(s"$dir/t.arrow").listFiles()
+      .filter(_.getName.endsWith(".arrow"))
+    assert(files.length == n)
+    val before = ArrowIpc.driverFooterOpens.get()
+    val back = ArrowIpc.read(spark, s"$dir/t.arrow")
+    assert(back.count() == n * 10L)
+    assert(back.agg(sum("id")).head().getLong(0) == (0L until n * 10L).sum)
+    val opens = ArrowIpc.driverFooterOpens.get() - before
+    assert(opens <= 1L, s"driver opened $opens footers — census not distributed?")
+    // under the threshold the driver loop is used (cheaper than a job)
+    val small = tmp("census_small")
+    ArrowIpc.write(df.repartition(3), s"$small/t.arrow")
+    val b2 = ArrowIpc.driverFooterOpens.get()
+    ArrowIpc.read(spark, s"$small/t.arrow").count()
+    assert(ArrowIpc.driverFooterOpens.get() - b2 == 4L) // schema + 3 files
   }
 
   test("geometry WKB convention rides as binary through auto dispatch") {
