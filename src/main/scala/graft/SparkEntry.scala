@@ -1046,6 +1046,29 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // --- similarity: INCREMENTAL index refresh composed with readSince -----
+    // build the persisted IVF index over a manifest table's v1, append v2,
+    // feed readSince's delta through ivfRefreshIndex (frozen quantizer,
+    // cell-partition appends — zero existing rows touched), then search at
+    // nprobe = nlist: exactly brute force over the UNION corpus
+    "sim_ivf_refresh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = freshRoot("ivf_rf", dir)
+      ManifestTable.append(emb.where(col("vec_id") % 3 =!= 2), root)
+      val out = s"/tmp/graft_ivfrf_${new java.io.File(dir).getName}"
+      val (assigned, centroids) = Similarity.ivfBuildIndex(
+        ManifestTable.read(s, root), "embedding", "vec_id", nlist = 8)
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$out/assigned")
+      centroids.write.mode("overwrite").parquet(s"$out/centroids")
+      ManifestTable.append(emb.where(col("vec_id") % 3 === 2), root)
+      Similarity.ivfRefreshIndex(s, out,
+        ManifestTable.readSince(s, root, sinceExclusive = 1L), "embedding", "vec_id")
+      Similarity.ivfSearchIndex(
+          s.read.parquet(s"$out/assigned"), s.read.parquet(s"$out/centroids"),
+          emb.where(col("vec_id") < 8), "embedding", "vec_id", k = 5, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // --- similarity: composed retriever — IVF cells × int8 candidates ×
     // float rescore. nprobe = nlist probes every cell, so the algorithm is
     // deterministically int8-top-20-then-exact-rescore-top-5, which the
@@ -1140,6 +1163,27 @@ object SparkEntry {
             x => x =!= ""), 1, 4), " ").as("query"))
       val out = s"/tmp/graft_bm25idx_${new java.io.File(dir).getName}"
       TextAnalysis.buildBM25Index(docs, out)
+      TextAnalysis.searchBM25Index(s, out, qs, topK = 10)
+    }),
+
+    // --- BM25 index incremental refresh composed with readSince ------------
+    // build over a manifest table's v1 (two thirds of the corpus), append
+    // v2, feed readSince's delta through refreshBM25Index (per-term hash
+    // buckets recompute exact df locally; untouched buckets never read) —
+    // the search must equal the full-corpus build's oracle verbatim
+    "text_bm25_refresh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = freshRoot("bm25_rf", dir)
+      ManifestTable.append(docs.where(col("doc_id") % 3 =!= 2), root)
+      val out = s"/tmp/graft_bm25rf_${new java.io.File(dir).getName}"
+      TextAnalysis.buildBM25Index(ManifestTable.read(s, root), out)
+      ManifestTable.append(docs.where(col("doc_id") % 3 === 2), root)
+      TextAnalysis.refreshBM25Index(s, out,
+        ManifestTable.readSince(s, root, sinceExclusive = 1L))
+      val qs = docs.where(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(split(trim(lower(col("text"))), " +"),
+            x => x =!= ""), 1, 4), " ").as("query"))
       TextAnalysis.searchBM25Index(s, out, qs, topK = 10)
     }),
 
@@ -1409,6 +1453,49 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.table(sink)
+    }),
+
+    // --- manifest MERGE clauses (delete-matched, then insert-only) ---------
+    // start from residues 0,1; a MatchedDelete merge drops residue 1 by key;
+    // a MatchedIgnore (insert-if-new) merge offers residues 0,2 with doubled
+    // price — residue 0 stays ORIGINAL (matched rows untouched, no file
+    // rewritten), residue 2 inserts. Final table: residue 0 original ∪
+    // residue 2 doubled.
+    "data_manifest_merge_clauses" -> ((s, dir) => {
+      val root = freshRoot("manifest_mc", dir)
+      val orders = t(s, dir, "orders")
+      ManifestTable.append(orders.where(col("o_orderkey") % 4 === 0), root)
+      ManifestTable.append(orders.where(col("o_orderkey") % 4 === 1), root)
+      ManifestTable.merge(s, root, orders.where(col("o_orderkey") % 4 === 1),
+        Seq("o_orderkey"), whenMatched = ManifestTable.MatchedDelete,
+        insertUnmatched = false)
+      val offer = orders
+        .where(col("o_orderkey") % 4 === 0 || col("o_orderkey") % 4 === 2)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      ManifestTable.merge(s, root, offer, Seq("o_orderkey"),
+        whenMatched = ManifestTable.MatchedIgnore)
+      ManifestTable.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum("o_orderkey").cast("long").as("sum_key"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("long").as("cents"))
+    }),
+
+    // --- manifest-log checkpoint (bounded metadata replay) -----------------
+    // three appends, an explicit checkpoint (the every-20-commits cadence,
+    // forced), one more append: the read composes the checkpoint's PARQUET
+    // file census with the one-manifest log tail — never a full-log replay —
+    // and must equal the plain union of all four appends
+    "data_manifest_checkpoint" -> ((s, dir) => {
+      val root = freshRoot("manifest_ck", dir)
+      val orders = t(s, dir, "orders")
+      (0 until 3).foreach(i =>
+        ManifestTable.append(orders.where(col("o_orderkey") % 4 === i), root))
+      ManifestTable.checkpoint(s, root)
+      ManifestTable.append(orders.where(col("o_orderkey") % 4 === 3), root)
+      ManifestTable.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("o_orderkey").cast("long").as("sum_key"))
     }),
 
     // --- deterministic domain mixing (downsample to target proportions) ----
@@ -2174,6 +2261,21 @@ object SparkEntry {
     * `sim_int8_ivf` (inline per-query path) and `sim_int8_ivf_index` (the
     * persisted parquet layout) — the two MUST be value-identical.
     */
+  /** Exact cosine top-5 for queries vec_id < 8 — the brute-force mirror
+    * every nprobe = nlist IVF-index path reduces to (`sim_ivf_index` and the
+    * incrementally-refreshed `sim_ivf_refresh` both gate on it).
+    */
+  private val ivfExactTopkOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+      |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+      |  list_sum(list_transform(list_zip(q.qe, e.embedding),
+      |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      |  FROM embeddings e, q)
+      |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM sc
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin
+
   private val int8IvfOracle: String =
     """WITH nz AS (SELECT vec_id,
       |    CASE WHEN n > 0
@@ -2736,16 +2838,12 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
     // persisted-index search at nprobe = nlist is exactly brute force — the
     // parquet roundtrip must not change a single cosine
-    "sim_ivf_index" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
-        |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-        |  list_sum(list_transform(list_zip(q.qe, e.embedding),
-        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
-        |  / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |   * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
-        |  FROM embeddings e, q)
-        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM sc
-        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
+    "sim_ivf_index" -> ivfExactTopkOracle,
+    // the incrementally-refreshed index at nprobe = nlist probes every cell,
+    // so the search is exactly brute force over base ∪ refreshed rows — the
+    // same mirror gates it; assignment parity with a full rebuild is the
+    // spec's job
+    "sim_ivf_refresh" -> ivfExactTopkOracle,
     // composed retriever at nprobe = nlist: int8 prefilter (sim_int8's exact
     // quantization mirror) keeps the top rescore·k = 20 per query, then the
     // true float cosine (sim_topk's mirror) ranks the survivors for top-5
@@ -2866,6 +2964,21 @@ object SparkEntry {
         |    THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
         |    AS BIGINT) AS cents
         |FROM orders GROUP BY 1""".stripMargin,
+    "data_manifest_merge_clauses" ->
+      """WITH m AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+        |  FROM orders WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice * 2
+        |  FROM orders WHERE o_orderkey % 4 = 2)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM m GROUP BY 1""".stripMargin,
+    "data_manifest_checkpoint" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders GROUP BY 1""".stripMargin,
     "data_quantile_gate" -> OracleSql.quantileGateGroup("documents",
       "doc_id", "doc_id", "lang", "lang", "length(text)", "doclen",
       q = 0.3, bins = 64),
@@ -2897,6 +3010,9 @@ object SparkEntry {
     "text_nbclassify" -> OracleSql.textNbClassify(),
     "text_bm25" -> bm25OracleSql,
     "text_bm25_index" -> bm25OracleSql,
+    // the refreshed index must be value-identical to the full-corpus build,
+    // so ONE mirror gates build, roundtrip, and incremental refresh
+    "text_bm25_refresh" -> bm25OracleSql,
     "text_tfidf" ->
       """WITH w AS (SELECT doc_id,
         |    unnest(list_filter(string_split(lower(trim(text)), ' '), s -> s <> '')) AS term

@@ -438,6 +438,49 @@ object Similarity {
       centroids.select(col("__cell").as("cell"), col("__centroid").as("centroid")))
   }
 
+  /** Assigns NEW vectors against a persisted index's FROZEN coarse
+    * quantizer and returns them in [[ivfBuildIndex]]'s `assigned` shape
+    * (`neighbor_id, vec, q8, q8_scale, cell`), ready to APPEND to the
+    * cell-partitioned table — the `readSince`-composed incremental-ingest
+    * path: new embeddings join the index without re-fitting or touching a
+    * single existing row. Freezing the quantizer is the standard IVF
+    * refresh contract (cell semantics must not move under the feet of the
+    * already-assigned corpus); re-train on drift and rebuild. Because
+    * assignment and int8 quantization reuse [[ivfBuildIndex]]'s exact code
+    * against the stored centroids, a search over base ∪ refreshed rows is
+    * value-identical to a full rebuild with the same quantizer.
+    */
+  def ivfRefreshEntries(
+      newCorpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("cell").cast("int"), col("centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    require(cents.nonEmpty, "refresh needs a non-empty centroid table")
+    require(cents.map(_._1).toSeq == (0 until cents.length),
+      s"centroid cells must be contiguous 0..${cents.length - 1}")
+    ivfBuildIndex(newCorpus, vecCol, idCol, nlist = cents.length,
+      quantizer = Some(cents.map(_._2)))._1
+  }
+
+  /** [[ivfRefreshEntries]] against the on-disk layout the registry queries
+    * persist (`{path}/assigned` cell-partitioned parquet +
+    * `{path}/centroids`): appends the new rows into their cell partitions —
+    * an append never conflicts with concurrent index readers.
+    */
+  def ivfRefreshIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newCorpus: DataFrame,
+      vecCol: String,
+      idCol: String): Unit =
+    ivfRefreshEntries(newCorpus, vecCol, idCol,
+        spark.read.parquet(s"$path/centroids"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
+
   /** Serves a query batch from a persisted [[ivfBuildIndex]] layout: probe
     * the `nprobe` nearest centroids per query, score only the probed cells'
     * rows, O(k) partial-merge top-k. With a `cell`-partitioned parquet

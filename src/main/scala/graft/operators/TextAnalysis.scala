@@ -712,6 +712,91 @@ object TextAnalysis {
       .write.mode("overwrite").partitionBy("__bucket").parquet(s"$path/postings")
     postings.agg(countDistinct(col("__doc")).as("__n"), sum(col("__tf")).as("__tt"))
       .write.mode("overwrite").parquet(s"$path/stats")
+    // `docs/` sidecar: the posting-bearing doc ids — one narrow column that
+    // makes [[refreshBM25Index]]'s duplicate-id guard exact
+    postings.select("__doc").distinct()
+      .write.mode("overwrite").parquet(s"$path/docs")
+  }
+
+  /** Incrementally refreshes a [[buildBM25Index]] layout with NEW documents
+    * — the `readSince`-composed ingest path: fresh docs join the postings
+    * without a full corpus rebuild. Because postings are hash-partitioned
+    * BY TERM, every row of any given term lives in exactly one bucket, so
+    * the affected buckets (the ones the new docs' terms hash into) can
+    * recompute EXACT document frequencies locally; untouched buckets are
+    * not read, not rewritten — the refresh cost tracks the new batch's
+    * vocabulary, not the index size. Corpus stats accumulate, and the
+    * refreshed index is value-identical to a full rebuild over the union
+    * corpus (same aggregations, same arithmetic).
+    *
+    * Doc ids must be NEW — a repeated id would double-count its own terms —
+    * and the `docs/` sidecar makes that guard exact and loud. The rewrite
+    * stages affected buckets to a temp sibling and swaps partition
+    * directories (reading and dynamically overwriting one parquet path in
+    * the same job is not safe), so a crash mid-swap loses at most the swap,
+    * never corrupts an unaffected bucket.
+    */
+  def refreshBM25Index(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    import java.nio.file.{Files, Path => JPath, Paths}
+    def toks(c: Column) = filter(split(trim(lower(c)), " +"), x => x =!= "")
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("__doc")
+    val newPost = newDocs
+      .select(col(idCol).as("__doc"), explode(toks(col(textCol))).as("__term"))
+      .groupBy("__doc", "__term").agg(count(lit(1)).as("__tf"))
+      .withColumn("__dl", sum(col("__tf")).over(wDoc))
+      .withColumn("__bucket", termBucket(col("__term")))
+      .persist()
+    try {
+      val agg = newPost.agg(countDistinct(col("__doc")), sum(col("__tf"))).head()
+      if (agg.isNullAt(0) || agg.getLong(0) == 0L) return // nothing to add
+      val clash = newPost.select("__doc").distinct()
+        .join(spark.read.parquet(s"$path/docs"), Seq("__doc"), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        s"refreshBM25Index: new doc ids overlap the index at $path — a " +
+          "repeated id would double-count its terms; merge upstream first")
+      val buckets = newPost.select("__bucket").distinct()
+        .collect().map(_.getLong(0)) // ≤ bm25Buckets values
+      val old = spark.read.parquet(s"$path/postings")
+        .where(col("__bucket").isin(buckets: _*))
+        .select("__bucket", "__doc", "__term", "__tf", "__dl") // stale __df dropped
+      val unioned = old.unionByName(
+        newPost.select("__bucket", "__doc", "__term", "__tf", "__dl"))
+      val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("__term")
+      val rewritten = unioned
+        .withColumn("__df", count(lit(1)).over(wTerm))
+        .select("__term", "__doc", "__tf", "__dl", "__df", "__bucket")
+      def deleteRec(p: JPath): Unit = {
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.iterator().forEachRemaining(deleteRec) finally s.close()
+        }
+        Files.deleteIfExists(p)
+      }
+      val tmp = s"$path/.postings-tmp-${java.util.UUID.randomUUID()}"
+      rewritten.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+      buckets.foreach { bkt =>
+        val dst = Paths.get(s"$path/postings/__bucket=$bkt")
+        val src = Paths.get(s"$tmp/__bucket=$bkt")
+        deleteRec(dst)
+        if (Files.exists(src)) Files.move(src, dst)
+      }
+      deleteRec(Paths.get(tmp))
+      // stats accumulate; the old row is collected FIRST so the overwrite
+      // never reads the path it writes
+      val oldStats = spark.read.parquet(s"$path/stats").head()
+      import spark.implicits._
+      Seq((oldStats.getLong(0) + agg.getLong(0), oldStats.getLong(1) + agg.getLong(1)))
+        .toDF("__n", "__tt").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/stats")
+      newPost.select("__doc").distinct()
+        .write.mode("append").parquet(s"$path/docs")
+    } finally newPost.unpersist()
   }
 
   /** Serves a query batch against a [[buildBM25Index]] layout. Query terms

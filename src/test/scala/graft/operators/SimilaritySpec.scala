@@ -389,6 +389,55 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.7, s"recall $recall too low")
   }
 
+  test("incremental IVF refresh: frozen-quantizer appends equal a full rebuild") {
+    val base = corpus.where(col("vec_id") % 3 =!= 2)
+    val delta = corpus.where(col("vec_id") % 3 === 2)
+    val (assigned, centroids) =
+      Similarity.ivfBuildIndex(base, "embedding", "vec_id", nlist = 6)
+    val dir = java.nio.file.Files.createTempDirectory("ivfrefresh").toString
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    Similarity.ivfRefreshIndex(spark, dir, delta, "embedding", "vec_id")
+    val refreshed = spark.read.parquet(s"$dir/assigned")
+    assert(refreshed.count() == corpus.count())
+    // cell-assignment parity with a FULL rebuild under the stored quantizer:
+    // every id lands in the same cell (frozen-quantizer contract)
+    val quant = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell").cast("int"), col("centroid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1).map(_._2)
+    val (rebuilt, _) = Similarity.ivfBuildIndex(corpus, "embedding", "vec_id",
+      quantizer = Some(quant))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("neighbor_id"), col("cell").cast("int"))
+        .as[(Long, Int)].collect().toSet
+    assert(cells(refreshed) == cells(rebuilt))
+    // search over the refreshed index at nprobe = nlist IS brute force over
+    // the union corpus — base rows untouched, delta rows appended
+    val queries = corpus.where(col("vec_id") < 8)
+    val got = Similarity.ivfSearchIndex(refreshed,
+        spark.read.parquet(s"$dir/centroids"), queries,
+        "embedding", "vec_id", k = 5, nprobe = 6)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == exact)
+    // the int8 production path serves the refreshed layout too
+    val i8 = Similarity.int8IvfSearchIndex(refreshed,
+        spark.read.parquet(s"$dir/centroids"), queries,
+        "embedding", "vec_id", k = 5, nprobe = 6, rescore = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.map(t => (t._1, t._2)).intersect(i8).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 recall over refreshed index $recall")
+    // a gap or duplicate in the centroid table fails loudly
+    intercept[IllegalArgumentException] {
+      Similarity.ivfRefreshEntries(delta, "embedding", "vec_id",
+        spark.read.parquet(s"$dir/centroids").where(col("cell") =!= 2))
+    }
+  }
+
   test("farthestPointSample: greedy maximin selection, ties by id, monotone") {
     // unit vectors at known angles: greedy from the seed (min id, 0°) must
     // take 180° first (cosine distance 2), then 90°, never the 5° near-dup

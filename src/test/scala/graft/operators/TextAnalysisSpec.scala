@@ -390,6 +390,55 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("__bucket"), plan)
   }
 
+  test("BM25 incremental refresh equals a full rebuild; untouched buckets stay") {
+    val a = (0 until 40).map(i =>
+      (i.toLong, s"word$i alpha beta common${i % 5} tail")).toDF("doc_id", "text")
+    val b = (40 until 60).map(i =>
+      (i.toLong, s"word$i alpha gamma common${i % 5}")).toDF("doc_id", "text")
+    val dir1 = java.nio.file.Files.createTempDirectory("bm25rf1").toString
+    TextAnalysis.buildBM25Index(a, dir1)
+    // bucket-dir fingerprints BEFORE the refresh (name, size per file)
+    def snapshot(d: String) = new java.io.File(s"$d/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+      .map(f => f.getName ->
+        f.listFiles().map(x => (x.getName, x.length)).toSet).toMap
+    val before = snapshot(dir1)
+    TextAnalysis.refreshBM25Index(spark, dir1, b)
+    val dir2 = java.nio.file.Files.createTempDirectory("bm25rf2").toString
+    TextAnalysis.buildBM25Index(a.unionByName(b), dir2)
+    // postings (incl. recomputed df) and stats are value-identical to the
+    // full union rebuild
+    def postings(d: String) = spark.read.parquet(s"$d/postings")
+      .select("__term", "__doc", "__tf", "__dl", "__df", "__bucket")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(postings(dir1) == postings(dir2))
+    def stats(d: String) = spark.read.parquet(s"$d/stats")
+      .as[(Long, Long)].collect().head
+    assert(stats(dir1) == stats(dir2))
+    // searches agree with the direct in-memory scorer over the union
+    val qs = Seq((1L, "alpha common2"), (2L, "word45 gamma")).toDF("query_id", "query")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "score").as[(Long, Long, Double)].collect().toSet
+    val direct = rows(TextAnalysis.searchBM25(a.unionByName(b), qs, topK = 5))
+    assert(rows(TextAnalysis.searchBM25Index(spark, dir1, qs, topK = 5)) == direct)
+    // buckets the delta's vocabulary does not hash into were NOT rewritten
+    val affected = b.select(explode(filter(
+        split(trim(lower(col("text"))), " +"), x => x =!= "")).as("t"))
+      .select(pmod(graft.functions.TextFunctions.string_hash64(col("t"), 7L),
+        lit(TextAnalysis.bm25Buckets.toLong)).as("bkt"))
+      .distinct().as[Long].collect().map(v => s"__bucket=$v").toSet
+    val after = snapshot(dir1)
+    val untouched = before.keySet.diff(affected)
+    assert(untouched.nonEmpty, "test vocabulary hit every bucket — weaken it")
+    untouched.foreach(k => assert(after(k) == before(k), s"$k was rewritten"))
+    // repeated doc ids fail loudly; an empty delta is a no-op
+    intercept[IllegalArgumentException] {
+      TextAnalysis.refreshBM25Index(spark, dir1, a.limit(1))
+    }
+    TextAnalysis.refreshBM25Index(spark, dir1, b.limit(0))
+    assert(postings(dir1) == postings(dir2))
+  }
+
   test("BM25: per-query window is pre-shuffle pruned (WindowGroupLimit)") {
     val corpus = Seq((1L, "a b"), (2L, "b c"), (3L, "c a")).toDF("doc_id", "text")
     val qs = Seq((1L, "a c")).toDF("query_id", "query")
