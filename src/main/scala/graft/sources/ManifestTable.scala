@@ -102,9 +102,12 @@ object ManifestTable {
   // test seam: forces publishFeed down the no-hardlink (copy) fallback path
   @volatile private[sources] var disableFeedLinks = false
 
-  // checkpoints are immutable once written: cache the loaded state per
-  // (root, version) so repeated ops on one table don't re-read the census
-  private val ckptCache = new ConcurrentHashMap[(String, Long), TableState]()
+  // a checkpoint's CONTENT is immutable once written, but a (root, version)
+  // pair is not a stable identity — tests and pipelines wipe and recreate
+  // tables at one path, reusing version numbers. Each checkpoint therefore
+  // carries a UUID in its state.json (tiny, re-read every load; the census
+  // parquet is the expensive part) and the cache keys on that id.
+  private val ckptCache = new ConcurrentHashMap[(String, Long, String), TableState]()
 
   private def feedName(version: Long, i: Int) = f"v$version%08d_$i%05d.parquet"
 
@@ -280,7 +283,7 @@ object ManifestTable {
         System.currentTimeMillis())
       if (publish(rootP, m)) {
         if (!overwrite) publishFeed(rootP, Seq(m))
-        maybeCheckpoint(spark, rootP, applyManifest(st, m))
+        maybeCheckpoint(spark, rootP, applyManifest(st, m), m.files.length)
         return next
       }
       attempt += 1
@@ -595,7 +598,7 @@ object ManifestTable {
         System.currentTimeMillis())
       if (publish(rootP, m)) {
         if (m.action == "append") publishFeed(rootP, Seq(m))
-        maybeCheckpoint(spark, rootP, applyManifest(Some(st), m))
+        maybeCheckpoint(spark, rootP, applyManifest(Some(st), m), m.files.length)
         return m.version
       }
       attempt += 1
@@ -985,14 +988,15 @@ object ManifestTable {
     */
   private def loadCheckpoint(spark: SparkSession, rootP: JPath,
       v: Long): Option[TableState] = {
-    val key = (rootP.toAbsolutePath.toString, v)
-    Option(ckptCache.get(key)).orElse {
-      val dir = ckptDir(rootP, v)
-      val stateP = dir.resolve("state.json")
-      if (!Files.exists(stateP)) None
-      else scala.util.Try {
-        val o = new GeoJson.Parser(new String(Files.readAllBytes(stateP), "UTF-8"))
-          .parse().asInstanceOf[JObj].fields
+    val dir = ckptDir(rootP, v)
+    val stateP = dir.resolve("state.json")
+    if (!Files.exists(stateP)) return None
+    scala.util.Try {
+      val o = new GeoJson.Parser(new String(Files.readAllBytes(stateP), "UTF-8"))
+        .parse().asInstanceOf[JObj].fields
+      val id = o.get("id").map(jstr).getOrElse("")
+      val key = (rootP.toAbsolutePath.toString, v, id)
+      Option(ckptCache.get(key)).getOrElse {
         val txns = o("txns").asInstanceOf[JObj].fields.toSeq.map { case (w, tj) =>
           val t = tj.asInstanceOf[JObj].fields
           w -> ((jnum(t("batchId")), jnum(t("version"))))
@@ -1000,13 +1004,12 @@ object ManifestTable {
         val files = spark.read.schema(fileEntryEncoder.schema)
           .parquet(dir.resolve("census").toString)
           .as(fileEntryEncoder).collect().toSeq.sortBy(_.path)
-        TableState(jnum(o("version")), jstr(o("schema")), files, txns)
-      }.toOption.map { st =>
+        val st = TableState(jnum(o("version")), jstr(o("schema")), files, txns)
         if (ckptCache.size > 16) ckptCache.clear()
         ckptCache.put(key, st)
         st
       }
-    }
+    }.toOption
   }
 
   /** Writes the checkpoint for `st` (census parquet first, the `state.json`
@@ -1031,6 +1034,7 @@ object ManifestTable {
     }: _*))
     val stateJ = JObj(mutable.LinkedHashMap[String, J](
       "version" -> JNum(st.version.toDouble, st.version.toString),
+      "id" -> JStr(UUID.randomUUID().toString), // cache identity — see ckptCache
       "schema" -> JStr(st.schemaJson),
       "txns" -> txnsJ))
     writeDurable(stateP, GeoJson.writeJson(stateJ).getBytes("UTF-8"))
@@ -1053,9 +1057,16 @@ object ManifestTable {
     }
   }
 
+  /** A full-set manifest listing at least this many files also triggers an
+    * eager checkpoint: the very next scan then plans from the parquet
+    * census instead of re-parsing one giant JSON census document on every
+    * operation until the modulo cadence catches up. Test seam.
+    */
+  @volatile private[sources] var checkpointFilesMin: Int = 4096
+
   private def maybeCheckpoint(spark: SparkSession, rootP: JPath,
-      st: TableState): Unit =
-    if (st.version % CheckpointEvery == 0)
+      st: TableState, publishedFiles: Int): Unit =
+    if (st.version % CheckpointEvery == 0 || publishedFiles >= checkpointFilesMin)
       try writeCheckpoint(spark, rootP, st)
       catch { case NonFatal(_) => () } // best-effort: the commit is durable
 

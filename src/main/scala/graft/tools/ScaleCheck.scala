@@ -583,6 +583,26 @@ object ScaleCheck {
       { graft.sources.ManifestTable.merge(spark, s"$mtmp/tN", mergeSrc,
           Seq("o_orderkey")); spark.range(1).toDF("done") })
 
+    // manifest LOG scale: a long LIFE, not a big table — 40 vs 40·factor
+    // micro-commits of the same tiny frame. The no-match scan reads ZERO
+    // data files, so its cost is pure metadata replay; checkpointing makes
+    // that replay start at the newest checkpoint (bounded tail) instead of
+    // parsing every v*.json, so the ratio must hover near 1 while the
+    // commit count grows factor× (without checkpoints this pair reads
+    // 10× the manifests and shows it)
+    if (only.forall("manifest_log".contains)) {
+      val tinyM = spark.range(20)
+        .select(col("id").as("k"), (col("id") * 2).as("v")).coalesce(1)
+      (0 until 40).foreach(_ =>
+        graft.sources.ManifestTable.append(tinyM, s"$mtmp/log1"))
+      (0 until 40 * factor).foreach(_ =>
+        graft.sources.ManifestTable.append(tinyM, s"$mtmp/logN"))
+    }
+    val noMatch = graft.sources.ManifestTable.Between("k", 1000000L, 2000000L)
+    pair("manifest_log")(
+      graft.sources.ManifestTable.scan(spark, s"$mtmp/log1", noMatch),
+      graft.sources.ManifestTable.scan(spark, s"$mtmp/logN", noMatch))
+
     // Z-order pruning at factor×: the same bbox read against the curve-
     // clustered layout vs a round-robin (locality-destroyed) copy of the
     // same rows — the delta is the I/O the row-group stats let us skip

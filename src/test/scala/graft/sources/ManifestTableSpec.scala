@@ -750,6 +750,53 @@ class ManifestTableSpec extends AnyFunSuite with SparkSpec {
     assert(ManifestTable.read(spark, root2).count() == 90)
   }
 
+  test("a wiped-and-recreated table never serves a stale cached checkpoint") {
+    // (root, version) is not a stable checkpoint identity — pipelines wipe
+    // and rebuild tables at one path, reusing version numbers; the cache
+    // must key on the checkpoint's own id or reads resolve DELETED files
+    val root = tmp("ckptwipe")
+    def wipe(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().asScala.foreach(wipe) finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    def build(tag: String): Unit = {
+      (0 until 3).foreach(i =>
+        ManifestTable.append(idTable(i * 10 until i * 10 + 10, tag), root))
+      ManifestTable.checkpoint(spark, root)
+    }
+    build("first")
+    assert(ManifestTable.read(spark, root).count() == 30) // populates the cache
+    Files.list(Paths.get(root)).iterator().asScala.toSeq.foreach(wipe)
+    build("second")
+    val back = ManifestTable.read(spark, root)
+    assert(back.count() == 30)
+    assert(back.select("tag").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("second"))
+  }
+
+  test("a large full-set manifest triggers an eager checkpoint") {
+    val root = tmp("bigcensus")
+    val saved = ManifestTable.checkpointFilesMin
+    ManifestTable.checkpointFilesMin = 8
+    try {
+      ManifestTable.append(idTable(0 until 20, "a"), root) // v1: 2 files
+      // v2 lists a 10-file full set ≥ the threshold — checkpoint lands
+      // immediately, off the modulo cadence
+      ManifestTable.overwrite(
+        idTable(0 until 50, "b").repartition(10), root)
+      val mdir = Paths.get(root, "_graft_manifest")
+      assert(new String(Files.readAllBytes(mdir.resolve("_last_checkpoint")),
+        "UTF-8").trim.toLong == 2L)
+      // the very next read plans from the parquet census: zero JSON parses
+      val before = ManifestTable.manifestParseCount
+      assert(ManifestTable.read(spark, root).count() == 50)
+      assert(ManifestTable.manifestParseCount - before == 0L)
+    } finally ManifestTable.checkpointFilesMin = saved
+  }
+
   test("feed publication falls back to copy when hard links are unavailable") {
     val root = tmp("feedcopy")
     ManifestTable.disableFeedLinks = true
