@@ -1361,6 +1361,22 @@ object SparkEntry {
         .select(col("version"), col("action"), col("rows").as("n_rows"))
     }),
 
+    // --- manifest ANALYZE: per-column stats from METADATA alone ------------
+    // columnStats folds the footer-stats census of the current snapshot —
+    // no data file opened — and must agree with real SQL aggregates over
+    // the same rows (min/max surface as the census's exact strings)
+    "data_manifest_stats" -> ((s, dir) => {
+      val root = freshRoot("manifest_st", dir)
+      val orders = t(s, dir, "orders")
+      ManifestTable.append(orders.where(col("o_orderkey") % 4 === 0), root)
+      ManifestTable.append(orders.where(col("o_orderkey") % 4 =!= 0), root)
+      ManifestTable.columnStats(s, root)
+        .where(col("column").isin("o_orderkey", "o_orderstatus"))
+        .select(col("column").as("col_name"), col("min").as("min_v"),
+          col("max").as("max_v"), col("nulls").as("n_nulls"),
+          col("rows").as("n_rows"))
+    }),
+
     // --- manifest RESTORE (metadata-only rollback of a bad overwrite) ------
     "data_manifest_restore" -> ((s, dir) => {
       val root = freshRoot("manifest_rs", dir)
@@ -2939,6 +2955,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), 'append', count(*)
         |FROM orders WHERE o_orderkey % 4 = 1""".stripMargin,
+    "data_manifest_stats" ->
+      """SELECT 'o_orderkey' AS col_name,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS max_v,
+        |  CAST(0 AS BIGINT) AS n_nulls, count(*) AS n_rows FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', min(o_orderstatus), max(o_orderstatus),
+        |  CAST(0 AS BIGINT), count(*) FROM orders""".stripMargin,
     "data_manifest_hilbert" ->
       """WITH b AS (SELECT max(o_custkey) AS mx FROM orders)
         |SELECT o_orderstatus, count(*) AS cnt,

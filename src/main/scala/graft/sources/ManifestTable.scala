@@ -711,6 +711,38 @@ object ManifestTable {
     }.toDF("version", "action", "n_files", "rows", "bytes", "batch_id", "ts_ms")
   }
 
+  /** ANALYZE from metadata alone: per-column min/max/null-count and the
+    * table's row/byte/file totals, folded from the CURRENT snapshot's
+    * footer-stats census — no data file is opened, no scan planned. A
+    * column appears only when EVERY file carries usable stats for it
+    * (exactly [[scan]]'s pruning precondition), so what this reports is
+    * what pruning can use; `min`/`max` are the census's exact decimal/raw
+    * strings (cast them to the column's type downstream). The profiling
+    * verb a 100 TB table's operator runs before choosing clustering keys.
+    */
+  def columnStats(spark: SparkSession, root: String): DataFrame = {
+    val st = loadState(spark, root).getOrElse(throw new IllegalArgumentException(
+      s"$root is not a manifest table (no ${ManifestDir})"))
+    val rows = st.files.map(_.rows).sum
+    val bytes = st.files.map(_.bytes).sum
+    val nFiles = st.files.length.toLong
+    val cols = st.schema.fieldNames.toSeq.flatMap { c =>
+      val per = st.files.map(_.stats.get(c))
+      if (per.isEmpty || per.exists(_.isEmpty)) None
+      else {
+        val s = per.map(_.get)
+        val kind = s.head.kind
+        if (!s.forall(_.kind == kind)) None
+        else Some((c, kind,
+          s.map(_.min).reduce((a, b) => if (statLt(kind, a, b)) a else b),
+          s.map(_.max).reduce((a, b) => if (statLt(kind, a, b)) b else a),
+          s.map(_.nulls).sum, rows, bytes, nFiles))
+      }
+    }
+    import spark.implicits._
+    cols.toDF("column", "kind", "min", "max", "nulls", "rows", "bytes", "n_files")
+  }
+
   /** The file set visible at `version`: replay the log back to the most
     * recent FULL-SET manifest at or before it — an `overwrite` (new logical
     * contents) or a `replace` (same logical contents, rewritten physical

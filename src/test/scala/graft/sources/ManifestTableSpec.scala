@@ -750,6 +750,24 @@ class ManifestTableSpec extends AnyFunSuite with SparkSpec {
     assert(ManifestTable.read(spark, root2).count() == 90)
   }
 
+  test("columnStats is a metadata-only ANALYZE over the census") {
+    val root = tmp("colstats")
+    ManifestTable.append(idTable(0 until 50, "a"), root)
+    ManifestTable.append(idTable(50 until 80, "b"), root)
+    val st = ManifestTable.columnStats(spark, root).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(st("id").getString(2) == "0" && st("id").getString(3) == "79")
+    assert(st("tag").getString(2) == "a" && st("tag").getString(3) == "b")
+    assert(st("id").getLong(4) == 0L && st("id").getLong(5) == 80L)
+    // statless columns (arrays) are omitted; the rest still report
+    val root2 = tmp("colstats2")
+    ManifestTable.append(
+      Seq((1L, Array(1.0)), (2L, Array(2.0))).toDF("id", "vec"), root2)
+    val cols2 = ManifestTable.columnStats(spark, root2)
+      .select("column").as[String].collect().toSet
+    assert(cols2 == Set("id"))
+  }
+
   test("a wiped-and-recreated table never serves a stale cached checkpoint") {
     // (root, version) is not a stable checkpoint identity — pipelines wipe
     // and rebuild tables at one path, reusing version numbers; the cache
