@@ -51,6 +51,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Broadcast"), s"sim_topk shuffles instead of broadcasting:\n$plan")
   }
 
+  test("manifest ANALYZE plans zero data-file scans (metadata only)") {
+    // columnStats folds the footer-stats census on the driver: the returned
+    // frame must be a local table, with no parquet FileScan anywhere in the
+    // plan — the whole point of the verb at 100 TB
+    val plan = q("data_manifest_stats").queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"), s"columnStats touched data files:\n$plan")
+    assert(plan.contains("LocalTableScan"), plan)
+  }
+
   test("dedup pipeline has no cartesian stage even at the candidate join") {
     Seq("dedup_minhash", "dedup_simhash").foreach { name =>
       val plan = optimized(q(name))
