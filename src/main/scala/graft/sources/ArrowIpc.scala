@@ -41,11 +41,14 @@ import org.apache.spark.sql.types._
   *
   * Column scope: every flat Spark type (bool / int8-64 / float32-64 / utf8 /
   * binary / date / timestamp-any-unit / decimal ≤ 38 digits), arbitrarily
-  * nested LIST columns (embedding vectors, token-id arrays), and STRUCT
+  * nested LIST columns (embedding vectors, token-id arrays), STRUCT
   * columns (nullable, nested structs included — the typed-metadata shape
-  * interchange dumps carry). Map columns and structs INSIDE lists are
-  * rejected LOUDLY both ways — no silent byte-passthrough. Geometry follows
-  * the house convention: WKB travels as a `binary` column.
+  * interchange dumps carry), and MAP columns over flat keys and
+  * flat-or-list values (null values kept). Struct/map INSIDE a list or a
+  * map is rejected LOUDLY on the write side — no silent byte-passthrough
+  * — while reads accept anything the recursive extractor can type.
+  * Geometry follows the house convention: WKB travels as a `binary`
+  * column.
   */
 object ArrowIpc {
 
@@ -86,9 +89,15 @@ object ArrowIpc {
     case _: ArrowType.Struct =>
       StructType(f.getChildren.asScala.map(c =>
         StructField(c.getName, sparkType(c), c.isNullable)).toArray)
+    case _: ArrowType.Map =>
+      // map = list<entries: struct<key, value>> in the IPC spec
+      val entries = f.getChildren.get(0)
+      val kf = entries.getChildren.get(0)
+      val vf = entries.getChildren.get(1)
+      MapType(sparkType(kf), sparkType(vf), vf.isNullable)
     case other =>
       throw new IllegalArgumentException(
-        s"unsupported arrow type $other in column ${f.getName} (map not mapped)")
+        s"unsupported arrow type $other in column ${f.getName}")
   }
 
   private[sources] def structOf(s: ASchema): StructType =
@@ -117,18 +126,31 @@ object ArrowIpc {
           s"decimal precision ${d.precision} exceeds arrow mapping in $name")
         flat(ArrowType.Decimal.createDecimal(d.precision, d.scale, 128))
       case ArrayType(et, en) =>
-        require(!et.isInstanceOf[StructType],
-          s"list-of-struct column $name not mapped for arrow writes " +
-            "(flatten the struct or lift it to a top-level column)")
+        require(!et.isInstanceOf[StructType] && !et.isInstanceOf[MapType],
+          s"list-of-${et.typeName} column $name not mapped for arrow writes " +
+            "(flatten it or lift it to a top-level column)")
         new Field(name, new FieldType(nullable, ArrowType.List.INSTANCE, null),
           java.util.List.of(arrowField("item", et, en)))
       case st: StructType =>
         new Field(name, new FieldType(nullable, ArrowType.Struct.INSTANCE, null),
           st.fields.map(sf => arrowField(sf.name, sf.dataType, sf.nullable))
             .toList.asJava)
+      case MapType(kt, vt, vn) =>
+        // the writer element lattice: flat keys, flat-or-list values —
+        // struct/map inside a map rejects loudly, like inside a list
+        Seq(kt, vt).foreach(t => require(
+          !t.isInstanceOf[StructType] && !t.isInstanceOf[MapType],
+          s"map over ${t.typeName} in column $name not mapped for arrow writes"))
+        val entries = new Field(complex.MapVector.DATA_VECTOR_NAME,
+          new FieldType(false, ArrowType.Struct.INSTANCE, null),
+          java.util.List.of(
+            arrowField(complex.MapVector.KEY_NAME, kt, nullable = false),
+            arrowField(complex.MapVector.VALUE_NAME, vt, vn)))
+        new Field(name, new FieldType(nullable, new ArrowType.Map(false), null),
+          java.util.List.of(entries))
       case other =>
         throw new IllegalArgumentException(
-          s"unsupported Spark type $other for arrow column $name (map not mapped)")
+          s"unsupported Spark type $other for arrow column $name")
     }
   }
 
@@ -196,6 +218,15 @@ object ArrowIpc {
           ts
         }
       case (b: DecimalVector, _) => i => b.getObject(i)
+      case (b: complex.MapVector, MapType(kt, vt, _)) =>
+        val entries = b.getDataVector.asInstanceOf[complex.StructVector]
+        val ke = extractor(entries.getChild(complex.MapVector.KEY_NAME), kt)
+        val ve = extractor(entries.getChild(complex.MapVector.VALUE_NAME), vt)
+        i => {
+          val start = b.getElementStartIndex(i)
+          val end = b.getElementEndIndex(i)
+          (start until end).map(j => ke(j) -> ve(j)).toMap
+        }
       case (b: ListVector, ArrayType(et, _)) =>
         val elem = extractor(b.getDataVector, et)
         i => {
@@ -336,6 +367,22 @@ object ArrowIpc {
       case (b: TimeStampMicroVector, _) => flat(b)((i, x) => b.setSafe(i, epochMicros(x)))
       case (b: DecimalVector, d: DecimalType) =>
         flat(b)((i, x) => b.setSafe(i, toJavaBigDecimal(x).setScale(d.scale)))
+      case (b: complex.MapVector, MapType(kt, vt, _)) =>
+        val w = b.getWriter
+        (i, x) => {
+          w.setPosition(i)
+          if (x == null) w.writeNull()
+          else {
+            w.startMap()
+            x.asInstanceOf[scala.collection.Map[Any, Any]].foreach { case (k, v) =>
+              w.startEntry()
+              writeElem(w.key(), kt, k)
+              writeElem(w.value(), vt, v)
+              w.endEntry()
+            }
+            w.endMap()
+          }
+        }
       case (b: ListVector, ArrayType(et, _)) =>
         val w = b.getWriter
         (i, x) => {
@@ -385,45 +432,49 @@ object ArrowIpc {
     case d: BigDecimal => d.bigDecimal
   }
 
-  /** Recursive list-element writer (the writer API owns LIST offsets and
-    * validity — direct child setSafe would desync them).
+  /** One element through the writer API (LIST offsets/validity and MAP
+    * entry state are writer-owned — direct child setSafe would desync
+    * them). `w` is a ListWriter, a map writer's key()/value() mode, or a
+    * nested list() — the scalar dispatch is identical for all three.
     */
+  private def writeElem(w: ListWriter, et: DataType, x: Any): Unit = et match {
+    case LongType =>
+      if (x == null) w.bigInt().writeNull() else w.bigInt().writeBigInt(x.asInstanceOf[Long])
+    case IntegerType =>
+      if (x == null) w.integer().writeNull() else w.integer().writeInt(x.asInstanceOf[Int])
+    case ShortType =>
+      if (x == null) w.smallInt().writeNull()
+      else w.smallInt().writeSmallInt(x.asInstanceOf[Short])
+    case ByteType =>
+      if (x == null) w.tinyInt().writeNull() else w.tinyInt().writeTinyInt(x.asInstanceOf[Byte])
+    case DoubleType =>
+      if (x == null) w.float8().writeNull() else w.float8().writeFloat8(x.asInstanceOf[Double])
+    case FloatType =>
+      if (x == null) w.float4().writeNull() else w.float4().writeFloat4(x.asInstanceOf[Float])
+    case BooleanType =>
+      if (x == null) w.bit().writeNull()
+      else w.bit().writeBit(if (x.asInstanceOf[Boolean]) 1 else 0)
+    case StringType =>
+      if (x == null) w.varChar().writeNull()
+      else w.varChar().writeVarChar(x.asInstanceOf[String])
+    case BinaryType =>
+      if (x == null) w.varBinary().writeNull()
+      else w.varBinary().writeVarBinary(x.asInstanceOf[Array[Byte]])
+    case DateType =>
+      if (x == null) w.dateDay().writeNull() else w.dateDay().writeDateDay(epochDays(x))
+    case TimestampType =>
+      if (x == null) w.timeStampMicro().writeNull()
+      else w.timeStampMicro().writeTimeStampMicro(epochMicros(x))
+    case ArrayType(inner, _) =>
+      if (x == null) w.list().writeNull()
+      else writeList(w.list(), inner, x.asInstanceOf[scala.collection.Seq[Any]])
+    case other =>
+      throw new IllegalArgumentException(s"unsupported arrow list element type $other")
+  }
+
   private def writeList(w: ListWriter, et: DataType, xs: scala.collection.Seq[Any]): Unit = {
     w.startList()
-    et match {
-      case LongType => xs.foreach { x =>
-        if (x == null) w.bigInt().writeNull() else w.bigInt().writeBigInt(x.asInstanceOf[Long]) }
-      case IntegerType => xs.foreach { x =>
-        if (x == null) w.integer().writeNull() else w.integer().writeInt(x.asInstanceOf[Int]) }
-      case ShortType => xs.foreach { x =>
-        if (x == null) w.smallInt().writeNull()
-        else w.smallInt().writeSmallInt(x.asInstanceOf[Short]) }
-      case ByteType => xs.foreach { x =>
-        if (x == null) w.tinyInt().writeNull() else w.tinyInt().writeTinyInt(x.asInstanceOf[Byte]) }
-      case DoubleType => xs.foreach { x =>
-        if (x == null) w.float8().writeNull() else w.float8().writeFloat8(x.asInstanceOf[Double]) }
-      case FloatType => xs.foreach { x =>
-        if (x == null) w.float4().writeNull() else w.float4().writeFloat4(x.asInstanceOf[Float]) }
-      case BooleanType => xs.foreach { x =>
-        if (x == null) w.bit().writeNull()
-        else w.bit().writeBit(if (x.asInstanceOf[Boolean]) 1 else 0) }
-      case StringType => xs.foreach { x =>
-        if (x == null) w.varChar().writeNull()
-        else w.varChar().writeVarChar(x.asInstanceOf[String]) }
-      case BinaryType => xs.foreach { x =>
-        if (x == null) w.varBinary().writeNull()
-        else w.varBinary().writeVarBinary(x.asInstanceOf[Array[Byte]]) }
-      case DateType => xs.foreach { x =>
-        if (x == null) w.dateDay().writeNull() else w.dateDay().writeDateDay(epochDays(x)) }
-      case TimestampType => xs.foreach { x =>
-        if (x == null) w.timeStampMicro().writeNull()
-        else w.timeStampMicro().writeTimeStampMicro(epochMicros(x)) }
-      case ArrayType(inner, _) => xs.foreach { x =>
-        if (x == null) w.list().writeNull()
-        else writeList(w.list(), inner, x.asInstanceOf[scala.collection.Seq[Any]]) }
-      case other =>
-        throw new IllegalArgumentException(s"unsupported arrow list element type $other")
-    }
+    xs.foreach(x => writeElem(w, et, x))
     w.endList()
   }
 

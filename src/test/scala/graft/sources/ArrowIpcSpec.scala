@@ -148,14 +148,52 @@ class ArrowIpcSpec extends AnyFunSuite with SparkSpec {
     assert(ArrowIpc.schemaOf(s"$dir/t.arrow").fieldNames.toSeq == Seq("id", "s"))
   }
 
-  test("map and list-of-struct columns are rejected loudly, not byte-passed") {
-    val mp = spark.range(3).select(col("id"),
-      map(lit("k"), col("id")).as("kv"))
-    intercept[IllegalArgumentException] { ArrowIpc.write(mp, tmp("rej2") + "/t.arrow") }
+  test("nested-complex writes are rejected loudly, not byte-passed") {
     val los = spark.range(3).select(col("id"),
       array(struct(col("id").as("a"))).as("subs"))
     intercept[IllegalArgumentException] { ArrowIpc.write(los, tmp("rej3") + "/t.arrow") }
+    val mos = spark.range(3).select(col("id"),
+      map(lit("k"), struct(col("id").as("a"))).as("kv"))
+    intercept[IllegalArgumentException] { ArrowIpc.write(mos, tmp("rej4") + "/t.arrow") }
+    val lom = spark.range(3).select(col("id"),
+      array(map(lit("k"), col("id"))).as("kvs"))
+    intercept[IllegalArgumentException] { ArrowIpc.write(lom, tmp("rej5") + "/t.arrow") }
   }
+
+  for (codec <- Seq("null", "lz4", "zstd"))
+    test(s"map roundtrip [$codec]: flat keys, list values, null rows and values") {
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("kv", MapType(StringType, LongType, valueContainsNull = true),
+          nullable = true),
+        StructField("kl", MapType(LongType, ArrayType(DoubleType, containsNull = false),
+          valueContainsNull = true), nullable = true)))
+      val rows = Seq(
+        Row(1L, Map("a" -> 10L, "b" -> null, "c" -> 30L),
+          Map(7L -> Seq(0.5, 1.5), 8L -> null)),
+        Row(2L, Map.empty[String, Long], Map.empty[Long, Seq[Double]]),
+        Row(3L, null, null))
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      val dir = tmp(s"map_$codec")
+      ArrowIpc.write(df, s"$dir/t.arrow", codec = codec)
+      val back = ArrowIpc.read(spark, s"$dir/t.arrow")
+      assert(back.schema("kv").dataType ==
+        MapType(StringType, LongType, valueContainsNull = true))
+      val m = back.collect().map(r => r.getLong(0) -> r).toMap
+      assert(m(1L).getMap[String, Any](1).toMap ==
+        Map("a" -> 10L, "b" -> null, "c" -> 30L))
+      assert(m(1L).getMap[Long, Any](2).toMap ==
+        Map(7L -> Seq(0.5, 1.5), 8L -> null))
+      assert(m(2L).getMap[String, Any](1).isEmpty && m(2L).getMap[Long, Any](2).isEmpty)
+      assert(m(3L).isNullAt(1) && m(3L).isNullAt(2))
+      // Spark's own map ops run over the read result
+      assert(back.select(element_at(col("kv"), "a").as("a"))
+        .agg(sum("a")).head().getLong(0) == 10L)
+      // the streaming format shares the writer core
+      ArrowIpc.writeArrows(df, s"$dir/t.arrows", codec = codec)
+      assert(ArrowIpc.readArrows(spark, s"$dir/t.arrows")
+        .where(col("kv").isNull).count() == 1)
+    }
 
   private val structSchema = StructType(Seq(
     StructField("id", LongType, nullable = false),
