@@ -462,6 +462,22 @@ object SparkEntry {
     }),
 
     // --- JSONL driver end-to-end (LLM-corpus interchange; WKT geometry) ----
+    // --- xlsx write → read roundtrip (WKT geometry, typed re-inference) ---
+    // the reference's xlsx driver is read-only (write_df raises
+    // NotImplementedError); graft's sharded OOXML export must round-trip its
+    // own typed reader, geometry as WKT like the read side
+    "xlsx_roundtrip" -> ((s, dir) => {
+      val pts = custPoints(s, dir).select(col("c_custkey"), col("c_acctbal"), col("geometry"))
+      val out = new java.io.File(s"/tmp/graft_xlsxw_${new java.io.File(dir).getName}")
+      out.mkdirs()
+      graft.sources.GeoSources.writeAuto(pts, s"$out/customer.xlsx")
+      graft.sources.GeoSources.readAuto(s, s"$out/customer.xlsx")
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          round(col("c_acctbal").cast("double"), 2).as("acctbal2"),
+          round(st_x(col("geometry")), 6).as("px"),
+          round(st_y(col("geometry")), 6).as("py"))
+    }),
+
     "jsonl_roundtrip" -> ((s, dir) => {
       val pts = custPoints(s, dir).select(col("c_custkey"), col("c_acctbal"), col("geometry"))
       val out = new java.io.File(s"/tmp/graft_jsonl_${new java.io.File(dir).getName}")
@@ -2483,6 +2499,11 @@ object SparkEntry {
         |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py
         |FROM customer""".stripMargin,
     "shp_roundtrip" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal2,
+        |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,
+        |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py
+        |FROM customer""".stripMargin,
+    "xlsx_roundtrip" ->
       """SELECT c_custkey, round(c_acctbal, 2) AS acctbal2,
         |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,
         |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py

@@ -225,6 +225,161 @@ object Xlsx {
     typed(strings, names, headRows.drop(1), inferSchema)
   }
 
+  // ------------------------------------------------------------- writing
+
+  private def colRef(i: Int): String = {
+    var n = i + 1
+    val sb = new StringBuilder
+    while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+    sb.toString
+  }
+
+  private def xmlEsc(s: String): String = s.flatMap {
+    case '&' => "&amp;"
+    case '<' => "&lt;"
+    case '>' => "&gt;"
+    case '"' => "&quot;"
+    // control chars are invalid in XML 1.0 — drop them rather than emit a
+    // file no parser will open (tab/newline/CR are legal and kept)
+    case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' => ""
+    case c => c.toString
+  }
+
+  /** One cell's XML, or "" for null. Numbers and booleans are native xlsx
+    * cells; strings go INLINE (`t="inlineStr"` — no sharedStrings table to
+    * coordinate across shards); dates/timestamps write as their ISO text
+    * (a real xlsx date cell is a styled serial number — styles are a
+    * presentation concern this data exporter stays out of). Complex and
+    * binary types reject loudly at [[write]] entry.
+    */
+  private def cell(ref: String, dt: DataType, x: Any): String =
+    if (x == null) ""
+    else dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | _: DecimalType =>
+        s"""<c r="$ref"><v>$x</v></c>"""
+      case BooleanType =>
+        s"""<c r="$ref" t="b"><v>${if (x.asInstanceOf[Boolean]) 1 else 0}</v></c>"""
+      case StringType | DateType | TimestampType =>
+        s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEsc(x.toString)}</t></is></c>"""
+      case other => throw new IllegalArgumentException(
+        s"unsupported xlsx cell type $other")
+    }
+
+  private def checkWritable(schema: StructType): Unit =
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+             DoubleType | _: DecimalType | BooleanType | StringType |
+             DateType | TimestampType => ()
+        case other => throw new IllegalArgumentException(
+          s"unsupported xlsx column type $other for '${f.name}' — convert it " +
+            "to text first (geometry travels as WKT through writeAuto)")
+      }
+    }
+
+  /** One complete minimal-OOXML workbook: workbook + rels + content types +
+    * a single inline-strings worksheet whose first row is the header. Opens
+    * in Excel/LibreOffice/pandas and round-trips through [[read]] (typed
+    * columns re-infer from the values).
+    */
+  private def writeOne(rows: Iterator[Row], schema: StructType,
+      sheetName: String, file: java.io.File): Long = {
+    Option(file.getParentFile).foreach(_.mkdirs())
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(file)))
+    def entry(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    val xmlDecl = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
+    var n = 0L
+    try {
+      entry("[Content_Types].xml", xmlDecl +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+        """</Types>""")
+      entry("_rels/.rels", xmlDecl +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+        """</Relationships>""")
+      entry("xl/workbook.xml", xmlDecl +
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        s"""<sheets><sheet name="${xmlEsc(sheetName)}" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+      entry("xl/_rels/workbook.xml.rels", xmlDecl +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+        """</Relationships>""")
+      zos.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+      val w = new java.io.OutputStreamWriter(zos, "UTF-8")
+      w.write(xmlDecl +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      w.write("<row r=\"1\">" + schema.fieldNames.zipWithIndex.map { case (name, c) =>
+        cell(s"${colRef(c)}1", StringType, name)
+      }.mkString + "</row>")
+      val fields = schema.fields
+      rows.foreach { row =>
+        n += 1
+        val r = n + 1 // 1-based, after the header
+        val sb = new StringBuilder(s"""<row r="$r">""")
+        var c = 0
+        while (c < fields.length) {
+          sb.append(cell(s"${colRef(c)}$r", fields(c).dataType, row.get(c)))
+          c += 1
+        }
+        sb.append("</row>")
+        w.write(sb.toString)
+      }
+      w.write("</sheetData></worksheet>")
+      w.flush()
+      zos.closeEntry()
+    } finally zos.close()
+    n
+  }
+
+  /** Writes one `.xlsx` file — a whole-file export collected through the
+    * driver and capped at `maxRows` (default: the format's own 1,048,575
+    * data-row sheet limit); scale data belongs in [[writeSharded]] or
+    * parquet. The REFERENCE driver's write raises NotImplementedError
+    * (erde/io/xls.py:18) — this export is graft surface beyond it.
+    */
+  def write(df: DataFrame, path: String, sheet: String = "Sheet1",
+      maxRows: Int = 1048575): Unit = {
+    checkWritable(df.schema)
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"Xlsx.write collects to the driver and is capped at maxRows=$maxRows " +
+        "rows (the xlsx sheet limit); use writeSharded or parquet for large frames")
+    writeOne(rows.iterator, df.schema, sheet, new java.io.File(path))
+  }
+
+  /** Distributed export: one complete standalone `part-NNNNN.xlsx` per
+    * non-empty partition under `dir` — no driver collect, no row cap beyond
+    * the per-sheet limit each partition must respect (repartition upstream
+    * to size shards). [[read]] pointed at `dir` consumes the shard set back
+    * as one frame; every shard opens in Excel on its own. An all-empty
+    * frame still writes one header-only shard so the schema survives.
+    */
+  def writeSharded(df: DataFrame, dir: String, sheet: String = "Sheet1"): Unit = {
+    checkWritable(df.schema)
+    val schema = df.schema
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val counts = df.rdd.mapPartitionsWithIndex { (i, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val name = f"part-$i%05d.xlsx"
+        val n = writeOne(it, schema, sheet, new java.io.File(dir, name))
+        Iterator.single(name -> n)
+      }
+    }.collect()
+    if (counts.isEmpty)
+      writeOne(Iterator.empty, schema, sheet, new java.io.File(dir, "part-00000.xlsx"))
+  }
+
   /** Reads `*.xlsx` under `path`: header row → column names, typed columns
     * (see object doc), `sheet` by user-visible name (default LAST, matching
     * the reference's `popitem()` behavior — see [[sheetEntry]]).

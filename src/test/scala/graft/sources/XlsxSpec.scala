@@ -160,4 +160,68 @@ class XlsxSpec extends AnyFunSuite with SparkSpec {
     assert(Xlsx.inferType(Seq("1", "x")) == StringType)
     assert(Xlsx.inferType(Seq(null, "")) == StringType)
   }
+
+  test("write → read roundtrip: typed columns, nulls, XML-special strings") {
+    import org.apache.spark.sql.types._
+    val df = Seq(
+      (1L, 2.5, true, "héllo <&> \"q\""),
+      (2L, -0.25, false, "line1\nline2"),
+      (3L, 1.0e7, true, null.asInstanceOf[String]))
+      .toDF("id", "x", "flag", "s")
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsxw").toString
+    Xlsx.write(df, s"$dir/t.xlsx")
+    val back = Xlsx.read(spark, s"$dir/t.xlsx")
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq == Seq(
+      ("id", LongType), ("x", DoubleType), ("flag", BooleanType), ("s", StringType)))
+    val m = back.collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getDouble(1) == 2.5 && m(1L).getBoolean(2))
+    assert(m(1L).getString(3) == "héllo <&> \"q\"")
+    assert(m(2L).getString(3) == "line1\nline2" && !m(2L).getBoolean(2))
+    assert(m(3L).getDouble(1) == 1.0e7 && m(3L).isNullAt(3))
+    // sheet addressed by its written name; a missing sheet fails loudly
+    assert(Xlsx.read(spark, s"$dir/t.xlsx", sheet = Some("Sheet1")).count() == 3)
+    intercept[IllegalArgumentException] {
+      Xlsx.read(spark, s"$dir/t.xlsx", sheet = Some("nope")).count()
+    }
+  }
+
+  test("sharded write: one workbook per partition, read back as one frame") {
+    val df = spark.range(500)
+      .select(col("id"), (col("id") % 7).cast("double").as("v")).repartition(4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsxs").toString
+    Xlsx.writeSharded(df, dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".xlsx"))
+    assert(files.length == 4)
+    val back = Xlsx.read(spark, dir)
+    assert(back.count() == 500)
+    assert(back.agg(sum("id")).head().getLong(0) == (0L until 500L).sum)
+    // an all-empty frame keeps the header-only schema
+    val empty = java.nio.file.Files.createTempDirectory("graft-xlsxe").toString
+    Xlsx.writeSharded(df.limit(0), empty)
+    val eb = Xlsx.read(spark, empty)
+    assert(eb.count() == 0 && eb.schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("write guards: row cap fails fast, complex types reject") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsxg").toString
+    val df = spark.range(20).toDF("id")
+    intercept[IllegalArgumentException] {
+      Xlsx.write(df, s"$dir/cap.xlsx", maxRows = 10)
+    }
+    Xlsx.write(df, s"$dir/ok.xlsx", maxRows = 20) // at the cap: fine
+    intercept[IllegalArgumentException] {
+      Xlsx.write(spark.range(2).select(array(col("id")).as("xs")), s"$dir/arr.xlsx")
+    }
+  }
+
+  test("writeAuto xlsx: geometry rides as WKT and parses back") {
+    val pts = Seq((1L, 2.0, 3.0), (2L, -4.5, 0.25)).toDF("id", "x", "y")
+      .select(col("id"), st_aswkb(st_point(col("x"), col("y"))).as("geometry"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsxgeo").toString
+    GeoSources.writeAuto(pts, s"$dir/pts.xlsx")
+    val back = GeoSources.readAuto(spark, s"$dir/pts.xlsx")
+    val xs = back.select(col("id"), st_x(col("geometry")).as("px")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(xs == Map(1L -> 2.0, 2L -> -4.5))
+  }
 }
