@@ -258,7 +258,11 @@ object ManifestTable {
     val dataRel = s"data/$commitId"
     val dataDir = rootP.resolve(dataRel)
     df.write.parquet(dataDir.toString)
-    val entries = footerStats(spark, rootP, dataRel)
+    // empty part files carry no stats and would sit in the census forever
+    // (every list/scan plans them, columnStats loses its every-file
+    // precondition) — drop them like stage() does; an all-empty commit
+    // publishes a zero-file manifest that still pins the schema
+    val entries = footerStats(spark, rootP, dataRel).filter(_.rows > 0)
     val schemaJson = df.schema.json
 
     var attempt = 0
@@ -723,11 +727,14 @@ object ManifestTable {
   def columnStats(spark: SparkSession, root: String): DataFrame = {
     val st = loadState(spark, root).getOrElse(throw new IllegalArgumentException(
       s"$root is not a manifest table (no ${ManifestDir})"))
+    // legacy manifests may still carry empty-file entries (no stats by
+    // construction) — they hold no rows, so they can't narrow any bound
+    val live = st.files.filter(_.rows > 0)
     val rows = st.files.map(_.rows).sum
     val bytes = st.files.map(_.bytes).sum
     val nFiles = st.files.length.toLong
     val cols = st.schema.fieldNames.toSeq.flatMap { c =>
-      val per = st.files.map(_.stats.get(c))
+      val per = live.map(_.stats.get(c))
       if (per.isEmpty || per.exists(_.isEmpty)) None
       else {
         val s = per.map(_.get)

@@ -370,6 +370,10 @@ class ManifestTableSpec extends AnyFunSuite with SparkSpec {
     val back = ManifestTable.read(spark, root)
     assert(back.count() == 0)
     assert(back.schema.fieldNames.toSeq == Seq("id", "tag", "score"))
+    // the zero-file manifest pins the schema without littering the census
+    // (an empty part file would plan a task on every later read and void
+    // columnStats' every-file stats precondition)
+    assert(ManifestTable.history(root).head.files.isEmpty)
     ManifestTable.append(idTable(0 until 3, "a"), root)
     assert(ManifestTable.read(spark, root).count() == 3)
   }
