@@ -275,14 +275,15 @@ object GeoSources {
     else if (p.endsWith(".avro")) Avro.write(df, path)
     else if (p.endsWith(".arrows")) ArrowIpc.writeArrows(df, path)
     else if (p.endsWith(".arrow")) ArrowIpc.write(df, path)
-    else if (p.endsWith(".xlsx")) {
+    else if (p.endsWith(".xlsx") || p.endsWith(".ods")) {
       // spreadsheets carry geometry as WKT text, mirroring the read side
       val out =
         if (df.columns.contains("geometry") &&
             df.schema("geometry").dataType == org.apache.spark.sql.types.BinaryType)
           df.withColumn("geometry", st_astext(col("geometry")))
         else df
-      Xlsx.write(out, path, sheet = layer.getOrElse("Sheet1"))
+      if (p.endsWith(".ods")) Xlsx.writeOds(out, path, sheet = layer.getOrElse("Sheet1"))
+      else Xlsx.write(out, path, sheet = layer.getOrElse("Sheet1"))
     }
     else if (p.endsWith(".shp")) Shapefile.write(df, path.substring(0, path.length - 4))
     else if (p.endsWith(".fgb")) Fgb.write(df, path)

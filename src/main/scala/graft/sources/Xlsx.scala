@@ -341,6 +341,108 @@ object Xlsx {
     n
   }
 
+  /** One ODS table cell. ODS carries the value as BOTH a typed attribute
+    * and display text; [[parseOdsRows]] (and LibreOffice) read either.
+    * Null cells stay empty but still occupy their column position.
+    */
+  private def odsCell(dt: DataType, x: Any): String =
+    if (x == null) "<table:table-cell/>"
+    else dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | _: DecimalType =>
+        s"""<table:table-cell office:value-type="float" office:value="$x"><text:p>$x</text:p></table:table-cell>"""
+      case BooleanType =>
+        val b = x.asInstanceOf[Boolean]
+        s"""<table:table-cell office:value-type="boolean" office:boolean-value="$b"><text:p>$b</text:p></table:table-cell>"""
+      case StringType | DateType | TimestampType =>
+        s"""<table:table-cell office:value-type="string"><text:p>${xmlEsc(x.toString)}</text:p></table:table-cell>"""
+      case other => throw new IllegalArgumentException(
+        s"unsupported ods cell type $other")
+    }
+
+  /** One complete minimal ODS document: the `mimetype` entry STORED first
+    * (the OpenDocument package magic), a manifest, and a single-table
+    * content.xml. Round-trips [[readOds]]; opens in LibreOffice.
+    */
+  private def writeOneOds(rows: Iterator[Row], schema: StructType,
+      sheetName: String, file: java.io.File): Long = {
+    Option(file.getParentFile).foreach(_.mkdirs())
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(file)))
+    var n = 0L
+    try {
+      val mime = "application/vnd.oasis.opendocument.spreadsheet".getBytes("UTF-8")
+      val me = new java.util.zip.ZipEntry("mimetype")
+      me.setMethod(java.util.zip.ZipEntry.STORED)
+      me.setSize(mime.length.toLong)
+      val crc = new java.util.zip.CRC32(); crc.update(mime)
+      me.setCrc(crc.getValue)
+      zos.putNextEntry(me); zos.write(mime); zos.closeEntry()
+      zos.putNextEntry(new java.util.zip.ZipEntry("META-INF/manifest.xml"))
+      zos.write(("""<?xml version="1.0" encoding="UTF-8"?>""" +
+        """<manifest:manifest xmlns:manifest="urn:oasis:names:tc:opendocument:xmlns:manifest:1.0" manifest:version="1.2">""" +
+        """<manifest:file-entry manifest:full-path="/" manifest:media-type="application/vnd.oasis.opendocument.spreadsheet"/>""" +
+        """<manifest:file-entry manifest:full-path="content.xml" manifest:media-type="text/xml"/>""" +
+        """</manifest:manifest>""").getBytes("UTF-8"))
+      zos.closeEntry()
+      zos.putNextEntry(new java.util.zip.ZipEntry("content.xml"))
+      val w = new java.io.OutputStreamWriter(zos, "UTF-8")
+      w.write("""<?xml version="1.0" encoding="UTF-8"?>""" +
+        """<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" office:version="1.2">""" +
+        s"""<office:body><office:spreadsheet><table:table table:name="${xmlEsc(sheetName)}">""")
+      w.write("<table:table-row>" + schema.fieldNames.map(name =>
+        odsCell(StringType, name)).mkString + "</table:table-row>")
+      val fields = schema.fields
+      rows.foreach { row =>
+        n += 1
+        val sb = new StringBuilder("<table:table-row>")
+        var c = 0
+        while (c < fields.length) {
+          sb.append(odsCell(fields(c).dataType, row.get(c)))
+          c += 1
+        }
+        sb.append("</table:table-row>")
+        w.write(sb.toString)
+      }
+      w.write("</table:table></office:spreadsheet></office:body></office:document-content>")
+      w.flush()
+      zos.closeEntry()
+    } finally zos.close()
+    n
+  }
+
+  /** [[write]]'s OpenDocument twin — same cap, same cell lattice, same
+    * beyond-the-reference status.
+    */
+  def writeOds(df: DataFrame, path: String, sheet: String = "Sheet1",
+      maxRows: Int = 1048575): Unit = {
+    checkWritable(df.schema)
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"Xlsx.writeOds collects to the driver and is capped at maxRows=$maxRows " +
+        "rows; use writeShardedOds or parquet for large frames")
+    writeOneOds(rows.iterator, df.schema, sheet, new java.io.File(path))
+  }
+
+  /** [[writeSharded]]'s OpenDocument twin: one standalone `.ods` per
+    * non-empty partition; [[readOds]] consumes the directory as one frame.
+    */
+  def writeShardedOds(df: DataFrame, dir: String, sheet: String = "Sheet1"): Unit = {
+    checkWritable(df.schema)
+    val schema = df.schema
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val counts = df.rdd.mapPartitionsWithIndex { (i, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val name = f"part-$i%05d.ods"
+        val n = writeOneOds(it, schema, sheet, new java.io.File(dir, name))
+        Iterator.single(name -> n)
+      }
+    }.collect()
+    if (counts.isEmpty)
+      writeOneOds(Iterator.empty, schema, sheet, new java.io.File(dir, "part-00000.ods"))
+  }
+
   /** Writes one `.xlsx` file — a whole-file export collected through the
     * driver and capped at `maxRows` (default: the format's own 1,048,575
     * data-row sheet limit); scale data belongs in [[writeSharded]] or

@@ -214,6 +214,40 @@ class XlsxSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ods write → read roundtrip: typed columns, nulls, sharding, auto dispatch") {
+    import org.apache.spark.sql.types._
+    val df = Seq(
+      (1L, 2.5, true, "héllo <&> ods"),
+      (2L, -0.25, false, null.asInstanceOf[String]))
+      .toDF("id", "x", "flag", "s")
+    val dir = java.nio.file.Files.createTempDirectory("graft-odsw").toString
+    Xlsx.writeOds(df, s"$dir/t.ods")
+    val back = Xlsx.readOds(spark, s"$dir/t.ods")
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq == Seq(
+      ("id", LongType), ("x", DoubleType), ("flag", BooleanType), ("s", StringType)))
+    val m = back.collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getDouble(1) == 2.5 && m(1L).getBoolean(2) &&
+      m(1L).getString(3) == "héllo <&> ods")
+    assert(!m(2L).getBoolean(2) && m(2L).isNullAt(3))
+    // the mimetype entry leads the package STORED — the OpenDocument magic
+    val zf = new java.util.zip.ZipFile(s"$dir/t.ods")
+    try {
+      val first = zf.entries().nextElement()
+      assert(first.getName == "mimetype" &&
+        first.getMethod == java.util.zip.ZipEntry.STORED)
+    } finally zf.close()
+    // sharded twin reads back as one frame
+    val sdir = java.nio.file.Files.createTempDirectory("graft-odss").toString
+    Xlsx.writeShardedOds(spark.range(100).toDF("id").repartition(3), sdir)
+    assert(Xlsx.readOds(spark, sdir).count() == 100)
+    // auto dispatch with WKT geometry
+    val pts = Seq((1L, 2.0, 3.0)).toDF("id", "x", "y")
+      .select(col("id"), st_aswkb(st_point(col("x"), col("y"))).as("geometry"))
+    GeoSources.writeAuto(pts, s"$dir/pts.ods")
+    val g = GeoSources.readAuto(spark, s"$dir/pts.ods")
+    assert(g.select(st_x(col("geometry"))).head().getDouble(0) == 2.0)
+  }
+
   test("writeAuto xlsx: geometry rides as WKT and parses back") {
     val pts = Seq((1L, 2.0, 3.0), (2L, -4.5, 0.25)).toDF("id", "x", "y")
       .select(col("id"), st_aswkb(st_point(col("x"), col("y"))).as("geometry"))
