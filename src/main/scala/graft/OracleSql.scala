@@ -579,6 +579,86 @@ object OracleSql {
        |SELECT query_id, neighbor_id, round(cs, 6) AS cosine FROM re
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) <= $k""".stripMargin
 
+  /** The sim_pq / sim_ivf_pq mirror: PQ-ADC retrieval with the deterministic
+    * SAMPLE-INIT codebook (the `ksub` lowest-id vectors, L2-normalized,
+    * sliced into `m` subspaces — [[graft.operators.Similarity.pqSampleCodebooks]]).
+    * Encode = per-subspace argmin squared L2 (ties → lowest code; the inner
+    * fold is DuckDB's sequential list_sum, the same shape TextKernel's
+    * left-to-right loop produces bit-for-bit). Score = per-subspace partial
+    * dots summed IN SUBSPACE ORDER — the exact two-level grouping of
+    * TextKernel.vecPqLut + pqAdc, because double addition is not
+    * associative. `rescore = 0` returns the ADC score itself (`score`);
+    * `rescore > 0` re-ranks the top rescore·k survivors by true float cosine
+    * (`cosine`) — nprobe = nlist IVF-PQ reduces exactly to that path.
+    */
+  def simPq(k: Int = 5, m: Int = 8, ksub: Int = 16, dim: Int = 64,
+      rescore: Int = 0, vecsrc: String = "embeddings",
+      queryPred: String = "vec_id < 8"): String = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val finalStage =
+      if (rescore == 0)
+        s"""SELECT query_id, neighbor_id, round(score, 6) AS score FROM sc
+           |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= $k""".stripMargin
+      else
+        s"""surv AS (SELECT query_id, neighbor_id FROM sc
+           |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= ${rescore * k}),
+           |re AS (SELECT surv.query_id, surv.neighbor_id, ${cos("eq.embedding", "ec.embedding")} AS cs
+           |  FROM surv JOIN $vecsrc eq ON surv.query_id = eq.vec_id
+           |            JOIN $vecsrc ec ON surv.neighbor_id = ec.vec_id)
+           |SELECT query_id, neighbor_id, round(cs, 6) AS cosine FROM re
+           |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) <= $k""".stripMargin
+    val glue = if (rescore == 0) "" else ","
+    s"""WITH nz AS (SELECT vec_id,
+       |    CASE WHEN n > 0 THEN list_transform(e, x -> CAST(x AS DOUBLE) / n)
+       |    ELSE list_transform(e, x -> CAST(x AS DOUBLE)) END AS en
+       |  FROM (SELECT vec_id, embedding AS e,
+       |      sqrt(list_sum(list_transform(embedding,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+       |    FROM $vecsrc)),
+       |samp AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, en
+       |  FROM (SELECT vec_id, en FROM nz ORDER BY vec_id LIMIT $ksub)),
+       |cb AS (SELECT ss.s, samp.code, samp.en[ss.s*$dsub+1:(ss.s+1)*$dsub] AS cvec
+       |  FROM samp, (SELECT unnest(range(0, $m)) AS s) ss),
+       |dists AS (SELECT r.vec_id, cb.s, cb.code,
+       |    list_sum(list_transform(list_zip(r.en[cb.s*$dsub+1:(cb.s+1)*$dsub], cb.cvec),
+       |      z -> (z[1]-z[2])*(z[1]-z[2]))) AS d
+       |  FROM nz r, cb),
+       |codes AS (SELECT vec_id, s, code FROM dists
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) = 1),
+       |q AS (SELECT vec_id AS query_id, en AS qn FROM nz WHERE $queryPred),
+       |terms AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.s,
+       |    list_sum(list_transform(list_zip(q.qn[c.s*$dsub+1:(c.s+1)*$dsub], cb.cvec),
+       |      z -> z[1]*z[2])) AS term
+       |  FROM q, codes c JOIN cb ON cb.s = c.s AND cb.code = c.code),
+       |sc AS (SELECT query_id, neighbor_id, list_sum(list(term ORDER BY s)) AS score
+       |  FROM terms GROUP BY query_id, neighbor_id)$glue
+       |$finalStage""".stripMargin
+  }
+
+  /** The sim_bitq mirror: sign-bit sketches (bit j set iff embedding[j] > 0 —
+    * TextKernel.vecSignBits), Hamming candidates by (bit_count(xor) asc, id),
+    * exact float-cosine rescore of the top rescore·k. Training-free, so the
+    * whole path mirrors with no quantizer seam.
+    */
+  def simBitq(k: Int = 5, rescore: Int = 4, vecsrc: String = "embeddings",
+      queryPred: String = "vec_id < 8"): String =
+    s"""WITH bits AS (SELECT vec_id,
+       |    coalesce(${sb2("sum(CASE WHEN e[b+1] > 0 THEN pb ELSE 0 END)")}, 0) AS bits
+       |  FROM (SELECT vec_id, embedding AS e FROM $vecsrc), ${pow2Values(64)}
+       |  GROUP BY vec_id),
+       |qb AS (SELECT vec_id AS query_id, bits AS qbits FROM bits WHERE $queryPred),
+       |ham AS (SELECT qb.query_id, c.vec_id AS neighbor_id,
+       |    bit_count(xor(qb.qbits, c.bits)) AS ham
+       |  FROM bits c, qb),
+       |surv AS (SELECT query_id, neighbor_id FROM ham
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY ham, neighbor_id) <= ${rescore * k}),
+       |re AS (SELECT surv.query_id, surv.neighbor_id, ${cos("eq.embedding", "ec.embedding")} AS cs
+       |  FROM surv JOIN $vecsrc eq ON surv.query_id = eq.vec_id
+       |            JOIN $vecsrc ec ON surv.neighbor_id = ec.vec_id)
+       |SELECT query_id, neighbor_id, round(cs, 6) AS cosine FROM re
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) <= $k""".stripMargin
+
   /** (doc_id, contam_hits, contaminated): benchmark decontamination — mirrors
     * [[graft.operators.TextAnalysis.flagContaminated]] over a corpus/bench
     * split of `docsrc` by `benchPred`. One gramsCore instantiation feeds both

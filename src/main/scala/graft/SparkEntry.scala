@@ -1117,6 +1117,66 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // --- similarity: product quantization (ADC) -----------------------------
+    // the explicit-quantizer seam carries the deterministic SAMPLE-INIT
+    // codebook (ksub lowest-id vectors, normalized, sliced) so the whole
+    // encode → LUT → ADC path mirrors value-exactly in SQL, fold order and
+    // tie rule included; TRAINED codebooks (pqTrainCodebooks) are the
+    // recall-spec path, like every nprobe < nlist configuration
+    "sim_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqSampleCodebooks(emb, "embedding", "vec_id", m = 8, ksub = 16)
+      Similarity.pqTopK(emb, emb.where(col("vec_id") < 8), "embedding", "vec_id",
+          k = 5, m = 8, ksub = 16, codebooks = Some(cb))
+        .select(col("query_id"), col("neighbor_id"), round(col("score"), 6).as("score"))
+    }),
+
+    // --- similarity: IVF × PQ × float rescore (the FAISS-IVFPQ shape,
+    // non-residual). nprobe = nlist probes every cell, reducing the
+    // algorithm deterministically to PQ-top-20-then-exact-rescore — the
+    // simPq(rescore=4) mirror gates it exactly; nprobe < nlist recall is
+    // SimilaritySpec's concern
+    "sim_ivf_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqSampleCodebooks(emb, "embedding", "vec_id", m = 8, ksub = 16)
+      Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 8), "embedding", "vec_id",
+          k = 5, nlist = 8, nprobe = 8, m = 8, ksub = 16, rescore = 4, codebooks = Some(cb))
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // --- similarity: PERSISTED IVF-PQ index — assigned(id, vec, pq_code,
+    // cell) + centroids + the one-row codebook table roundtrip through
+    // parquet; the candidate scan reads only (id, cell, pq_code), 32×
+    // narrower than the float column it never touches. Same nprobe = nlist
+    // reduction, same mirror as sim_ivf_pq — the two MUST be value-identical
+    "sim_ivf_pq_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqSampleCodebooks(emb, "embedding", "vec_id", m = 8, ksub = 16)
+      val (assigned, centroids, cbDf) = Similarity.ivfPqBuildIndex(
+        emb, "embedding", "vec_id", nlist = 8, m = 8, ksub = 16, codebooks = Some(cb))
+      val out = s"/tmp/graft_ivfpqidx_${new java.io.File(dir).getName}"
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$out/assigned")
+      centroids.write.mode("overwrite").parquet(s"$out/centroids")
+      cbDf.write.mode("overwrite").parquet(s"$out/codebook")
+      Similarity.ivfPqSearchIndex(
+          s.read.parquet(s"$out/assigned"), s.read.parquet(s"$out/centroids"),
+          s.read.parquet(s"$out/codebook"),
+          emb.where(col("vec_id") < 8), "embedding", "vec_id",
+          k = 5, nprobe = 8, rescore = 4)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // --- similarity: sign-bit binary quantization + Hamming candidates ------
+    // 1-bit sketches (one long per 64-dim vector, 32× smaller than float32),
+    // xor+popcount candidate generation, exact float rescore — training-free
+    // and fully deterministic, so the entire path mirrors in SQL
+    "sim_bitq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hammingTopK(emb, emb.where(col("vec_id") < 8), "embedding", "vec_id",
+          k = 5, rescore = 4)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // --- similarity: composed retriever — LSH buckets × int8 × rescore -----
     // fully deterministic end-to-end (bucket collisions, int8 prefilter and
     // float rescore all mirrored exactly), unlike IVF no fit action needed
@@ -3492,6 +3552,10 @@ object SparkEntry {
     "dedup_semantic" -> OracleSql.dedupSemantic(),
     "sim_lsh" -> OracleSql.simLsh(),
     "sim_int8_lsh" -> OracleSql.simInt8Lsh(),
+    "sim_pq" -> OracleSql.simPq(k = 5, m = 8, ksub = 16, dim = 64, rescore = 0),
+    "sim_ivf_pq" -> OracleSql.simPq(k = 5, m = 8, ksub = 16, dim = 64, rescore = 4),
+    "sim_ivf_pq_index" -> OracleSql.simPq(k = 5, m = 8, ksub = 16, dim = 64, rescore = 4),
+    "sim_bitq" -> OracleSql.simBitq(k = 5, rescore = 4),
     "isochrone_contours" -> OracleSql.isochroneContours(),
     "isochrone_cells" ->
       s"""WITH src AS (SELECT r_regionkey,

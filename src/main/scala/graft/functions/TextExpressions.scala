@@ -150,6 +150,61 @@ case class VecCosine(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** Codegen'd PQ encode against a flat codebook literal ([[TextKernel.vecPqEncode]]). */
+case class VecPqEncode(left: Expression, right: Expression, dsub: Int, ksub: Int)
+    extends BinaryExpression with Serializable {
+  require(dsub >= 1 && ksub >= 1, s"dsub/ksub must be positive, got $dsub/$ksub")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(v: Any, cb: Any): Any =
+    TextKernel.vecPqEncode(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData], dsub, ksub)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, cb) => s"${TextExpressions.K}.vecPqEncode($v, $cb, $dsub, $ksub)")
+  override def prettyName: String = "vec_pq_encode"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecPqEncode =
+    copy(l, r)
+}
+
+/** Codegen'd per-query ADC lookup table ([[TextKernel.vecPqLut]]). */
+case class VecPqLut(left: Expression, right: Expression, dsub: Int, ksub: Int)
+    extends BinaryExpression with Serializable {
+  require(dsub >= 1 && ksub >= 1, s"dsub/ksub must be positive, got $dsub/$ksub")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(v: Any, cb: Any): Any =
+    TextKernel.vecPqLut(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData], dsub, ksub)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, cb) => s"${TextExpressions.K}.vecPqLut($v, $cb, $dsub, $ksub)")
+  override def prettyName: String = "vec_pq_lut"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecPqLut =
+    copy(l, r)
+}
+
+/** Codegen'd asymmetric-distance score ([[TextKernel.pqAdc]]) — the per-pair
+  * hot loop of the PQ retriever: m lookups + adds.
+  */
+case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression with Serializable {
+  require(ksub >= 1, s"ksub must be positive, got $ksub")
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(lut: Any, codes: Any): Any =
+    TextKernel.pqAdc(lut.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData], ksub)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lut, codes) => s"${TextExpressions.K}.pqAdc($lut, $codes, $ksub)")
+  override def prettyName: String = "pq_adc"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcScore =
+    copy(l, r)
+}
+
+/** Codegen'd sign-bit binary sketch ([[TextKernel.vecSignBits]]). */
+case class VecSignBits(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernel.vecSignBits(v.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"${TextExpressions.K}.vecSignBits($v)")
+  override def prettyName: String = "vec_sign_bits"
+  override protected def withNewChildInternal(c: Expression): VecSignBits = copy(child = c)
+}
+
 case class LangId(child: Expression) extends UnaryExpression with Serializable {
   override def dataType: DataType = StringType
   override protected def nullSafeEval(t: Any): Any = TextKernel.langId(t.asInstanceOf[UTF8String])
@@ -255,6 +310,20 @@ object TextFunctions {
       dim))
   def vec_cosine(a: Column, b: Column): Column =
     c(VecCosine(e(a.cast("array<double>")), e(b.cast("array<double>"))))
+  private def cbLit(flatCb: Array[Double]) =
+    org.apache.spark.sql.catalyst.expressions.Literal.create(flatCb,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+  /** PQ codes of `v` against a flat (m·ksub·dsub) codebook literal. */
+  def vec_pq_encode(v: Column, flatCb: Array[Double], dsub: Int, ksub: Int): Column =
+    c(VecPqEncode(e(v.cast("array<double>")), cbLit(flatCb), dsub, ksub))
+  /** Per-query ADC lookup table against the same flat codebook literal. */
+  def vec_pq_lut(v: Column, flatCb: Array[Double], dsub: Int, ksub: Int): Column =
+    c(VecPqLut(e(v.cast("array<double>")), cbLit(flatCb), dsub, ksub))
+  /** ADC score of a code array against a query's lookup table. */
+  def pq_adc(lut: Column, codes: Column, ksub: Int): Column =
+    c(PqAdcScore(e(lut), e(codes), ksub))
+  /** Sign-bit binary sketch of a (≤64-dim) vector as one long. */
+  def vec_sign_bits(v: Column): Column = c(VecSignBits(e(v.cast("array<double>"))))
   def lang_id(text: Column): Column = c(LangId(e(text)))
   def doc_fingerprint(text: Column): Column = c(DocFingerprint(e(text)))
   def mix64_hash(v: Column, seed: Long): Column =
@@ -297,6 +366,7 @@ object TextFunctions {
       "string_hash64" -> (a => StringHash64(a(0), asLong(a(1)))),
       "vec_dot" -> (a => VecDot(asVec(a(0)), asVec(a(1)))),
       "vec_cosine" -> (a => VecCosine(asVec(a(0)), asVec(a(1)))),
+      "vec_sign_bits" -> (a => VecSignBits(asVec(a(0)))),
       "vec_simhash" -> (a => VecSimhash(asVec(a(0)), asInt(a(1)), asLong(a(2)))),
       "vec_project" -> (a => VecProject(asVec(a(0)), asInt(a(1)), asLong(a(2)))),
       "winnow_fps" -> (a => WinnowFps(a(0), asInt(a(1)), asInt(a(2)))),

@@ -280,6 +280,96 @@ object TextKernel {
     best
   }
 
+  // ---- product quantization ------------------------------------------------
+
+  /** PQ encode against a FLAT codebook (`cb` holds m·ksub·dsub doubles,
+    * row-major by (subspace, code)): per subspace, the code of the nearest
+    * centroid by squared L2 over that subspace's `dsub` components. Strict
+    * `<` keeps the LOWEST code on exact ties; accumulation is left-to-right —
+    * OracleSql.simPq mirrors the fold order and the tie rule value-exactly
+    * (Jégou et al. 2011, public literature; no FAISS code involved).
+    */
+  def vecPqEncode(v: ArrayData, cb: ArrayData, dsub: Int, ksub: Int): ArrayData = {
+    val m = v.numElements() / dsub
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val vo = s * dsub
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ksub) {
+        val co = (s * ksub + c) * dsub
+        var acc = 0.0
+        var j = 0
+        while (j < dsub) {
+          val d = v.getDouble(vo + j) - cb.getDouble(co + j)
+          acc += d * d
+          j += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-query ADC lookup table over the same flat codebook:
+    * `lut[s·ksub + c]` = dot(query subvector s, centroid (s,c)), each inner
+    * fold left-to-right. Computed ONCE per query (the broadcast side) so the
+    * per-candidate score ([[pqAdc]]) is m lookups + adds instead of a
+    * dim-wide dot.
+    */
+  def vecPqLut(v: ArrayData, cb: ArrayData, dsub: Int, ksub: Int): ArrayData = {
+    val m = v.numElements() / dsub
+    val out = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      val vo = s * dsub
+      var c = 0
+      while (c < ksub) {
+        val co = (s * ksub + c) * dsub
+        var acc = 0.0
+        var j = 0
+        while (j < dsub) { acc += v.getDouble(vo + j) * cb.getDouble(co + j); j += 1 }
+        out(s * ksub + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance score: Σ_s lut[s·ksub + code_s], left-to-right over
+    * subspaces — identical grouping to the oracle's ordered two-level sum
+    * (per-subspace partial dots, then the subspace fold), because double
+    * addition is not associative and the mirror must match bit-for-bit.
+    */
+  def pqAdc(lut: ArrayData, codes: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) { acc += lut.getDouble(s * ksub + codes.getInt(s)); s += 1 }
+    acc
+  }
+
+  /** Sign-bit binary quantization: bit j set iff v[j] > 0 (strictly — zeros
+    * and negatives clear), packed little-endian into one long. Requires
+    * dim ≤ 64; the 64-dim test embeddings fill the word exactly. Hamming
+    * distance between two sketches is `bit_count(a ^ b)` — a built-in on
+    * both engines, so the mirror needs no kernel.
+    */
+  def vecSignBits(v: ArrayData): Long = {
+    val n = v.numElements()
+    require(n <= 64, s"vecSignBits packs into one long: dim must be <= 64, got $n")
+    var out = 0L
+    var j = 0
+    while (j < n) { if (v.getDouble(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
   // ---- language id --------------------------------------------------------
 
   private val stopwords: Map[String, Set[String]] = Map(

@@ -126,16 +126,17 @@ object Similarity {
     * whole fold per element (Spark's subexpression elimination skips lambda
     * bodies), turning the prep scan O(dim²) per row.
     */
-  private def int8Prep(df: DataFrame, vecCol: String, idCol: String, idOut: String,
-      keep: Seq[String] = Nil): DataFrame = {
-    val withNorm = df
-      .select(col(idCol).cast("long").as(idOut) +: keep.map(col) :+
+  private def l2Prep(df: DataFrame, vecCol: String, idCol: String, idOut: String,
+      keep: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol).cast("long").as(idOut) +: keep.map(col) :+
         col(vecCol).cast("array<double>").as("__vd"): _*)
       .withColumn("__n", sqrt(aggregate(col("__vd"), lit(0.0), (acc, x) => acc + x * x)))
       .withColumn("__nv", when(col("__n") > 0,
         transform(col("__vd"), x => x / col("__n"))).otherwise(col("__vd")))
-    quantizeInt8(withNorm, "__nv")
-  }
+
+  private def int8Prep(df: DataFrame, vecCol: String, idCol: String, idOut: String,
+      keep: Seq[String] = Nil): DataFrame =
+    quantizeInt8(l2Prep(df, vecCol, idCol, idOut, keep), "__nv")
 
   def int8TopK(
       corpus: DataFrame,
@@ -722,6 +723,318 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cands.withColumn("cosine", cosineSim(col("__qv"), col("__cv")))
     topkColumns(scored, k)
+  }
+
+  // ---- product quantization -----------------------------------------------
+
+  /** Deterministic sample-init PQ codebook: the `ksub` lowest-id vectors,
+    * L2-normalized, sliced into `m` subvectors — the SQL-mirrorable quantizer
+    * seam (random-sample codebooks are the standard PQ init; Jégou et al.
+    * 2011). Returns the flat row-major (subspace, code) layout
+    * [[pqTopK]]/[[ivfPqTopK]] consume; the TRAINED twin is
+    * [[pqTrainCodebooks]]. Bounded collect: exactly `ksub` rows.
+    */
+  def pqSampleCodebooks(
+      corpus: DataFrame, vecCol: String, idCol: String, m: Int, ksub: Int): Array[Double] = {
+    require(m >= 1 && ksub >= 1, "m and ksub must be >= 1")
+    val rows = corpus
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .where(col("__v").isNotNull)
+      .orderBy("__id").limit(ksub).collect()
+    require(rows.length == ksub, s"sample codebook needs >= $ksub corpus rows, got ${rows.length}")
+    // normalize by DIVISION (x / n), zero-norm left unchanged — the exact
+    // arithmetic of l2Prep's column path and the oracle's nz CTE; the
+    // reciprocal-multiply in l2normalize differs in the last ulp and would
+    // break the value-exact mirror
+    val samples = rows.map { r =>
+      val v = r.getSeq[Double](1).toArray
+      var n2 = 0.0; var i = 0
+      while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+      val n = math.sqrt(n2)
+      if (n > 0) v.map(_ / n) else v
+    }
+    val dim = samples(0).length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val flat = new Array[Double](m * ksub * dsub)
+    for (s <- 0 until m; c <- 0 until ksub; j <- 0 until dsub)
+      flat((s * ksub + c) * dsub + j) = samples(c)(s * dsub + j)
+    flat
+  }
+
+  /** Per-subspace Lloyd-trained PQ codebooks on a bounded, corpus-spanning
+    * sample (the same seeded content-hash draw as the IVF fit — a bare
+    * limit() would fit whichever shard sorts first). Plain squared-L2 Lloyd
+    * per subspace over the L2-NORMALIZED sample, empty cells keep their old
+    * centroid, deterministic throughout. Training quality (recall vs brute
+    * force) is SimilaritySpec's concern, like every nprobe < nlist path.
+    */
+  def pqTrainCodebooks(
+      corpus: DataFrame,
+      vecCol: String,
+      m: Int,
+      ksub: Int,
+      iters: Int = 8,
+      seed: Long = 42L,
+      fitSampleBytes: Long = 64L << 20): Array[Double] = {
+    require(m >= 1 && ksub >= 2 && iters >= 1, "m >= 1, ksub >= 2, iters >= 1 required")
+    val featured = corpus.select(col(vecCol).cast("array<float>").as("__cv"))
+      .where(col("__cv").isNotNull)
+    val dim = featured.select(size(col("__cv"))).head(1) match {
+      case Array(r) => r.getInt(0)
+      case _ => 0
+    }
+    require(dim > 0 && dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val sample = featured
+      .select(col("__cv"), xxhash64(lit(seed), col("__cv")).as("__h"))
+      .orderBy("__h")
+      .limit(fitRowCap(dim, fitSampleBytes, ksub))
+      .collect().map(r => l2normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
+    require(sample.nonEmpty, "empty training sample")
+    val flat = new Array[Double](m * ksub * dsub)
+    var s = 0
+    while (s < m) {
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      // init: ksub evenly spaced sample subvectors (the hash order already
+      // spans the corpus); duplicates are harmless — Lloyd separates them
+      // or the empty-cell rule freezes one
+      var cents = Array.tabulate(ksub)(c => sub(((c.toLong * sub.length) / ksub).toInt).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Long](ksub)
+        sub.foreach { v =>
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < ksub) {
+            var d2 = 0.0; var j = 0
+            while (j < dsub) { val d = v(j) - cents(c)(j); d2 += d * d; j += 1 }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          var j = 0
+          while (j < dsub) { sums(best)(j) += v(j); j += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(ksub)(c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c)))
+        it += 1
+      }
+      var c = 0
+      while (c < ksub) {
+        System.arraycopy(cents(c), 0, flat, (s * ksub + c) * dsub, dsub)
+        c += 1
+      }
+      s += 1
+    }
+    flat
+  }
+
+  /** Product-quantized retrieval (PQ-ADC): the corpus compresses to `m`
+    * one-byte codes per vector (64-dim float32 → 8 bytes = 32× smaller; the
+    * memory tier BELOW int8's 4×), each query precomputes an m·ksub lookup
+    * table once, and the per-pair score is m lookups + adds — all codegen'd
+    * kernels. With `rescore = 0` the ADC approximation IS the score (column
+    * `score`, the oracle-gated path); with `rescore > 0` the top rescore·k
+    * ADC survivors get the exact float rescore (column `cosine`) — the
+    * deployed shape, where the float column is touched only for survivors.
+    * Codebooks come from the explicit seam ([[pqSampleCodebooks]] /
+    * [[pqTrainCodebooks]] / any external fit); `None` trains in place.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      rescore: Int = 0,
+      codebooks: Option[Array[Double]] = None,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1 && rescore >= 0, "k >= 1 and rescore >= 0 required")
+    val flatCb = codebooks.getOrElse(pqTrainCodebooks(corpus, vecCol, m, ksub, seed = seed))
+    require(flatCb.length % (m * ksub) == 0,
+      s"codebook length ${flatCb.length} must be m*ksub*dsub for m=$m ksub=$ksub")
+    val dsub = flatCb.length / (m * ksub)
+    val c = l2Prep(corpus, vecCol, idCol, "neighbor_id")
+      .select(col("neighbor_id"),
+        vec_pq_encode(col("__nv"), flatCb, dsub, ksub).as("__code"))
+    val q = l2Prep(queries, vecCol, idCol, "query_id")
+      .select(col("query_id"),
+        vec_pq_lut(col("__nv"), flatCb, dsub, ksub).as("__lut"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine", pq_adc(col("__lut"), col("__code"), ksub))
+    if (rescore == 0)
+      topkColumns(scored, k).withColumnRenamed("cosine", "score")
+    else {
+      val survivors = topkColumns(scored, math.max(k, rescore * k))
+        .select("query_id", "neighbor_id")
+      rescoreExact(corpus, queries, vecCol, idCol, survivors, k)
+    }
+  }
+
+  /** IVF × PQ × float rescore — the FAISS-IVFPQ shape (without residual
+    * encoding: codes quantize the vector itself, so the PQ stage is
+    * independent of the coarse quantizer and `nprobe = nlist` reduces
+    * EXACTLY to [[pqTopK]]'s rescore path, which is how the oracle gates
+    * it). Candidate rows carry only (id, cell, m-byte code): at 100 TB the
+    * probed-cell scan reads 32× fewer vector bytes than float32, the ADC
+    * loop is m adds per pair, and the float column is read only for the
+    * rescore survivors.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      rescore: Int = 4,
+      seed: Long = 42L,
+      fitSampleBytes: Long = 64L << 20,
+      codebooks: Option[Array[Double]] = None,
+      quantizer: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(rescore >= 1, "ivfPqTopK always rescores: rescore >= 1 required")
+    val (assigned, centroids) =
+      fitAssign(corpus, vecCol, idCol, nlist, seed, fitSampleBytes, quantizer)
+    val flatCb = codebooks.getOrElse(pqTrainCodebooks(corpus, vecCol, m, ksub, seed = seed))
+    val dsub = flatCb.length / (m * ksub)
+    val narrow = l2Prep(assigned, "__cv", "neighbor_id", "neighbor_id", keep = Seq("__cell"))
+      .select(col("neighbor_id"), col("__cell"),
+        vec_pq_encode(col("__nv"), flatCb, dsub, ksub).as("__code"))
+    val qlut = l2Prep(queries, vecCol, idCol, "query_id")
+      .select(col("query_id"), vec_pq_lut(col("__nv"), flatCb, dsub, ksub).as("__lut"))
+    val probes = probeCells(queries, centroids, vecCol, idCol, nprobe)
+      .select("query_id", "__cell")
+      .join(broadcast(qlut), Seq("query_id"))
+    val candScored = narrow.join(broadcast(probes), Seq("__cell"))
+      .withColumn("cosine", pq_adc(col("__lut"), col("__code"), ksub))
+    val survivors = topkColumns(candScored, math.max(k, rescore * k))
+      .select("query_id", "neighbor_id")
+    rescoreExact(corpus, queries, vecCol, idCol, survivors, k)
+  }
+
+  /** Builds the PERSISTABLE IVF-PQ index: `assigned(neighbor_id, vec,
+    * pq_code, cell)` (float vector kept for the rescore stage, next to its
+    * m-byte code), `centroids(cell, centroid)`, and a one-row
+    * `codebook(dsub, ksub, cb)` table carrying the flat codebook — write all
+    * three as parquet (partition `assigned` by `cell`), serve with
+    * [[ivfPqSearchIndex]]. The candidate stage of the search reads ONLY
+    * `(neighbor_id, cell, pq_code)` — 32× narrower than the float column it
+    * never touches.
+    */
+  def ivfPqBuildIndex(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nlist: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      seed: Long = 42L,
+      fitSampleBytes: Long = 64L << 20,
+      codebooks: Option[Array[Double]] = None,
+      quantizer: Option[Array[Array[Double]]] = None): (DataFrame, DataFrame, DataFrame) = {
+    val (assigned, centroids) =
+      fitAssign(corpus, vecCol, idCol, nlist, seed, fitSampleBytes, quantizer)
+    val flatCb = codebooks.getOrElse(pqTrainCodebooks(corpus, vecCol, m, ksub, seed = seed))
+    val dsub = flatCb.length / (m * ksub)
+    val withCode = l2Prep(assigned, "__cv", "neighbor_id", "neighbor_id",
+        keep = Seq("__cell", "__cv"))
+      .select(col("neighbor_id"), col("__cv").as("vec"),
+        vec_pq_encode(col("__nv"), flatCb, dsub, ksub).as("pq_code"),
+        col("__cell").as("cell"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cbDf = Seq((dsub, ksub, flatCb.toSeq)).toDF("dsub", "ksub", "cb")
+    (withCode,
+      centroids.select(col("__cell").as("cell"), col("__centroid").as("centroid")),
+      cbDf)
+  }
+
+  /** Serves a query batch from a persisted [[ivfPqBuildIndex]] layout: probe
+    * cells, ADC-score only the probed cells' (id, cell, pq_code) rows, exact
+    * float rescore of the top rescore·k survivors against the index's own
+    * `vec` column. `nprobe = nlist` reduces exactly to [[pqTopK]]'s rescore
+    * path (the oracle gate); `nprobe < nlist` is the production ANN
+    * configuration. The codebook fetch is one row.
+    */
+  def ivfPqSearchIndex(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      codebook: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nprobe: Int = 4,
+      rescore: Int = 4): DataFrame = {
+    val cbRow = codebook.select(col("dsub").cast("int"), col("ksub").cast("int"), col("cb"))
+      .head() // bounded: the one-row codebook table
+    val dsub = cbRow.getInt(0); val ksub = cbRow.getInt(1)
+    val flatCb = cbRow.getSeq[Double](2).toArray
+    val narrow = assigned.select(col("neighbor_id"), col("cell").as("__cell"),
+      col("pq_code").as("__code"))
+    val c = centroids.select(col("cell").as("__cell"), col("centroid").as("__centroid"))
+    val qlut = l2Prep(queries, vecCol, idCol, "query_id")
+      .select(col("query_id"), vec_pq_lut(col("__nv"), flatCb, dsub, ksub).as("__lut"))
+    val probes = probeCells(queries, c, vecCol, idCol, nprobe)
+      .select("query_id", "__cell")
+      .join(broadcast(qlut), Seq("query_id"))
+    val candScored = narrow.join(broadcast(probes), Seq("__cell"))
+      .withColumn("cosine", pq_adc(col("__lut"), col("__code"), ksub))
+    val survivors = topkColumns(candScored, math.max(k, rescore * k))
+      .select("query_id", "neighbor_id")
+    val qFloat = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
+    val rescored = assigned.select(col("neighbor_id"), col("vec").as("__cv"))
+      .join(broadcast(survivors), Seq("neighbor_id"))
+      .join(broadcast(qFloat), Seq("query_id"))
+      .withColumn("cosine", cosineSim(col("__qv"), col("__cv")))
+    topkColumns(rescored, k)
+  }
+
+  // ---- binary (sign-bit) quantization ---------------------------------------
+
+  /** Adds a one-long sign-bit sketch column (bit j set iff vec[j] > 0,
+    * dim ≤ 64) — the 1-bit quantization tier: 32× smaller than float32,
+    * Hamming distance is one xor + popcount. Training-free and fully
+    * deterministic, so the whole retrieval path mirrors exactly in SQL.
+    */
+  def bitQuantize(df: DataFrame, vecCol: String, bitsCol: String = "bits"): DataFrame =
+    df.withColumn(bitsCol, vec_sign_bits(col(vecCol)))
+
+  /** Hamming-candidate retrieval over sign-bit sketches: candidates are the
+    * top rescore·k per query by (Hamming asc, id asc) — one xor + popcount
+    * per pair over broadcast query sketches, the corpus side scanning ONE
+    * long per row — then the exact float rescore ranks the final k by true
+    * cosine. The cheapest candidate tier here (no fit, no codebook, 1-bit);
+    * recall vs brute force is SimilaritySpec's concern.
+    */
+  def hammingTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      rescore: Int = 4): DataFrame = {
+    require(k >= 1 && rescore >= 1, "k and rescore must be >= 1")
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      vec_sign_bits(col(vecCol)).as("__cb"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      vec_sign_bits(col(vecCol)).as("__qb"))
+    // negated Hamming as the aggregator score: (-score, id) ordering ==
+    // (hamming asc, id asc), the oracle's exact candidate rule
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine",
+        -bit_count(col("__qb").bitwiseXOR(col("__cb"))).cast("double"))
+    val survivors = topkColumns(scored, math.max(k, rescore * k))
+      .select("query_id", "neighbor_id")
+    rescoreExact(corpus, queries, vecCol, idCol, survivors, k)
   }
 
   /** Greedy farthest-point (k-center) sampling — diversity/coreset

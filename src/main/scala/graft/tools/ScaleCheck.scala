@@ -154,6 +154,14 @@ object ScaleCheck {
     pair("sim_int8_lsh")(
       Similarity.int8LshTopK(emb, queries, "embedding", "vec_id", k = 5),
       Similarity.int8LshTopK(embN, queries, "embedding", "vec_id", k = 5))
+    pair("sim_ivf_pq")(
+      Similarity.ivfPqTopK(emb, queries, "embedding", "vec_id", k = 5,
+        nlist = 8, nprobe = 4),
+      Similarity.ivfPqTopK(embN, queries, "embedding", "vec_id", k = 5,
+        nlist = 8, nprobe = 4))
+    pair("sim_bitq")(
+      Similarity.hammingTopK(emb, queries, "embedding", "vec_id", k = 5),
+      Similarity.hammingTopK(embN, queries, "embedding", "vec_id", k = 5))
     pair("sjoin_agg")(
       SJoin.sagg(zones, pts1, Seq(count(lit(1)).as("n_items"), sum("l_quantity").as("qty")),
         predicate = "contains", how = "inner"),

@@ -143,6 +143,10 @@ class PlanAuditSpec extends SparkSpec {
       s"sim_int8_lsh degenerated:\n$lsh")
     assert(lsh.contains("HashJoin") || lsh.contains("SortMergeJoin"),
       s"sim_int8_lsh candidate join not an equi-join:\n$lsh")
+    val pq = physical(q("sim_ivf_pq"))
+    assert(!pq.contains("CartesianProduct"), s"sim_ivf_pq cartesian:\n$pq")
+    assert(pq.contains("HashJoin") || pq.contains("SortMergeJoin"),
+      s"sim_ivf_pq candidate join not an equi-join:\n$pq")
   }
 
   test("stats_kll aggregates in one pass with a map-side partial") {

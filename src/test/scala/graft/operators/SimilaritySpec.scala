@@ -438,6 +438,145 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ---- product quantization ------------------------------------------------
+
+  test("pqTopK: trained codebooks keep recall; full rescore is exactly brute force") {
+    val queries = corpus.where(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    // trained per-subspace Lloyd codebooks, modest rescore: high recall
+    val cb = Similarity.pqTrainCodebooks(corpus, "embedding", m = 4, ksub = 8)
+    val pq = Similarity.pqTopK(corpus, queries, "embedding", "vec_id",
+        k = 5, m = 4, ksub = 8, rescore = 2, codebooks = Some(cb))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.map(t => (t._1, t._2)).intersect(pq).size.toDouble / exact.size
+    assert(recall >= 0.7, s"pq recall $recall too low")
+    // rescore·k ≥ |corpus| rescores everything → exactly brute force,
+    // cosines included (rescore is the true float cosine)
+    val full = Similarity.pqTopK(corpus, queries, "embedding", "vec_id",
+        k = 5, m = 4, ksub = 8, rescore = 8, codebooks = Some(cb))
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full == exact)
+  }
+
+  test("pq codes are bounded, deterministic, and better trained than sampled") {
+    val cbS = Similarity.pqSampleCodebooks(corpus, "embedding", "vec_id", m = 4, ksub = 8)
+    val cbT = Similarity.pqTrainCodebooks(corpus, "embedding", m = 4, ksub = 8)
+    assert(cbS.length == 4 * 8 * 4 && cbT.length == 4 * 8 * 4)
+    // determinism: same inputs, same codebooks
+    assert(cbT.toSeq == Similarity.pqTrainCodebooks(corpus, "embedding", m = 4, ksub = 8).toSeq)
+    // encode locally and compare reconstruction error: Lloyd-trained must
+    // not lose to the first-8-rows sample init on this clustered corpus
+    val vecs = corpus.select(col("embedding").cast("array<double>")).collect()
+      .map { r =>
+        val v = r.getSeq[Double](0).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n > 0) v.map(_ / n) else v
+      }
+    def mse(flat: Array[Double]): Double = {
+      val dsub = 4; val ksub = 8
+      vecs.map { v =>
+        (0 until 4).map { s =>
+          (0 until ksub).map { c =>
+            (0 until dsub).map { j =>
+              val d = v(s * dsub + j) - flat((s * ksub + c) * dsub + j); d * d
+            }.sum
+          }.min
+        }.sum
+      }.sum / vecs.length
+    }
+    assert(mse(cbT) <= mse(cbS), s"trained ${mse(cbT)} worse than sampled ${mse(cbS)}")
+    // codes live in [0, ksub)
+    val codes = Similarity.pqTopK(corpus, corpus.where(col("vec_id") < 1),
+      "embedding", "vec_id", k = 3, m = 4, ksub = 8, codebooks = Some(cbS))
+    assert(codes.count() == 3)
+    // dim must divide into m subspaces — loud reject
+    intercept[IllegalArgumentException] {
+      Similarity.pqSampleCodebooks(corpus, "embedding", "vec_id", m = 5, ksub = 8)
+    }
+  }
+
+  test("ivfPqTopK at nprobe = nlist equals pqTopK's rescore path exactly") {
+    val queries = corpus.where(col("vec_id") < 8)
+    val cb = Similarity.pqSampleCodebooks(corpus, "embedding", "vec_id", m = 4, ksub = 8)
+    val plain = Similarity.pqTopK(corpus, queries, "embedding", "vec_id",
+        k = 5, m = 4, ksub = 8, rescore = 3, codebooks = Some(cb))
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    val ivfpq = Similarity.ivfPqTopK(corpus, queries, "embedding", "vec_id",
+        k = 5, nlist = 5, nprobe = 5, m = 4, ksub = 8, rescore = 3, codebooks = Some(cb))
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ivfpq == plain)
+    // partial probe keeps recall on the clustered corpus
+    val exact = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val part = Similarity.ivfPqTopK(corpus, queries, "embedding", "vec_id",
+        k = 5, nlist = 5, nprobe = 3, m = 4, ksub = 8, rescore = 3, codebooks = Some(cb))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(part).size.toDouble / exact.size
+    assert(recall >= 0.7, s"ivf-pq partial-probe recall $recall too low")
+  }
+
+  test("persisted IVF-PQ index: roundtrip reproduces ivfPqTopK; candidate scan reads codes only") {
+    val queries = corpus.where(col("vec_id") < 8)
+    val cb = Similarity.pqSampleCodebooks(corpus, "embedding", "vec_id", m = 4, ksub = 8)
+    val (assigned, centroids, cbDf) = Similarity.ivfPqBuildIndex(
+      corpus, "embedding", "vec_id", nlist = 5, m = 4, ksub = 8, codebooks = Some(cb))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    cbDf.write.mode("overwrite").parquet(s"$dir/codebook")
+    val got = Similarity.ivfPqSearchIndex(
+      spark.read.parquet(s"$dir/assigned"), spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebook"),
+      queries, "embedding", "vec_id", k = 5, nprobe = 5, rescore = 3)
+    val inline = Similarity.ivfPqTopK(corpus, queries, "embedding", "vec_id",
+        k = 5, nlist = 5, nprobe = 5, m = 4, ksub = 8, rescore = 3, codebooks = Some(cb))
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    val gotSet = got.select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotSet == inline)
+    // scan-shape claim: the candidate stage reads ONLY (id, cell, pq_code) —
+    // the float `vec` column appears only in the survivor-rescore scan
+    val readSchemas = "ReadSchema: [^\\n]+".r
+      .findAllIn(got.queryExecution.executedPlan.toString).toSeq
+    assert(readSchemas.exists(s => s.contains("pq_code") && !s.contains("vec:")),
+      s"candidate scan not pruned to pq_code:\n${readSchemas.mkString("\n")}")
+  }
+
+  // ---- binary (sign-bit) quantization ---------------------------------------
+
+  test("sign-bit sketch: bits match a manual pack; hamming full-rescore is brute force") {
+    val row = Seq((0L, Array(0.5f, -1f, 0f, 2f))).toDF("vec_id", "embedding")
+    val bits = Similarity.bitQuantize(row, "embedding").select("bits").as[Long].head()
+    assert(bits == ((1L << 0) | (1L << 3))) // strictly-positive components only
+    // >64-dim vectors reject loudly (one-long pack)
+    val wide = Seq((0L, Array.fill(65)(1f))).toDF("vec_id", "embedding")
+    intercept[Exception] {
+      Similarity.bitQuantize(wide, "embedding").collect()
+    }
+    val queries = corpus.where(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    // rescore·k ≥ |corpus|: every row rescored → exactly brute force
+    val full = Similarity.hammingTopK(corpus, queries, "embedding", "vec_id",
+        k = 5, rescore = 8)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full == exact)
+    // modest rescore keeps recall on the clustered corpus
+    val approx = Similarity.hammingTopK(corpus, queries, "embedding", "vec_id",
+        k = 5, rescore = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.map(t => (t._1, t._2)).intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"hamming recall $recall too low")
+  }
+
   test("farthestPointSample: greedy maximin selection, ties by id, monotone") {
     // unit vectors at known angles: greedy from the seed (min id, 0°) must
     // take 180° first (cosine distance 2), then 90°, never the 5° near-dup
