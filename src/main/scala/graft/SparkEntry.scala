@@ -2173,6 +2173,26 @@ object SparkEntry {
       Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id", threshold = 0.7)
         .select("doc_id", "lang")),
 
+    // --- the composed pretraining-curation pipeline: Gopher quality gate →
+    // exact dedup → MinHash near-dedup → per-language token budget. Each
+    // stage is the already-oracled operator applied verbatim; the oracle
+    // chains the same stages' proven mirrors as nested derived tables, so a
+    // divergence pinpoints the stage that drifted. The output is what a
+    // data-mix planner consumes: surviving docs and whitespace-token budget
+    // per language.
+    "pipeline_pretrain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val quality = TextAnalysis.gopherRules(docs, minWords = 40)
+        .where(col("gopher_keep"))
+        .select(docs.columns.map(col).toSeq: _*)
+      val exactKept = Dedup.exact(quality, Seq("text"), "doc_id")
+      val reps = Dedup.minhashLsh(exactKept, "text", "doc_id", threshold = 0.7)
+      TextAnalysis.tokenCounts(reps)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens").cast("long")).as("n_tokens"))
+    }),
+
     // --- transitive near-dup clusters (connected components over verified
     // LSH pairs; cluster = component-min doc_id) -----------------------------
     // --- PageRank: power method over the customer->supplier order graph ----
@@ -3540,6 +3560,21 @@ object SparkEntry {
     "multimodal_audio" -> OracleSql.multimodalAudio(),
     "dedup_simhash" -> OracleSql.dedupSimhash(),
     "dedup_minhash" -> OracleSql.dedupMinhash(),
+    // composed pipeline: each stage's PROVEN mirror chained as nested
+    // derived tables (DuckDB scopes outer CTEs into nested WITHs), so the
+    // oracle is literally the composition of text_gopher + dedup_exact +
+    // dedup_minhash + text_tokens
+    "pipeline_pretrain" ->
+      s"""WITH gok AS (SELECT doc_id FROM (${OracleSql.textGopher(minWords = 40)}) g
+         |  WHERE gopher_keep),
+         |kept AS (SELECT d.* FROM documents d JOIN gok USING (doc_id)),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+         |kept2 AS (SELECT k.* FROM kept k JOIN ex USING (doc_id)),
+         |reps AS (SELECT doc_id FROM (${OracleSql.dedupMinhash(docsrc = "kept2", threshold = 0.7)}) r)
+         |SELECT k.lang, count(*) AS n_docs,
+         |  CAST(sum(len(string_split_regex(trim(k.text), '\\s+'))) AS BIGINT) AS n_tokens
+         |FROM kept2 k JOIN reps USING (doc_id)
+         |GROUP BY k.lang""".stripMargin,
     "dedup_clusters" -> OracleSql.dedupClusters(),
     "dedup_best" -> OracleSql.dedupKeepBest(),
     "graph_pagerank" -> OracleSql.graphPagerank(),
