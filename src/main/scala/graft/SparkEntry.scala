@@ -1427,6 +1427,26 @@ object SparkEntry {
           sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("long").as("cents"))
     }),
 
+    // --- manifest CHANGE DATA FEED across rewrite commits ------------------
+    // v2 = two appends (residues 0,1); v3 = merge doubling residue 1 and
+    // inserting residue 2; v4 = deleteWhere keys <= 500. changes(2, 4) must
+    // classify exactly: inserted-and-surviving keys 'added', deleted keys
+    // 'removed', doubled-price survivors 'changed' (price 0 hashes equal —
+    // unchanged, excluded), untouched residue-0 survivors excluded
+    "data_manifest_cdf" -> ((s, dir) => {
+      val root = freshRoot("manifest_cdf", dir)
+      val orders = t(s, dir, "orders")
+      ManifestTable.append(orders.where(col("o_orderkey") % 4 === 0), root)
+      ManifestTable.append(orders.where(col("o_orderkey") % 4 === 1), root)
+      val source = orders.where(col("o_orderkey") % 4 === 1 || col("o_orderkey") % 4 === 2)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      ManifestTable.merge(s, root, source, Seq("o_orderkey"))
+      ManifestTable.deleteWhere(s, root, ManifestTable.Le("o_orderkey", 500L))
+      ManifestTable.changes(s, root, fromVersion = 2L, toVersion = 4L, keyCol = "o_orderkey")
+        .groupBy("change")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey").cast("long")).as("sum_key"))
+    }),
+
     // --- manifest DESCRIBE HISTORY (metadata-only commit stats) ------------
     "data_manifest_describe" -> ((s, dir) => {
       val root = freshRoot("manifest_ds", dir)
@@ -3050,6 +3070,17 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders WHERE o_orderkey % 4 <= 2 GROUP BY 1""".stripMargin,
+    "data_manifest_cdf" ->
+      """SELECT 'added' AS change, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders WHERE o_orderkey % 4 = 2 AND o_orderkey > 500
+        |UNION ALL
+        |SELECT 'removed', count(*), CAST(sum(o_orderkey) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey <= 500
+        |UNION ALL
+        |SELECT 'changed', count(*), CAST(sum(o_orderkey) AS BIGINT)
+        |FROM orders
+        |WHERE o_orderkey % 4 = 1 AND o_orderkey > 500
+        |  AND o_totalprice <> o_totalprice * 2""".stripMargin,
     "data_manifest_describe" ->
       """SELECT CAST(1 AS BIGINT) AS version, 'append' AS action,
         |  count(*) AS n_rows FROM orders WHERE o_orderkey % 4 = 0

@@ -872,6 +872,36 @@ object ManifestTable {
     framed(spark, root, range.last.schema, adds.flatMap(_.files))
   }
 
+  /** CHANGE DATA FEED between two versions: the row-level
+    * (key, added/removed/changed) diff of the two snapshots — the
+    * table_changes verb for REWRITE commits, which the file-level
+    * [[readSince]] append feed cannot express (a merge or deleteWhere
+    * carries whole rewritten files, not row deltas; readSince refuses to
+    * cross an overwrite for exactly that reason, and THIS is the re-sync
+    * that tells a consumer what actually changed). Computed as
+    * [[graft.operators.Ops.snapshotDiff]] over the two time-travel reads:
+    * each side collapses to (key, 64-bit content hash) before the
+    * full-outer join, so the shuffle moves ~16 bytes per row regardless of
+    * row width — at 100 TB the diff costs two scans plus a narrow
+    * key-hash join. Columns missing on one side (mergeSchema evolution
+    * between the versions) compare as null: a row whose only difference is
+    * an evolved column that is null on both sides stays `unchanged`.
+    */
+  def changes(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long, keyCol: String,
+      includeUnchanged: Boolean = false): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val a0 = read(spark, root, Some(fromVersion))
+    val b0 = read(spark, root, Some(toVersion))
+    val allCols = (a0.columns ++ b0.columns).distinct.toSeq
+    require(allCols.contains(keyCol), s"key column $keyCol not in either snapshot")
+    def widen(df: DataFrame) = df.select(allCols.map(c =>
+      if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
+    graft.operators.Ops.snapshotDiff(widen(a0), widen(b0), keyCol,
+      allCols.filterNot(_ == keyCol), includeUnchanged = includeUnchanged)
+  }
+
   /** The table's append feed as a STRUCTURED STREAM — the "table as a
     * stream" half of the lakehouse contract ([[streamingAppend]] is the
     * other). Every `append` commit hard-links its data files into

@@ -837,6 +837,41 @@ class ManifestTableSpec extends AnyFunSuite with SparkSpec {
     } finally ManifestTable.disableFeedLinks = false
   }
 
+  test("changes: row-level CDF across rewrites; schema evolution compares as null") {
+    val root = tmp("cdf")
+    ManifestTable.append(idTable(0 until 20, "a"), root)          // v1
+    ManifestTable.append(idTable(20 until 30, "b"), root)         // v2
+    // v3: merge — update ids 25..29 (score shifted), insert 30..34
+    ManifestTable.merge(spark, root,
+      idTable(25 until 35, "b").withColumn("score", col("score") + 100.0),
+      Seq("id"))
+    // v4: delete ids <= 4
+    ManifestTable.deleteWhere(spark, root, Le("id", 4L))
+    val ch = ManifestTable.changes(spark, root, 2L, 4L, "id")
+      .as[(Long, String)].collect().toMap
+    assert(ch.filter(_._2 == "added").keySet == (30L until 35L).toSet)
+    assert(ch.filter(_._2 == "removed").keySet == (0L until 5L).toSet)
+    assert(ch.filter(_._2 == "changed").keySet == (25L until 30L).toSet)
+    // untouched rows are excluded by default, included on request
+    assert(!ch.contains(10L))
+    val all = ManifestTable.changes(spark, root, 2L, 4L, "id", includeUnchanged = true)
+    assert(all.where(col("change") === "unchanged").count() == 20) // ids 5..24
+    // identity diff: a version against itself is all-unchanged
+    assert(ManifestTable.changes(spark, root, 4L, 4L, "id").count() == 0)
+    // schema evolution: v5 appends a widened row set; old-side missing
+    // column compares as null, so pre-existing rows stay unchanged
+    ManifestTable.append(
+      idTable(40 until 45, "c").withColumn("extra", lit(7L)), root,
+      mergeSchema = true)                                          // v5
+    val ev = ManifestTable.changes(spark, root, 4L, 5L, "id")
+      .as[(Long, String)].collect().toMap
+    assert(ev.keySet == (40L until 45L).toSet && ev.values.forall(_ == "added"))
+    // ordering guard
+    intercept[IllegalArgumentException] {
+      ManifestTable.changes(spark, root, 5L, 4L, "id")
+    }
+  }
+
   test("vacuum unlinks reclaimed commits' feed entries; retained links survive") {
     val root = tmp("feedvac")
     ManifestTable.append(idTable(0 until 10, "a"), root)
