@@ -59,7 +59,7 @@ object Similarity {
     override def outputEncoder: Encoder[Seq[(Long, Double)]] = ExpressionEncoder()
   }
 
-  private def topkColumns(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topkColumns(scored: DataFrame, k: Int): DataFrame = {
     val fn = udaf(new TopKAggregator(k), ExpressionEncoder[(Long, Double)]())
     scored
       .groupBy("query_id")
@@ -996,6 +996,64 @@ object Similarity {
       .join(broadcast(qFloat), Seq("query_id"))
       .withColumn("cosine", cosineSim(col("__qv"), col("__cv")))
     topkColumns(rescored, k)
+  }
+
+  /** First-stage ANN serving over a query STREAM from a persisted
+    * [[ivfBuildIndex]] layout — the stream-static retrieval pattern
+    * ("queries arrive as a stream, the index is the table"):
+    *
+    *   - probe-cell selection is a per-row STATELESS projection: the
+    *     ≤nlist-row centroid model rides the plan as literals
+    *     (assignClusters' convention — no stream-side join, no window),
+    *     ranked by `sort_array` on (−cosine, cell), the exact tie rule of
+    *     the batch `probeCells`;
+    *   - candidates come from a stream-static equi-join on `cell` against
+    *     the index's NARROW `(neighbor_id, cell, q8, q8_scale)` projection —
+    *     the float column is never scanned; with a cell-partitioned index
+    *     the join prunes unprobed partitions per micro-batch;
+    *   - scoring is the exact int8 integer dot (query quantized by the same
+    *     stateless normalize-then-quantize expressions as the batch path);
+    *   - per-query top-k is the O(k) partial-merge [[TopKAggregator]] as a
+    *     streaming aggregation: run with Update output mode (per-query rows
+    *     refine as late candidates arrive in later micro-batches).
+    *
+    * Emits `(query_id, neighbor_id, score)` — the int8 FIRST-STAGE scores;
+    * the exact float rescore of k survivors per query is model-sized and
+    * belongs downstream (a batch [[rescoreExact]] pass or the serving
+    * layer), exactly as in the deployed [[int8IvfSearchIndex]] split.
+    * Works unchanged on a batch frame (the spec's parity oracle).
+    */
+  def int8IvfServeStream(
+      queries: DataFrame,
+      assigned: DataFrame,
+      centroids: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val cents = centroids.select(col("cell").cast("int"), col("centroid"))
+      .collect() // bounded: the ≤nlist-row quantizer model
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "serving needs a non-empty centroid table")
+    require(cents.length <= 256,
+      "centroids ride the plan as literals: nlist must be <= 256 for serving")
+    val np = math.min(nprobe, cents.length)
+    val entries = cents.map { case (cell, c) =>
+      struct((-cosineSim(col("__qv"), typedLit(c.toSeq))).as("negsim"),
+        lit(cell).as("cell"))
+    }
+    val prepped = int8Prep(queries, vecCol, idCol, "query_id", keep = Nil)
+      .select(col("query_id"), col("__vd").as("__qv"),
+        col("q8").as("__qq"), col("q8_scale").as("__qs"))
+      .withColumn("__cell",
+        explode(slice(sort_array(array(entries.toIndexedSeq: _*)), 1, np)("cell")))
+      .drop("__qv")
+    val narrow = assigned.select(col("neighbor_id"), col("cell").as("__cell"),
+      col("q8").as("__cq"), col("q8_scale").as("__cs"))
+    val scored = prepped.join(narrow, Seq("__cell"))
+      .withColumn("cosine", int8Dot(col("__qq"), col("__qs"), col("__cq"), col("__cs")))
+    topkColumns(scored, k).withColumnRenamed("cosine", "score")
   }
 
   // ---- binary (sign-bit) quantization ---------------------------------------

@@ -548,6 +548,45 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       s"candidate scan not pruned to pq_code:\n${readSchemas.mkString("\n")}")
   }
 
+  test("int8IvfServeStream: full probe IS int8TopK; stream equals the batch run") {
+    val queries = corpus.where(col("vec_id") < 8)
+    val (assigned, centroids) =
+      Similarity.ivfBuildIndex(corpus, "embedding", "vec_id", nlist = 6)
+    // batch frame, nprobe = nlist: every cell probed, so the first-stage
+    // scores are exactly int8TopK over the index corpus
+    val served = Similarity.int8IvfServeStream(queries, assigned, centroids,
+        "embedding", "vec_id", k = 5, nprobe = 6)
+      .select("query_id", "neighbor_id", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    val i8 = Similarity.int8TopK(corpus, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(served == i8)
+    // the same operator over a STREAM of queries, two micro-batches, equals
+    // the batch run (update-by-aggregation, complete-mode snapshot)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val rows = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val q = Similarity.int8IvfServeStream(
+        mem.toDF().toDF("vec_id", "embedding"), assigned, centroids,
+        "embedding", "vec_id", k = 5, nprobe = 3)
+      .writeStream.format("memory").queryName("ann_serve").outputMode("complete").start()
+    try {
+      mem.addData(rows.take(3).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("ann_serve")
+        .as[(Long, Long, Double)].collect().toSet
+      val expect = Similarity.int8IvfServeStream(queries, assigned, centroids,
+          "embedding", "vec_id", k = 5, nprobe = 3)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expect)
+    } finally q.stop()
+  }
+
   // ---- binary (sign-bit) quantization ---------------------------------------
 
   test("sign-bit sketch: bits match a manual pack; hamming full-rescore is brute force") {
