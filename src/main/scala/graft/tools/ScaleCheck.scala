@@ -591,6 +591,26 @@ object ScaleCheck {
       { graft.sources.ManifestTable.merge(spark, s"$mtmp/tN", mergeSrc,
           Seq("o_orderkey")); spark.range(1).toDF("done") })
 
+    // manifest CDF: row-level diff of the pre-merge vs post-merge snapshot.
+    // Inherently linear in the union of the two snapshots (every surviving
+    // row is key-hashed once per side — the honest linear = 1 tier, like
+    // sim_topk), but the shuffle moves only (key, 64-bit hash) pairs; the
+    // ratio shows the constant stays flat as the table grows factor×
+    if (only.forall("manifest_cdf".contains)) {
+      graft.sources.ManifestTable.append(ordCopy(0), s"$mtmp/cdf1")
+      (0 until factor).foreach(i =>
+        graft.sources.ManifestTable.append(ordCopy(i), s"$mtmp/cdfN"))
+      graft.sources.ManifestTable.merge(spark, s"$mtmp/cdf1", mergeSrc,
+        Seq("o_orderkey"))
+      graft.sources.ManifestTable.merge(spark, s"$mtmp/cdfN", mergeSrc,
+        Seq("o_orderkey"))
+    }
+    pair("manifest_cdf")(
+      graft.sources.ManifestTable.changes(spark, s"$mtmp/cdf1",
+        1L, 2L, "o_orderkey"),
+      graft.sources.ManifestTable.changes(spark, s"$mtmp/cdfN",
+        factor.toLong, factor + 1L, "o_orderkey"))
+
     // manifest LOG scale: a long LIFE, not a big table — 40 vs 40·factor
     // micro-commits of the same tiny frame. The no-match scan reads ZERO
     // data files, so its cost is pure metadata replay; checkpointing makes
