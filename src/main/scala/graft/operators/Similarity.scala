@@ -359,7 +359,9 @@ object Similarity {
       .partitionBy("query_id").orderBy(col("__csim").desc, col("__cell"))
     probed.withColumn("__rank", row_number().over(w))
       .where(col("__rank") <= nprobe)
-      .select("query_id", "__qv", "__cell")
+      // __csim rides along for the residual-PQ scorer (dot(q̂, ĉ) of the
+      // probed cell); every other caller just ignores it
+      .select("query_id", "__qv", "__cell", "__csim")
   }
 
   def ivfTopK(
@@ -792,13 +794,22 @@ object Similarity {
       .limit(fitRowCap(dim, fitSampleBytes, ksub))
       .collect().map(r => l2normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
     require(sample.nonEmpty, "empty training sample")
+    fitSubspaces(sample, m, ksub, iters, dsub)
+  }
+
+  /** Per-subspace squared-L2 Lloyd on an in-memory sample — the shared
+    * trainer behind [[pqTrainCodebooks]] (plain vectors) and the residual
+    * codebooks of [[ivfPqTopK]]`(residual = true)` (vector − coarse
+    * centroid). Init = ksub evenly spaced sample subvectors (the seeded
+    * hash order already spans the corpus); duplicates are harmless — Lloyd
+    * separates them or the empty-cell rule freezes one. Deterministic.
+    */
+  private def fitSubspaces(
+      sample: Array[Array[Double]], m: Int, ksub: Int, iters: Int, dsub: Int): Array[Double] = {
     val flat = new Array[Double](m * ksub * dsub)
     var s = 0
     while (s < m) {
       val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
-      // init: ksub evenly spaced sample subvectors (the hash order already
-      // spans the corpus); duplicates are harmless — Lloyd separates them
-      // or the empty-cell rule freezes one
       var cents = Array.tabulate(ksub)(c => sub(((c.toLong * sub.length) / ksub).toInt).clone())
       var it = 0
       while (it < iters) {
@@ -899,22 +910,75 @@ object Similarity {
       seed: Long = 42L,
       fitSampleBytes: Long = 64L << 20,
       codebooks: Option[Array[Double]] = None,
-      quantizer: Option[Array[Array[Double]]] = None): DataFrame = {
+      quantizer: Option[Array[Array[Double]]] = None,
+      residual: Boolean = false): DataFrame = {
     require(rescore >= 1, "ivfPqTopK always rescores: rescore >= 1 required")
     val (assigned, centroids) =
       fitAssign(corpus, vecCol, idCol, nlist, seed, fitSampleBytes, quantizer)
-    val flatCb = codebooks.getOrElse(pqTrainCodebooks(corpus, vecCol, m, ksub, seed = seed))
+    if (!residual) {
+      val flatCb = codebooks.getOrElse(pqTrainCodebooks(corpus, vecCol, m, ksub, seed = seed))
+      val dsub = flatCb.length / (m * ksub)
+      val narrow = l2Prep(assigned, "__cv", "neighbor_id", "neighbor_id", keep = Seq("__cell"))
+        .select(col("neighbor_id"), col("__cell"),
+          vec_pq_encode(col("__nv"), flatCb, dsub, ksub).as("__code"))
+      val qlut = l2Prep(queries, vecCol, idCol, "query_id")
+        .select(col("query_id"), vec_pq_lut(col("__nv"), flatCb, dsub, ksub).as("__lut"))
+      val probes = probeCells(queries, centroids, vecCol, idCol, nprobe)
+        .select("query_id", "__cell")
+        .join(broadcast(qlut), Seq("query_id"))
+      val candScored = narrow.join(broadcast(probes), Seq("__cell"))
+        .withColumn("cosine", pq_adc(col("__lut"), col("__code"), ksub))
+      val survivors = topkColumns(candScored, math.max(k, rescore * k))
+        .select("query_id", "neighbor_id")
+      return rescoreExact(corpus, queries, vecCol, idCol, survivors, k)
+    }
+    // RESIDUAL encoding (the FAISS-IVFPQ default): codes quantize
+    // (x̂ − ĉ_cell) — residuals are tighter-clustered than raw vectors, so
+    // the same m·ksub budget reconstructs with less error and first-stage
+    // ranking sharpens. Score decomposes as
+    //   dot(q̂, x̂) ≈ dot(q̂, ĉ) + dot(q̂, decode(code))
+    // with term 1 already computed by the probe ranking (__csim rides
+    // along) and term 2 the SAME global ADC lookup table — per-pair cost
+    // stays m lookups + adds. Residual coupling to the coarse quantizer is
+    // why this variant has no exact SQL mirror (the quantizer is trained);
+    // the spec gates it instead: full probe + full rescore ≡ brute force,
+    // and residual codebooks must beat plain ones on reconstruction error.
+    val cmap = centroids.select(col("__cell").cast("int"), col("__centroid"))
+      .collect() // bounded: the ≤nlist-row quantizer model
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val prep = l2Prep(assigned, "__cv", "neighbor_id", "neighbor_id",
+      keep = Seq("__cell", "__cv"))
+    val flatCb = codebooks.getOrElse {
+      val dim = cmap.head._2.length
+      val rows = prep
+        .select(col("__nv"), col("__cell"), xxhash64(lit(seed), col("__cv")).as("__h"))
+        .orderBy("__h")
+        .limit(fitRowCap(dim, fitSampleBytes, ksub))
+        .collect()
+      val sample = rows.map { r =>
+        val v = r.getSeq[Double](0).toArray
+        val c = cmap(r.getInt(1))
+        Array.tabulate(v.length)(j => v(j) - c(j))
+      }
+      require(sample.nonEmpty, "empty residual training sample")
+      require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+      fitSubspaces(sample, m, ksub, iters = 8, dsub = dim / m)
+    }
     val dsub = flatCb.length / (m * ksub)
-    val narrow = l2Prep(assigned, "__cv", "neighbor_id", "neighbor_id", keep = Seq("__cell"))
+    val cents = centroids.select(col("__cell"),
+      col("__centroid").cast("array<double>").as("__cd"))
+    val narrow = prep
+      .join(broadcast(cents), Seq("__cell"))
+      .withColumn("__res", zip_with(col("__nv"), col("__cd"), (a, b) => a - b))
       .select(col("neighbor_id"), col("__cell"),
-        vec_pq_encode(col("__nv"), flatCb, dsub, ksub).as("__code"))
+        vec_pq_encode(col("__res"), flatCb, dsub, ksub).as("__code"))
     val qlut = l2Prep(queries, vecCol, idCol, "query_id")
       .select(col("query_id"), vec_pq_lut(col("__nv"), flatCb, dsub, ksub).as("__lut"))
     val probes = probeCells(queries, centroids, vecCol, idCol, nprobe)
-      .select("query_id", "__cell")
+      .select("query_id", "__cell", "__csim")
       .join(broadcast(qlut), Seq("query_id"))
     val candScored = narrow.join(broadcast(probes), Seq("__cell"))
-      .withColumn("cosine", pq_adc(col("__lut"), col("__code"), ksub))
+      .withColumn("cosine", col("__csim") + pq_adc(col("__lut"), col("__code"), ksub))
     val survivors = topkColumns(candScored, math.max(k, rescore * k))
       .select("query_id", "neighbor_id")
     rescoreExact(corpus, queries, vecCol, idCol, survivors, k)

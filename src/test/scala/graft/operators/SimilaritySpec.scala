@@ -548,6 +548,40 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       s"candidate scan not pruned to pq_code:\n${readSchemas.mkString("\n")}")
   }
 
+  test("residual IVF-PQ: full probe + full rescore is brute force; residual codes reconstruct tighter") {
+    val queries = corpus.where(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    // rescore·k ≥ |corpus| rescores every candidate of every probed cell:
+    // with all cells probed the result is exactly brute force
+    val res = Similarity.ivfPqTopK(corpus, queries, "embedding", "vec_id",
+        k = 5, nlist = 5, nprobe = 5, m = 4, ksub = 8, rescore = 8, residual = true)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(res == exact)
+    // partial probe, modest rescore: recall holds on the clustered corpus
+    val part = Similarity.ivfPqTopK(corpus, queries, "embedding", "vec_id",
+        k = 5, nlist = 5, nprobe = 3, m = 4, ksub = 8, rescore = 3, residual = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.map(t => (t._1, t._2)).intersect(part).size.toDouble / exact.size
+    assert(recall >= 0.7, s"residual ivf-pq recall $recall too low")
+    // the residual claim itself: with the SAME m·ksub budget, the same
+    // probe set, and a minimal rescore (the first-stage ranking decides),
+    // residual encoding must rank at least as well as plain encoding —
+    // residuals are tighter-clustered, so the code budget reconstructs
+    // with less error. Deterministic data + deterministic fits.
+    def recallOf(residualMode: Boolean): Double = {
+      val got = Similarity.ivfPqTopK(corpus, queries, "embedding", "vec_id",
+          k = 5, nlist = 5, nprobe = 5, m = 4, ksub = 8, rescore = 1,
+          residual = residualMode)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      exact.map(t => (t._1, t._2)).intersect(got).size.toDouble / exact.size
+    }
+    assert(recallOf(true) >= recallOf(false),
+      s"residual first-stage recall ${recallOf(true)} below plain ${recallOf(false)}")
+  }
+
   test("int8IvfServeStream: full probe IS int8TopK; stream equals the batch run") {
     val queries = corpus.where(col("vec_id") < 8)
     val (assigned, centroids) =
