@@ -478,6 +478,22 @@ object SparkEntry {
           round(st_y(col("geometry")), 6).as("py"))
     }),
 
+    // --- generic SQLite roundtrip (supplier → .sqlite shard dir → read) ----
+    // writeSharded emits one standalone SQLite database per partition (the
+    // page graph is not splittable; parallelism = many files), the directory
+    // reads back as one frame through the same from-scratch pager/B-tree
+    // codec the GeoPackage driver uses
+    "sqlite_roundtrip" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("s_nationkey"))
+      val out = freshRoot("sqlitew", dir)
+      graft.sources.SqliteDb.writeSharded(sup.repartition(4), out, table = "supplier")
+      graft.sources.SqliteDb.read(s, out, Some("supplier"))
+        .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+          round(col("s_acctbal").cast("double"), 2).as("bal2"),
+          col("s_nationkey").cast("long").as("s_nationkey"))
+    }),
+
     "jsonl_roundtrip" -> ((s, dir) => {
       val pts = custPoints(s, dir).select(col("c_custkey"), col("c_acctbal"), col("geometry"))
       val out = new java.io.File(s"/tmp/graft_jsonl_${new java.io.File(dir).getName}")
@@ -2608,6 +2624,9 @@ object SparkEntry {
         |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,
         |  round((c_custkey % 80) * 0.5 - 20 + 0.25, 6) AS py
         |FROM customer""".stripMargin,
+    "sqlite_roundtrip" ->
+      """SELECT s_suppkey, s_name, round(s_acctbal, 2) AS bal2, s_nationkey
+        |FROM supplier""".stripMargin,
     "jsonl_roundtrip" ->
       """SELECT c_custkey, round(c_acctbal, 2) AS acctbal2,
         |  round((c_custkey % 120) * 0.5 - 30 + 0.25, 6) AS px,

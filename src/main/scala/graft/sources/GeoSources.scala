@@ -236,6 +236,9 @@ object GeoSources {
       }
       else if (p.endsWith(".shp")) Shapefile.readSplit(spark, path)
       else if (p.endsWith(".gpkg")) Gpkg.read(spark, path, layer = layer)
+      // plain sqlite databases: the generic table driver (`file.db:table`)
+      else if (p.endsWith(".sqlite") || p.endsWith(".sqlite3") || p.endsWith(".db"))
+        SqliteDb.read(spark, path, table = layer)
       else if (p.endsWith(".fgb")) Fgb.read(spark, path, filterWkt = filterWkt)
       else if (p.endsWith(".xlsx")) parseWktCol(Xlsx.read(spark, path, sheet = layer))
       else if (p.endsWith(".ods")) parseWktCol(Xlsx.readOds(spark, path, sheet = layer))
@@ -288,6 +291,8 @@ object GeoSources {
     else if (p.endsWith(".shp")) Shapefile.write(df, path.substring(0, path.length - 4))
     else if (p.endsWith(".fgb")) Fgb.write(df, path)
     else if (p.endsWith(".gpkg")) Gpkg.write(df, path, layerName = layer.getOrElse("layer"))
+    else if (p.endsWith(".sqlite") || p.endsWith(".sqlite3") || p.endsWith(".db"))
+      SqliteDb.write(df, path, table = layer.getOrElse("data"))
     else throw new IllegalArgumentException(s"no write driver for '$path0'")
   }
 

@@ -26,7 +26,7 @@ object Gpkg {
 
   // ---- minimal sqlite ------------------------------------------------------
 
-  private final class Sqlite(bytes: Array[Byte]) {
+  private[sources] final class Sqlite(bytes: Array[Byte]) {
     require(new String(bytes, 0, 15, StandardCharsets.US_ASCII) == "SQLite format 3",
       "not a sqlite/gpkg file")
     private val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
@@ -228,7 +228,7 @@ object Gpkg {
     out
   }
 
-  private def sparkType(decl: String): DataType = decl match {
+  private[sources] def sparkType(decl: String): DataType = decl match {
     case t if t.startsWith("INT") || t.startsWith("MEDIUMINT") || t.startsWith("SMALLINT") ||
       t.startsWith("TINYINT") || t.startsWith("BIGINT") || t.startsWith("BOOLEAN") => LongType
     case t if t.startsWith("REAL") || t.startsWith("DOUBLE") || t.startsWith("FLOAT") => DoubleType
@@ -396,7 +396,7 @@ object Gpkg {
     * and overflow chains — the write-side twin of [[Sqlite]] above, emitting
     * exactly the structures the reader walks (public file-format spec).
     */
-  private final class SqliteBuilder(val pageSize: Int = 4096) {
+  private[sources] final class SqliteBuilder(val pageSize: Int = 4096) {
     val usable: Int = pageSize // reserved byte count 0
     private val pages = ArrayBuffer[Array[Byte]](new Array[Byte](pageSize)) // page 1 reserved
 
@@ -595,7 +595,8 @@ object Gpkg {
       * master rows must fit one leaf (require) — they do for one feature
       * layer plus the three gpkg metadata tables.
       */
-    def finish(master: Seq[(Long, Seq[Any])], out: java.io.OutputStream): Unit = {
+    def finish(master: Seq[(Long, Seq[Any])], out: java.io.OutputStream,
+        applicationId: Int = 0x47504B47, userVersion: Int = 10200): Unit = {
       val cells = master.map { case (rid, vals) => leafCell(rid, record(vals)) }
       val used = cells.map(_.length).sum + 2 * cells.length
       require(100 + 8 + used <= usable, s"sqlite_master overflows page 1 ($used bytes)")
@@ -611,15 +612,15 @@ object Gpkg {
       be32(p1, 40, master.length) // schema cookie
       be32(p1, 44, 4) // schema format
       be32(p1, 56, 1) // UTF-8
-      be32(p1, 60, 10200) // user_version: GeoPackage 1.2
-      be32(p1, 68, 0x47504B47) // application_id "GPKG"
+      be32(p1, 60, userVersion) // GeoPackage 1.2 (10200) or 0 for plain sqlite
+      be32(p1, 68, applicationId) // "GPKG" or 0 for plain sqlite
       be32(p1, 92, 1) // version-valid-for
       be32(p1, 96, 3045000)
       pages.foreach(out.write)
     }
   }
 
-  private def declType(dt: DataType): String = dt match {
+  private[sources] def declType(dt: DataType): String = dt match {
     case LongType | IntegerType | ShortType | ByteType | BooleanType => "INTEGER"
     case DoubleType | FloatType | _: DecimalType => "DOUBLE"
     case StringType | TimestampType | DateType => "TEXT" // ISO-8601 text per GPKG
