@@ -692,6 +692,44 @@ object OracleSql {
        |FROM $docsrc d CROSS JOIN pr LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
   }
 
+  /** The data_dsir mirror: DSIR importance resampling with the raw corpus =
+    * ALL of `docsrc` and the target = the `targetPred` subset. Features are
+    * unigrams + adjacent bigrams bucketed by the NB mirror's exact hash
+    * chain; weights are the add-one-smoothed log ratio; the Gumbel key uses
+    * dataWeighted's seeded-hash uniform; the top-k cut ranks on the
+    * 6-decimal-PRE-ROUNDED key (the farthestPointSample pin — an unrounded
+    * near-tie would fork engines).
+    */
+  def dsir(targetPred: String, k: Int = 100, buckets: Int = 4096,
+      seed: Long = 42L, docsrc: String = "documents"): String = {
+    require(seed >= 0, "oracle mirror expects a non-negative seed")
+    val d = s"$buckets.0"
+    val uh = mix64(ub2(s"xor(doc_id, $seed)"))
+    s"""WITH tk AS (SELECT doc_id, $targetPred AS y,
+       |    regexp_extract_all(lower(text), '[\\p{L}\\p{Nd}]+') AS t FROM $docsrc),
+       |gr AS (SELECT doc_id, y, unnest(list_concat(t,
+       |    CASE WHEN len(t) >= 2
+       |      THEN list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+       |        z -> z[1] || ' ' || z[2])
+       |      ELSE [] END)) AS g FROM tk),
+       |bk AS (SELECT doc_id, y,
+       |  (${mix64(xor64(hashFold(codesOf("g")), seed.toString))}) % $buckets AS b FROM gr),
+       |counts AS (SELECT y, b, count(*) AS c FROM bk GROUP BY y, b),
+       |cb AS (SELECT b, sum(CASE WHEN y THEN c ELSE 0 END) AS ct, sum(c) AS cr
+       |  FROM counts GROUP BY b),
+       |tt AS (SELECT sum(CASE WHEN y THEN c ELSE 0 END) AS tt, sum(c) AS tr FROM counts),
+       |w AS (SELECT b, ln((CAST(ct AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + $d))
+       |  - ln((CAST(cr AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + $d)) AS w FROM cb, tt),
+       |db AS (SELECT doc_id, b, count(*) AS n FROM bk GROUP BY doc_id, b),
+       |sc AS (SELECT doc_id, sum(CAST(n AS DOUBLE) * w) AS s FROM db JOIN w USING (b)
+       |  GROUP BY doc_id),
+       |gk AS (SELECT doc_id, s, round(s - ln(-ln(
+       |    (CAST(($uh) // 2048 AS DOUBLE) + 0.5) / CAST('9007199254740992' AS DOUBLE))), 6) AS key
+       |  FROM sc)
+       |SELECT doc_id, key AS dsir_key, round(s, 4) AS dsir_score FROM gk
+       |ORDER BY key DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   def decontaminate(benchPred: String, n: Int = 3, minHits: Int = 1,
       docsrc: String = "documents"): String =
     s"""WITH ${gramsCore(docsrc, n)},

@@ -1638,6 +1638,16 @@ object SparkEntry {
         .select("doc_id", "source")),
 
     // --- benchmark decontamination (n-gram overlap vs an eval set) ---------
+    // --- DSIR importance resampling: pick the k most target-like raw docs --
+    // target distribution = the English subset; raw = the whole corpus.
+    // Hashed unigram+bigram bucket weights (smoothed log ratio), per-doc
+    // log importance, seeded Gumbel top-k on the pre-rounded key
+    "data_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.dsirSelect(docs, docs.where(col("lang") === "en"),
+        k = 100, buckets = 4096)
+    }),
+
     "text_decontam" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val bench = docs.where(col("doc_id") % 50 === 0)
@@ -3160,6 +3170,7 @@ object SparkEntry {
     "data_mix" -> OracleSql.dataMix(Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)),
     "data_mix_temp" -> OracleSql.dataMixTemp(alpha = 0.5),
     "text_decontam" -> OracleSql.decontaminate("doc_id % 50 = 0", n = 3, minHits = 5),
+    "data_dsir" -> OracleSql.dsir("lang = 'en'", k = 100, buckets = 4096),
     "text_pack" ->
       """WITH tok AS (SELECT doc_id, doc_id % 8 AS shard,
         |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens

@@ -1034,6 +1034,82 @@ object TextAnalysis {
     * Expand); drop it or swap to approx_count_distinct when only the
     * occurrence census is needed.
     */
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * public literature): score every RAW document by how target-like its
+    * hashed n-gram distribution is, then Gumbel-top-k resample — the
+    * principled "pick k web documents that look like my curated corpus"
+    * selection step of a pretraining pipeline.
+    *
+    *   - features: lowercase-alnum unigrams PLUS adjacent-word bigrams,
+    *     hashed into `buckets` (power of two — the signed/unsigned
+    *     agreement every hashed-bucket mirror here relies on);
+    *   - bucket weights: w_b = ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B)) — the
+    *     add-one-smoothed bag-of-buckets log likelihood ratio between the
+    *     target and raw corpora (the NB weight tree with corpora as
+    *     classes);
+    *   - per-doc log importance: Σ_b tf_b · w_b over the doc's features;
+    *   - resampling: the Gumbel trick — g = −ln(−ln(u)) with u the same
+    *     seeded-hash uniform as [[graft.operators.Ops.weightedSample]];
+    *     top-k by the 6-decimal-PRE-ROUNDED (score + g) then id, so a
+    *     1-ulp near-tie at the cut cannot fork engines.
+    *
+    * Scale shape: two token-explode scans feed map-side-combined bucket
+    * counts (≤B rows each), weights broadcast back onto the per-doc bucket
+    * counts, and the selection is a TakeOrderedAndProject O(k) heap — no
+    * global sort, nothing driver-side beyond k rows.
+    */
+  def dsirSelect(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 100,
+      buckets: Int = 4096,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0, "buckets must be a power of two")
+    val d = buckets.toLong
+    def bucketed(df: DataFrame): DataFrame = {
+      val t = regexp_extract_all(lower(col(textCol)), lit("[\\p{L}\\p{Nd}]+"), lit(0))
+      val len1 = greatest(size(col("__t")) - 1, lit(0))
+      df.select(col(idCol).as("__id"), t.as("__t"))
+        .withColumn("__g", explode(concat(col("__t"),
+          zip_with(slice(col("__t"), lit(1), len1), slice(col("__t"), lit(2), len1),
+            (a, b) => concat(a, lit(" "), b)))))
+        .select(col("__id"),
+          pmod(string_hash64(col("__g"), seed), lit(d)).as("__b"))
+    }
+    val tb = bucketed(target).groupBy("__b").agg(count(lit(1)).as("__ct"))
+    val rb = bucketed(raw).groupBy("__b").agg(count(lit(1)).as("__cr"))
+    // ≤B-row weight table; totals via the unpartitioned window over it (the
+    // nbClassify pattern — a second aggregate would rescan the corpora)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val weights = tb.join(rb, Seq("__b"), "full_outer")
+      .select(col("__b"), coalesce(col("__ct"), lit(0L)).as("__ct"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"))
+      .withColumn("__tt", sum("__ct").over(wAll))
+      .withColumn("__tr", sum("__cr").over(wAll))
+      .select(col("__b"),
+        (log((col("__ct").cast("double") + lit(1.0)) / (col("__tt").cast("double") + lit(d.toDouble))) -
+         log((col("__cr").cast("double") + lit(1.0)) / (col("__tr").cast("double") + lit(d.toDouble))))
+          .as("__w"))
+    val perDoc = bucketed(raw).groupBy("__id", "__b").agg(count(lit(1)).as("__n"))
+      .join(broadcast(weights), Seq("__b"))
+      .groupBy("__id")
+      .agg(sum(col("__n").cast("double") * col("__w")).as("__score"))
+    import graft.functions.TextFunctions.mix64_hash
+    val u = (shiftrightunsigned(mix64_hash(col("__id").cast("long"), seed), 11)
+      .cast("double") + lit(0.5)) / lit(9007199254740992.0) // 2^53
+    perDoc
+      .withColumn("__gk", round(col("__score") - log(-log(u)), 6))
+      .orderBy(col("__gk").desc, col("__id").asc)
+      .limit(k)
+      .select(col("__id").as(idCol), col("__gk").as("dsir_key"),
+        round(col("__score"), 4).as("dsir_score"))
+  }
+
   def ngramTopK(
       df: DataFrame,
       idCol: String = "doc_id",

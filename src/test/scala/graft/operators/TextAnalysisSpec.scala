@@ -617,4 +617,32 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"global sort in plan:\n$plan")
   }
+
+  test("dsirSelect: target-like raw docs win the resampling; deterministic; TakeOrdered plan") {
+    // raw corpus: 30 "science"-flavored docs (the target's token family) and
+    // 30 "spam"-flavored ones; target = a separate science sample
+    def sci(i: Int) = s"the quantum field theory of cosmic structure lecture $i notes on gravity"
+    def spam(i: Int) = s"buy cheap pills online now casino bonus $i click here win money fast"
+    val raw = ((0 until 30).map(i => (i.toLong, sci(i))) ++
+      (30 until 60).map(i => (i.toLong, spam(i)))).toDF("doc_id", "text")
+    val target = (100 until 120).map(i =>
+      (i.toLong, s"gravity and quantum cosmology lecture $i on field structure")).toDF("doc_id", "text")
+    val picked = TextAnalysis.dsirSelect(raw, target, k = 20, buckets = 1024)
+    val ids = picked.select("doc_id").as[Long].collect().toSet
+    assert(ids.size == 20)
+    // the importance weights must overwhelmingly prefer the science docs
+    assert(ids.count(_ < 30) >= 18, s"selected mostly spam: $ids")
+    // deterministic across runs (seeded hashes, no RNG state)
+    val again = TextAnalysis.dsirSelect(raw, target, k = 20, buckets = 1024)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == ids)
+    // scale shape: the cut is an O(k) TakeOrdered heap, never a global sort
+    val plan = TextAnalysis.dsirSelect(raw, target, k = 20, buckets = 1024)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort in plan:\n$plan")
+    // buckets must be a power of two (the mirror agreement)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dsirSelect(raw, target, k = 5, buckets = 1000)
+    }
+  }
 }
