@@ -1182,6 +1182,16 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // --- similarity: hard-negative mining (contrastive training pairs) ------
+    // per query: top-5 nearest corpus vectors with a DIFFERENT label — the
+    // exact brute-force mirror with the label-mismatch predicate
+    "sim_hardneg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.where(col("vec_id") < 8),
+          "embedding", "vec_id", "label", k = 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // --- similarity: sign-bit binary quantization + Hamming candidates ------
     // 1-bit sketches (one long per 64-dim vector, 32× smaller than float32),
     // xor+popcount candidate generation, exact float rescore — training-free
@@ -3652,6 +3662,18 @@ object SparkEntry {
     "sim_ivf_pq" -> OracleSql.simPq(k = 5, m = 8, ksub = 16, dim = 64, rescore = 4),
     "sim_ivf_pq_index" -> OracleSql.simPq(k = 5, m = 8, ksub = 16, dim = 64, rescore = 4),
     "sim_bitq" -> OracleSql.simBitq(k = 5, rescore = 4),
+    "sim_hardneg" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 8),
+        |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(q.qe, e.embedding),
+        |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e, q
+        |  WHERE e.label IS DISTINCT FROM q.ql)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin,
     "isochrone_contours" -> OracleSql.isochroneContours(),
     "isochrone_cells" ->
       s"""WITH src AS (SELECT r_regionkey,

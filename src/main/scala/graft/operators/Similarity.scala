@@ -1062,6 +1062,33 @@ object Similarity {
     topkColumns(rescored, k)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most-similar corpus rows with a DIFFERENT label — the near-misses an
+    * embedding model learns the most from (the mined-negatives recipe of
+    * DPR / ANCE, public literature; in-batch negatives are easy, mined ones
+    * are hard). Same broadcast-query / O(k) partial-merge shape as
+    * [[bruteForceTopK]] with the label-mismatch predicate fused into the
+    * scan (codegen'd, filters BEFORE scoring); swap the cross join for any
+    * ANN candidate tier upstream when the corpus is 100 TB.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(labelCol).as("__cl"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(labelCol).as("__ql"), col(vecCol).as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(!(col("__cl") <=> col("__ql"))) // null labels never "match"
+      .withColumn("cosine", cosineSim(col("__qv"), col("__cv")))
+    topkColumns(scored, k)
+  }
+
   /** First-stage ANN serving over a query STREAM from a persisted
     * [[ivfBuildIndex]] layout — the stream-static retrieval pattern
     * ("queries arrive as a stream, the index is the table"):

@@ -548,6 +548,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       s"candidate scan not pruned to pq_code:\n${readSchemas.mkString("\n")}")
   }
 
+  test("hardNegatives: top-k nearest with a different label, null labels never match") {
+    val labeled = corpus.withColumn("label", (col("vec_id") % 3).cast("int"))
+    val queries = labeled.where(col("vec_id") < 6)
+    val got = Similarity.hardNegatives(labeled, queries, "embedding", "vec_id", "label", k = 4)
+      .collect()
+    val labelOf = labeled.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(got.length == 6 * 4)
+    got.foreach { r =>
+      assert(labelOf(r.getAs[Long]("query_id")) != labelOf(r.getAs[Long]("neighbor_id")))
+    }
+    // reference: brute force filtered post-hoc must agree
+    val expect = Similarity.bruteForceTopK(labeled, queries, "embedding", "vec_id", k = 40)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (q, n, _) => labelOf(q) != labelOf(n) }
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(4).toSeq
+      }.toSet
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == expect)
+    // a NULL label is a valid hard negative for every query, and a
+    // null-label query treats every labeled row as a negative
+    val withNull = labeled.unionByName(
+      Seq((200L, Array.fill(16)(0.5f), null.asInstanceOf[Integer]))
+        .toDF("vec_id", "embedding", "label"))
+    val nn = Similarity.hardNegatives(withNull, withNull.where(col("vec_id") === 200L),
+      "embedding", "vec_id", "label", k = 3)
+    assert(nn.count() == 3)
+    assert(nn.where(col("neighbor_id") === 200L).count() == 0) // null <=> null excluded
+  }
+
   test("residual IVF-PQ: full probe + full rescore is brute force; residual codes reconstruct tighter") {
     val queries = corpus.where(col("vec_id") < 8)
     val exact = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", k = 5)
