@@ -1648,6 +1648,27 @@ object SparkEntry {
         .select("doc_id", "source")),
 
     // --- benchmark decontamination (n-gram overlap vs an eval set) ---------
+    // --- rule-based sentence splitting (RE2-safe pattern, stable ids) ------
+    "text_sentences" -> ((s, dir) =>
+      TextAnalysis.splitSentences(t(s, dir, "documents"))
+        .select(col("doc_id"), col("sent_id").cast("long").as("sent_id"),
+          col("sentence"))),
+
+    // --- per-group mean-pooled embeddings + prototype similarity matrix ----
+    // label centroids from the declarative (group, dim) mean; components
+    // pre-rounded to 6 BEFORE the cosine so the aggregation-order wobble of
+    // a distributed mean cannot fork engines downstream
+    "sim_pool" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pooled = Similarity.poolVectors(emb, "label", "embedding")
+        .withColumn("__v", transform(col("pooled"), x => round(x, 6)))
+      val a = pooled.select(col("label").as("label_a"), col("__v").as("__va"))
+      val b = pooled.select(col("label").as("label_b"), col("__v").as("__vb"))
+      a.crossJoin(b).where(col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          round(Similarity.cosineSim(col("__va"), col("__vb")), 6).as("cosine"))
+    }),
+
     // --- DSIR importance resampling: pick the k most target-like raw docs --
     // target distribution = the English subset; raw = the whole corpus.
     // Hashed unigram+bigram bucket weights (smoothed log ratio), per-doc
@@ -3181,6 +3202,19 @@ object SparkEntry {
     "data_mix_temp" -> OracleSql.dataMixTemp(alpha = 0.5),
     "text_decontam" -> OracleSql.decontaminate("doc_id % 50 = 0", n = 3, minHits = 5),
     "data_dsir" -> OracleSql.dsir("lang = 'en'", k = 100, buckets = 4096),
+    "text_sentences" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS l
+        |  FROM documents),
+        |pos AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM tk)
+        |SELECT doc_id, i AS sent_id, trim(l[i]) AS sentence FROM pos
+        |WHERE length(trim(l[i])) > 0""".stripMargin,
+    "sim_pool" ->
+      s"""WITH px AS (SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+         |  FROM embeddings, generate_series(1, 64) AS g(i) GROUP BY label, i),
+         |pv AS (SELECT label, list(m ORDER BY i) AS v FROM px GROUP BY label)
+         |SELECT a.label AS label_a, b.label AS label_b,
+         |  round(${OracleSql.cos("a.v", "b.v")}, 6) AS cosine
+         |FROM pv a, pv b WHERE a.label < b.label""".stripMargin,
     "text_pack" ->
       """WITH tok AS (SELECT doc_id, doc_id % 8 AS shard,
         |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens

@@ -1062,6 +1062,24 @@ object Similarity {
     topkColumns(rescored, k)
   }
 
+  /** Per-group mean-pooled embeddings — the standard long-document /
+    * cluster-centroid recipe (chunk embeddings → one document vector;
+    * label members → one class prototype). Declarative scale shape: the
+    * vectors posexplode to (group, dim) keys, the mean is one
+    * map-side-combined aggregation, and the components reassemble sorted —
+    * the shuffle moves (group · dim) doubles, never whole vectors, and no
+    * executor holds more than its hash range.
+    */
+  def poolVectors(df: DataFrame, groupCol: String, vecCol: String,
+      out: String = "pooled"): DataFrame =
+    df.select(col(groupCol).as("__g"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__i", "__x")))
+      .groupBy("__g", "__i").agg(avg("__x").as("__m"))
+      .groupBy("__g")
+      .agg(transform(array_sort(collect_list(struct(col("__i"), col("__m")))),
+        s => s("__m")).as(out))
+      .withColumnRenamed("__g", groupCol)
+
   /** Hard-negative mining for contrastive training: per query, the top-k
     * most-similar corpus rows with a DIFFERENT label — the near-misses an
     * embedding model learns the most from (the mined-negatives recipe of

@@ -1034,6 +1034,23 @@ object TextAnalysis {
     * Expand); drop it or swap to approx_count_distinct when only the
     * occurrence census is needed.
     */
+  /** Rule-based sentence splitting: maximal runs of non-terminator text
+    * followed by their `.!?` run (`[^.!?]+[.!?]*` — deliberately RE2-safe,
+    * because the DuckDB mirror has no lookbehind), 1-based position ids
+    * assigned BEFORE whitespace-only matches drop (so ids are stable under
+    * the drop on both engines). The granularity step under sentence-level
+    * dedup, per-sentence quality scoring, and sentence-window packing.
+    * Pure codegen'd built-ins, one pass, no shuffle.
+    */
+  def splitSentences(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), posexplode(
+        regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]*"), lit(0)))
+        .as(Seq("__p", "__s")))
+      .select(col(idCol), (col("__p") + 1).as("sent_id"),
+        trim(col("__s")).as("sentence"))
+      .where(length(col("sentence")) > 0)
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
     * public literature): score every RAW document by how target-like its
     * hashed n-gram distribution is, then Gumbel-top-k resample — the

@@ -548,6 +548,22 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       s"candidate scan not pruned to pq_code:\n${readSchemas.mkString("\n")}")
   }
 
+  test("poolVectors: per-group dimension means, components in order") {
+    val df = Seq(
+      ("a", Array(1f, 2f, 3f)),
+      ("a", Array(3f, 4f, 5f)),
+      ("b", Array(10f, 0f, -2f))).toDF("g", "v")
+    val got = Similarity.poolVectors(df, "g", "v")
+      .as[(String, Seq[Double])].collect().toMap
+    assert(got("a") == Seq(2.0, 3.0, 4.0))
+    assert(got("b") == Seq(10.0, 0.0, -2.0))
+    // corpus-scale sanity: one prototype per label, dim preserved
+    val labeled = corpus.withColumn("label", (col("vec_id") % 3).cast("int"))
+    val pooled = Similarity.poolVectors(labeled, "label", "embedding")
+      .as[(Int, Seq[Double])].collect()
+    assert(pooled.length == 3 && pooled.forall(_._2.length == 16))
+  }
+
   test("hardNegatives: top-k nearest with a different label, null labels never match") {
     val labeled = corpus.withColumn("label", (col("vec_id") % 3).cast("int"))
     val queries = labeled.where(col("vec_id") < 6)

@@ -645,4 +645,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
       TextAnalysis.dsirSelect(raw, target, k = 5, buckets = 1000)
     }
   }
+
+  test("splitSentences: terminator runs, trailing fragment, stable ids under drops") {
+    val docs = Seq(
+      (1L, "Hello world. How are you?! Fine"),
+      (2L, "One. . Two."),      // whitespace-only middle piece drops, ids stay
+      (3L, ""),
+      (4L, "No terminator at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.splitSentences(docs)
+      .as[(Long, Int, String)].collect().sortBy(t => (t._1, t._2))
+    assert(got.filter(_._1 == 1L).map(t => (t._2, t._3)).toSeq ==
+      Seq((1, "Hello world."), (2, "How are you?!"), (3, "Fine")))
+    // doc 2: pieces are "One." / " ." / " Two." -> the middle trims to "."
+    // (terminator retained), ids 1..3 with nothing dropped here
+    assert(got.filter(_._1 == 2L).map(t => (t._2, t._3)).toSeq ==
+      Seq((1, "One."), (2, "."), (3, "Two.")))
+    assert(!got.exists(_._1 == 3L))
+    assert(got.filter(_._1 == 4L).map(_._3).toSeq == Seq("No terminator at all"))
+  }
 }
