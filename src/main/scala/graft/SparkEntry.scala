@@ -1648,6 +1648,30 @@ object SparkEntry {
         .select("doc_id", "source")),
 
     // --- benchmark decontamination (n-gram overlap vs an eval set) ---------
+    // --- composed RAG-retrieval flagship: chunk → passage BM25 → doc agg ----
+    // the passage-retrieval shape: documents window into 24-token chunks
+    // (8 overlap), BM25 retrieves the top-10 passages per query, and the
+    // answer set aggregates passages back to documents by best chunk score
+    // (rounded inside BM25 — deterministic max), top-5 docs per query
+    "pipeline_rag" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val chunks = TextAnalysis.chunkDocuments(docs, chunkTokens = 24, overlap = 8)
+        .select((col("doc_id") * 100000 + col("chunk_id")).as("doc_id"),
+          col("chunk_text").as("text"))
+      val qs = docs.where(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(split(trim(lower(col("text"))), " +"),
+            x => x =!= ""), 1, 4), " ").as("query"))
+      val hits = TextAnalysis.searchBM25(chunks, qs, topK = 10)
+      val byDoc = hits
+        .withColumn("src_doc", expr("doc_id div 100000"))
+        .groupBy("query_id", "src_doc").agg(max("score").as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("score").desc, col("src_doc"))
+      byDoc.withColumn("__rn", row_number().over(w)).where(col("__rn") <= 5)
+        .select(col("query_id"), col("src_doc").as("doc_id"), col("score"))
+    }),
+
     // --- rule-based sentence splitting (RE2-safe pattern, stable ids) ------
     "text_sentences" -> ((s, dir) =>
       TextAnalysis.splitSentences(t(s, dir, "documents"))
@@ -2379,14 +2403,18 @@ object SparkEntry {
   // the BM25 fit+score CTE chain (WITH body, through ranked `rk`) — shared
   // by the text_bm25 / text_bm25_index oracles and the sim_hybrid fusion
   // oracle so a scoring change can never fork the mirrors
-  private val bm25ScoreCtes: String =
-      """q AS (SELECT doc_id AS query_id,
+  /** BM25 fit+score CTE bundle over `corpus(doc_id, text)` — queries stay
+    * the first-4-token probes of `documents`; `pipeline_rag` points the
+    * corpus at a chunk CTE.
+    */
+  private def bm25ScoreCtes(corpus: String = "documents"): String =
+      s"""q AS (SELECT doc_id AS query_id,
         |    array_to_string(list_filter(string_split(lower(trim(text)), ' '),
         |      s -> s <> '')[1:4], ' ') AS query
         |  FROM documents WHERE doc_id % 100 = 7),
         |w AS (SELECT doc_id AS doc,
         |    unnest(list_filter(string_split(lower(trim(text)), ' '), s -> s <> '')) AS term
-        |  FROM documents),
+        |  FROM $corpus),
         |tf AS (SELECT doc, term, count(*) AS tf FROM w GROUP BY 1, 2),
         |dl AS (SELECT doc, term, tf, sum(tf) OVER (PARTITION BY doc) AS dl FROM tf),
         |st AS (SELECT count(DISTINCT doc) AS n, sum(tf) AS tt FROM tf),
@@ -2410,13 +2438,13 @@ object SparkEntry {
         |  FROM sc)""".stripMargin
 
   private val bm25OracleSql: String =
-    s"WITH $bm25ScoreCtes\nSELECT query_id, doc AS doc_id, score FROM rk WHERE rn <= 10"
+    s"WITH ${bm25ScoreCtes()}\nSELECT query_id, doc AS doc_id, score FROM rk WHERE rn <= 10"
 
   // RRF hybrid: the two retriever mirrors ranked independently, fused as
   // 1/(60 + rank) with absent-list contributions of 0 — the identical
   // arithmetic of Retrieval.rrfFuse
   private val simHybridOracleSql: String =
-    s"""WITH $bm25ScoreCtes,
+    s"""WITH ${bm25ScoreCtes()},
        |lex AS (SELECT query_id, doc, rn FROM rk WHERE rn <= 10),
        |qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
        |  WHERE vec_id % 100 = 7),
@@ -3202,6 +3230,14 @@ object SparkEntry {
     "data_mix_temp" -> OracleSql.dataMixTemp(alpha = 0.5),
     "text_decontam" -> OracleSql.decontaminate("doc_id % 50 = 0", n = 3, minHits = 5),
     "data_dsir" -> OracleSql.dsir("lang = 'en'", k = 100, buckets = 4096),
+    "pipeline_rag" ->
+      s"""WITH ck AS (SELECT doc_id*100000 + chunk_id AS doc_id, chunk_text AS text
+         |  FROM (${OracleSql.textChunks(chunkTokens = 24, overlap = 8)}) c),
+         |${bm25ScoreCtes(corpus = "ck")},
+         |agg AS (SELECT query_id, doc // 100000 AS doc_id, max(score) AS score
+         |  FROM rk WHERE rn <= 10 GROUP BY 1, 2)
+         |SELECT query_id, doc_id, score FROM agg
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) <= 5""".stripMargin,
     "text_sentences" ->
       """WITH tk AS (SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS l
         |  FROM documents),
