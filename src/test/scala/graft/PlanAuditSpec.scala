@@ -149,6 +149,18 @@ class PlanAuditSpec extends SparkSpec {
       s"sim_ivf_pq candidate join not an equi-join:\n$pq")
   }
 
+  test("composed flagships: no cartesian stage end to end") {
+    // pretrain: gopher gate + exact dedup + minhash bucket joins — all
+    // equi-joins, nothing model-sized to nested-loop
+    val pre = physical(q("pipeline_pretrain"))
+    assert(!pre.contains("CartesianProduct") && !pre.contains("BroadcastNestedLoopJoin"),
+      s"pipeline_pretrain degenerated:\n$pre")
+    // rag: BM25 carries its deliberate 1-row corpus-stats broadcast (a
+    // tiny nested-loop by design) — only a true cartesian is a failure
+    val rag = physical(q("pipeline_rag"))
+    assert(!rag.contains("CartesianProduct"), s"pipeline_rag cartesian:\n$rag")
+  }
+
   test("stats_kll aggregates in one pass with a map-side partial") {
     val plan = physical(q("stats_kll"))
     // one ObjectHashAggregate pair (partial + final) over a single scan —
