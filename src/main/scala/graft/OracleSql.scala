@@ -720,9 +720,7 @@ object OracleSql {
        |tt AS (SELECT sum(CASE WHEN y THEN c ELSE 0 END) AS tt, sum(c) AS tr FROM counts),
        |w AS (SELECT b, ln((CAST(ct AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + $d))
        |  - ln((CAST(cr AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + $d)) AS w FROM cb, tt),
-       |db AS (SELECT doc_id, b, count(*) AS n FROM bk GROUP BY doc_id, b),
-       |sc AS (SELECT doc_id, sum(CAST(n AS DOUBLE) * w) AS s FROM db JOIN w USING (b)
-       |  GROUP BY doc_id),
+       |sc AS (SELECT doc_id, sum(w) AS s FROM bk JOIN w USING (b) GROUP BY doc_id),
        |gk AS (SELECT doc_id, s, round(s - ln(-ln(
        |    (CAST(($uh) // 2048 AS DOUBLE) + 0.5) / CAST('9007199254740992' AS DOUBLE))), 6) AS key
        |  FROM sc)

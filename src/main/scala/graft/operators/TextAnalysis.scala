@@ -1075,6 +1075,75 @@ object TextAnalysis {
     * counts, and the selection is a TakeOrderedAndProject O(k) heap — no
     * global sort, nothing driver-side beyond k rows.
     */
+  private def dsirBuckets(df: DataFrame, textCol: String, idCol: String,
+      buckets: Long, seed: Long): DataFrame = {
+    val t = regexp_extract_all(lower(col(textCol)), lit("[\\p{L}\\p{Nd}]+"), lit(0))
+    val len1 = greatest(size(col("__t")) - 1, lit(0))
+    df.select(col(idCol).as("__id"), t.as("__t"))
+      .withColumn("__g", explode(concat(col("__t"),
+        zip_with(slice(col("__t"), lit(1), len1), slice(col("__t"), lit(2), len1),
+          (a, b) => concat(a, lit(" "), b)))))
+      .select(col("__id"),
+        pmod(string_hash64(col("__g"), seed), lit(buckets)).as("__b"))
+  }
+
+  /** The FIT half of [[dsirSelect]]: the ≤`buckets`-row weight table
+    * `(bucket, w)` — persist it once (it is the DSIR model), then score any
+    * batch OR STREAM of documents with [[dsirScore]].
+    */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      buckets: Int = 4096,
+      seed: Long = 42L): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0, "buckets must be a power of two")
+    val d = buckets.toLong
+    val tb = dsirBuckets(target, textCol, idCol, d, seed)
+      .groupBy("__b").agg(count(lit(1)).as("__ct"))
+    val rb = dsirBuckets(raw, textCol, idCol, d, seed)
+      .groupBy("__b").agg(count(lit(1)).as("__cr"))
+    // ≤B-row weight table; totals via the unpartitioned window over it (the
+    // nbClassify pattern — a second aggregate would rescan the corpora)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    tb.join(rb, Seq("__b"), "full_outer")
+      .select(col("__b"), coalesce(col("__ct"), lit(0L)).as("__ct"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"))
+      .withColumn("__tt", sum("__ct").over(wAll))
+      .withColumn("__tr", sum("__cr").over(wAll))
+      .select(col("__b").as("bucket"),
+        (log((col("__ct").cast("double") + lit(1.0)) / (col("__tt").cast("double") + lit(d.toDouble))) -
+         log((col("__cr").cast("double") + lit(1.0)) / (col("__tr").cast("double") + lit(d.toDouble))))
+          .as("w"))
+  }
+
+  /** The SCORE half: per-document log importance Σ_g w_{bucket(g)} over the
+    * doc's feature OCCURRENCES against a fitted `(bucket, w)` table —
+    * tokenize/bucket expressions, a broadcast join, and ONE per-doc
+    * aggregation (deliberately not tf-pre-grouped: a second aggregation
+    * would be a chained stateful operator and streaming-illegal), so it
+    * runs UNCHANGED on a STREAMING frame — the ingestion-time "does this
+    * look target-like" gate: fit the weights in batch, score the firehose
+    * (Update/complete output, one row per doc). Documents with no features
+    * produce no row.
+    */
+  def dsirScore(
+      df: DataFrame,
+      weights: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      buckets: Int = 4096,
+      seed: Long = 42L): DataFrame =
+    dsirBuckets(df, textCol, idCol, buckets.toLong, seed)
+      .join(broadcast(weights.select(col("bucket").as("__b"), col("w").as("__w"))),
+        Seq("__b"))
+      .groupBy("__id")
+      .agg(sum(col("__w")).as("dsir_score"))
+      .withColumnRenamed("__id", idCol)
+
   def dsirSelect(
       raw: DataFrame,
       target: DataFrame,
@@ -1084,38 +1153,9 @@ object TextAnalysis {
       buckets: Int = 4096,
       seed: Long = 42L): DataFrame = {
     require(k >= 1, "k must be positive")
-    require(buckets >= 2 && (buckets & (buckets - 1)) == 0, "buckets must be a power of two")
-    val d = buckets.toLong
-    def bucketed(df: DataFrame): DataFrame = {
-      val t = regexp_extract_all(lower(col(textCol)), lit("[\\p{L}\\p{Nd}]+"), lit(0))
-      val len1 = greatest(size(col("__t")) - 1, lit(0))
-      df.select(col(idCol).as("__id"), t.as("__t"))
-        .withColumn("__g", explode(concat(col("__t"),
-          zip_with(slice(col("__t"), lit(1), len1), slice(col("__t"), lit(2), len1),
-            (a, b) => concat(a, lit(" "), b)))))
-        .select(col("__id"),
-          pmod(string_hash64(col("__g"), seed), lit(d)).as("__b"))
-    }
-    val tb = bucketed(target).groupBy("__b").agg(count(lit(1)).as("__ct"))
-    val rb = bucketed(raw).groupBy("__b").agg(count(lit(1)).as("__cr"))
-    // ≤B-row weight table; totals via the unpartitioned window over it (the
-    // nbClassify pattern — a second aggregate would rescan the corpora)
-    val wAll = org.apache.spark.sql.expressions.Window
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val weights = tb.join(rb, Seq("__b"), "full_outer")
-      .select(col("__b"), coalesce(col("__ct"), lit(0L)).as("__ct"),
-        coalesce(col("__cr"), lit(0L)).as("__cr"))
-      .withColumn("__tt", sum("__ct").over(wAll))
-      .withColumn("__tr", sum("__cr").over(wAll))
-      .select(col("__b"),
-        (log((col("__ct").cast("double") + lit(1.0)) / (col("__tt").cast("double") + lit(d.toDouble))) -
-         log((col("__cr").cast("double") + lit(1.0)) / (col("__tr").cast("double") + lit(d.toDouble))))
-          .as("__w"))
-    val perDoc = bucketed(raw).groupBy("__id", "__b").agg(count(lit(1)).as("__n"))
-      .join(broadcast(weights), Seq("__b"))
-      .groupBy("__id")
-      .agg(sum(col("__n").cast("double") * col("__w")).as("__score"))
+    val weights = dsirWeights(raw, target, textCol, idCol, buckets, seed)
+    val perDoc = dsirScore(raw, weights, textCol, idCol, buckets, seed)
+      .select(col(idCol).as("__id"), col("dsir_score").as("__score"))
     import graft.functions.TextFunctions.mix64_hash
     val u = (shiftrightunsigned(mix64_hash(col("__id").cast("long"), seed), 11)
       .cast("double") + lit(0.5)) / lit(9007199254740992.0) // 2^53

@@ -663,4 +663,37 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     assert(!got.exists(_._1 == 3L))
     assert(got.filter(_._1 == 4L).map(_._3).toSeq == Seq("No terminator at all"))
   }
+
+  test("dsirScore: a document STREAM scores identically to the batch run") {
+    def sci(i: Int) = s"the quantum field theory of cosmic structure lecture $i notes"
+    def spam(i: Int) = s"buy cheap pills online now casino bonus $i click here"
+    val raw = ((0 until 20).map(i => (i.toLong, sci(i))) ++
+      (20 until 40).map(i => (i.toLong, spam(i)))).toDF("doc_id", "text")
+    val target = (100 until 110).map(i =>
+      (i.toLong, s"gravity and quantum cosmology lecture $i on field structure"))
+      .toDF("doc_id", "text")
+    val weights = TextAnalysis.dsirWeights(raw, target, buckets = 1024)
+    val batch = TextAnalysis.dsirScore(raw, weights, buckets = 1024)
+      .as[(Long, Double)].collect().toMap
+    // the fitted gate over a stream of incoming docs — the ingestion shape
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val rows = raw.as[(Long, String)].collect()
+    val q = TextAnalysis.dsirScore(mem.toDF().toDF("doc_id", "text"),
+        weights, buckets = 1024)
+      .writeStream.format("memory").queryName("dsir_gate").outputMode("complete").start()
+    try {
+      mem.addData(rows.take(15).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(15).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("dsir_gate").as[(Long, Double)].collect().toMap
+      assert(got.keySet == batch.keySet)
+      assert(got.forall { case (k, v) => math.abs(v - batch(k)) < 1e-9 })
+      // the gate discriminates: every science doc outscores every spam doc
+      assert((0 until 20).map(i => got(i.toLong)).min >
+        (20 until 40).map(i => got(i.toLong)).max)
+    } finally q.stop()
+  }
 }
