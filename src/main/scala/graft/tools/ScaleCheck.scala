@@ -139,6 +139,9 @@ object ScaleCheck {
     pair("dedup_embedding")(
       Dedup.embeddingNearDup(emb, "embedding", "vec_id"),
       Dedup.embeddingNearDup(embN, "embedding", "vec_id"))
+    pair("data_dsir")(
+      graft.operators.TextAnalysis.dsirSelect(docs, docs.where(col("lang") === "en"), k = 100),
+      graft.operators.TextAnalysis.dsirSelect(docsN, docsN.where(col("lang") === "en"), k = 100))
     pair("sim_topk")(
       Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 5),
       Similarity.bruteForceTopK(embN, queries, "embedding", "vec_id", k = 5))
