@@ -68,6 +68,20 @@ class SqliteDbSpec extends AnyFunSuite with SparkSpec {
     assert(SqliteDb.read(spark, single).count() == 3)
   }
 
+  test("20k-row real-sqlite fixture: interior B-tree pages walk correctly") {
+    // 92 pages deep enough for interior nodes; written by CPython sqlite3
+    val big = getClass.getResource("/sqlite/big.sqlite").getPath
+    val df = SqliteDb.read(spark, big)
+    assert(df.count() == 20000)
+    val agg = df.agg(sum("id"), sum("v"), countDistinct("tag")).head()
+    assert(agg.getLong(0) == (1L to 20000L).sum)
+    assert(math.abs(agg.getDouble(1) - (1 to 20000).map(_ * 0.5).sum) < 1e-6)
+    assert(agg.getLong(2) == 7)
+    // projection still prunes on the big table
+    assert(SqliteDb.read(spark, big, columns = Seq("id"))
+      .agg(max("id")).head().getLong(0) == 20000L)
+  }
+
   test("writeSharded: one standalone sqlite per partition, directory reads back as one frame") {
     val df = spark.range(100).select(col("id").as("k"),
       concat(lit("row"), col("id")).as("v")).repartition(4)
