@@ -3158,17 +3158,24 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders WHERE o_orderkey % 4 <= 2 GROUP BY 1""".stripMargin,
+    // HAVING count(*) > 0 on every branch: the Spark side is a groupBy that
+    // OMITS empty change classes, so an empty class must vanish here too
+    // (at the shipped fixtures all three are non-empty; the guard keeps the
+    // two sides agreeing by construction on any smaller fixture).
     "data_manifest_cdf" ->
       """SELECT 'added' AS change, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders WHERE o_orderkey % 4 = 2 AND o_orderkey > 500
+        |HAVING count(*) > 0
         |UNION ALL
         |SELECT 'removed', count(*), CAST(sum(o_orderkey) AS BIGINT)
         |FROM orders WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey <= 500
+        |HAVING count(*) > 0
         |UNION ALL
         |SELECT 'changed', count(*), CAST(sum(o_orderkey) AS BIGINT)
         |FROM orders
         |WHERE o_orderkey % 4 = 1 AND o_orderkey > 500
-        |  AND o_totalprice <> o_totalprice * 2""".stripMargin,
+        |  AND o_totalprice <> o_totalprice * 2
+        |HAVING count(*) > 0""".stripMargin,
     "data_manifest_describe" ->
       """SELECT CAST(1 AS BIGINT) AS version, 'append' AS action,
         |  count(*) AS n_rows FROM orders WHERE o_orderkey % 4 = 0

@@ -359,9 +359,7 @@ object Similarity {
       .partitionBy("query_id").orderBy(col("__csim").desc, col("__cell"))
     probed.withColumn("__rank", row_number().over(w))
       .where(col("__rank") <= nprobe)
-      // __csim rides along for the residual-PQ scorer (dot(q̂, ĉ) of the
-      // probed cell); every other caller just ignores it
-      .select("query_id", "__qv", "__cell", "__csim")
+      .select("query_id", "__qv", "__cell")
   }
 
   def ivfTopK(
@@ -933,16 +931,20 @@ object Similarity {
       return rescoreExact(corpus, queries, vecCol, idCol, survivors, k)
     }
     // RESIDUAL encoding (the FAISS-IVFPQ default): codes quantize
-    // (x̂ − ĉ_cell) — residuals are tighter-clustered than raw vectors, so
+    // (x̂ − c_cell) — residuals are tighter-clustered than raw vectors, so
     // the same m·ksub budget reconstructs with less error and first-stage
     // ranking sharpens. Score decomposes as
-    //   dot(q̂, x̂) ≈ dot(q̂, ĉ) + dot(q̂, decode(code))
-    // with term 1 already computed by the probe ranking (__csim rides
-    // along) and term 2 the SAME global ADC lookup table — per-pair cost
-    // stays m lookups + adds. Residual coupling to the coarse quantizer is
-    // why this variant has no exact SQL mirror (the quantizer is trained);
-    // the spec gates it instead: full probe + full rescore ≡ brute force,
-    // and residual codebooks must beat plain ones on reconstruction error.
+    //   dot(q̂, x̂) ≈ dot(q̂, c) + dot(q̂, decode(code))
+    // with term 1 the true UNNORMALIZED dot against the probed cell's
+    // centroid (computed below — the probe's cosine would be off by the
+    // per-cell factor |c| and bias candidate ranking across cells) and
+    // term 2 the SAME global ADC lookup table — per-pair cost stays m
+    // lookups + adds. With a TRAINED coarse quantizer this variant has no
+    // exact SQL mirror; the spec gates it (full probe + full rescore ≡
+    // brute force, residual codebooks beat plain ones on reconstruction
+    // error), and the nlist=1 EXPLICIT-quantizer degenerate case — where
+    // the residual is (x̂ − c₀) with a literal c₀ — is oracled end-to-end
+    // as sim_ivf_pq_residual.
     val cmap = centroids.select(col("__cell").cast("int"), col("__centroid"))
       .collect() // bounded: the ≤nlist-row quantizer model
       .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
@@ -972,13 +974,24 @@ object Similarity {
       .withColumn("__res", zip_with(col("__nv"), col("__cd"), (a, b) => a - b))
       .select(col("neighbor_id"), col("__cell"),
         vec_pq_encode(col("__res"), flatCb, dsub, ksub).as("__code"))
-    val qlut = l2Prep(queries, vecCol, idCol, "query_id")
-      .select(col("query_id"), vec_pq_lut(col("__nv"), flatCb, dsub, ksub).as("__lut"))
+    val qn = l2Prep(queries, vecCol, idCol, "query_id")
+      .select(col("query_id"), col("__nv"))
+    val qlut = qn.select(col("query_id"),
+      vec_pq_lut(col("__nv"), flatCb, dsub, ksub).as("__lut"))
+    // rode-along term: dot(q̂, c) with the UNNORMALIZED centroid — the exact
+    // first term of the decomposition (a left-to-right fold, the mirrorable
+    // list_sum shape). Model-sized: queries × nprobe rows.
     val probes = probeCells(queries, centroids, vecCol, idCol, nprobe)
-      .select("query_id", "__cell", "__csim")
+      .select("query_id", "__cell")
+      .join(broadcast(cents), Seq("__cell"))
+      .join(broadcast(qn), Seq("query_id"))
+      .withColumn("__dotqc",
+        aggregate(zip_with(col("__nv"), col("__cd"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x))
+      .select("query_id", "__cell", "__dotqc")
       .join(broadcast(qlut), Seq("query_id"))
     val candScored = narrow.join(broadcast(probes), Seq("__cell"))
-      .withColumn("cosine", col("__csim") + pq_adc(col("__lut"), col("__code"), ksub))
+      .withColumn("cosine", col("__dotqc") + pq_adc(col("__lut"), col("__code"), ksub))
     val survivors = topkColumns(candScored, math.max(k, rescore * k))
       .select("query_id", "neighbor_id")
     rescoreExact(corpus, queries, vecCol, idCol, survivors, k)

@@ -1088,8 +1088,13 @@ object TextAnalysis {
   }
 
   /** The FIT half of [[dsirSelect]]: the ≤`buckets`-row weight table
-    * `(bucket, w)` — persist it once (it is the DSIR model), then score any
-    * batch OR STREAM of documents with [[dsirScore]].
+    * `(bucket, w, w_oov)` — persist it once (it is the DSIR model), then
+    * score any batch OR STREAM of documents with [[dsirScore]]. `w_oov` (one
+    * value, repeated per row so the model stays a single self-contained
+    * table) is the add-one-smoothed weight of a bucket seen in NEITHER
+    * corpus at fit time — ln(1/(T+B)) − ln(1/(R+B)) — which is what a
+    * fit-once/score-the-stream deployment must charge novel out-of-domain
+    * features instead of silently dropping them.
     */
   def dsirWeights(
       raw: DataFrame,
@@ -1117,18 +1122,28 @@ object TextAnalysis {
       .select(col("__b").as("bucket"),
         (log((col("__ct").cast("double") + lit(1.0)) / (col("__tt").cast("double") + lit(d.toDouble))) -
          log((col("__cr").cast("double") + lit(1.0)) / (col("__tr").cast("double") + lit(d.toDouble))))
-          .as("w"))
+          .as("w"),
+        (log(lit(1.0) / (col("__tt").cast("double") + lit(d.toDouble))) -
+         log(lit(1.0) / (col("__tr").cast("double") + lit(d.toDouble))))
+          .as("w_oov"))
   }
 
   /** The SCORE half: per-document log importance Σ_g w_{bucket(g)} over the
-    * doc's feature OCCURRENCES against a fitted `(bucket, w)` table —
-    * tokenize/bucket expressions, a broadcast join, and ONE per-doc
+    * doc's feature OCCURRENCES against a fitted `(bucket, w[, w_oov])`
+    * table — tokenize/bucket expressions, a broadcast join, and ONE per-doc
     * aggregation (deliberately not tf-pre-grouped: a second aggregation
     * would be a chained stateful operator and streaming-illegal), so it
     * runs UNCHANGED on a STREAMING frame — the ingestion-time "does this
     * look target-like" gate: fit the weights in batch, score the firehose
     * (Update/complete output, one row per doc). Documents with no features
     * produce no row.
+    *
+    * Buckets UNSEEN at fit time (hash collisions of genuinely novel content
+    * — the fit-once/score-the-stream case) contribute the smoothed OOV
+    * weight `w_oov` the fit persisted, not zero: a LEFT join coalesces the
+    * miss, so out-of-domain features are penalized exactly as add-one
+    * smoothing dictates. A legacy `(bucket, w)` table without the `w_oov`
+    * column keeps the old dropped-bucket semantics (OOV weight 0).
     */
   def dsirScore(
       df: DataFrame,
@@ -1136,13 +1151,20 @@ object TextAnalysis {
       textCol: String = "text",
       idCol: String = "doc_id",
       buckets: Int = 4096,
-      seed: Long = 42L): DataFrame =
+      seed: Long = 42L): DataFrame = {
+    // one bounded value off the static (batch-side) model table; 0.0 for
+    // legacy weight tables fitted before w_oov existed
+    val oov: Double =
+      if (!weights.columns.contains("w_oov")) 0.0
+      else weights.select(col("w_oov")).limit(1).collect()
+        .headOption.map(_.getDouble(0)).getOrElse(0.0)
     dsirBuckets(df, textCol, idCol, buckets.toLong, seed)
       .join(broadcast(weights.select(col("bucket").as("__b"), col("w").as("__w"))),
-        Seq("__b"))
+        Seq("__b"), "left")
       .groupBy("__id")
-      .agg(sum(col("__w")).as("dsir_score"))
+      .agg(sum(coalesce(col("__w"), lit(oov))).as("dsir_score"))
       .withColumnRenamed("__id", idCol)
+  }
 
   def dsirSelect(
       raw: DataFrame,

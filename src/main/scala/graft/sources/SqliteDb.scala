@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** Generic SQLite table driver — the non-spatial twin of the GeoPackage
@@ -42,14 +43,43 @@ object SqliteDb {
       .map(_._2)
   }
 
+  /** Single-file byte cap for the whole-file drivers: a SQLite page graph is
+    * not byte-splittable, so one file is one task holding the full byte
+    * array on one executor — a file past this cap fails LOUDLY at plan time
+    * (point the reader at a sharded directory instead) rather than as an
+    * opaque task OOM mid-job. JVM arrays cap at 2 GiB anyway; the default
+    * leaves heap room for the decoded rows next to the raw bytes.
+    */
+  @volatile var maxFileBytes: Long = 1L << 30
+
+  private[sources] def guardFileSizes(spark: SparkSession, path: String,
+      glob: Option[String], cap: Long, driver: String): Unit = {
+    val r = spark.read.format("binaryFile")
+    val meta = glob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+      .select("path", "length") // metadata-only: content is never scanned
+      .where(col("length") > cap).limit(1).collect()
+    meta.headOption.foreach { row =>
+      throw new IllegalArgumentException(
+        s"$driver: ${row.getString(0)} is ${row.getLong(1)} bytes, past the " +
+          s"$cap-byte single-file cap — whole-file formats decode one file " +
+          "per task; shard the data (writeSharded) or raise the cap " +
+          s"($driver.maxFileBytes) if the executors have the heap for it")
+    }
+  }
+
   private def binaryFiles(spark: SparkSession, path: String) = {
     import spark.implicits._
     val f = spark.read.format("binaryFile")
     val lower = path.toLowerCase
-    val reader =
-      if (lower.endsWith(".sqlite") || lower.endsWith(".db") || lower.endsWith(".sqlite3")) f
-      else f.option("pathGlobFilter", "*.sqlite")
-    reader.load(path).select("content").as[Array[Byte]]
+    val explicitFile =
+      lower.endsWith(".sqlite") || lower.endsWith(".db") || lower.endsWith(".sqlite3")
+    val glob = if (explicitFile) None else Some("*.{sqlite,sqlite3,db}")
+    guardFileSizes(spark, path, glob, maxFileBytes, "SqliteDb")
+    val ds = glob.fold(f)(g => f.option("pathGlobFilter", g)).load(path)
+      .select("content").as[Array[Byte]]
+    require(!ds.isEmpty,
+      s"SqliteDb: no .sqlite/.sqlite3/.db files under $path")
+    ds
   }
 
   /** Reads one table (explicit name, or the only user table) from every
@@ -74,37 +104,46 @@ object SqliteDb {
 
     val missing = columns.toSet -- cols.map(_._1).toSet
     require(missing.isEmpty, s"columns not in table $tableName: ${missing.toSeq.sorted.mkString(", ")}")
-    val selected: Array[Int] =
-      if (columns.isEmpty) cols.indices.toArray
-      else cols.zipWithIndex.collect { case ((n, _), i) if columns.contains(n) => i }.toArray
-    val keep: Array[Boolean] =
-      if (columns.isEmpty) null
-      else {
-        val k = Array.fill(cols.length)(false)
-        selected.foreach(k(_) = true)
-        k
-      }
-
-    val schema = StructType(selected.toIndexedSeq.map { i =>
-      val (n, decl) = cols(i)
-      StructField(n, Gpkg.sparkType(decl))
+    // driver-side contract: the OUTPUT schema (names + Spark types) comes
+    // from the first file; each shard re-parses its OWN sqlite_master row
+    // inside the task and maps columns BY NAME, so a shard whose CREATE
+    // TABLE lists the same columns in a different order still decodes every
+    // cell under the right field (and a shard missing a selected column
+    // fails loudly instead of silently misaligning).
+    val selectedNames: Array[String] =
+      if (columns.isEmpty) cols.map(_._1).toArray
+      else cols.collect { case (n, _) if columns.contains(n) => n }.toArray
+    val schema = StructType(selectedNames.toIndexedSeq.map { n =>
+      StructField(n, Gpkg.sparkType(cols.find(_._1 == n).get._2))
     })
     val enc = RowEncoder.encoderFor(schema)
-    val colDecls = cols.toArray
-    val rowidAlias = cols.indexWhere { case (_, d) => d.contains("INTEGER PRIMARY KEY") }
+    val targetTypes: Array[DataType] = schema.fields.map(_.dataType)
 
     files.mapPartitions { it =>
       it.flatMap { fileBytes =>
         val fdb = new Gpkg.Sqlite(fileBytes)
-        val root = fdb.master.find(m => m._1 == "table" && m._2 == tableName)
+        val masterRow = fdb.master.find(m => m._1 == "table" && m._2 == tableName)
           .getOrElse(throw new IllegalArgumentException(
-            s"table $tableName missing from a shard"))._4
-        fdb.table(root, keep).map { case (rowid, vals) =>
-          val out = selected.map { i =>
-            val (_, decl) = colDecls(i)
+            s"table $tableName missing from a shard"))
+        val shardCols = Gpkg.parseColumns(masterRow._5)
+        val posByName = shardCols.map(_._1).zipWithIndex.toMap
+        val shardIdx: Array[Int] = selectedNames.map { n =>
+          posByName.getOrElse(n, throw new IllegalArgumentException(
+            s"column $n of table $tableName missing from a shard " +
+              s"(shard has ${shardCols.map(_._1).mkString(", ")})"))
+        }
+        val keep: Array[Boolean] = {
+          val k = Array.fill(shardCols.length)(false)
+          shardIdx.foreach(k(_) = true)
+          if (k.forall(identity)) null else k
+        }
+        val shardRowid = shardCols.indexWhere(_._2.contains("INTEGER PRIMARY KEY"))
+        fdb.table(masterRow._4, keep).map { case (rowid, vals) =>
+          val out = selectedNames.indices.map { o =>
+            val i = shardIdx(o)
             val v = if (i < vals.length) vals(i) else null
-            if (v == null && i == rowidAlias) rowid
-            else (Gpkg.sparkType(decl), v) match {
+            if (v == null && i == shardRowid) rowid
+            else (targetTypes(o), v) match {
               case (_, null) => null
               case (LongType, l: Long) => l
               case (DoubleType, d: Double) => d
@@ -119,7 +158,7 @@ object SqliteDb {
                   s"in table $tableName")
             }
           }
-          Row.fromSeq(out.toSeq)
+          Row.fromSeq(out)
         }
       }
     }(enc)
