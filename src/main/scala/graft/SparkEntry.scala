@@ -194,11 +194,20 @@ object SparkEntry {
           round(st_y(col("geometry")), 2).as("y_m"))),
 
     // --- Z-order storage layout (geom/ZOrder.scala) ------------------------
-    "geo_zorder" -> ((s, dir) =>
-      t(s, dir, "customer")
-        .withColumn("lon", expr("(c_custkey % 120) * 0.5 - 30 + 0.25"))
-        .withColumn("lat", expr("(c_custkey % 80) * 0.5 - 20 + 0.25"))
-        .select(col("c_custkey"), st_zorder(col("lon"), col("lat"), 16).as("z"))),
+    // deliberately driven through the SQL-STRING surface: registerAll
+    // installs the st_* family into the session FunctionRegistry and the
+    // text below is what a pure-SQL client would submit — the builders
+    // construct the same Catalyst expressions as the Column API, so this
+    // entry gates that spark.sql resolves graft functions with identical
+    // values (the other geo_* entries keep gating the Column path)
+    "geo_zorder" -> ((s, dir) => {
+      graft.functions.registerAll(s)
+      t(s, dir, "customer").createOrReplaceTempView("graft_customer_sqlv")
+      s.sql("""SELECT c_custkey,
+                 st_zorder((c_custkey % 120) * 0.5 - 30 + 0.25,
+                           (c_custkey % 80) * 0.5 - 20 + 0.25, 16) AS z
+               FROM graft_customer_sqlv""")
+    }),
 
     "geo_hilbert" -> ((s, dir) =>
       t(s, dir, "customer")

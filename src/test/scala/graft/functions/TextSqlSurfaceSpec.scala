@@ -41,6 +41,18 @@ class TextSqlSurfaceSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(viaSql.getAs[Double]("vc") - 1.0 / math.sqrt(2)) < 1e-12)
   }
 
+  test("graft.functions.registerAll installs BOTH families in one call") {
+    graft.functions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT st_astext(st_point(3.0, 4.0)) AS wkt,
+        |  round(st_distance(st_point(0.0, 0.0), st_point(3.0, 4.0)), 9) AS d,
+        |  string_hash64('x', 42) AS h,
+        |  st_zorder(0.25, 0.25, 16) AS z""".stripMargin).head()
+    assert(r.getAs[String]("wkt") == "POINT (3 4)")
+    assert(r.getAs[Double]("d") == 5.0)
+    assert(r.getAs[Long]("h") != 0L)
+  }
+
   test("seed arguments accept plain SQL integer literals (cast to long)") {
     TextFunctions.registerAll(spark)
     // would ClassCastException without the Cast-to-Long in the builders
