@@ -636,6 +636,65 @@ object OracleSql {
        |$finalStage""".stripMargin
   }
 
+  /** The sim_ivf_pq_residual mirror: [[graft.operators.Similarity.ivfPqTopK]]
+    * with `residual = true` in its nlist = 1 EXPLICIT-quantizer degenerate
+    * case — the one residual configuration with a closed SQL form. The
+    * coarse centroid c₀ is the lowest-id vector L2-normalized by division
+    * and pushed through the float32 round-trip fitAssign applies
+    * (CAST(x AS REAL) back to DOUBLE); every corpus vector encodes its
+    * RESIDUAL (x̂ − c₀) against the sample-init residual codebook (the ksub
+    * lowest-id residuals, sliced); the first-stage score is the exact
+    * decomposition dot(q̂, c₀) + ADC(residual code) — the rode-along term is
+    * the same left-to-right product fold the Spark side computes — and the
+    * top rescore·k survivors re-rank by true float cosine. Fold order,
+    * per-subspace grouping and tie rules are [[simPq]]'s, bit for bit.
+    */
+  def simPqResidual(k: Int = 5, m: Int = 8, ksub: Int = 16, dim: Int = 64,
+      rescore: Int = 4, vecsrc: String = "embeddings",
+      queryPred: String = "vec_id < 8"): String = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    s"""WITH nz AS (SELECT vec_id,
+       |    CASE WHEN n > 0 THEN list_transform(e, x -> CAST(x AS DOUBLE) / n)
+       |    ELSE list_transform(e, x -> CAST(x AS DOUBLE)) END AS en
+       |  FROM (SELECT vec_id, embedding AS e,
+       |      sqrt(list_sum(list_transform(embedding,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+       |    FROM $vecsrc)),
+       |c0 AS (SELECT list_transform(en, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS c
+       |  FROM nz WHERE vec_id = (SELECT min(vec_id) FROM nz)),
+       |res AS (SELECT vec_id, list_transform(list_zip(en, (SELECT c FROM c0)),
+       |    z -> z[1] - z[2]) AS rv FROM nz),
+       |samp AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, rv
+       |  FROM (SELECT vec_id, rv FROM res ORDER BY vec_id LIMIT $ksub)),
+       |cb AS (SELECT ss.s, samp.code, samp.rv[ss.s*$dsub+1:(ss.s+1)*$dsub] AS cvec
+       |  FROM samp, (SELECT unnest(range(0, $m)) AS s) ss),
+       |dists AS (SELECT r.vec_id, cb.s, cb.code,
+       |    list_sum(list_transform(list_zip(r.rv[cb.s*$dsub+1:(cb.s+1)*$dsub], cb.cvec),
+       |      z -> (z[1]-z[2])*(z[1]-z[2]))) AS d
+       |  FROM res r, cb),
+       |codes AS (SELECT vec_id, s, code FROM dists
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) = 1),
+       |q AS (SELECT vec_id AS query_id, en AS qn FROM nz WHERE $queryPred),
+       |qc AS (SELECT query_id, list_sum(list_transform(list_zip(qn, (SELECT c FROM c0)),
+       |    z -> z[1] * z[2])) AS dotqc FROM q),
+       |terms AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.s,
+       |    list_sum(list_transform(list_zip(q.qn[c.s*$dsub+1:(c.s+1)*$dsub], cb.cvec),
+       |      z -> z[1]*z[2])) AS term
+       |  FROM q, codes c JOIN cb ON cb.s = c.s AND cb.code = c.code),
+       |sc AS (SELECT t.query_id, t.neighbor_id,
+       |    qc.dotqc + list_sum(list(t.term ORDER BY t.s)) AS score
+       |  FROM terms t JOIN qc ON qc.query_id = t.query_id
+       |  GROUP BY t.query_id, t.neighbor_id, qc.dotqc),
+       |surv AS (SELECT query_id, neighbor_id FROM sc
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= ${rescore * k}),
+       |re AS (SELECT surv.query_id, surv.neighbor_id, ${cos("eq.embedding", "ec.embedding")} AS cs
+       |  FROM surv JOIN $vecsrc eq ON surv.query_id = eq.vec_id
+       |            JOIN $vecsrc ec ON surv.neighbor_id = ec.vec_id)
+       |SELECT query_id, neighbor_id, round(cs, 6) AS cosine FROM re
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) <= $k""".stripMargin
+  }
+
   /** The sim_bitq mirror: sign-bit sketches (bit j set iff embedding[j] > 0 —
     * TextKernel.vecSignBits), Hamming candidates by (bit_count(xor) asc, id),
     * exact float-cosine rescore of the top rescore·k. Training-free, so the

@@ -1169,6 +1169,31 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // --- similarity: RESIDUAL IVF-PQ, nlist = 1 explicit-quantizer case ----
+    // the FAISS by_residual shape with its one SQL-expressible
+    // configuration: c₀ = the lowest-id vector normalized by division
+    // (through fitAssign's float32 round-trip), codes quantize (x̂ − c₀)
+    // against the sample-init RESIDUAL codebook, and the first stage scores
+    // dot(q̂, c₀) + ADC — the exact decomposition, mirrored fold-for-fold by
+    // simPqResidual. Trained coarse quantizers (nlist > 1) stay spec-gated.
+    "sim_ivf_pq_residual" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val r0 = emb.select(col("vec_id").cast("long").as("id"),
+          col("embedding").cast("array<double>").as("v"))
+        .orderBy("id").limit(1).collect()(0) // bounded: the 1-row quantizer
+      val v = r0.getSeq[Double](1).toArray
+      var n2 = 0.0; var i = 0
+      while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+      val c0 = if (n2 > 0) { val n = math.sqrt(n2); v.map(_ / n) } else v
+      val c0f = c0.map(x => x.toFloat.toDouble) // fitAssign stores float32
+      val cb = Similarity.pqSampleCodebooks(emb, "embedding", "vec_id",
+        m = 8, ksub = 16, center = Some(c0f))
+      Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 8), "embedding", "vec_id",
+          k = 5, nlist = 1, nprobe = 1, m = 8, ksub = 16, rescore = 4,
+          codebooks = Some(cb), quantizer = Some(Array(c0)), residual = true)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // --- similarity: PERSISTED IVF-PQ index — assigned(id, vec, pq_code,
     // cell) + centroids + the one-row codebook table roundtrip through
     // parquet; the candidate scan reads only (id, cell, pq_code), 32×
@@ -3747,6 +3772,7 @@ object SparkEntry {
     "sim_pq" -> OracleSql.simPq(k = 5, m = 8, ksub = 16, dim = 64, rescore = 0),
     "sim_ivf_pq" -> OracleSql.simPq(k = 5, m = 8, ksub = 16, dim = 64, rescore = 4),
     "sim_ivf_pq_index" -> OracleSql.simPq(k = 5, m = 8, ksub = 16, dim = 64, rescore = 4),
+    "sim_ivf_pq_residual" -> OracleSql.simPqResidual(k = 5, m = 8, ksub = 16, dim = 64, rescore = 4),
     "sim_bitq" -> OracleSql.simBitq(k = 5, rescore = 4),
     "sim_hardneg" ->
       """WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qe

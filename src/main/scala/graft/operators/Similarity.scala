@@ -735,7 +735,8 @@ object Similarity {
     * [[pqTrainCodebooks]]. Bounded collect: exactly `ksub` rows.
     */
   def pqSampleCodebooks(
-      corpus: DataFrame, vecCol: String, idCol: String, m: Int, ksub: Int): Array[Double] = {
+      corpus: DataFrame, vecCol: String, idCol: String, m: Int, ksub: Int,
+      center: Option[Array[Double]] = None): Array[Double] = {
     require(m >= 1 && ksub >= 1, "m and ksub must be >= 1")
     val rows = corpus
       .select(col(idCol).cast("long").as("__id"), col(vecCol).cast("array<double>").as("__v"))
@@ -746,12 +747,21 @@ object Similarity {
     // arithmetic of l2Prep's column path and the oracle's nz CTE; the
     // reciprocal-multiply in l2normalize differs in the last ulp and would
     // break the value-exact mirror
-    val samples = rows.map { r =>
+    val normed = rows.map { r =>
       val v = r.getSeq[Double](1).toArray
       var n2 = 0.0; var i = 0
       while (i < v.length) { n2 += v(i) * v(i); i += 1 }
       val n = math.sqrt(n2)
       if (n > 0) v.map(_ / n) else v
+    }
+    // optional RESIDUAL seam: subtract a fixed center (the coarse centroid,
+    // float32-rounded exactly as fitAssign stores it) so the sample-init
+    // codebook lives in residual space — the ivfPqTopK(residual = true)
+    // nlist=1 degenerate case this makes SQL-mirrorable end-to-end
+    val samples = center match {
+      case Some(ctr) =>
+        normed.map(v => Array.tabulate(v.length)(j => v(j) - ctr(j)))
+      case None => normed
     }
     val dim = samples(0).length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
