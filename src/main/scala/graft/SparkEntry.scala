@@ -990,7 +990,9 @@ object SparkEntry {
     // --- multimodal REAL pixel compute: synth PNG → ImageIO decode → stats -
     // --- image perceptual-hash near-dup removal (real decode + aHash) ------
     "multimodal_phash" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"))
+      // spreadScan: PNG encode+decode per row on a one-task single-file
+      // scan serializes on one core (guide §2.5) — measured 2.5 s → 1.7 s
+      val docs = spreadScan(t(s, dir, "documents").select(col("doc_id")))
       val media = Multimodal.withSyntheticImage(docs, "doc_id")
       val hashed = Multimodal.withImageAHash(media)
       Dedup.hammingDedup(hashed, "ahash", "doc_id", maxHamming = 3)
@@ -998,7 +1000,7 @@ object SparkEntry {
     }),
 
     "multimodal_pixels" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val docs = spreadScan(t(s, dir, "documents").select(col("doc_id")))
       val media = Multimodal.withSyntheticImage(docs, "doc_id")
       Multimodal.withPixelStats(media)
         .select(col("doc_id"),
@@ -1010,7 +1012,7 @@ object SparkEntry {
 
     // --- multimodal REAL PCM compute: synth WAV → data-chunk stats ---------
     "multimodal_audio" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val docs = spreadScan(t(s, dir, "documents").select(col("doc_id")))
       val media = Multimodal.withSyntheticWav(docs, "doc_id")
       Multimodal.withPcmStats(media)
         .select(col("doc_id"),
@@ -1689,7 +1691,9 @@ object SparkEntry {
     // (rounded inside BM25 — deterministic max), top-5 docs per query
     "pipeline_rag" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val chunks = TextAnalysis.chunkDocuments(docs, chunkTokens = 24, overlap = 8)
+      // spreadScan: the chunk explode + per-chunk tokenize is the heavy map
+      // stage and sits on a one-task scan (guide §2.5) — measured 3.5 → 2.5 s
+      val chunks = TextAnalysis.chunkDocuments(spreadScan(docs), chunkTokens = 24, overlap = 8)
         .select((col("doc_id") * 100000 + col("chunk_id")).as("doc_id"),
           col("chunk_text").as("text"))
       val qs = docs.where(col("doc_id") % 100 === 7)

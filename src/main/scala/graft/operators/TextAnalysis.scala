@@ -669,14 +669,24 @@ object TextAnalysis {
       b: Double = 0.75,
       topK: Int = 10): DataFrame = {
     def toks(c: Column) = filter(split(trim(lower(c)), " +"), x => x =!= "")
-    val postings = corpus.select(col(idCol).as("__doc"), explode(toks(col(textCol))).as("__term"))
-      .groupBy("__doc", "__term").agg(count(lit(1)).as("__tf"))
-    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("__doc")
-    val withDl = postings.withColumn("__dl", sum(col("__tf")).over(wDoc))
-    val stats = postings.agg(
-      countDistinct(col("__doc")).as("__n"), sum(col("__tf")).as("__tt"))
+    // __dl (doc length = Σ tf) is size(tokens) BEFORE the explode — one
+    // projection instead of a per-doc window (exchange + sort over the
+    // whole posting table); corpus stats likewise come from the un-exploded
+    // token arrays (count + Σ size), so that consumer never pays the
+    // explode + groupBy. Recompute beats a persist here: the postings pass
+    // is a single codegen pipeline, and materializing it costs more than
+    // running it twice (measured on the r11 A/B).
+    val base = corpus
+      .select(col(idCol).as("__doc"), toks(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) > 0)
+    val postings = base
+      .select(col("__doc"), size(col("__toks")).cast("long").as("__dl"),
+        explode(col("__toks")).as("__term"))
+      .groupBy("__doc", "__dl", "__term").agg(count(lit(1)).as("__tf"))
+    val stats = base.agg(
+      count(lit(1)).as("__n"), sum(size(col("__toks")).cast("long")).as("__tt"))
     val dfreq = postings.groupBy("__term").agg(count(lit(1)).as("__df"))
-    searchPostings(withDl.join(dfreq, "__term"), stats, queries,
+    searchPostings(postings.join(dfreq, "__term"), stats, queries,
       queryIdCol, queryTextCol, idCol, k1, b, topK)
   }
 
@@ -701,21 +711,31 @@ object TextAnalysis {
       textCol: String = "text",
       idCol: String = "doc_id"): Unit = {
     def toks(c: Column) = filter(split(trim(lower(c)), " +"), x => x =!= "")
-    val postings = corpus.select(col(idCol).as("__doc"), explode(toks(col(textCol))).as("__term"))
-      .groupBy("__doc", "__term").agg(count(lit(1)).as("__tf"))
-    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("__doc")
-    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("__term")
-    postings
-      .withColumn("__dl", sum(col("__tf")).over(wDoc))
-      .withColumn("__df", count(lit(1)).over(wTerm))
-      .withColumn("__bucket", termBucket(col("__term")))
-      .write.mode("overwrite").partitionBy("__bucket").parquet(s"$path/postings")
-    postings.agg(countDistinct(col("__doc")).as("__n"), sum(col("__tf")).as("__tt"))
-      .write.mode("overwrite").parquet(s"$path/stats")
-    // `docs/` sidecar: the posting-bearing doc ids — one narrow column that
-    // makes [[refreshBM25Index]]'s duplicate-id guard exact
-    postings.select("__doc").distinct()
-      .write.mode("overwrite").parquet(s"$path/docs")
+    // one tokenize + groupBy pass, persisted across the three writes —
+    // __dl is size(tokens) before the explode (no per-doc window), __df a
+    // per-term aggregate joined back (no per-term window sort); stats and
+    // the docs sidecar read the cached postings instead of re-tokenizing
+    // the corpus (guide §2.3/§2.4: three corpus passes → one)
+    val postings = corpus
+      .select(col(idCol).as("__doc"), toks(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col("__doc"), size(col("__toks")).cast("long").as("__dl"),
+        explode(col("__toks")).as("__term"))
+      .groupBy("__doc", "__dl", "__term").agg(count(lit(1)).as("__tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dfreq = postings.groupBy("__term").agg(count(lit(1)).as("__df"))
+      postings.join(dfreq, "__term")
+        .select("__doc", "__term", "__tf", "__dl", "__df")
+        .withColumn("__bucket", termBucket(col("__term")))
+        .write.mode("overwrite").partitionBy("__bucket").parquet(s"$path/postings")
+      postings.agg(countDistinct(col("__doc")).as("__n"), sum(col("__tf")).as("__tt"))
+        .write.mode("overwrite").parquet(s"$path/stats")
+      // `docs/` sidecar: the posting-bearing doc ids — one narrow column that
+      // makes [[refreshBM25Index]]'s duplicate-id guard exact
+      postings.select("__doc").distinct()
+        .write.mode("overwrite").parquet(s"$path/docs")
+    } finally postings.unpersist(blocking = false)
   }
 
   /** Incrementally refreshes a [[buildBM25Index]] layout with NEW documents
@@ -744,11 +764,14 @@ object TextAnalysis {
       idCol: String = "doc_id"): Unit = {
     import java.nio.file.{Files, Path => JPath, Paths}
     def toks(c: Column) = filter(split(trim(lower(c)), " +"), x => x =!= "")
-    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("__doc")
+    // __dl = size(tokens) before the explode — same no-window shape as
+    // [[buildBM25Index]]; values identical to the old per-doc window sum
     val newPost = newDocs
-      .select(col(idCol).as("__doc"), explode(toks(col(textCol))).as("__term"))
-      .groupBy("__doc", "__term").agg(count(lit(1)).as("__tf"))
-      .withColumn("__dl", sum(col("__tf")).over(wDoc))
+      .select(col(idCol).as("__doc"), toks(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col("__doc"), size(col("__toks")).cast("long").as("__dl"),
+        explode(col("__toks")).as("__term"))
+      .groupBy("__doc", "__dl", "__term").agg(count(lit(1)).as("__tf"))
       .withColumn("__bucket", termBucket(col("__term")))
       .persist()
     try {

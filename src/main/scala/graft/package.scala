@@ -29,16 +29,54 @@ package object graft {
 
   /** Reads a test table; normalizes the events `ts` column back to
     * TimestampType so downstream window/date functions see real timestamps.
+    *
+    * The driver's test tables are single-file, SINGLE-ROW-GROUP parquet, so
+    * every scan is one task and per-row-heavy map stages above it (tokenize
+    * + explode, geometry kernels, image decode) serialize on one core —
+    * the "one huge unsplittable file" input-skew case of the optimization
+    * guide (§2.5: repartition immediately after the read). One round-robin
+    * exchange of the sub-10-MB input spreads that work across the session's
+    * cores. Parameterised: SPARK_GRAFT_READ_SPREAD sets the partition
+    * count (0 disables — a production table already arrives in many
+    * splits; this exchange exists for unsplittable single-file inputs,
+    * never for data that is born partitioned).
     */
   def readTable(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(tablePath(dir, name))
-    if (name == "events") normalizeTs(df) else df
+    val raw = s.read.parquet(tablePath(dir, name))
+    val df = if (name == "events") normalizeTs(raw) else raw
+    val spread = sys.env.get("SPARK_GRAFT_READ_SPREAD").map(_.toInt).getOrElse(0)
+    if (spread > 0) df.repartition(spread) else df
   }
+
+  /** One round-robin exchange spreading an unsplittable single-file scan
+    * across the session's cores — the guide §2.5 input-skew fix, applied
+    * ONLY where a per-row-heavy map stage (image decode, chunk+tokenize)
+    * sits directly on the one-task scan; a blanket spread measured as a net
+    * loss (writers pay fan-out, shuffle-light paths pay the exchange).
+    */
+  def spreadScan(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Session configs every graft entrypoint needs. */
   val sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.adaptive.enabled" -> "true",
-  )
+    "spark.sql.adaptive.enabled" ->
+      sys.env.getOrElse("SPARK_GRAFT_AQE", "true"),
+    // Let the planner pick shuffled-hash over sort-merge when the per-
+    // partition build side fits (guide §3.1) — skips two sorts per join.
+    "spark.sql.join.preferSortMergeJoin" -> "false",
+  ) ++ {
+    // Shuffle/spill scratch space: measured seconds of shuffle-WRITE time
+    // for MB-scale blocks on this sandbox's overlay /tmp — put scratch on
+    // tmpfs when one is mounted (the "fast local disks for shuffle" rule,
+    // guide §1.3/§2.1). Parameterised: SPARK_GRAFT_LOCAL_DIR overrides, and
+    // a cluster with real NVMe scratch simply doesn't define the tmpfs.
+    val dir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        Some("/dev/shm/graft_spark_local") else None
+    }
+    dir.map("spark.local.dir" -> _).toMap
+  }
 }
