@@ -65,6 +65,38 @@ private[graft] object Caches {
     df
   }
 
+  /** Releases `cached` when an action over a plan containing `anchor`
+    * completes — for operators that run INTERNAL actions while building
+    * their result (iterative rounds, bounded model fetches): a plain
+    * [[releaseAfterAction]] on the cached frame would fire on the first
+    * internal action and drop the cache before the caller's final action
+    * consumes it. Same contract as [[releaseAfterAction]]: the anchor's
+    * action must eventually run, and [[releaseAll]] sweeps stragglers.
+    */
+  def releaseWhen(anchor: DataFrame, cached: DataFrame): Unit = {
+    val session = anchor.sparkSession
+    val target = anchor.queryExecution.analyzed
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    lazy val listener: org.apache.spark.sql.util.QueryExecutionListener =
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        private def maybeRelease(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+          if (qe.analyzed.find(_.sameResult(target)).isDefined &&
+              done.compareAndSet(false, true)) {
+            cached.unpersist(blocking = false)
+            session.listenerManager.unregister(listener)
+            live.synchronized { live.remove(cached) }
+          }
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          maybeRelease(qe)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+          maybeRelease(qe)
+      }
+    session.listenerManager.register(listener)
+    live.synchronized { live.put(cached, listener) }
+  }
+
   /** Safety valve for explain-only / abandoned consumers: unpersists every
     * still-registered frame and unregisters its listener. Idempotent; safe
     * to call from a session-teardown hook or after a pure plan audit.

@@ -85,9 +85,16 @@ object Clustering {
       (col("__ay") - col("__by")) * (col("__ay") - col("__by"))
     // ordered pairs including self — |N_eps| counts the point itself, and
     // the self edge keeps singleton cores visible to the component pass
+    // pairs feeds THREE consumers (core density count, core-core edges,
+    // border assignment) — persisted once instead of recomputing the 9-cell
+    // explode join per consumer (guide §2.4). Released via the ANCHORED
+    // listener below: connectedComponents runs internal actions while this
+    // function builds its result, so a first-action release would drop the
+    // cache before the border pass reads it.
     val pairs = probe.join(home, Seq("__cx", "__cy"))
       .where(dist2 <= lit(eps * eps))
       .select("__aid", "__bid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val core = pairs.groupBy("__aid").agg(count(lit(1)).as("__ncnt"))
       .where(col("__ncnt") >= minPts)
@@ -104,13 +111,15 @@ object Clustering {
       .join(comp.select(col("node").as("__bid"), col("component")), Seq("__bid"))
       .groupBy("__aid").agg(min(col("component")).as("__bcl"))
 
-    df.join(comp.select(col("node").as("__jid"), col("component").as("__ccl")),
+    val result = df.join(comp.select(col("node").as("__jid"), col("component").as("__ccl")),
         col(idCol).cast("long") === col("__jid"), "left")
       .join(borderAssign.select(col("__aid").as("__jid2"), col("__bcl")),
         col(idCol).cast("long") === col("__jid2"), "left")
       .withColumn("is_core", col("__ccl").isNotNull)
       .withColumn("cluster", coalesce(col("__ccl"), col("__bcl"), lit(-1L)))
       .drop("__jid", "__ccl", "__jid2", "__bcl")
+    Caches.releaseWhen(result, pairs)
+    result
   }
 
   /** Distributed Lloyd k-means (Euclidean) over an embedding column — the

@@ -185,8 +185,12 @@ object Joins {
           .agg(max(col(e).cast("double") - col(s).cast("double"))).head()
         if (r.isNullAt(0)) 0.0 else r.getDouble(0)
       }
-      val mx = math.max(spanMax(left, leftStart, leftEnd),
-        spanMax(right, rightStart, rightEnd))
+      // a self-join with identical span columns pays the span scan once
+      val mx =
+        if ((left eq right) && leftStart == rightStart && leftEnd == rightEnd)
+          spanMax(left, leftStart, leftEnd)
+        else math.max(spanMax(left, leftStart, leftEnd),
+          spanMax(right, rightStart, rightEnd))
       var l = 0
       while (mx > (n - 1).toDouble * bucketWidth * math.pow(n, l) && l < 40) l += 1
       l

@@ -775,7 +775,10 @@ object TextAnalysis {
       .withColumn("__bucket", termBucket(col("__term")))
       .persist()
     try {
-      val agg = newPost.agg(countDistinct(col("__doc")), sum(col("__tf"))).head()
+      // one bounded fetch for the three driver-side facts (doc count, token
+      // count, affected bucket set ≤ bm25Buckets) instead of three jobs
+      val agg = newPost.agg(countDistinct(col("__doc")), sum(col("__tf")),
+        collect_set(col("__bucket"))).head()
       if (agg.isNullAt(0) || agg.getLong(0) == 0L) return // nothing to add
       val clash = newPost.select("__doc").distinct()
         .join(spark.read.parquet(s"$path/docs"), Seq("__doc"), "left_semi")
@@ -783,16 +786,17 @@ object TextAnalysis {
       require(clash == 0L,
         s"refreshBM25Index: new doc ids overlap the index at $path — a " +
           "repeated id would double-count its terms; merge upstream first")
-      val buckets = newPost.select("__bucket").distinct()
-        .collect().map(_.getLong(0)) // ≤ bm25Buckets values
+      val buckets = agg.getSeq[Long](2)
       val old = spark.read.parquet(s"$path/postings")
         .where(col("__bucket").isin(buckets: _*))
         .select("__bucket", "__doc", "__term", "__tf", "__dl") // stale __df dropped
       val unioned = old.unionByName(
         newPost.select("__bucket", "__doc", "__term", "__tf", "__dl"))
-      val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("__term")
-      val rewritten = unioned
-        .withColumn("__df", count(lit(1)).over(wTerm))
+      // per-term df as an aggregate joined back (same no-window shape as
+      // [[buildBM25Index]]; the affected-bucket read is repeated for the
+      // tiny df table instead of sorting the whole union)
+      val dfNew = unioned.groupBy("__term").agg(count(lit(1)).as("__df"))
+      val rewritten = unioned.join(dfNew, "__term")
         .select("__term", "__doc", "__tf", "__dl", "__df", "__bucket")
       def deleteRec(p: JPath): Unit = {
         if (Files.isDirectory(p)) {
@@ -844,12 +848,18 @@ object TextAnalysis {
     val qterms = queries.select(col(queryIdCol).as("__qid"),
         explode(array_distinct(toks(col(queryTextCol)))).as("__term"))
       .withColumn("__bucket", termBucket(col("__term")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = qterms.select("__bucket").distinct()
       .collect().map(_.getLong(0)) // ≤ 64 values — a driver-side IN list
     val pruned = postings.where(col("__bucket").isin(buckets: _*))
     val matched = qterms.join(pruned, Seq("__bucket", "__term"))
       .crossJoin(broadcast(stats))
-    scoreBM25(matched, queryIdCol, idCol, k1, b, topK)
+    // qterms feeds the bucket fetch above AND the probe join — anchored
+    // release (the bucket fetch is an internal action; a first-action
+    // release would drop the cache before the caller's query runs)
+    val res = scoreBM25(matched, queryIdCol, idCol, k1, b, topK)
+    graft.operators.Caches.releaseWhen(res, qterms)
+    res
   }
 
   private def searchPostings(
