@@ -904,15 +904,17 @@ object Ops {
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .distinct()
     // sized feeds FOUR consumers (N, marginals, both pair-join sides) —
-    // persisted, and the release listener registers only AFTER the internal
-    // N count so that bounded action doesn't free it early (see Caches)
+    // persisted, listener-released on the caller's action (see Caches)
     val sized = items.join(
       items.groupBy("__b").agg(count(lit(1)).as("__n"))
         .where(col("__n") <= maxBasket && col("__n") >= 2),
       "__b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nBaskets = sized.select(col("__b")).distinct().count()
     Caches.releaseAfterAction(sized)
+    // N travels as a broadcast 1-row aggregate instead of a driver-side
+    // count: the scalar fetch was its own full pass over sized (a separate
+    // job) just to embed a literal the plan can carry itself
+    val nb = sized.agg(countDistinct(col("__b")).as("__nb"))
     val marg = sized.groupBy("__i").agg(count(lit(1)).as("__m"))
     val pairs = sized.as("x").join(sized.as("y"),
         col("x.__b") === col("y.__b") && col("x.__i") < col("y.__i"))
@@ -922,9 +924,11 @@ object Ops {
     pairs
       .join(marg.select(col("__i").as("item_a"), col("__m").as("n_a")), "item_a")
       .join(marg.select(col("__i").as("item_b"), col("__m").as("n_b")), "item_b")
+      .crossJoin(broadcast(nb))
       .withColumn("lift",
-        lit(nBaskets) * col("n_both").cast("double") /
+        col("__nb") * col("n_both").cast("double") /
           (col("n_a").cast("double") * col("n_b").cast("double")))
+      .drop("__nb")
   }
 
   /** First-order Markov transition matrix over per-key event sequences —

@@ -259,13 +259,23 @@ class PlanAuditSpec extends SparkSpec {
   test("analytics tier: equi-joins only, and the n-gram cut is a heap") {
     Seq("setsim_containment", "events_gapfill", "data_upsert",
       "dedup_best", "events_transitions", "events_attribution",
-      "text_vocab_overlap", "sjoin_areal", "basket_lift",
+      "text_vocab_overlap", "sjoin_areal",
       "sjoin_dwithin").foreach { name =>
       val plan = physical(q(name))
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
         s"$name degenerated to a nested loop:\n$plan")
     }
+    // basket_lift attaches its basket count N as a broadcast 1-ROW
+    // aggregate (replacing a separate driver-side count job) — the one
+    // permitted nested-loop shape is that scalar cross join; real data
+    // joins must stay hashed and a CartesianProduct is still forbidden
+    val bl = physical(q("basket_lift"))
+    assert(!bl.contains("CartesianProduct"), s"basket_lift cartesian:\n$bl")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(bl).size <= 1,
+      s"basket_lift grew a second nested loop:\n$bl")
+    assert(bl.contains("BroadcastHashJoin"),
+      s"basket_lift marginals left the hash-join family:\n$bl")
     // corpus-wide top-k must be per-partition heaps, never a global sort
     val ng = physical(q("text_ngram_topk"))
     assert(ng.contains("TakeOrderedAndProject"), s"text_ngram_topk sorts:\n$ng")
