@@ -26,6 +26,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     graft.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    graft.localScratchConfigs.foreach { case (k, v) => builder.config(k, v) } // local-master harness: tmpfs scratch
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_BENCH_ONLY=a,b,c isolates named queries (quiet-box
@@ -65,16 +66,32 @@ object Bench {
     val total = results.map(_._2).sum
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"sf":"$sfDir"}"""
-    // the driver's stdout capture keeps only a ~2 KB tail: the full per-query
-    // map (~4 KB at 86 queries) got clipped mid-object two rounds running, so
-    // stdout carries a compact summary line that always fits, and the full
-    // per-query JSON goes to BENCH.json in cwd (which the driver archives)
+    // Stdout contract: the driver json-parses only a 2000-char stdout TAIL
+    // (verified across rounds 1-11: every archived BENCH_r*.json tail is
+    // exactly 2000 chars, rounds 1-3's per-query line parsed because it fit,
+    // round 4's well-formed ~2.8 KB line failed head-clipped). 203 query
+    // names alone serialize to ~3.8 KB, so one line carrying the full map
+    // CANNOT fit the tail. Best feasible: print the full per-query line
+    // FIRST (3-decimal values — any full-stdout reader gets everything),
+    // then the compact always-fits summary LAST so the tail parse is
+    // guaranteed at least the suite total. Per-query detail also lands in
+    // BENCH.json AND a per-core-count twin (BENCH_c<cpus>.json) so the
+    // driver's low-core re-run can no longer clobber the main run's map.
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs3 = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs3,"sf":"$sfDir"}"""
+    println(fullLine)
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"BENCH.json"}"""
     println(compact)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case _: Exception => () }
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+        (full + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"BENCH_c$cpus.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Exception => () }
     spark.stop()
   }
 }

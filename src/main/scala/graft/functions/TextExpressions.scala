@@ -264,6 +264,18 @@ case class CompressRatio(child: Expression) extends UnaryExpression with Seriali
   override protected def withNewChildInternal(c: Expression): CompressRatio = copy(child = c)
 }
 
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernel.sortedIntersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${TextExpressions.K}.sortedIntersectSize($a, $b)")
+  override def prettyName: String = "sorted_intersect_size"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSize =
+    copy(left = l, right = r)
+}
+
 case class PassjoinKeys(left: Expression, right: Expression, probe: Boolean)
     extends BinaryExpression with Serializable {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -302,6 +314,9 @@ object TextFunctions {
   }
   def vec_dot(a: Column, b: Column): Column =
     c(VecDot(e(a.cast("array<double>")), e(b.cast("array<double>"))))
+  /** |a ∩ b| of two strictly-increasing int arrays (one codegen merge scan). */
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    c(SortedIntersectSize(e(a), e(b)))
   /** Cell of `v` against a flat row-major centroid matrix literal. */
   def vec_argmax_dot(v: Column, flatCents: Array[Double], dim: Int): Column =
     c(VecArgmaxDot(e(v.cast("array<double>")),

@@ -226,6 +226,26 @@ object TextKernel {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Intersection size of two strictly-increasing int arrays — the verify
+    * kernel of the set-similarity joins. Each side's token set is
+    * dictionary-encoded to its global rare-first rank and sorted, so
+    * |a ∩ b| is one O(n+m) merge scan in codegen instead of Spark's
+    * interpreted `array_intersect` (hash build + string equality) per
+    * candidate pair. Cardinality only — the dictionary is a bijection, so
+    * the count equals the token-set intersection size exactly.
+    */
+  def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getInt(i); val y = b.getInt(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Left-to-right dot product of two double arrays — the codegen'd twin of
     * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` (bit-identical fold order),
     * for pair loops where the interpreted higher-order functions dominate

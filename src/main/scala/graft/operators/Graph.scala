@@ -88,9 +88,14 @@ object Graph {
         .unionByName(ein.select(col("b").as("u"), col("a").as("v")))
       val lMin = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // dedup under hash(a) rather than hash(a, b): HashPartitioning(a)
+      // satisfies the distinct's ClusteredDistribution((a, b)), and the
+      // small-star's groupBy(a) + join-back then REUSE the same exchange —
+      // one shuffle of `large` per round instead of three (guide §2.4)
       val large = sym.join(lMin, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("a"), col("m").as("b"))
+        .repartition(col("a"))
         .distinct()
 
       // small-star: every node a links its (all smaller, post-large-star)
@@ -226,8 +231,11 @@ object Graph {
     require(maxDepth >= 1 && maxDepth <= 64, "maxDepth must be in [1, 64]")
     val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull)
+    // checkpoint the adjacency ALREADY hash-partitioned by the probe key:
+    // every round joins on u, so the per-round exchange of the (static,
+    // largest) side disappears — the frontier is the only moving part
     val adj = (if (undirected) fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
-      else fwd).distinct().localCheckpoint(false)
+      else fwd).repartition(col("u")).distinct().localCheckpoint(false)
     var dist = sources.select(col(sourceCol).as("node"), lit(0).as("dist"))
       .distinct().localCheckpoint(false)
     var frontier = dist
@@ -265,7 +273,9 @@ object Graph {
       .where(col("u").isNotNull && col("v").isNotNull)
       .distinct()
       .localCheckpoint(false)
-    val deg = e0.groupBy("u").agg(count(lit(1)).as("__deg"))
+    // deg feeds contrib AND the per-round source-node frame below — one
+    // checkpoint, hash-partitioned by u (its aggregation's own exchange)
+    val deg = e0.groupBy("u").agg(count(lit(1)).as("__deg")).localCheckpoint(false)
     val contrib = e0.join(deg, "u")
       .select(col("u"), col("v"), (lit(1.0) / col("__deg")).as("__w"))
       .localCheckpoint(false)
@@ -277,29 +287,46 @@ object Graph {
     if (n == 0) return nodes.select(col("node"), lit(1.0).as("rank")).where(lit(false))
 
     val base = (1.0 - damping) / n
-    var rank = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    // Intermediate rounds only ever feed the next round's contrib join, and
+    // that join reads rank(u) solely for u WITH OUT-EDGES — so the per-round
+    // all-nodes completion join is deferred to the final round (guide §2.4:
+    // one join + one exchange less per round). A source node that received
+    // no messages holds rank = base + d·0, which the LEFT join's coalesce
+    // reproduces exactly — the arithmetic is identical term for term, and
+    // the final round still completes over the full node set. `srcs` comes
+    // from deg's aggregation, so its checkpoint is hash-partitioned by u and
+    // the per-round join back needs no extra exchange of that side.
+    val srcs = deg.select(col("u"))
+    var rank = srcs.select(col("u").as("node"), lit(1.0 / n).as("rank"))
     val dead = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var i = 0
     while (i < iters) {
       val msgs = contrib.join(rank.select(col("node").as("u"), col("rank")), "u")
         .groupBy(col("v"))
         .agg(sum(col("rank") * col("__w")).as("__in"))
-      val next = nodes
-        .join(msgs.select(col("v").as("node"), col("__in")), Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
-        .localCheckpoint(false)
+      val next =
+        if (i < iters - 1)
+          srcs.join(msgs.select(col("v").as("u"), col("__in")), Seq("u"), "left")
+            .select(col("u").as("node"),
+              (lit(base) + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+            .localCheckpoint(false)
+        else // final round: complete over ALL nodes (dangling included)
+          nodes
+            .join(msgs.select(col("v").as("node"), col("__in")), Seq("node"), "left")
+            .select(col("node"),
+              (lit(base) + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+            .localCheckpoint(false)
       dead += rank
       rank = next
       i += 1
     }
     // one job materializes the whole round cascade (each lazy checkpoint
     // computes from the previous round's blocks in dependency order); then
-    // the dead rounds and the three input tables free their blocks — only
-    // the final round's RDD stays, backing the returned frame.
+    // the dead rounds and the input tables free their blocks — only the
+    // final round's RDD stays, backing the returned frame.
     rank.count()
     dead.foreach(unpersistCheckpoint)
-    Seq(e0, contrib, nodes).foreach(unpersistCheckpoint)
+    Seq(e0, deg, contrib, nodes).foreach(unpersistCheckpoint)
     rank
   }
 }

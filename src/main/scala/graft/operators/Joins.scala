@@ -290,8 +290,8 @@ object Joins {
     * Spark-first via prefix filtering (the AllPairs/PPJoin family, Bayardo
     * et al. 2007 / Xiao et al. 2008 — public literature, no reference
     * counterpart): tokens get a GLOBAL rare-first total order (ascending
-    * document frequency over both inputs, token text as tie-break — no
-    * global rank table, the (df, token) pair itself is the sort key); each
+    * document frequency over both inputs, token text as tie-break),
+    * dictionary-encoded to dense int ranks (vocabulary-sized table); each
     * row's token array is sorted in that order, and only its PREFIX of
     * length n − ceil(t·n) + 1 is exploded as join keys. If J(s, r) >= t
     * then |s ∩ r| >= ceil(t·max(|s|,|r|)), and two sets overlapping that
@@ -345,21 +345,27 @@ object Joins {
 
     // rare-first global order: df over BOTH inputs (self-joins double-count
     // every token — a uniform scale that cannot change the ordering).
-    // dfreq feeds both sorted sides and each sorted side feeds two
-    // consumers (prefix explode + verify join-back) — persisted, listener-
-    // released, or every consumer recomputes the subtree from the scan
-    val dfreq = cachedUntilAction(
-      l0.select(explode(col("__toks")).as("__tok"))
-        .unionAll(r0.select(explode(col("__toks")).as("__tok")))
-        .groupBy("__tok").agg(count(lit(1)).as("__df")))
+    // Tokens are DICTIONARY-ENCODED to their dense rank in that order (§2.3
+    // narrower types / §4 codegen): every downstream structure — sorted
+    // arrays, prefix join keys, the verify intersection — carries 4-byte
+    // ints instead of strings, and sorting ranks ascending IS the rare-first
+    // (df, token) order. The rank table is vocabulary-sized (the same class
+    // as the BM25 stats tables); its one-partition row_number sort is
+    // bounded by the vocab, not the corpus. dict feeds both sorted sides —
+    // persisted, listener-released, or each side recomputes it from the scan
+    val dfreq = l0.select(explode(col("__toks")).as("__tok"))
+      .unionAll(r0.select(explode(col("__toks")).as("__tok")))
+      .groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val dict = cachedUntilAction(dfreq.select(col("__tok"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("__df"), col("__tok"))).as("__rnk")))
 
     def sortedSide(side: DataFrame): DataFrame =
       side.select(col("__id"), explode(col("__toks")).as("__tok"))
-        .join(dfreq, "__tok")
+        .join(dict, "__tok")
         .groupBy(col("__id"))
-        .agg(sort_array(collect_list(struct(col("__df"), col("__tok")))).as("__ord"))
-        .select(col("__id"), transform(col("__ord"), s => s("__tok")).as("__stoks"),
-          size(col("__ord")).as("__n"))
+        .agg(sort_array(collect_list(col("__rnk"))).as("__stoks"))
+        .select(col("__id"), col("__stoks"), size(col("__stoks")).as("__n"))
     val ls = cachedUntilAction(sortedSide(l0))
     val rs = cachedUntilAction(sortedSide(r0))
 
@@ -390,12 +396,17 @@ object Joins {
       .select(col("__lid"), col("__rid")).distinct()
 
     val rOut = if (rightId == leftId) rightId + suffix else rightId
+    // exact verify: both sides' rank arrays are sorted ascending, so the
+    // overlap is one codegen'd merge scan (sorted_intersect_size) instead of
+    // an interpreted array_intersect per candidate pair — and the arrays
+    // shipped into this join are int-encoded, not token strings
     cands
       .join(ls.select(col("__id").as("__lid"), col("__stoks").as("__ltoks"),
         col("__n").as("left_size")), "__lid")
       .join(rs.select(col("__id").as("__rid"), col("__stoks").as("__rtoks"),
         col("__n").as("right_size")), "__rid")
-      .withColumn("overlap", size(array_intersect(col("__ltoks"), col("__rtoks"))))
+      .withColumn("overlap",
+        graft.functions.TextFunctions.sorted_intersect_size(col("__ltoks"), col("__rtoks")))
       .withColumn("jaccard", col("overlap").cast("double") /
         (col("left_size") + col("right_size") - col("overlap")).cast("double"))
       .where(col("jaccard") >= threshold)
@@ -524,31 +535,37 @@ object Joins {
     val r0 = prep(right, rightId, rightCol)
 
     // rare-first order from BOTH sides' document frequencies, as in
-    // setSimJoin (a uniform self-join double-count cannot reorder)
+    // setSimJoin (a uniform self-join double-count cannot reorder) —
+    // dictionary-encoded to dense int ranks exactly as there, so the
+    // inverted index, the probe prefixes, and the verify intersection all
+    // run over 4-byte ints instead of token strings
     val dfreq = l0.select(explode(col("__toks")).as("__tok"))
       .unionAll(r0.select(explode(col("__toks")).as("__tok")))
       .groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val dict = cachedUntilAction(dfreq.select(col("__tok"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("__df"), col("__tok"))).as("__rnk")))
 
     // probe prefixes + verify both read the sorted probe side; the right
-    // side's token frame feeds the inverted index AND the verify join-back
-    // — persisted, listener-released (see cachedUntilAction)
-    val ls = cachedUntilAction(
-      l0.select(col("__id"), explode(col("__toks")).as("__tok"))
-        .join(dfreq, "__tok")
+    // side's rank-array frame feeds the inverted index (a cheap int-array
+    // explode) AND the verify join-back — persisted, listener-released
+    def sortedSide(side: DataFrame): DataFrame =
+      side.select(col("__id"), explode(col("__toks")).as("__tok"))
+        .join(dict, "__tok")
         .groupBy(col("__id"))
-        .agg(sort_array(collect_list(struct(col("__df"), col("__tok")))).as("__ord"))
-        .select(col("__id"), transform(col("__ord"), s => s("__tok")).as("__stoks"),
-          size(col("__ord")).as("__n")))
-    val rn = cachedUntilAction(
-      r0.select(col("__id").as("__rid"), size(col("__toks")).as("__rn"),
-        col("__toks")))
+        .agg(sort_array(collect_list(col("__rnk"))).as("__stoks"))
+        .select(col("__id"), col("__stoks"), size(col("__stoks")).as("__n"))
+    val ls = cachedUntilAction(sortedSide(l0))
+    val rs = cachedUntilAction(sortedSide(r0)
+      .select(col("__id").as("__rid"), col("__stoks").as("__rtoks"),
+        col("__n").as("__rn")))
 
     val alpha = ceil(lit(threshold) * col("__n").cast("double") - lit(1e-9))
     val lp = ls.select(col("__id").as("__lid"), col("__n").as("__ln"),
       explode(slice(col("__stoks"), lit(1),
         (col("__n") - alpha.cast("int") + 1))).as("__tok"))
-    val rp = rn.select(col("__rid"), col("__rn"),
-      explode(col("__toks")).as("__tok"))
+    val rp = rs.select(col("__rid"), col("__rn"),
+      explode(col("__rtoks")).as("__tok"))
     val cands = lp.join(rp,
         lp("__tok") === rp("__tok") &&
           rp("__rn").cast("double") + lit(1e-9) >= lit(threshold) * lp("__ln"))
@@ -558,9 +575,10 @@ object Joins {
     cands
       .join(ls.select(col("__id").as("__lid"), col("__stoks").as("__ltoks"),
         col("__n").as("left_size")), "__lid")
-      .join(rn.select(col("__rid"), col("__toks").as("__rtoks"),
+      .join(rs.select(col("__rid"), col("__rtoks"),
         col("__rn").as("right_size")), "__rid")
-      .withColumn("overlap", size(array_intersect(col("__ltoks"), col("__rtoks"))))
+      .withColumn("overlap",
+        graft.functions.TextFunctions.sorted_intersect_size(col("__ltoks"), col("__rtoks")))
       .withColumn("containment", col("overlap").cast("double") / col("left_size").cast("double"))
       .where(col("containment") >= threshold)
       .select(col("__lid").as(leftId), col("__rid").as(rOut),

@@ -44,7 +44,10 @@ package object graft {
   def readTable(s: SparkSession, dir: String, name: String): DataFrame = {
     val raw = s.read.parquet(tablePath(dir, name))
     val df = if (name == "events") normalizeTs(raw) else raw
-    val spread = sys.env.get("SPARK_GRAFT_READ_SPREAD").map(_.toInt).getOrElse(0)
+    // tolerant parse: a malformed env value degrades to the disabled
+    // default instead of killing every entrypoint with NumberFormatException
+    val spread = sys.env.get("SPARK_GRAFT_READ_SPREAD")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ > 0).getOrElse(0)
     if (spread > 0) df.repartition(spread) else df
   }
 
@@ -57,7 +60,11 @@ package object graft {
   def spreadScan(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-  /** Session configs every graft entrypoint needs. */
+  /** Session configs every graft entrypoint needs. Engine semantics and
+    * planner policy only — NO machine-placement defaults: shuffle-scratch
+    * location is an environment fact that must not follow the library onto
+    * a cluster (see [[localScratchConfigs]]).
+    */
   val sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
@@ -65,18 +72,32 @@ package object graft {
       sys.env.getOrElse("SPARK_GRAFT_AQE", "true"),
     // Let the planner pick shuffled-hash over sort-merge when the per-
     // partition build side fits (guide §3.1) — skips two sorts per join.
-    "spark.sql.join.preferSortMergeJoin" -> "false",
-  ) ++ {
-    // Shuffle/spill scratch space: measured seconds of shuffle-WRITE time
-    // for MB-scale blocks on this sandbox's overlay /tmp — put scratch on
-    // tmpfs when one is mounted (the "fast local disks for shuffle" rule,
-    // guide §1.3/§2.1). Parameterised: SPARK_GRAFT_LOCAL_DIR overrides, and
-    // a cluster with real NVMe scratch simply doesn't define the tmpfs.
-    val dir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
+    // Env-gated: a deployment on skewed / size-misestimated data can revert
+    // to sort-merge's graceful spill without a code change.
+    "spark.sql.join.preferSortMergeJoin" ->
+      sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"),
+  ) ++
+    // explicit scratch override stays honored everywhere (a deliberate env
+    // var is not an autodetect)
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").map("spark.local.dir" -> _).toMap
+
+  /** Shuffle/spill scratch for LOCAL-MASTER harness sessions only (Bench,
+    * Verify, the tools, the test harness): this sandbox's overlay /tmp
+    * costs measured seconds of shuffle-write wait for MB-scale blocks, so
+    * local runs put scratch on tmpfs when one is mounted (the "fast local
+    * disks for shuffle" rule, guide §1.3/§2.1). Deliberately NOT part of
+    * [[sessionConfigs]]: /dev/shm is mounted on essentially every Linux
+    * node, and a silent RAM-backed spill default at 100 TB means OOM, not
+    * speed — a cluster deployment provisions real scratch disks and never
+    * applies this map. SPARK_GRAFT_LOCAL_DIR (via [[sessionConfigs]])
+    * overrides it when set.
+    */
+  def localScratchConfigs: Map[String, String] =
+    if (sys.env.contains("SPARK_GRAFT_LOCAL_DIR")) Map.empty
+    else {
       val shm = java.nio.file.Paths.get("/dev/shm")
       if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-        Some("/dev/shm/graft_spark_local") else None
+        Map("spark.local.dir" -> "/dev/shm/graft_spark_local")
+      else Map.empty
     }
-    dir.map("spark.local.dir" -> _).toMap
-  }
 }

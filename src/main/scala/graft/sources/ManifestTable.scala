@@ -1250,10 +1250,18 @@ object ManifestTable {
       .map(_.toAbsolutePath.toString).toSeq.sorted
     if (files.isEmpty) return Nil
     val rootStr = rootP.toAbsolutePath.toString
-    val parts = math.min(files.size, 32)
-    spark.sparkContext.parallelize(files, parts).map { abs =>
-      statsOfFile(abs, rootStr)
-    }.collect().toSeq.sortBy(_.path)
+    // footer reads are metadata-only: for a handful of files a driver loop
+    // is cheaper than launching a Spark job per commit (the ArrowIpc
+    // DistributedCensusThreshold rationale — one job per append adds up in
+    // multi-commit verbs); a 100k-small-files drop still fans out
+    if (files.size <= ArrowIpc.DistributedCensusThreshold)
+      files.map(abs => statsOfFile(abs, rootStr)).sortBy(_.path)
+    else {
+      val parts = math.min(files.size, 32)
+      spark.sparkContext.parallelize(files, parts).map { abs =>
+        statsOfFile(abs, rootStr)
+      }.collect().toSeq.sortBy(_.path)
+    }
   }
 
   private def statsOfFile(abs: String, rootStr: String): FileEntry = {

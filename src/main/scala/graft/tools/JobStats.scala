@@ -17,6 +17,7 @@ object JobStats {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
     graft.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    graft.localScratchConfigs.foreach { case (k, v) => builder.config(k, v) } // local-master harness: tmpfs scratch
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     @volatile var jobs = 0

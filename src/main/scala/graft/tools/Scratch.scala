@@ -13,6 +13,7 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
     graft.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    graft.localScratchConfigs.foreach { case (k, v) => builder.config(k, v) } // local-master harness: tmpfs scratch
     val s = builder.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     import s.implicits._

@@ -12,6 +12,7 @@ object Scratch2 {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
     graft.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    graft.localScratchConfigs.foreach { case (k, v) => builder.config(k, v) } // local-master harness: tmpfs scratch
     val s = builder.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     import graft.operators.TextAnalysis

@@ -20,6 +20,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
     graft.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    graft.localScratchConfigs.foreach { case (k, v) => b.config(k, v) } // local-master harness: tmpfs scratch
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
