@@ -1081,8 +1081,9 @@ object SparkEntry {
       val (assigned, centroids) =
         Similarity.ivfBuildIndex(emb, "embedding", "vec_id", nlist = 8)
       val out = s"/tmp/graft_ivfidx_${new java.io.File(dir).getName}"
-      assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$out/assigned")
-      centroids.write.mode("overwrite").parquet(s"$out/centroids")
+      graft.operators.Concurrent.awaitAll( // independent dirs: one submit (guide §2.6)
+        () => assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$out/assigned"),
+        () => centroids.write.mode("overwrite").parquet(s"$out/centroids"))
       Similarity.ivfSearchIndex(
           s.read.parquet(s"$out/assigned"), s.read.parquet(s"$out/centroids"),
           emb.where(col("vec_id") < 8), "embedding", "vec_id", k = 5, nprobe = 8)
@@ -1101,8 +1102,9 @@ object SparkEntry {
       val out = s"/tmp/graft_ivfrf_${new java.io.File(dir).getName}"
       val (assigned, centroids) = Similarity.ivfBuildIndex(
         ManifestTable.read(s, root), "embedding", "vec_id", nlist = 8)
-      assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$out/assigned")
-      centroids.write.mode("overwrite").parquet(s"$out/centroids")
+      graft.operators.Concurrent.awaitAll( // independent dirs: one submit (guide §2.6)
+        () => assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$out/assigned"),
+        () => centroids.write.mode("overwrite").parquet(s"$out/centroids"))
       ManifestTable.append(emb.where(col("vec_id") % 3 === 2), root)
       Similarity.ivfRefreshIndex(s, out,
         ManifestTable.readSince(s, root, sinceExclusive = 1L), "embedding", "vec_id")
@@ -1135,8 +1137,9 @@ object SparkEntry {
       val (assigned, centroids) =
         Similarity.ivfBuildIndex(emb, "embedding", "vec_id", nlist = 8)
       val out = s"/tmp/graft_i8ivfidx_${new java.io.File(dir).getName}"
-      assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$out/assigned")
-      centroids.write.mode("overwrite").parquet(s"$out/centroids")
+      graft.operators.Concurrent.awaitAll( // independent dirs: one submit (guide §2.6)
+        () => assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$out/assigned"),
+        () => centroids.write.mode("overwrite").parquet(s"$out/centroids"))
       Similarity.int8IvfSearchIndex(
           s.read.parquet(s"$out/assigned"), s.read.parquet(s"$out/centroids"),
           emb.where(col("vec_id") < 8), "embedding", "vec_id",
@@ -1207,9 +1210,10 @@ object SparkEntry {
       val (assigned, centroids, cbDf) = Similarity.ivfPqBuildIndex(
         emb, "embedding", "vec_id", nlist = 8, m = 8, ksub = 16, codebooks = Some(cb))
       val out = s"/tmp/graft_ivfpqidx_${new java.io.File(dir).getName}"
-      assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$out/assigned")
-      centroids.write.mode("overwrite").parquet(s"$out/centroids")
-      cbDf.write.mode("overwrite").parquet(s"$out/codebook")
+      graft.operators.Concurrent.awaitAll( // independent dirs: one submit (guide §2.6)
+        () => assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$out/assigned"),
+        () => centroids.write.mode("overwrite").parquet(s"$out/centroids"),
+        () => cbDf.write.mode("overwrite").parquet(s"$out/codebook"))
       Similarity.ivfPqSearchIndex(
           s.read.parquet(s"$out/assigned"), s.read.parquet(s"$out/centroids"),
           s.read.parquet(s"$out/codebook"),

@@ -53,6 +53,12 @@ object Clustering {
     * algorithm's answer (they really are neighbors), not a skew artifact;
     * at 100 TB choose eps so the expected ball stays small, or pre-thin
     * ultra-dense regions (the published parallel variants do exactly this).
+    *
+    * The result assumes ONE consuming action (the [[Caches]] contract): the
+    * internal eps-grid pair cache is released when the first action over
+    * the returned frame completes — a caller running several actions on it
+    * recomputes the 9-cell explode join on the later ones; `.persist()` the
+    * result yourself for multi-action use.
     */
   def dbscan(
       df: DataFrame,

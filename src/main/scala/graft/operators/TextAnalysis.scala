@@ -645,6 +645,13 @@ object TextAnalysis {
     * decimals BEFORE the rank so ties resolve identically on any engine
     * (tie-break: doc id asc). Output: (queryIdCol, idCol, score).
     *
+    * PRECONDITION: corpus doc ids are unique — a repeated id would merge
+    * its rows' postings as if they were one document's term counts under a
+    * single length, which is not a defined BM25 corpus. [[refreshBM25Index]]
+    * guards its incremental path loudly; these full-scan entry points trust
+    * the caller (an extra distinct-count pass per search is not worth a
+    * guard the ingest layer already enforces).
+    *
     * Scale shape — the inverted-index join, not an index structure: the
     * corpus collapses to (doc, term, tf) postings with one map-side-combined
     * groupBy; per-doc length is a window over those postings partitioned by
@@ -699,6 +706,8 @@ object TextAnalysis {
   /** Persists the BM25 index of `corpus` under `path`: `postings/` —
     * (__term, __doc, __tf, __dl, __df) parquet PARTITIONED BY a 64-way
     * term-hash bucket, and `stats/` — the 1-row (N, total tokens) table.
+    * Same doc-id-uniqueness PRECONDITION as [[searchBM25]]; the
+    * [[refreshBM25Index]] guard makes later dup ingests loud.
     * The build pays the corpus scan and term aggregation ONCE; every
     * subsequent query batch served by [[searchBM25Index]] reads only the
     * partitions its query terms hash into (directory-level pruning via the
@@ -725,16 +734,22 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dfreq = postings.groupBy("__term").agg(count(lit(1)).as("__df"))
-      postings.join(dfreq, "__term")
-        .select("__doc", "__term", "__tf", "__dl", "__df")
-        .withColumn("__bucket", termBucket(col("__term")))
-        .write.mode("overwrite").partitionBy("__bucket").parquet(s"$path/postings")
-      postings.agg(countDistinct(col("__doc")).as("__n"), sum(col("__tf")).as("__tt"))
-        .write.mode("overwrite").parquet(s"$path/stats")
-      // `docs/` sidecar: the posting-bearing doc ids — one narrow column that
-      // makes [[refreshBM25Index]]'s duplicate-id guard exact
-      postings.select("__doc").distinct()
-        .write.mode("overwrite").parquet(s"$path/docs")
+      // the three writes are independent (distinct output dirs, all reading
+      // the one persisted postings pass) — submitted concurrently so the
+      // stats/docs jobs back-fill the straggler tail of the big partitioned
+      // postings write instead of queuing behind it (guide §2.6); cache
+      // block locks keep the shared persist computed exactly once
+      Concurrent.awaitAll(
+        () => postings.join(dfreq, "__term")
+          .select("__doc", "__term", "__tf", "__dl", "__df")
+          .withColumn("__bucket", termBucket(col("__term")))
+          .write.mode("overwrite").partitionBy("__bucket").parquet(s"$path/postings"),
+        () => postings.agg(countDistinct(col("__doc")).as("__n"), sum(col("__tf")).as("__tt"))
+          .write.mode("overwrite").parquet(s"$path/stats"),
+        // `docs/` sidecar: the posting-bearing doc ids — one narrow column
+        // that makes [[refreshBM25Index]]'s duplicate-id guard exact
+        () => postings.select("__doc").distinct()
+          .write.mode("overwrite").parquet(s"$path/docs"))
     } finally postings.unpersist(blocking = false)
   }
 
@@ -806,23 +821,33 @@ object TextAnalysis {
         Files.deleteIfExists(p)
       }
       val tmp = s"$path/.postings-tmp-${java.util.UUID.randomUUID()}"
-      rewritten.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
-      buckets.foreach { bkt =>
-        val dst = Paths.get(s"$path/postings/__bucket=$bkt")
-        val src = Paths.get(s"$tmp/__bucket=$bkt")
-        deleteRec(dst)
-        if (Files.exists(src)) Files.move(src, dst)
-      }
-      deleteRec(Paths.get(tmp))
-      // stats accumulate; the old row is collected FIRST so the overwrite
-      // never reads the path it writes
-      val oldStats = spark.read.parquet(s"$path/stats").head()
-      import spark.implicits._
-      Seq((oldStats.getLong(0) + agg.getLong(0), oldStats.getLong(1) + agg.getLong(1)))
-        .toDF("__n", "__tt").coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/stats")
-      newPost.select("__doc").distinct()
-        .write.mode("append").parquet(s"$path/docs")
+      // the bucket rewrite, the stats accumulation and the docs append touch
+      // disjoint paths and all derive from frames already settled above —
+      // three independent write jobs, submitted concurrently (guide §2.6) so
+      // the small stats/docs jobs back-fill the rewrite's straggler tail.
+      // The directory swap stays strictly after ITS OWN write (same thunk).
+      Concurrent.awaitAll(
+        () => {
+          rewritten.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+          buckets.foreach { bkt =>
+            val dst = Paths.get(s"$path/postings/__bucket=$bkt")
+            val src = Paths.get(s"$tmp/__bucket=$bkt")
+            deleteRec(dst)
+            if (Files.exists(src)) Files.move(src, dst)
+          }
+          deleteRec(Paths.get(tmp))
+        },
+        () => {
+          // stats accumulate; the old row is collected FIRST so the
+          // overwrite never reads the path it writes
+          val oldStats = spark.read.parquet(s"$path/stats").head()
+          import spark.implicits._
+          Seq((oldStats.getLong(0) + agg.getLong(0), oldStats.getLong(1) + agg.getLong(1)))
+            .toDF("__n", "__tt").coalesce(1)
+            .write.mode("overwrite").parquet(s"$path/stats")
+        },
+        () => newPost.select("__doc").distinct()
+          .write.mode("append").parquet(s"$path/docs"))
     } finally newPost.unpersist()
   }
 
@@ -831,6 +856,12 @@ object TextAnalysis {
     * partition pruning drops every untouched bucket directory at the scan —
     * the corpus-side read is proportional to the query vocabulary, not the
     * index.
+    *
+    * The result assumes ONE consuming action (the [[Caches]] contract): the
+    * internal query-term cache is released when the first action over the
+    * returned frame completes, so a caller running several actions on it
+    * (count then collect) recomputes the term prep on the later ones —
+    * `.persist()` the result yourself for multi-action use.
     */
   def searchBM25Index(
       spark: org.apache.spark.sql.SparkSession,

@@ -55,6 +55,7 @@ object ScaleCheck {
     // driver heap is the JVM's own — set it at launch (e.g. `sbt -mem 8192`);
     // a builder config here would be a silent no-op in a running JVM
     graft.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    graft.localScratchConfigs.foreach { case (k, v) => builder.config(k, v) } // local-master harness: tmpfs scratch
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -496,6 +497,21 @@ object ScaleCheck {
       graft.operators.TextAnalysis.searchBM25(corpus, qs, topK = 10)
     }
     pair("text_bm25")(bm25Of(docs), bm25Of(docsN))
+
+    // persisted BM25 index roundtrip (post-r12 concurrent-write build):
+    // build cost tracks the corpus (tokenize + one groupBy + three parallel
+    // writes), search cost the query vocabulary via bucket pruning — the
+    // timed pair covers build + one search batch at 1× and factor×
+    val btmp = java.nio.file.Files.createTempDirectory("graft_bm25scale").toString
+    def bm25IdxOf(corpus: DataFrame, path: String) = {
+      graft.operators.TextAnalysis.buildBM25Index(corpus, path)
+      val qs = docs.where(col("doc_id") % 100 === 7)
+        .select(col("doc_id").as("query_id"), substring(col("text"), 1, 40).as("query"))
+      graft.operators.TextAnalysis.searchBM25Index(spark, path, qs, topK = 10)
+    }
+    pair("text_bm25_index")(
+      bm25IdxOf(docs, s"$btmp/idx1"),
+      bm25IdxOf(docsN, s"$btmp/idxN"))
 
     // DBSCAN: copies shift to DISJOINT regions — corpus growth as more
     // geography at constant density (10x density in ONE region would square

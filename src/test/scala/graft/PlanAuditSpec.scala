@@ -281,6 +281,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(ng.contains("TakeOrderedAndProject"), s"text_ngram_topk sorts:\n$ng")
   }
 
+  test("setsim verify runs the codegen merge-scan kernel, not array_intersect") {
+    // both set-similarity joins dictionary-encode tokens to sorted int ranks
+    // and verify overlap with sorted_intersect_size — one O(n+m) codegen
+    // merge per candidate pair; the interpreted string-array intersect must
+    // be gone from the whole plan
+    Seq("setsim_join", "setsim_containment").foreach { name =>
+      val plan = physical(q(name))
+      assert(plan.contains("sorted_intersect_size"),
+        s"$name lost the merge-scan verify kernel:\n$plan")
+      assert(!plan.contains("array_intersect"),
+        s"$name still verifies via interpreted array_intersect:\n$plan")
+    }
+  }
+
   test("geometry expressions run inside whole-stage codegen") {
     val df = q("geo_area")
     df.collect() // force execution so the final adaptive plan exists

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.{explode, floor, sequence}
+import org.apache.spark.sql.functions.{array_intersect, explode, floor, sequence, size}
 import org.scalatest.funsuite.AnyFunSuite
 
 class JoinsSpec extends AnyFunSuite with SparkSpec {
@@ -264,6 +264,24 @@ class JoinsSpec extends AnyFunSuite with SparkSpec {
     val out = Joins.setSimJoin(l, r, "lid", "ltext", "rid", "rtext", 0.6)
       .select("lid", "rid").as[(Long, Long)].collect()
     assert(out.toSet == Set((1L, 11L)))
+  }
+
+  test("sorted_intersect_size equals size(array_intersect) on sorted distinct arrays") {
+    // the setsim verify kernel: |a ∩ b| of strictly-increasing int arrays —
+    // must agree with the interpreted intersect it replaced, on every shape
+    // (disjoint, identical, staggered, empty-ish singletons)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val a = Seq.fill(rnd.nextInt(12) + 1)(rnd.nextInt(40)).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(12) + 1)(rnd.nextInt(40)).distinct.sorted
+      (i, a, b)
+    } :+ ((200, Seq(1, 2, 3), Seq(4, 5, 6))) :+ ((201, Seq(5), Seq(5)))
+    val df = rows.toDF("i", "a", "b")
+    val got = df.select($"i",
+        graft.functions.TextFunctions.sorted_intersect_size($"a", $"b").as("k"),
+        size(array_intersect($"a", $"b")).as("want"))
+      .where($"k" =!= $"want")
+    assert(got.count() == 0L, got.collect().mkString("\n"))
   }
 
   test("setSimJoin plans hash joins only — no cartesian, no BNLJ") {
