@@ -83,7 +83,13 @@ object Graph {
     // one alternation: large-star then small-star contraction
     def contract(ein: DataFrame): DataFrame = {
       // large-star: every node u links its LARGER neighbors v to
-      // m = min(Γ(u) ∪ {u}); m ≤ u < v keeps the (a > b) orientation
+      // m = min(Γ(u) ∪ {u}); m ≤ u < v keeps the (a > b) orientation.
+      // NOTE (r12, measured and REJECTED): replacing the groupBy + join-back
+      // with per-partition window mins removes one exchange per star phase
+      // (jobs 78 → 54 on geo_dbscan) but regresses dense inputs badly
+      // (geo_dbscan 4.0 → 6.7 s): a dense eps-ball component concentrates a
+      // hot node's whole neighbor list into one window-sort task, while the
+      // groupBy's map-side partial aggregation keeps the hot key cheap.
       val sym = ein.select(col("a").as("u"), col("b").as("v"))
         .unionByName(ein.select(col("b").as("u"), col("a").as("v")))
       val lMin = sym.groupBy("u").agg(min("v").as("mn"))
@@ -236,28 +242,30 @@ object Graph {
     // largest) side disappears — the frontier is the only moving part
     val adj = (if (undirected) fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
       else fwd).repartition(col("u")).distinct().localCheckpoint(false)
-    var dist = sources.select(col(sourceCol).as("node"), lit(0).as("dist"))
+    var frontier = sources.select(col(sourceCol).as("node"), lit(0).as("dist"))
       .distinct().localCheckpoint(false)
-    var frontier = dist
-    val dead = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // the settled set is the union of the (disjoint) round frontiers — kept
+    // as a LAZY union over the per-round frontier checkpoints instead of a
+    // second per-round checkpoint: the old `merged` copy rewrote the whole
+    // settled set into fresh blocks every round (O(V · depth) block churn)
+    // and ran one extra QueryExecution per round for a plain union
+    val frontiers = scala.collection.mutable.ArrayBuffer(frontier)
     var d = 1
     while (d <= maxDepth) {
+      val settled = frontiers.reduceLeft(_ unionByName _)
       val next = frontier.join(adj, frontier("node") === adj("u"))
         .select(col("v").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
+        .join(settled, Seq("node"), "left_anti")
         .select(col("node"), lit(d).as("dist"))
         .localCheckpoint(false)
-      val merged = dist.unionByName(next).localCheckpoint(false)
-      dead += dist
-      dead += frontier
-      dist = merged
+      frontiers += next
       frontier = next
       d += 1
     }
     // the eager checkpoint materializes the whole round cascade in one job;
-    // then every intermediate round and the adjacency free their blocks
-    val res = dist.localCheckpoint(true)
-    (dead :+ frontier :+ dist :+ adj).foreach(unpersistCheckpoint)
+    // then every round frontier and the adjacency free their blocks
+    val res = frontiers.reduceLeft(_ unionByName _).localCheckpoint(true)
+    (frontiers :+ adj).foreach(unpersistCheckpoint)
     res
   }
 
@@ -299,6 +307,15 @@ object Graph {
     val srcs = deg.select(col("u"))
     var rank = srcs.select(col("u").as("node"), lit(1.0 / n).as("rank"))
     val dead = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // Rounds form a LINEAR chain (each round's rank feeds exactly the next
+    // round's contrib join), so per-round checkpoints are pure overhead:
+    // every lazy checkpoint runs as its own QueryExecution, and under AQE
+    // each of those pays per-stage job scheduling and re-planning. Cutting
+    // lineage every CHECKPOINT_EVERY rounds instead keeps the plan depth
+    // bounded (no exponential growth — the chain references each round
+    // once) while a k-round block materializes as ONE adaptive execution.
+    // Arithmetic is untouched: same joins, same aggregates, same fp order.
+    val checkpointEvery = 8
     var i = 0
     while (i < iters) {
       val msgs = contrib.join(rank.select(col("node").as("u"), col("rank")), "u")
@@ -309,23 +326,24 @@ object Graph {
           srcs.join(msgs.select(col("v").as("u"), col("__in")), Seq("u"), "left")
             .select(col("u").as("node"),
               (lit(base) + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
-            .localCheckpoint(false)
         else // final round: complete over ALL nodes (dangling included)
           nodes
             .join(msgs.select(col("v").as("node"), col("__in")), Seq("node"), "left")
             .select(col("node"),
               (lit(base) + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
-            .localCheckpoint(false)
-      dead += rank
-      rank = next
+      rank =
+        if (i % checkpointEvery == checkpointEvery - 1 || i == iters - 1) {
+          val cp = next.localCheckpoint(false)
+          dead += cp
+          cp
+        } else next
       i += 1
     }
-    // one job materializes the whole round cascade (each lazy checkpoint
-    // computes from the previous round's blocks in dependency order); then
-    // the dead rounds and the input tables free their blocks — only the
+    // one job materializes the whole round cascade; then the intermediate
+    // block checkpoints and the input tables free their blocks — only the
     // final round's RDD stays, backing the returned frame.
     rank.count()
-    dead.foreach(unpersistCheckpoint)
+    dead.dropRight(1).foreach(unpersistCheckpoint)
     Seq(e0, deg, contrib, nodes).foreach(unpersistCheckpoint)
     rank
   }

@@ -791,13 +791,19 @@ object TextAnalysis {
       .persist()
     try {
       // one bounded fetch for the three driver-side facts (doc count, token
-      // count, affected bucket set ≤ bm25Buckets) instead of three jobs
-      val agg = newPost.agg(countDistinct(col("__doc")), sum(col("__tf")),
-        collect_set(col("__bucket"))).head()
+      // count, affected bucket set ≤ bm25Buckets) instead of three jobs;
+      // the dup-id guard reads the same persisted newPost independently, so
+      // the two bounded actions run as concurrent jobs (guide §2.6) — both
+      // must settle before any write below starts
+      var agg: org.apache.spark.sql.Row = null
+      var clash = 0L
+      Concurrent.awaitAll(
+        () => agg = newPost.agg(countDistinct(col("__doc")), sum(col("__tf")),
+          collect_set(col("__bucket"))).head(),
+        () => clash = newPost.select("__doc").distinct()
+          .join(spark.read.parquet(s"$path/docs"), Seq("__doc"), "left_semi")
+          .limit(1).count())
       if (agg.isNullAt(0) || agg.getLong(0) == 0L) return // nothing to add
-      val clash = newPost.select("__doc").distinct()
-        .join(spark.read.parquet(s"$path/docs"), Seq("__doc"), "left_semi")
-        .limit(1).count()
       require(clash == 0L,
         s"refreshBM25Index: new doc ids overlap the index at $path — a " +
           "repeated id would double-count its terms; merge upstream first")
